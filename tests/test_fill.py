@@ -1,0 +1,160 @@
+"""Gap-fill / LOCF / staleness vectors (FIXTURES.md §F5) + series packing
++ Gorilla block encode/decode round-trip (no Ray needed)."""
+
+import numpy as np
+import pandas as pd
+
+from vertex_ray.schema import (
+    BUCKET_COLS,
+    KIND_GAUGE,
+    KIND_HISTOGRAM,
+    KIND_SUM,
+    STALE_NAN,
+)
+from vertex_ray.stages.encode import GorillaEncode, decode_block_row
+from vertex_ray.stages.fill import fill_bucket_df, pack_series
+from vertex_ray.stages.rollup import AGG_COLS
+
+
+def agg_row(sk, kind, w, **kw):
+    row = {
+        "bucket": 0,
+        "series_key": sk,
+        "name": sk.split("{")[0],
+        "kind": kind,
+        "window_start": w,
+        "sum": kw.get("sum", 1.0),
+        "count": kw.get("count", 1),
+        "min": kw.get("min", 1.0),
+        "max": kw.get("max", 1.0),
+        "last": kw.get("last", 1.0),
+        "last_ts": kw.get("last_ts", w * 1_000_000),
+    }
+    for i, b in enumerate(BUCKET_COLS):
+        row[b] = kw.get("buckets", [0] * len(BUCKET_COLS))[i]
+    return row
+
+
+def make_df(rows):
+    return pd.DataFrame(rows)[AGG_COLS]
+
+
+def sbits(x):
+    return np.float64(x).view if False else np.asarray([x]).view(np.uint64)[0]
+
+
+def test_gauge_locf_then_stale():
+    # samples at w0, w0+60; silence to horizon → 5 LOCF windows, then one
+    # stale marker, then nothing (F5)
+    w0 = 1767225600
+    df = make_df(
+        [
+            agg_row("g{c=1}", KIND_GAUGE, w0, last=5.0),
+            agg_row("g{c=1}", KIND_GAUGE, w0 + 60, last=7.0),
+        ]
+    )
+    out = fill_bucket_df(df, 60, global_end_window=w0 + 3600)
+    fills = out[out["filled"]]
+    stales = out[out["stale"]]
+    assert list(fills["window_start"]) == [w0 + 120, w0 + 180, w0 + 240, w0 + 300, w0 + 360]
+    assert (fills["last"] == 7.0).all() and (fills["count"] == 0).all()
+    assert (fills["sum"] == 7.0).all() and (fills["min"] == 7.0).all()
+    assert len(stales) == 1
+    assert stales.iloc[0]["window_start"] == w0 + 60 + 360
+    assert np.isnan(stales.iloc[0]["last"])  # exact payload stamped at pack time
+    # nothing after the stale marker
+    assert out["window_start"].max() == w0 + 420
+
+
+def test_counter_zero_increment_fill():
+    w0 = 1767225600
+    df = make_df(
+        [
+            agg_row("c{x=1}", KIND_SUM, w0, sum=3.0, count=3, last=1.0),
+            agg_row("c{x=1}", KIND_SUM, w0 + 180, sum=1.0, count=1, last=1.0),
+        ]
+    )
+    out = fill_bucket_df(df, 60, global_end_window=w0 + 180)
+    fills = out[out["filled"]]
+    # gap of 2 windows < horizon → 2 fills, no stale
+    assert list(fills["window_start"]) == [w0 + 60, w0 + 120]
+    assert (fills["sum"] == 0.0).all() and (fills["count"] == 0).all()
+    assert (fills["last"] == 0.0).all()
+    assert fills["min"].isna().all()
+    assert not out["stale"].any()  # next sample arrives; end == global end
+
+
+def test_histogram_carries_cumulative_vector():
+    w0 = 1767225600
+    bk = [0, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2]
+    df = make_df(
+        [agg_row("h{c=1}", KIND_HISTOGRAM, w0, sum=0.5, count=2, buckets=bk)]
+    )
+    out = fill_bucket_df(df, 60, global_end_window=w0 + 120)
+    fills = out[out["filled"]]
+    assert len(fills) == 2  # capped by global end
+    assert (fills["count"] == 2).all() and (fills["sum"] == 0.5).all()
+    for i, b in enumerate(BUCKET_COLS):
+        assert (fills[b] == bk[i]).all()
+    assert not out["stale"].any()  # global end reached before horizon+1
+
+
+def test_stale_only_within_global_end():
+    w0 = 1767225600
+    df = make_df([agg_row("g{c=1}", KIND_GAUGE, w0, last=1.0)])
+    # global end far → stale emitted exactly at w0+360
+    out = fill_bucket_df(df, 60, global_end_window=w0 + 86400)
+    assert out[out["stale"]]["window_start"].tolist() == [w0 + 360]
+    # global end at w0+300 → no stale (horizon not yet past at end of data)
+    out2 = fill_bucket_df(df, 60, global_end_window=w0 + 300)
+    assert not out2["stale"].any()
+    assert len(out2[out2["filled"]]) == 5
+
+
+def test_coarse_tier_zero_locf():
+    # 1h tier: horizon 300 < window 3600 → no LOCF fills, immediate stale
+    w0 = 1767225600 // 3600 * 3600
+    df = make_df(
+        [
+            agg_row("g{c=1}", KIND_GAUGE, w0, last=2.0),
+            agg_row("g{c=1}", KIND_GAUGE, w0 + 4 * 3600, last=3.0),
+        ]
+    )
+    out = fill_bucket_df(df, 3600, global_end_window=w0 + 4 * 3600)
+    assert not out["filled"].any()
+    assert out[out["stale"]]["window_start"].tolist() == [w0 + 3600]
+
+
+def test_pack_and_gorilla_block_roundtrip():
+    from vertex_ray.schema import STALE_NAN_BITS
+
+    w0 = 1767225600
+    rows = [
+        agg_row("g{c=1}", KIND_GAUGE, w0, last=5.0),
+        agg_row("g{c=1}", KIND_GAUGE, w0 + 60, last=7.0),
+        agg_row("h{c=2}", KIND_HISTOGRAM, w0, sum=0.5, count=2,
+                buckets=[0, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2]),
+    ]
+    filled = fill_bucket_df(make_df(rows), 60, global_end_window=w0 + 600)
+    assert filled["stale"].any()
+    packed = pack_series(filled)
+    assert packed.num_rows == 2  # one row per series
+    enc = GorillaEncode("1m")
+    blocks = enc(packed)
+    assert blocks["tier"][0].as_py() == "1m"
+    for row in blocks.to_pylist():
+        dec = decode_block_row(row)
+        ref = filled[filled["series_key"] == row["series_key"]]
+        stale = ref["stale"].to_numpy()
+        np.testing.assert_array_equal(dec["window_start"], ref["window_start"].to_numpy())
+        np.testing.assert_array_equal(dec["filled"], ref["filled"].to_numpy())
+        np.testing.assert_array_equal(dec["stale"], stale)
+        for s in ("sum", "min", "max", "last"):
+            got = dec[s].view(np.uint64)
+            want = ref[s].to_numpy(np.float64).view(np.uint64).copy()
+            want[stale] = STALE_NAN_BITS  # pack stage stamps the exact payload
+            np.testing.assert_array_equal(got, want)  # bit-for-bit
+        np.testing.assert_array_equal(dec["count"], ref["count"].to_numpy(np.float64))
+        if row["kind"] == KIND_HISTOGRAM:
+            for b in BUCKET_COLS:
+                np.testing.assert_array_equal(dec[b], ref[b].to_numpy(np.float64))

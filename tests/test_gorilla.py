@@ -1,0 +1,99 @@
+"""Gorilla codec round-trip properties and directed vectors (FIXTURES.md §F6)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vertex_ray.gorilla import (
+    decode_flags,
+    decode_timestamps,
+    decode_values,
+    encode_flags,
+    encode_timestamps,
+    encode_values,
+)
+from vertex_ray.schema import STALE_NAN
+
+
+def rt_ts(ts):
+    ts = np.asarray(ts, dtype=np.int64)
+    out = decode_timestamps(encode_timestamps(ts), len(ts))
+    np.testing.assert_array_equal(out, ts)
+
+
+def rt_vals(vals):
+    vals = np.asarray(vals, dtype=np.float64)
+    out = decode_values(encode_values(vals), len(vals))
+    # bit-for-bit: compare raw uint64 patterns (NaN payloads included)
+    np.testing.assert_array_equal(out.view(np.uint64), vals.view(np.uint64))
+
+
+def test_directed_timestamps():
+    rt_ts([])
+    rt_ts([1767225600])
+    rt_ts([0, 60])
+    rt_ts(np.arange(100) * 60 + 1767225600)  # constant spacing → all dod 0
+    # each dod bucket: 0, ±small(7b), ±(9b), ±(12b), 32-bit
+    base = 1767225600
+    deltas = [60, 60, 61, 124, 60 + 256, 60, 2100, 60, 100000, 60, 1]
+    rt_ts(base + np.cumsum([0] + deltas))
+    # negative dod extremes
+    rt_ts(base + np.cumsum([0, 1000, 1000 - 63, 1000, 1000 - 255, 1000, 1]))
+
+
+def test_directed_values():
+    rt_vals([])
+    rt_vals([3.5])
+    rt_vals([0.0] * 50)  # all-zero XOR path
+    rt_vals([1.0, 1.0, 2.0, 2.0, -2.0, 0.5])
+    rt_vals([0.0, -0.0, 0.0, -0.0])  # signed zeros differ bitwise
+    rt_vals([STALE_NAN, 1.0, STALE_NAN, STALE_NAN])  # stale NaN payload
+    rt_vals([np.nan, np.inf, -np.inf, 5e-324, -5e-324, 1.7976931348623157e308])
+
+
+def test_value_leading_zero_cap():
+    # XOR with > 31 leading zeros exercises the 5-bit cap
+    a = 1.0
+    b = np.frombuffer(
+        (np.float64(a).view(np.uint64) ^ np.uint64(1)).tobytes(), dtype=np.float64
+    )[0]
+    rt_vals([a, b, a, b])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=0, max_size=60),
+    st.integers(min_value=0, max_value=2**40),
+)
+def test_ts_roundtrip_property(gaps, t0):
+    ts = t0 + np.cumsum([0] + gaps) if gaps else np.array([t0])
+    rt_ts(ts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, allow_subnormal=True),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_val_roundtrip_property(vals):
+    rt_vals(vals)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=50))
+def test_flags_roundtrip(flags):
+    f = np.asarray(flags, dtype=np.uint8)
+    np.testing.assert_array_equal(decode_flags(encode_flags(f), len(f)), f)
+
+
+def test_compression_ratio_regular_series():
+    # 1000 regularly spaced points, slowly varying values: must be far
+    # smaller than raw 16 B/point (the point of Gorilla).
+    ts = 1767225600 + np.arange(1000) * 60
+    vals = np.round(np.sin(np.arange(1000) / 50) * 4) + 10.0
+    enc = len(encode_timestamps(ts)) + len(encode_values(vals))
+    assert enc < 1000 * 16 * 0.25

@@ -107,26 +107,31 @@ POINTS_SCHEMA = pa.schema([pa.field(n, t) for n, t in POINTS_FIELDS])
 
 # ---------------------------------------------------------------------------
 # Tier aggregate table (FIXTURES.md §F3). One row per (series_key,
-# window_start). Bucket counts are a fixed-size list column parallel to
-# DEFAULT_BUCKETS (histogram series only; null otherwise). ``filled`` and
-# ``stale`` are produced by the gap-fill stage; the cascade consumes only
-# rows with filled == stale == False.
+# window_start). Cumulative histogram bucket counts are stored as flat
+# int64 columns b00..b10 parallel to DEFAULT_BUCKETS (zero for non-
+# histogram series) so every stage stays fully vectorized and the table is
+# directly comparable to a SQL oracle. ``filled``/``stale`` are produced by
+# the gap-fill stage; the cascade consumes only unfilled rows.
 # ---------------------------------------------------------------------------
 
-AGG_FIELDS = [
-    ("bucket", pa.int32()),
-    ("series_key", pa.string()),
-    ("name", pa.string()),
-    ("kind", pa.uint8()),
-    ("window_start", pa.int64()),  # epoch seconds, multiple of tier window
-    ("sum", pa.float64()),
-    ("count", pa.int64()),
-    ("min", pa.float64()),
-    ("max", pa.float64()),
-    ("last", pa.float64()),
-    ("last_ts", pa.int64()),  # epoch us of the observation behind ``last``
-    ("bucket_counts", pa.list_(pa.int64(), N_BUCKETS)),
-]
+BUCKET_COLS = tuple(f"b{i:02d}" for i in range(N_BUCKETS))
+
+AGG_FIELDS = (
+    [
+        ("bucket", pa.int32()),
+        ("series_key", pa.string()),
+        ("name", pa.string()),
+        ("kind", pa.uint8()),
+        ("window_start", pa.int64()),  # epoch seconds, multiple of tier window
+        ("sum", pa.float64()),
+        ("count", pa.int64()),
+        ("min", pa.float64()),
+        ("max", pa.float64()),
+        ("last", pa.float64()),
+        ("last_ts", pa.int64()),  # epoch us of the observation behind ``last``
+    ]
+    + [(b, pa.int64()) for b in BUCKET_COLS]
+)
 AGG_SCHEMA = pa.schema([pa.field(n, t) for n, t in AGG_FIELDS])
 
 # Gorilla block table: one row per (series_key, tier) block.

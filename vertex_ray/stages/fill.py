@@ -1,0 +1,201 @@
+"""Gap-fill + LOCF + staleness markers (per tier).
+
+Models the reference's series-TTL staleness: prometheus_exporter keeps a
+per-series entry refreshed on every write with ``expired_at = ts + ttl``
+(default 5 min, src/sinks/prometheus_exporter.rs:59-61, 491-512), GC'd
+once expired (463-481). In batch form (FIXTURES.md §F5): after the last
+observation of a series, windows within the staleness horizon emit LOCF
+rows; the first window past the horizon emits exactly ONE stale marker
+(the Prometheus stale NaN payload 0x7ff0000000000002); later windows
+emit nothing until the series has a real sample again.
+
+LOCF per kind:
+- gauge:     carry ``last`` (sum/min/max mirror it), count = 0
+- counter:   zero increment — sum = 0, count = 0, min/max NaN, last = 0
+- histogram: carry the whole cumulative state (count/sum/buckets/…)
+
+Fill rows are flagged ``filled``; stale rows ``stale``. The tier cascade
+consumes only real rows — fills and stale markers never feed coarser
+tiers (a coarser window containing only markers stays a gap).
+
+Runs inside the bucket group (all windows of a series are co-located by
+the conv-hash bucket), fully vectorized with np.repeat — no per-series
+Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from vertex_ray.schema import (
+    BUCKET_COLS,
+    KIND_GAUGE,
+    KIND_HISTOGRAM,
+    KIND_SUM,
+    STALE_NAN,
+    STALE_NAN_BITS,
+    STALENESS_SECONDS,
+)
+from vertex_ray.stages.rollup import AGG_COLS
+
+FILL_COLS = AGG_COLS + ["filled", "stale"]
+
+
+def fill_bucket_df(
+    df: pd.DataFrame,
+    window_seconds: int,
+    global_end_window: int,
+    horizon_seconds: int = STALENESS_SECONDS,
+) -> pd.DataFrame:
+    """Insert LOCF fill rows and stale markers for one bucket's agg rows."""
+    if len(df) == 0:
+        out = df.copy()
+        out["filled"] = pd.Series(dtype=bool)
+        out["stale"] = pd.Series(dtype=bool)
+        return out
+    df = df.sort_values(["series_key", "window_start"], kind="stable").reset_index(
+        drop=True
+    )
+    n = len(df)
+    w = df["window_start"].to_numpy(np.int64)
+    sk = df["series_key"].to_numpy(dtype=object)
+    same_next = np.zeros(n, dtype=bool)
+    same_next[:-1] = sk[:-1] == sk[1:]
+    next_w = np.empty(n, dtype=np.int64)
+    next_w[:-1] = w[1:]
+    limit = np.where(same_next, next_w, np.int64(global_end_window + window_seconds))
+
+    hw = horizon_seconds // window_seconds  # LOCF windows per gap
+    gap_windows = (limit - w) // window_seconds - 1
+    n_fill = np.clip(gap_windows, 0, hw)
+    stale_w = w + (hw + 1) * window_seconds
+    stale_mask = stale_w < limit
+
+    total = int(n_fill.sum())
+    parts = [df.assign(filled=False, stale=False)]
+    if total:
+        idx = np.repeat(np.arange(n), n_fill)
+        pos = np.arange(total) - np.repeat(np.cumsum(n_fill) - n_fill, n_fill) + 1
+        src = df.iloc[idx]
+        fill = pd.DataFrame(
+            {
+                "bucket": src["bucket"].to_numpy(),
+                "series_key": src["series_key"].to_numpy(),
+                "name": src["name"].to_numpy(),
+                "kind": src["kind"].to_numpy(),
+                "window_start": w[idx] + pos * window_seconds,
+                "last_ts": src["last_ts"].to_numpy(),
+                "filled": True,
+                "stale": False,
+            }
+        )
+        kind = src["kind"].to_numpy()
+        is_ctr = kind == KIND_SUM
+        is_gauge = kind == KIND_GAUGE
+        is_hist = kind == KIND_HISTOGRAM
+        last = src["last"].to_numpy()
+        fill["sum"] = np.where(is_ctr, 0.0, np.where(is_gauge, last, src["sum"].to_numpy()))
+        fill["count"] = np.where(is_hist, src["count"].to_numpy(), 0)
+        fill["min"] = np.where(is_ctr, np.nan, np.where(is_gauge, last, src["min"].to_numpy()))
+        fill["max"] = np.where(is_ctr, np.nan, np.where(is_gauge, last, src["max"].to_numpy()))
+        fill["last"] = np.where(is_ctr, 0.0, last)
+        for b in BUCKET_COLS:
+            fill[b] = np.where(is_hist, src[b].to_numpy(), 0)
+        parts.append(fill[FILL_COLS])
+    if stale_mask.any():
+        src = df.iloc[np.flatnonzero(stale_mask)]
+        m = len(src)
+        stale = pd.DataFrame(
+            {
+                "bucket": src["bucket"].to_numpy(),
+                "series_key": src["series_key"].to_numpy(),
+                "name": src["name"].to_numpy(),
+                "kind": src["kind"].to_numpy(),
+                "window_start": stale_w[stale_mask],
+                "sum": np.full(m, STALE_NAN),
+                "count": np.zeros(m, dtype=np.int64),
+                "min": np.full(m, STALE_NAN),
+                "max": np.full(m, STALE_NAN),
+                "last": np.full(m, STALE_NAN),
+                "last_ts": src["last_ts"].to_numpy(),
+                "filled": False,
+                "stale": True,
+            }
+        )
+        for b in BUCKET_COLS:
+            stale[b] = np.zeros(m, dtype=np.int64)
+        parts.append(stale[FILL_COLS])
+    out = pd.concat(parts, ignore_index=True)
+    out = out.sort_values(["series_key", "window_start"], kind="stable").reset_index(
+        drop=True
+    )
+    out["count"] = out["count"].astype(np.int64)
+    for b in BUCKET_COLS:
+        out[b] = out[b].astype(np.int64)
+    return out[FILL_COLS]
+
+
+# stream order for packing/encoding (schema.SCALAR_STREAMS + histogram buckets)
+def stream_names(kind: int) -> list[str]:
+    base = ["sum", "count", "min", "max", "last"]
+    if kind == KIND_HISTOGRAM:
+        base += list(BUCKET_COLS)
+    return base
+
+
+def pack_series(df: pd.DataFrame) -> pa.Table:
+    """Filled agg rows (one bucket, sorted by series_key/window) → one row
+    per series with parallel list columns, ready for the Gorilla actor
+    stage. Built from group offsets — no per-series Python loop."""
+    cols = {
+        "bucket": pa.int32(),
+        "series_key": pa.string(),
+        "name": pa.string(),
+        "kind": pa.uint8(),
+    }
+    if len(df) == 0:
+        empty = {k: pa.array([], type=t) for k, t in cols.items()}
+        empty["window_starts"] = pa.array([], type=pa.list_(pa.int64()))
+        for s in ["sum", "count", "min", "max", "last"]:
+            empty[f"vals_{s}"] = pa.array([], type=pa.list_(pa.float64()))
+        for b in BUCKET_COLS:
+            empty[f"vals_{b}"] = pa.array([], type=pa.list_(pa.float64()))
+        empty["flags"] = pa.array([], type=pa.list_(pa.uint8()))
+        return pa.table(empty)
+    sk = df["series_key"].to_numpy(dtype=object)
+    change = np.flatnonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))
+    offsets = np.concatenate([change, [len(sk)]]).astype(np.int32)
+
+    def lst(values, typ):
+        return pa.ListArray.from_arrays(offsets, pa.array(values, type=typ))
+
+    stale_mask = df["stale"].to_numpy().astype(bool)
+    flags = df["filled"].to_numpy().astype(np.uint8) | (
+        stale_mask.astype(np.uint8) << 1
+    )
+
+    def stamp_stale(vals: np.ndarray) -> np.ndarray:
+        # pandas concat canonicalizes NaN payloads, so the Prometheus stale
+        # payload (0x7ff0000000000002) is stamped here, through a uint64
+        # view (bit-exact), before the values reach the Gorilla encoder.
+        out = np.ascontiguousarray(vals, dtype=np.float64).copy()
+        out.view(np.uint64)[stale_mask] = STALE_NAN_BITS
+        return out
+    out = {
+        "bucket": pa.array(df["bucket"].to_numpy()[change], type=pa.int32()),
+        "series_key": pa.array(sk[change], type=pa.string()),
+        "name": pa.array(df["name"].to_numpy(dtype=object)[change], type=pa.string()),
+        "kind": pa.array(df["kind"].to_numpy()[change], type=pa.uint8()),
+        "window_starts": lst(df["window_start"].to_numpy(np.int64), pa.int64()),
+    }
+    for s in ["sum", "count", "min", "max", "last"]:
+        vals = df[s].to_numpy(np.float64)
+        if s != "count":
+            vals = stamp_stale(vals)
+        out[f"vals_{s}"] = lst(vals, pa.float64())
+    for b in BUCKET_COLS:
+        out[f"vals_{b}"] = lst(df[b].to_numpy(np.float64), pa.float64())
+    out["flags"] = lst(flags, pa.uint8())
+    return pa.table(out)
