@@ -1,44 +1,266 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the vertex_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship tier-cascade pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one. The transcript input table (BASELINE input_hint) is
+synthesized deterministically per scale factor under /tmp (synth.py);
+oracle SQL reads the same parquet files via read_parquet(), so both sides
+see identical inputs.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+from vertex_ray.schema import DEFAULT_BUCKETS, TIER_SECONDS
+from vertex_ray.synth import ensure_transcripts, sf_of_dir
+
+OUT_BASE = "/tmp/vertex_ray_out"
+
+# Oracle SQL always runs at sf0.01 (the driver's correctness scale).
+_SQL_TRANSCRIPTS = "read_parquet('/tmp/vertex_ray_testdata/sf0.01/transcripts_n1000000/*.parquet')"
+
+# Shared SQL fragments ------------------------------------------------------
+
+_W = "(epoch_us(ts) // {us}) * {s}"  # window_start in epoch seconds
+
+
+def _w(seconds: int) -> str:
+    return _W.format(us=seconds * 1_000_000, s=seconds)
+
+
+_LAT_CTE = f"""
+WITH lat AS (
+  SELECT conv_id, ts,
+         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+              PARTITION BY conv_id ORDER BY turn_idx) AS DOUBLE) / 1000000.0
+           AS lat
+  FROM {_SQL_TRANSCRIPTS}
+)
+"""
+
+
+def _tiers_out(sf_dir: str) -> str:
+    sf = sf_of_dir(sf_dir)
+    return os.path.join(OUT_BASE, f"sf{sf:g}", "tiers")
+
+
+def _ensure_pipeline(sf_dir: str) -> str:
+    """Run (or resume from checkpoint) the tier cascade for this scale;
+    subsequent queries read the committed parquet stages."""
+    from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+
+    trans = ensure_transcripts(sf_dir)
+    out = _tiers_out(sf_dir)
+    run_pipeline(trans, out, n_buckets=16)
+    return out
+
+
+def _tier_agg(sf_dir: str, tier: str):
+    from vertex_ray.pipelines.rollup_pipeline import read_stage
+
+    out = _ensure_pipeline(sf_dir)
+    return read_stage(out, "agg", tier)
+
+
+def _real_rows(t, name=None):
+    import pyarrow.compute as pc
+
+    mask = pc.and_(pc.invert(t["filled"]), pc.invert(t["stale"]))
+    if name is not None:
+        mask = pc.and_(mask, pc.equal(t["name"], name))
+    return t.filter(mask)
+
+
+def _metric_tier(sf_dir: str, tier: str, name: str, cols: list[str]):
+    ds = _tier_agg(sf_dir, tier)
+    return ds.map_batches(
+        lambda t: _real_rows(t, name).select(cols),
+        batch_format="pyarrow",
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: full tier cascade, returns the 1m
+    aggregate Dataset."""
+    return _tier_agg("/root/testdata/sf0.001", "1m")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+_LAT_COLS = ["series_key", "window_start", "sum", "count", "min", "max", "last"]
+_BUCKET_SQL_COLS = ", ".join(
+    f"SUM(CASE WHEN lat <= {u} THEN 1 ELSE 0 END) AS b{i:02d}"
+    for i, u in enumerate(DEFAULT_BUCKETS)
+)
+
+
+def _q_turns(sf_dir: str):
+    return _metric_tier(sf_dir, "1m", "turns_total", ["series_key", "window_start", "count"])
+
+
+def _q_turns_salted(sf_dir: str):
+    """Same rollup via the explicit two-phase salted aggregate (salt=4) on a
+    separate output dir — proves salted ≡ unsalted against the same oracle."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+    from vertex_ray.state.checkpoint import stage_files
+
+    trans = ensure_transcripts(sf_dir)
+    out = os.path.join(OUT_BASE, f"sf{sf_of_dir(sf_dir):g}", "tiers_salted")
+    run_pipeline(trans, out, n_buckets=16, salt=4, tiers=(("1m", 60),))
+    from vertex_ray.pipelines.rollup_pipeline import read_stage
+
+    ds = read_stage(out, "agg", "1m")
+    return ds.map_batches(
+        lambda t: _real_rows(t, "turns_total").select(
+            ["series_key", "window_start", "count"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_tools(sf_dir: str):
+    return _metric_tier(
+        sf_dir, "1m", "tool_invocations_total", ["series_key", "window_start", "count"]
+    )
+
+
+def _lat_query(tier: str):
+    def q(sf_dir: str):
+        return _metric_tier(sf_dir, tier, "inter_turn_latency_seconds", _LAT_COLS)
+
+    return q
+
+
+def _q_hist_buckets(sf_dir: str):
+    cols = ["series_key", "window_start"] + [f"b{i:02d}" for i in range(len(DEFAULT_BUCKETS))]
+    return _metric_tier(sf_dir, "1m", "inter_turn_latency_seconds", cols)
+
+
+def _q_passthrough(sf_dir: str):
+    """Per-turn text equality projection under stable (conv_id, turn_idx)
+    ordering (BASELINE input_hint invariant)."""
+    import ray.data as rd
+
+    trans = ensure_transcripts(sf_dir)
+    return rd.read_parquet(trans, columns=["conv_id", "turn_idx", "text"]).sort(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def _q_gorilla_roundtrip(sf_dir: str):
+    """1m latency tier routed through gap-fill → Gorilla encode → decode;
+    real (unfilled) points must match the plain SQL rollup bit-for-bit
+    after decode — the north-star correctness gate."""
+    import pyarrow.compute as pc
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks, read_stage
+
+    out = _ensure_pipeline(sf_dir)
+    dec = decode_tier_blocks(read_stage(out, "blocks", "1m"))
+
+    def shape(t):
+        mask = pc.and_(
+            pc.and_(pc.invert(t["filled"]), pc.invert(t["stale"])),
+            pc.equal(t["name"], "inter_turn_latency_seconds"),
+        )
+        t = t.filter(mask)
+        import pyarrow as pa
+
+        return t.select(
+            ["series_key", "window_start", "sum", "count", "min", "max", "last"]
+        ).set_column(
+            3, "count", pc.cast(t["count"], pa.int64())
+        )
+
+    return dec.map_batches(shape, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from vertex_ray.pipelines.op_queries import OP_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
+    return {
+        **OP_QUERIES,
+        "rollup_1m_turns": _q_turns,
+        "rollup_1m_turns_salted": _q_turns_salted,
+        "rollup_1m_tools": _q_tools,
+        "rollup_1m_latency": _lat_query("1m"),
+        "rollup_5m_latency": _lat_query("5m"),
+        "rollup_1h_latency": _lat_query("1h"),
+        "rollup_1d_latency": _lat_query("1d"),
+        "rollup_1m_hist_buckets": _q_hist_buckets,
+        "transcript_passthrough": _q_passthrough,
+        "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — same parquet inputs, same column names
+# ---------------------------------------------------------------------------
+
+
+def _sql_turns() -> str:
+    return f"""
+    SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}' AS series_key,
+           {_w(60)} AS window_start,
+           count(*) AS count
+    FROM {_SQL_TRANSCRIPTS}
+    GROUP BY 1, 2
     """
-    return {}
+
+
+def _sql_lat(seconds: int) -> str:
+    return f"""{_LAT_CTE}
+    SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}' AS series_key,
+           {_w(seconds)} AS window_start,
+           sum(lat) AS sum, count(*) AS count,
+           min(lat) AS min, max(lat) AS max,
+           arg_max(lat, ts) AS last
+    FROM lat WHERE lat IS NOT NULL
+    GROUP BY 1, 2
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from vertex_ray.pipelines.op_queries import OP_ORACLES
+
+    sqls = {
+        **OP_ORACLES,
+        "rollup_1m_turns": _sql_turns(),
+        "rollup_1m_turns_salted": _sql_turns(),
+        "rollup_1m_tools": f"""
+            SELECT 'tool_invocations_total{{conv_id=' || conv_id || ',tool=' || tool || '}}'
+                     AS series_key,
+                   {_w(60)} AS window_start,
+                   count(*) AS count
+            FROM {_SQL_TRANSCRIPTS}
+            WHERE tool <> ''
+            GROUP BY 1, 2
+            """,
+        "rollup_1m_hist_buckets": f"""{_LAT_CTE}
+            SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}' AS series_key,
+                   {_w(60)} AS window_start,
+                   {_BUCKET_SQL_COLS}
+            FROM lat WHERE lat IS NOT NULL
+            GROUP BY 1, 2
+            """,
+        "transcript_passthrough": f"""
+            SELECT conv_id, turn_idx, text FROM {_SQL_TRANSCRIPTS}
+            ORDER BY conv_id, turn_idx
+            """,
+        "gorilla_roundtrip_1m_latency": _sql_lat(60),
+    }
+    for tier, seconds in TIER_SECONDS.items():
+        sqls[f"rollup_{tier}_latency"] = _sql_lat(seconds)
+    return sqls

@@ -137,9 +137,14 @@ def test_pack_and_gorilla_block_roundtrip():
     ]
     filled = fill_bucket_df(make_df(rows), 60, global_end_window=w0 + 600)
     assert filled["stale"].any()
+    import pyarrow as pa
+
     packed = pack_series(filled)
     assert packed.num_rows == 2  # one row per series
-    enc = GorillaEncode("1m")
+    packed = packed.append_column(
+        "tier", pa.array(["1m"] * packed.num_rows, type=pa.string())
+    )
+    enc = GorillaEncode()
     blocks = enc(packed)
     assert blocks["tier"][0].as_py() == "1m"
     for row in blocks.to_pylist():

@@ -97,3 +97,31 @@ def test_compression_ratio_regular_series():
     vals = np.round(np.sin(np.arange(1000) / 50) * 4) + 10.0
     enc = len(encode_timestamps(ts)) + len(encode_values(vals))
     assert enc < 1000 * 16 * 0.25
+
+
+def test_multi_series_encoders_match_single():
+    from vertex_ray.gorilla import encode_timestamps_multi, encode_values_multi
+
+    rng = np.random.default_rng(3)
+    offsets = [0]
+    ts_parts, val_parts = [], []
+    for ln in [1, 2, 3, 50, 7, 1, 200]:
+        gaps = rng.integers(1, 700, size=ln - 1) if ln > 1 else []
+        ts = 1767225600 + np.cumsum(np.concatenate([[0], gaps])).astype(np.int64)
+        vals = np.where(rng.random(ln) < 0.3, STALE_NAN, np.round(rng.random(ln) * 50))
+        ts_parts.append(ts)
+        val_parts.append(vals)
+        offsets.append(offsets[-1] + ln)
+    offsets = np.array(offsets)
+    flat_ts = np.concatenate(ts_parts)
+    flat_vals = np.concatenate(val_parts)
+    multi_ts = encode_timestamps_multi(flat_ts, offsets)
+    multi_vals = encode_values_multi(flat_vals, offsets)
+    for i, (ts, vals) in enumerate(zip(ts_parts, val_parts)):
+        assert multi_ts[i] == encode_timestamps(ts)
+        assert multi_vals[i] == encode_values(vals)
+        np.testing.assert_array_equal(decode_timestamps(multi_ts[i], len(ts)), ts)
+        np.testing.assert_array_equal(
+            decode_values(multi_vals[i], len(vals)).view(np.uint64),
+            vals.view(np.uint64),
+        )

@@ -1,0 +1,192 @@
+"""Secondary operator vectors (FIXTURES.md §F7) — pure-Python parts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from vertex_ray.stages.dedup import DedupLRU, type_sensitive_key
+from vertex_ray.stages.metricalize import metricalize_partial, parse_numeric
+from vertex_ray.stages.ops import (
+    filter_op,
+    hashmod_value,
+    relabel_ops,
+    route_flags,
+    sample_op,
+)
+
+
+def T(**cols):
+    return pa.table(cols)
+
+
+# --- relabel (relabel.rs:190-384) ------------------------------------------
+
+
+def test_relabel_ops_matrix():
+    t = T(a=["x", "Y"], b=["P", "q"])
+    fn = relabel_ops(
+        [
+            ("set", "c", "v"),
+            ("add", "a", "ignored"),  # present → unchanged
+            ("add", "d", "new"),
+            ("rename", "b", "bb"),
+            ("lowercase", "bb"),
+            ("uppercase", "a"),
+            ("delete", "d"),
+        ]
+    )
+    out = fn(t)
+    assert out.column_names == ["a", "bb", "c"]
+    assert out["a"].to_pylist() == ["X", "Y"]
+    assert out["bb"].to_pylist() == ["p", "q"]
+    assert out["c"].to_pylist() == ["v", "v"]
+
+
+def test_hashmod_golden_vector():
+    # relabel.rs test: md5("baz") bytes [8:16] % 1000 == 976
+    assert hashmod_value("baz", 1000) == 976
+
+
+def test_hashmod_column():
+    t = T(k=["baz", "baz", "other"])
+    out = relabel_ops([("hashmod", "k", 1000, "m")])(t)
+    assert out["m"].to_pylist()[0] == 976
+    assert out["m"].to_pylist()[0] == out["m"].to_pylist()[1]
+
+
+# --- filter / route --------------------------------------------------------
+
+
+def test_filter_and_route():
+    import pyarrow.compute as pc
+
+    t = T(v=[1, 5, 10], kind=["a", "b", "a"])
+    out = filter_op(lambda t: pc.greater(t["v"], 4))(t)
+    assert out["v"].to_pylist() == [5, 10]
+
+    routes = {
+        "small": lambda t: pc.less(t["v"], 5),
+        "a_kind": lambda t: pc.equal(t["kind"], "a"),
+    }
+    flagged = route_flags(routes)(t)
+    # row 0 matches both routes (an event can match several, route.rs:11)
+    assert flagged["route_small"].to_pylist() == [True, False, False]
+    assert flagged["route_a_kind"].to_pylist() == [True, False, True]
+    assert flagged["route__unmatched"].to_pylist() == [False, True, False]
+
+
+# --- sample (sample.rs:108-182) --------------------------------------------
+
+
+def test_sample_hash_consistent_and_rate():
+    rng = np.random.default_rng(5)
+    keys = [f"k{i}" for i in rng.integers(0, 10_000, size=10_000)]
+    t = T(key=keys)
+    out1 = sample_op(10, "key")(t)
+    out2 = sample_op(10, "key")(t)
+    assert out1.equals(out2)  # run-to-run consistency
+    rate = out1.num_rows / t.num_rows
+    assert 0.05 < rate < 0.15  # ≈ 1/10 within ±50%
+    kept = set(out1["key"].to_pylist())
+    # same key always same decision
+    for k in list(kept)[:20]:
+        assert all(r in kept for r in [k])
+
+
+def test_sample_count_mode():
+    t = T(x=list(range(100)))
+    out = sample_op(10)(t)
+    assert out["x"].to_pylist() == list(range(0, 100, 10))
+
+
+# --- dedup (dedup.rs:193-470) ----------------------------------------------
+
+
+def test_dedup_lru_match_vs_ignore():
+    rows = T(a=["x", "x", "y"], b=["1", "2", "1"])
+    d = DedupLRU(match_fields=["a"])
+    out = d(rows)
+    assert out["a"].to_pylist() == ["x", "y"]
+    d2 = DedupLRU(ignore_fields=["b"])  # key = everything but b
+    out2 = d2(rows)
+    assert out2["a"].to_pylist() == ["x", "y"]
+
+
+def test_dedup_type_sensitive():
+    # "123" (string) ≠ 123 (int) even with equal string form
+    k1 = type_sensitive_key({"f": "123"})
+    k2 = type_sensitive_key({"f": 123})
+    assert k1 != k2
+    # null field ≠ missing field
+    assert type_sensitive_key({"f": None}) != type_sensitive_key({})
+
+
+def test_dedup_lru_age_out():
+    d = DedupLRU(match_fields=["a"], cache_size=1)
+    out = d(T(a=["x", "y", "x"]))
+    # cache size 1: x seen, y evicts x, x re-admitted
+    assert out["a"].to_pylist() == ["x", "y", "x"]
+
+
+def test_dedup_both_modes_rejected():
+    with pytest.raises(ValueError):
+        DedupLRU(match_fields=["a"], ignore_fields=["b"])
+    with pytest.raises(ValueError):
+        DedupLRU()
+
+
+# --- metricalize golden vectors (metricalize.rs:296-457) -------------------
+
+
+def test_metricalize_counter_occurrences():
+    # F4.1: two records with the field present → Sum(2.0)
+    t = T(
+        foo=["a", "b"],
+        ts=pa.array([1_000_000, 2_000_000], type=pa.timestamp("us")),
+        svc=["s", "s"],
+    )
+    out = metricalize_partial(t, ["svc"], "foo", "ts", 60, [], increment_by_value=False)
+    assert out["sum"].tolist() == [2.0] and out["count"].tolist() == [2]
+
+
+def test_metricalize_counter_increment_by_value():
+    # F4.2: ["bar"(skip), "1.2", 2, 3, 4.3] → Sum(10.5)
+    t = T(
+        v=["bar", "1.2", "2", "3", "4.3"],
+        ts=pa.array([1, 2, 3, 4, 5], type=pa.timestamp("us")),
+        svc=["s"] * 5,
+    )
+    out = metricalize_partial(t, ["svc"], "v", "ts", 60, [])
+    assert out["sum"].tolist() == [10.5] and out["count"].tolist() == [4]
+
+
+def test_metricalize_gauge_last_write():
+    # F4.4: values ["1", 2.1] → Gauge(2.1)
+    t = T(
+        v=["1", "2.1"],
+        ts=pa.array([1, 2], type=pa.timestamp("us")),
+        svc=["s", "s"],
+    )
+    out = metricalize_partial(t, ["svc"], "v", "ts", 60, [])
+    assert out["last"].tolist() == [2.1]
+
+
+def test_metricalize_histogram_vector():
+    # F4.5: [0.0005, 5] → count 2, sum 5.0005, buckets [1,1,1,1,1,1,1,1,1,2,2]
+    from vertex_ray.schema import DEFAULT_BUCKETS
+
+    t = T(
+        v=[0.0005, 5.0],
+        ts=pa.array([1, 2], type=pa.timestamp("us")),
+        svc=["s", "s"],
+    )
+    out = metricalize_partial(t, ["svc"], "v", "ts", 60, list(DEFAULT_BUCKETS))
+    assert out["count"].tolist() == [2] and out["sum"].tolist() == [5.0005]
+    got = [int(out[f"b{i:02d}"].iloc[0]) for i in range(len(DEFAULT_BUCKETS))]
+    assert got == [1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2]
+
+
+def test_parse_numeric():
+    vals, ok = parse_numeric(np.array(["1.5", "x", None, 2, 3.25, True], dtype=object))
+    assert ok.tolist() == [True, False, False, True, True, False]
+    assert vals[ok].tolist() == [1.5, 2.0, 3.25]

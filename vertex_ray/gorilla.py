@@ -239,6 +239,140 @@ def decode_values(buf: bytes, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# multi-series batch encoders — encode EVERY series of a batch in one
+# vectorized pass. Each series' block is byte-aligned (zero padding bits at
+# its end), so the per-series slices are byte-identical to the single-series
+# encoders' output and decode with the same decoders. This removes the
+# per-series numpy-call overhead that dominates on short series.
+# ---------------------------------------------------------------------------
+
+
+def _bswap(x: np.ndarray) -> np.ndarray:
+    """uint64 byte swap: pack_bits writes fields MSB-first (big-endian), the
+    single-series headers are raw little-endian — swapping makes the packed
+    header bytes identical."""
+    return x.astype(np.uint64).byteswap()
+
+
+def _slices(buf: bytes, series_bits: np.ndarray, pad: np.ndarray) -> list[bytes]:
+    series_bytes = (series_bits + pad) >> 3
+    starts = np.zeros(len(series_bytes) + 1, dtype=np.int64)
+    np.cumsum(series_bytes, out=starts[1:])
+    return [buf[starts[i]: starts[i + 1]] for i in range(len(series_bytes))]
+
+
+def encode_values_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Value streams for S series concatenated in ``flat`` (offsets has
+    S+1 entries, every series non-empty). Returns S per-series blocks."""
+    n = len(flat)
+    if n == 0:
+        return [b""] * (len(offsets) - 1)
+    bits = np.ascontiguousarray(np.asarray(flat, dtype=np.float64)).view(np.uint64)
+    s = len(offsets) - 1
+    counts = np.diff(offsets)
+    sid = np.repeat(np.arange(s), counts)
+    is_start = np.zeros(n, dtype=bool)
+    is_start[offsets[:-1]] = True
+
+    xor = np.zeros(n, dtype=np.uint64)
+    xor[1:] = bits[1:] ^ bits[:-1]
+    xor[is_start] = 0
+    lead = np.minimum(_clz64(xor), 31)
+    trail = _ctz64(xor)
+    mlen = 64 - lead - trail
+    zero = xor == 0
+    a_codes = np.where(
+        zero,
+        np.uint64(0),
+        (np.uint64(0b11) << np.uint64(11))
+        | (lead.astype(np.uint64) << np.uint64(6))
+        | np.where(zero, 0, mlen - 1).astype(np.uint64),
+    )
+    a_lens = np.where(zero, 1, 13).astype(np.int64)
+    b_codes = np.where(zero, np.uint64(0), xor >> trail.astype(np.uint64))
+    b_lens = np.where(zero, 0, mlen).astype(np.int64)
+    # series heads: raw 64-bit little-endian value
+    a_codes[is_start] = _bswap(bits[is_start])
+    a_lens[is_start] = 64
+    b_codes[is_start] = 0
+    b_lens[is_start] = 0
+
+    el_bits = a_lens + b_lens
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(el_bits, out=cum[1:])
+    series_bits = cum[offsets[1:]] - cum[offsets[:-1]]
+    pad = (-series_bits) % 8
+
+    f = 2 * n + s
+    codes = np.zeros(f, dtype=np.uint64)
+    lens = np.zeros(f, dtype=np.int64)
+    el = np.arange(n)
+    pos_a = 2 * el + sid
+    codes[pos_a] = a_codes
+    lens[pos_a] = a_lens
+    codes[pos_a + 1] = b_codes
+    lens[pos_a + 1] = b_lens
+    lens[2 * offsets[1:] + np.arange(s)] = pad  # zero-bit padding fields
+    buf = pack_bits(codes, lens)
+    return _slices(buf, series_bits, pad)
+
+
+def encode_timestamps_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    n = len(flat)
+    if n == 0:
+        return [b""] * (len(offsets) - 1)
+    ts = np.asarray(flat, dtype=np.int64)
+    s = len(offsets) - 1
+    counts = np.diff(offsets)
+    sid = np.repeat(np.arange(s), counts)
+    starts = offsets[:-1]
+    is_start = np.zeros(n, dtype=bool)
+    is_start[starts] = True
+    is_second = np.zeros(n, dtype=bool)
+    is_second[starts[counts >= 2] + 1] = True
+
+    d = np.zeros(n, dtype=np.int64)
+    d[1:] = ts[1:] - ts[:-1]
+    dod = np.zeros(n, dtype=np.int64)
+    dod[1:] = d[1:] - d[:-1]
+
+    codes = np.zeros(n, dtype=np.uint64)
+    lens = np.ones(n, dtype=np.int64)  # default: dod == 0 → single '0' bit
+    done = dod == 0
+    for (prefix, plen, vbits), bias in zip(_DOD_PREFIXES, _DOD_BIASES):
+        m = (~done) & (dod >= -bias) & (dod <= bias + 1)
+        codes[m] = (np.uint64(prefix) << np.uint64(vbits)) | (
+            (dod[m] + bias).astype(np.uint64)
+        )
+        lens[m] = plen + vbits
+        done |= m
+    m = ~done
+    codes[m] = (np.uint64(0b1111) << np.uint64(32)) | (
+        dod[m].astype(np.int32).view(np.uint32).astype(np.uint64)
+    )
+    lens[m] = 36
+    codes[is_start] = _bswap(ts[is_start].view(np.uint64))
+    lens[is_start] = 64
+    codes[is_second] = _bswap(d[is_second].view(np.uint64))
+    lens[is_second] = 64
+
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=cum[1:])
+    series_bits = cum[offsets[1:]] - cum[offsets[:-1]]
+    pad = (-series_bits) % 8
+
+    f = n + s
+    all_codes = np.zeros(f, dtype=np.uint64)
+    all_lens = np.zeros(f, dtype=np.int64)
+    pos = np.arange(n) + sid
+    all_codes[pos] = codes
+    all_lens[pos] = lens
+    all_lens[offsets[1:] + np.arange(s)] = pad
+    buf = pack_bits(all_codes, all_lens)
+    return _slices(buf, series_bits, pad)
+
+
+# ---------------------------------------------------------------------------
 # flags stream: 2 bits per point (bit0 = filled, bit1 = stale), 4 per byte
 # ---------------------------------------------------------------------------
 

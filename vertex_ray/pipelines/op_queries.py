@@ -1,0 +1,457 @@
+"""Operator-demo queries over the driver's testdata tables + their DuckDB
+oracle SQL. One entry per operator from SURVEY.md §2 (and the
+training-data additions); consumed by __ray_entry__.
+
+Column names are kept identical between the Ray result and the SQL so the
+driver's order-insensitive value-hash matches. Float-summing columns are
+only exposed where arithmetic is exact (integral doubles) or the formula
+is IEEE-identical on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ev(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- filter ----------------------------------------------------------------
+
+
+def q_filter_events(sf_dir: str):
+    from vertex_ray.stages.ops import filter_op
+
+    return _ev(sf_dir).map_batches(
+        filter_op(
+            lambda t: pc.and_(pc.equal(t["event_type"], "click"), pc.greater(t["value"], 100.0))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FILTER_EVENTS = "SELECT * FROM events WHERE event_type = 'click' AND value > 100"
+
+
+# --- route -----------------------------------------------------------------
+
+
+def q_route_events(sf_dir: str):
+    from vertex_ray.stages.ops import route_flags
+
+    routes = {
+        "click": lambda t: pc.equal(t["event_type"], "click"),
+        "big": lambda t: pc.greater(t["value"], 250.0),
+    }
+    return _ev(sf_dir).map_batches(route_flags(routes), batch_format="pyarrow").map_batches(
+        lambda t: t.select(["event_id", "route_click", "route_big", "route__unmatched"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ROUTE_EVENTS = """
+SELECT event_id,
+       event_type = 'click' AS route_click,
+       value > 250 AS route_big,
+       NOT (event_type = 'click' OR value > 250) AS route__unmatched
+FROM events
+"""
+
+
+# --- sample ----------------------------------------------------------------
+
+
+def q_sample_events(sf_dir: str):
+    from vertex_ray.stages.ops import sample_op
+
+    return _ev(sf_dir).map_batches(
+        sample_op(10, "user_id", method="mod"), batch_format="pyarrow"
+    ).map_batches(lambda t: t.select(["event_id", "user_id"]), batch_format="pyarrow")
+
+
+SQL_SAMPLE_EVENTS = "SELECT event_id, user_id FROM events WHERE user_id % 10 = 0"
+
+
+# --- relabel ---------------------------------------------------------------
+
+
+def q_relabel_docs(sf_dir: str):
+    from vertex_ray.stages.ops import relabel_ops
+
+    return _docs(sf_dir).map_batches(
+        relabel_ops(
+            [
+                ("rename", "lang", "language"),
+                ("uppercase", "source"),
+                ("set", "pipeline", "vertex_ray"),
+                ("delete", "n_chars"),
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RELABEL_DOCS = """
+SELECT doc_id, text, lang AS language, upper(source) AS source,
+       'vertex_ray' AS pipeline
+FROM documents
+"""
+
+
+# --- dedup (exact, distributed) --------------------------------------------
+
+
+def q_dedup_events(sf_dir: str):
+    from vertex_ray.stages.dedup import dedup_exact
+
+    out = dedup_exact(_ev(sf_dir), ["user_id", "event_type"], "event_id")
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_type", "event_id", "value"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEDUP_EVENTS = """
+SELECT user_id, event_type, min(event_id) AS event_id,
+       arg_min(value, event_id) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- throttle (per-key per-window quota) -----------------------------------
+
+
+def q_throttle_events(sf_dir: str):
+    from vertex_ray.stages.ops import throttle_quota
+
+    out = throttle_quota(_ev(sf_dir), "user_id", "ts", 3600, 2, "event_id")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "window_start"]), batch_format="pyarrow"
+    )
+
+
+SQL_THROTTLE_EVENTS = """
+SELECT event_id, user_id, (epoch_us(ts) // 3600000000) * 3600 AS window_start
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, epoch_us(ts) // 3600000000
+    ORDER BY ts, event_id) <= 2
+"""
+
+
+# --- metricalize (generic log table) ---------------------------------------
+
+
+def q_metricalize_events(sf_dir: str):
+    from vertex_ray.stages.metricalize import metricalize
+
+    out = metricalize(_ev(sf_dir), ["event_type"], "value", "ts", 60, uppers=[10.0, 50.0])
+    import pandas as pd
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        # sum excluded: event values are arbitrary doubles, so a float sum
+        # is merge-order-dependent; count/min/max/last/buckets are exact.
+        return df[["event_type", "window_start", "count", "min", "max", "last", "b00", "b01"]]
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
+SQL_METRICALIZE_EVENTS = """
+SELECT event_type, (epoch_us(ts) // 60000000) * 60 AS window_start,
+       count(*) AS count, min(value) AS min, max(value) AS max,
+       arg_max(value, ts) AS last,
+       SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS b00,
+       SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS b01
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- cardinality limiter ---------------------------------------------------
+
+
+def q_cardinality_events(sf_dir: str):
+    from vertex_ray.stages.cardinality import allowed_values, enforce_limit
+
+    ds = _ev(sf_dir)
+    allowed = allowed_values(ds, "event_type", "ts", limit=2)
+    return enforce_limit(ds, "event_type", allowed, "drop").map_batches(
+        lambda t: t.select(["event_id", "event_type"]), batch_format="pyarrow"
+    )
+
+
+SQL_CARDINALITY_EVENTS = """
+WITH firsts AS (
+  SELECT event_type FROM events GROUP BY event_type
+  ORDER BY min(ts), event_type LIMIT 2
+)
+SELECT e.event_id, e.event_type FROM events e
+JOIN firsts f ON e.event_type = f.event_type
+"""
+
+
+# --- enrichment (broadcast lookup join — the geoip pattern) ----------------
+
+
+def q_enrich_customers(sf_dir: str):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from vertex_ray.stages.enrich import enrich
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    lookup = nation.set_index("n_nationkey")[["n_name"]]
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet")
+    return enrich(cust, lookup, "c_nationkey", prefix="nation_", concurrency=2).map_batches(
+        lambda t: t.select(["c_custkey", "c_nationkey", "nation_n_name"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ENRICH_CUSTOMERS = """
+SELECT c_custkey, c_nationkey, n_name AS nation_n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+# --- generic windowed aggregate on lineitem (exact arithmetic) -------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="count_order"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+    )
+    import pandas as pd
+
+    def add_avg(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_qty"] = df["sum_qty"] / df["count_order"]
+        return df
+
+    return out.map_batches(add_avg, batch_format="pandas")
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       count(*) AS count_order, min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       sum(l_quantity) / count(*) AS avg_qty
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def q_tokens_docs(sf_dir: str):
+    from vertex_ray.stages.text import token_count_op
+
+    return _docs(sf_dir).map_batches(token_count_op(), batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "n_bpe_tokens"]), batch_format="pyarrow"
+    )
+
+
+SQL_TOKENS_DOCS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_docs(sf_dir: str):
+    from vertex_ray.stages.text import quality_score_op
+
+    return _docs(sf_dir).map_batches(quality_score_op(), batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "mean_token_len", "alpha_ratio"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_QUALITY_DOCS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+            ELSE CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                 / len(regexp_extract_all(text, '\S+')) END AS mean_token_len,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '[^A-Za-z \t\n]', '', 'g')) AS DOUBLE)
+                 / length(text) END AS alpha_ratio
+FROM documents
+"""
+
+
+def q_langid_docs(sf_dir: str):
+    from vertex_ray.stages.text import lang_id_op
+
+    return _docs(sf_dir).map_batches(lang_id_op(), batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "lang_pred", "lang_conf"]), batch_format="pyarrow"
+    )
+
+
+def q_fingerprint_docs(sf_dir: str):
+    from vertex_ray.stages.text import fingerprint_op
+
+    return _docs(sf_dir).map_batches(fingerprint_op(), batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
+    )
+
+
+# --- dedup family (near-dup) -----------------------------------------------
+
+
+def q_minhash_pairs_docs(sf_dir: str):
+    import ray
+
+    import pyarrow.dataset as pads
+
+    from vertex_ray.stages.dedup_near import minhash_lsh_pairs
+
+    t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    return minhash_lsh_pairs(
+        _docs(sf_dir), "text", "doc_id", verify_threshold=0.5, texts_ref=ray.put(texts)
+    )
+
+
+def q_simhash_pairs_docs(sf_dir: str):
+    from vertex_ray.stages.dedup_near import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(sf_dir), "text", "doc_id", max_hamming=6)
+
+
+def q_embedding_near_pairs(sf_dir: str):
+    from vertex_ray.stages.dedup_near import embedding_near_pairs
+
+    return embedding_near_pairs(_emb(sf_dir), "embedding", "vec_id", threshold=0.9)
+
+
+# --- similarity search -----------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n: int = 3):
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())[:n]
+    ids = t["vec_id"].to_numpy()[order]
+    vecs = np.stack([t["embedding"][int(i)].as_py() for i in order])
+    return ids, vecs
+
+
+def q_ann_topk(sf_dir: str):
+    from vertex_ray.stages.ann import brute_force_topk
+
+    qids, qvecs = _query_vectors(sf_dir)
+    out = brute_force_topk(_emb(sf_dir), qvecs, 5, "embedding", "vec_id")
+    qmap = {i: int(v) for i, v in enumerate(qids)}
+
+    def remap(t: pa.Table) -> pa.Table:
+        q = np.array([qmap[int(x)] for x in t["query_id"].to_numpy()], dtype=np.int64)
+        return pa.table(
+            {
+                "query_vec_id": pa.array(q),
+                "vec_id": t["vec_id"],
+            }
+        )
+
+    return out.map_batches(remap, batch_format="pyarrow")
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 3)
+SELECT query_vec_id, e.vec_id
+FROM q CROSS JOIN embeddings e
+QUALIFY row_number() OVER (
+    PARTITION BY query_vec_id
+    ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 5
+"""
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    from vertex_ray.stages.ann import ivf_topk
+
+    qids, qvecs = _query_vectors(sf_dir)
+    return ivf_topk(_emb(sf_dir), qvecs, 5, "embedding", "vec_id", n_centroids=8, nprobe=8)
+    # nprobe == n_centroids → exhaustive probing; still exercises the IVF path
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+
+def q_multimodal_features(sf_dir: str):
+    import ray.data as rd
+
+    from vertex_ray.stages.multimodal import featurize_media, synth_media_table
+
+    n = 500 if "0.01" in sf_dir else 100
+    return featurize_media(rd.from_arrow(synth_media_table(n)), concurrency=2)
+
+
+OP_QUERIES = {
+    "op_filter_events": q_filter_events,
+    "op_route_events": q_route_events,
+    "op_sample_events": q_sample_events,
+    "op_relabel_docs": q_relabel_docs,
+    "op_dedup_events": q_dedup_events,
+    "op_throttle_events": q_throttle_events,
+    "op_metricalize_events": q_metricalize_events,
+    "op_cardinality_events": q_cardinality_events,
+    "op_enrich_customers": q_enrich_customers,
+    "op_lineitem_agg": q_lineitem_agg,
+    "op_tokens_docs": q_tokens_docs,
+    "op_quality_docs": q_quality_docs,
+    "op_langid_docs": q_langid_docs,
+    "op_fingerprint_docs": q_fingerprint_docs,
+    "op_minhash_pairs_docs": q_minhash_pairs_docs,
+    "op_simhash_pairs_docs": q_simhash_pairs_docs,
+    "op_embedding_near_pairs": q_embedding_near_pairs,
+    "op_ann_topk": q_ann_topk,
+    "op_ann_ivf_topk": q_ann_ivf_topk,
+    "op_multimodal_features": q_multimodal_features,
+}
+
+OP_ORACLES = {
+    "op_filter_events": SQL_FILTER_EVENTS,
+    "op_route_events": SQL_ROUTE_EVENTS,
+    "op_sample_events": SQL_SAMPLE_EVENTS,
+    "op_relabel_docs": SQL_RELABEL_DOCS,
+    "op_dedup_events": SQL_DEDUP_EVENTS,
+    "op_throttle_events": SQL_THROTTLE_EVENTS,
+    "op_metricalize_events": SQL_METRICALIZE_EVENTS,
+    "op_cardinality_events": SQL_CARDINALITY_EVENTS,
+    "op_enrich_customers": SQL_ENRICH_CUSTOMERS,
+    "op_lineitem_agg": SQL_LINEITEM_AGG,
+    "op_tokens_docs": SQL_TOKENS_DOCS,
+    "op_quality_docs": SQL_QUALITY_DOCS,
+    "op_ann_topk": SQL_ANN_TOPK,
+    # langid / fingerprint / near-dup / ivf / multimodal: not SQL-expressible
+    # (heuristics, hashing, LSH, stub decoders) → rows-only checks.
+}

@@ -1,14 +1,26 @@
 """The flagship pipeline: transcripts → 1m/5m/1h/1d Gorilla-compressed
 retention tiers (SURVEY.md §3.3).
 
-    read_parquet(transcripts)                    # fragments = input shards
-      → map_batches(project_for_rollup)          # prune; text never shuffles
-      → groupby("bucket").map_groups(rollup)     # THE shuffle (1 per run)
-      → write tier=1m agg (commit protocol)
-    5m/1h/1d: read previous tier's agg output → merge partials (continuous
-      aggregate — raw turns are never re-read)
-    each tier: agg → map_groups(gap-fill + pack) → map_batches(GorillaEncode
-      actor pool) → write tier blocks
+ONE all-to-all exchange for the whole run:
+
+    read_parquet(transcripts)                     # fragments = input shards
+      → map_batches(project_for_rollup)           # prune; text never shuffles
+      → groupby("bucket").map_groups(             # THE shuffle
+            rollup 1m → cascade 5m/1h/1d → gap-fill → pack per series)
+      → write packed stage (commit protocol)
+    agg tables:   packed → map_batches(unpack_series)   # no shuffle
+    block tables: packed → map_batches(GorillaEncode)   # actor pool, no shuffle
+
+Everything after the bucket groupby is embarrassingly parallel because the
+conversation-hash bucket co-locates every series of a conversation: the
+continuous-aggregate cascade (coarser windows of the same series), the
+gap-fill walk, and the per-series Gorilla blocks all stay inside the
+bucket. The cascade consumes the finer tier's aggregate rows — raw turns
+are read exactly once.
+
+``global_end`` (the fill horizon for trailing LOCF/stale decisions) comes
+from the transcript parquet column statistics — footer metadata only, no
+data read.
 
 Every stage write goes through state/checkpoint.write_stage: atomic
 rename + manifest, so a rerun resumes (skips validated stages).
@@ -19,87 +31,158 @@ from __future__ import annotations
 import functools
 import os
 
-import numpy as np
-import pyarrow.dataset as pads
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data as rd
 
 from vertex_ray.schema import TIERS
 from vertex_ray.stages.derive import PROJECT_COLUMNS, project_for_rollup
 from vertex_ray.stages.encode import GorillaEncode, decode_blocks_batch
-from vertex_ray.stages.fill import fill_bucket_df, pack_series
+from vertex_ray.stages.fill import fill_bucket_df, pack_series, unpack_series
 from vertex_ray.stages.rollup import merge_agg, rollup_bucket
-from vertex_ray.state.checkpoint import read_manifest, stage_done, stage_files, write_stage
+from vertex_ray.state.checkpoint import (
+    read_manifest,
+    stage_done,
+    stage_files,
+    write_stage,
+)
 
 DEFAULT_N_BUCKETS = 64
 
 
+def _target_blocks() -> int:
+    """Blocks sized to the session: parallelism downstream of a read (and
+    of the sort shuffle) is bounded by the input block count, so a
+    3-file input must still fan out to ~4 blocks per CPU."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return 4 * cpus
+
+
 def read_transcripts(path: str) -> "rd.Dataset":
-    return rd.read_parquet(path, columns=PROJECT_COLUMNS)
+    return rd.read_parquet(
+        path, columns=PROJECT_COLUMNS, override_num_blocks=_target_blocks()
+    )
 
 
-def tier_1m_agg(
-    transcripts: "rd.Dataset", n_buckets: int = DEFAULT_N_BUCKETS, salt: int = 1
+def transcripts_end_ts(path: str) -> int:
+    """Max transcript timestamp in epoch seconds, from parquet footer
+    statistics only (no data read)."""
+    end = None
+    files = (
+        stage_files(path)
+        if os.path.isdir(path)
+        else [path]
+    )
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["ts"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.max is not None:
+                v = st.max
+                v = int(v.timestamp()) if hasattr(v, "timestamp") else int(v) // 1_000_000
+                end = v if end is None else max(end, v)
+    if end is None:
+        raise ValueError(f"no ts statistics in {path}")
+    return end
+
+
+def bucket_rollup_all_tiers(
+    group: pd.DataFrame,
+    tiers,
+    global_end_s: int,
+    salt: int = 1,
+) -> pa.Table:
+    """Per-bucket group body: raw pruned turns → packed per-series arrays
+    for every retention tier (rollup → cascade → fill → pack)."""
+    base_tier, base_seconds = tiers[0]
+    agg = rollup_bucket(group, base_seconds, salt)
+    parts = []
+    prev = agg
+    for tier, seconds in tiers:
+        if seconds != base_seconds:
+            prev = merge_agg(prev, seconds)
+        filled = fill_bucket_df(prev, seconds, global_end_s // seconds * seconds)
+        packed = pack_series(filled)
+        parts.append(
+            packed.append_column(
+                "tier", pa.array([tier] * packed.num_rows, type=pa.string())
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def packed_dataset(
+    transcripts: "rd.Dataset",
+    global_end_s: int,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    salt: int = 1,
+    tiers=TIERS,
 ) -> "rd.Dataset":
     projected = transcripts.map_batches(
         functools.partial(project_for_rollup, n_buckets=n_buckets),
         batch_format="pyarrow",
     )
     return projected.groupby("bucket").map_groups(
-        functools.partial(rollup_bucket, window_seconds=60, salt=salt),
+        functools.partial(
+            bucket_rollup_all_tiers,
+            tiers=tiers,
+            global_end_s=global_end_s,
+            salt=salt,
+        ),
         batch_format="pandas",
     )
 
 
-def cascade_agg(prev_agg: "rd.Dataset", coarse_seconds: int) -> "rd.Dataset":
-    """Continuous aggregate: finer-tier rows → coarser windows. Partials
-    merge associatively, so pre-combine per batch, then finalize per
-    bucket (the bucket key is carried from tier 1m — same partitioning
-    across every tier)."""
-    partial = prev_agg.map_batches(
-        functools.partial(merge_agg, window_seconds=coarse_seconds),
-        batch_format="pandas",
-    )
-    return partial.groupby("bucket").map_groups(
-        functools.partial(merge_agg, window_seconds=coarse_seconds),
-        batch_format="pandas",
-    )
+def default_encode_concurrency() -> int:
+    """Actor-pool size that leaves headroom for the read and write stages —
+    a pool reserving every CPU starves its producers and serializes the
+    pipeline (observed: at 8 CPUs an 8-actor pool deadlocked the scan)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, cpus - 2)
 
 
-def fill_pack(agg: "rd.Dataset", window_seconds: int, global_end_window: int) -> "rd.Dataset":
-    def fn(group):
-        return pack_series(
-            fill_bucket_df(group, window_seconds, global_end_window)
-        )
-
-    return agg.groupby("bucket").map_groups(fn, batch_format="pandas")
-
-
-def encode_tier(packed: "rd.Dataset", tier: str, concurrency: int = 4) -> "rd.Dataset":
+def encode_blocks(packed: "rd.Dataset", concurrency: int | None = None) -> "rd.Dataset":
     return packed.map_batches(
         GorillaEncode,
-        fn_constructor_args=(tier,),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        batch_size=64,  # ~300 windows × 17 streams per series row → a few MB
+        concurrency=min(concurrency or 10**9, default_encode_concurrency()),
         num_cpus=1,
     )
+
+
+def agg_rows(packed: "rd.Dataset") -> "rd.Dataset":
+    return packed.map_batches(unpack_series, batch_format="pyarrow")
 
 
 def decode_tier_blocks(blocks: "rd.Dataset") -> "rd.Dataset":
     return blocks.map_batches(decode_blocks_batch, batch_format="pyarrow")
 
 
-def _max_window(agg_dir: str) -> int:
-    from vertex_ray.state.checkpoint import stage_files as _sf
-    tbl = pads.dataset(_sf(agg_dir)).to_table(columns=["window_start"])
-    return int(np.max(tbl["window_start"].to_numpy())) if tbl.num_rows else 0
+def pipeline_paths(out_dir: str) -> dict[str, str]:
+    return {
+        "packed": os.path.join(out_dir, "packed"),
+        "agg": os.path.join(out_dir, "agg"),
+        "blocks": os.path.join(out_dir, "blocks"),
+    }
 
 
-def tier_paths(out_dir: str, tier: str) -> tuple[str, str]:
-    return (
-        os.path.join(out_dir, f"tier={tier}", "agg"),
-        os.path.join(out_dir, f"tier={tier}", "blocks"),
-    )
+def read_stage(out_dir: str, stage: str, tier: str | None = None) -> "rd.Dataset":
+    """Read a committed stage; optional tier filter is pushed down to the
+    parquet scan (row-group pruning + late materialization)."""
+    path = pipeline_paths(out_dir)[stage]
+    kwargs = {"override_num_blocks": _target_blocks()}
+    if tier is not None:
+        kwargs["filter"] = pc.field("tier") == tier
+    return rd.read_parquet(stage_files(path), **kwargs)
 
 
 def run_pipeline(
@@ -107,35 +190,43 @@ def run_pipeline(
     out_dir: str,
     n_buckets: int = DEFAULT_N_BUCKETS,
     salt: int = 1,
-    encode_concurrency: int = 4,
+    encode_concurrency: int | None = None,
     tiers=TIERS,
 ) -> dict:
     """Run (or resume) the full tier cascade. Returns per-stage manifests."""
+    paths = pipeline_paths(out_dir)
     manifests: dict[str, dict] = {}
-    prev_agg_dir = None
-    for i, (tier, seconds) in enumerate(tiers):
-        agg_dir, _ = tier_paths(out_dir, tier)
-        if stage_done(agg_dir):
-            manifests[f"{tier}/agg"] = read_manifest(agg_dir)
-        else:
-            if i == 0:
-                agg = tier_1m_agg(read_transcripts(transcripts_path), n_buckets, salt)
-                lineage = {"input": transcripts_path, "n_buckets": n_buckets, "salt": salt}
-            else:
-                agg = cascade_agg(rd.read_parquet(stage_files(prev_agg_dir)), seconds)
-                lineage = {"input": prev_agg_dir, "window_seconds": seconds}
-            manifests[f"{tier}/agg"] = write_stage(agg, agg_dir, lineage)
-        prev_agg_dir = agg_dir
 
-    for tier, seconds in tiers:
-        agg_dir, blocks_dir = tier_paths(out_dir, tier)
-        if stage_done(blocks_dir):
-            manifests[f"{tier}/blocks"] = read_manifest(blocks_dir)
-            continue
-        end = _max_window(agg_dir) // seconds * seconds
-        packed = fill_pack(rd.read_parquet(stage_files(agg_dir)), seconds, end)
-        blocks = encode_tier(packed, tier, encode_concurrency)
-        manifests[f"{tier}/blocks"] = write_stage(
-            blocks, blocks_dir, {"input": agg_dir, "global_end_window": end}
+    if stage_done(paths["packed"]):
+        manifests["packed"] = read_manifest(paths["packed"])
+    else:
+        end = transcripts_end_ts(transcripts_path)
+        packed = packed_dataset(
+            read_transcripts(transcripts_path), end, n_buckets, salt, tiers
         )
+        manifests["packed"] = write_stage(
+            packed,
+            paths["packed"],
+            {
+                "input": transcripts_path,
+                "n_buckets": n_buckets,
+                "salt": salt,
+                "global_end_s": end,
+                "tiers": [t for t, _ in tiers],
+            },
+        )
+
+    for stage, builder in (
+        ("agg", lambda ds: agg_rows(ds)),
+        ("blocks", lambda ds: encode_blocks(ds, encode_concurrency)),
+    ):
+        if stage_done(paths[stage]):
+            manifests[stage] = read_manifest(paths[stage])
+        else:
+            ds = rd.read_parquet(
+                stage_files(paths["packed"]), override_num_blocks=_target_blocks()
+            )
+            manifests[stage] = write_stage(
+                builder(ds), paths[stage], {"input": paths["packed"]}
+            )
     return manifests

@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the baseline. The query
+  matrix is broadcast ONCE via ``ray.put``; each batch does one
+  float64 matmul against it and emits per-batch top-k partials; a final
+  tiny per-query merge picks the global top-k. No full shuffle — the
+  exchange is only (num_queries × k × batches) partial rows.
+- ``ivf_topk``: the scale path — IVF-style bucketing: k-means-lite
+  centroids (sampled, deterministic), each vector assigned to its nearest
+  centroid at index time; queries probe only ``nprobe`` nearest buckets.
+  Bucket assignment is the partitioning assumption: recall < 1 when the
+  true neighbor lives in an unprobed bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int, vec_col: str, id_col: str):
+    """Exact cosine top-k for each query row. Returns Dataset of
+    (query_id, rank, vec_id, cosine)."""
+    qref = ray.put(_unit(np.asarray(queries, dtype=np.float64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        vecs = _unit(_stack(t[vec_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        cos = q @ vecs.T  # (nq, batch)
+        kk = min(k, cos.shape[1])
+        top = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        nq = len(q)
+        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        vid = ids[top.reshape(-1)]
+        score = np.take_along_axis(cos, top, axis=1).reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                "vec_id": pa.array(vid),
+                "cosine": pa.array(score, type=pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def train_centroids(ds, vec_col: str, n_centroids: int, sample_rows: int = 2048,
+                    iters: int = 5, seed: int = 13) -> np.ndarray:
+    """k-means-lite on a driver-side sample (deterministic). The sample is
+    small by construction; the full data never leaves the cluster."""
+    sample = _stack(pa.Table.from_pandas(ds.limit(sample_rows).to_pandas())[vec_col])
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(_unit(sample) @ _unit(cents).T, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+    return cents
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int, vec_col: str, id_col: str,
+             n_centroids: int = 16, nprobe: int = 4):
+    """IVF-bucketed approximate top-k: index-side bucket assignment via
+    broadcast centroids, query-side probes of the nprobe nearest buckets."""
+    cents = train_centroids(ds, vec_col, n_centroids)
+    cref = ray.put(_unit(cents))
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ _unit(cents).T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    qref = ray.put(q)
+    pref = ray.put(probes)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        qm = ray.get(qref)
+        pr = ray.get(pref)
+        vecs = _unit(_stack(t[vec_col]))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        assign = np.argmax(vecs @ c.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qm)):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            cos = vecs[mask] @ qm[qi]
+            kk = min(k, len(cos))
+            top = np.argpartition(-cos, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ids[mask][top])
+            out_s.append(cos[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -18,51 +18,77 @@ from vertex_ray.gorilla import (
     decode_timestamps,
     decode_values,
     encode_flags,
-    encode_timestamps,
-    encode_values,
+    encode_timestamps_multi,
+    encode_values_multi,
 )
 from vertex_ray.schema import BLOCK_SCHEMA, BUCKET_COLS, KIND_HISTOGRAM
 
 
 class GorillaEncode:
-    """Actor-pool stage: per-series array rows → Gorilla block rows."""
+    """Actor-pool stage: per-series array rows (with a ``tier`` column)
+    → Gorilla block rows."""
 
-    def __init__(self, tier: str):
-        self.tier = tier
+    def __init__(self):
         # reusable scratch would live here (buffers, tables); the numpy
-        # encoder allocates per call, so state is just the tier label.
+        # encoder allocates per call, so there is no per-actor state yet.
+        pass
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        batch = batch.combine_chunks()
         kinds = batch["kind"].to_numpy(zero_copy_only=False)
-        ts_blocks: list[bytes] = []
-        val_blocks: list[list[bytes]] = []
-        flag_blocks: list[bytes] = []
-        n_points = np.empty(n, dtype=np.int32)
-        block_start = np.empty(n, dtype=np.int64)
-        ws_col = batch["window_starts"]
-        scalar_cols = [batch[f"vals_{s}"] for s in ("sum", "count", "min", "max", "last")]
-        bucket_cols = [batch[f"vals_{b}"] for b in BUCKET_COLS]
-        flags_col = batch["flags"]
-        for i in range(n):
-            ws = np.asarray(ws_col[i].as_py(), dtype=np.int64)
-            n_points[i] = len(ws)
-            block_start[i] = ws[0] if len(ws) else 0
-            ts_blocks.append(encode_timestamps(ws))
-            streams = scalar_cols if kinds[i] != KIND_HISTOGRAM else scalar_cols + bucket_cols
-            val_blocks.append(
-                [encode_values(np.asarray(c[i].as_py(), dtype=np.float64)) for c in streams]
+
+        def flat(col_name):
+            col = batch[col_name].combine_chunks()
+            arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+            return arr.offsets.to_numpy(), arr.values.to_numpy(zero_copy_only=False)
+
+        ws_off, ws_val = flat("window_starts")
+        fl_off, fl_val = flat("flags")
+        counts = np.diff(ws_off)
+        n_points = counts.astype(np.int32)
+        if len(ws_val):
+            block_start = np.where(
+                counts > 0, ws_val[np.minimum(ws_off[:-1], len(ws_val) - 1)], 0
             )
-            flag_blocks.append(
-                encode_flags(np.asarray(flags_col[i].as_py(), dtype=np.uint8))
-            )
+        else:
+            block_start = np.zeros(n, dtype=np.int64)
+
+        ts_blocks = encode_timestamps_multi(ws_val, ws_off)
+        scalar_blocks = [
+            encode_values_multi(flat(f"vals_{s}")[1], ws_off)
+            for s in ("sum", "count", "min", "max", "last")
+        ]
+
+        hist = kinds == KIND_HISTOGRAM
+        bucket_blocks: dict[int, list[list[bytes]]] = {}
+        if hist.any():
+            el_mask = np.repeat(hist, counts)
+            sub_off = np.zeros(int(hist.sum()) + 1, dtype=np.int64)
+            np.cumsum(counts[hist], out=sub_off[1:])
+            hist_rows = np.flatnonzero(hist)
+            per_bucket = [
+                encode_values_multi(flat(f"vals_{b}")[1][el_mask], sub_off)
+                for b in BUCKET_COLS
+            ]
+            bucket_blocks = {
+                int(r): [pb[j] for pb in per_bucket] for j, r in enumerate(hist_rows)
+            }
+
+        val_blocks = [
+            [sb[i] for sb in scalar_blocks] + bucket_blocks.get(i, [])
+            for i in range(n)
+        ]
+        flag_blocks = [
+            encode_flags(fl_val[fl_off[i]: fl_off[i + 1]]) for i in range(n)
+        ]
         return pa.table(
             {
                 "bucket": batch["bucket"],
                 "series_key": batch["series_key"],
                 "name": batch["name"],
                 "kind": batch["kind"],
-                "tier": pa.array([self.tier] * n, type=pa.string()),
+                "tier": batch["tier"],
                 "block_start": pa.array(block_start, type=pa.int64()),
                 "n_points": pa.array(n_points, type=pa.int32()),
                 "ts_block": pa.array(ts_blocks, type=pa.binary()),
@@ -95,21 +121,45 @@ def decode_block_row(row: dict) -> dict[str, np.ndarray]:
 
 def decode_blocks_batch(batch: pa.Table) -> pa.Table:
     """map_batches body: block rows → decoded tier rows (verification and
-    read path). Missing histogram streams come back as zero columns."""
-    import pandas as pd
+    read path). Missing histogram streams come back as zero columns.
 
-    frames = []
-    for row in batch.to_pylist():
-        d = decode_block_row(row)
-        df = pd.DataFrame({k: v for k, v in d.items()})
-        for b in BUCKET_COLS:
-            if b not in df:
-                df[b] = 0.0
-        frames.append(df)
-    if not frames:
+    Pure numpy/Arrow — a pandas hop here would canonicalize the stale NaN
+    payload and break the bit-for-bit contract."""
+    decoded = [decode_block_row(row) for row in batch.to_pylist()]
+    decoded = [d for d in decoded if len(d["window_start"])]
+    if not decoded:
         return pa.table({})
-    out = pd.concat(frames, ignore_index=True)
-    out["count"] = out["count"].astype(np.int64)
+    tiers = np.concatenate(
+        [
+            np.full(len(d["window_start"]), t, dtype=object)
+            for d, t in zip(decoded, batch["tier"].to_numpy(zero_copy_only=False))
+        ]
+    ) if "tier" in batch.schema.names else None
+
+    def cat(key, dtype=None, default=None):
+        parts = []
+        for d in decoded:
+            v = d.get(key)
+            if v is None:
+                v = np.full(len(d["window_start"]), default, dtype=dtype)
+            parts.append(v)
+        return np.concatenate(parts)
+
+    out = {
+        "series_key": pa.array(cat("series_key"), type=pa.string()),
+        "name": pa.array(cat("name"), type=pa.string()),
+        "kind": pa.array(cat("kind"), type=pa.uint8()),
+        "window_start": pa.array(cat("window_start"), type=pa.int64()),
+        "sum": pa.array(cat("sum"), type=pa.float64()),
+        "count": pa.array(cat("count").astype(np.int64), type=pa.int64()),
+        "min": pa.array(cat("min"), type=pa.float64()),
+        "max": pa.array(cat("max"), type=pa.float64()),
+        "last": pa.array(cat("last"), type=pa.float64()),
+    }
+    if tiers is not None:
+        out["tier"] = pa.array(tiers, type=pa.string())
     for b in BUCKET_COLS:
-        out[b] = out[b].astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+        out[b] = pa.array(cat(b, np.float64, 0.0).astype(np.int64), type=pa.int64())
+    out["filled"] = pa.array(cat("filled"), type=pa.bool_())
+    out["stale"] = pa.array(cat("stale"), type=pa.bool_())
+    return pa.table(out)

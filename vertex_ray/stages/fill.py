@@ -199,3 +199,39 @@ def pack_series(df: pd.DataFrame) -> pa.Table:
         out[f"vals_{b}"] = lst(df[b].to_numpy(np.float64), pa.float64())
     out["flags"] = lst(flags, pa.uint8())
     return pa.table(out)
+
+
+def unpack_series(batch: pa.Table) -> pa.Table:
+    """Inverse of pack_series: per-series array rows → flat tier rows
+    (AGG columns + tier + filled + stale). Pure Arrow/numpy explode — the
+    tier aggregate tables are derived from the packed representation with
+    no extra shuffle."""
+    if batch.num_rows == 0:
+        return pa.table({})
+    batch = batch.combine_chunks()
+    ws = batch["window_starts"].combine_chunks()
+    counts = np.diff(ws.offsets.to_numpy())
+    reps = np.repeat(np.arange(batch.num_rows), counts)
+
+    def flat(col):
+        return col.combine_chunks().values
+
+    flags = np.asarray(flat(batch["flags"]))
+    out = {
+        "bucket": batch["bucket"].take(reps),
+        "series_key": batch["series_key"].take(reps),
+        "name": batch["name"].take(reps),
+        "kind": batch["kind"].take(reps),
+        "tier": batch["tier"].take(reps),
+        "window_start": ws.values,
+        "sum": flat(batch["vals_sum"]),
+        "count": flat(batch["vals_count"]).cast(pa.int64()),
+        "min": flat(batch["vals_min"]),
+        "max": flat(batch["vals_max"]),
+        "last": flat(batch["vals_last"]),
+    }
+    for b in BUCKET_COLS:
+        out[b] = flat(batch[f"vals_{b}"]).cast(pa.int64())
+    out["filled"] = pa.array((flags & 1).astype(bool))
+    out["stale"] = pa.array(((flags >> 1) & 1).astype(bool))
+    return pa.table(out)

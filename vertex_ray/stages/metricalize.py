@@ -1,0 +1,130 @@
+"""metricalize — logs → windowed metrics (src/transforms/metricalize.rs).
+
+Reference semantics reproduced:
+- counter without increment_by_value: each record with the field present
+  adds 1.0 (metricalize.rs:220-235; golden vector F4.1);
+- counter with increment_by_value: numeric values (or numeric strings)
+  add their value; unparseable strings are skipped (F4.2);
+- gauge: last write wins by timestamp (F4.4);
+- histogram: cumulative "le" buckets, f <= upper (F4.5/F4.7).
+
+Ray-first: per-batch partial aggregation (one row per (tags, window) per
+batch) followed by a tiny groupby merge — the partial/combine split that
+replaces the reference's per-process HashMap + interval flush. All
+arithmetic is the same exact-double AggState contract as the flagship
+rollup (vertex_ray.aggregate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from vertex_ray.schema import US_PER_SECOND
+
+
+def parse_numeric(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(parsed float64, ok mask) — numeric strings parse, others skip."""
+    out = np.full(len(vals), np.nan)
+    ok = np.zeros(len(vals), dtype=bool)
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        if isinstance(v, (int, float, np.integer, np.floating)) and not isinstance(v, bool):
+            out[i] = float(v)
+            ok[i] = True
+        elif isinstance(v, str):
+            try:
+                out[i] = float(v)
+                ok[i] = True
+            except ValueError:
+                pass
+    return out, ok
+
+
+def metricalize_partial(
+    t: pa.Table,
+    tag_cols: list[str],
+    value_col: str,
+    ts_col: str,
+    window_seconds: int,
+    uppers: list[float],
+    increment_by_value: bool = True,
+) -> pd.DataFrame:
+    """Partial (per-batch) windowed aggregate of one metric rule."""
+    ts = t[ts_col].cast(pa.int64()).to_numpy()
+    w = ts // (window_seconds * US_PER_SECOND) * window_seconds
+    raw = t[value_col].to_numpy(zero_copy_only=False)
+    if increment_by_value:
+        vals, ok = (
+            (raw.astype(np.float64), np.isfinite(raw.astype(np.float64)))
+            if raw.dtype.kind in "fiu"
+            else parse_numeric(raw)
+        )
+    else:
+        vals = np.ones(len(raw), dtype=np.float64)
+        ok = np.array([v is not None for v in raw])
+    df = pd.DataFrame({c: t[c].to_numpy(zero_copy_only=False) for c in tag_cols})
+    df["window_start"] = w
+    df["value"] = vals
+    df["__ts"] = ts
+    df = df[ok]
+    df = df.sort_values("__ts", kind="stable")
+    for i, u in enumerate(uppers):
+        df[f"b{i:02d}"] = (df["value"] <= u).astype(np.int64)
+    g = df.groupby(tag_cols + ["window_start"], sort=False)
+    out = g.agg(
+        sum=("value", "sum"),
+        count=("value", "size"),
+        min=("value", "min"),
+        max=("value", "max"),
+        last=("value", "last"),
+        last_ts=("__ts", "last"),
+        **{f"b{i:02d}": (f"b{i:02d}", "sum") for i in range(len(uppers))},
+    ).reset_index()
+    out["count"] = out["count"].astype(np.int64)
+    return out
+
+
+def metricalize_merge(df: pd.DataFrame, tag_cols: list[str], n_buckets: int) -> pd.DataFrame:
+    """Final merge of partials — AggState.merge semantics."""
+    df = df.sort_values("last_ts", kind="stable")
+    g = df.groupby(tag_cols + ["window_start"], sort=False)
+    out = g.agg(
+        sum=("sum", "sum"),
+        count=("count", "sum"),
+        min=("min", "min"),
+        max=("max", "max"),
+        last=("last", "last"),
+        last_ts=("last_ts", "last"),
+        **{f"b{i:02d}": (f"b{i:02d}", "sum") for i in range(n_buckets)},
+    ).reset_index()
+    return out
+
+
+def metricalize(
+    ds,
+    tag_cols: list[str],
+    value_col: str,
+    ts_col: str,
+    window_seconds: int = 60,
+    uppers: list[float] | None = None,
+    increment_by_value: bool = True,
+):
+    """Full operator: partial per batch → small groupby merge."""
+    uppers = uppers or []
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        return metricalize_partial(
+            t, tag_cols, value_col, ts_col, window_seconds, uppers, increment_by_value
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return metricalize_merge(g, tag_cols, len(uppers))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(tag_cols + ["window_start"])
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -1,0 +1,228 @@
+"""Stateless per-batch operators — the vertex transform inventory
+(SURVEY.md §2.1) re-expressed as vectorized Arrow ``map_batches`` bodies.
+
+Every operator here is a pure function ``pa.Table -> pa.Table`` (or a
+factory returning one) intended for ``ds.map_batches(fn,
+batch_format="pyarrow")``; none holds state, so Ray schedules them as
+elastic tasks. Stateful analogues (dedup LRU, cardinality budget) live in
+their own modules.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+Predicate = Callable[[pa.Table], "pa.ChunkedArray | pa.Array"]
+
+
+# ---------------------------------------------------------------------------
+# filter — src/transforms/filter.rs:68-106: boolean predicate, non-matching
+# rows dropped. Predicate is a vectorized Arrow-compute callable.
+# ---------------------------------------------------------------------------
+
+
+def filter_op(pred: Predicate):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pred(t))
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# sample — src/transforms/sample.rs:76-105: keep 1/N. Key mode hashes a
+# field so sampling is consistent for equal keys across runs/partitions;
+# count mode keeps every Nth row per batch (the reference's per-process
+# counter becomes a per-batch counter — same rate, partition-local phase).
+# ---------------------------------------------------------------------------
+
+
+def _stable_hash_u64(arr: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash of stringified values (md5-based like the
+    reference's hashmod, relabel.rs:44-48) — stable across processes."""
+    uniq, inv = np.unique(arr.astype(str), return_inverse=True)
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "big")
+            for s in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return h[inv]
+
+
+def sample_op(rate: int, key_field: str | None = None, method: str = "hash"):
+    """method="hash": md5-keyed (consistent, any type); "mod": integer key
+    modulo — same consistency guarantee for integer keys and trivially
+    oracle-expressible in SQL."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if key_field is not None:
+            keys = t[key_field].to_numpy(zero_copy_only=False)
+            if method == "mod":
+                mask = keys.astype(np.int64) % rate == 0
+            else:
+                mask = _stable_hash_u64(keys) % rate == 0
+        else:
+            mask = np.arange(t.num_rows) % rate == 0
+        return t.filter(pa.array(mask))
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# relabel — src/transforms/relabel.rs:15-131: tag ops over flat tag columns.
+# Ops: set, add (if absent), delete, rename, lowercase, uppercase,
+# hashmod (md5 % modulus), drop/keep columns by predicate.
+# ---------------------------------------------------------------------------
+
+
+def hashmod_value(s: str, modulus: int) -> int:
+    """md5(value) bytes[8:16] big-endian % modulus — matches the reference's
+    relabel HashMod vector (relabel.rs tests: hashmod("baz") % 1000 == 976)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "big") % modulus
+
+
+def relabel_ops(ops: list[tuple]):
+    """ops: list of tuples —
+    ("set", col, value) | ("add", col, value) | ("delete", col)
+    | ("rename", col, new) | ("lowercase", col) | ("uppercase", col)
+    | ("hashmod", col, modulus, out_col)"""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for op in ops:
+            kind = op[0]
+            if kind == "set":
+                _, col, value = op
+                arr = pa.array(np.full(t.num_rows, value, dtype=object))
+                t = (
+                    t.set_column(t.schema.get_field_index(col), col, arr)
+                    if col in t.schema.names
+                    else t.append_column(col, arr)
+                )
+            elif kind == "add":
+                _, col, value = op
+                if col not in t.schema.names:
+                    t = t.append_column(
+                        col, pa.array(np.full(t.num_rows, value, dtype=object))
+                    )
+            elif kind == "delete":
+                if op[1] in t.schema.names:
+                    t = t.drop_columns([op[1]])
+            elif kind == "rename":
+                _, col, new = op
+                t = t.rename_columns(
+                    [new if n == col else n for n in t.schema.names]
+                )
+            elif kind == "lowercase":
+                i = t.schema.get_field_index(op[1])
+                t = t.set_column(i, op[1], pc.utf8_lower(t[op[1]]))
+            elif kind == "uppercase":
+                i = t.schema.get_field_index(op[1])
+                t = t.set_column(i, op[1], pc.utf8_upper(t[op[1]]))
+            elif kind == "hashmod":
+                _, col, modulus, out = op
+                vals = t[col].to_numpy(zero_copy_only=False)
+                h = (_stable_hash_u64(vals) % modulus).astype(np.int64)
+                t = t.append_column(out, pa.array(h, type=pa.int64()))
+            else:
+                raise ValueError(f"unknown relabel op {kind!r}")
+        return t
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# route — src/transforms/route.rs:73-135: N named boolean conditions → N
+# output ports + _unmatched; a row can match several routes. Ray-first:
+# evaluate ALL predicates once per batch into boolean columns; each port is
+# a cheap filter view of the same blocks.
+# ---------------------------------------------------------------------------
+
+
+def route_flags(routes: dict[str, Predicate]):
+    def fn(t: pa.Table) -> pa.Table:
+        matched = None
+        for name, pred in routes.items():
+            m = pred(t)
+            if isinstance(m, pa.Array):
+                m = pa.chunked_array([m])
+            m = pc.fill_null(m, False)
+            t = t.append_column(f"route_{name}", m)
+            matched = m if matched is None else pc.or_(matched, m)
+        t = t.append_column("route__unmatched", pc.invert(matched))
+        return t
+
+    return fn
+
+
+def route_split(ds, routes: dict[str, Predicate]):
+    """Returns {port: Dataset} — each port filters the flagged dataset."""
+    flagged = ds.map_batches(route_flags(routes), batch_format="pyarrow")
+    ports = {}
+    for name in list(routes) + ["_unmatched"]:
+        col = f"route_{name}"
+        ports[name] = flagged.map_batches(
+            lambda t, c=col: t.filter(t[c]), batch_format="pyarrow"
+        )
+    return ports
+
+
+# ---------------------------------------------------------------------------
+# rewrite — src/transforms/rewrite.rs:72-135: run a script over each row;
+# failures routed to a named `dropped` output. Ray-first: the script is a
+# vectorized batch function returning the rewritten table plus an error
+# mask; the dropped port is a second filter view.
+# ---------------------------------------------------------------------------
+
+
+def rewrite_op(script: Callable[[pa.Table], tuple[pa.Table, np.ndarray]]):
+    """Wrap a batch rewrite script. The script returns (rewritten_table,
+    failed_mask); failed rows keep their original values and are flagged
+    in a ``dropped`` column (route them with a filter)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        out, failed = script(t)
+        return out.append_column("dropped", pa.array(np.asarray(failed, dtype=bool)))
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# throttle — src/transforms/throttle/mod.rs:60-172: per-key rate limit per
+# window. In a batch engine this is a per-(key, window) quota: keep the
+# first `threshold` events by timestamp (deterministic tie-break on a
+# secondary column). A GCRA analogue for live streams would be an actor
+# holding per-key state; for bounded data the quota semantics match the
+# reference's "at most N per key per window".
+# ---------------------------------------------------------------------------
+
+
+def throttle_quota(
+    ds,
+    key_col: str,
+    ts_col: str,
+    window_seconds: int,
+    threshold: int,
+    tie_col: str,
+):
+    import pandas as pd
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.int64()).to_numpy()
+        w = ts // (window_seconds * 1_000_000) * window_seconds
+        return t.append_column("window_start", pa.array(w, type=pa.int64()))
+
+    def take_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([ts_col, tie_col], kind="stable").head(threshold)
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .map_groups(take_first, batch_format="pandas")
+    )

@@ -75,11 +75,17 @@ def write_stage(ds, final_path: str, lineage: dict | None = None) -> dict:
     """Write a Dataset to a stage directory with commit semantics.
 
     If the stage already validates, it is skipped (resume path) and its
-    existing manifest returned."""
+    existing manifest returned. Stage wall time is recorded in the
+    manifest lineage (per-stage counters, SURVEY.md §3.4)."""
+    import time
+
     if stage_done(final_path):
         return read_manifest(final_path)
     tmp = final_path.rstrip("/") + ".__tmp__"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
+    t0 = time.time()
     ds.write_parquet(tmp)
+    lineage = dict(lineage or {})
+    lineage["wall_seconds"] = round(time.time() - t0, 3)
     return finalize_stage(tmp, final_path, lineage)

@@ -33,7 +33,7 @@ from vertex_ray.schema import ROLES, TOOLS, TRANSCRIPT_SCHEMA
 
 SEED = 42
 T0_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in epoch microseconds
-TURNS_PER_SF = 6_000_000  # sf0.001 → ~6k turns, sf0.01 → ~60k, sf0.1 → ~600k
+TURNS_PER_SF = 100_000_000  # sf0.001 → 100k turns, sf0.01 → 1M, sf0.1 → 10M (bench ≥10M per FIXTURES)
 MEAN_TURNS_PER_CONV = 60.0
 ROWS_PER_FILE = 200_000
 
@@ -50,7 +50,8 @@ def sf_of_dir(sf_dir: str) -> float:
 
 
 def transcripts_dir(sf: float, base: str = "/tmp/vertex_ray_testdata") -> str:
-    return os.path.join(base, f"sf{sf:g}", "transcripts")
+    n_turns = max(1000, int(TURNS_PER_SF * sf))
+    return os.path.join(base, f"sf{sf:g}", f"transcripts_n{n_turns}")
 
 
 def generate_transcripts(
