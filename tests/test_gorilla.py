@@ -125,3 +125,42 @@ def test_multi_series_encoders_match_single():
             decode_values(multi_vals[i], len(vals)).view(np.uint64),
             vals.view(np.uint64),
         )
+
+
+def test_multi_decoders_match_single():
+    from vertex_ray.gorilla import (
+        decode_timestamps_multi,
+        decode_values_multi,
+        encode_timestamps_multi,
+        encode_values_multi,
+    )
+
+    rng = np.random.default_rng(9)
+    offsets = [0]
+    ts_parts, val_parts = [], []
+    for ln in [1, 2, 5, 300, 1, 64, 13, 2, 1000]:
+        gaps = rng.integers(1, 100000, size=max(0, ln - 1))
+        ts = 1767225600 + np.concatenate([[0], np.cumsum(gaps)]).astype(np.int64)
+        vals = np.where(
+            rng.random(ln) < 0.4,
+            STALE_NAN,
+            np.where(rng.random(ln) < 0.5, 7.0, rng.random(ln) * 1e6),
+        )
+        ts_parts.append(ts)
+        val_parts.append(vals)
+        offsets.append(offsets[-1] + ln)
+    offsets = np.array(offsets)
+    n_points = np.diff(offsets)
+    ts_blocks = encode_timestamps_multi(np.concatenate(ts_parts), offsets)
+    val_blocks = encode_values_multi(np.concatenate(val_parts), offsets)
+    dec_ts = decode_timestamps_multi(ts_blocks, n_points)
+    dec_vals = decode_values_multi(val_blocks, n_points)
+    for j in range(len(n_points)):
+        np.testing.assert_array_equal(dec_ts[j], ts_parts[j])
+        np.testing.assert_array_equal(
+            dec_vals[j].view(np.uint64), val_parts[j].view(np.uint64)
+        )
+        # cross-check against the sequential decoders
+        np.testing.assert_array_equal(
+            dec_ts[j], decode_timestamps(ts_blocks[j], len(ts_parts[j]))
+        )

@@ -121,26 +121,43 @@ def test_text_equality_under_stable_ordering(pipeline_out, ray_session):
 
 
 def test_resume_after_partial_failure(pipeline_out):
-    """Deleting downstream stages and re-running regenerates exactly the
-    same content; completed stages are skipped (manifest reuse)."""
+    """Re-running over committed output is a no-op; after losing the
+    sealed blocks stage, a rerun reuses the per-bucket block part files
+    (checkpoints) and regenerates byte-identical content."""
     from vertex_ray.pipelines.rollup_pipeline import run_pipeline
 
     trans, out, _ = pipeline_out
     agg_dir = os.path.join(out, "agg")
+    blocks_dir = os.path.join(out, "blocks")
+
+    # completed run → rerun skips everything
+    m_agg = os.path.getmtime(os.path.join(agg_dir, "manifest.json"))
+    run_pipeline(trans, out, n_buckets=8)
+    assert os.path.getmtime(os.path.join(agg_dir, "manifest.json")) == m_agg
+
     before = (
         pads.dataset(stage_files(agg_dir)).to_table().to_pandas()
         .sort_values(["tier", "series_key", "window_start"])
         .reset_index(drop=True)
     )
-    packed_mtime = os.path.getmtime(os.path.join(out, "packed", "manifest.json"))
-    shutil.rmtree(agg_dir)
-    shutil.rmtree(os.path.join(out, "blocks"))
-    run_pipeline(trans, out, n_buckets=8, encode_concurrency=2)
+    blocks_before = (
+        pads.dataset(stage_files(blocks_dir)).to_table().to_pandas()
+        .sort_values(["tier", "series_key"]).reset_index(drop=True)
+    )
+    # simulate dying between the per-bucket side-writes and sealing: the
+    # sealed blocks dir reverts to unsealed parts
+    os.rename(blocks_dir, blocks_dir + ".__parts__")
+    os.remove(os.path.join(blocks_dir + ".__parts__", "manifest.json"))
+    os.remove(os.path.join(blocks_dir + ".__parts__", "_SUCCESS"))
+    run_pipeline(trans, out, n_buckets=8)
     after = (
         pads.dataset(stage_files(agg_dir)).to_table().to_pandas()
         .sort_values(["tier", "series_key", "window_start"])
         .reset_index(drop=True)
     )
+    blocks_after = (
+        pads.dataset(stage_files(blocks_dir)).to_table().to_pandas()
+        .sort_values(["tier", "series_key"]).reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(before, after, check_exact=True)
-    # the upstream packed stage was NOT recomputed
-    assert os.path.getmtime(os.path.join(out, "packed", "manifest.json")) == packed_mtime
+    pd.testing.assert_frame_equal(blocks_before, blocks_after, check_exact=True)

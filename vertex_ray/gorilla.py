@@ -33,17 +33,16 @@ import numpy as np
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
-    """Count leading zeros of uint64 (x == 0 → 64)."""
+    """Leading-zero count of uint64 via float64 frexp (x == 0 → 64).
+
+    uint64→float64 conversion can round UP across a power-of-two boundary,
+    making the result at most one SMALLER than the true clz — which for
+    the encoder only widens the meaningful-bit window by one bit (always
+    valid, decodes identically). It can never overestimate, and for exact
+    powers of two (the _ctz64 path, which must be exact) it is exact."""
     x = np.asarray(x, dtype=np.uint64)
-    cur = x.copy()
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for s in (32, 16, 8, 4, 2, 1):
-        hi = cur >> np.uint64(s)
-        has = hi != 0
-        cur = np.where(has, hi, cur)
-        cnt += np.where(has, s, 0)
-    # cnt is the index of the highest set bit for x > 0
-    return np.where(x == 0, 64, 63 - cnt)
+    e = np.frexp(x.astype(np.float64))[1]
+    return np.where(x == 0, 64, 64 - e)
 
 
 def _ctz64(x: np.ndarray) -> np.ndarray:
@@ -56,40 +55,27 @@ def _ctz64(x: np.ndarray) -> np.ndarray:
 def pack_bits(codes: np.ndarray, lengths: np.ndarray) -> bytes:
     """Concatenate variable-length MSB-first bit fields (each ≤ 64 bits).
 
-    Fully vectorized: each field contributes to at most 9 bytes, OR-merged
-    with ``np.bitwise_or.at`` so adjacent fields can share boundary bytes.
-    Zero-length fields are skipped."""
-    lengths = lengths.astype(np.int64)
+    Bit-expansion strategy: materialize one uint8 per OUTPUT BIT (source
+    field found with np.repeat, bit extracted with a vectorized shift),
+    then ``np.packbits``. Every op is a contiguous C kernel — no scatter
+    (``ufunc.at``) anywhere, which profiling showed dominated the encoder.
+    Zero-length fields are skipped; output is zero-padded to a whole byte
+    (same as packbits)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
     keep = lengths > 0
-    codes = codes[keep].astype(np.uint64)
+    codes = np.asarray(codes)[keep].astype(np.uint64, copy=False)
     lengths = lengths[keep]
     if len(codes) == 0:
         return b""
-    start = np.zeros(len(lengths), dtype=np.int64)
-    np.cumsum(lengths[:-1], out=start[1:])
-    total_bits = int(start[-1] + lengths[-1])
-    nbytes = (total_bits + 7) >> 3
-    buf = np.zeros(nbytes, dtype=np.uint8)
-    first_byte = start >> 3
-    bib = start & 7  # bit offset within the first byte
-    span = (bib + lengths + 7) >> 3  # bytes touched: 1..9
-    for j in range(9):
-        m = span > j
-        if not m.any():
-            break
-        s = lengths[m] + bib[m] - 8 * (j + 1)  # right-shift if >= 0 else left
-        c = codes[m]
-        right = np.where(s >= 0, s, 0).astype(np.uint64)
-        left = np.where(s < 0, -s, 0).astype(np.uint64)
-        byte = np.where(
-            s >= 0,
-            (c >> np.minimum(right, np.uint64(63))) & np.uint64(0xFF),
-            (c << left) & np.uint64(0xFF),
-        ).astype(np.uint8)
-        # a right shift of exactly 64 can only arise for len+bib-8 >= 64,
-        # i.e. len == 64 and bib >= 8 — impossible, so min(...,63) is safe.
-        np.bitwise_or.at(buf, first_byte[m] + j, byte)
-    return buf.tobytes()
+    # uint64 end-to-end so the only big cast is the final uint8 for packbits
+    lengths_u = lengths.astype(np.uint64)
+    end_u = np.cumsum(lengths_u)  # exclusive end bit of each field
+    total_bits = int(end_u[-1])
+    fidx = np.repeat(np.arange(len(codes)), lengths)
+    # shift = (end_of_field - 1) - absolute_bit_position
+    shift = (end_u - np.uint64(1))[fidx] - np.arange(total_bits, dtype=np.uint64)
+    bits = ((codes[fidx] >> shift) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes()
 
 
 class BitReader:
@@ -373,8 +359,166 @@ def encode_timestamps_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes
 
 
 # ---------------------------------------------------------------------------
+# multi-series lockstep decoders — decode every series of a batch together:
+# the loop runs over POINT INDEX while each iteration advances all series
+# one point with vectorized gathers. NOTE: only faster than the sequential
+# per-series decoders when series lengths are uniform and lanes are wide;
+# for this engine's skewed length distribution (mean ~340, max ~5600) the
+# per-iteration numpy overhead × longest-series iterations loses to the
+# plain Python loop, so decode_blocks_batch uses the sequential path.
+# Kept (and property-tested) for long-uniform shapes such as coarse tiers.
+# ---------------------------------------------------------------------------
+
+
+def _gather_bits(buf: np.ndarray, pos: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Read k (≤64) bits starting at absolute bit position pos for each
+    lane, MSB-first. k == 0 lanes return 0. buf is uint8."""
+    byte0 = (pos >> 3).astype(np.int64)
+    off = (pos & 7).astype(np.uint64)
+    # first 8 bytes as big-endian uint64 (clipped gather keeps us in-bounds)
+    idx = byte0[:, None] + np.arange(8)
+    np.clip(idx, 0, len(buf) - 1, out=idx)
+    w = buf[idx].astype(np.uint64)
+    word = np.zeros(len(pos), dtype=np.uint64)
+    for j in range(8):
+        word = (word << np.uint64(8)) | w[:, j]
+    ku = k.astype(np.uint64)
+    need = off + ku
+    mask = np.where(ku >= 64, ~np.uint64(0), (np.uint64(1) << ku) - np.uint64(1))
+    simple = need <= 64
+    shift = np.where(simple, np.uint64(64) - need, 0).astype(np.uint64)
+    val = (word >> shift) & mask
+    if (~simple).any():
+        extra = (need - np.uint64(64)).astype(np.uint64)  # 1..7
+        idx9 = np.clip(byte0 + 8, 0, len(buf) - 1)
+        b9 = buf[idx9].astype(np.uint64)
+        keep = np.uint64(64) - off
+        lowmask = np.where(off == 0, ~np.uint64(0), (np.uint64(1) << keep) - np.uint64(1))
+        val2 = ((word & lowmask) << extra) | (b9 >> (np.uint64(8) - extra))
+        val = np.where(simple, val, val2 & mask)
+    return np.where(k > 0, val, np.uint64(0))
+
+
+def _concat_blocks(blocks: list[bytes]):
+    lens = np.fromiter((len(b) for b in blocks), dtype=np.int64, count=len(blocks))
+    starts = np.zeros(len(blocks) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    buf = np.frombuffer(b"".join(blocks) + b"\0" * 8, dtype=np.uint8)
+    return buf, starts[:-1] * 8  # bit offset of each series block
+
+
+def decode_values_multi(blocks: list[bytes], n_points: np.ndarray) -> list[np.ndarray]:
+    """Inverse of encode_values_multi (also accepts the paper's '10'
+    reuse-window control). Returns one float64 array per series."""
+    s = len(blocks)
+    n_points = np.asarray(n_points, dtype=np.int64)
+    buf, bit0 = _concat_blocks(blocks)
+    out = np.zeros((s, int(n_points.max()) if s else 0), dtype=np.uint64)
+    pos = bit0.astype(np.int64).copy()
+    has = n_points > 0
+    head = _gather_bits(buf, pos, np.where(has, 64, 0))
+    prev = _bswap(head)  # stored little-endian
+    pos += np.where(has, 64, 0)
+    if s:
+        out[:, 0] = prev
+    lead = np.zeros(s, dtype=np.uint64)
+    mlen = np.zeros(s, dtype=np.uint64)
+    for i in range(1, out.shape[1]):
+        active = n_points > i
+        c1 = _gather_bits(buf, pos, np.where(active, 1, 0))
+        pos += active
+        changed = active & (c1 == 1)
+        c2 = _gather_bits(buf, pos, np.where(changed, 1, 0))
+        pos += changed
+        neww = changed & (c2 == 1)
+        lw = _gather_bits(buf, pos, np.where(neww, 5, 0))
+        pos += np.where(neww, 5, 0)
+        mw = _gather_bits(buf, pos, np.where(neww, 6, 0))
+        pos += np.where(neww, 6, 0)
+        lead = np.where(neww, lw, lead)
+        mlen = np.where(neww, mw + np.uint64(1), mlen)
+        meaning = _gather_bits(buf, pos, np.where(changed, mlen, 0).astype(np.int64))
+        pos += np.where(changed, mlen.astype(np.int64), 0)
+        sh = np.uint64(64) - lead - mlen
+        sh = np.where(sh >= np.uint64(64), np.uint64(0), sh)  # inactive lanes
+        prev = np.where(changed, prev ^ (meaning << sh), prev)
+        out[active, i] = prev[active]
+    return [out[j, : n_points[j]].view(np.float64) for j in range(s)]
+
+
+def decode_timestamps_multi(blocks: list[bytes], n_points: np.ndarray) -> list[np.ndarray]:
+    s = len(blocks)
+    n_points = np.asarray(n_points, dtype=np.int64)
+    buf, bit0 = _concat_blocks(blocks)
+    width = int(n_points.max()) if s else 0
+    out = np.zeros((s, width), dtype=np.int64)
+    pos = bit0.astype(np.int64).copy()
+    has = n_points > 0
+    t0 = _bswap(_gather_bits(buf, pos, np.where(has, 64, 0))).view(np.int64)
+    pos += np.where(has, 64, 0)
+    if s:
+        out[:, 0] = t0
+    two = n_points > 1
+    d = _bswap(_gather_bits(buf, pos, np.where(two, 64, 0))).view(np.int64)
+    pos += np.where(two, 64, 0)
+    if width > 1:
+        out[two, 1] = out[two, 0] + d[two]
+    cur = np.where(two, out[:, 1] if width > 1 else 0, 0)
+    for i in range(2, width):
+        active = n_points > i
+        rem = active.copy()
+        dod = np.zeros(s, dtype=np.int64)
+        b = _gather_bits(buf, pos, np.where(rem, 1, 0))
+        pos += rem
+        rem = rem & (b == 1)  # '0' → dod 0
+        for vbits, bias in ((7, 63), (9, 255), (12, 2047)):
+            b = _gather_bits(buf, pos, np.where(rem, 1, 0))
+            pos += rem
+            hit = rem & (b == 0)
+            v = _gather_bits(buf, pos, np.where(hit, vbits, 0))
+            pos += np.where(hit, vbits, 0)
+            dod = np.where(hit, v.view(np.int64) - bias, dod)
+            rem = rem & (b == 1)
+        v = _gather_bits(buf, pos, np.where(rem, 32, 0))
+        pos += np.where(rem, 32, 0)
+        v32 = v.astype(np.uint32).view(np.int32).astype(np.int64)
+        dod = np.where(rem, v32, dod)
+        d = d + np.where(active, dod, 0)
+        cur = cur + np.where(active, d, 0)
+        out[active, i] = cur[active]
+    return [out[j, : n_points[j]] for j in range(s)]
+
+
+def decode_flags_multi(blocks: list[bytes], n_points: np.ndarray) -> list[np.ndarray]:
+    return [decode_flags(b, int(n)) for b, n in zip(blocks, n_points)]
+
+
+# ---------------------------------------------------------------------------
 # flags stream: 2 bits per point (bit0 = filled, bit1 = stale), 4 per byte
 # ---------------------------------------------------------------------------
+
+
+def encode_flags_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Per-series flag blocks in one vectorized pass: 2-bit fields, padded
+    to a byte boundary at each series end (byte-identical to per-series
+    encode_flags)."""
+    n = len(flat)
+    s = len(offsets) - 1
+    if n == 0:
+        return [b""] * s
+    counts = np.diff(offsets)
+    f = s + n
+    codes = np.zeros(f, dtype=np.uint64)
+    lens = np.zeros(f, dtype=np.int64)
+    sid = np.repeat(np.arange(s), counts)
+    pos = np.arange(n) + sid
+    codes[pos] = (np.asarray(flat, dtype=np.uint64)) & np.uint64(3)
+    lens[pos] = 2
+    series_bits = counts * 2
+    pad = (-series_bits) % 8
+    lens[offsets[1:] + np.arange(s)] = pad
+    buf = pack_bits(codes, lens)
+    return _slices(buf, series_bits, pad)
 
 
 def encode_flags(flags: np.ndarray) -> bytes:

@@ -1,15 +1,19 @@
 """The flagship pipeline: transcripts → 1m/5m/1h/1d Gorilla-compressed
 retention tiers (SURVEY.md §3.3).
 
-ONE all-to-all exchange for the whole run:
+ONE all-to-all exchange and ONE Ray execution for the whole run:
 
     read_parquet(transcripts)                     # fragments = input shards
-      → map_batches(project_for_rollup)           # prune; text never shuffles
+      → map_batches(project_for_rollup_fast)      # int codes; text never shuffles
       → groupby("bucket").map_groups(             # THE shuffle
-            rollup 1m → cascade 5m/1h/1d → gap-fill → pack per series)
-      → write packed stage (commit protocol)
-    agg tables:   packed → map_batches(unpack_series)   # no shuffle
-    block tables: packed → map_batches(GorillaEncode)   # actor pool, no shuffle
+            numpy kernel: rollup 1m → cascade 5m/1h/1d → gap-fill → pack
+            → Gorilla-encode + side-write this bucket's blocks file
+            → return flat tier agg rows)
+      → write agg stage (commit protocol)
+    blocks stage = the per-bucket side-written files, sealed with a manifest
+
+(`packed_dataset` / `encode_blocks` / `agg_rows` remain available as
+standalone composable stages — encode_blocks is the actor-pool form.)
 
 Everything after the bucket groupby is embarrassingly parallel because the
 conversation-hash bucket co-locates every series of a conversation: the
@@ -30,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import os
+import shutil
 
 import pandas as pd
 import pyarrow as pa
@@ -44,6 +49,8 @@ from vertex_ray.stages.encode import GorillaEncode, decode_blocks_batch
 from vertex_ray.stages.fill import fill_bucket_df, pack_series, unpack_series
 from vertex_ray.stages.rollup import merge_agg, rollup_bucket
 from vertex_ray.state.checkpoint import (
+    MANIFEST,
+    finalize_stage,
     read_manifest,
     stage_done,
     stage_files,
@@ -117,6 +124,32 @@ def bucket_rollup_all_tiers(
     return pa.concat_tables(parts)
 
 
+def bucket_kernel_group(group: pa.Table, tiers, global_end_s: int, salt: int) -> pa.Table:
+    """map_groups body (pyarrow in/out) → stages/kernel.bucket_kernel."""
+    import numpy as np
+
+    from vertex_ray.stages.kernel import bucket_kernel
+
+    if group.num_rows == 0:
+        return bucket_kernel(
+            np.zeros(0, dtype=object), np.zeros(0, np.int64), np.zeros(0, np.int32),
+            np.zeros(0, np.uint8), np.zeros(0, np.uint8), np.zeros(0, np.int64),
+            tiers, global_end_s, 0, salt,
+        )
+    return bucket_kernel(
+        group["conv_id"].to_numpy(zero_copy_only=False),
+        group["conv_hash"].to_numpy(zero_copy_only=False),
+        group["turn_idx"].to_numpy(zero_copy_only=False),
+        group["role_code"].to_numpy(zero_copy_only=False),
+        group["tool_code"].to_numpy(zero_copy_only=False),
+        group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+        tiers,
+        global_end_s,
+        int(group["bucket"][0].as_py()),
+        salt,
+    )
+
+
 def packed_dataset(
     transcripts: "rd.Dataset",
     global_end_s: int,
@@ -124,18 +157,20 @@ def packed_dataset(
     salt: int = 1,
     tiers=TIERS,
 ) -> "rd.Dataset":
+    from vertex_ray.stages.derive import project_for_rollup_fast
+
     projected = transcripts.map_batches(
-        functools.partial(project_for_rollup, n_buckets=n_buckets),
+        functools.partial(project_for_rollup_fast, n_buckets=n_buckets),
         batch_format="pyarrow",
     )
     return projected.groupby("bucket").map_groups(
         functools.partial(
-            bucket_rollup_all_tiers,
+            bucket_kernel_group,
             tiers=tiers,
             global_end_s=global_end_s,
             salt=salt,
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
 
 
@@ -185,48 +220,89 @@ def read_stage(out_dir: str, stage: str, tier: str | None = None) -> "rd.Dataset
     return rd.read_parquet(stage_files(path), **kwargs)
 
 
+def fused_bucket_group(
+    group: pa.Table, tiers, global_end_s: int, salt: int, blocks_parts_dir: str
+) -> pa.Table:
+    """Fused bucket body: kernel → (side-write Gorilla blocks for this
+    bucket, atomically, skip-if-done) → return the tier agg rows.
+
+    One Ray execution computes everything: the packed per-series arrays
+    never round-trip through parquet, and a retried/speculative task is
+    idempotent (tmp-file + atomic rename, deterministic file name). Each
+    bucket's committed blocks file doubles as a per-partition checkpoint:
+    on a rerun after failure the encode for finished buckets is skipped."""
+    packed = bucket_kernel_group(group, tiers, global_end_s, salt)
+    if packed.num_rows:
+        bucket_id = int(group["bucket"][0].as_py())
+        final = os.path.join(blocks_parts_dir, f"part-{bucket_id:05d}.parquet")
+        if not os.path.exists(final):
+            enc = GorillaEncode()(packed)
+            tmp = final + f".tmp{os.getpid()}"
+            pq.write_table(enc, tmp)
+            os.replace(tmp, final)
+    return unpack_series(packed)
+
+
 def run_pipeline(
     transcripts_path: str,
     out_dir: str,
     n_buckets: int = DEFAULT_N_BUCKETS,
     salt: int = 1,
-    encode_concurrency: int | None = None,
+    encode_concurrency: int | None = None,  # kept for the standalone encode op
     tiers=TIERS,
 ) -> dict:
-    """Run (or resume) the full tier cascade. Returns per-stage manifests."""
+    """Run (or resume) the full tier cascade in ONE Ray execution.
+
+    Outputs: ``agg/`` (flat tier rows, the Dataset sink) and ``blocks/``
+    (Gorilla blocks, side-written per bucket inside the group tasks, then
+    sealed with a manifest). Both must validate for the run to be
+    considered done; per-bucket block files survive a crash and are
+    reused on rerun."""
     paths = pipeline_paths(out_dir)
     manifests: dict[str, dict] = {}
+    if stage_done(paths["agg"]) and stage_done(paths["blocks"]):
+        manifests["agg"] = read_manifest(paths["agg"])
+        manifests["blocks"] = read_manifest(paths["blocks"])
+        return manifests
 
-    if stage_done(paths["packed"]):
-        manifests["packed"] = read_manifest(paths["packed"])
-    else:
-        end = transcripts_end_ts(transcripts_path)
-        packed = packed_dataset(
-            read_transcripts(transcripts_path), end, n_buckets, salt, tiers
-        )
-        manifests["packed"] = write_stage(
-            packed,
-            paths["packed"],
-            {
-                "input": transcripts_path,
-                "n_buckets": n_buckets,
-                "salt": salt,
-                "global_end_s": end,
-                "tiers": [t for t, _ in tiers],
-            },
-        )
-
-    for stage, builder in (
-        ("agg", lambda ds: agg_rows(ds)),
-        ("blocks", lambda ds: encode_blocks(ds, encode_concurrency)),
+    blocks_parts = paths["blocks"] + ".__parts__"
+    os.makedirs(blocks_parts, exist_ok=True)
+    end = transcripts_end_ts(transcripts_path)
+    projected = read_transcripts(transcripts_path).map_batches(
+        functools.partial(
+            __import__(
+                "vertex_ray.stages.derive", fromlist=["project_for_rollup_fast"]
+            ).project_for_rollup_fast,
+            n_buckets=n_buckets,
+        ),
+        batch_format="pyarrow",
+    )
+    agg_ds = projected.groupby("bucket").map_groups(
+        functools.partial(
+            fused_bucket_group,
+            tiers=tiers,
+            global_end_s=end,
+            salt=salt,
+            blocks_parts_dir=blocks_parts,
+        ),
+        batch_format="pyarrow",
+    )
+    lineage = {
+        "input": transcripts_path,
+        "n_buckets": n_buckets,
+        "salt": salt,
+        "global_end_s": end,
+        "tiers": [t for t, _ in tiers],
+    }
+    # force recompute of a stale agg stage (blocks incomplete implies the
+    # previous run died mid-execution)
+    if os.path.exists(os.path.join(paths["agg"], MANIFEST)) and not stage_done(
+        paths["blocks"]
     ):
-        if stage_done(paths[stage]):
-            manifests[stage] = read_manifest(paths[stage])
-        else:
-            ds = rd.read_parquet(
-                stage_files(paths["packed"]), override_num_blocks=_target_blocks()
-            )
-            manifests[stage] = write_stage(
-                builder(ds), paths[stage], {"input": paths["packed"]}
-            )
+        shutil.rmtree(paths["agg"], ignore_errors=True)
+    manifests["agg"] = write_stage(agg_ds, paths["agg"], lineage)
+    if not stage_done(paths["blocks"]):
+        manifests["blocks"] = finalize_stage(blocks_parts, paths["blocks"], lineage)
+    else:
+        manifests["blocks"] = read_manifest(paths["blocks"])
     return manifests

@@ -25,6 +25,8 @@ from vertex_ray.schema import (
     KIND_HISTOGRAM,
     KIND_SUM,
     POINTS_SCHEMA,
+    ROLES,
+    TOOLS,
 )
 from vertex_ray.series import bucket_of, series_key_arrays
 
@@ -47,6 +49,53 @@ def project_for_rollup(batch: pa.Table, n_buckets: int = 64) -> pa.Table:
             "turn_idx": batch["turn_idx"],
             "role": batch["role"],
             "tool": batch["tool"],
+            "ts": batch["ts"],
+        }
+    )
+
+
+def conv_hash64(conv: np.ndarray) -> np.ndarray:
+    """64-bit content hash per conversation id — computed once per UNIQUE
+    value per batch (blake2b, stable across processes). Grouping downstream
+    re-checks string equality at hash boundaries, so collisions are safe."""
+    import hashlib
+
+    uniq, inv = np.unique(conv.astype(object), return_inverse=True)
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(str(s).encode(), digest_size=8).digest(), "big")
+            for s in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return h[inv]
+
+
+def project_for_rollup_fast(batch: pa.Table, n_buckets: int = 64) -> pa.Table:
+    """Integer-coded projection for the numpy bucket kernel: role/tool as
+    uint8 codes, conversation as (string, 64-bit hash), bucket from the
+    hash. Only these seven narrow columns enter the shuffle — ``text``
+    never does."""
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    ch = conv_hash64(conv)
+    bucket = (ch % np.uint64(n_buckets)).astype(np.int32)
+    role = batch["role"].to_numpy(zero_copy_only=False)
+    role_code = np.zeros(len(role), dtype=np.uint8)
+    for i, r in enumerate(ROLES):
+        role_code[role == r] = i
+    tool = batch["tool"].to_numpy(zero_copy_only=False)
+    tool_code = np.zeros(len(tool), dtype=np.uint8)
+    for i, t in enumerate(TOOLS):
+        tool_code[tool == t] = i + 1
+    return pa.table(
+        {
+            "bucket": pa.array(bucket, type=pa.int32()),
+            "conv_id": batch["conv_id"],
+            "conv_hash": pa.array(ch.view(np.int64), type=pa.int64()),
+            "turn_idx": batch["turn_idx"],
+            "role_code": pa.array(role_code, type=pa.uint8()),
+            "tool_code": pa.array(tool_code, type=pa.uint8()),
             "ts": batch["ts"],
         }
     )

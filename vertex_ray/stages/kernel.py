@@ -1,0 +1,415 @@
+"""Integer-coded numpy bucket kernel — the hot path of the flagship
+pipeline.
+
+The first implementation (stages/rollup + stages/fill, kept for tests and
+as the readable spec) derives per-point series-key STRINGS and aggregates
+with pandas groupby over object columns. Under 32-way parallelism that is
+memory-bandwidth-bound (~94µs/turn measured). This kernel computes the
+identical result (bit-for-bit, property-tested against the pandas path)
+entirely on int64/float64 numpy arrays:
+
+- conversations are identified by a 64-bit content hash computed at the
+  project stage (string equality re-checked at group boundaries, so hash
+  collisions cannot corrupt grouping);
+- a series is a packed int64 uid ``metric<<40 | conv_ord<<8 | sub_code``;
+  the canonical sorted-tag series_key string is rendered once per unique
+  series at pack time, never per point;
+- grouping is stable lexsort + ``ufunc.reduceat`` segments; histogram
+  buckets come from one searchsorted + bincount per tier;
+- the continuous-aggregate cascade and gap-fill walk reuse the same
+  segment machinery with no further sorting beyond one int lexsort each.
+
+All sums stay exact (counter increments of 1.0, integer-second latencies),
+so reduction order cannot change a single bit — the property that makes
+the whole engine reproducible across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from vertex_ray.schema import (
+    DEFAULT_BUCKETS_ARR,
+    KIND_HISTOGRAM,
+    KIND_SUM,
+    N_BUCKETS,
+    ROLES,
+    STALE_NAN_BITS,
+    STALENESS_SECONDS,
+    TOOLS,
+    US_PER_SECOND,
+)
+
+METRIC_NAMES = ("turns_total", "tool_invocations_total", "inter_turn_latency_seconds")
+METRIC_KINDS = (KIND_SUM, KIND_SUM, KIND_HISTOGRAM)
+
+_UID_METRIC_SHIFT = np.int64(40)
+_UID_CONV_SHIFT = np.int64(8)
+
+
+class AggArrays(dict):
+    """dict of parallel arrays: uid, window, sum, count, min, max, last,
+    last_ts, buckets (G×N_BUCKETS); always sorted by (uid, window)."""
+
+
+def _segments(*keys: np.ndarray):
+    """Boundary starts for consecutive equal tuples in pre-sorted arrays."""
+    n = len(keys[0])
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    return np.flatnonzero(change)
+
+
+def _empty_agg() -> AggArrays:
+    return AggArrays(
+        uid=np.zeros(0, np.int64),
+        window=np.zeros(0, np.int64),
+        sum=np.zeros(0),
+        count=np.zeros(0, np.int64),
+        min=np.zeros(0),
+        max=np.zeros(0),
+        last=np.zeros(0),
+        last_ts=np.zeros(0, np.int64),
+        buckets=np.zeros((0, N_BUCKETS), np.int64),
+    )
+
+
+def _reduce(uid, w, ts_us, vals, starts, hist: bool) -> AggArrays:
+    n = len(uid)
+    if n == 0:
+        return _empty_agg()
+    ends = np.concatenate([starts[1:], [n]])
+    out = AggArrays()
+    out["uid"] = uid[starts]
+    out["window"] = w[starts]
+    out["count"] = (ends - starts).astype(np.int64)
+    out["sum"] = np.add.reduceat(vals, starts) if n else np.zeros(0)
+    out["min"] = np.minimum.reduceat(vals, starts) if n else np.zeros(0)
+    out["max"] = np.maximum.reduceat(vals, starts) if n else np.zeros(0)
+    out["last"] = vals[ends - 1]
+    out["last_ts"] = ts_us[ends - 1]
+    g = len(starts)
+    if hist and n:
+        cat = np.searchsorted(DEFAULT_BUCKETS_ARR, vals, side="left")
+        seg = np.repeat(np.arange(g), out["count"])
+        bc = np.bincount(
+            seg * (N_BUCKETS + 1) + np.minimum(cat, N_BUCKETS),
+            minlength=g * (N_BUCKETS + 1),
+        ).reshape(g, N_BUCKETS + 1)
+        out["buckets"] = np.cumsum(bc, axis=1)[:, :N_BUCKETS].astype(np.int64)
+    else:
+        out["buckets"] = np.zeros((g, N_BUCKETS), dtype=np.int64)
+    return out
+
+
+def window_agg(uid, ts_us, vals, window_seconds: int, hist: bool) -> AggArrays:
+    """Aggregate observations into (uid, window) rows. Stable sort keeps
+    ts order inside each group (last-write-wins ties by input order)."""
+    w = ts_us // US_PER_SECOND // window_seconds * window_seconds
+    order = np.lexsort((w, uid))
+    uid, w, ts_us, vals = uid[order], w[order], ts_us[order], vals[order]
+    return _reduce(uid, w, ts_us, vals, _segments(uid, w), hist)
+
+
+def concat_agg(parts: list[AggArrays]) -> AggArrays:
+    out = AggArrays()
+    for k in ("uid", "window", "sum", "count", "min", "max", "last", "last_ts"):
+        out[k] = np.concatenate([p[k] for p in parts])
+    out["buckets"] = np.concatenate([p["buckets"] for p in parts], axis=0)
+    return out
+
+
+def sort_agg(agg: AggArrays) -> AggArrays:
+    order = np.lexsort((agg["window"], agg["uid"]))
+    out = AggArrays({k: v[order] for k, v in agg.items() if k != "buckets"})
+    out["buckets"] = agg["buckets"][order]
+    return out
+
+
+def merge_agg_arrays(agg: AggArrays, window_seconds: int, presorted=True) -> AggArrays:
+    """Tier-merge partials into (coarser) windows — FIXTURES §F4 contract.
+    Input sorted by (uid, window) ⇒ coarse groups are contiguous and
+    last_ts is non-decreasing within a uid, so ``last`` is the segment's
+    final element."""
+    if not presorted:
+        agg = sort_agg(agg)
+    uid = agg["uid"]
+    n = len(uid)
+    if n == 0:
+        return _empty_agg()
+    cw = agg["window"] // window_seconds * window_seconds
+    starts = _segments(uid, cw)
+    ends = np.concatenate([starts[1:], [n]])
+    out = AggArrays()
+    out["uid"] = uid[starts]
+    out["window"] = cw[starts]
+    out["sum"] = np.add.reduceat(agg["sum"], starts) if n else np.zeros(0)
+    out["count"] = np.add.reduceat(agg["count"], starts) if n else np.zeros(0, np.int64)
+    out["min"] = np.minimum.reduceat(agg["min"], starts) if n else np.zeros(0)
+    out["max"] = np.maximum.reduceat(agg["max"], starts) if n else np.zeros(0)
+    out["last"] = agg["last"][ends - 1]
+    out["last_ts"] = agg["last_ts"][ends - 1]
+    out["buckets"] = (
+        np.add.reduceat(agg["buckets"], starts, axis=0)
+        if n
+        else np.zeros((0, N_BUCKETS), dtype=np.int64)
+    )
+    return out
+
+
+def fill_arrays(
+    agg: AggArrays,
+    window_seconds: int,
+    global_end_window: int,
+    horizon_seconds: int = STALENESS_SECONDS,
+) -> dict:
+    """Gap-fill + LOCF + stale markers (semantics of stages/fill, §F5),
+    array-form. Returns agg-like dict + 'filled'/'stale' bool arrays,
+    sorted by (uid, window)."""
+    uid, w = agg["uid"], agg["window"]
+    n = len(uid)
+    kind_hist = (uid >> _UID_METRIC_SHIFT) == 2
+    same_next = np.zeros(n, dtype=bool)
+    same_next[:-1] = uid[:-1] == uid[1:]
+    next_w = np.empty(n, dtype=np.int64)
+    if n:
+        next_w[:-1] = w[1:]
+    limit = np.where(same_next, next_w, np.int64(global_end_window + window_seconds))
+
+    hw = horizon_seconds // window_seconds
+    gap_windows = (limit - w) // window_seconds - 1
+    n_fill = np.clip(gap_windows, 0, hw)
+    stale_w = w + (hw + 1) * window_seconds
+    stale_mask = stale_w < limit
+
+    total = int(n_fill.sum())
+    s = int(stale_mask.sum())
+    parts_uid = [uid]
+    parts_w = [w]
+    parts = {
+        k: [agg[k]] for k in ("sum", "count", "min", "max", "last", "last_ts")
+    }
+    parts_b = [agg["buckets"]]
+    parts_filled = [np.zeros(n, dtype=bool)]
+    parts_stale = [np.zeros(n, dtype=bool)]
+
+    if total:
+        idx = np.repeat(np.arange(n), n_fill)
+        pos = np.arange(total) - np.repeat(np.cumsum(n_fill) - n_fill, n_fill) + 1
+        is_hist = kind_hist[idx]
+        is_ctr = ~is_hist  # both counter metrics fill as zero-increment
+        last = agg["last"][idx]
+        parts_uid.append(uid[idx])
+        parts_w.append(w[idx] + pos * window_seconds)
+        parts["sum"].append(np.where(is_ctr, 0.0, agg["sum"][idx]))
+        parts["count"].append(np.where(is_hist, agg["count"][idx], 0))
+        parts["min"].append(np.where(is_ctr, np.nan, agg["min"][idx]))
+        parts["max"].append(np.where(is_ctr, np.nan, agg["max"][idx]))
+        parts["last"].append(np.where(is_ctr, 0.0, last))
+        parts["last_ts"].append(agg["last_ts"][idx])
+        parts_b.append(np.where(is_hist[:, None], agg["buckets"][idx], 0))
+        parts_filled.append(np.ones(total, dtype=bool))
+        parts_stale.append(np.zeros(total, dtype=bool))
+    if s:
+        src = np.flatnonzero(stale_mask)
+        parts_uid.append(uid[src])
+        parts_w.append(stale_w[src])
+        parts["sum"].append(np.full(s, np.nan))
+        parts["count"].append(np.zeros(s, dtype=np.int64))
+        parts["min"].append(np.full(s, np.nan))
+        parts["max"].append(np.full(s, np.nan))
+        parts["last"].append(np.full(s, np.nan))
+        parts["last_ts"].append(agg["last_ts"][src])
+        parts_b.append(np.zeros((s, N_BUCKETS), dtype=np.int64))
+        parts_filled.append(np.zeros(s, dtype=bool))
+        parts_stale.append(np.ones(s, dtype=bool))
+
+    out_uid = np.concatenate(parts_uid)
+    out_w = np.concatenate(parts_w)
+    order = np.lexsort((out_w, out_uid))
+    out = {
+        "uid": out_uid[order],
+        "window": out_w[order],
+        "buckets": np.concatenate(parts_b, axis=0)[order],
+        "filled": np.concatenate(parts_filled)[order],
+        "stale": np.concatenate(parts_stale)[order],
+    }
+    for k, chunks in parts.items():
+        arr = np.concatenate([np.asarray(c, dtype=np.float64 if k not in ("count", "last_ts") else np.int64) for c in chunks])
+        out[k] = arr[order]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# series key rendering (once per unique series)
+# ---------------------------------------------------------------------------
+
+
+def render_series_keys(uids: np.ndarray, conv_strs: np.ndarray):
+    metric = (uids >> _UID_METRIC_SHIFT).astype(np.int64)
+    conv_ord = ((uids >> _UID_CONV_SHIFT) & np.int64((1 << 32) - 1)).astype(np.int64)
+    sub = (uids & np.int64(0xFF)).astype(np.int64)
+    keys = np.empty(len(uids), dtype=object)
+    names = np.empty(len(uids), dtype=object)
+    kinds = np.empty(len(uids), dtype=np.uint8)
+    for i in range(len(uids)):
+        m, c, sc = metric[i], conv_strs[conv_ord[i]], sub[i]
+        names[i] = METRIC_NAMES[m]
+        kinds[i] = METRIC_KINDS[m]
+        if m == 0:
+            keys[i] = f"turns_total{{conv_id={c},role={ROLES[sc]}}}"
+        elif m == 1:
+            keys[i] = f"tool_invocations_total{{conv_id={c},tool={TOOLS[sc - 1]}}}"
+        else:
+            keys[i] = f"inter_turn_latency_seconds{{conv_id={c}}}"
+    return keys, names, kinds
+
+
+def pack_arrays(filled: dict, conv_strs: np.ndarray, bucket_id: int) -> pa.Table:
+    """Filled arrays (sorted by uid, window) → per-series list-column rows
+    (same schema as stages/fill.pack_series)."""
+    uid = filled["uid"]
+    starts = _segments(uid)
+    offsets = np.concatenate([starts, [len(uid)]]).astype(np.int32)
+    keys, names, kinds = render_series_keys(uid[starts], conv_strs)
+
+    stale = filled["stale"]
+    flags = filled["filled"].astype(np.uint8) | (stale.astype(np.uint8) << 1)
+
+    def stamp(vals):
+        out = np.ascontiguousarray(vals, dtype=np.float64).copy()
+        out.view(np.uint64)[stale] = STALE_NAN_BITS
+        return out
+
+    def lst(values, typ):
+        return pa.ListArray.from_arrays(offsets, pa.array(values, type=typ))
+
+    out = {
+        "bucket": pa.array(np.full(len(starts), bucket_id, dtype=np.int32)),
+        "series_key": pa.array(keys, type=pa.string()),
+        "name": pa.array(names, type=pa.string()),
+        "kind": pa.array(kinds, type=pa.uint8()),
+        "window_starts": lst(filled["window"], pa.int64()),
+        "vals_sum": lst(stamp(filled["sum"]), pa.float64()),
+        "vals_count": lst(filled["count"].astype(np.float64), pa.float64()),
+        "vals_min": lst(stamp(filled["min"]), pa.float64()),
+        "vals_max": lst(stamp(filled["max"]), pa.float64()),
+        "vals_last": lst(stamp(filled["last"]), pa.float64()),
+    }
+    b = filled["buckets"]
+    for j in range(N_BUCKETS):
+        out[f"vals_b{j:02d}"] = lst(b[:, j].astype(np.float64), pa.float64())
+    out["flags"] = lst(flags, pa.uint8())
+    return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# the full per-bucket kernel
+# ---------------------------------------------------------------------------
+
+
+def bucket_kernel(
+    conv_id: np.ndarray,
+    conv_hash: np.ndarray,
+    turn_idx: np.ndarray,
+    role_code: np.ndarray,
+    tool_code: np.ndarray,
+    ts_us: np.ndarray,
+    tiers,
+    global_end_s: int,
+    bucket_id: int,
+    salt: int = 1,
+) -> pa.Table:
+    n = len(conv_id)
+    if n == 0:
+        return pack_arrays(
+            {
+                "uid": np.zeros(0, np.int64),
+                "window": np.zeros(0, np.int64),
+                "sum": np.zeros(0),
+                "count": np.zeros(0, np.int64),
+                "min": np.zeros(0),
+                "max": np.zeros(0),
+                "last": np.zeros(0),
+                "last_ts": np.zeros(0, np.int64),
+                "buckets": np.zeros((0, N_BUCKETS), np.int64),
+                "filled": np.zeros(0, bool),
+                "stale": np.zeros(0, bool),
+            },
+            np.zeros(0, dtype=object),
+            bucket_id,
+        ).append_column("tier", pa.array([], type=pa.string()))
+    order = np.lexsort((turn_idx, conv_hash))
+    conv_id = conv_id[order]
+    conv_hash = conv_hash[order]
+    turn_idx = turn_idx[order]
+    role_code = role_code[order].astype(np.int64)
+    tool_code = tool_code[order].astype(np.int64)
+    ts_us = ts_us[order]
+
+    # conversation ordinals; hash equality refined by string equality so a
+    # 64-bit collision can never merge two conversations
+    new_conv = np.ones(n, dtype=bool)
+    new_conv[1:] = conv_hash[1:] != conv_hash[:-1]
+    suspect = ~new_conv[1:]
+    if suspect.any():
+        eq = conv_id[1:] == conv_id[:-1]
+        new_conv[1:] |= ~eq
+    conv_ord = np.cumsum(new_conv) - 1
+    conv_strs = conv_id[new_conv]
+
+    base = np.int64(1) << _UID_METRIC_SHIFT
+    conv_part = conv_ord.astype(np.int64) << _UID_CONV_SHIFT
+
+    def agg_of(uid, ts, vals, hist):
+        if salt <= 1:
+            return window_agg(uid, ts, vals, tiers[0][1], hist)
+        sgroup = (ts // US_PER_SECOND) % salt
+        parts = [
+            window_agg(uid[sgroup == i], ts[sgroup == i], vals[sgroup == i],
+                       tiers[0][1], hist)
+            for i in range(salt)
+            if int((sgroup == i).sum())
+        ]
+        return merge_agg_arrays(sort_agg(concat_agg(parts)), tiers[0][1])
+
+    # turns_total (metric 0): one 1.0 observation per turn, sub = role
+    uid_turns = base * 0 + conv_part + role_code
+    a_turns = agg_of(uid_turns, ts_us, np.ones(n), False)
+
+    # tool_invocations_total (metric 1): tool turns only, sub = tool code
+    tmask = tool_code > 0
+    uid_tools = base * 1 + conv_part[tmask] + tool_code[tmask]
+    a_tools = agg_of(uid_tools, ts_us[tmask], np.ones(int(tmask.sum())), False)
+
+    # inter_turn_latency_seconds (metric 2): gap to previous turn of conv
+    lmask = np.zeros(n, dtype=bool)
+    lmask[1:] = ~new_conv[1:]
+    prev_ts = np.empty(n, dtype=np.int64)
+    prev_ts[1:] = ts_us[:-1]
+    prev_ts[0] = 0
+    lat = (ts_us - prev_ts).astype(np.float64) / 1e6
+    uid_lat = base * 2 + conv_part[lmask]
+    a_lat = agg_of(uid_lat, ts_us[lmask], lat[lmask], True)
+
+    agg = sort_agg(concat_agg([a_turns, a_tools, a_lat]))
+
+    parts = []
+    prev = agg
+    base_seconds = tiers[0][1]
+    for tier, seconds in tiers:
+        if seconds != base_seconds:
+            prev = merge_agg_arrays(prev, seconds)
+        filled = fill_arrays(prev, seconds, global_end_s // seconds * seconds)
+        packed = pack_arrays(filled, conv_strs, bucket_id)
+        parts.append(
+            packed.append_column(
+                "tier", pa.array([tier] * packed.num_rows, type=pa.string())
+            )
+        )
+    return pa.concat_tables(parts)
