@@ -118,3 +118,35 @@ def test_metricalize_distributed_matches_oracle(events_ds):
         np.testing.assert_array_equal(
             a[col].to_numpy().astype(np.float64), b[col].to_numpy().astype(np.float64)
         )
+
+
+def test_sessionize_and_sliding_windows(events_ds):
+    import duckdb
+
+    from vertex_ray.stages.windows import sessionize, sliding_count
+
+    sess = sessionize(events_ds, "user_id", "ts", 1800, "event_id").to_pandas()
+    ref = duckdb.sql(
+        """
+        WITH marked AS (
+          SELECT user_id, epoch_us(ts) AS t,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+          FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events
+        FROM marked GROUP BY 1
+        """
+    ).df()
+    got = sess.groupby("user_id").agg(
+        n_sessions=("session_id", "nunique"), n_events=("n_events", "sum")
+    ).reset_index()
+    a = got.sort_values("user_id").reset_index(drop=True)
+    b = ref.sort_values("user_id").reset_index(drop=True)
+    assert a["n_sessions"].astype(int).tolist() == b["n_sessions"].astype(int).tolist()
+    assert a["n_events"].astype(int).tolist() == b["n_events"].astype(int).tolist()
+
+    sw = sliding_count(events_ds, "event_type", "ts", 300, 60).to_pandas()
+    # every sliding count >= the tumbling 60s count it contains
+    assert (sw["count"] >= 1).all()
+    assert sw.groupby(["event_type", "window_start"]).size().max() == 1

@@ -415,7 +415,100 @@ def q_multimodal_features(sf_dir: str):
     return featurize_media(rd.from_arrow(synth_media_table(n)), concurrency=2)
 
 
+# --- stream-shaped windowed analytics --------------------------------------
+
+
+def q_sessionize_events(sf_dir: str):
+    from vertex_ray.stages.windows import sessionize
+
+    return sessionize(_ev(sf_dir), "user_id", "ts", gap_seconds=1800, tie_col="event_id")
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, t,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(t) AS start_ts, max(t) AS end_ts
+FROM sess GROUP BY 1, 2
+"""
+
+
+def q_sliding_window_events(sf_dir: str):
+    from vertex_ray.stages.windows import sliding_count
+
+    return sliding_count(_ev(sf_dir), "event_type", "ts", 300, 60)
+
+
+SQL_SLIDING_WINDOW_EVENTS = """
+SELECT event_type, ((epoch_us(ts) // 60000000) - k) * 60 AS window_start,
+       count(*) AS count
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS k)
+GROUP BY 1, 2
+"""
+
+
+# --- sort / top-k -----------------------------------------------------------
+
+
+def q_topk_events(sf_dir: str):
+    ds = _ev(sf_dir)
+    return (
+        ds.sort(["value", "event_id"], descending=[True, False])
+        .limit(10)
+        .map_batches(lambda t: t.select(["event_id", "value"]), batch_format="pyarrow")
+    )
+
+
+SQL_TOPK_EVENTS = """
+SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 10
+"""
+
+
+# --- rewrite (script + dropped port) ----------------------------------------
+
+
+def q_rewrite_events(sf_dir: str):
+    from vertex_ray.stages.ops import rewrite_op
+
+    def script(t: pa.Table):
+        v = t["value"].to_numpy(zero_copy_only=False)
+        ok = v >= 250.0
+        adj = np.where(ok, np.sqrt(np.where(ok, v - 250.0, 0.0)), np.nan)
+        out = pa.table(
+            {
+                "event_id": t["event_id"],
+                "adjusted": pa.array(adj, type=pa.float64()),
+            }
+        )
+        return out, ~ok
+
+    return _ev(sf_dir).map_batches(rewrite_op(script), batch_format="pyarrow")
+
+
+SQL_REWRITE_EVENTS = """
+SELECT event_id,
+       CASE WHEN value >= 250 THEN sqrt(value - 250) END AS adjusted,
+       value < 250 AS dropped
+FROM events
+"""
+
+
 OP_QUERIES = {
+    "op_sessionize_events": q_sessionize_events,
+    "op_sliding_window_events": q_sliding_window_events,
+    "op_topk_events": q_topk_events,
+    "op_rewrite_events": q_rewrite_events,
     "op_filter_events": q_filter_events,
     "op_route_events": q_route_events,
     "op_sample_events": q_sample_events,
@@ -439,6 +532,10 @@ OP_QUERIES = {
 }
 
 OP_ORACLES = {
+    "op_sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "op_sliding_window_events": SQL_SLIDING_WINDOW_EVENTS,
+    "op_topk_events": SQL_TOPK_EVENTS,
+    "op_rewrite_events": SQL_REWRITE_EVENTS,
     "op_filter_events": SQL_FILTER_EVENTS,
     "op_route_events": SQL_ROUTE_EVENTS,
     "op_sample_events": SQL_SAMPLE_EVENTS,
