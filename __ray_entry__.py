@@ -187,6 +187,49 @@ def _q_gorilla_roundtrip(sf_dir: str):
     return dec.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_locf_1m(sf_dir: str):
+    """1m latency tier INCLUDING gap-fill rows and stale markers — the
+    LOCF/staleness semantics (FIXTURES §F5) checked against a SQL oracle.
+    Stale rows' float fields surface as NULL (the engine stores the
+    Prometheus stale NaN payload; NULL is the SQL-comparable view)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _tier_agg(sf_dir, "1m")
+
+    def shape(t):
+        t = t.filter(pc.equal(t["name"], "inter_turn_latency_seconds"))
+        null_f = pa.scalar(None, pa.float64())
+        return pa.table(
+            {
+                "series_key": t["series_key"],
+                "window_start": t["window_start"],
+                "sum": pc.if_else(t["stale"], null_f, t["sum"]),
+                "count": t["count"],
+                "filled": t["filled"],
+                "stale": t["stale"],
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def _q_mean_1h(sf_dir: str):
+    """Mean derived from (sum, count) at read time — never stored
+    (MetricsBuffer contract, FIXTURES §F4)."""
+    import pyarrow.compute as pc
+
+    ds = _tier_agg(sf_dir, "1h")
+
+    def shape(t):
+        t = _real_rows(t, "inter_turn_latency_seconds")
+        return t.select(["series_key", "window_start"]).append_column(
+            "mean", pc.divide(t["sum"], pc.cast(t["count"], "float64"))
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from vertex_ray.pipelines.op_queries import OP_QUERIES
 
@@ -202,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m_hist_buckets": _q_hist_buckets,
         "transcript_passthrough": _q_passthrough,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
+        "rollup_1m_latency_locf_stale": _q_locf_1m,
+        "rollup_1h_latency_mean": _q_mean_1h,
     }
 
 
@@ -263,4 +308,40 @@ def oracle_sql() -> dict[str, str]:
     }
     for tier, seconds in TIER_SECONDS.items():
         sqls[f"rollup_{tier}_latency"] = _sql_lat(seconds)
+
+    sqls["rollup_1m_latency_locf_stale"] = f"""{_LAT_CTE},
+    agg AS (
+      SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}' AS series_key,
+             {_w(60)} AS ws, sum(lat) AS s, count(*) AS c
+      FROM lat WHERE lat IS NOT NULL GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT *, lead(ws) OVER (PARTITION BY series_key ORDER BY ws) AS next_w
+      FROM agg
+    ),
+    bound AS (
+      SELECT (max(epoch_us(ts)) // 60000000) * 60 AS global_end FROM {_SQL_TRANSCRIPTS}
+    )
+    SELECT series_key, ws AS window_start, s AS sum, c AS count,
+           FALSE AS filled, FALSE AS stale
+    FROM seq
+    UNION ALL
+    SELECT series_key, ws + 60 * k AS window_start, s AS sum, c AS count,
+           TRUE AS filled, FALSE AS stale
+    FROM seq CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS k), bound
+    WHERE ws + 60 * k < coalesce(next_w, global_end + 60)
+    UNION ALL
+    SELECT series_key, ws + 360 AS window_start, NULL AS sum, 0 AS count,
+           FALSE AS filled, TRUE AS stale
+    FROM seq, bound
+    WHERE ws + 360 < coalesce(next_w, global_end + 60)
+    """
+
+    sqls["rollup_1h_latency_mean"] = f"""{_LAT_CTE}
+    SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}' AS series_key,
+           {_w(3600)} AS window_start,
+           sum(lat) / CAST(count(*) AS DOUBLE) AS mean
+    FROM lat WHERE lat IS NOT NULL
+    GROUP BY 1, 2
+    """
     return sqls
