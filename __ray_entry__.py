@@ -23,8 +23,14 @@ from vertex_ray.synth import ensure_transcripts, sf_of_dir
 
 OUT_BASE = "/tmp/vertex_ray_out"
 
-# Oracle SQL always runs at sf0.01 (the driver's correctness scale).
+# Oracle SQL always runs at sf0.01 (the driver's correctness scale). The
+# transcript parquet it reads is materialized eagerly at import so the
+# oracle works even if the driver runs SQL before any query callable.
 _SQL_TRANSCRIPTS = "read_parquet('/tmp/vertex_ray_testdata/sf0.01/transcripts_n1000000/*.parquet')"
+try:
+    ensure_transcripts("/root/testdata/sf0.01")
+except Exception:
+    pass  # queries regenerate lazily; never break module import
 
 # Shared SQL fragments ------------------------------------------------------
 
