@@ -70,7 +70,7 @@ def run_bench() -> dict:
     # for genuinely hot single series — it subdivides work within a task,
     # so it costs kernel time and is off unless a series is hot enough to
     # need it (salted ≡ unsalted is property-tested).
-    manifests = run_pipeline(trans, out, n_buckets=4 * num_cpus, salt=1)
+    manifests = run_pipeline(trans, out, n_buckets=8 * num_cpus, salt=1)
     headline = time.time() - t0
     timings["tier_cascade_all"] = round(headline, 3)
 
