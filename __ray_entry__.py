@@ -24,13 +24,15 @@ from vertex_ray.synth import ensure_transcripts, sf_of_dir
 OUT_BASE = "/tmp/vertex_ray_out"
 
 # Oracle SQL always runs at sf0.01 (the driver's correctness scale). The
-# transcript parquet it reads is materialized eagerly at import so the
-# oracle works even if the driver runs SQL before any query callable.
+# transcript parquet it reads is materialized lazily on the first
+# queries()/oracle_sql() call (never at import — import must stay cheap
+# and any synth failure must surface where it happens, not as a later
+# unrelated read_parquet error).
 _SQL_TRANSCRIPTS = "read_parquet('/tmp/vertex_ray_testdata/sf0.01/transcripts_n1000000/*.parquet')"
-try:
+
+
+def _ensure_oracle_transcripts() -> None:
     ensure_transcripts("/root/testdata/sf0.01")
-except Exception:
-    pass  # queries regenerate lazily; never break module import
 
 # Shared SQL fragments ------------------------------------------------------
 
@@ -104,7 +106,7 @@ def entry() -> Any:
 
 _LAT_COLS = ["series_key", "window_start", "sum", "count", "min", "max", "last"]
 _BUCKET_SQL_COLS = ", ".join(
-    f"SUM(CASE WHEN lat <= {u} THEN 1 ELSE 0 END) AS b{i:02d}"
+    f"CAST(SUM(CASE WHEN lat <= {u} THEN 1 ELSE 0 END) AS BIGINT) AS b{i:02d}"
     for i, u in enumerate(DEFAULT_BUCKETS)
 )
 
@@ -239,6 +241,7 @@ def _q_mean_1h(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from vertex_ray.pipelines.op_queries import OP_QUERIES
 
+    _ensure_oracle_transcripts()
     return {
         **OP_QUERIES,
         "rollup_1m_turns": _q_turns,
@@ -286,6 +289,7 @@ def _sql_lat(seconds: int) -> str:
 def oracle_sql() -> dict[str, str]:
     from vertex_ray.pipelines.op_queries import OP_ORACLES
 
+    _ensure_oracle_transcripts()
     sqls = {
         **OP_ORACLES,
         "rollup_1m_turns": _sql_turns(),

@@ -39,10 +39,15 @@ def _clz64(x: np.ndarray) -> np.ndarray:
     making the result at most one SMALLER than the true clz — which for
     the encoder only widens the meaningful-bit window by one bit (always
     valid, decodes identically). It can never overestimate, and for exact
-    powers of two (the _ctz64 path, which must be exact) it is exact."""
+    powers of two (the _ctz64 path, which must be exact) it is exact.
+
+    The one hazard is rounding up across 2**64 itself (top ~54 bits set):
+    frexp then reports e=65 and the naive 64-e would be -1, which would
+    corrupt the 5-bit lead / 6-bit mlen header fields downstream. True clz
+    for those patterns is 0, so clamping to 0 is exact, not a widening."""
     x = np.asarray(x, dtype=np.uint64)
     e = np.frexp(x.astype(np.float64))[1]
-    return np.where(x == 0, 64, 64 - e)
+    return np.where(x == 0, 64, np.maximum(64 - e, 0))
 
 
 def _ctz64(x: np.ndarray) -> np.ndarray:

@@ -177,8 +177,8 @@ SQL_METRICALIZE_EVENTS = """
 SELECT event_type, (epoch_us(ts) // 60000000) * 60 AS window_start,
        count(*) AS count, min(value) AS min, max(value) AS max,
        arg_max(value, ts) AS last,
-       SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS b00,
-       SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS b01
+       CAST(SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS b00,
+       CAST(SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS b01
 FROM events GROUP BY 1, 2
 """
 
@@ -434,8 +434,9 @@ WITH marked AS (
 ),
 sess AS (
   SELECT user_id, t,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY t
-                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_id
   FROM marked
 )
 SELECT user_id, session_id, count(*) AS n_events,
