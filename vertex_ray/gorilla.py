@@ -495,7 +495,22 @@ def decode_timestamps_multi(blocks: list[bytes], n_points: np.ndarray) -> list[n
 
 
 def decode_flags_multi(blocks: list[bytes], n_points: np.ndarray) -> list[np.ndarray]:
-    return [decode_flags(b, int(n)) for b, n in zip(blocks, n_points)]
+    """All series' 2-bit flag streams unpacked in ONE numpy pass (each
+    block is byte-padded, so expanded positions are 4 × byte offsets)."""
+    if not blocks:
+        return []
+    n_points = np.asarray(n_points, dtype=np.int64)
+    nbytes = np.fromiter((len(b) for b in blocks), dtype=np.int64, count=len(blocks))
+    buf = np.frombuffer(b"".join(blocks), dtype=np.uint8)
+    ex = np.empty(len(buf) * 4, dtype=np.uint8)
+    ex[0::4] = (buf >> 6) & 3
+    ex[1::4] = (buf >> 4) & 3
+    ex[2::4] = (buf >> 2) & 3
+    ex[3::4] = buf & 3
+    starts = np.zeros(len(blocks), dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    starts *= 4
+    return [ex[s : s + int(n)] for s, n in zip(starts, n_points)]
 
 
 # ---------------------------------------------------------------------------
