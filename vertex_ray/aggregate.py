@@ -76,9 +76,14 @@ class AggState:
         """Merge another partial for the same (series, window) — associative
         and (given exact-double inputs) order-independent."""
         if other.kind != self.kind:
-            # kind-mismatch reset: replace with the newer state
-            # (metricalize.rs:236-252)
-            return other
+            # kind-mismatch reset (metricalize.rs:236-252): the reference
+            # resets on ARRIVAL of the new observation, but a tree/parallel
+            # reduction has no arrival order — break the tie by last_ts so
+            # the survivor is merge-order-independent. NOTE: in this engine
+            # kind is invariant per series (the series_key embeds the
+            # metric name, which fixes the kind), so this path is
+            # defensive, not load-bearing.
+            return other if other.last_ts >= self.last_ts else self
         self.sum += other.sum
         self.count += other.count
         if not (self.min <= other.min):

@@ -365,133 +365,194 @@ def encode_timestamps_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes
 
 # ---------------------------------------------------------------------------
 # multi-series lockstep decoders — decode every series of a batch together:
-# the loop runs over POINT INDEX while each iteration advances all series
-# one point with vectorized gathers. NOTE: only faster than the sequential
-# per-series decoders when series lengths are uniform and lanes are wide;
-# for this engine's skewed length distribution (mean ~340, max ~5600) the
-# per-iteration numpy overhead × longest-series iterations loses to the
-# plain Python loop, so decode_blocks_batch uses the sequential path.
-# Kept (and property-tested) for long-uniform shapes such as coarse tiers.
+# the loop runs over POINT INDEX while each iteration advances all live
+# series one point with vectorized gathers. Lanes are sorted by length
+# DESCENDING inside the decoder, so live lanes are always a PREFIX and each
+# iteration slices to exactly the active count — total vector work is
+# Σ n_points (no padding waste on skewed length distributions), and the
+# fused bit reads keep it to ≤2 gathers per iteration. Flat variants return
+# one concatenated array (lane-major, original order) so callers never pay
+# per-series Python slicing.
 # ---------------------------------------------------------------------------
 
 
 def _gather_bits(buf: np.ndarray, pos: np.ndarray, k: np.ndarray) -> np.ndarray:
     """Read k (≤64) bits starting at absolute bit position pos for each
-    lane, MSB-first. k == 0 lanes return 0. buf is uint8."""
+    lane, MSB-first. k == 0 lanes return 0. buf is uint8 (with ≥9 padding
+    bytes at the end — _concat_blocks guarantees it)."""
     byte0 = (pos >> 3).astype(np.int64)
     off = (pos & 7).astype(np.uint64)
-    # first 8 bytes as big-endian uint64 (clipped gather keeps us in-bounds)
     idx = byte0[:, None] + np.arange(8)
-    np.clip(idx, 0, len(buf) - 1, out=idx)
-    w = buf[idx].astype(np.uint64)
-    word = np.zeros(len(pos), dtype=np.uint64)
-    for j in range(8):
-        word = (word << np.uint64(8)) | w[:, j]
-    ku = k.astype(np.uint64)
+    w = np.ascontiguousarray(buf[idx])
+    word = w.view(">u8")[:, 0].astype(np.uint64)
+    ku = np.asarray(k).astype(np.uint64)
     need = off + ku
-    mask = np.where(ku >= 64, ~np.uint64(0), (np.uint64(1) << ku) - np.uint64(1))
+    ku_c = np.minimum(ku, np.uint64(63))  # avoid 1<<64 overflow in the dead branch
+    mask = np.where(ku >= 64, ~np.uint64(0), (np.uint64(1) << ku_c) - np.uint64(1))
     simple = need <= 64
     shift = np.where(simple, np.uint64(64) - need, 0).astype(np.uint64)
     val = (word >> shift) & mask
     if (~simple).any():
         extra = (need - np.uint64(64)).astype(np.uint64)  # 1..7
-        idx9 = np.clip(byte0 + 8, 0, len(buf) - 1)
-        b9 = buf[idx9].astype(np.uint64)
+        b9 = buf[byte0 + 8].astype(np.uint64)
         keep = np.uint64(64) - off
         lowmask = np.where(off == 0, ~np.uint64(0), (np.uint64(1) << keep) - np.uint64(1))
         val2 = ((word & lowmask) << extra) | (b9 >> (np.uint64(8) - extra))
         val = np.where(simple, val, val2 & mask)
-    return np.where(k > 0, val, np.uint64(0))
+    return np.where(ku > 0, val, np.uint64(0))
 
 
 def _concat_blocks(blocks: list[bytes]):
     lens = np.fromiter((len(b) for b in blocks), dtype=np.int64, count=len(blocks))
     starts = np.zeros(len(blocks) + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
-    buf = np.frombuffer(b"".join(blocks) + b"\0" * 8, dtype=np.uint8)
+    # 9 zero bytes of tail padding: a fused 13/36-bit read issued at the
+    # very last bit of the final block may touch up to 9 bytes past it
+    buf = np.frombuffer(b"".join(blocks) + b"\0" * 9, dtype=np.uint8)
     return buf, starts[:-1] * 8  # bit offset of each series block
 
 
-def decode_values_multi(blocks: list[bytes], n_points: np.ndarray) -> list[np.ndarray]:
-    """Inverse of encode_values_multi (also accepts the paper's '10'
-    reuse-window control). Returns one float64 array per series."""
+def _lane_layout(n_points: np.ndarray):
+    """Sorted-descending lane layout: order (orig→sorted), per-iteration
+    active prefix counts, and flat output offsets per sorted lane."""
+    order = np.argsort(-n_points, kind="stable")
+    np_s = n_points[order]
+    max_n = int(np_s[0]) if len(np_s) else 0
+    # acts[i] = number of lanes with n_points > i (prefix length at point i)
+    acts = np.searchsorted(-np_s, -np.arange(max_n + 1), side="left")
+    off_s = np.zeros(len(np_s), dtype=np.int64)
+    np.cumsum(np_s[:-1], out=off_s[1:])
+    return order, np_s, acts, off_s, max_n
+
+
+def _flat_to_original(flat_sorted: np.ndarray, n_points: np.ndarray,
+                      order: np.ndarray, off_s: np.ndarray) -> np.ndarray:
+    """Reorder a lane-major flat array from sorted-lane order to original
+    lane order (one vectorized gather)."""
+    total = int(n_points.sum())
+    if total == 0:
+        return flat_sorted[:0]
+    sorted_pos = np.empty(len(order), dtype=np.int64)
+    sorted_pos[order] = np.arange(len(order))
+    starts_orig = off_s[sorted_pos]  # sorted-flat start of each orig lane
+    out_off = np.zeros(len(n_points) + 1, dtype=np.int64)
+    np.cumsum(n_points, out=out_off[1:])
+    intra = np.arange(total) - np.repeat(out_off[:-1], n_points)
+    return flat_sorted[np.repeat(starts_orig, n_points) + intra]
+
+
+def decode_values_multi_flat(blocks: list[bytes], n_points: np.ndarray) -> np.ndarray:
+    """Inverse of encode_values_multi for all series at once; returns ONE
+    float64 array with every series' points concatenated in input order."""
     s = len(blocks)
     n_points = np.asarray(n_points, dtype=np.int64)
+    if s == 0 or n_points.sum() == 0:
+        return np.zeros(0, dtype=np.float64)
     buf, bit0 = _concat_blocks(blocks)
-    out = np.zeros((s, int(n_points.max()) if s else 0), dtype=np.uint64)
-    pos = bit0.astype(np.int64).copy()
-    has = n_points > 0
-    head = _gather_bits(buf, pos, np.where(has, 64, 0))
-    prev = _bswap(head)  # stored little-endian
-    pos += np.where(has, 64, 0)
-    if s:
-        out[:, 0] = prev
+    order, np_s, acts, off_s, max_n = _lane_layout(n_points)
+    pos = bit0[order].astype(np.int64)
+    flat = np.zeros(int(np_s.sum()), dtype=np.uint64)
+    a0 = int(acts[0])
+    prev = np.zeros(s, dtype=np.uint64)
+    prev[:a0] = _bswap(_gather_bits(buf, pos[:a0], np.uint64(64)))
+    pos[:a0] += 64
+    flat[off_s[:a0]] = prev[:a0]
     lead = np.zeros(s, dtype=np.uint64)
     mlen = np.zeros(s, dtype=np.uint64)
-    for i in range(1, out.shape[1]):
-        active = n_points > i
-        c1 = _gather_bits(buf, pos, np.where(active, 1, 0))
-        pos += active
-        changed = active & (c1 == 1)
-        c2 = _gather_bits(buf, pos, np.where(changed, 1, 0))
-        pos += changed
-        neww = changed & (c2 == 1)
-        lw = _gather_bits(buf, pos, np.where(neww, 5, 0))
-        pos += np.where(neww, 5, 0)
-        mw = _gather_bits(buf, pos, np.where(neww, 6, 0))
-        pos += np.where(neww, 6, 0)
-        lead = np.where(neww, lw, lead)
-        mlen = np.where(neww, mw + np.uint64(1), mlen)
-        meaning = _gather_bits(buf, pos, np.where(changed, mlen, 0).astype(np.int64))
-        pos += np.where(changed, mlen.astype(np.int64), 0)
-        sh = np.uint64(64) - lead - mlen
-        sh = np.where(sh >= np.uint64(64), np.uint64(0), sh)  # inactive lanes
-        prev = np.where(changed, prev ^ (meaning << sh), prev)
-        out[active, i] = prev[active]
-    return [out[j, : n_points[j]].view(np.float64) for j in range(s)]
+    for i in range(1, max_n):
+        a = int(acts[i])
+        p = pos[:a]
+        # fused read: control(2) + lead(5) + mlen(6) = 13 bits speculative;
+        # unneeded low bits are simply not consumed
+        g = _gather_bits(buf, p, np.uint64(13))
+        c1 = (g >> np.uint64(12)) & np.uint64(1)
+        changed = c1.astype(bool)
+        neww = changed & (((g >> np.uint64(11)) & np.uint64(1)) == 1)
+        lead[:a] = np.where(neww, (g >> np.uint64(6)) & np.uint64(0x1F), lead[:a])
+        mlen[:a] = np.where(neww, (g & np.uint64(0x3F)) + np.uint64(1), mlen[:a])
+        p += 1 + changed + neww * 11
+        ml = np.where(changed, mlen[:a], np.uint64(0))
+        meaning = _gather_bits(buf, p, ml)
+        p += ml.astype(np.int64)
+        sh = np.uint64(64) - lead[:a] - mlen[:a]
+        sh = np.where(sh >= np.uint64(64), np.uint64(0), sh)
+        prev[:a] = np.where(changed, prev[:a] ^ (meaning << sh), prev[:a])
+        flat[off_s[:a] + i] = prev[:a]
+    return _flat_to_original(flat, n_points, order, off_s).view(np.float64)
+
+
+def decode_values_multi(blocks: list[bytes], n_points: np.ndarray) -> list[np.ndarray]:
+    """List-of-arrays wrapper over decode_values_multi_flat."""
+    n_points = np.asarray(n_points, dtype=np.int64)
+    flat = decode_values_multi_flat(blocks, n_points)
+    offs = np.zeros(len(n_points) + 1, dtype=np.int64)
+    np.cumsum(n_points, out=offs[1:])
+    return [flat[offs[j] : offs[j + 1]] for j in range(len(n_points))]
+
+
+def decode_timestamps_multi_flat(blocks: list[bytes], n_points: np.ndarray) -> np.ndarray:
+    """Inverse of encode_timestamps_multi for all series at once; returns
+    ONE int64 array, all series concatenated in input order."""
+    s = len(blocks)
+    n_points = np.asarray(n_points, dtype=np.int64)
+    if s == 0 or n_points.sum() == 0:
+        return np.zeros(0, dtype=np.int64)
+    buf, bit0 = _concat_blocks(blocks)
+    order, np_s, acts, off_s, max_n = _lane_layout(n_points)
+    pos = bit0[order].astype(np.int64)
+    flat = np.zeros(int(np_s.sum()), dtype=np.int64)
+    a0 = int(acts[0])
+    cur = np.zeros(s, dtype=np.int64)
+    cur[:a0] = _bswap(_gather_bits(buf, pos[:a0], np.uint64(64))).view(np.int64)
+    pos[:a0] += 64
+    flat[off_s[:a0]] = cur[:a0]
+    d = np.zeros(s, dtype=np.int64)
+    if max_n > 1:
+        a1 = int(acts[1])
+        d[:a1] = _bswap(_gather_bits(buf, pos[:a1], np.uint64(64))).view(np.int64)
+        pos[:a1] += 64
+        cur[:a1] += d[:a1]
+        flat[off_s[:a1] + 1] = cur[:a1]
+    for i in range(2, max_n):
+        a = int(acts[i])
+        p = pos[:a]
+        # fused read of the full delta-of-delta prefix code: worst case
+        # '1111' + 32-bit payload = 36 bits speculative
+        g = _gather_bits(buf, p, np.uint64(36))
+        b0 = ((g >> np.uint64(35)) & np.uint64(1)).astype(bool)
+        b1 = ((g >> np.uint64(34)) & np.uint64(1)).astype(bool)
+        b2 = ((g >> np.uint64(33)) & np.uint64(1)).astype(bool)
+        b3 = ((g >> np.uint64(32)) & np.uint64(1)).astype(bool)
+        case1 = b0 & ~b1                # '10'   + 7
+        case2 = b0 & b1 & ~b2           # '110'  + 9
+        case3 = b0 & b1 & b2 & ~b3      # '1110' + 12
+        case4 = b0 & b1 & b2 & b3       # '1111' + 32
+        dod = np.zeros(a, dtype=np.int64)
+        dod = np.where(case1, ((g >> np.uint64(27)) & np.uint64(0x7F)).view(np.int64) - 63, dod)
+        dod = np.where(case2, ((g >> np.uint64(24)) & np.uint64(0x1FF)).view(np.int64) - 255, dod)
+        dod = np.where(case3, ((g >> np.uint64(20)) & np.uint64(0xFFF)).view(np.int64) - 2047, dod)
+        dod = np.where(
+            case4,
+            (g & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).astype(np.int64),
+            dod,
+        )
+        p += (
+            1
+            + b0 * np.where(case1, 8, np.where(case2, 11, np.where(case3, 15, 35)))
+        )
+        d[:a] += dod
+        cur[:a] += d[:a]
+        flat[off_s[:a] + i] = cur[:a]
+    return _flat_to_original(flat, n_points, order, off_s)
 
 
 def decode_timestamps_multi(blocks: list[bytes], n_points: np.ndarray) -> list[np.ndarray]:
-    s = len(blocks)
+    """List-of-arrays wrapper over decode_timestamps_multi_flat."""
     n_points = np.asarray(n_points, dtype=np.int64)
-    buf, bit0 = _concat_blocks(blocks)
-    width = int(n_points.max()) if s else 0
-    out = np.zeros((s, width), dtype=np.int64)
-    pos = bit0.astype(np.int64).copy()
-    has = n_points > 0
-    t0 = _bswap(_gather_bits(buf, pos, np.where(has, 64, 0))).view(np.int64)
-    pos += np.where(has, 64, 0)
-    if s:
-        out[:, 0] = t0
-    two = n_points > 1
-    d = _bswap(_gather_bits(buf, pos, np.where(two, 64, 0))).view(np.int64)
-    pos += np.where(two, 64, 0)
-    if width > 1:
-        out[two, 1] = out[two, 0] + d[two]
-    cur = np.where(two, out[:, 1] if width > 1 else 0, 0)
-    for i in range(2, width):
-        active = n_points > i
-        rem = active.copy()
-        dod = np.zeros(s, dtype=np.int64)
-        b = _gather_bits(buf, pos, np.where(rem, 1, 0))
-        pos += rem
-        rem = rem & (b == 1)  # '0' → dod 0
-        for vbits, bias in ((7, 63), (9, 255), (12, 2047)):
-            b = _gather_bits(buf, pos, np.where(rem, 1, 0))
-            pos += rem
-            hit = rem & (b == 0)
-            v = _gather_bits(buf, pos, np.where(hit, vbits, 0))
-            pos += np.where(hit, vbits, 0)
-            dod = np.where(hit, v.view(np.int64) - bias, dod)
-            rem = rem & (b == 1)
-        v = _gather_bits(buf, pos, np.where(rem, 32, 0))
-        pos += np.where(rem, 32, 0)
-        v32 = v.astype(np.uint32).view(np.int32).astype(np.int64)
-        dod = np.where(rem, v32, dod)
-        d = d + np.where(active, dod, 0)
-        cur = cur + np.where(active, d, 0)
-        out[active, i] = cur[active]
-    return [out[j, : n_points[j]] for j in range(s)]
+    flat = decode_timestamps_multi_flat(blocks, n_points)
+    offs = np.zeros(len(n_points) + 1, dtype=np.int64)
+    np.cumsum(n_points, out=offs[1:])
+    return [flat[offs[j] : offs[j + 1]] for j in range(len(n_points))]
 
 
 def decode_flags_multi(blocks: list[bytes], n_points: np.ndarray) -> list[np.ndarray]:

@@ -162,7 +162,10 @@ QUALIFY row_number() OVER (
 def q_metricalize_events(sf_dir: str):
     from vertex_ray.stages.metricalize import metricalize
 
-    out = metricalize(_ev(sf_dir), ["event_type"], "value", "ts", 60, uppers=[10.0, 50.0])
+    out = metricalize(
+        _ev(sf_dir), ["event_type"], "value", "ts", 60, uppers=[10.0, 50.0],
+        order_col="event_id",
+    )
     import pandas as pd
 
     def shape(df: pd.DataFrame) -> pd.DataFrame:
@@ -176,7 +179,7 @@ def q_metricalize_events(sf_dir: str):
 SQL_METRICALIZE_EVENTS = """
 SELECT event_type, (epoch_us(ts) // 60000000) * 60 AS window_start,
        count(*) AS count, min(value) AS min, max(value) AS max,
-       arg_max(value, ts) AS last,
+       first(value ORDER BY ts DESC, event_id DESC) AS last,
        CAST(SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS b00,
        CAST(SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS b01
 FROM events GROUP BY 1, 2
@@ -327,17 +330,9 @@ def q_fingerprint_docs(sf_dir: str):
 
 
 def q_minhash_pairs_docs(sf_dir: str):
-    import ray
-
-    import pyarrow.dataset as pads
-
     from vertex_ray.stages.dedup_near import minhash_lsh_pairs
 
-    t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(columns=["doc_id", "text"])
-    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    return minhash_lsh_pairs(
-        _docs(sf_dir), "text", "doc_id", verify_threshold=0.5, texts_ref=ray.put(texts)
-    )
+    return minhash_lsh_pairs(_docs(sf_dir), "text", "doc_id", verify_threshold=0.5)
 
 
 def q_simhash_pairs_docs(sf_dir: str):
@@ -346,10 +341,34 @@ def q_simhash_pairs_docs(sf_dir: str):
     return simhash_near_pairs(_docs(sf_dir), "text", "doc_id", max_hamming=6)
 
 
+# threshold 0.45: the synthetic embeddings top out at cosine ≈ 0.51, so a
+# "near-dup" threshold of 0.9 selects nothing; 0.45 selects a small,
+# well-separated set (neighbouring cosines differ by ≥1e-3, far above
+# float32/float64 rounding) so the engine and DuckDB agree exactly.
+_EMB_NEAR_THRESHOLD = 0.45
+
+
 def q_embedding_near_pairs(sf_dir: str):
+    from vertex_ray.stages.dedup_near import embedding_near_pairs_exact
+
+    return embedding_near_pairs_exact(
+        _emb(sf_dir), "embedding", "vec_id", threshold=_EMB_NEAR_THRESHOLD
+    )
+
+
+SQL_EMBEDDING_NEAR_PAIRS = f"""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_EMB_NEAR_THRESHOLD}
+"""
+
+
+def q_embedding_near_pairs_lsh(sf_dir: str):
     from vertex_ray.stages.dedup_near import embedding_near_pairs
 
-    return embedding_near_pairs(_emb(sf_dir), "embedding", "vec_id", threshold=0.9)
+    return embedding_near_pairs(
+        _emb(sf_dir), "embedding", "vec_id", threshold=_EMB_NEAR_THRESHOLD
+    )
 
 
 # --- similarity search -----------------------------------------------------
@@ -527,6 +546,7 @@ OP_QUERIES = {
     "op_minhash_pairs_docs": q_minhash_pairs_docs,
     "op_simhash_pairs_docs": q_simhash_pairs_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
+    "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
     "op_ann_ivf_topk": q_ann_ivf_topk,
     "op_multimodal_features": q_multimodal_features,
@@ -550,6 +570,9 @@ OP_ORACLES = {
     "op_tokens_docs": SQL_TOKENS_DOCS,
     "op_quality_docs": SQL_QUALITY_DOCS,
     "op_ann_topk": SQL_ANN_TOPK,
-    # langid / fingerprint / near-dup / ivf / multimodal: not SQL-expressible
-    # (heuristics, hashing, LSH, stub decoders) → rows-only checks.
+    "op_embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
+    # langid / fingerprint / minhash / simhash / embedding-lsh / ivf /
+    # multimodal: not SQL-expressible (heuristics, hashing, LSH, stub
+    # decoders) → rows-only checks; the LSH/IVF variants are recall-tested
+    # against their exact counterparts in tests/ instead.
 }

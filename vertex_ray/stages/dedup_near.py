@@ -41,28 +41,50 @@ def shingles(text: str, k: int = 3) -> set:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-def _hash_shingles(sh: set) -> np.ndarray:
-    import hashlib
+def _hash_strings(strs: np.ndarray) -> np.ndarray:
+    """Vectorized deterministic 64-bit hash of an object array of strings
+    (pandas' cython siphash with its fixed default key — stable across
+    processes and runs)."""
+    return pd.util.hash_array(strs, categorize=False).astype(np.uint64)
 
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-            for s in sh
-        ),
-        dtype=np.uint64,
-        count=len(sh),
-    )
+
+def minhash_signatures_batch(
+    texts, num_perm: int = 64, k: int = 3, seed: int = 7, perm_chunk: int = 8
+) -> np.ndarray:
+    """(n_docs × num_perm) MinHash signatures for a whole batch in a few
+    numpy passes: one vectorized hash over ALL shingles of the batch, then
+    per-permutation-chunk (a·h + b) mod p with a segmented
+    ``np.minimum.reduceat`` per doc. ``perm_chunk`` bounds the temporary to
+    perm_chunk × total_shingles × 8 bytes."""
+    a, b = _perm_params(num_perm, seed)
+    sh_lists = [sorted(shingles(t, k)) for t in texts]
+    counts = np.fromiter((len(s) for s in sh_lists), dtype=np.int64, count=len(texts))
+    sigs = np.zeros((len(texts), num_perm), dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return sigs
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for lst in sh_lists:
+        flat[pos : pos + len(lst)] = lst
+        pos += len(lst)
+    h = _hash_strings(flat)
+    nz = counts > 0
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    starts = offsets[:-1][nz]
+    for c0 in range(0, num_perm, perm_chunk):
+        ac = a[c0 : c0 + perm_chunk, None]
+        bc = b[c0 : c0 + perm_chunk, None]
+        vals = (ac * h[None, :] + bc) % np.uint64(_MERSENNE)
+        sigs[nz, c0 : c0 + perm_chunk] = np.minimum.reduceat(vals, starts, axis=1).T
+    return sigs
 
 
 def minhash_signature(text: str, num_perm: int = 64, k: int = 3, seed: int = 7) -> np.ndarray:
-    """num_perm-wide MinHash signature (one matrix op per doc)."""
-    a, b = _perm_params(num_perm, seed)
-    h = _hash_shingles(shingles(text, k))
-    if len(h) == 0:
-        return np.zeros(num_perm, dtype=np.uint64)
-    # (a*h + b) mod p per permutation; outer product then min over shingles
-    vals = (np.multiply.outer(a, h) + b[:, None]) % np.uint64(_MERSENNE)
-    return vals.min(axis=1)
+    """num_perm-wide MinHash signature of one doc (test/spec convenience;
+    the batch path is minhash_signatures_batch)."""
+    return minhash_signatures_batch([text], num_perm, k, seed)[0]
 
 
 def minhash_bands_op(
@@ -76,9 +98,11 @@ def minhash_bands_op(
         texts = t[text_col].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         n = len(texts)
-        sigs = np.stack(
-            [minhash_signature(s, num_perm, k) for s in texts]
-        ) if n else np.zeros((0, num_perm), dtype=np.uint64)
+        sigs = (
+            minhash_signatures_batch(texts, num_perm, k)
+            if n
+            else np.zeros((0, num_perm), dtype=np.uint64)
+        )
         # fold each band's r values into one uint64 band hash
         band_hash = np.zeros((n, bands), dtype=np.uint64)
         for bi in range(bands):
@@ -107,16 +131,23 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
 
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
                       num_perm: int = 64, bands: int = 16, k: int = 3,
-                      verify_threshold: float = 0.7, texts_ref=None):
+                      verify_threshold: float = 0.7, max_bucket: int = 2000,
+                      join_buckets: int = 64):
     """Candidate pairs via LSH banding, verified with exact Jaccard.
 
-    texts_ref: ray.put({doc_id: text}) broadcast for verification (small
-    corpora); at 100 TB scale verification joins text back by doc_id via a
-    bucket join instead — documented assumption: the id→text map fits the
-    object store here.
+    Fully distributed — no driver-side materialization at any size:
+    candidate (a, b) pairs from the band groupby are joined back to the
+    document text twice via the hash-partitioned ``stages/join.hash_join``
+    (text never enters the band shuffle), then exact k-gram Jaccard runs
+    per candidate pair.
+
+    max_bucket caps the O(|bucket|²) pair expansion inside one band
+    bucket: a degenerate bucket (identical boilerplate docs) is truncated
+    to its first max_bucket doc_ids (sorted, deterministic) and logged —
+    near-dups that common are better handled by exact dedup upstream.
     Returns a Dataset of (a, b, jaccard) with a < b, deduplicated.
     """
-    import ray
+    from vertex_ray.stages.join import hash_join
 
     band_rows = ds.map_batches(
         minhash_bands_op(text_col, id_col, num_perm, bands, k), batch_format="pyarrow"
@@ -124,25 +155,50 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))
+        if len(ids) > max_bucket:
+            import logging
+
+            logging.getLogger("vertex_ray.dedup_near").warning(
+                "LSH band bucket truncated: %d > max_bucket=%d doc_ids "
+                "(band_id=%s); pair expansion capped",
+                len(ids), max_bucket, g["band_id"].iloc[0],
+            )
+            ids = ids[:max_bucket]
+        # always slice the typed id array so EMPTY outputs keep the id
+        # dtype (an untyped empty frame would poison Ray's schema union)
+        arr = np.asarray(ids if ids else g["doc_id"].to_numpy()[:0])
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+            return pd.DataFrame({"a": arr[:0], "b": arr[:0]})
+        iu = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": arr[iu[0]], "b": arr[iu[1]]})
 
     cand = (
         band_rows.groupby(["band_id", "band_hash"])
         .map_groups(pairs, batch_format="pandas")
     )
+    # same pair can surface from several bands → dedup BEFORE the text
+    # joins so each candidate is verified once
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    cand = cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+
+    texts_ds = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    )
+    with_a = hash_join(cand, texts_ds, "a", id_col, n_buckets=join_buckets)
+    with_both = hash_join(
+        with_a, texts_ds, "b", id_col, n_buckets=join_buckets, rsuffix="_b"
+    )
 
     def verify(t: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
-        jac = np.array([jaccard(texts[x], texts[y], k) for x, y in zip(a, b)])
+        ta = t[text_col].to_numpy(zero_copy_only=False)
+        tb = t[f"{text_col}_b"].to_numpy(zero_copy_only=False)
+        jac = np.fromiter(
+            (jaccard(x, y, k) for x, y in zip(ta, tb)), dtype=np.float64, count=len(a)
+        )
         keep = jac >= verify_threshold
         return pa.table(
             {
@@ -152,12 +208,7 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
             }
         )
 
-    verified = cand.map_batches(verify, batch_format="pyarrow")
-    # same pair can surface from several bands → exact dedup on (a, b)
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return verified.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    return with_both.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -165,32 +216,43 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over token features (weighted bit-vote)."""
-    import hashlib
-
-    toks = _SHINGLE_RE.findall((text or "").lower())
-    if not toks:
-        return 0
-    votes = np.zeros(64, dtype=np.int64)
+def simhash64_batch(texts) -> np.ndarray:
+    """64-bit SimHash (weighted bit-vote over token features) for a whole
+    batch: ONE vectorized hash over all tokens, bit expansion to an
+    (n_tokens × 64) ±1 matrix, per-doc vote via segmented
+    ``np.add.reduceat``."""
+    tok_lists = [_SHINGLE_RE.findall((s or "").lower()) for s in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(texts))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for lst in tok_lists:
+        flat[pos : pos + len(lst)] = lst
+        pos += len(lst)
+    h = _hash_strings(flat)
     shifts = np.arange(64, dtype=np.uint64)
-    for tok in toks:
-        h = np.uint64(
-            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        )
-        bits = (h >> shifts) & np.uint64(1)
-        votes += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if votes[i] > 0:
-            out |= 1 << i
+    signs = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2) - 1
+    nz = counts > 0
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    votes = np.add.reduceat(signs, offsets[:-1][nz], axis=0)
+    bits = (votes > 0).astype(np.uint64)
+    out[nz] = (bits << shifts).sum(axis=1, dtype=np.uint64)
     return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash of one doc (test/spec convenience)."""
+    return int(simhash64_batch([text])[0])
 
 
 def simhash_op(text_col: str, id_col: str):
     def fn(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_numpy(zero_copy_only=False)
-        hs = np.fromiter((simhash64(s) for s in texts), dtype=np.uint64, count=len(texts))
+        hs = simhash64_batch(texts)
         return pa.table(
             {
                 id_col: t[id_col],
@@ -201,30 +263,43 @@ def simhash_op(text_col: str, id_col: str):
     return fn
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
 def hamming64(a: int, b: int) -> int:
     return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
 
 
-def simhash_near_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
-    """Near-dup pairs by SimHash: block on 4 16-bit chunks (a pair within
-    hamming distance ≤3 of 64 bits shares at least one exact 16-bit chunk
-    — pigeonhole), groupby chunk value, verify hamming inside the group."""
+def simhash_near_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
+                       max_bucket: int = 4000):
+    """Near-dup pairs by SimHash: block on (max_hamming + 1) bit chunks —
+    by pigeonhole, a pair within hamming distance ≤ max_hamming of 64 bits
+    must share at least one chunk exactly — groupby chunk value, verify
+    hamming inside the group. The chunk count is DERIVED from max_hamming
+    so the blocking guarantee always covers the requested distance
+    (max_hamming=3 → 4 × 16-bit chunks; 6 → 7 chunks of 10/9 bits).
+    max_bucket caps the O(|bucket|²) verification in a degenerate chunk
+    bucket (truncated deterministically and logged)."""
+    n_chunks = max_hamming + 1
+    widths = np.diff(np.linspace(0, 64, n_chunks + 1).astype(np.int64))
+    starts_bits = np.zeros(n_chunks, dtype=np.uint64)
+    starts_bits[1:] = np.cumsum(widths[:-1]).astype(np.uint64)
+    masks = ((np.uint64(1) << widths.astype(np.uint64)) - np.uint64(1))
+
     sim = ds.map_batches(simhash_op(text_col, id_col), batch_format="pyarrow")
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         hs = t["simhash"].to_numpy().view(np.uint64)
         n = len(ids)
-        chunk_ids = np.tile(np.arange(4, dtype=np.int32), n)
-        chunk_vals = np.empty(4 * n, dtype=np.int64)
-        for c in range(4):
-            chunk_vals[c::4] = ((hs >> np.uint64(16 * c)) & np.uint64(0xFFFF)).view(
-                np.int64
-            )
+        chunk_ids = np.tile(np.arange(n_chunks, dtype=np.int32), n)
+        chunk_vals = np.empty(n_chunks * n, dtype=np.int64)
+        for c in range(n_chunks):
+            chunk_vals[c::n_chunks] = ((hs >> starts_bits[c]) & masks[c]).view(np.int64)
         return pa.table(
             {
-                id_col: pa.array(np.repeat(ids, 4)),
-                "simhash": pa.array(np.repeat(hs.view(np.int64), 4)),
+                id_col: pa.array(np.repeat(ids, n_chunks)),
+                "simhash": pa.array(np.repeat(hs.view(np.int64), n_chunks)),
                 "chunk_id": pa.array(chunk_ids),
                 "chunk_val": pa.array(chunk_vals),
             }
@@ -232,15 +307,28 @@ def simhash_near_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = g.drop_duplicates(id_col).sort_values(id_col)
+        if len(rows) > max_bucket:
+            import logging
+
+            logging.getLogger("vertex_ray.dedup_near").warning(
+                "SimHash chunk bucket truncated: %d > max_bucket=%d",
+                len(rows), max_bucket,
+            )
+            rows = rows.head(max_bucket)
         ids = rows[id_col].to_numpy()
-        hs = rows["simhash"].to_numpy()
-        a, b, d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                h = hamming64(hs[i], hs[j])
-                if h <= max_hamming:
-                    a.append(ids[i]); b.append(ids[j]); d.append(h)
-        return pd.DataFrame({"a": a, "b": b, "hamming": d})
+        hs = rows["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a": ids[:0], "b": ids[:0], "hamming": np.zeros(0, dtype=np.int64)}
+            )
+        # vectorized pairwise hamming: byte-wise popcount LUT on the XOR
+        iu = np.triu_indices(len(ids), k=1)
+        x = hs[iu[0]] ^ hs[iu[1]]
+        ham = _POPCNT8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"a": ids[iu[0]][keep], "b": ids[iu[1]][keep], "hamming": ham[keep]}
+        )
 
     cand = (
         sim.map_batches(explode, batch_format="pyarrow")
@@ -259,45 +347,119 @@ def simhash_near_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.95,
-                         n_clusters: int = 8):
-    """Embedding-cosine near-dup: LSH-bucket by the sign pattern of a few
-    random projections (deterministic seed), then exact cosine within each
-    bucket. Pairs crossing bucket boundaries are missed — the recall/
-    shuffle tradeoff documented for LSH; raise n_projections for recall."""
+def _tile_cosine_fn(tile_ref, vec_col: str, id_col: str, threshold: float):
+    """map_batches body for the exact all-pairs path: the tile ObjectRef is
+    captured in the closure and ray.get is zero-copy from the local plasma
+    store; one float64 matmul per (batch × tile) cell."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        import ray
+
+        tile: pa.Table = ray.get(tile_ref)
+        tvecs = np.stack(tile[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        tile_unit = tvecs / np.maximum(
+            np.linalg.norm(tvecs, axis=1, keepdims=True), 1e-12
+        )
+        tile_ids = tile[id_col].to_numpy(zero_copy_only=False)
+        vecs = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        cos = unit @ tile_unit.T  # (batch, tile)
+        bi, ti = np.nonzero(cos >= threshold)
+        a, b = ids[bi], tile_ids[ti]
+        keep = a < b  # self-pairs and order dups out
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return fn
+
+
+def embedding_near_pairs_exact(ds, vec_col: str, id_col: str,
+                               threshold: float = 0.9):
+    """EXACT embedding-cosine near-dup — the correctness baseline.
+
+    Tiled all-pairs: the dataset is materialized once and each block
+    becomes a broadcast tile; every (batch × tile) cell is one float64
+    matmul in a stateless task. O(N²/block_size) tasks — fully
+    distributed, nothing ever lands on the driver — but quadratic compute:
+    at scale use embedding_near_pairs (centroid-bucketed) instead.
+    A pair can surface from two (batch, tile) cells; dedup on (a, b)."""
+    mat = ds.materialize()
+    outs = None
+    for ref in mat.to_arrow_refs():
+        part = mat.map_batches(
+            _tile_cosine_fn(ref, vec_col, id_col, threshold),
+            batch_format="pyarrow",
+        )
+        outs = part if outs is None else outs.union(part)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return outs.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+
+
+def embedding_near_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.9,
+                         n_clusters: int = 16, n_probe: int = 2,
+                         max_bucket: int = 100_000):
+    """Embedding-cosine near-dup, the scale path: IVF-style bucketing.
+
+    k-means-lite centroids from a BOUNDED driver-side sample (broadcast
+    once), each vector assigned to its n_probe nearest centroids (multi-
+    assignment catches pairs straddling a centroid boundary), exact cosine
+    within each bucket, dedup on (a, b). Buckets hold ~N·n_probe/n_clusters
+    vectors — size n_clusters so that fits a task. Recall < 1 only for
+    pairs whose two vectors share no probed centroid; tests check recall
+    against embedding_near_pairs_exact."""
+    import ray
+
+    from vertex_ray.stages.ann import _unit, train_centroids
+
+    cents = _unit(train_centroids(ds, vec_col, n_clusters))
+    cref = ray.put(cents)
 
     def bucketize(t: pa.Table) -> pa.Table:
-        vecs = np.stack(t[vec_col].to_pandas().to_numpy())
-        rng = np.random.default_rng(11)
-        proj = rng.standard_normal((vecs.shape[1], 3))
-        signs = (vecs @ proj > 0).astype(np.int64)
-        bucket = signs[:, 0] * 4 + signs[:, 1] * 2 + signs[:, 2]
-        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = vecs / np.maximum(norm, 1e-12)
+        c = ray.get(cref)
+        vecs = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        probe = min(n_probe, len(c))
+        top = np.argsort(-(unit @ c.T), axis=1)[:, :probe]  # (n, probe)
         return pa.table(
             {
-                id_col: t[id_col],
-                "bucket": pa.array(bucket),
-                "unit": pa.array(list(unit.astype(np.float32))),
+                id_col: pa.array(np.repeat(ids, probe)),
+                "bucket": pa.array(top.reshape(-1).astype(np.int64)),
+                "unit": pa.array(list(np.repeat(unit.astype(np.float32), probe, axis=0))),
             }
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col)
+        if len(g) > max_bucket:
+            import logging
+
+            logging.getLogger("vertex_ray.dedup_near").warning(
+                "embedding bucket truncated: %d > max_bucket=%d", len(g), max_bucket
+            )
+            g = g.head(max_bucket)
         ids = g[id_col].to_numpy()
-        unit = np.stack(g["unit"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
+        unit = np.stack(g["unit"].to_numpy()).astype(np.float64)
         cos = unit @ unit.T
         iu = np.triu_indices(len(ids), k=1)
         mask = cos[iu] >= threshold
-        return pd.DataFrame(
-            {
-                "a": ids[iu[0][mask]],
-                "b": ids[iu[1][mask]],
-                "cosine": cos[iu][mask].astype(np.float64),
-            }
-        )
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        return pd.DataFrame({"a": a, "b": b})
 
-    return (
+    cand = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")

@@ -121,88 +121,68 @@ def decode_block_row(row: dict) -> dict[str, np.ndarray]:
 
 def decode_blocks_batch(batch: pa.Table) -> pa.Table:
     """map_batches body: block rows → decoded tier rows (verification and
-    read path), length-bucketed lockstep decode.
-
-    The lockstep multi-series decoders pay per-iteration numpy overhead up
-    to the LONGEST series in a call, so naively decoding a skewed batch
-    (many short series, long tail) wastes most lanes. Grouping series by
-    ⌈log2 n_points⌉ keeps every lane within 2× of its bucket's max, so
-    total lockstep iterations ≤ 2 × max series length while each iteration
-    stays wide — this replaced a per-row Python BitReader loop that was
-    ~40% of round-1 end-to-end time.
+    read path). One lockstep flat decode per stream over the WHOLE batch —
+    the decoders sort lanes by length internally so vector work is exactly
+    Σ n_points regardless of length skew, and the flat return means no
+    per-series Python slicing or concatenation here. This replaced a
+    per-row Python BitReader loop that was ~40% of round-1 end-to-end time.
 
     Pure numpy/Arrow — a pandas hop here would canonicalize the stale NaN
     payload and break the bit-for-bit contract."""
-    from vertex_ray.gorilla import decode_flags_multi
+    from vertex_ray.gorilla import (
+        decode_flags_multi,
+        decode_timestamps_multi_flat,
+        decode_values_multi_flat,
+    )
 
     n_rows = batch.num_rows
     if n_rows == 0:
         return pa.table({})
     batch = batch.combine_chunks()
     n_points = batch["n_points"].to_numpy().astype(np.int64)
+    total = int(n_points.sum())
+    if total == 0:
+        return pa.table({})
     kinds = batch["kind"].to_numpy(zero_copy_only=False)
     ts_blocks = batch["ts_block"].to_pylist()
     val_blocks = batch["val_blocks"].to_pylist()
     flag_blocks = batch["flags"].to_pylist()
 
-    # length buckets: same ⌈log2⌉ → lanes within 2× of each other
-    lb = np.zeros(n_rows, dtype=np.int64)
-    nz = n_points > 0
-    lb[nz] = np.ceil(np.log2(np.maximum(n_points[nz], 1) + 1)).astype(np.int64)
-
     scalar_names = ("sum", "count", "min", "max", "last")
-    order_parts: list[np.ndarray] = []
-    ts_parts: list[np.ndarray] = []
-    scalar_parts: dict[str, list[np.ndarray]] = {s: [] for s in scalar_names}
-    hist_parts: dict[str, list[np.ndarray]] = {b: [] for b in BUCKET_COLS}
-    flag_parts: list[np.ndarray] = []
-    for b_id in np.unique(lb[nz]):
-        idx = np.flatnonzero(nz & (lb == b_id))
-        order_parts.append(idx)
-        np_sub = n_points[idx]
-        ts_parts.extend(decode_timestamps_multi([ts_blocks[i] for i in idx], np_sub))
-        for s_i, s in enumerate(scalar_names):
-            scalar_parts[s].extend(
-                decode_values_multi([val_blocks[i][s_i] for i in idx], np_sub)
-            )
-        flag_parts.extend(decode_flags_multi([flag_blocks[i] for i in idx], np_sub))
-        hidx = idx[kinds[idx] == KIND_HISTOGRAM]
-        if len(hidx):
-            for b_i, b_col in enumerate(BUCKET_COLS):
-                hist_parts[b_col].extend(
-                    decode_values_multi(
-                        [val_blocks[i][len(scalar_names) + b_i] for i in hidx],
-                        n_points[hidx],
-                    )
-                )
-    if not order_parts:
-        return pa.table({})
-    order = np.concatenate(order_parts)
-    reps = n_points[order]
-    total = int(reps.sum())
-    row_ix = pa.array(np.repeat(order, reps))
-    flags = np.concatenate(flag_parts) if flag_parts else np.zeros(0, dtype=np.uint8)
+    scalars = {
+        s: decode_values_multi_flat([vb[i] for vb in val_blocks], n_points)
+        for i, s in enumerate(scalar_names)
+    }
+    ws = decode_timestamps_multi_flat(ts_blocks, n_points)
+    flags = (
+        np.concatenate(decode_flags_multi(flag_blocks, n_points))
+        if n_rows
+        else np.zeros(0, dtype=np.uint8)
+    )
+    row_ix = pa.array(np.repeat(np.arange(n_rows, dtype=np.int64), n_points))
 
     out = {
         "series_key": batch["series_key"].take(row_ix),
         "name": batch["name"].take(row_ix),
         "kind": batch["kind"].take(row_ix),
-        "window_start": pa.array(np.concatenate(ts_parts), type=pa.int64()),
-        "sum": pa.array(np.concatenate(scalar_parts["sum"]), type=pa.float64()),
-        "count": pa.array(
-            np.concatenate(scalar_parts["count"]).astype(np.int64), type=pa.int64()
-        ),
-        "min": pa.array(np.concatenate(scalar_parts["min"]), type=pa.float64()),
-        "max": pa.array(np.concatenate(scalar_parts["max"]), type=pa.float64()),
-        "last": pa.array(np.concatenate(scalar_parts["last"]), type=pa.float64()),
+        "window_start": pa.array(ws, type=pa.int64()),
+        "sum": pa.array(scalars["sum"], type=pa.float64()),
+        "count": pa.array(scalars["count"].astype(np.int64), type=pa.int64()),
+        "min": pa.array(scalars["min"], type=pa.float64()),
+        "max": pa.array(scalars["max"], type=pa.float64()),
+        "last": pa.array(scalars["last"], type=pa.float64()),
     }
     if "tier" in batch.schema.names:
         out["tier"] = batch["tier"].take(row_ix)
-    el_hist = np.repeat(kinds[order] == KIND_HISTOGRAM, reps)
-    for b_col in BUCKET_COLS:
+    hist_rows = np.flatnonzero(kinds == KIND_HISTOGRAM)
+    el_hist = np.repeat(kinds == KIND_HISTOGRAM, n_points)
+    for b_i, b_col in enumerate(BUCKET_COLS):
         col = np.zeros(total, dtype=np.int64)
-        if hist_parts[b_col]:
-            col[el_hist] = np.concatenate(hist_parts[b_col]).astype(np.int64)
+        if len(hist_rows):
+            col[el_hist] = decode_values_multi_flat(
+                [val_blocks[i][len(scalar_names) + b_i] for i in hist_rows],
+                n_points[hist_rows],
+            ).astype(np.int64)
         out[b_col] = pa.array(col, type=pa.int64())
     out["filled"] = pa.array((flags & 1).astype(bool))
     out["stale"] = pa.array(((flags >> 1) & 1).astype(bool))

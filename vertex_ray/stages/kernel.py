@@ -108,10 +108,13 @@ def _reduce(uid, w, ts_us, vals, starts, hist: bool) -> AggArrays:
 
 
 def window_agg(uid, ts_us, vals, window_seconds: int, hist: bool) -> AggArrays:
-    """Aggregate observations into (uid, window) rows. Stable sort keeps
-    ts order inside each group (last-write-wins ties by input order)."""
+    """Aggregate observations into (uid, window) rows. ``ts_us`` is part
+    of the (stable) sort key so ``last`` is last-BY-TIMESTAMP even when
+    input arrival order is not time order (the FIXTURES §F4 contract and
+    what the pandas spec path does); equal timestamps tie-break by input
+    order on both paths."""
     w = ts_us // US_PER_SECOND // window_seconds * window_seconds
-    order = np.lexsort((w, uid))
+    order = np.lexsort((ts_us, w, uid))
     uid, w, ts_us, vals = uid[order], w[order], ts_us[order], vals[order]
     return _reduce(uid, w, ts_us, vals, _segments(uid, w), hist)
 

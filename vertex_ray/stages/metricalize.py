@@ -51,8 +51,15 @@ def metricalize_partial(
     window_seconds: int,
     uppers: list[float],
     increment_by_value: bool = True,
+    order_col: str | None = None,
 ) -> pd.DataFrame:
-    """Partial (per-batch) windowed aggregate of one metric rule."""
+    """Partial (per-batch) windowed aggregate of one metric rule.
+
+    ``order_col``: deterministic tie-break for ``last`` among equal
+    timestamps (last = row with max (ts, order)). Without it, equal-ts
+    ties fall back to batch arrival order, which Ray does not fix across
+    runs — pass a unique column (e.g. an event id) whenever the ts column
+    can repeat within one (tags, window) group."""
     ts = t[ts_col].cast(pa.int64()).to_numpy()
     w = ts // (window_seconds * US_PER_SECOND) * window_seconds
     raw = t[value_col].to_numpy(zero_copy_only=False)
@@ -69,8 +76,13 @@ def metricalize_partial(
     df["window_start"] = w
     df["value"] = vals
     df["__ts"] = ts
+    df["__ord"] = (
+        t[order_col].to_numpy(zero_copy_only=False)
+        if order_col
+        else np.arange(len(raw), dtype=np.int64)
+    )
     df = df[ok]
-    df = df.sort_values("__ts", kind="stable")
+    df = df.sort_values(["__ts", "__ord"], kind="stable")
     for i, u in enumerate(uppers):
         df[f"b{i:02d}"] = (df["value"] <= u).astype(np.int64)
     g = df.groupby(tag_cols + ["window_start"], sort=False)
@@ -81,6 +93,7 @@ def metricalize_partial(
         max=("value", "max"),
         last=("value", "last"),
         last_ts=("__ts", "last"),
+        last_ord=("__ord", "last"),
         **{f"b{i:02d}": (f"b{i:02d}", "sum") for i in range(len(uppers))},
     ).reset_index()
     out["count"] = out["count"].astype(np.int64)
@@ -88,8 +101,11 @@ def metricalize_partial(
 
 
 def metricalize_merge(df: pd.DataFrame, tag_cols: list[str], n_buckets: int) -> pd.DataFrame:
-    """Final merge of partials — AggState.merge semantics."""
-    df = df.sort_values("last_ts", kind="stable")
+    """Final merge of partials — AggState.merge semantics; ``last`` ties
+    on equal last_ts break by last_ord (deterministic across runs and
+    merge orders when the caller supplied order_col)."""
+    sort_keys = ["last_ts"] + (["last_ord"] if "last_ord" in df.columns else [])
+    df = df.sort_values(sort_keys, kind="stable")
     g = df.groupby(tag_cols + ["window_start"], sort=False)
     out = g.agg(
         sum=("sum", "sum"),
@@ -98,6 +114,7 @@ def metricalize_merge(df: pd.DataFrame, tag_cols: list[str], n_buckets: int) -> 
         max=("max", "max"),
         last=("last", "last"),
         last_ts=("last_ts", "last"),
+        last_ord=("last_ord", "last"),
         **{f"b{i:02d}": (f"b{i:02d}", "sum") for i in range(n_buckets)},
     ).reset_index()
     return out
@@ -111,13 +128,15 @@ def metricalize(
     window_seconds: int = 60,
     uppers: list[float] | None = None,
     increment_by_value: bool = True,
+    order_col: str | None = None,
 ):
     """Full operator: partial per batch → small groupby merge."""
     uppers = uppers or []
 
     def partial(t: pa.Table) -> pd.DataFrame:
         return metricalize_partial(
-            t, tag_cols, value_col, ts_col, window_seconds, uppers, increment_by_value
+            t, tag_cols, value_col, ts_col, window_seconds, uppers,
+            increment_by_value, order_col,
         )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

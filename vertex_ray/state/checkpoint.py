@@ -8,15 +8,17 @@ directory, is renamed into place atomically, and records a manifest
 (per-file row counts + input lineage). A rerun skips any stage whose
 manifest validates, so a killed run resumes where it stopped and
 retried write tasks can never double-commit into a finalized stage.
+
+All paths go through ``state/fsio`` (pyarrow.fs), so stages work on local
+disk and on shared-filesystem / object-store URIs alike — on a multi-node
+cluster the driver's finalize sees the same store the workers wrote to.
 """
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
+import posixpath
 
-import pyarrow.parquet as pq
+from vertex_ray.state import fsio
 
 MANIFEST = "manifest.json"
 SUCCESS = "_SUCCESS"
@@ -25,14 +27,14 @@ SUCCESS = "_SUCCESS"
 def stage_done(path: str) -> bool:
     """A stage is complete iff its manifest exists and matches the files
     actually present (guards against truncated/partial copies)."""
-    mpath = os.path.join(path, MANIFEST)
-    if not os.path.exists(mpath):
+    mpath = posixpath.join(path, MANIFEST)
+    if not fsio.exists(mpath):
         return False
     try:
-        with open(mpath) as f:
-            manifest = json.load(f)
+        manifest = fsio.read_json(mpath)
         for fname, meta in manifest["files"].items():
-            if pq.ParquetFile(os.path.join(path, fname)).metadata.num_rows != meta["rows"]:
+            md = fsio.parquet_metadata(posixpath.join(path, fname))
+            if md.num_rows != meta["rows"]:
                 return False
         return True
     except Exception:
@@ -43,32 +45,32 @@ def finalize_stage(tmp_path: str, final_path: str, lineage: dict | None = None) 
     """Seal a stage: write manifest into the temp dir, then atomically
     rename it into place. Returns the manifest."""
     files = {}
-    for fname in sorted(os.listdir(tmp_path)):
+    for fname in fsio.listdir(tmp_path):
         if fname.endswith(".parquet"):
-            md = pq.ParquetFile(os.path.join(tmp_path, fname)).metadata
+            md = fsio.parquet_metadata(posixpath.join(tmp_path, fname))
             files[fname] = {"rows": md.num_rows, "bytes": md.serialized_size}
     manifest = {"files": files, "rows": sum(m["rows"] for m in files.values()),
                 "lineage": lineage or {}}
-    with open(os.path.join(tmp_path, MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    open(os.path.join(tmp_path, SUCCESS), "w").close()
-    os.makedirs(os.path.dirname(final_path), exist_ok=True)
-    if os.path.exists(final_path):
-        shutil.rmtree(final_path)
-    os.rename(tmp_path, final_path)
+    fsio.write_json(posixpath.join(tmp_path, MANIFEST), manifest)
+    fsio.write_text(posixpath.join(tmp_path, SUCCESS), "")
+    parent = posixpath.dirname(final_path.rstrip("/"))
+    if parent:
+        fsio.makedirs(parent)
+    if fsio.exists(final_path):
+        fsio.rmtree(final_path)
+    fsio.rename(tmp_path, final_path)
     return manifest
 
 
 def stage_files(path: str) -> list[str]:
     """Data files of a stage (excludes manifest/_SUCCESS markers)."""
-    return sorted(
-        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
-    )
+    return [
+        posixpath.join(path, f) for f in fsio.listdir(path) if f.endswith(".parquet")
+    ]
 
 
 def read_manifest(path: str) -> dict:
-    with open(os.path.join(path, MANIFEST)) as f:
-        return json.load(f)
+    return fsio.read_json(posixpath.join(path, MANIFEST))
 
 
 def write_stage(ds, final_path: str, lineage: dict | None = None) -> dict:
@@ -82,8 +84,8 @@ def write_stage(ds, final_path: str, lineage: dict | None = None) -> dict:
     if stage_done(final_path):
         return read_manifest(final_path)
     tmp = final_path.rstrip("/") + ".__tmp__"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    if fsio.exists(tmp):
+        fsio.rmtree(tmp)
     t0 = time.time()
     ds.write_parquet(tmp)
     lineage = dict(lineage or {})
