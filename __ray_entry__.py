@@ -222,6 +222,46 @@ def _q_locf_1m(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_gauge_1m(sf_dir: str):
+    return _metric_tier(sf_dir, "1m", "conv_turn_idx", _LAT_COLS)
+
+
+def _q_gauge_1h(sf_dir: str):
+    """Gauge through the tier-merge cascade (1m → 5m → 1h)."""
+    return _metric_tier(sf_dir, "1h", "conv_turn_idx", _LAT_COLS)
+
+
+def _q_gauge_locf_roundtrip(sf_dir: str):
+    """Gauge LOCF + stale markers read back THROUGH Gorilla blocks: gap
+    windows carry the last-observed turn index forward
+    (MetricValue::Gauge semantics, lib/event/src/metric/mod.rs:47-49)
+    and must survive encode → decode bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks, read_stage
+
+    out = _ensure_pipeline(sf_dir)
+    dec = decode_tier_blocks(read_stage(out, "blocks", "1m"))
+
+    def shape(t):
+        t = t.filter(pc.equal(t["name"], "conv_turn_idx"))
+        null_f = pa.scalar(None, pa.float64())
+        return pa.table(
+            {
+                "series_key": t["series_key"],
+                "window_start": t["window_start"],
+                "sum": pc.if_else(t["stale"], null_f, t["sum"]),
+                "last": pc.if_else(t["stale"], null_f, t["last"]),
+                "count": pc.cast(t["count"], pa.int64()),
+                "filled": t["filled"],
+                "stale": t["stale"],
+            }
+        )
+
+    return dec.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_mean_1h(sf_dir: str):
     """Mean derived from (sum, count) at read time — never stored
     (MetricsBuffer contract, FIXTURES §F4)."""
@@ -256,6 +296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
+        "rollup_1m_turn_gauge": _q_gauge_1m,
+        "rollup_1h_turn_gauge": _q_gauge_1h,
+        "gorilla_roundtrip_1m_gauge_locf": _q_gauge_locf_roundtrip,
     }
 
 
@@ -343,6 +386,50 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT series_key, ws + 360 AS window_start, NULL AS sum, 0 AS count,
            FALSE AS filled, TRUE AS stale
+    FROM seq, bound
+    WHERE ws + 360 < coalesce(next_w, global_end + 60)
+    """
+
+    def _sql_gauge(seconds: int) -> str:
+        return f"""
+        SELECT 'conv_turn_idx{{conv_id=' || conv_id || '}}' AS series_key,
+               {_w(seconds)} AS window_start,
+               CAST(sum(turn_idx) AS DOUBLE) AS sum, count(*) AS count,
+               CAST(min(turn_idx) AS DOUBLE) AS min,
+               CAST(max(turn_idx) AS DOUBLE) AS max,
+               CAST(arg_max(turn_idx, ts) AS DOUBLE) AS last
+        FROM {_SQL_TRANSCRIPTS}
+        GROUP BY 1, 2
+        """
+
+    sqls["rollup_1m_turn_gauge"] = _sql_gauge(60)
+    sqls["rollup_1h_turn_gauge"] = _sql_gauge(3600)
+    sqls["gorilla_roundtrip_1m_gauge_locf"] = f"""
+    WITH agg AS (
+      SELECT 'conv_turn_idx{{conv_id=' || conv_id || '}}' AS series_key,
+             {_w(60)} AS ws,
+             CAST(sum(turn_idx) AS DOUBLE) AS s, count(*) AS c,
+             CAST(arg_max(turn_idx, ts) AS DOUBLE) AS lastv
+      FROM {_SQL_TRANSCRIPTS} GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT *, lead(ws) OVER (PARTITION BY series_key ORDER BY ws) AS next_w
+      FROM agg
+    ),
+    bound AS (
+      SELECT (max(epoch_us(ts)) // 60000000) * 60 AS global_end FROM {_SQL_TRANSCRIPTS}
+    )
+    SELECT series_key, ws AS window_start, s AS sum, lastv AS last,
+           c AS count, FALSE AS filled, FALSE AS stale
+    FROM seq
+    UNION ALL
+    SELECT series_key, ws + 60 * k AS window_start, lastv AS sum,
+           lastv AS last, 0 AS count, TRUE AS filled, FALSE AS stale
+    FROM seq CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS k), bound
+    WHERE ws + 60 * k < coalesce(next_w, global_end + 60)
+    UNION ALL
+    SELECT series_key, ws + 360 AS window_start, NULL AS sum, NULL AS last,
+           0 AS count, FALSE AS filled, TRUE AS stale
     FROM seq, bound
     WHERE ws + 360 < coalesce(next_w, global_end + 60)
     """

@@ -96,4 +96,5 @@ def test_derive_points_batch_arrow(turns):
     n = tbl.num_rows
     n_tool = int((np.asarray(tbl["tool"]) != "").sum())
     n_lat = n - turns["conv_id"].nunique()
-    assert pts.num_rows == n + n_tool + n_lat
+    n_gauge = n  # conv_turn_idx gauge: one observation per turn
+    assert pts.num_rows == n + n_tool + n_lat + n_gauge

@@ -524,6 +524,134 @@ FROM events
 """
 
 
+# --- codecs (JSON-lines / logfmt / syslog deserializers) --------------------
+
+
+def _codec_fixture(sf_dir: str, fmt: str) -> str:
+    """Materialize the events table once as newline-framed text in the
+    requested codec (deterministic, event_id order) so the codec queries
+    read REAL text input while the oracle reads the same rows as parquet."""
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/vertex_ray_testdata/codec_{tag}_events.{fmt}"
+    if os.path.exists(path):
+        return path
+    t = pads.dataset(f"{sf_dir}/events.parquet").to_table(
+        columns=["event_id", "ts", "event_type", "value"]
+    )
+    rows = sorted(t.to_pylist(), key=lambda r: r["event_id"])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        for r in rows:
+            ts_us = int(r["ts"].timestamp() * 1e6) if hasattr(r["ts"], "timestamp") else int(r["ts"])
+            if fmt == "jsonl":
+                f.write(json.dumps({"event_id": r["event_id"], "ts_us": ts_us,
+                                    "event_type": r["event_type"],
+                                    "value": r["value"]}) + "\n")
+            elif fmt == "logfmt":
+                f.write(f'event_id={r["event_id"]} event_type={r["event_type"]} '
+                        f'value={r["value"]!r} msg="ev {r["event_id"]}"\n')
+            else:  # syslog
+                import datetime as dt
+
+                stamp = dt.datetime(2026, 1, 1) + dt.timedelta(seconds=r["event_id"])
+                f.write(f"<{13 + (r['event_id'] % 8)}>{stamp.strftime('%b %d %H:%M:%S')} "
+                        f"host{r['event_id'] % 4} {r['event_type']}: value={r['value']!r}\n")
+    os.replace(tmp, path)
+    return path
+
+
+def _count_minmax_by(ds, key: str):
+    """count/min/max per key — exact-comparable aggregates (no float sums
+    of arbitrary doubles)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select([key, "value"]).to_pandas()
+        g = df.groupby(key, sort=False)["value"]
+        return g.agg(count="size", min="min", max="max").reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(key, sort=False)
+        out = gg.agg(count=("count", "sum"), min=("min", "min"),
+                     max=("max", "max")).reset_index()
+        out["count"] = out["count"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def q_codec_jsonl_events(sf_dir: str):
+    from vertex_ray.sources.codecs import decode_json_lines, read_lines
+
+    path = _codec_fixture(sf_dir, "jsonl")
+    decoded = read_lines(path).map_batches(decode_json_lines, batch_format="pyarrow")
+    return _count_minmax_by(decoded, "event_type")
+
+
+SQL_CODEC_JSONL_EVENTS = """
+SELECT event_type, count(*) AS count, min(value) AS min, max(value) AS max
+FROM events GROUP BY 1
+"""
+
+
+def q_codec_logfmt_events(sf_dir: str):
+    from vertex_ray.sources.codecs import decode_logfmt, read_lines
+
+    path = _codec_fixture(sf_dir, "logfmt")
+
+    def typed(t: pa.Table) -> pa.Table:
+        # logfmt values are strings; type them here (the reference's VTL
+        # stage owns typing after decode)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "value": t["value"].cast(pa.float64()),
+            }
+        )
+
+    decoded = (
+        read_lines(path)
+        .map_batches(decode_logfmt, batch_format="pyarrow")
+        .map_batches(typed, batch_format="pyarrow")
+    )
+    return _count_minmax_by(decoded, "event_type")
+
+
+def q_codec_syslog_events(sf_dir: str):
+    from vertex_ray.sources.codecs import decode_syslog, read_lines
+
+    path = _codec_fixture(sf_dir, "syslog")
+
+    def typed(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        msg = pd.Series(t["message"].to_numpy(zero_copy_only=False))
+        val = pd.to_numeric(msg.str.extract(r"value=(\S+)")[0], errors="coerce")
+        return pa.table(
+            {
+                "event_type": t["tag"],
+                "value": pa.array(val.to_numpy(), type=pa.float64()),
+            }
+        )
+
+    decoded = (
+        read_lines(path)
+        .map_batches(decode_syslog, batch_format="pyarrow")
+        .map_batches(typed, batch_format="pyarrow")
+    )
+    return _count_minmax_by(decoded, "event_type")
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -550,6 +678,9 @@ OP_QUERIES = {
     "op_ann_topk": q_ann_topk,
     "op_ann_ivf_topk": q_ann_ivf_topk,
     "op_multimodal_features": q_multimodal_features,
+    "op_codec_jsonl_events": q_codec_jsonl_events,
+    "op_codec_logfmt_events": q_codec_logfmt_events,
+    "op_codec_syslog_events": q_codec_syslog_events,
 }
 
 OP_ORACLES = {
@@ -571,6 +702,9 @@ OP_ORACLES = {
     "op_quality_docs": SQL_QUALITY_DOCS,
     "op_ann_topk": SQL_ANN_TOPK,
     "op_embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
+    "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
+    "op_codec_logfmt_events": SQL_CODEC_JSONL_EVENTS,
+    "op_codec_syslog_events": SQL_CODEC_JSONL_EVENTS,
     # langid / fingerprint / minhash / simhash / embedding-lsh / ivf /
     # multimodal: not SQL-expressible (heuristics, hashing, LSH, stub
     # decoders) → rows-only checks; the LSH/IVF variants are recall-tested

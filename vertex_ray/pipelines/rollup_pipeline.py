@@ -271,12 +271,18 @@ def run_pipeline(
     paths = pipeline_paths(out_dir)
     manifests: dict[str, dict] = {}
     end = transcripts_end_ts(transcripts_path)
+    from vertex_ray.stages.kernel import METRIC_NAMES
+
     lineage_stamp = {
         "input": transcripts_path,
         "n_buckets": n_buckets,
         "salt": salt,
         "global_end_s": end,
         "tiers": [t for t, _ in tiers],
+        # the derived-metric set is part of the output contract: outputs
+        # computed by an older engine (different metric list) must never
+        # be resumed into
+        "metrics": list(METRIC_NAMES),
     }
 
     def _lineage_matches(manifest: dict) -> bool:

@@ -14,6 +14,10 @@ Derived metrics (BASELINE.json north_star):
   for it requires conversation-contiguous, (conv_id, turn_idx)-sorted
   input — guaranteed inside the rollup's per-bucket group stage, or per
   input fragment when the writer keeps conversations whole.
+- ``conv_turn_idx``             gauge,     tags {conv_id} — last-written
+  turn index of the conversation (MetricValue::Gauge,
+  lib/event/src/metric/mod.rs:47-49): last-write-wins in the window,
+  LOCF across gap-filled windows.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from vertex_ray.schema import (
+    KIND_GAUGE,
     KIND_HISTOGRAM,
     KIND_SUM,
     POINTS_SCHEMA,
@@ -135,6 +140,9 @@ def derive_points_arrays(
     lat = (ts_us - prev_ts).astype(np.float64) / 1e6
     sk_lat = series_key_arrays("inter_turn_latency_seconds", conv_id=conv_id[lat_mask])
 
+    # conv_turn_idx: gauge of the last-written turn index per conversation
+    sk_gauge = series_key_arrays("conv_turn_idx", conv_id=conv_id)
+
     def block(sk, name, cids, roles, tools, ts, kind, vals):
         m = len(sk)
         return {
@@ -172,6 +180,10 @@ def derive_points_arrays(
             ts_us[lat_mask],
             KIND_HISTOGRAM,
             lat[lat_mask],
+        ),
+        block(
+            sk_gauge, "conv_turn_idx", conv_id, empty, empty, ts_us, KIND_GAUGE,
+            np.asarray(turn_idx, dtype=np.float64),
         ),
     ]
     return {

@@ -31,6 +31,7 @@ import pyarrow as pa
 
 from vertex_ray.schema import (
     DEFAULT_BUCKETS_ARR,
+    KIND_GAUGE,
     KIND_HISTOGRAM,
     KIND_SUM,
     N_BUCKETS,
@@ -41,8 +42,13 @@ from vertex_ray.schema import (
     US_PER_SECOND,
 )
 
-METRIC_NAMES = ("turns_total", "tool_invocations_total", "inter_turn_latency_seconds")
-METRIC_KINDS = (KIND_SUM, KIND_SUM, KIND_HISTOGRAM)
+METRIC_NAMES = (
+    "turns_total",
+    "tool_invocations_total",
+    "inter_turn_latency_seconds",
+    "conv_turn_idx",
+)
+METRIC_KINDS = (KIND_SUM, KIND_SUM, KIND_HISTOGRAM, KIND_GAUGE)
 
 _UID_METRIC_SHIFT = np.int64(40)
 _UID_CONV_SHIFT = np.int64(8)
@@ -176,7 +182,9 @@ def fill_arrays(
     sorted by (uid, window)."""
     uid, w = agg["uid"], agg["window"]
     n = len(uid)
-    kind_hist = (uid >> _UID_METRIC_SHIFT) == 2
+    metric = uid >> _UID_METRIC_SHIFT
+    kind_hist = metric == 2
+    kind_gauge = metric == 3
     same_next = np.zeros(n, dtype=bool)
     same_next[:-1] = uid[:-1] == uid[1:]
     next_w = np.empty(n, dtype=np.int64)
@@ -205,14 +213,23 @@ def fill_arrays(
         idx = np.repeat(np.arange(n), n_fill)
         pos = np.arange(total) - np.repeat(np.cumsum(n_fill) - n_fill, n_fill) + 1
         is_hist = kind_hist[idx]
-        is_ctr = ~is_hist  # both counter metrics fill as zero-increment
+        is_gauge = kind_gauge[idx]
+        is_ctr = ~(is_hist | is_gauge)  # counters fill as zero-increment
         last = agg["last"][idx]
         parts_uid.append(uid[idx])
         parts_w.append(w[idx] + pos * window_seconds)
-        parts["sum"].append(np.where(is_ctr, 0.0, agg["sum"][idx]))
+        # gauges LOCF the last-observed value into sum/min/max/last
+        # (stages/fill gauge contract); histograms carry the cumulative row
+        parts["sum"].append(
+            np.where(is_ctr, 0.0, np.where(is_gauge, last, agg["sum"][idx]))
+        )
         parts["count"].append(np.where(is_hist, agg["count"][idx], 0))
-        parts["min"].append(np.where(is_ctr, np.nan, agg["min"][idx]))
-        parts["max"].append(np.where(is_ctr, np.nan, agg["max"][idx]))
+        parts["min"].append(
+            np.where(is_ctr, np.nan, np.where(is_gauge, last, agg["min"][idx]))
+        )
+        parts["max"].append(
+            np.where(is_ctr, np.nan, np.where(is_gauge, last, agg["max"][idx]))
+        )
         parts["last"].append(np.where(is_ctr, 0.0, last))
         parts["last_ts"].append(agg["last_ts"][idx])
         parts_b.append(np.where(is_hist[:, None], agg["buckets"][idx], 0))
@@ -268,8 +285,10 @@ def render_series_keys(uids: np.ndarray, conv_strs: np.ndarray):
             keys[i] = f"turns_total{{conv_id={c},role={ROLES[sc]}}}"
         elif m == 1:
             keys[i] = f"tool_invocations_total{{conv_id={c},tool={TOOLS[sc - 1]}}}"
-        else:
+        elif m == 2:
             keys[i] = f"inter_turn_latency_seconds{{conv_id={c}}}"
+        else:
+            keys[i] = f"conv_turn_idx{{conv_id={c}}}"
     return keys, names, kinds
 
 
@@ -400,7 +419,12 @@ def bucket_kernel(
     uid_lat = base * 2 + conv_part[lmask]
     a_lat = agg_of(uid_lat, ts_us[lmask], lat[lmask], True)
 
-    agg = sort_agg(concat_agg([a_turns, a_tools, a_lat]))
+    # conv_turn_idx (metric 3): GAUGE — last-written turn index per conv;
+    # integer values stay exact doubles (the order-independence invariant)
+    uid_gauge = base * 3 + conv_part
+    a_gauge = agg_of(uid_gauge, ts_us, np.asarray(turn_idx, dtype=np.float64), False)
+
+    agg = sort_agg(concat_agg([a_turns, a_tools, a_lat, a_gauge]))
 
     parts = []
     prev = agg
