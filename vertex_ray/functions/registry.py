@@ -6,11 +6,16 @@ Arrow batches, and this registry provides the vectorized building blocks
 (pyarrow.compute kernels with consistent names) so pipeline configs can
 name transformations. Every function maps Array/ChunkedArray → Array.
 
-Coverage of the VTL names that make sense columnar: string case/trim/
-slice/split/replace/starts/ends/contains, parse/format timestamp, unix
-time conversion, numeric abs/ceil/floor/round/mod/log, type predicates
-and casts, length, hashing (md5-based like relabel hashmod, plus sha256
-— xxhash is not in this container), base64, redact, truncate, unique.
+Coverage: the full 74-name VTL stdlib re-expressed columnar — string
+case/trim/slice/split/replace/starts/ends/contains/find/format,
+parse/format timestamp + unix conversion, the parse_* family
+(bytes/duration/json/query/regex/url/user_agent — functions/parse.py),
+cidr_contains + is_ipv4/is_ipv6, numeric abs/ceil/floor/round/mod/log,
+type predicates + typeof + casts, list ops (append/push/compact/
+includes/join/unique/length), struct/document ops (get/set/del/merge/
+keys/values/flatten/exists), hashing (md5/sha256; xxhash's stable-64-bit
+role is pandas' siphash since xxhash isn't in this container), base64,
+redact, truncate, now/get_env/get_hostname, assert/assert_eq.
 """
 
 from __future__ import annotations
@@ -18,6 +23,19 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from vertex_ray.functions.parse import (
+    cidr_contains,
+    is_ipv4,
+    is_ipv6,
+    parse_bytes,
+    parse_duration,
+    parse_json,
+    parse_query,
+    parse_regex,
+    parse_url,
+    parse_user_agent,
+)
 
 
 def _np_str(arr, fn):
@@ -70,6 +88,259 @@ def _b64d(s: str) -> str:
     return base64.b64decode(s.encode()).decode()
 
 
+# --- list ops (VTL: append push compact includes join unique length) -------
+
+
+def _as_list(arr) -> pa.ListArray:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def _list_parts(arr):
+    a = _as_list(arr)
+    off = np.asarray(a.offsets)
+    return a, off, a.values
+
+
+def list_append(arr, value) -> pa.ListArray:
+    """append/push: one value onto every row's list — vectorized rebuild
+    (np.insert at each segment end; no per-row Python)."""
+    a, off, vals = _list_parts(arr)
+    v = vals.to_numpy(zero_copy_only=False)
+    new_vals = np.insert(v, np.repeat(off[1:] - off[0], 1), value)
+    new_off = (off - off[0]) + np.arange(len(off))
+    return pa.ListArray.from_arrays(pa.array(new_off, type=pa.int32()),
+                                    pa.array(new_vals, type=a.values.type))
+
+
+def list_compact(arr) -> pa.ListArray:
+    """compact: drop null/empty-string elements from every list."""
+    a, off, vals = _list_parts(arr)
+    keep = np.asarray(pc.is_valid(vals))
+    if pa.types.is_string(vals.type):
+        keep &= np.asarray(pc.not_equal(vals, "").fill_null(False))
+    base = off - off[0]
+    kept_cum = np.concatenate([[0], np.cumsum(keep)])
+    new_off = kept_cum[base]
+    return pa.ListArray.from_arrays(pa.array(new_off, type=pa.int32()),
+                                    vals.filter(pa.array(keep)))
+
+
+def list_includes(arr, value) -> pa.Array:
+    """includes: does the row's list contain value — flattened equality +
+    segmented any via reduceat."""
+    a, off, vals = _list_parts(arr)
+    eq = np.asarray(pc.equal(vals, value).fill_null(False))
+    base = off - off[0]
+    n = len(off) - 1
+    out = np.zeros(n, dtype=bool)
+    nz = base[:-1] < base[1:]
+    if nz.any():
+        out[nz] = np.logical_or.reduceat(eq, base[:-1][nz])
+    return pa.array(out, type=pa.bool_())
+
+
+# --- struct / object ops (VTL: get set del merge keys values flatten
+# exists) — the log-document Value type (SURVEY §1.2) maps to Arrow struct
+# columns; paths are dotted -----------------------------------------------
+
+
+def _as_struct(arr) -> pa.StructArray:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def struct_get(arr, path: str):
+    """get: dotted-path field access; missing path → typed nulls are the
+    caller's problem (raises KeyError like VTL's fallible get)."""
+    cur = _as_struct(arr)
+    for p in path.split("."):
+        cur = _as_struct(cur).field(p)
+    return cur
+
+
+def struct_exists(arr, path: str) -> pa.Array:
+    try:
+        f = struct_get(arr, path)
+    except KeyError:
+        return pa.array(np.zeros(len(arr), dtype=bool), type=pa.bool_())
+    return pc.is_valid(f)
+
+
+def struct_set(arr, name: str, value) -> pa.StructArray:
+    """set: replace-or-add a top-level field (value: Array or scalar)."""
+    s = _as_struct(arr)
+    if not isinstance(value, (pa.Array, pa.ChunkedArray)):
+        value = pa.array([value] * len(s))
+    names = [f.name for f in s.type]
+    arrays = [s.field(i) for i in range(s.type.num_fields)]
+    if name in names:
+        arrays[names.index(name)] = value
+    else:
+        names.append(name)
+        arrays.append(value)
+    return pa.StructArray.from_arrays(arrays, names=names)
+
+
+def struct_del(arr, name: str) -> pa.StructArray:
+    s = _as_struct(arr)
+    keep = [(f.name, s.field(i)) for i, f in enumerate(s.type) if f.name != name]
+    return pa.StructArray.from_arrays([a for _, a in keep], names=[n for n, _ in keep])
+
+
+def struct_merge(a, b) -> pa.StructArray:
+    """merge: b's fields win on collision (VTL merge semantics)."""
+    out = _as_struct(a)
+    sb = _as_struct(b)
+    for i, f in enumerate(sb.type):
+        out = struct_set(out, f.name, sb.field(i))
+    return out
+
+
+def struct_keys(arr) -> pa.Array:
+    s = _as_struct(arr)
+    names = [f.name for f in s.type]
+    return pa.array([names] * len(s), type=pa.list_(pa.string()))
+
+
+def struct_values(arr) -> pa.Array:
+    """values: per-row list of the field values cast to string (columnar
+    stand-in for VTL's heterogeneous value list)."""
+    s = _as_struct(arr)
+    cols = [pc.cast(s.field(i), pa.string()) for i in range(s.type.num_fields)]
+    n = len(s)
+    k = len(cols)
+    flat = np.empty(n * k, dtype=object)
+    for j, c in enumerate(cols):
+        flat[j::k] = c.to_numpy(zero_copy_only=False)
+    off = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
+    return pa.ListArray.from_arrays(off, pa.array(flat, type=pa.string()))
+
+
+def struct_flatten(arr, sep: str = ".") -> pa.Table:
+    """flatten: nested struct column → flat table with dotted names."""
+    s = _as_struct(arr)
+    out = {}
+
+    def walk(prefix: str, sa: pa.StructArray):
+        for i, f in enumerate(sa.type):
+            name = f"{prefix}{sep}{f.name}" if prefix else f.name
+            child = sa.field(i)
+            if pa.types.is_struct(child.type):
+                walk(name, child)
+            else:
+                out[name] = child
+
+    walk("", s)
+    return pa.table(out)
+
+
+# --- misc (VTL: format typeof now get_env get_hostname assert xxhash) ------
+
+
+def format_str(fmt: str, *cols) -> pa.Array:
+    """format: positional '{}' placeholders filled from columns — chained
+    vectorized string concat, not a per-row format() call."""
+    import pandas as pd
+
+    parts = fmt.split("{}")
+    if len(parts) != len(cols) + 1:
+        raise ValueError(f"format: {len(parts) - 1} placeholders, {len(cols)} columns")
+    n = len(cols[0]) if cols else 1
+    acc = pd.Series([parts[0]] * n)
+    for seg, col in zip(parts[1:], cols):
+        cs = pd.Series(np.asarray(pc.cast(col, pa.string()).to_numpy(zero_copy_only=False)))
+        acc = acc.str.cat(cs, na_rep="null").str.cat([seg] * n)
+    return pa.array(acc.to_numpy(dtype=object), type=pa.string())
+
+
+def typeof(arr) -> pa.Array:
+    """typeof: columnar types are per-column, so the answer is one name
+    repeated (null rows stay 'null' like VTL's dynamic check)."""
+    t = arr.type
+    if pa.types.is_boolean(t):
+        name = "boolean"
+    elif pa.types.is_integer(t):
+        name = "integer"
+    elif pa.types.is_floating(t):
+        name = "float"
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        name = "string"
+    elif pa.types.is_timestamp(t):
+        name = "timestamp"
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        name = "array"
+    elif pa.types.is_struct(t) or pa.types.is_map(t):
+        name = "object"
+    else:
+        name = str(t)
+    valid = np.asarray(pc.is_valid(arr))
+    out = np.where(valid, name, "null")
+    return pa.array(out, type=pa.string())
+
+
+def _is_type(arr, pred) -> pa.Array:
+    ok = bool(pred(arr.type))
+    valid = np.asarray(pc.is_valid(arr))
+    return pa.array(valid & ok, type=pa.bool_())
+
+
+def is_empty(arr) -> pa.Array:
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pc.equal(pc.utf8_length(arr), 0).fill_null(True)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pc.equal(pc.list_value_length(arr), 0).fill_null(True)
+    return pc.is_null(arr)
+
+
+def now(n: int = 1) -> pa.Array:
+    import datetime as dt
+
+    t = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    return pa.array([t] * n, type=pa.timestamp("us"))
+
+
+def get_env(name: str, n: int = 1) -> pa.Array:
+    import os
+
+    return pa.array([os.environ.get(name)] * n, type=pa.string())
+
+
+def get_hostname(n: int = 1) -> pa.Array:
+    import socket
+
+    return pa.array([socket.gethostname()] * n, type=pa.string())
+
+
+def assert_all(mask, msg: str = "assert failed"):
+    """assert: raise unless every (non-null counts as failure) value is
+    true; returns the mask so it chains (VTL assert aborts resolution)."""
+    ok = pc.all(pc.fill_null(mask, False)).as_py()
+    if not ok or len(mask) == 0 and ok is None:
+        raise AssertionError(msg)
+    return mask
+
+
+def assert_eq(a, b, msg: str = "assert_eq failed"):
+    eq = pc.equal(a, b)
+    if not pc.all(pc.fill_null(eq, False)).as_py():
+        raise AssertionError(msg)
+    return eq
+
+
+def hash64(arr) -> pa.Array:
+    """xxhash's role (stable fast 64-bit content hash) — xxhash is not in
+    this container; pandas' siphash (fixed key, stable across processes)
+    provides the same contract."""
+    import pandas as pd
+
+    v = arr.to_numpy(zero_copy_only=False) if hasattr(arr, "to_numpy") else np.asarray(arr)
+    return pa.array(pd.util.hash_array(v, categorize=False).astype(np.uint64))
+
+
 FUNCTIONS: dict = {
     # string case / shape (VTL: lowercase uppercase camelcase pascalcase
     # snakecase kebabcase trim truncate slice split join replace)
@@ -120,6 +391,57 @@ FUNCTIONS: dict = {
     # collections
     "unique": pc.unique,
     "list_length": pc.list_value_length,
+    "append": list_append,
+    "push": list_append,
+    "compact": list_compact,
+    "includes": list_includes,
+    "join": lambda a, sep="": pc.binary_join(a, sep),
+    "find": lambda a, sub: pc.find_substring(a, sub),
+    # object / document ops (struct columns)
+    "get": struct_get,
+    "set": struct_set,
+    "del": struct_del,
+    "merge": struct_merge,
+    "keys": struct_keys,
+    "values": struct_values,
+    "flatten": struct_flatten,
+    "exists": struct_exists,
+    # parsers (vectorized; functions/parse.py)
+    "parse_bytes": parse_bytes,
+    "parse_duration": parse_duration,
+    "parse_json": parse_json,
+    "parse_query": parse_query,
+    "parse_regex": parse_regex,
+    "parse_url": parse_url,
+    "parse_user_agent": parse_user_agent,
+    "cidr_contains": cidr_contains,
+    # type predicates / introspection
+    "typeof": typeof,
+    "is_bool": lambda a: _is_type(a, pa.types.is_boolean),
+    "is_integer": lambda a: _is_type(a, pa.types.is_integer),
+    "is_float": lambda a: _is_type(a, pa.types.is_floating),
+    "is_string": lambda a: _is_type(
+        a, lambda t: pa.types.is_string(t) or pa.types.is_large_string(t)
+    ),
+    "is_timestamp": lambda a: _is_type(a, pa.types.is_timestamp),
+    "is_array": lambda a: _is_type(
+        a, lambda t: pa.types.is_list(t) or pa.types.is_large_list(t)
+    ),
+    "is_object": lambda a: _is_type(
+        a, lambda t: pa.types.is_struct(t) or pa.types.is_map(t)
+    ),
+    "is_empty": is_empty,
+    "is_ipv4": is_ipv4,
+    "is_ipv6": is_ipv6,
+    # misc
+    "format": format_str,
+    "now": now,
+    "get_env": get_env,
+    "get_hostname": get_hostname,
+    "assert": assert_all,
+    "assert_eq": assert_eq,
+    "xxhash": hash64,
+    "hash64": hash64,
 }
 
 

@@ -652,6 +652,96 @@ def q_codec_syslog_events(sf_dir: str):
     return _count_minmax_by(decoded, "event_type")
 
 
+# --- VTL parse functions over real columns ---------------------------------
+
+
+def q_parse_json_events(sf_dir: str):
+    """parse_json over the events.props JSON column (VTL parse_json,
+    lib/vtl/src/compiler/function/parse_json.rs): extract k, aggregate
+    per event_type. Pruned 2-column scan; ONE small groupby."""
+    import ray.data as rd
+
+    from vertex_ray.functions.registry import apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        parsed = apply("parse_json", t["props"])
+        k = pc.cast(apply("get", parsed, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby("event_type", sort=False)["k"]
+        return g.agg(count="size", sum_k="sum", min_k="min", max_k="max").reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("event_type", sort=False)
+        out = gg.agg(count=("count", "sum"), sum_k=("sum_k", "sum"),
+                     min_k=("min_k", "min"), max_k=("max_k", "max")).reset_index()
+        for c in ("count", "sum_k", "min_k", "max_k"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_PARSE_JSON_EVENTS = """
+SELECT event_type, count(*) AS count,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def q_parse_regex_docs(sf_dir: str):
+    """parse_regex (named groups → columns) over documents.text: first
+    word + doc length class, counted. The extract is ONE cython pass per
+    batch (functions/parse.py)."""
+    import ray.data as rd
+
+    import pandas as pd
+
+    from vertex_ray.functions.registry import apply
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        return apply("parse_regex", t["text"], r"^(?P<first_word>\w+)")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["first_word"] = df["first_word"].fillna("")
+        return df.groupby("first_word", sort=False).size().rename("count").reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("first_word", sort=False)["count"].sum().reset_index()
+        out["count"] = out["count"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("first_word")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_PARSE_REGEX_DOCS = r"""
+SELECT coalesce(regexp_extract(text, '^(\w+)', 1), '') AS first_word,
+       count(*) AS count
+FROM documents GROUP BY 1
+"""
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -681,6 +771,8 @@ OP_QUERIES = {
     "op_codec_jsonl_events": q_codec_jsonl_events,
     "op_codec_logfmt_events": q_codec_logfmt_events,
     "op_codec_syslog_events": q_codec_syslog_events,
+    "op_parse_json_events": q_parse_json_events,
+    "op_parse_regex_docs": q_parse_regex_docs,
 }
 
 OP_ORACLES = {
@@ -705,6 +797,8 @@ OP_ORACLES = {
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_logfmt_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_syslog_events": SQL_CODEC_JSONL_EVENTS,
+    "op_parse_json_events": SQL_PARSE_JSON_EVENTS,
+    "op_parse_regex_docs": SQL_PARSE_REGEX_DOCS,
     # langid / fingerprint / minhash / simhash / embedding-lsh / ivf /
     # multimodal: not SQL-expressible (heuristics, hashing, LSH, stub
     # decoders) → rows-only checks; the LSH/IVF variants are recall-tested
