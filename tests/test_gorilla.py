@@ -119,48 +119,63 @@ def test_compression_ratio_regular_series():
     assert enc < 1000 * 16 * 0.25
 
 
-def test_multi_series_encoders_match_single():
-    from vertex_ray.gorilla import encode_timestamps_multi, encode_values_multi
-
-    rng = np.random.default_rng(3)
-    offsets = [0]
-    ts_parts, val_parts = [], []
-    for ln in [1, 2, 3, 50, 7, 1, 200]:
-        gaps = rng.integers(1, 700, size=ln - 1) if ln > 1 else []
-        ts = 1767225600 + np.cumsum(np.concatenate([[0], gaps])).astype(np.int64)
-        vals = np.where(rng.random(ln) < 0.3, STALE_NAN, np.round(rng.random(ln) * 50))
-        ts_parts.append(ts)
-        val_parts.append(vals)
-        offsets.append(offsets[-1] + ln)
-    offsets = np.array(offsets)
-    flat_ts = np.concatenate(ts_parts)
-    flat_vals = np.concatenate(val_parts)
-    multi_ts = encode_timestamps_multi(flat_ts, offsets)
-    multi_vals = encode_values_multi(flat_vals, offsets)
-    for i, (ts, vals) in enumerate(zip(ts_parts, val_parts)):
-        assert multi_ts[i] == encode_timestamps(ts)
-        assert multi_vals[i] == encode_values(vals)
-        np.testing.assert_array_equal(decode_timestamps(multi_ts[i], len(ts)), ts)
-        np.testing.assert_array_equal(
-            decode_values(multi_vals[i], len(vals)).view(np.uint64),
-            vals.view(np.uint64),
-        )
-
-
-def test_multi_decoders_match_single():
+def _multi_roundtrip(ts_parts, val_parts):
     from vertex_ray.gorilla import (
         decode_timestamps_multi,
+        decode_timestamps_v2,
         decode_values_multi,
+        decode_values_v2,
         encode_timestamps_multi,
         encode_values_multi,
     )
 
+    offsets = np.concatenate([[0], np.cumsum([len(p) for p in ts_parts])]).astype(
+        np.int64
+    )
+    n_points = np.diff(offsets)
+    flat_ts = np.concatenate(ts_parts) if ts_parts else np.zeros(0, dtype=np.int64)
+    flat_vals = (
+        np.concatenate(val_parts) if val_parts else np.zeros(0, dtype=np.float64)
+    )
+    ts_blocks = encode_timestamps_multi(flat_ts, offsets)
+    val_blocks = encode_values_multi(flat_vals, offsets)
+    dec_ts = decode_timestamps_multi(ts_blocks, n_points)
+    dec_vals = decode_values_multi(val_blocks, n_points)
+    for j in range(len(n_points)):
+        np.testing.assert_array_equal(dec_ts[j], ts_parts[j])
+        np.testing.assert_array_equal(
+            dec_vals[j].view(np.uint64), np.asarray(val_parts[j]).view(np.uint64)
+        )
+        # single-block wrappers decode the same block bytes identically
+        np.testing.assert_array_equal(
+            decode_timestamps_v2(ts_blocks[j], len(ts_parts[j])), ts_parts[j]
+        )
+        np.testing.assert_array_equal(
+            decode_values_v2(val_blocks[j], len(val_parts[j])).view(np.uint64),
+            np.asarray(val_parts[j]).view(np.uint64),
+        )
+    return ts_blocks, val_blocks
+
+
+def test_multi_roundtrip_directed():
+    rng = np.random.default_rng(3)
+    ts_parts, val_parts = [], []
+    # includes zero-length, 1-point (head only), and 2-point (no Z) series
+    for ln in [1, 2, 3, 50, 7, 1, 200, 0, 2]:
+        gaps = rng.integers(1, 700, size=max(0, ln - 1))
+        ts = 1767225600 + np.cumsum(np.concatenate([[0], gaps])).astype(np.int64)[:ln]
+        vals = np.where(rng.random(ln) < 0.3, STALE_NAN, np.round(rng.random(ln) * 50))
+        ts_parts.append(ts)
+        val_parts.append(vals)
+    _multi_roundtrip(ts_parts, val_parts)
+
+
+def test_multi_roundtrip_skewed_and_extreme():
     rng = np.random.default_rng(9)
-    offsets = [0]
     ts_parts, val_parts = [], []
     for ln in [1, 2, 5, 300, 1, 64, 13, 2, 1000]:
         gaps = rng.integers(1, 100000, size=max(0, ln - 1))
-        ts = 1767225600 + np.concatenate([[0], np.cumsum(gaps)]).astype(np.int64)
+        ts = 1767225600 + np.concatenate([[0], np.cumsum(gaps)]).astype(np.int64)[:ln]
         vals = np.where(
             rng.random(ln) < 0.4,
             STALE_NAN,
@@ -168,19 +183,49 @@ def test_multi_decoders_match_single():
         )
         ts_parts.append(ts)
         val_parts.append(vals)
-        offsets.append(offsets[-1] + ln)
-    offsets = np.array(offsets)
-    n_points = np.diff(offsets)
-    ts_blocks = encode_timestamps_multi(np.concatenate(ts_parts), offsets)
-    val_blocks = encode_values_multi(np.concatenate(val_parts), offsets)
-    dec_ts = decode_timestamps_multi(ts_blocks, n_points)
-    dec_vals = decode_values_multi(val_blocks, n_points)
-    for j in range(len(n_points)):
-        np.testing.assert_array_equal(dec_ts[j], ts_parts[j])
-        np.testing.assert_array_equal(
-            dec_vals[j].view(np.uint64), val_parts[j].view(np.uint64)
-        )
-        # cross-check against the sequential decoders
-        np.testing.assert_array_equal(
-            dec_ts[j], decode_timestamps(ts_blocks[j], len(ts_parts[j]))
-        )
+    _multi_roundtrip(ts_parts, val_parts)
+
+
+def test_multi_roundtrip_dod_classes_and_negative():
+    # exercise every dod width class (7/9/12/32 bit) incl. negative dods
+    base = 1767225600
+    deltas = [60, 60, 61, 124, 60 + 256, 60, 2100, 60, 100000, 60, 1]
+    ts1 = base + np.cumsum([0] + deltas)
+    ts2 = base + np.cumsum([0, 1000, 1000 - 63, 1000, 1000 - 255, 1000, 1])
+    vals1 = np.arange(len(ts1), dtype=np.float64)
+    vals2 = np.full(len(ts2), 2.5)
+    _multi_roundtrip([ts1, ts2], [vals1, vals2])
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(min_value=1, max_value=10**6), min_size=0, max_size=30),
+            st.floats(allow_nan=True, allow_infinity=True, allow_subnormal=True),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_multi_roundtrip_property(series_specs):
+    rng = np.random.default_rng(42)
+    ts_parts, val_parts = [], []
+    for gaps, seedval in series_specs:
+        n = len(gaps) + 1
+        ts = 1767225600 + np.cumsum([0] + gaps)
+        vals = np.where(rng.random(n) < 0.5, seedval, rng.random(n) * 100)
+        ts_parts.append(ts.astype(np.int64))
+        val_parts.append(vals.astype(np.float64))
+    _multi_roundtrip(ts_parts, val_parts)
+
+
+def test_multi_compression_comparable_to_paper_format():
+    # the columnar layout must stay within ~2 bits/point of the paper's
+    # interleaved stream on a regular series
+    ts = 1767225600 + np.arange(1000) * 60
+    vals = np.round(np.sin(np.arange(1000) / 50) * 4) + 10.0
+    ts_blocks, val_blocks = _multi_roundtrip([ts], [vals])
+    paper = len(encode_timestamps(ts)) + len(encode_values(vals))
+    ours = len(ts_blocks[0]) + len(val_blocks[0])
+    assert ours <= paper + 2 * 1000 // 8 + 16

@@ -1,7 +1,20 @@
 """Gorilla time-series compression (Pelkonen et al., VLDB 2015) — from
-scratch, numpy-vectorized encode, sequential decode.
+scratch, numpy-vectorized in BOTH directions.
 
-Format per series block (self-contained, little-endian raw headers):
+Two layouts live here:
+
+1. The paper's interleaved per-point stream (single-series
+   ``encode_values``/``decode_values``/``encode_timestamps``/
+   ``decode_timestamps``) — kept as the spec-parity reference codec and
+   exercised by the property tests.
+2. The engine's on-disk block format (``*_multi`` functions): the SAME
+   delta-of-delta / XOR-window information, transposed into per-section
+   streams ("columnar Gorilla", see the section comment below) so decode
+   is pure flat numpy — no per-point loop, throughput independent of
+   series count and length skew.
+
+Paper-format stream per series block (self-contained, little-endian raw
+headers):
 
 Timestamp stream (epoch seconds, non-decreasing):
     [t0: i64][d0: i64 (if n >= 2)][delta-of-delta bits for points 2..n-1]
@@ -230,18 +243,38 @@ def decode_values(buf: bytes, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# multi-series batch encoders — encode EVERY series of a batch in one
-# vectorized pass. Each series' block is byte-aligned (zero padding bits at
-# its end), so the per-series slices are byte-identical to the single-series
-# encoders' output and decode with the same decoders. This removes the
-# per-series numpy-call overhead that dominates on short series.
+# multi-series batch codec — the engine's on-disk block format ("columnar
+# Gorilla"). Same information layout as the paper (delta-of-delta timestamp
+# codes, XOR float windows), TRANSPOSED into per-section streams so that
+# BOTH encode and decode are a handful of flat numpy passes with no
+# per-point loop:
+#
+# value block:      [v0: f64 raw LE, 8B]
+#   Z  (presence):  1 bit per point i>=1 — XOR != 0?         (byte-padded)
+#   H  (headers):   11 bits per changed point: 5b lead | 6b (mlen-1)
+#   P  (payloads):  mlen meaningful bits per changed point
+#
+# timestamp block:  [t0: i64 raw LE, 8B][d0: i64 raw LE, 8B if n >= 2]
+#   Z  (presence):  1 bit per point i>=2 — dod != 0?
+#   CL (classes):   2 bits per nonzero dod: 0→7b, 1→9b, 2→12b, 3→32b
+#   P  (payloads):  dod + bias (class 0-2) / int32 two's complement (3)
+#
+# Section lengths are derivable from n_points plus the Z bits, so blocks
+# are self-contained given n. Bit cost is within ±2 bits/point of the
+# paper's interleaved layout (Z replaces the paper's per-point control
+# prefix), and decode becomes: unpack Z once, gather all fixed-width
+# headers in one vectorized read, prefix-sum the payload widths, gather
+# all payloads in one read, then reconstruct with SEGMENTED SCANS —
+# np.bitwise_xor.accumulate for values (XOR chaining is associative) and
+# two cumsums for timestamps. Decode throughput is flat in series-length
+# skew, unlike the earlier lockstep-lane decoder this replaced.
 # ---------------------------------------------------------------------------
 
 
 def _bswap(x: np.ndarray) -> np.ndarray:
     """uint64 byte swap: pack_bits writes fields MSB-first (big-endian), the
-    single-series headers are raw little-endian — swapping makes the packed
-    header bytes identical."""
+    raw headers are little-endian — swapping makes the packed header bytes
+    identical to tobytes()."""
     return x.astype(np.uint64).byteswap()
 
 
@@ -252,109 +285,23 @@ def _slices(buf: bytes, series_bits: np.ndarray, pad: np.ndarray) -> list[bytes]
     return [buf[starts[i]: starts[i + 1]] for i in range(len(series_bytes))]
 
 
-def encode_values_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
-    """Value streams for S series concatenated in ``flat`` (offsets has
-    S+1 entries, every series non-empty). Returns S per-series blocks."""
-    n = len(flat)
-    if n == 0:
-        return [b""] * (len(offsets) - 1)
-    bits = np.ascontiguousarray(np.asarray(flat, dtype=np.float64)).view(np.uint64)
-    s = len(offsets) - 1
-    counts = np.diff(offsets)
-    sid = np.repeat(np.arange(s), counts)
-    is_start = np.zeros(n, dtype=bool)
-    is_start[offsets[:-1]] = True
-
-    xor = np.zeros(n, dtype=np.uint64)
-    xor[1:] = bits[1:] ^ bits[:-1]
-    xor[is_start] = 0
-    lead = np.minimum(_clz64(xor), 31)
-    trail = _ctz64(xor)
-    mlen = 64 - lead - trail
-    zero = xor == 0
-    a_codes = np.where(
-        zero,
-        np.uint64(0),
-        (np.uint64(0b11) << np.uint64(11))
-        | (lead.astype(np.uint64) << np.uint64(6))
-        | np.where(zero, 0, mlen - 1).astype(np.uint64),
-    )
-    a_lens = np.where(zero, 1, 13).astype(np.int64)
-    b_codes = np.where(zero, np.uint64(0), xor >> trail.astype(np.uint64))
-    b_lens = np.where(zero, 0, mlen).astype(np.int64)
-    # series heads: raw 64-bit little-endian value
-    a_codes[is_start] = _bswap(bits[is_start])
-    a_lens[is_start] = 64
-    b_codes[is_start] = 0
-    b_lens[is_start] = 0
-
-    el_bits = a_lens + b_lens
-    cum = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(el_bits, out=cum[1:])
-    series_bits = cum[offsets[1:]] - cum[offsets[:-1]]
-    pad = (-series_bits) % 8
-
-    f = 2 * n + s
-    codes = np.zeros(f, dtype=np.uint64)
-    lens = np.zeros(f, dtype=np.int64)
-    el = np.arange(n)
-    pos_a = 2 * el + sid
-    codes[pos_a] = a_codes
-    lens[pos_a] = a_lens
-    codes[pos_a + 1] = b_codes
-    lens[pos_a + 1] = b_lens
-    lens[2 * offsets[1:] + np.arange(s)] = pad  # zero-bit padding fields
-    buf = pack_bits(codes, lens)
-    return _slices(buf, series_bits, pad)
-
-
-def encode_timestamps_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
-    n = len(flat)
-    if n == 0:
-        return [b""] * (len(offsets) - 1)
-    ts = np.asarray(flat, dtype=np.int64)
-    s = len(offsets) - 1
-    counts = np.diff(offsets)
-    sid = np.repeat(np.arange(s), counts)
-    starts = offsets[:-1]
-    is_start = np.zeros(n, dtype=bool)
-    is_start[starts] = True
-    is_second = np.zeros(n, dtype=bool)
-    is_second[starts[counts >= 2] + 1] = True
-
-    d = np.zeros(n, dtype=np.int64)
-    d[1:] = ts[1:] - ts[:-1]
-    dod = np.zeros(n, dtype=np.int64)
-    dod[1:] = d[1:] - d[:-1]
-
-    codes = np.zeros(n, dtype=np.uint64)
-    lens = np.ones(n, dtype=np.int64)  # default: dod == 0 → single '0' bit
-    done = dod == 0
-    for (prefix, plen, vbits), bias in zip(_DOD_PREFIXES, _DOD_BIASES):
-        m = (~done) & (dod >= -bias) & (dod <= bias + 1)
-        codes[m] = (np.uint64(prefix) << np.uint64(vbits)) | (
-            (dod[m] + bias).astype(np.uint64)
-        )
-        lens[m] = plen + vbits
-        done |= m
-    m = ~done
-    codes[m] = (np.uint64(0b1111) << np.uint64(32)) | (
-        dod[m].astype(np.int32).view(np.uint32).astype(np.uint64)
-    )
-    lens[m] = 36
-    codes[is_start] = _bswap(ts[is_start].view(np.uint64))
-    lens[is_start] = 64
-    codes[is_second] = _bswap(d[is_second].view(np.uint64))
-    lens[is_second] = 64
-
+def _pack_per_series(codes: np.ndarray, lens: np.ndarray,
+                     counts: np.ndarray) -> list[bytes]:
+    """Pack variable-width fields, grouped series-major (counts[i] fields
+    belong to series i), into per-series byte-aligned sections."""
+    s = len(counts)
+    n = len(codes)
+    offsets = np.zeros(s + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    lens = np.asarray(lens, dtype=np.int64)
     cum = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=cum[1:])
     series_bits = cum[offsets[1:]] - cum[offsets[:-1]]
     pad = (-series_bits) % 8
-
     f = n + s
     all_codes = np.zeros(f, dtype=np.uint64)
     all_lens = np.zeros(f, dtype=np.int64)
+    sid = np.repeat(np.arange(s), counts)
     pos = np.arange(n) + sid
     all_codes[pos] = codes
     all_lens[pos] = lens
@@ -363,23 +310,152 @@ def encode_timestamps_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes
     return _slices(buf, series_bits, pad)
 
 
+def _excl_cumsum(x: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(x) + 1, dtype=np.int64)
+    np.cumsum(x, out=out[1:])
+    return out
+
+
+def _seg_cumsum(x: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Inclusive per-segment cumsum of a flat segment-major int64 array."""
+    c = np.cumsum(x)
+    starts = _excl_cumsum(counts)[:-1]
+    nz = counts > 0
+    pre = c[starts[nz]] - x[starts[nz]]
+    return c - np.repeat(pre, counts[nz])
+
+
+def encode_values_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Value blocks for S series concatenated in ``flat`` (offsets has S+1
+    entries; zero-length series are allowed and yield b"")."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    s = len(offsets) - 1
+    counts = np.diff(offsets)
+    n = len(flat)
+    if n == 0:
+        return [b""] * s
+    bits = np.ascontiguousarray(np.asarray(flat, dtype=np.float64)).view(np.uint64)
+    starts = offsets[:-1]
+    is_start = np.zeros(n, dtype=bool)
+    is_start[starts[counts > 0]] = True
+
+    xor = np.zeros(n, dtype=np.uint64)
+    xor[1:] = bits[1:] ^ bits[:-1]
+    xor[is_start] = 0
+    changed = xor != 0
+    lead = np.minimum(_clz64(xor[changed]), 31).astype(np.uint64)
+    trail = _ctz64(xor[changed]).astype(np.uint64)
+    mlen = np.uint64(64) - lead - trail
+
+    nonstart = ~is_start
+    zn = np.maximum(counts - 1, 0)
+    z_sections = _pack_per_series(
+        changed[nonstart].astype(np.uint64), np.ones(int(zn.sum()), dtype=np.int64), zn
+    )
+    sid = np.repeat(np.arange(s), counts)
+    h_counts = np.bincount(sid[changed], minlength=s)
+    h_codes = (lead << np.uint64(6)) | (mlen - np.uint64(1))
+    h_sections = _pack_per_series(
+        h_codes, np.full(len(h_codes), 11, dtype=np.int64), h_counts
+    )
+    p_sections = _pack_per_series(
+        xor[changed] >> trail, mlen.astype(np.int64), h_counts
+    )
+    heads = _np_heads(bits[starts[counts > 0]])
+    out, hi = [], 0
+    for i in range(s):
+        if counts[i] == 0:
+            out.append(b"")
+        else:
+            out.append(heads[hi] + z_sections[i] + h_sections[i] + p_sections[i])
+            hi += 1
+    return out
+
+
+def _np_heads(words: np.ndarray) -> list[bytes]:
+    """Raw little-endian 8-byte heads for each 64-bit word."""
+    raw = np.ascontiguousarray(words.astype(np.uint64)).tobytes()
+    return [raw[8 * i : 8 * i + 8] for i in range(len(words))]
+
+
+_DOD_WIDTHS = np.array([7, 9, 12, 32], dtype=np.int64)
+_DOD_CLASS_BIAS = np.array([63, 255, 2047, 0], dtype=np.int64)
+
+
+def encode_timestamps_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    offsets = np.asarray(offsets, dtype=np.int64)
+    s = len(offsets) - 1
+    counts = np.diff(offsets)
+    n = len(flat)
+    if n == 0:
+        return [b""] * s
+    ts = np.asarray(flat, dtype=np.int64)
+    starts = offsets[:-1]
+    is_start = np.zeros(n, dtype=bool)
+    is_start[starts[counts > 0]] = True
+    is_second = np.zeros(n, dtype=bool)
+    is_second[starts[counts >= 2] + 1] = True
+
+    d = np.zeros(n, dtype=np.int64)
+    d[1:] = ts[1:] - ts[:-1]
+    dod = np.zeros(n, dtype=np.int64)
+    dod[1:] = d[1:] - d[:-1]
+    dod[is_start | is_second] = 0
+    tail = ~(is_start | is_second)  # points i >= 2 within a series
+    changed = tail & (dod != 0)
+
+    cdod = dod[changed]
+    cls = np.full(len(cdod), 3, dtype=np.int64)
+    cls = np.where((cdod >= -2047) & (cdod <= 2048), 2, cls)
+    cls = np.where((cdod >= -255) & (cdod <= 256), 1, cls)
+    cls = np.where((cdod >= -63) & (cdod <= 64), 0, cls)
+    widths = _DOD_WIDTHS[cls]
+    payload = np.where(
+        cls == 3,
+        cdod.astype(np.int32).view(np.uint32).astype(np.uint64),
+        (cdod + _DOD_CLASS_BIAS[cls]).astype(np.uint64),
+    )
+
+    zn = np.maximum(counts - 2, 0)
+    z_sections = _pack_per_series(
+        changed[tail].astype(np.uint64), np.ones(int(zn.sum()), dtype=np.int64), zn
+    )
+    sid = np.repeat(np.arange(s), counts)
+    c_counts = np.bincount(sid[changed], minlength=s)
+    cl_sections = _pack_per_series(
+        cls.astype(np.uint64), np.full(len(cls), 2, dtype=np.int64), c_counts
+    )
+    p_sections = _pack_per_series(payload, widths, c_counts)
+
+    heads0 = _np_heads(ts[starts[counts > 0]].view(np.uint64))
+    d0_map = {int(i): b"" for i in range(s)}
+    two = np.flatnonzero(counts >= 2)
+    heads1 = _np_heads(d[starts[two] + 1].view(np.uint64))
+    for j, i in enumerate(two):
+        d0_map[int(i)] = heads1[j]
+    out, hi = [], 0
+    for i in range(s):
+        if counts[i] == 0:
+            out.append(b"")
+        else:
+            out.append(
+                heads0[hi] + d0_map[i] + z_sections[i] + cl_sections[i] + p_sections[i]
+            )
+            hi += 1
+    return out
+
+
 # ---------------------------------------------------------------------------
-# multi-series lockstep decoders — decode every series of a batch together:
-# the loop runs over POINT INDEX while each iteration advances all live
-# series one point with vectorized gathers. Lanes are sorted by length
-# DESCENDING inside the decoder, so live lanes are always a PREFIX and each
-# iteration slices to exactly the active count — total vector work is
-# Σ n_points (no padding waste on skewed length distributions), and the
-# fused bit reads keep it to ≤2 gathers per iteration. Flat variants return
-# one concatenated array (lane-major, original order) so callers never pay
-# per-series Python slicing.
+# vectorized multi-series decoders — no per-point loop anywhere. Throughput
+# is a constant number of numpy passes over Σ n_points regardless of how
+# many series there are or how skewed their lengths are.
 # ---------------------------------------------------------------------------
 
 
 def _gather_bits(buf: np.ndarray, pos: np.ndarray, k: np.ndarray) -> np.ndarray:
     """Read k (≤64) bits starting at absolute bit position pos for each
-    lane, MSB-first. k == 0 lanes return 0. buf is uint8 (with ≥9 padding
-    bytes at the end — _concat_blocks guarantees it)."""
+    entry, MSB-first. k == 0 entries return 0. buf is uint8 (with ≥9
+    padding bytes at the end — _concat_blocks guarantees it)."""
     byte0 = (pos >> 3).astype(np.int64)
     off = (pos & 7).astype(np.uint64)
     idx = byte0[:, None] + np.arange(8)
@@ -406,87 +482,76 @@ def _concat_blocks(blocks: list[bytes]):
     lens = np.fromiter((len(b) for b in blocks), dtype=np.int64, count=len(blocks))
     starts = np.zeros(len(blocks) + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
-    # 9 zero bytes of tail padding: a fused 13/36-bit read issued at the
-    # very last bit of the final block may touch up to 9 bytes past it
+    # 9 zero bytes of tail padding: a fused 64-bit read issued at the very
+    # last bit of the final block may touch up to 9 bytes past it
     buf = np.frombuffer(b"".join(blocks) + b"\0" * 9, dtype=np.uint8)
     return buf, starts[:-1] * 8  # bit offset of each series block
 
 
-def _lane_layout(n_points: np.ndarray):
-    """Sorted-descending lane layout: order (orig→sorted), per-iteration
-    active prefix counts, and flat output offsets per sorted lane."""
-    order = np.argsort(-n_points, kind="stable")
-    np_s = n_points[order]
-    max_n = int(np_s[0]) if len(np_s) else 0
-    # acts[i] = number of lanes with n_points > i (prefix length at point i)
-    acts = np.searchsorted(-np_s, -np.arange(max_n + 1), side="left")
-    off_s = np.zeros(len(np_s), dtype=np.int64)
-    np.cumsum(np_s[:-1], out=off_s[1:])
-    return order, np_s, acts, off_s, max_n
+def _presence_layout(buf, z_start_bits, zn, counts):
+    """Shared Z-section decode: per-point presence bits for every series,
+    plus the flat output index of each Z-covered point.
 
-
-def _flat_to_original(flat_sorted: np.ndarray, n_points: np.ndarray,
-                      order: np.ndarray, off_s: np.ndarray) -> np.ndarray:
-    """Reorder a lane-major flat array from sorted-lane order to original
-    lane order (one vectorized gather)."""
-    total = int(n_points.sum())
-    if total == 0:
-        return flat_sorted[:0]
-    sorted_pos = np.empty(len(order), dtype=np.int64)
-    sorted_pos[order] = np.arange(len(order))
-    starts_orig = off_s[sorted_pos]  # sorted-flat start of each orig lane
-    out_off = np.zeros(len(n_points) + 1, dtype=np.int64)
-    np.cumsum(n_points, out=out_off[1:])
-    intra = np.arange(total) - np.repeat(out_off[:-1], n_points)
-    return flat_sorted[np.repeat(starts_orig, n_points) + intra]
+    Returns (changed mask over Z points, el_sid, zflat point positions in
+    the concatenated output, nnz per series)."""
+    total_z = int(zn.sum())
+    s = len(zn)
+    el_sid = np.repeat(np.arange(s), zn)
+    intra = np.arange(total_z) - np.repeat(_excl_cumsum(zn)[:-1], zn)
+    unpacked = np.unpackbits(buf)
+    presence = unpacked[z_start_bits[el_sid] + intra]
+    changed = presence.astype(bool)
+    out_off = _excl_cumsum(counts)[:-1]
+    lead_pts = counts - zn  # points before the Z section (1 head, or 2 for ts)
+    zflat = out_off[el_sid] + lead_pts[el_sid] + intra
+    nnz = np.bincount(el_sid, weights=presence, minlength=s).astype(np.int64)
+    return changed, el_sid, zflat, nnz
 
 
 def decode_values_multi_flat(blocks: list[bytes], n_points: np.ndarray) -> np.ndarray:
     """Inverse of encode_values_multi for all series at once; returns ONE
     float64 array with every series' points concatenated in input order."""
     s = len(blocks)
-    n_points = np.asarray(n_points, dtype=np.int64)
-    if s == 0 or n_points.sum() == 0:
+    counts = np.asarray(n_points, dtype=np.int64)
+    total = int(counts.sum())
+    if s == 0 or total == 0:
         return np.zeros(0, dtype=np.float64)
     buf, bit0 = _concat_blocks(blocks)
-    order, np_s, acts, off_s, max_n = _lane_layout(n_points)
-    pos = bit0[order].astype(np.int64)
-    flat = np.zeros(int(np_s.sum()), dtype=np.uint64)
-    a0 = int(acts[0])
-    prev = np.zeros(s, dtype=np.uint64)
-    prev[:a0] = _bswap(_gather_bits(buf, pos[:a0], np.uint64(64)))
-    pos[:a0] += 64
-    flat[off_s[:a0]] = prev[:a0]
-    lead = np.zeros(s, dtype=np.uint64)
-    mlen = np.zeros(s, dtype=np.uint64)
-    for i in range(1, max_n):
-        a = int(acts[i])
-        p = pos[:a]
-        # fused read: control(2) + lead(5) + mlen(6) = 13 bits speculative;
-        # unneeded low bits are simply not consumed
-        g = _gather_bits(buf, p, np.uint64(13))
-        c1 = (g >> np.uint64(12)) & np.uint64(1)
-        changed = c1.astype(bool)
-        neww = changed & (((g >> np.uint64(11)) & np.uint64(1)) == 1)
-        lead[:a] = np.where(neww, (g >> np.uint64(6)) & np.uint64(0x1F), lead[:a])
-        mlen[:a] = np.where(neww, (g & np.uint64(0x3F)) + np.uint64(1), mlen[:a])
-        p += 1 + changed + neww * 11
-        ml = np.where(changed, mlen[:a], np.uint64(0))
-        meaning = _gather_bits(buf, p, ml)
-        p += ml.astype(np.int64)
-        sh = np.uint64(64) - lead[:a] - mlen[:a]
-        sh = np.where(sh >= np.uint64(64), np.uint64(0), sh)
-        prev[:a] = np.where(changed, prev[:a] ^ (meaning << sh), prev[:a])
-        flat[off_s[:a] + i] = prev[:a]
-    return _flat_to_original(flat, n_points, order, off_s).view(np.float64)
+    nz = counts > 0
+    heads = _bswap(_gather_bits(buf, bit0[nz], np.uint64(64)))
+    zn = np.maximum(counts - 1, 0)
+    z_start = bit0 + 64 * nz
+    changed, el_sid, zflat, nnz = _presence_layout(buf, z_start, zn, counts)
+
+    h_start = z_start + ((zn + 7) >> 3 << 3)
+    ch = np.flatnonzero(changed)
+    ch_sid = el_sid[ch]
+    # rank of each changed point within its series' changed set
+    rank = np.arange(len(ch)) - np.repeat(_excl_cumsum(nnz)[:-1][nnz > 0], nnz[nnz > 0])
+    hdr = _gather_bits(buf, h_start[ch_sid] + 11 * rank, np.uint64(11))
+    lead = (hdr >> np.uint64(6)) & np.uint64(0x1F)
+    mlen = (hdr & np.uint64(0x3F)) + np.uint64(1)
+
+    p_start = h_start + ((11 * nnz + 7) >> 3 << 3)
+    p_off = _seg_cumsum(mlen.astype(np.int64), nnz) - mlen.astype(np.int64)
+    payload = _gather_bits(buf, p_start[ch_sid] + p_off, mlen)
+    xor = payload << (np.uint64(64) - lead - mlen)
+
+    delta = np.zeros(total, dtype=np.uint64)
+    delta[zflat[ch]] = xor
+    out_off = _excl_cumsum(counts)[:-1]
+    delta[out_off[nz]] = heads
+    c = np.bitwise_xor.accumulate(delta)
+    pre = c[out_off[nz]] ^ heads
+    vals = c ^ np.repeat(pre, counts[nz])
+    return vals.view(np.float64)
 
 
 def decode_values_multi(blocks: list[bytes], n_points: np.ndarray) -> list[np.ndarray]:
     """List-of-arrays wrapper over decode_values_multi_flat."""
     n_points = np.asarray(n_points, dtype=np.int64)
     flat = decode_values_multi_flat(blocks, n_points)
-    offs = np.zeros(len(n_points) + 1, dtype=np.int64)
-    np.cumsum(n_points, out=offs[1:])
+    offs = _excl_cumsum(n_points)
     return [flat[offs[j] : offs[j + 1]] for j in range(len(n_points))]
 
 
@@ -494,65 +559,64 @@ def decode_timestamps_multi_flat(blocks: list[bytes], n_points: np.ndarray) -> n
     """Inverse of encode_timestamps_multi for all series at once; returns
     ONE int64 array, all series concatenated in input order."""
     s = len(blocks)
-    n_points = np.asarray(n_points, dtype=np.int64)
-    if s == 0 or n_points.sum() == 0:
+    counts = np.asarray(n_points, dtype=np.int64)
+    total = int(counts.sum())
+    if s == 0 or total == 0:
         return np.zeros(0, dtype=np.int64)
     buf, bit0 = _concat_blocks(blocks)
-    order, np_s, acts, off_s, max_n = _lane_layout(n_points)
-    pos = bit0[order].astype(np.int64)
-    flat = np.zeros(int(np_s.sum()), dtype=np.int64)
-    a0 = int(acts[0])
-    cur = np.zeros(s, dtype=np.int64)
-    cur[:a0] = _bswap(_gather_bits(buf, pos[:a0], np.uint64(64))).view(np.int64)
-    pos[:a0] += 64
-    flat[off_s[:a0]] = cur[:a0]
-    d = np.zeros(s, dtype=np.int64)
-    if max_n > 1:
-        a1 = int(acts[1])
-        d[:a1] = _bswap(_gather_bits(buf, pos[:a1], np.uint64(64))).view(np.int64)
-        pos[:a1] += 64
-        cur[:a1] += d[:a1]
-        flat[off_s[:a1] + 1] = cur[:a1]
-    for i in range(2, max_n):
-        a = int(acts[i])
-        p = pos[:a]
-        # fused read of the full delta-of-delta prefix code: worst case
-        # '1111' + 32-bit payload = 36 bits speculative
-        g = _gather_bits(buf, p, np.uint64(36))
-        b0 = ((g >> np.uint64(35)) & np.uint64(1)).astype(bool)
-        b1 = ((g >> np.uint64(34)) & np.uint64(1)).astype(bool)
-        b2 = ((g >> np.uint64(33)) & np.uint64(1)).astype(bool)
-        b3 = ((g >> np.uint64(32)) & np.uint64(1)).astype(bool)
-        case1 = b0 & ~b1                # '10'   + 7
-        case2 = b0 & b1 & ~b2           # '110'  + 9
-        case3 = b0 & b1 & b2 & ~b3      # '1110' + 12
-        case4 = b0 & b1 & b2 & b3       # '1111' + 32
-        dod = np.zeros(a, dtype=np.int64)
-        dod = np.where(case1, ((g >> np.uint64(27)) & np.uint64(0x7F)).view(np.int64) - 63, dod)
-        dod = np.where(case2, ((g >> np.uint64(24)) & np.uint64(0x1FF)).view(np.int64) - 255, dod)
-        dod = np.where(case3, ((g >> np.uint64(20)) & np.uint64(0xFFF)).view(np.int64) - 2047, dod)
-        dod = np.where(
-            case4,
-            (g & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).astype(np.int64),
-            dod,
-        )
-        p += (
-            1
-            + b0 * np.where(case1, 8, np.where(case2, 11, np.where(case3, 15, 35)))
-        )
-        d[:a] += dod
-        cur[:a] += d[:a]
-        flat[off_s[:a] + i] = cur[:a]
-    return _flat_to_original(flat, n_points, order, off_s)
+    nz = counts > 0
+    t0 = _bswap(_gather_bits(buf, bit0[nz], np.uint64(64))).view(np.int64)
+    two = counts >= 2
+    d0 = _bswap(_gather_bits(buf, (bit0 + 64)[two], np.uint64(64))).view(np.int64)
+    zn = np.maximum(counts - 2, 0)
+    z_start = bit0 + 64 * nz + 64 * two
+    changed, el_sid, zflat, nnz = _presence_layout(buf, z_start, zn, counts)
+
+    cl_start = z_start + ((zn + 7) >> 3 << 3)
+    ch = np.flatnonzero(changed)
+    ch_sid = el_sid[ch]
+    rank = np.arange(len(ch)) - np.repeat(_excl_cumsum(nnz)[:-1][nnz > 0], nnz[nnz > 0])
+    cls = _gather_bits(buf, cl_start[ch_sid] + 2 * rank, np.uint64(2)).astype(np.int64)
+    widths = _DOD_WIDTHS[cls]
+
+    p_start = cl_start + ((2 * nnz + 7) >> 3 << 3)
+    p_off = _seg_cumsum(widths, nnz) - widths
+    payload = _gather_bits(buf, p_start[ch_sid] + p_off, widths)
+    dod = np.where(
+        cls == 3,
+        payload.astype(np.uint32).view(np.int32).astype(np.int64),
+        payload.view(np.int64) - _DOD_CLASS_BIAS[cls],
+    )
+
+    out_off = _excl_cumsum(counts)[:-1]
+    # D[start]=0, D[start+1]=d0, D[i>=2]=dod → segmented cumsum = d per point
+    D = np.zeros(total, dtype=np.int64)
+    D[zflat[ch]] = dod
+    D[(out_off + 1)[two]] = d0
+    d_abs = _seg_cumsum(D, counts)
+    # T[start]=t0, T[i>=1]=d_abs → segmented cumsum = absolute timestamps
+    d_abs[out_off[nz]] = t0
+    return _seg_cumsum(d_abs, counts)
 
 
 def decode_timestamps_multi(blocks: list[bytes], n_points: np.ndarray) -> list[np.ndarray]:
     """List-of-arrays wrapper over decode_timestamps_multi_flat."""
     n_points = np.asarray(n_points, dtype=np.int64)
     flat = decode_timestamps_multi_flat(blocks, n_points)
-    offs = np.zeros(len(n_points) + 1, dtype=np.int64)
-    np.cumsum(n_points, out=offs[1:])
+    offs = _excl_cumsum(n_points)
     return [flat[offs[j] : offs[j + 1]] for j in range(len(n_points))]
+
+
+def decode_values_v2(buf: bytes, n: int) -> np.ndarray:
+    """Single-block wrapper over the vectorized multi decoder (the block
+    format is the columnar v2 layout, NOT the paper-interleaved stream that
+    decode_values reads)."""
+    return decode_values_multi_flat([buf], np.array([n], dtype=np.int64))
+
+
+def decode_timestamps_v2(buf: bytes, n: int) -> np.ndarray:
+    """Single-block wrapper over the vectorized multi decoder."""
+    return decode_timestamps_multi_flat([buf], np.array([n], dtype=np.int64))
 
 
 def decode_flags_multi(blocks: list[bytes], n_points: np.ndarray) -> list[np.ndarray]:

@@ -201,12 +201,13 @@ def agg_rows(packed: "rd.Dataset") -> "rd.Dataset":
 
 
 def decode_tier_blocks(blocks: "rd.Dataset") -> "rd.Dataset":
-    # batch_size trades lockstep lane width (wider = better per-iteration
-    # amortization) against per-task output size (~250 points/series →
-    # ~8M points ≈ 1.3 GB decoded per task at 32k series); 32k measured
-    # best on the sf0.1 shape (337k pts/s/core vs 295k at 128k)
+    # The vectorized columnar-v2 decoder is flat in batch size, so size
+    # batches by OUTPUT volume: each block row explodes to ~n_points rows
+    # x ~140 B (strings replicated per point). 1024 rows = ~0.4M points =
+    # ~60 MB per task, well under the object-store block target; 32k rows
+    # (~2 GB/task) measured 17x slower end-to-end from spill pressure.
     return blocks.map_batches(
-        decode_blocks_batch, batch_format="pyarrow", batch_size=32768
+        decode_blocks_batch, batch_format="pyarrow", batch_size=1024
     )
 
 
@@ -283,6 +284,9 @@ def run_pipeline(
         # computed by an older engine (different metric list) must never
         # be resumed into
         "metrics": list(METRIC_NAMES),
+        # on-disk Gorilla block layout version — bump on codec format
+        # changes so blocks from an older layout are recomputed, not reused
+        "block_format": "gorilla-columnar-v2",
     }
 
     def _lineage_matches(manifest: dict) -> bool:

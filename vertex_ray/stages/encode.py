@@ -15,10 +15,8 @@ import pyarrow as pa
 
 from vertex_ray.gorilla import (
     decode_flags,
-    decode_timestamps,
-    decode_timestamps_multi,
-    decode_values,
-    decode_values_multi,
+    decode_timestamps_v2,
+    decode_values_v2,
     encode_flags_multi,
     encode_timestamps_multi,
     encode_values_multi,
@@ -102,11 +100,11 @@ class GorillaEncode:
 def decode_block_row(row: dict) -> dict[str, np.ndarray]:
     """One block row → decoded parallel arrays (bit-for-bit)."""
     n = int(row["n_points"])
-    ws = decode_timestamps(row["ts_block"], n)
+    ws = decode_timestamps_v2(row["ts_block"], n)
     names = ["sum", "count", "min", "max", "last"]
     if row["kind"] == KIND_HISTOGRAM:
         names += list(BUCKET_COLS)
-    vals = {nm: decode_values(vb, n) for nm, vb in zip(names, row["val_blocks"])}
+    vals = {nm: decode_values_v2(vb, n) for nm, vb in zip(names, row["val_blocks"])}
     flags = decode_flags(row["flags"], n)
     return {
         "series_key": np.full(n, row["series_key"], dtype=object),
@@ -121,11 +119,12 @@ def decode_block_row(row: dict) -> dict[str, np.ndarray]:
 
 def decode_blocks_batch(batch: pa.Table) -> pa.Table:
     """map_batches body: block rows → decoded tier rows (verification and
-    read path). One lockstep flat decode per stream over the WHOLE batch —
-    the decoders sort lanes by length internally so vector work is exactly
-    Σ n_points regardless of length skew, and the flat return means no
-    per-series Python slicing or concatenation here. This replaced a
-    per-row Python BitReader loop that was ~40% of round-1 end-to-end time.
+    read path). One flat vectorized decode per stream over the WHOLE batch
+    (the columnar-v2 decoders reconstruct every series with segmented
+    scans — no per-point loop, no length-skew sensitivity). This replaced
+    a per-row Python BitReader loop (~40% of round-1 end-to-end time) and
+    then a lockstep-lane decoder that was still iteration-bound on long
+    series.
 
     Pure numpy/Arrow — a pandas hop here would canonicalize the stale NaN
     payload and break the bit-for-bit contract."""
