@@ -73,27 +73,38 @@ def _ctz64(x: np.ndarray) -> np.ndarray:
 def pack_bits(codes: np.ndarray, lengths: np.ndarray) -> bytes:
     """Concatenate variable-length MSB-first bit fields (each ≤ 64 bits).
 
-    Bit-expansion strategy: materialize one uint8 per OUTPUT BIT (source
-    field found with np.repeat, bit extracted with a vectorized shift),
-    then ``np.packbits``. Every op is a contiguous C kernel — no scatter
-    (``ufunc.at``) anywhere, which profiling showed dominated the encoder.
-    Zero-length fields are skipped; output is zero-padded to a whole byte
-    (same as packbits)."""
+    Bit-LANE strategy: one scatter pass per bit position j (lane j writes
+    bit j of every field longer than j bits into a zeroed bit grid), then
+    one ``np.packbits``. Work per lane shrinks with the number of fields
+    that long, so total scatter work is exactly the output bit count —
+    with ~9 B/bit of memory traffic, vs ~40 B/bit for the repeat/gather
+    expansion this replaced (which materialized int64 field indices and
+    shifts per output bit). Zero-length fields are skipped; output is
+    zero-padded to a whole byte (same as packbits)."""
     lengths = np.asarray(lengths, dtype=np.int64)
     keep = lengths > 0
     codes = np.asarray(codes)[keep].astype(np.uint64, copy=False)
     lengths = lengths[keep]
     if len(codes) == 0:
         return b""
-    # uint64 end-to-end so the only big cast is the final uint8 for packbits
-    lengths_u = lengths.astype(np.uint64)
-    end_u = np.cumsum(lengths_u)  # exclusive end bit of each field
-    total_bits = int(end_u[-1])
-    fidx = np.repeat(np.arange(len(codes)), lengths)
-    # shift = (end_of_field - 1) - absolute_bit_position
-    shift = (end_u - np.uint64(1))[fidx] - np.arange(total_bits, dtype=np.uint64)
-    bits = ((codes[fidx] >> shift) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits).tobytes()
+    starts = np.cumsum(lengths) - lengths  # absolute start bit per field
+    total_bits = int(starts[-1] + lengths[-1])
+    grid = np.zeros(total_bits, dtype=np.uint8)
+    # iterate lanes over fields sorted by length descending so each lane
+    # is a contiguous prefix slice (no boolean re-mask per lane)
+    order = np.argsort(-lengths, kind="stable")
+    codes = codes[order]
+    lengths = lengths[order]
+    starts = starts[order]
+    max_len = int(lengths[0])
+    # actives[j] = number of fields with length > j
+    actives = np.searchsorted(-lengths, -np.arange(max_len + 1), side="left")
+    for j in range(max_len):
+        a = int(actives[j])
+        grid[starts[:a] + j] = (
+            (codes[:a] >> (lengths[:a] - 1 - j).astype(np.uint64)) & np.uint64(1)
+        ).astype(np.uint8)
+    return np.packbits(grid).tobytes()
 
 
 class BitReader:
@@ -285,6 +296,32 @@ def _slices(buf: bytes, series_bits: np.ndarray, pad: np.ndarray) -> list[bytes]
     return [buf[starts[i]: starts[i + 1]] for i in range(len(series_bytes))]
 
 
+def _pack_const_per_series(codes: np.ndarray, w: int,
+                           counts: np.ndarray) -> list[bytes]:
+    """Pack CONSTANT-width (w ≤ 16) fields, grouped series-major, into
+    per-series byte-aligned sections. Scatters each bit lane straight into
+    a padded bit grid (w scatters + one packbits) — an order of magnitude
+    less memory traffic than the general pack_bits field expansion, and
+    the presence (w=1) sections cover every point of every stream."""
+    counts = np.asarray(counts, dtype=np.int64)
+    s = len(counts)
+    n = len(codes)
+    bits_per = counts * w
+    padded = (bits_per + 7) >> 3 << 3
+    starts = _excl_cumsum(padded)[:-1]
+    total = int(padded.sum())
+    if n == 0 or total == 0:
+        return [b""] * s
+    grid = np.zeros(total, dtype=np.uint8)
+    sid = np.repeat(np.arange(s), counts)
+    intra = np.arange(n) - np.repeat(_excl_cumsum(counts)[:-1], counts)
+    base = starts[sid] + w * intra
+    c = np.asarray(codes, dtype=np.uint64)
+    for j in range(w):
+        grid[base + j] = ((c >> np.uint64(w - 1 - j)) & np.uint64(1)).astype(np.uint8)
+    return _slices(np.packbits(grid).tobytes(), bits_per, padded - bits_per)
+
+
 def _pack_per_series(codes: np.ndarray, lens: np.ndarray,
                      counts: np.ndarray) -> list[bytes]:
     """Pack variable-width fields, grouped series-major (counts[i] fields
@@ -349,15 +386,11 @@ def encode_values_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
 
     nonstart = ~is_start
     zn = np.maximum(counts - 1, 0)
-    z_sections = _pack_per_series(
-        changed[nonstart].astype(np.uint64), np.ones(int(zn.sum()), dtype=np.int64), zn
-    )
+    z_sections = _pack_const_per_series(changed[nonstart], 1, zn)
     sid = np.repeat(np.arange(s), counts)
     h_counts = np.bincount(sid[changed], minlength=s)
     h_codes = (lead << np.uint64(6)) | (mlen - np.uint64(1))
-    h_sections = _pack_per_series(
-        h_codes, np.full(len(h_codes), 11, dtype=np.int64), h_counts
-    )
+    h_sections = _pack_const_per_series(h_codes, 11, h_counts)
     p_sections = _pack_per_series(
         xor[changed] >> trail, mlen.astype(np.int64), h_counts
     )
@@ -417,14 +450,10 @@ def encode_timestamps_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes
     )
 
     zn = np.maximum(counts - 2, 0)
-    z_sections = _pack_per_series(
-        changed[tail].astype(np.uint64), np.ones(int(zn.sum()), dtype=np.int64), zn
-    )
+    z_sections = _pack_const_per_series(changed[tail], 1, zn)
     sid = np.repeat(np.arange(s), counts)
     c_counts = np.bincount(sid[changed], minlength=s)
-    cl_sections = _pack_per_series(
-        cls.astype(np.uint64), np.full(len(cls), 2, dtype=np.int64), c_counts
-    )
+    cl_sections = _pack_const_per_series(cls, 2, c_counts)
     p_sections = _pack_per_series(payload, widths, c_counts)
 
     heads0 = _np_heads(ts[starts[counts > 0]].view(np.uint64))
@@ -651,19 +680,10 @@ def encode_flags_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
     s = len(offsets) - 1
     if n == 0:
         return [b""] * s
-    counts = np.diff(offsets)
-    f = s + n
-    codes = np.zeros(f, dtype=np.uint64)
-    lens = np.zeros(f, dtype=np.int64)
-    sid = np.repeat(np.arange(s), counts)
-    pos = np.arange(n) + sid
-    codes[pos] = (np.asarray(flat, dtype=np.uint64)) & np.uint64(3)
-    lens[pos] = 2
-    series_bits = counts * 2
-    pad = (-series_bits) % 8
-    lens[offsets[1:] + np.arange(s)] = pad
-    buf = pack_bits(codes, lens)
-    return _slices(buf, series_bits, pad)
+    counts = np.diff(np.asarray(offsets, dtype=np.int64))
+    return _pack_const_per_series(
+        np.asarray(flat, dtype=np.uint64) & np.uint64(3), 2, counts
+    )
 
 
 def encode_flags(flags: np.ndarray) -> bytes:

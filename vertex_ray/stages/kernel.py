@@ -200,69 +200,89 @@ def fill_arrays(
 
     total = int(n_fill.sum())
     s = int(stale_mask.sum())
-    parts_uid = [uid]
-    parts_w = [w]
-    parts = {
-        k: [agg[k]] for k in ("sum", "count", "min", "max", "last", "last_ts")
-    }
-    parts_b = [agg["buckets"]]
-    parts_filled = [np.zeros(n, dtype=bool)]
-    parts_stale = [np.zeros(n, dtype=bool)]
+    # The input is (uid, window)-sorted and every synthesized row (the
+    # fills, then the optional stale marker) belongs immediately AFTER its
+    # source row — so each row's OUTPUT position is computable directly
+    # and the result is born sorted: three scatters instead of
+    # concatenate + global lexsort + per-column gathers.
+    n_out = n + total + s
+    extra = n_fill + stale_mask
+    off = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        off[1:] = np.cumsum(extra[:-1])
+    dst0 = np.arange(n) + off  # output position of each original row
+
+    out_uid = np.empty(n_out, dtype=np.int64)
+    out_w = np.empty(n_out, dtype=np.int64)
+    sums = np.empty(n_out, dtype=np.float64)
+    cnts = np.empty(n_out, dtype=np.int64)
+    mins = np.empty(n_out, dtype=np.float64)
+    maxs = np.empty(n_out, dtype=np.float64)
+    lasts = np.empty(n_out, dtype=np.float64)
+    last_ts = np.empty(n_out, dtype=np.int64)
+    bk = np.zeros((n_out, N_BUCKETS), dtype=np.int64)
+    filled = np.zeros(n_out, dtype=bool)
+    stale = np.zeros(n_out, dtype=bool)
+
+    out_uid[dst0] = uid
+    out_w[dst0] = w
+    sums[dst0] = agg["sum"]
+    cnts[dst0] = agg["count"]
+    mins[dst0] = agg["min"]
+    maxs[dst0] = agg["max"]
+    lasts[dst0] = agg["last"]
+    last_ts[dst0] = agg["last_ts"]
+    bk[dst0] = agg["buckets"]
 
     if total:
         idx = np.repeat(np.arange(n), n_fill)
         pos = np.arange(total) - np.repeat(np.cumsum(n_fill) - n_fill, n_fill) + 1
+        dstf = dst0[idx] + pos
         is_hist = kind_hist[idx]
         is_gauge = kind_gauge[idx]
         is_ctr = ~(is_hist | is_gauge)  # counters fill as zero-increment
         last = agg["last"][idx]
-        parts_uid.append(uid[idx])
-        parts_w.append(w[idx] + pos * window_seconds)
+        out_uid[dstf] = uid[idx]
+        out_w[dstf] = w[idx] + pos * window_seconds
         # gauges LOCF the last-observed value into sum/min/max/last
         # (stages/fill gauge contract); histograms carry the cumulative row
-        parts["sum"].append(
-            np.where(is_ctr, 0.0, np.where(is_gauge, last, agg["sum"][idx]))
-        )
-        parts["count"].append(np.where(is_hist, agg["count"][idx], 0))
-        parts["min"].append(
-            np.where(is_ctr, np.nan, np.where(is_gauge, last, agg["min"][idx]))
-        )
-        parts["max"].append(
-            np.where(is_ctr, np.nan, np.where(is_gauge, last, agg["max"][idx]))
-        )
-        parts["last"].append(np.where(is_ctr, 0.0, last))
-        parts["last_ts"].append(agg["last_ts"][idx])
-        parts_b.append(np.where(is_hist[:, None], agg["buckets"][idx], 0))
-        parts_filled.append(np.ones(total, dtype=bool))
-        parts_stale.append(np.zeros(total, dtype=bool))
+        sums[dstf] = np.where(is_ctr, 0.0, np.where(is_gauge, last, agg["sum"][idx]))
+        cnts[dstf] = np.where(is_hist, agg["count"][idx], 0)
+        mins[dstf] = np.where(is_ctr, np.nan, np.where(is_gauge, last, agg["min"][idx]))
+        maxs[dstf] = np.where(is_ctr, np.nan, np.where(is_gauge, last, agg["max"][idx]))
+        lasts[dstf] = np.where(is_ctr, 0.0, last)
+        last_ts[dstf] = agg["last_ts"][idx]
+        # bucket vectors only exist on histogram rows; non-hist stay zero
+        hsel = np.flatnonzero(is_hist)
+        if len(hsel):
+            bk[dstf[hsel]] = agg["buckets"][idx[hsel]]
+        filled[dstf] = True
     if s:
         src = np.flatnonzero(stale_mask)
-        parts_uid.append(uid[src])
-        parts_w.append(stale_w[src])
-        parts["sum"].append(np.full(s, np.nan))
-        parts["count"].append(np.zeros(s, dtype=np.int64))
-        parts["min"].append(np.full(s, np.nan))
-        parts["max"].append(np.full(s, np.nan))
-        parts["last"].append(np.full(s, np.nan))
-        parts["last_ts"].append(agg["last_ts"][src])
-        parts_b.append(np.zeros((s, N_BUCKETS), dtype=np.int64))
-        parts_filled.append(np.zeros(s, dtype=bool))
-        parts_stale.append(np.ones(s, dtype=bool))
+        dsts = dst0[src] + n_fill[src] + 1
+        out_uid[dsts] = uid[src]
+        out_w[dsts] = stale_w[src]
+        sums[dsts] = np.nan
+        cnts[dsts] = 0
+        mins[dsts] = np.nan
+        maxs[dsts] = np.nan
+        lasts[dsts] = np.nan
+        last_ts[dsts] = agg["last_ts"][src]
+        stale[dsts] = True
 
-    out_uid = np.concatenate(parts_uid)
-    out_w = np.concatenate(parts_w)
-    order = np.lexsort((out_w, out_uid))
-    out = {
-        "uid": out_uid[order],
-        "window": out_w[order],
-        "buckets": np.concatenate(parts_b, axis=0)[order],
-        "filled": np.concatenate(parts_filled)[order],
-        "stale": np.concatenate(parts_stale)[order],
+    return {
+        "uid": out_uid,
+        "window": out_w,
+        "sum": sums,
+        "count": cnts,
+        "min": mins,
+        "max": maxs,
+        "last": lasts,
+        "last_ts": last_ts,
+        "buckets": bk,
+        "filled": filled,
+        "stale": stale,
     }
-    for k, chunks in parts.items():
-        arr = np.concatenate([np.asarray(c, dtype=np.float64 if k not in ("count", "last_ts") else np.int64) for c in chunks])
-        out[k] = arr[order]
-    return out
 
 
 # ---------------------------------------------------------------------------
