@@ -231,6 +231,17 @@ def _q_gauge_1h(sf_dir: str):
     return _metric_tier(sf_dir, "1h", "conv_turn_idx", _LAT_COLS)
 
 
+def _q_internal_counters(sf_dir: str):
+    """Per-stage/per-partition rows+bytes+wall counters from the committed
+    pipeline manifests — the `vertex top` / internal_metrics analogue
+    (src/sources/internal_metrics.rs:35-60, src/top.rs:42-55). Rows-only
+    check (operational introspection, not data)."""
+    from vertex_ray.state.checkpoint import pipeline_counters
+
+    out = _ensure_pipeline(sf_dir)
+    return pipeline_counters(out)
+
+
 def _q_gauge_locf_roundtrip(sf_dir: str):
     """Gauge LOCF + stale markers read back THROUGH Gorilla blocks: gap
     windows carry the last-observed turn index forward
@@ -299,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m_turn_gauge": _q_gauge_1m,
         "rollup_1h_turn_gauge": _q_gauge_1h,
         "gorilla_roundtrip_1m_gauge_locf": _q_gauge_locf_roundtrip,
+        "internal_counters": _q_internal_counters,
     }
 
 

@@ -150,3 +150,31 @@ def test_sessionize_and_sliding_windows(events_ds):
     # every sliding count >= the tumbling 60s count it contains
     assert (sw["count"] >= 1).all()
     assert sw.groupby(["event_type", "window_start"]).size().max() == 1
+
+
+def test_route_split_multi_output(ray_session):
+    """route as true multi-output ports (route.rs:73-135): each port is a
+    filtered Dataset view; a row can match several ports; non-matching
+    rows land on _unmatched only."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vertex_ray.stages.ops import route_split
+
+    t = pa.table({"x": [1, 5, 10, 15, -3], "tag": ["a", "b", "a", "c", "b"]})
+    ports = route_split(
+        rd.from_arrow(t),
+        {
+            "big": lambda t: pc.greater(t["x"], 8),
+            "tag_a": lambda t: pc.equal(t["tag"], "a"),
+        },
+    )
+    assert set(ports) == {"big", "tag_a", "_unmatched"}
+    big = ports["big"].to_pandas()
+    tag_a = ports["tag_a"].to_pandas()
+    unmatched = ports["_unmatched"].to_pandas()
+    assert sorted(big["x"]) == [10, 15]
+    assert sorted(tag_a["x"]) == [1, 10]  # x=10 matches BOTH ports
+    assert sorted(unmatched["x"]) == [-3, 5]
+    # flag columns travel with each port for downstream routing decisions
+    assert bool(big[big["x"] == 10]["route_tag_a"].iloc[0])

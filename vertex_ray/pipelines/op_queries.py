@@ -318,6 +318,35 @@ def q_langid_docs(sf_dir: str):
     )
 
 
+def _sql_langid() -> str:
+    from vertex_ray.stages.text import STOPWORDS
+
+    hit_cols = ", ".join(
+        "SUM(CASE WHEN w IN ({vals}) THEN 1 ELSE 0 END) AS h_{lang}".format(
+            vals=", ".join(f"'{v}'" for v in sorted(sw)), lang=lang
+        )
+        for lang, sw in STOPWORDS.items()
+    )
+    gmax = "GREATEST({})".format(", ".join(f"h_{lang}" for lang in STOPWORDS))
+    first_max = " ".join(
+        f"WHEN h_{lang} = {gmax} THEN '{lang}'" for lang in STOPWORDS
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zà-ÿ'']+')) AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, COUNT(*) AS n_words, {hit_cols}
+  FROM words GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN c.doc_id IS NULL OR {gmax} = 0 THEN 'und' {first_max} END AS lang_pred,
+  CASE WHEN c.doc_id IS NULL THEN 0.0
+       ELSE CAST({gmax} AS DOUBLE) / n_words END AS lang_conf
+FROM documents d LEFT JOIN c USING (doc_id)
+"""
+
+
 def q_fingerprint_docs(sf_dir: str):
     from vertex_ray.stages.text import fingerprint_op
 
@@ -792,6 +821,7 @@ OP_ORACLES = {
     "op_lineitem_agg": SQL_LINEITEM_AGG,
     "op_tokens_docs": SQL_TOKENS_DOCS,
     "op_quality_docs": SQL_QUALITY_DOCS,
+    "op_langid_docs": _sql_langid(),
     "op_ann_topk": SQL_ANN_TOPK,
     "op_embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,

@@ -8,10 +8,14 @@ Ray-first: a process-global mutable set does not distribute, so the limit
 is enforced with the engine's own primitives in two passes over the
 column, both cheap:
 
-1. Budget pass — per-batch partial distinct sets (map_batches) →
-   driver-side union in FIRST-SEEN order by a deterministic order column
-   (min ``order_col`` per value), truncated to the limit. This is a small
-   aggregate (bounded by the limit × batches), not a full shuffle.
+1. Budget pass — per-batch partial distinct sets, each TRUNCATED to the
+   first `limit` values by min ``order_col`` (lossless: a value in the
+   global first-`limit` attains its global min order in some batch, and
+   fewer than `limit` values can precede it there, so it survives that
+   batch's truncation) → distributed ``groupby(v).min(o)`` →
+   ``sort.limit(limit)``. The driver only ever sees `limit` rows — a
+   high-cardinality tag at 100 TB never lands its value set on the
+   driver.
 2. Enforce pass — broadcast the allowed set via ``ray.put`` once, filter /
    blank the tag inside ``map_batches`` (the drop / drop-tag actions).
 
@@ -31,7 +35,7 @@ import ray
 
 def allowed_values(ds, tag_col: str, order_col: str, limit: int) -> set:
     """First `limit` distinct values of tag_col by first appearance
-    (min order_col)."""
+    (min order_col). Fully distributed; the driver receives `limit` rows."""
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -43,12 +47,20 @@ def allowed_values(ds, tag_col: str, order_col: str, limit: int) -> set:
             }
         )
         g = df.groupby("v", sort=False)["o"].min().reset_index()
+        # per-batch truncation to the limit is lossless for the global
+        # top-limit (see module docstring) and bounds everything downstream
+        g = g.sort_values(["o", "v"], kind="stable").head(limit)
         return pa.table({"v": pa.array(g["v"]), "o": pa.array(g["o"])})
 
-    firsts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    firsts = firsts.groupby("v", sort=False)["o"].min().reset_index()
-    firsts = firsts.sort_values(["o", "v"], kind="stable")
-    return set(firsts["v"].head(limit))
+    firsts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .min("o")
+        .sort(["min(o)", "v"])
+        .limit(limit)
+        .to_pandas()
+    )
+    return set(firsts["v"])
 
 
 def enforce_limit(ds, tag_col: str, allowed: set, action: str = "drop"):

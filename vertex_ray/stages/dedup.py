@@ -64,23 +64,34 @@ def _key_strings(t: pa.Table, key_cols: list[str]) -> np.ndarray:
     return key
 
 
-def dedup_exact(ds, key_cols: list[str], order_col: str):
-    """Global exact dedup: first row (min order_col) per type-tagged key."""
+def dedup_exact(ds, key_cols: list[str], order_col: str, n_buckets: int = 256):
+    """Global exact dedup: first row (min order_col) per type-tagged key.
+
+    Hash-BUCKETED shuffle: the groupby key is ``hash(key) % n_buckets``,
+    so one task handles a whole bucket of keys and dedups it with ONE
+    vectorized ``drop_duplicates`` — per-task overhead amortizes over
+    ~n_keys/n_buckets keys instead of paying a pandas call per distinct
+    key (which is task-overhead-bound at billions of keys). n_buckets
+    bounds per-task memory to ~|ds|/n_buckets rows."""
 
     def add_key(t: pa.Table) -> pa.Table:
-        return t.append_column("__dedup_key", pa.array(_key_strings(t, key_cols)))
+        key = _key_strings(t, key_cols)
+        bucket = (pd.util.hash_array(key) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__dedup_key", pa.array(key)).append_column(
+            "__bucket", pa.array(bucket)
+        )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
+    def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
         return (
             g.sort_values(order_col, kind="stable")
-            .head(1)
-            .drop(columns=["__dedup_key"])
+            .drop_duplicates("__dedup_key", keep="first")
+            .drop(columns=["__dedup_key", "__bucket"])
         )
 
     return (
         ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby("__dedup_key")
-        .map_groups(first, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(first_per_key, batch_format="pandas")
     )
 
 

@@ -210,19 +210,34 @@ def throttle_quota(
     window_seconds: int,
     threshold: int,
     tie_col: str,
+    n_buckets: int = 256,
 ):
+    """First `threshold` events by (ts, tie) per (key, window).
+
+    Hash-bucketed by key so one task quota-filters a whole bucket of keys
+    with ONE vectorized groupby().head() — not a pandas call per distinct
+    (key, window), which is task-overhead-bound at billions of keys."""
     import pandas as pd
 
     def add_window(t: pa.Table) -> pa.Table:
         ts = t[ts_col].cast(pa.int64()).to_numpy()
         w = ts // (window_seconds * 1_000_000) * window_seconds
-        return t.append_column("window_start", pa.array(w, type=pa.int64()))
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        bucket = (pd.util.hash_array(keys) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column(
+            "window_start", pa.array(w, type=pa.int64())
+        ).append_column("__bucket", pa.array(bucket))
 
     def take_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values([ts_col, tie_col], kind="stable").head(threshold)
+        return (
+            g.sort_values([ts_col, tie_col], kind="stable")
+            .groupby([key_col, "window_start"], sort=False)
+            .head(threshold)
+            .drop(columns=["__bucket"])
+        )
 
     return (
         ds.map_batches(add_window, batch_format="pyarrow")
-        .groupby([key_col, "window_start"])
+        .groupby("__bucket")
         .map_groups(take_first, batch_format="pandas")
     )

@@ -86,30 +86,48 @@ def quality_score_op(text_col: str = "text"):
     return fn
 
 
+LANG_WORD_CLASS = "[a-zà-ÿ']"  # post-lowercase word characters
+
+
 def lang_id_op(text_col: str = "text"):
     """Stopword-profile language ID: the language whose stopword set
-    covers the largest fraction of words wins; 'und' (undetermined) if no
-    stopword hits at all."""
+    covers the largest fraction of words wins (dict order breaks ties);
+    'und' (undetermined) if no stopword hits at all.
+
+    Fully vectorized: lowercase + regex word split are single Arrow
+    kernels over the batch, per-language stopword membership is one
+    ``pc.is_in`` over the flattened word array, per-doc hit counts come
+    from cumsum differences at the list offsets — no per-row Python."""
+    lang_names = list(STOPWORDS)
+    sw_sets = {lang: pa.array(sorted(sw)) for lang, sw in STOPWORDS.items()}
+    lang_arr = np.array(lang_names, dtype=object)
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_numpy(zero_copy_only=False)
-        langs = np.empty(len(texts), dtype=object)
-        confs = np.zeros(len(texts), dtype=np.float64)
-        for i, s in enumerate(texts):
-            words = [w.lower() for w in WORD_RE.findall(s or "")]
-            if not words:
-                langs[i] = "und"
-                continue
-            best, best_hits = "und", 0
-            for lang, sw in STOPWORDS.items():
-                hits = sum(w in sw for w in words)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs[i] = best
-            confs[i] = best_hits / len(words)
-        return t.append_column("lang_pred", pa.array(langs, type=pa.string())).append_column(
-            "lang_conf", pa.array(confs, type=pa.float64())
-        )
+        n = t.num_rows
+        col = pc.fill_null(t[text_col], "")
+        lists = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-zà-ÿ']+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        offsets = lists.offsets.to_numpy().astype(np.int64)
+
+        def seg_counts(mask: pa.Array) -> np.ndarray:
+            m = mask.to_numpy(zero_copy_only=False).astype(np.int64)
+            cum = np.zeros(len(m) + 1, dtype=np.int64)
+            np.cumsum(m, out=cum[1:])
+            return cum[offsets[1:]] - cum[offsets[:-1]]
+
+        n_words = seg_counts(pc.not_equal(flat, ""))
+        hits = np.zeros((len(lang_names), n), dtype=np.int64)
+        for li, lang in enumerate(lang_names):
+            hits[li] = seg_counts(pc.is_in(flat, value_set=sw_sets[lang]))
+        best = np.argmax(hits, axis=0)  # first max wins = dict-order ties
+        best_hits = hits[best, np.arange(n)]
+        langs = np.where(best_hits > 0, lang_arr[best], "und")
+        confs = np.where(n_words > 0, best_hits / np.maximum(n_words, 1), 0.0)
+        return t.append_column(
+            "lang_pred", pa.array(langs, type=pa.string())
+        ).append_column("lang_conf", pa.array(confs, type=pa.float64()))
 
     return fn
 

@@ -24,6 +24,18 @@ MANIFEST = "manifest.json"
 SUCCESS = "_SUCCESS"
 
 
+def _footer_rows(paths: list[str]) -> list[int]:
+    """Parquet footer row counts, read concurrently — a serial driver-side
+    footer loop over hundreds of stage files is a fixed tail that does not
+    shrink with cluster size."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(paths) <= 2:
+        return [fsio.parquet_metadata(p).num_rows for p in paths]
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        return list(ex.map(lambda p: fsio.parquet_metadata(p).num_rows, paths))
+
+
 def stage_done(path: str) -> bool:
     """A stage is complete iff its manifest exists and matches the files
     actually present (guards against truncated/partial copies)."""
@@ -32,11 +44,11 @@ def stage_done(path: str) -> bool:
         return False
     try:
         manifest = fsio.read_json(mpath)
-        for fname, meta in manifest["files"].items():
-            md = fsio.parquet_metadata(posixpath.join(path, fname))
-            if md.num_rows != meta["rows"]:
-                return False
-        return True
+        names = sorted(manifest["files"])
+        rows = _footer_rows([posixpath.join(path, f) for f in names])
+        return all(
+            manifest["files"][f]["rows"] == r for f, r in zip(names, rows)
+        )
     except Exception:
         return False
 
@@ -44,11 +56,16 @@ def stage_done(path: str) -> bool:
 def finalize_stage(tmp_path: str, final_path: str, lineage: dict | None = None) -> dict:
     """Seal a stage: write manifest into the temp dir, then atomically
     rename it into place. Returns the manifest."""
-    files = {}
-    for fname in fsio.listdir(tmp_path):
-        if fname.endswith(".parquet"):
-            md = fsio.parquet_metadata(posixpath.join(tmp_path, fname))
-            files[fname] = {"rows": md.num_rows, "bytes": md.serialized_size}
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [f for f in fsio.listdir(tmp_path) if f.endswith(".parquet")]
+
+    def meta(fname: str):
+        md = fsio.parquet_metadata(posixpath.join(tmp_path, fname))
+        return fname, {"rows": md.num_rows, "bytes": md.serialized_size}
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        files = dict(ex.map(meta, names))
     manifest = {"files": files, "rows": sum(m["rows"] for m in files.values()),
                 "lineage": lineage or {}}
     fsio.write_json(posixpath.join(tmp_path, MANIFEST), manifest)
@@ -71,6 +88,45 @@ def stage_files(path: str) -> list[str]:
 
 def read_manifest(path: str) -> dict:
     return fsio.read_json(posixpath.join(path, MANIFEST))
+
+
+def pipeline_counters(out_dir: str):
+    """Per-stage / per-partition counters table — the engine's analogue of
+    the reference's internal_metrics source + `vertex top` view
+    (src/sources/internal_metrics.rs:35-60, src/top.rs:42-55): one row per
+    committed stage file plus a per-stage total row, with rows, bytes and
+    the stage's recorded wall time. Reads only manifests (no data files),
+    so it is free at any scale."""
+    import pyarrow as pa
+
+    stages, files, rows, bytes_, wall = [], [], [], [], []
+    for entry in sorted(fsio.listdir(out_dir)):
+        mpath = posixpath.join(out_dir, entry, MANIFEST)
+        if not fsio.exists(mpath):
+            continue
+        manifest = fsio.read_json(mpath)
+        w = float(manifest.get("lineage", {}).get("wall_seconds", float("nan")))
+        for fname in sorted(manifest["files"]):
+            meta = manifest["files"][fname]
+            stages.append(entry)
+            files.append(fname)
+            rows.append(int(meta["rows"]))
+            bytes_.append(int(meta["bytes"]))
+            wall.append(float("nan"))
+        stages.append(entry)
+        files.append("__total__")
+        rows.append(int(manifest["rows"]))
+        bytes_.append(sum(int(m["bytes"]) for m in manifest["files"].values()))
+        wall.append(w)
+    return pa.table(
+        {
+            "stage": pa.array(stages, type=pa.string()),
+            "file": pa.array(files, type=pa.string()),
+            "rows": pa.array(rows, type=pa.int64()),
+            "bytes": pa.array(bytes_, type=pa.int64()),
+            "wall_seconds": pa.array(wall, type=pa.float64()),
+        }
+    )
 
 
 def write_stage(ds, final_path: str, lineage: dict | None = None) -> dict:
