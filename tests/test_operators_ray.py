@@ -178,3 +178,34 @@ def test_route_split_multi_output(ray_session):
     assert sorted(unmatched["x"]) == [-3, 5]
     # flag columns travel with each port for downstream routing decisions
     assert bool(big[big["x"] == 10]["route_tag_a"].iloc[0])
+
+
+def test_summarize_summary_kind(ray_session):
+    """Summary metric kind: count/sum + exact discrete quantiles per
+    (tag, window); quantile index rule = ceil(q*n)-1 of the sorted group
+    (matches DuckDB quantile_disc, the oracle)."""
+    import ray.data as rd
+
+    from vertex_ray.stages.metricalize import summarize
+
+    ts = pa.array([1_000_000 * s for s in [1, 2, 3, 4, 61, 62]], pa.timestamp("us"))
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "a", "a", "b"],
+            "ts": ts,
+            "v": [4.0, 1.0, 3.0, 2.0, 9.0, 7.0],
+        }
+    )
+    out = (
+        summarize(rd.from_arrow(t), ["k"], "v", "ts", 60)
+        .to_pandas()
+        .sort_values(["k", "window_start"])
+        .reset_index(drop=True)
+    )
+    # group (a, 0): sorted [1,2,3,4] -> q50=idx ceil(0.5*4)-1=1 -> 2.0;
+    # q90=idx ceil(3.6)-1=3 -> 4.0
+    row = out.iloc[0]
+    assert row["count"] == 4 and row["sum"] == 10.0
+    assert row["q50"] == 2.0 and row["q90"] == 4.0 and row["q99"] == 4.0
+    # singleton groups: every quantile is the value itself
+    assert out.iloc[1]["q50"] == 9.0 and out.iloc[2]["q99"] == 7.0

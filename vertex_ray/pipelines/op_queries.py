@@ -176,6 +176,31 @@ def q_metricalize_events(sf_dir: str):
     return out.map_batches(shape, batch_format="pandas")
 
 
+def q_summary_events(sf_dir: str):
+    """Summary metric kind: exact per-(tag, 1m-window) discrete quantiles
+    + count (MetricValue::Summary; merge is a no-op upstream so groups see
+    raw values once). Sum excluded from the compare for the same
+    merge-order reason as metricalize."""
+    from vertex_ray.stages.metricalize import summarize
+
+    out = summarize(_ev(sf_dir), ["event_type"], "value", "ts", 60)
+
+    def shape(df):
+        return df[["event_type", "window_start", "count", "q50", "q90", "q99"]]
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
+SQL_SUMMARY_EVENTS = """
+SELECT event_type, (epoch_us(ts) // 60000000) * 60 AS window_start,
+       CAST(count(value) AS BIGINT) AS count,
+       quantile_disc(value, 0.5) AS q50,
+       quantile_disc(value, 0.9) AS q90,
+       quantile_disc(value, 0.99) AS q99
+FROM events GROUP BY 1, 2
+"""
+
+
 SQL_METRICALIZE_EVENTS = """
 SELECT event_type, (epoch_us(ts) // 60000000) * 60 AS window_start,
        count(*) AS count, min(value) AS min, max(value) AS max,
@@ -783,6 +808,7 @@ OP_QUERIES = {
     "op_dedup_events": q_dedup_events,
     "op_throttle_events": q_throttle_events,
     "op_metricalize_events": q_metricalize_events,
+    "op_summary_events": q_summary_events,
     "op_cardinality_events": q_cardinality_events,
     "op_enrich_customers": q_enrich_customers,
     "op_lineitem_agg": q_lineitem_agg,
@@ -816,6 +842,7 @@ OP_ORACLES = {
     "op_dedup_events": SQL_DEDUP_EVENTS,
     "op_throttle_events": SQL_THROTTLE_EVENTS,
     "op_metricalize_events": SQL_METRICALIZE_EVENTS,
+    "op_summary_events": SQL_SUMMARY_EVENTS,
     "op_cardinality_events": SQL_CARDINALITY_EVENTS,
     "op_enrich_customers": SQL_ENRICH_CUSTOMERS,
     "op_lineitem_agg": SQL_LINEITEM_AGG,

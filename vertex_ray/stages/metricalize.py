@@ -147,3 +147,60 @@ def metricalize(
         .groupby(tag_cols + ["window_start"])
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def summarize(
+    ds,
+    tag_cols: list[str],
+    value_col: str,
+    ts_col: str,
+    window_seconds: int = 60,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_buckets: int = 64,
+):
+    """Summary metric kind (MetricValue::Summary — count, sum, quantiles;
+    lib/event/src/metric/mod.rs:33-39): per (tags, window) exact discrete
+    quantiles + count + sum.
+
+    Unlike Sum/Gauge/Histogram, vertex's Summary merge is a NO-OP
+    (quantiles are not mergeable, metric/mod.rs merge), so there is no
+    partial/combine split: each (tags, window) group must see all its raw
+    values once. One hash-bucketed shuffle co-locates ~n_groups/n_buckets
+    groups per task; inside, quantiles for EVERY group come from one sort
+    + one gather (index ceil(q*n)-1 of the sorted group — DuckDB
+    quantile_disc's rule, so the oracle matches bit-for-bit on doubles)."""
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.int64()).to_numpy()
+        w = ts // (window_seconds * US_PER_SECOND) * window_seconds
+        keys = t[tag_cols[0]].to_numpy(zero_copy_only=False).astype(str)
+        for c in tag_cols[1:]:
+            keys = np.char.add(
+                np.char.add(keys, "\x1f"),
+                t[c].to_numpy(zero_copy_only=False).astype(str),
+            )
+        bucket = (pd.util.hash_array(keys) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column(
+            "window_start", pa.array(w, type=pa.int64())
+        ).append_column("__bucket", pa.array(bucket))
+
+    gcols = tag_cols + ["window_start"]
+
+    def bucket_summaries(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(gcols + [value_col], kind="stable")
+        vals = g[value_col].to_numpy()
+        grp = g.groupby(gcols, sort=False)
+        sizes = grp.size().to_numpy()
+        starts = np.cumsum(sizes) - sizes
+        out = grp.agg(count=(value_col, "size"), sum=(value_col, "sum")).reset_index()
+        out["count"] = out["count"].astype(np.int64)
+        for q in quantiles:
+            idx = starts + np.maximum(np.ceil(q * sizes).astype(np.int64) - 1, 0)
+            out[f"q{int(q * 100):02d}"] = vals[idx]
+        return out
+
+    return (
+        ds.map_batches(add_cols, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_summaries, batch_format="pandas")
+    )
