@@ -1,0 +1,279 @@
+"""Config → Dataset pipeline builder — the analogue of vertex's YAML
+topology (lib/framework/src/config/mod.rs:208-215 component graph +
+topology/builder.rs build_pieces, and `vertex validate`, src/validate.rs).
+
+A pipeline config is a dict (load it from YAML/JSON yourself):
+
+    {
+      "sources": {
+        "events": {"type": "parquet", "path": ".../events.parquet",
+                    "columns": ["ts", "value"]},
+        "logs":   {"type": "jsonl", "path": ".../logs.jsonl"},
+      },
+      "transforms": {
+        "big":   {"type": "filter", "inputs": ["events"],
+                   "where": ["value", ">", 100]},
+        "tagged": {"type": "relabel", "inputs": ["big"],
+                    "ops": [["set", "tier", "hot"]]},
+      },
+      "sinks": {
+        "out": {"type": "parquet", "inputs": ["tagged"], "path": "/tmp/out"},
+      },
+    }
+
+Same contract as the reference: components are named, wired by `inputs`
+lists, and the graph must be acyclic with every input defined
+(`validate()` is the dry-build, like `vertex validate`). Multiple inputs
+union; a transform producing multiple ports (route) exposes them as
+`name.port`.
+
+Every step maps to the library's vectorized stages — the builder adds no
+execution machinery of its own; it only assembles `ray.data.Dataset`
+chains, exactly as the SURVEY §2.7 extension surface promises. Custom
+steps register via ``STEP_TYPES``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow.compute as pc
+
+_OPS = {
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    "==": pc.equal,
+    "!=": pc.not_equal,
+}
+
+
+def _predicate(spec):
+    """["col", op, literal] → batch predicate; or a callable passes through."""
+    if callable(spec):
+        return spec
+    col, op, lit = spec
+    return lambda t: _OPS[op](t[col], lit)
+
+
+# --- source builders --------------------------------------------------------
+
+
+def _src_parquet(cfg):
+    import ray.data as rd
+
+    kwargs = {}
+    if cfg.get("columns"):
+        kwargs["columns"] = list(cfg["columns"])
+    return rd.read_parquet(cfg["path"], **kwargs)
+
+
+def _src_text_codec(decoder_name):
+    def build(cfg):
+        import functools
+
+        import ray.data as rd
+
+        from vertex_ray.sources import codecs
+
+        decode = getattr(codecs, decoder_name)
+        return rd.read_text(cfg["path"]).map_batches(
+            functools.partial(decode, **cfg.get("options", {})),
+            batch_format="pyarrow",
+        )
+
+    return build
+
+
+# --- transform builders (each returns Dataset -> Dataset) -------------------
+
+
+def _t_filter(cfg, ds):
+    from vertex_ray.stages.ops import filter_op
+
+    return ds.map_batches(filter_op(_predicate(cfg["where"])), batch_format="pyarrow")
+
+
+def _t_sample(cfg, ds):
+    from vertex_ray.stages.ops import sample_op
+
+    return ds.map_batches(
+        sample_op(cfg["rate"], cfg.get("key_field"), cfg.get("method", "hash")),
+        batch_format="pyarrow",
+    )
+
+
+def _t_relabel(cfg, ds):
+    from vertex_ray.stages.ops import relabel_ops
+
+    return ds.map_batches(
+        relabel_ops([tuple(op) for op in cfg["ops"]]), batch_format="pyarrow"
+    )
+
+
+def _t_dedup(cfg, ds):
+    from vertex_ray.stages.dedup import dedup_exact
+
+    return dedup_exact(ds, cfg["key_cols"], cfg["order_col"])
+
+
+def _t_throttle(cfg, ds):
+    from vertex_ray.stages.ops import throttle_quota
+
+    return throttle_quota(
+        ds, cfg["key_col"], cfg["ts_col"], cfg["window_seconds"],
+        cfg["threshold"], cfg["tie_col"],
+    )
+
+
+def _t_metricalize(cfg, ds):
+    from vertex_ray.stages.metricalize import metricalize
+
+    return metricalize(
+        ds, cfg["tag_cols"], cfg["value_col"], cfg["ts_col"],
+        cfg.get("window_seconds", 60), cfg.get("uppers"),
+        cfg.get("increment_by_value", True), cfg.get("order_col"),
+    )
+
+
+def _t_summarize(cfg, ds):
+    from vertex_ray.stages.metricalize import summarize
+
+    return summarize(
+        ds, cfg["tag_cols"], cfg["value_col"], cfg["ts_col"],
+        cfg.get("window_seconds", 60),
+        tuple(cfg.get("quantiles", (0.5, 0.9, 0.99))),
+    )
+
+
+def _t_text_op(op_factory_name):
+    def build(cfg, ds):
+        from vertex_ray.stages import text
+
+        factory = getattr(text, op_factory_name)
+        return ds.map_batches(
+            factory(cfg.get("text_col", "text")), batch_format="pyarrow"
+        )
+
+    return build
+
+
+def _t_route(cfg, ds):
+    from vertex_ray.stages.ops import route_split
+
+    routes = {name: _predicate(spec) for name, spec in cfg["routes"].items()}
+    return route_split(ds, routes)  # dict of ports
+
+
+STEP_TYPES: dict[str, Callable] = {
+    # sources
+    "parquet": _src_parquet,
+    "jsonl": _src_text_codec("decode_json_lines"),
+    "logfmt": _src_text_codec("decode_logfmt"),
+    "syslog": _src_text_codec("decode_syslog"),
+    # transforms
+    "filter": _t_filter,
+    "sample": _t_sample,
+    "relabel": _t_relabel,
+    "dedup": _t_dedup,
+    "throttle": _t_throttle,
+    "metricalize": _t_metricalize,
+    "summarize": _t_summarize,
+    "route": _t_route,
+    "tokens": _t_text_op("token_count_op"),
+    "quality": _t_text_op("quality_score_op"),
+    "langid": _t_text_op("lang_id_op"),
+    "fingerprint": _t_text_op("fingerprint_op"),
+}
+
+
+def validate(config: dict) -> list[str]:
+    """Dry-build diagnostics (the `vertex validate` analogue): unknown
+    types, missing inputs, cycles, sink fan-in. Empty list = valid."""
+    errors = []
+    sources = config.get("sources", {})
+    transforms = config.get("transforms", {})
+    sinks = config.get("sinks", {})
+    names = set(sources) | set(transforms)
+    for name, cfg in sources.items():
+        if cfg.get("type") not in STEP_TYPES:
+            errors.append(f"source {name}: unknown type {cfg.get('type')!r}")
+    for kind, comp in (("transform", transforms), ("sink", sinks)):
+        for name, cfg in comp.items():
+            if kind == "transform" and cfg.get("type") not in STEP_TYPES:
+                errors.append(f"{kind} {name}: unknown type {cfg.get('type')!r}")
+            if not cfg.get("inputs"):
+                errors.append(f"{kind} {name}: no inputs")
+            for inp in cfg.get("inputs", []):
+                if inp.split(".")[0] not in names:
+                    errors.append(f"{kind} {name}: undefined input {inp!r}")
+    # cycle check over transform edges (Kahn)
+    deps = {
+        n: {i.split(".")[0] for i in c.get("inputs", []) if i.split(".")[0] in transforms}
+        for n, c in transforms.items()
+    }
+    ready = [n for n, d in deps.items() if not d]
+    seen = set(ready)
+    while ready:
+        cur = ready.pop()
+        for n, d in deps.items():
+            if n not in seen and cur in d:
+                d.discard(cur)
+                if not d:
+                    seen.add(n)
+                    ready.append(n)
+    if len(seen) != len(deps):
+        errors.append(f"cycle among transforms: {sorted(set(deps) - seen)}")
+    return errors
+
+
+def build(config: dict) -> dict:
+    """Build every component; returns {name: Dataset} for all sources,
+    transforms (route ports as 'name.port'), and sink results. Sinks:
+    type 'parquet' writes and records {'path', 'rows'}; type 'datasets'
+    (default) just exposes the upstream Dataset."""
+    errs = validate(config)
+    if errs:
+        raise ValueError("invalid pipeline config: " + "; ".join(errs))
+    built: dict = {}
+    for name, cfg in config.get("sources", {}).items():
+        built[name] = STEP_TYPES[cfg["type"]](cfg)
+
+    transforms = dict(config.get("transforms", {}))
+    # topological build (validate() guarantees acyclicity)
+    remaining = dict(transforms)
+    while remaining:
+        progressed = False
+        for name in list(remaining):
+            cfg = remaining[name]
+            ins = list(cfg["inputs"])
+            if not all(i in built or i.split(".")[0] in built for i in ins):
+                continue
+            ds = None
+            for i in ins:
+                up = built[i] if i in built else built[i.split(".")[0]]
+                ds = up if ds is None else ds.union(up)
+            out = STEP_TYPES[cfg["type"]](cfg, ds)
+            if isinstance(out, dict):  # multi-port (route)
+                for port, pds in out.items():
+                    built[f"{name}.{port}"] = pds
+                built[name] = out.get("_unmatched", next(iter(out.values())))
+            else:
+                built[name] = out
+            del remaining[name]
+            progressed = True
+        if not progressed:
+            raise ValueError(f"unresolvable inputs among {sorted(remaining)}")
+
+    for name, cfg in config.get("sinks", {}).items():
+        ds = None
+        for i in cfg["inputs"]:
+            up = built[i]
+            ds = up if ds is None else ds.union(up)
+        if cfg.get("type") == "parquet":
+            ds.write_parquet(cfg["path"])
+            built[name] = {"path": cfg["path"]}
+        else:
+            built[name] = ds
+    return built

@@ -50,6 +50,45 @@ def q_filter_events(sf_dir: str):
 SQL_FILTER_EVENTS = "SELECT * FROM events WHERE event_type = 'click' AND value > 100"
 
 
+def q_config_pipeline(sf_dir: str):
+    """Same filter+sample chain assembled from a CONFIG (the YAML-topology
+    analogue, pipelines/builder) instead of direct library calls — proves
+    the config surface builds the same plans the API does."""
+    import os
+
+    from vertex_ray.pipelines.builder import build
+
+    cfg = {
+        "sources": {
+            "events": {
+                "type": "parquet",
+                "path": os.path.join(sf_dir, "events.parquet"),
+            }
+        },
+        "transforms": {
+            "clicks": {
+                "type": "filter",
+                "inputs": ["events"],
+                "where": ["event_type", "==", "click"],
+            },
+            "sampled": {
+                "type": "sample",
+                "inputs": ["clicks"],
+                "rate": 10,
+                "key_field": "event_id",
+                "method": "mod",
+            },
+        },
+        "sinks": {"out": {"type": "datasets", "inputs": ["sampled"]}},
+    }
+    return build(cfg)["out"]
+
+
+SQL_CONFIG_PIPELINE = """
+SELECT * FROM events WHERE event_type = 'click' AND event_id % 10 = 0
+"""
+
+
 # --- route -----------------------------------------------------------------
 
 
@@ -802,6 +841,7 @@ OP_QUERIES = {
     "op_topk_events": q_topk_events,
     "op_rewrite_events": q_rewrite_events,
     "op_filter_events": q_filter_events,
+    "op_config_pipeline": q_config_pipeline,
     "op_route_events": q_route_events,
     "op_sample_events": q_sample_events,
     "op_relabel_docs": q_relabel_docs,
@@ -836,6 +876,7 @@ OP_ORACLES = {
     "op_topk_events": SQL_TOPK_EVENTS,
     "op_rewrite_events": SQL_REWRITE_EVENTS,
     "op_filter_events": SQL_FILTER_EVENTS,
+    "op_config_pipeline": SQL_CONFIG_PIPELINE,
     "op_route_events": SQL_ROUTE_EVENTS,
     "op_sample_events": SQL_SAMPLE_EVENTS,
     "op_relabel_docs": SQL_RELABEL_DOCS,
