@@ -300,3 +300,16 @@ def test_minhash_batch_signature_matches_single():
     batch = minhash_signatures_batch(texts, num_perm=32)
     for i, t in enumerate(texts):
         np.testing.assert_array_equal(batch[i], minhash_signature(t, num_perm=32))
+
+
+def test_gram_hashes_edge_cases():
+    """Vectorized k-gram hashing: dedup within doc, short docs collapse to
+    one gram, empty/None docs contribute nothing."""
+    from vertex_ray.stages.dedup_near import _gram_hashes
+
+    texts = ["a b c d", "a b c d", "a b", "", None, "x x x x x"]
+    grams, counts = _gram_hashes(texts, k=3)
+    assert counts.tolist() == [2, 2, 1, 0, 0, 1]  # "x x x..." dedups to 1
+    # identical docs produce identical gram sets
+    off = np.concatenate([[0], np.cumsum(counts)])
+    assert set(grams[off[0]:off[1]]) == set(grams[off[1]:off[2]])

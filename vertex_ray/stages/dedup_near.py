@@ -48,27 +48,88 @@ def _hash_strings(strs: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(strs, categorize=False).astype(np.uint64)
 
 
+# odd 64-bit mixing constants for combining consecutive token hashes into
+# one k-gram hash (no gram strings are ever materialized)
+_GRAM_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64
+)
+
+
+def _gram_hashes(texts, k: int):
+    """Per-doc DEDUPED k-gram hash sets for a whole batch: ONE Arrow
+    lowercase+split pass, one vectorized token hash, grams combined
+    arithmetically from consecutive token hashes, duplicates removed with
+    one lexsort. Returns (flat uint64 gram hashes, per-doc counts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    arr = pa.array([t if isinstance(t, str) else ("" if t is None else str(t))
+                    for t in texts], type=pa.string())
+    lists = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    off = lists.offsets.to_numpy().astype(np.int64)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    ne_cum = np.zeros(len(nonempty) + 1, dtype=np.int64)
+    np.cumsum(nonempty, out=ne_cum[1:])
+    new_off = ne_cum[off]
+    toks = flat.to_numpy(zero_copy_only=False)[nonempty]
+    h = _hash_strings(toks)
+    counts = np.diff(new_off)
+    total = len(h)
+    doc_of = np.repeat(np.arange(n), counts)
+
+    mix = _GRAM_MIX[:k]
+    parts = []
+    part_docs = []
+    if total >= k:
+        m = total - k + 1
+        valid = doc_of[:m] == doc_of[k - 1:]
+        g = h[:m] * mix[0]
+        for j in range(1, k):
+            g = g ^ (h[j : m + j] * mix[j])
+        parts.append(g[valid])
+        part_docs.append(doc_of[:m][valid])
+    # short docs (0 < n_tok < k) contribute one gram over all their tokens
+    # (uint64 wraparound is the intended mixing, hence the errstate guard)
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    with np.errstate(over="ignore"):
+        for d in short:
+            hs = h[new_off[d] : new_off[d + 1]]
+            g = np.uint64(0)
+            for j, hv in enumerate(hs):
+                g = g ^ (hv * mix[j])
+            parts.append(np.array([g], dtype=np.uint64))
+            part_docs.append(np.array([d], dtype=np.int64))
+    if not parts:
+        return np.zeros(0, dtype=np.uint64), np.zeros(n, dtype=np.int64)
+    grams = np.concatenate(parts)
+    gdoc = np.concatenate(part_docs)
+    order = np.lexsort((grams, gdoc))
+    grams, gdoc = grams[order], gdoc[order]
+    first = np.ones(len(grams), dtype=bool)
+    first[1:] = (gdoc[1:] != gdoc[:-1]) | (grams[1:] != grams[:-1])
+    grams, gdoc = grams[first], gdoc[first]
+    return grams, np.bincount(gdoc, minlength=n).astype(np.int64)
+
+
 def minhash_signatures_batch(
     texts, num_perm: int = 64, k: int = 3, seed: int = 7, perm_chunk: int = 8
 ) -> np.ndarray:
-    """(n_docs × num_perm) MinHash signatures for a whole batch in a few
-    numpy passes: one vectorized hash over ALL shingles of the batch, then
-    per-permutation-chunk (a·h + b) mod p with a segmented
-    ``np.minimum.reduceat`` per doc. ``perm_chunk`` bounds the temporary to
-    perm_chunk × total_shingles × 8 bytes."""
+    """(n_docs × num_perm) MinHash signatures for a whole batch with no
+    per-doc Python loop: _gram_hashes builds every doc's deduped k-gram
+    hash set in a few flat passes, then per-permutation-chunk
+    (a·h + b) mod p with a segmented ``np.minimum.reduceat`` per doc.
+    ``perm_chunk`` bounds the temporary to perm_chunk × total_grams × 8
+    bytes."""
     a, b = _perm_params(num_perm, seed)
-    sh_lists = [sorted(shingles(t, k)) for t in texts]
-    counts = np.fromiter((len(s) for s in sh_lists), dtype=np.int64, count=len(texts))
+    h, counts = _gram_hashes(texts, k)
     sigs = np.zeros((len(texts), num_perm), dtype=np.uint64)
-    total = int(counts.sum())
-    if total == 0:
+    if len(h) == 0:
         return sigs
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for lst in sh_lists:
-        flat[pos : pos + len(lst)] = lst
-        pos += len(lst)
-    h = _hash_strings(flat)
     nz = counts > 0
     offsets = np.zeros(len(texts) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
