@@ -313,3 +313,53 @@ def test_gram_hashes_edge_cases():
     # identical docs produce identical gram sets
     off = np.concatenate([[0], np.cumsum(counts)])
     assert set(grams[off[0]:off[1]]) == set(grams[off[1]:off[2]])
+
+
+def test_ngram_jaccard_exact_pairs(ray_session):
+    """ngram_jaccard_pairs returns exactly the brute-force shingle-set
+    Jaccard pairs (incl. the <k-token single-shingle doc), with the same
+    float value as the direct int/int division."""
+    import ray.data as rd
+
+    from vertex_ray.stages.dedup_near import jaccard, ngram_jaccard_pairs, shingles
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "the quick brown fox jumps over the lazy dog today",
+        3: "a completely different document about ray data engines",
+        4: "a completely different document about ray data engines",  # exact dup of 3
+        5: "tiny doc",  # < k tokens → single shingle
+        6: "tiny doc",
+    }
+    thr = 0.5
+    want = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = jaccard(docs[a], docs[b], k=3)
+            if j >= thr:
+                want[(a, b)] = j
+    assert (5, 6) in want and (3, 4) in want and (1, 2) in want
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs.items()])
+    out = ngram_jaccard_pairs(ds, "text", "doc_id", k=3, threshold=thr).to_pandas()
+    got = {(int(r.a), int(r.b)): r.jaccard for r in out.itertuples()}
+    assert got == want
+
+
+def test_ngram_jaccard_posting_cap_logged(ray_session, caplog):
+    """A gram shared by more docs than max_posting is truncated (and the
+    truncation is logged) instead of going quadratic."""
+    import logging
+
+    import ray.data as rd
+
+    from vertex_ray.stages.dedup_near import ngram_jaccard_pairs
+
+    # 30 docs all sharing one hot shingle, otherwise distinct
+    rows = [{"doc_id": i, "text": f"common hot gram unique{i} u{i}x u{i}y"} for i in range(30)]
+    ds = rd.from_items(rows)
+    out = ngram_jaccard_pairs(
+        ds, "text", "doc_id", k=3, threshold=0.01, max_posting=5
+    ).to_pandas()
+    # capped: pairs only among the 5 kept doc_ids per gram → far fewer than 30*29/2
+    assert 0 < len(out) <= 10

@@ -419,6 +419,22 @@ def q_fingerprint_docs(sf_dir: str):
     )
 
 
+def q_fingerprint_md5_docs(sf_dir: str):
+    """Same fingerprint operator with the md5 digest family — chosen so
+    DuckDB's md5() can oracle the full digest value, making content
+    fingerprinting hash-checked (the blake2b variant stays rows-only)."""
+    from vertex_ray.stages.text import fingerprint_op
+
+    return _docs(sf_dir).map_batches(
+        fingerprint_op(algo="md5"), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
+    )
+
+
+SQL_FINGERPRINT_MD5_DOCS = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
 # --- dedup family (near-dup) -----------------------------------------------
 
 
@@ -432,6 +448,46 @@ def q_simhash_pairs_docs(sf_dir: str):
     from vertex_ray.stages.dedup_near import simhash_near_pairs
 
     return simhash_near_pairs(_docs(sf_dir), "text", "doc_id", max_hamming=6)
+
+
+def q_ngram_jaccard_docs(sf_dir: str):
+    from vertex_ray.stages.dedup_near import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), "text", "doc_id", k=3, threshold=0.7)
+
+
+# Mirrors ngram_jaccard_pairs exactly: word tokens = lower + \s+ split
+# (empty tokens dropped), per-doc DISTINCT 3-gram sets, docs with <3
+# tokens contribute the single shingle of all their tokens, jaccard =
+# |A∩B| / (|A|+|B|-|A∩B|) as the same int→double division.
+SQL_NGRAM_JACCARD_DOCS = r"""
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(w) AS t, unnest(range(1, len(w)+1)) AS i FROM ws
+),
+grams AS (
+  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+  FROM tok a JOIN tok b ON b.doc_id=a.doc_id AND b.i=a.i+1
+             JOIN tok c ON c.doc_id=a.doc_id AND c.i=a.i+2
+),
+short AS (
+  SELECT doc_id, array_to_string(w, ' ') AS g FROM ws WHERE len(w) BETWEEN 1 AND 2
+),
+allg AS (SELECT * FROM grams UNION SELECT * FROM short),
+sizes AS (SELECT doc_id, count(*) AS n FROM allg GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM allg x JOIN allg y ON y.g = x.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.7
+"""
 
 
 # threshold 0.45: the synthetic embeddings top out at cosine ≈ 0.51, so a
@@ -856,8 +912,10 @@ OP_QUERIES = {
     "op_quality_docs": q_quality_docs,
     "op_langid_docs": q_langid_docs,
     "op_fingerprint_docs": q_fingerprint_docs,
+    "op_fingerprint_md5_docs": q_fingerprint_md5_docs,
     "op_minhash_pairs_docs": q_minhash_pairs_docs,
     "op_simhash_pairs_docs": q_simhash_pairs_docs,
+    "op_ngram_jaccard_docs": q_ngram_jaccard_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -892,6 +950,8 @@ OP_ORACLES = {
     "op_langid_docs": _sql_langid(),
     "op_ann_topk": SQL_ANN_TOPK,
     "op_embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
+    "op_ngram_jaccard_docs": SQL_NGRAM_JACCARD_DOCS,
+    "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_logfmt_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_syslog_events": SQL_CODEC_JSONL_EVENTS,

@@ -524,3 +524,112 @@ def embedding_near_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.9,
         return g.head(1)
 
     return cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (the non-approximate member of the dedup family)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3,
+                        threshold: float = 0.7, max_posting: int = 1000,
+                        n_buckets: int = 64):
+    """EXACT k-gram Jaccard near-duplicate pairs — the ground-truth member
+    of the dedup family (exact hash / MinHash+LSH / SimHash / embedding);
+    it doubles as the recall oracle for the approximate variants and is
+    itself SQL-oracled (op_queries.SQL_NGRAM_JACCARD_DOCS).
+
+    Shape (2 bounded shuffles, text never leaves stage 1, no driver state):
+      1. ``map_batches``: per-doc DEDUPED k-gram hash sets via
+         ``_gram_hashes`` (one vectorized Arrow+numpy pass per batch) →
+         exploded (gram, doc_id, size) rows, hash-bucketed by gram.
+      2. ``groupby(gram-bucket)``: ONE pandas self-merge per bucket builds
+         within-gram pairs in C, then a partial combiner pre-aggregates
+         per-pair intersection counts BEFORE the second exchange.
+         ``max_posting`` caps the O(|posting list|²) blowup of ubiquitous
+         grams (a gram shared by that many docs carries no similarity
+         signal; truncation is logged).
+      3. ``groupby(pair-bucket)``: sum partial counts, finish
+         jaccard = inter / (|A| + |B| - inter), filter ≥ threshold.
+
+    Partitioning assumptions: per-bucket rows ≈ total_grams / n_buckets
+    must fit a worker heap (size n_buckets up with data); exactness is
+    modulo 64-bit gram-hash collisions (~n²/2⁶⁴) and the max_posting cap.
+    Per-doc set semantics (incl. the <k-token single-shingle case) match
+    ``shingles()`` / the minhash path.
+    """
+    import logging
+
+    log = logging.getLogger("vertex_ray.dedup_near")
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h, counts = _gram_hashes(texts, k)
+        rep = np.repeat(np.arange(len(texts)), counts)
+        return pa.table(
+            {
+                "gram": pa.array(h.view(np.int64)),
+                "doc_id": pa.array(ids[rep]),
+                "size": pa.array(counts[rep]),
+                "gb": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            }
+        )
+
+    def pairs_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # cap ubiquitous grams' posting lists (deterministic: keep the
+        # smallest doc_ids) before the quadratic self-merge
+        g = g.sort_values(["gram", "doc_id"], kind="stable")
+        capped = g.groupby("gram", sort=False).head(max_posting)
+        if len(capped) < len(g):
+            log.warning(
+                "ngram_jaccard: %d posting rows truncated (max_posting=%d)",
+                len(g) - len(capped), max_posting,
+            )
+        m = capped.merge(capped, on="gram", suffixes=("", "_b"))
+        m = m[m["doc_id"] < m["doc_id_b"]]
+        if not len(m):
+            return pd.DataFrame(
+                {"a": m["doc_id"], "b": m["doc_id_b"],
+                 "inter": np.zeros(0, dtype=np.int64),
+                 "sa": np.zeros(0, dtype=np.int64),
+                 "sb": np.zeros(0, dtype=np.int64)}
+            )
+        gp = (
+            m.groupby(["doc_id", "doc_id_b"], sort=False)
+            .agg(inter=("gram", "size"), sa=("size", "first"), sb=("size_b", "first"))
+            .reset_index()
+            .rename(columns={"doc_id": "a", "doc_id_b": "b"})
+        )
+        gp["inter"] = gp["inter"].astype(np.int64)
+        return gp
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        pb = (
+            pd.util.hash_array(t["a"].to_numpy(zero_copy_only=False))
+            ^ pd.util.hash_array(t["b"].to_numpy(zero_copy_only=False))
+        ) % np.uint64(n_buckets)
+        return t.append_column("pb", pa.array(pb.astype(np.int64)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        gp = (
+            g.groupby(["a", "b"], sort=False)
+            .agg(inter=("inter", "sum"), sa=("sa", "first"), sb=("sb", "first"))
+            .reset_index()
+        )
+        jac = gp["inter"].to_numpy(dtype=np.float64) / (
+            gp["sa"].to_numpy() + gp["sb"].to_numpy() - gp["inter"].to_numpy()
+        )
+        keep = jac >= threshold
+        out = gp.loc[keep, ["a", "b"]].copy()
+        out["jaccard"] = jac[keep]
+        return out
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(pairs_partial, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -149,11 +149,22 @@ def fingerprint64(texts: np.ndarray) -> np.ndarray:
     )
 
 
-def fingerprint_op(text_col: str = "text"):
+def fingerprint_md5(texts: np.ndarray) -> list:
+    """Full 128-bit md5 hex fingerprint per document (C-speed per doc).
+    The digest family a deployment picks is a config knob; md5 is offered
+    because every SQL engine can recompute it for auditing."""
+    import hashlib
+
+    return [hashlib.md5((s or "").encode("utf-8")).hexdigest() for s in texts]
+
+
+def fingerprint_op(text_col: str = "text", algo: str = "blake2b64"):
     def fn(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "fingerprint", pa.array(fingerprint64(texts).view(np.int64), type=pa.int64())
-        )
+        if algo == "md5":
+            fp = pa.array(fingerprint_md5(texts), type=pa.string())
+        else:
+            fp = pa.array(fingerprint64(texts).view(np.int64), type=pa.int64())
+        return t.append_column("fingerprint", fp)
 
     return fn
