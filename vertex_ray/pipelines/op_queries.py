@@ -705,6 +705,12 @@ def _codec_fixture(sf_dir: str, fmt: str) -> str:
             elif fmt == "logfmt":
                 f.write(f'event_id={r["event_id"]} event_type={r["event_type"]} '
                         f'value={r["value"]!r} msg="ev {r["event_id"]}"\n')
+            elif fmt == "prom":
+                # one counter sample per event; repr(float) round-trips
+                # bit-exactly through the parser's float()
+                f.write(f'event_value{{event_id="{r["event_id"]}",'
+                        f'event_type="{r["event_type"]}"}} {r["value"]!r} '
+                        f"{ts_us // 1000}\n")
             else:  # syslog
                 import datetime as dt
 
@@ -799,6 +805,199 @@ def q_codec_syslog_events(sf_dir: str):
         .map_batches(typed, batch_format="pyarrow")
     )
     return _count_minmax_by(decoded, "event_type")
+
+
+def q_codec_prom_events(sf_dir: str):
+    """Prometheus text exposition decode (lib/prometheus/src/text.rs):
+    per-event counter samples rendered to exposition text, parsed back
+    with the vectorized sample parser, re-aggregated; the label value
+    comes out of the canonical tags string."""
+    import pandas as pd
+
+    from vertex_ray.sources.codecs import read_lines
+    from vertex_ray.sources.prometheus_text import decode_prometheus_samples
+
+    path = _codec_fixture(sf_dir, "prom")
+
+    def typed(t: pa.Table) -> pa.Table:
+        tags = pd.Series(t["tags"].to_numpy(zero_copy_only=False))
+        et = tags.str.extract(r'event_type="([^"]*)"')[0]
+        return pa.table(
+            {
+                "event_type": pa.array(et.to_numpy(), type=pa.string()),
+                "value": t["value"],
+            }
+        )
+
+    decoded = (
+        read_lines(path)
+        .map_batches(decode_prometheus_samples, batch_format="pyarrow")
+        .map_batches(typed, batch_format="pyarrow")
+    )
+    return _count_minmax_by(decoded, "event_type")
+
+
+# --- encoders: prometheus text render + influx line protocol ----------------
+
+
+def _minute_counts(sf_dir: str):
+    """count per (event_type, minute window) — partial combine inside
+    map_batches, then ONE small groupby (the §2.3 pre-aggregation shape)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "wms": (ts_us // 60_000_000) * 60_000,
+            }
+        )
+        return (
+            df.groupby(["event_type", "wms"], sort=False).size()
+            .rename("count").reset_index()
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["event_type", "wms"], sort=False)["count"].sum().reset_index()
+        )
+        out["count"] = out["count"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "wms"])
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def q_encode_prom_text(sf_dir: str):
+    """Prometheus exposition RENDER of a rollup (the prometheus_exporter
+    read path, metric/mod.rs:175-235): integer counter values so the SQL
+    oracle rebuilds the identical strings."""
+    from vertex_ray.sources.prometheus_text import render_prometheus_lines
+
+    def render(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "line": render_prometheus_lines(
+                    "events_total",
+                    {"event_type": t["event_type"].to_numpy(zero_copy_only=False)},
+                    t["count"].to_numpy(),
+                    t["wms"].to_numpy(),
+                )
+            }
+        )
+
+    return _minute_counts(sf_dir).map_batches(render, batch_format="pyarrow")
+
+
+SQL_ENCODE_PROM_TEXT = """
+SELECT 'events_total{event_type="' || event_type || '"} '
+       || CAST(count(*) AS VARCHAR) || ' '
+       || CAST((epoch_us(ts) // 60000000) * 60000 AS VARCHAR) AS line
+FROM events GROUP BY event_type, (epoch_us(ts) // 60000000)
+"""
+
+
+def q_encode_influx_line(sf_dir: str):
+    """InfluxDB line-protocol encode of the same rollup
+    (src/sinks/influxdb/encoder.rs:16-80): integer field with the 'i'
+    suffix, nanosecond timestamp."""
+    from vertex_ray.sources.prometheus_text import render_influx_lines
+
+    def render(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "line": render_influx_lines(
+                    "events",
+                    {"event_type": t["event_type"].to_numpy(zero_copy_only=False)},
+                    "count",
+                    t["count"].to_numpy(),
+                    t["wms"].to_numpy() * 1_000_000,
+                )
+            }
+        )
+
+    return _minute_counts(sf_dir).map_batches(render, batch_format="pyarrow")
+
+
+SQL_ENCODE_INFLUX_LINE = """
+SELECT 'events,event_type=' || event_type || ' count='
+       || CAST(count(*) AS VARCHAR) || 'i '
+       || CAST((epoch_us(ts) // 60000000) * 60000000000 AS VARCHAR) AS line
+FROM events GROUP BY event_type, (epoch_us(ts) // 60000000)
+"""
+
+
+# --- metric normalization: absolute <-> incremental ------------------------
+
+
+def q_normalize_abs_inc_events(sf_dir: str):
+    """MetricNormalize absolute->incremental
+    (lib/framework/src/sink/buffer/metrics.rs:100-146): per-series
+    (user_id) cumulative values become deltas; first observation primes
+    state and emits nothing; a decrease is a counter reset emitting the
+    new value. One groupby exchange, vectorized diff per group."""
+    import ray.data as rd
+
+    from vertex_ray.stages.normalize import absolute_to_incremental
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return absolute_to_incremental(ds, ["user_id"], "ts", "value", "event_id")
+
+
+SQL_NORMALIZE_ABS_INC = """
+SELECT user_id, ts, event_id,
+       CASE WHEN value >= prev THEN value - prev ELSE value END AS delta
+FROM (SELECT user_id, ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events)
+WHERE prev IS NOT NULL
+"""
+
+
+def q_normalize_inc_abs_events(sf_dir: str):
+    """MetricNormalize incremental->absolute: per-series running total.
+    Values are fixed-pointed to int64 hundredths first so the cumsum is
+    exact and order-stable on both engine and oracle sides."""
+    import ray.data as rd
+
+    from vertex_ray.stages.normalize import incremental_to_absolute
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.floor(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return t.drop_columns(["value"]).append_column(
+            "value_i", pa.array(v, type=pa.int64())
+        )
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return incremental_to_absolute(
+        ds, ["user_id"], "ts", "value_i", "event_id", out_col="total"
+    )
+
+
+SQL_NORMALIZE_INC_ABS = """
+SELECT user_id, ts, event_id,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS total
+FROM events
+"""
 
 
 # --- VTL parse functions over real columns ---------------------------------
@@ -924,6 +1123,11 @@ OP_QUERIES = {
     "op_codec_jsonl_events": q_codec_jsonl_events,
     "op_codec_logfmt_events": q_codec_logfmt_events,
     "op_codec_syslog_events": q_codec_syslog_events,
+    "op_codec_prom_events": q_codec_prom_events,
+    "op_encode_prom_text": q_encode_prom_text,
+    "op_encode_influx_line": q_encode_influx_line,
+    "op_normalize_abs_inc": q_normalize_abs_inc_events,
+    "op_normalize_inc_abs": q_normalize_inc_abs_events,
     "op_parse_json_events": q_parse_json_events,
     "op_parse_regex_docs": q_parse_regex_docs,
 }
@@ -955,6 +1159,11 @@ OP_ORACLES = {
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_logfmt_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_syslog_events": SQL_CODEC_JSONL_EVENTS,
+    "op_codec_prom_events": SQL_CODEC_JSONL_EVENTS,
+    "op_encode_prom_text": SQL_ENCODE_PROM_TEXT,
+    "op_encode_influx_line": SQL_ENCODE_INFLUX_LINE,
+    "op_normalize_abs_inc": SQL_NORMALIZE_ABS_INC,
+    "op_normalize_inc_abs": SQL_NORMALIZE_INC_ABS,
     "op_parse_json_events": SQL_PARSE_JSON_EVENTS,
     "op_parse_regex_docs": SQL_PARSE_REGEX_DOCS,
     # langid / fingerprint / minhash / simhash / embedding-lsh / ivf /
