@@ -289,6 +289,32 @@ def _q_mean_1h(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def _ensure_epochs(sf_dir: str) -> str:
+    """Run (or resume) the epoch-incremental flagship: one committed
+    increment per day of data, per-bucket carry state between epochs
+    (pipelines/epoch_pipeline; bit-for-bit equal to the one-shot run)."""
+    from vertex_ray.pipelines.epoch_pipeline import run_pipeline_epochs
+
+    trans = ensure_transcripts(sf_dir)
+    out = os.path.join(OUT_BASE, f"sf{sf_of_dir(sf_dir):g}", "tiers_epochs")
+    run_pipeline_epochs(trans, out, epoch_seconds=86_400, n_buckets=16)
+    return out
+
+
+def _lat_epochs_query(tier: str):
+    def q(sf_dir: str):
+        from vertex_ray.pipelines.epoch_pipeline import read_epochs_stage
+
+        out = _ensure_epochs(sf_dir)
+        ds = read_epochs_stage(out, "agg", tier)
+        return ds.map_batches(
+            lambda t: _real_rows(t, "inter_turn_latency_seconds").select(_LAT_COLS),
+            batch_format="pyarrow",
+        )
+
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from vertex_ray.pipelines.op_queries import OP_QUERIES
 
@@ -311,6 +337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1h_turn_gauge": _q_gauge_1h,
         "gorilla_roundtrip_1m_gauge_locf": _q_gauge_locf_roundtrip,
         "internal_counters": _q_internal_counters,
+        "rollup_1m_latency_epochs": _lat_epochs_query("1m"),
+        "rollup_1d_latency_epochs": _lat_epochs_query("1d"),
     }
 
 
@@ -370,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY conv_id, turn_idx
             """,
         "gorilla_roundtrip_1m_latency": _sql_lat(60),
+        "rollup_1m_latency_epochs": _sql_lat(60),
+        "rollup_1d_latency_epochs": _sql_lat(86_400),
     }
     for tier, seconds in TIER_SECONDS.items():
         sqls[f"rollup_{tier}_latency"] = _sql_lat(seconds)

@@ -1,0 +1,193 @@
+"""Epoch-incremental pipeline == one-shot pipeline, bit for bit.
+
+The epoch kernel's contract (stages/kernel_epoch.py): processing epochs
+sequentially with carried per-bucket state reproduces the one-shot
+kernel's tier rows exactly — including cross-epoch inter-turn latency,
+LOCF fills continuing across boundaries, and the single stale marker
+landing in whichever epoch its window falls in.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+TIERS_SMALL = (("1m", 60), ("5m", 300))
+E0 = 1_700_000_000 // 3600 * 3600  # aligned epoch base
+
+
+def _write_transcripts(path, rows):
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    df["ts"] = (
+        pd.to_datetime(df["ts"], unit="s", utc=True)
+        .dt.tz_localize(None)
+        .astype("datetime64[us]")
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def micro_transcripts(tmp_path_factory):
+    """Conversations engineered to cross epoch boundaries in every way
+    that matters: close-gap boundary latency (b), idle > staleness then
+    resume (a), single turn then permanent silence (c), conversation
+    born mid-stream (d)."""
+    rows = []
+    # a: two turns in epoch 0, resumes in epoch 2 after >2h idle
+    rows += [("a", 0, "user", "t", "", E0 + 10),
+             ("a", 1, "assistant", "t", "grep", E0 + 40),
+             ("a", 2, "user", "t", "", E0 + 2 * 3600 + 125)]
+    # b: turns straddling the epoch-0/1 boundary 15s apart
+    rows += [("b", 0, "user", "t", "", E0 + 3590),
+             ("b", 1, "assistant", "t", "", E0 + 3605),
+             ("b", 2, "user", "t", "", E0 + 3660)]
+    # c: one turn, then silence to the end of data
+    rows += [("c", 0, "user", "t", "bash", E0 + 100)]
+    # d: born in epoch 1
+    rows += [("d", 0, "user", "t", "", E0 + 3700),
+             ("d", 1, "assistant", "t", "", E0 + 3722)]
+    # e: spans into epoch 3 so the run covers 4 epochs
+    rows += [("e", 0, "user", "t", "", E0 + 50),
+             ("e", 1, "assistant", "t", "", E0 + 3 * 3600 + 400)]
+    p = tmp_path_factory.mktemp("micro") / "transcripts.parquet"
+    return _write_transcripts(str(p), rows)
+
+
+def _agg_frame(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    df = df.sort_values(["tier", "series_key", "window_start"], kind="stable")
+    return df.reset_index(drop=True)
+
+
+def _assert_bitwise_equal(a: pd.DataFrame, b: pd.DataFrame):
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{len(a)} vs {len(b)} rows"
+    for c in a.columns:
+        va, vb = a[c].to_numpy(), b[c].to_numpy()
+        if va.dtype == np.float64:
+            # NaN payloads (stale markers) must survive — compare bits
+            np.testing.assert_array_equal(va.view(np.uint64), vb.view(np.uint64), err_msg=c)
+        else:
+            np.testing.assert_array_equal(va, vb, err_msg=c)
+
+
+def _run_both(trans, tmp, tiers, epoch_seconds, n_buckets=4):
+    from vertex_ray.pipelines.epoch_pipeline import (
+        read_epochs_stage,
+        run_pipeline_epochs,
+    )
+    from vertex_ray.pipelines.rollup_pipeline import read_stage, run_pipeline
+
+    one = os.path.join(tmp, "oneshot")
+    epo = os.path.join(tmp, "epochs")
+    run_pipeline(trans, one, n_buckets=n_buckets, tiers=tiers)
+    run_pipeline_epochs(
+        trans, epo, epoch_seconds=epoch_seconds, n_buckets=n_buckets, tiers=tiers
+    )
+    return (
+        _agg_frame(read_stage(one, "agg")),
+        _agg_frame(read_epochs_stage(epo, "agg")),
+        one,
+        epo,
+    )
+
+
+def test_micro_epoch_equals_oneshot(ray_session, micro_transcripts, tmp_path):
+    a, b, _, _ = _run_both(
+        micro_transcripts, str(tmp_path), TIERS_SMALL, epoch_seconds=3600
+    )
+    # sanity on the scenario itself: cross-boundary latency for conv b
+    lat_b = b[(b.series_key == "inter_turn_latency_seconds{conv_id=b}")
+              & (b.tier == "1m") & ~b.filled & ~b.stale]
+    assert lat_b["sum"].sum() == pytest.approx(15.0 + 55.0)
+    # conv a has two idle-past-staleness gaps (after epoch 0, and again
+    # after its epoch-2 resume): one stale marker per gap at 1m
+    st_a = b[(b.series_key == "inter_turn_latency_seconds{conv_id=a}")
+             & (b.tier == "1m") & b.stale]
+    assert sorted(st_a["window_start"] - E0) == [360, 7680]
+    _assert_bitwise_equal(a, b)
+
+
+def test_sf0001_epoch_equals_oneshot(ray_session, tmp_path):
+    from vertex_ray.synth import ensure_transcripts
+
+    trans = ensure_transcripts("/root/testdata/sf0.001")
+    a, b, one, epo = _run_both(
+        trans, str(tmp_path), TIERS_SMALL, epoch_seconds=86_400, n_buckets=8
+    )
+    _assert_bitwise_equal(a, b)
+
+    # Gorilla blocks: epoch blocks decode to the same points as one-shot
+    from vertex_ray.pipelines.epoch_pipeline import read_epochs_stage
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks, read_stage
+
+    da = _decoded_frame(decode_tier_blocks(read_stage(one, "blocks", "1m")))
+    db = _decoded_frame(decode_tier_blocks(read_epochs_stage(epo, "blocks", "1m")))
+    _assert_bitwise_equal(da, db)
+
+
+def _decoded_frame(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    df = df.sort_values(["series_key", "window_start"], kind="stable")
+    return df.reset_index(drop=True)
+
+
+def test_epoch_resume_and_lineage(ray_session, micro_transcripts, tmp_path):
+    import shutil
+
+    from vertex_ray.pipelines.epoch_pipeline import (
+        epoch_dirs,
+        read_epochs_stage,
+        run_pipeline_epochs,
+    )
+
+    out = str(tmp_path / "epochs")
+    run_pipeline_epochs(micro_transcripts, out, 3600, n_buckets=4, tiers=TIERS_SMALL)
+    want = _agg_frame(read_epochs_stage(out, "agg"))
+
+    # kill-and-resume: wipe the final epoch; rerun must rebuild only it
+    dirs = epoch_dirs(out)
+    assert len(dirs) == 4
+    shutil.rmtree(dirs[-1])
+    m = run_pipeline_epochs(
+        micro_transcripts, out, 3600, n_buckets=4, tiers=TIERS_SMALL
+    )
+    got = _agg_frame(read_epochs_stage(out, "agg"))
+    _assert_bitwise_equal(want, got)
+
+    # changed lineage (different bucketing) must recompute, not reuse
+    run_pipeline_epochs(micro_transcripts, out, 3600, n_buckets=2, tiers=TIERS_SMALL)
+    got2 = _agg_frame(read_epochs_stage(out, "agg"))
+    assert sorted(got2["series_key"].unique()) == sorted(want["series_key"].unique())
+    b2 = got2[["tier", "series_key", "window_start", "sum"]]
+    w2 = want[["tier", "series_key", "window_start", "sum"]]
+    _assert_bitwise_equal(w2, b2)
+
+
+def test_state_stays_bounded(ray_session, micro_transcripts, tmp_path):
+    """Series carry rows are pruned once their stale marker has been
+    emitted — state does not accumulate dead series."""
+    from vertex_ray.pipelines.epoch_pipeline import epoch_dirs
+    from vertex_ray.pipelines.epoch_pipeline import run_pipeline_epochs
+    from vertex_ray.stages.kernel_epoch import STATE_SERIES
+    import pyarrow.dataset as pads
+
+    out = str(tmp_path / "epochs")
+    run_pipeline_epochs(micro_transcripts, out, 3600, n_buckets=4, tiers=TIERS_SMALL)
+    dirs = epoch_dirs(out)
+    state_dir = os.path.join(dirs[-1], "state")
+    parts = [
+        os.path.join(state_dir, f)
+        for f in os.listdir(state_dir)
+        if f.endswith(".parquet")
+    ]
+    ser = pads.dataset(parts).to_table().to_pandas()
+    ser = ser[ser.stype == STATE_SERIES]
+    # conv c went silent in epoch 0; by the final epoch its series must
+    # have been pruned from the carry state (stale already emitted)
+    assert not ser["conv_id"].eq("c").any()

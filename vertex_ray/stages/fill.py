@@ -207,7 +207,18 @@ def unpack_series(batch: pa.Table) -> pa.Table:
     tier aggregate tables are derived from the packed representation with
     no extra shuffle."""
     if batch.num_rows == 0:
-        return pa.table({})
+        # typed empty (epoch pipeline: sentinel-only bucket groups) so the
+        # Dataset keeps ONE schema and parquet writes of empty blocks work
+        fields = [
+            ("bucket", pa.int32()), ("series_key", pa.string()),
+            ("name", pa.string()), ("kind", pa.uint8()), ("tier", pa.string()),
+            ("window_start", pa.int64()), ("sum", pa.float64()),
+            ("count", pa.int64()), ("min", pa.float64()), ("max", pa.float64()),
+            ("last", pa.float64()),
+        ] + [(b, pa.int64()) for b in BUCKET_COLS] + [
+            ("filled", pa.bool_()), ("stale", pa.bool_()),
+        ]
+        return pa.schema(fields).empty_table()
     batch = batch.combine_chunks()
     ws = batch["window_starts"].combine_chunks()
     counts = np.diff(ws.offsets.to_numpy())

@@ -86,6 +86,11 @@ def parquet_metadata(path: str):
     return pq.ParquetFile(f.open_input_file(p)).metadata
 
 
+def read_parquet(path: str):
+    f, p = fs_path(path)
+    return pq.read_table(f.open_input_file(p))
+
+
 def write_parquet_atomic(table, final_path: str, token: str) -> None:
     """Write a parquet file and move it into place. ``token`` makes the
     temp name unique per writer (e.g. pid) so concurrent retries never
