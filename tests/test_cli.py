@@ -1,0 +1,82 @@
+"""CLI surface: validate / run / top / fn (SURVEY §3.1-3.2 analogues)."""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from vertex_ray.cli import main
+
+
+def _write_events(path: str) -> str:
+    df = pd.DataFrame(
+        {
+            "event_id": range(10),
+            "value": [float(i * 10) for i in range(10)],
+            "tag": ["a", "b"] * 5,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    return path
+
+
+def test_validate_ok_and_errors(tmp_path, capsys):
+    src = _write_events(str(tmp_path / "ev.parquet"))
+    good = {
+        "sources": {"ev": {"type": "parquet", "path": src}},
+        "transforms": {
+            "big": {"type": "filter", "inputs": ["ev"], "where": ["value", ">", 40]}
+        },
+        "sinks": {"out": {"inputs": ["big"]}},
+    }
+    cfg = tmp_path / "good.json"
+    cfg.write_text(json.dumps(good))
+    assert main(["validate", str(cfg)]) == 0
+
+    bad = {
+        "sources": {"ev": {"type": "nope", "path": src}},
+        "transforms": {"t": {"type": "filter", "inputs": ["missing"]}},
+        "sinks": {},
+    }
+    cfgb = tmp_path / "bad.json"
+    cfgb.write_text(json.dumps(bad))
+    assert main(["validate", str(cfgb)]) == 1
+    err = capsys.readouterr().err
+    assert "unknown type" in err and "undefined input" in err
+
+
+def test_run_and_top(ray_session, tmp_path, capsys):
+    src = _write_events(str(tmp_path / "ev.parquet"))
+    out = str(tmp_path / "out")
+    cfg = {
+        "sources": {"ev": {"type": "parquet", "path": src}},
+        "transforms": {
+            "big": {"type": "filter", "inputs": ["ev"], "where": ["value", ">", 40]}
+        },
+        "sinks": {
+            "out": {"type": "parquet", "inputs": ["big"], "path": out}
+        },
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    assert main(["run", str(p)]) == 0
+    assert "wrote 5 rows" in capsys.readouterr().out
+
+    # top over a committed flagship out_dir (manifests only)
+    from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+    from vertex_ray.synth import ensure_transcripts
+
+    trans = ensure_transcripts("/root/testdata/sf0.001")
+    tiers_out = str(tmp_path / "tiers")
+    run_pipeline(trans, tiers_out, n_buckets=4, tiers=(("1m", 60),))
+    assert main(["top", tiers_out]) == 0
+    top = capsys.readouterr().out
+    assert "agg" in top and "__total__" in top
+
+
+def test_fn_eval(capsys):
+    assert main(["fn", "uppercase", "hello"]) == 0
+    assert json.loads(capsys.readouterr().out) == "HELLO"
+    assert main(["fn", "no_such_fn", "x"]) == 1

@@ -1,0 +1,157 @@
+"""Command-line entry points — the analogue of the reference daemon's
+CLI surface (SURVEY.md §3.1/§3.2):
+
+    python -m vertex_ray validate <config.{json,yaml}>   # `vertex validate`
+    python -m vertex_ray run      <config.{json,yaml}>   # `vertex -c config`
+    python -m vertex_ray top      <out_dir>              # `vertex top`
+    python -m vertex_ray fn       <name> <value> [args…]  # `vertex vtl` one-shot
+    python -m vertex_ray rollup   <transcripts> <out_dir> [--epoch SECONDS]
+
+`validate` is a dry build (src/validate.rs behavior: report every
+diagnostic, exit non-zero on any). `run` builds the component graph and
+executes the sinks. `top` prints the per-stage counters table
+(src/top.rs / internal_metrics analogue) from committed stage manifests
+only. `fn` evaluates one registry function (the VTL stdlib surface)
+against literal values — the stdlib REPL without the expression
+language, which SURVEY §2.5 deliberately does not rebuild.
+
+This module OWNS the Ray session (guarded init): the library itself
+never calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_config(path: str) -> dict:
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        return yaml.safe_load(text)
+    return json.loads(text)
+
+
+def _ray_up() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_validate(args) -> int:
+    from vertex_ray.pipelines.builder import validate
+
+    errors = validate(_load_config(args.config))
+    for e in errors:
+        print(f"error: {e}", file=sys.stderr)
+    if not errors:
+        print("ok")
+    return 1 if errors else 0
+
+
+def cmd_run(args) -> int:
+    from vertex_ray.pipelines.builder import build
+
+    _ray_up()
+    built = build(_load_config(args.config))
+    for name, out in sorted(built.items()):
+        if isinstance(out, dict) and "rows" in out:
+            print(f"{name}: wrote {out['rows']} rows -> {out.get('path')}")
+    return 0
+
+
+def cmd_top(args) -> int:
+    from vertex_ray.state.checkpoint import pipeline_counters
+
+    t = pipeline_counters(args.out_dir)
+    print(t.to_pandas().to_string(index=False))
+    return 0
+
+
+def cmd_fn(args) -> int:
+    import pyarrow as pa
+
+    from vertex_ray.functions.registry import FUNCTIONS
+
+    if args.name not in FUNCTIONS:
+        print(f"unknown function {args.name!r}; available: "
+              f"{', '.join(sorted(FUNCTIONS))}", file=sys.stderr)
+        return 1
+
+    def lit(s: str):
+        try:
+            return json.loads(s)
+        except json.JSONDecodeError:
+            return s
+
+    values = pa.array([lit(args.value)])
+    extra = [lit(a) for a in args.args]
+    out = FUNCTIONS[args.name](values, *extra)
+    print(json.dumps(out.to_pylist()[0]))
+    return 0
+
+
+def cmd_rollup(args) -> int:
+    _ray_up()
+    if args.epoch:
+        from vertex_ray.pipelines.epoch_pipeline import run_pipeline_epochs
+
+        manifests = run_pipeline_epochs(
+            args.transcripts, args.out_dir, epoch_seconds=args.epoch,
+            n_buckets=args.buckets,
+        )
+    else:
+        from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+
+        manifests = run_pipeline(args.transcripts, args.out_dir,
+                                 n_buckets=args.buckets)
+    for stage, m in sorted(manifests.items()):
+        print(f"{stage}: {m['rows']} rows in {len(m['files'])} files")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="vertex_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("validate", help="dry-build a pipeline config")
+    sp.add_argument("config")
+    sp.set_defaults(fn=cmd_validate)
+
+    sp = sub.add_parser("run", help="build and execute a pipeline config")
+    sp.add_argument("config")
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("top", help="per-stage counters from manifests")
+    sp.add_argument("out_dir")
+    sp.set_defaults(fn=cmd_top)
+
+    sp = sub.add_parser("fn", help="evaluate one stdlib function")
+    sp.add_argument("name")
+    sp.add_argument("value")
+    sp.add_argument("args", nargs="*")
+    sp.set_defaults(fn=cmd_fn)
+
+    sp = sub.add_parser("rollup", help="run the flagship tier cascade")
+    sp.add_argument("transcripts")
+    sp.add_argument("out_dir")
+    sp.add_argument("--epoch", type=int, default=0,
+                    help="epoch seconds for incremental mode (0 = one-shot)")
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.set_defaults(fn=cmd_rollup)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -273,7 +273,13 @@ def build(config: dict) -> dict:
             ds = up if ds is None else ds.union(up)
         if cfg.get("type") == "parquet":
             ds.write_parquet(cfg["path"])
-            built[name] = {"path": cfg["path"]}
+            from vertex_ray.state import fsio
+            from vertex_ray.state.checkpoint import stage_files
+
+            rows = sum(
+                fsio.parquet_metadata(f).num_rows for f in stage_files(cfg["path"])
+            )
+            built[name] = {"path": cfg["path"], "rows": rows}
         else:
             built[name] = ds
     return built
