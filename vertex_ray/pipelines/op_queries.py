@@ -1000,6 +1000,43 @@ FROM events
 """
 
 
+# --- redaction (VTL redact / training-data PII scrub) ----------------------
+
+_REDACT_RX = r"\b(customer|key|secret)\b"
+
+
+def q_redact_docs(sf_dir: str):
+    """Vectorized redaction over the documents table — the VTL ``redact``
+    function (lib/vtl/src/compiler/function/redact.rs) as a batch stage,
+    the shape a PII scrub takes in a training-data pipeline: RE2
+    replacement plus a per-doc hit count, zero-copy Arrow throughout."""
+    from vertex_ray.functions.registry import FUNCTIONS
+
+    redact = FUNCTIONS["redact"]
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_redacted": redact(t["text"], _REDACT_RX),
+                "n_redacted": pc.cast(
+                    pc.count_substring_regex(t["text"], _REDACT_RX), pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+SQL_REDACT_DOCS = f"""
+SELECT doc_id,
+       regexp_replace(text, '{_REDACT_RX}', '[REDACTED]', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(text, '{_REDACT_RX}')) AS BIGINT)
+         AS n_redacted
+FROM documents
+"""
+
+
 # --- VTL parse functions over real columns ---------------------------------
 
 
@@ -1128,6 +1165,7 @@ OP_QUERIES = {
     "op_encode_influx_line": q_encode_influx_line,
     "op_normalize_abs_inc": q_normalize_abs_inc_events,
     "op_normalize_inc_abs": q_normalize_inc_abs_events,
+    "op_redact_docs": q_redact_docs,
     "op_parse_json_events": q_parse_json_events,
     "op_parse_regex_docs": q_parse_regex_docs,
 }
@@ -1164,6 +1202,7 @@ OP_ORACLES = {
     "op_encode_influx_line": SQL_ENCODE_INFLUX_LINE,
     "op_normalize_abs_inc": SQL_NORMALIZE_ABS_INC,
     "op_normalize_inc_abs": SQL_NORMALIZE_INC_ABS,
+    "op_redact_docs": SQL_REDACT_DOCS,
     "op_parse_json_events": SQL_PARSE_JSON_EVENTS,
     "op_parse_regex_docs": SQL_PARSE_REGEX_DOCS,
     # langid / fingerprint / minhash / simhash / embedding-lsh / ivf /
