@@ -100,10 +100,17 @@ def pipeline_counters(out_dir: str):
     import pyarrow as pa
 
     stages, files, rows, bytes_, wall = [], [], [], [], []
+    names: list[str] = []
     for entry in sorted(fsio.listdir(out_dir)):
+        if fsio.exists(posixpath.join(out_dir, entry, MANIFEST)):
+            names.append(entry)
+        else:
+            # one nesting level: epoch-incremental layout (epoch-<s>/agg …)
+            for sub in sorted(fsio.listdir(posixpath.join(out_dir, entry))):
+                if fsio.exists(posixpath.join(out_dir, entry, sub, MANIFEST)):
+                    names.append(f"{entry}/{sub}")
+    for entry in names:
         mpath = posixpath.join(out_dir, entry, MANIFEST)
-        if not fsio.exists(mpath):
-            continue
         manifest = fsio.read_json(mpath)
         w = float(manifest.get("lineage", {}).get("wall_seconds", float("nan")))
         for fname in sorted(manifest["files"]):
