@@ -169,6 +169,25 @@ def test_epoch_resume_and_lineage(ray_session, micro_transcripts, tmp_path):
     _assert_bitwise_equal(w2, b2)
 
 
+def test_nonmonotonic_ts_raises():
+    """The epoch kernel refuses per-conv ts that decrease in turn order
+    (would silently break one-shot parity)."""
+    import numpy as np
+
+    from vertex_ray.stages.kernel_epoch import epoch_kernel
+
+    conv = np.array(["x", "x"], dtype=object)
+    ti = np.array([0, 1], dtype=np.int64)
+    rc = np.zeros(2, np.uint8)
+    tc = np.zeros(2, np.uint8)
+    ts = np.array([(E0 + 100) * 10**6, (E0 + 50) * 10**6], dtype=np.int64)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ts-monotonic"):
+        epoch_kernel(conv, ti, rc, tc, ts, None, TIERS_SMALL,
+                     E0, E0 + 3600, E0 + 3599, bucket_id=0)
+
+
 def test_state_stays_bounded(ray_session, micro_transcripts, tmp_path):
     """Series carry rows are pruned once their stale marker has been
     emitted — state does not accumulate dead series."""

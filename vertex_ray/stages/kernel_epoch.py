@@ -172,6 +172,18 @@ def epoch_kernel(
         seed = conv_last_in[cd]
         prev_ts[new_conv] = seed[new_conv]
         lmask = (~new_conv) | (seed >= 0)
+        # the documented partitioning assumption: ts non-decreasing in
+        # turn order within a conversation (both within this epoch and
+        # against the carried last-turn ts). A violation would silently
+        # break one-shot parity — fail loudly instead.
+        bad = (lmask & (ts < prev_ts)).any()
+        if bad:
+            raise ValueError(
+                f"bucket {bucket_id}: conversation timestamps decrease in "
+                "turn order (within the epoch or across the carried "
+                "boundary); epoch-incremental mode requires per-conv "
+                "ts-monotonic transcripts"
+            )
     else:
         lmask = np.zeros(0, dtype=bool)
     lat = (ts - prev_ts).astype(np.float64) / 1e6
