@@ -1127,6 +1127,72 @@ FROM documents GROUP BY 1
 """
 
 
+# --- as-of / range joins ---------------------------------------------------
+
+
+def q_asof_join_events(sf_dir: str):
+    """Each event joined to its user's most recent order at-or-before the
+    event time (inner as-of join; orders deduped per (custkey, orderdate)
+    by max orderkey — mirrored by the oracle's GROUP BY CTE)."""
+    import ray.data as rd
+
+    from vertex_ray.stages.joins import asof_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    return asof_join(
+        _ev(sf_dir), orders,
+        key=("user_id", "o_custkey"), ts=("ts", "o_orderdate"),
+        left_cols=["event_id", "user_id"], right_cols=["o_orderkey"],
+        right_tiebreak="o_orderkey",
+    )
+
+
+SQL_ASOF_JOIN_EVENTS = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_range_join_events(sf_dir: str):
+    """Every event landing inside the 60-minute window opened by a same-user
+    'purchase' event (interval join; a purchase matches itself)."""
+    from vertex_ray.stages.joins import range_join
+
+    ev = _ev(sf_dir)
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+        .select(["event_id", "user_id", "ts"])
+        .rename_columns(["anchor_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    return range_join(
+        ev, purchases,
+        key=("user_id", "user_id"), ts=("ts", "ts"),
+        left_cols=["event_id", "user_id"], right_cols=["anchor_id"],
+        window_us=3_600_000_000,
+    )
+
+
+SQL_RANGE_JOIN_EVENTS = """
+WITH p AS (
+  SELECT event_id AS anchor_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, p.anchor_id
+FROM events e JOIN p
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 60 MINUTE
+"""
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -1168,6 +1234,8 @@ OP_QUERIES = {
     "op_redact_docs": q_redact_docs,
     "op_parse_json_events": q_parse_json_events,
     "op_parse_regex_docs": q_parse_regex_docs,
+    "op_asof_join_events": q_asof_join_events,
+    "op_range_join_events": q_range_join_events,
 }
 
 OP_ORACLES = {
@@ -1205,6 +1273,8 @@ OP_ORACLES = {
     "op_redact_docs": SQL_REDACT_DOCS,
     "op_parse_json_events": SQL_PARSE_JSON_EVENTS,
     "op_parse_regex_docs": SQL_PARSE_REGEX_DOCS,
+    "op_asof_join_events": SQL_ASOF_JOIN_EVENTS,
+    "op_range_join_events": SQL_RANGE_JOIN_EVENTS,
     # langid / fingerprint / minhash / simhash / embedding-lsh / ivf /
     # multimodal: not SQL-expressible (heuristics, hashing, LSH, stub
     # decoders) → rows-only checks; the LSH/IVF variants are recall-tested
