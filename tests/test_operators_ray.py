@@ -209,3 +209,56 @@ def test_summarize_summary_kind(ray_session):
     assert row["q50"] == 2.0 and row["q90"] == 4.0 and row["q99"] == 4.0
     # singleton groups: every quantile is the value itself
     assert out.iloc[1]["q50"] == 9.0 and out.iloc[2]["q99"] == 7.0
+
+
+def test_bloom_cardinality_matches_exact(events_ds):
+    from vertex_ray.stages.cardinality import (
+        allowed_bloom,
+        allowed_values,
+        enforce_limit,
+        enforce_limit_bloom,
+    )
+
+    exact = enforce_limit(
+        events_ds, "user_id",
+        allowed_values(events_ds, "user_id", "ts", 40), "drop",
+    ).to_pandas()
+    bloom = enforce_limit_bloom(
+        events_ds, "user_id",
+        allowed_bloom(events_ds, "user_id", "ts", 40, n_bytes=1 << 18), "drop",
+    ).to_pandas()
+    a = exact.sort_values("event_id").reset_index(drop=True)
+    b = bloom.sort_values("event_id").reset_index(drop=True)
+    assert a["event_id"].tolist() == b["event_id"].tolist()
+
+
+def test_bloom_fp_one_sided(events_ds):
+    """A degenerate 64-byte bloom may ACCEPT over-budget values (false
+    positives) but never rejects an in-budget one."""
+    from vertex_ray.stages.cardinality import (
+        allowed_bloom,
+        allowed_values,
+        enforce_limit_bloom,
+    )
+
+    allowed = allowed_values(events_ds, "user_id", "ts", 10)
+    tiny = allowed_bloom(events_ds, "user_id", "ts", 10, n_bytes=64)
+    kept = set(
+        enforce_limit_bloom(events_ds, "user_id", tiny, "drop")
+        .to_pandas()["user_id"]
+    )
+    assert allowed <= kept
+
+
+def test_bloom_merge_is_union():
+    import numpy as np
+
+    from vertex_ray.stages.cardinality import SplitBlockBloom, _hash_values
+
+    a, b = SplitBlockBloom(1 << 12), SplitBlockBloom(1 << 12)
+    ha = _hash_values(np.arange(100, dtype=np.int64))
+    hb = _hash_values(np.arange(100, 200, dtype=np.int64))
+    a.insert_hashes(ha)
+    b.insert_hashes(hb)
+    a.merge(b)
+    assert a.contains_hashes(np.concatenate([ha, hb])).all()

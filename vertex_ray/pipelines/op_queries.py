@@ -273,6 +273,30 @@ JOIN firsts f ON e.event_type = f.event_type
 """
 
 
+def q_cardinality_bloom_events(sf_dir: str):
+    """Probabilistic cardinality mode (cardinality.rs Mode::Probabilistic):
+    the broadcast budget is a split-block bloom, not the value set. At this
+    bloom size (1 MiB for 100 keys) the false-positive odds are ~0, so the
+    output equals the exact mode and the SQL oracle is valid."""
+    from vertex_ray.stages.cardinality import allowed_bloom, enforce_limit_bloom
+
+    ds = _ev(sf_dir)
+    bloom = allowed_bloom(ds, "user_id", "ts", limit=100, n_bytes=1 << 20)
+    return enforce_limit_bloom(ds, "user_id", bloom, "drop").map_batches(
+        lambda t: t.select(["event_id", "user_id"]), batch_format="pyarrow"
+    )
+
+
+SQL_CARDINALITY_BLOOM_EVENTS = """
+WITH firsts AS (
+  SELECT user_id FROM events GROUP BY user_id
+  ORDER BY min(ts), user_id LIMIT 100
+)
+SELECT e.event_id, e.user_id FROM events e
+JOIN firsts f ON e.user_id = f.user_id
+"""
+
+
 # --- enrichment (broadcast lookup join — the geoip pattern) ----------------
 
 
@@ -1236,6 +1260,7 @@ OP_QUERIES = {
     "op_parse_regex_docs": q_parse_regex_docs,
     "op_asof_join_events": q_asof_join_events,
     "op_range_join_events": q_range_join_events,
+    "op_cardinality_bloom_events": q_cardinality_bloom_events,
 }
 
 OP_ORACLES = {
@@ -1275,6 +1300,7 @@ OP_ORACLES = {
     "op_parse_regex_docs": SQL_PARSE_REGEX_DOCS,
     "op_asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "op_range_join_events": SQL_RANGE_JOIN_EVENTS,
+    "op_cardinality_bloom_events": SQL_CARDINALITY_BLOOM_EVENTS,
     # langid / fingerprint / minhash / simhash / embedding-lsh / ivf /
     # multimodal: not SQL-expressible (heuristics, hashing, LSH, stub
     # decoders) → rows-only checks; the LSH/IVF variants are recall-tested
