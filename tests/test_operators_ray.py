@@ -262,3 +262,34 @@ def test_bloom_merge_is_union():
     b.insert_hashes(hb)
     a.merge(b)
     assert a.contains_hashes(np.concatenate([ha, hb])).all()
+
+
+def test_stratified_sample_truncation_lossless(ray_session):
+    """Per-batch partial truncation never changes the global result:
+    many tiny blocks == one block."""
+    import hashlib
+
+    import ray.data as rd
+
+    from vertex_ray.stages.ops import stratified_sample
+
+    rng = np.random.default_rng(11)
+    n = 600
+    t = pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.integers(0, 5, n).astype(str),
+    })
+    got = (
+        stratified_sample(
+            rd.from_arrow(t).repartition(20), "g", "id", n_per_group=7)
+        .to_pandas()
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df["r"] = [hashlib.md5(str(i).encode()).hexdigest() for i in df["id"]]
+    want = (
+        df.sort_values(["r", "id"]).groupby("g", sort=False).head(7)
+        [["id", "g"]].sort_values(["g", "id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -1151,6 +1151,29 @@ FROM documents GROUP BY 1
 """
 
 
+def q_stratified_sample_docs(sf_dir: str):
+    """Cap documents per source domain: keep the 20 smallest-md5(doc_id)
+    docs of each source (deterministic training-data downsampling)."""
+    from vertex_ray.stages.ops import stratified_sample
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+    return stratified_sample(ds, "source", "doc_id", n_per_group=20)
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 20
+"""
+
+
 # --- as-of / range joins ---------------------------------------------------
 
 
@@ -1261,6 +1284,7 @@ OP_QUERIES = {
     "op_asof_join_events": q_asof_join_events,
     "op_range_join_events": q_range_join_events,
     "op_cardinality_bloom_events": q_cardinality_bloom_events,
+    "op_stratified_sample_docs": q_stratified_sample_docs,
 }
 
 OP_ORACLES = {
@@ -1301,6 +1325,7 @@ OP_ORACLES = {
     "op_asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "op_range_join_events": SQL_RANGE_JOIN_EVENTS,
     "op_cardinality_bloom_events": SQL_CARDINALITY_BLOOM_EVENTS,
+    "op_stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     # langid / fingerprint / minhash / simhash / embedding-lsh / ivf /
     # multimodal: not SQL-expressible (heuristics, hashing, LSH, stub
     # decoders) → rows-only checks; the LSH/IVF variants are recall-tested

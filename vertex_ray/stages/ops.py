@@ -241,3 +241,64 @@ def throttle_quota(
         .groupby("__bucket")
         .map_groups(take_first, batch_format="pandas")
     )
+
+
+def stratified_sample(ds, group_col: str, id_col: str, n_per_group: int,
+                      n_buckets: int = 64):
+    """Deterministic stratified downsample: keep the ``n_per_group`` rows
+    with the smallest ``(md5(str(id)), id)`` per group — the "cap documents
+    per domain/source" step of a training-data pipeline (extends the
+    reference's consistent hash sampling, ``src/transforms/sample.rs:76-105``,
+    from a global rate to a per-stratum quota).
+
+    Scale shape: the per-batch partial keeps only ``n_per_group`` rows per
+    (group, batch) — lossless for the global result, because a row in the
+    global keep-set ranks in the top n_per_group of every subset it appears
+    in — so shuffle volume is bounded by ``n_per_group × groups`` per
+    batch regardless of skew. Groups are then hash-bucketed so one task
+    finalizes ~groups/n_buckets strata with one vectorized pandas call.
+
+    Oracle form: ``row_number() OVER (PARTITION BY group ORDER BY
+    md5(CAST(id AS VARCHAR)), id) <= n_per_group``.
+    """
+    import pandas as pd
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        rank = pa.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+            type=pa.string(),
+        )
+        grp = t[group_col].to_numpy(zero_copy_only=False)
+        bucket = (pd.util.hash_array(np.ascontiguousarray(grp))
+                  % np.uint64(n_buckets)).astype(np.int64)
+        t = t.append_column("__rank", rank).append_column(
+            "__bucket", pa.array(bucket))
+        # partial truncation: top-n per group within this batch
+        df = pd.DataFrame({
+            "g": grp,
+            "r": rank.to_numpy(zero_copy_only=False),
+            "i": np.arange(len(t)),
+        })
+        keep = (
+            df.sort_values(["r"], kind="stable")
+            .groupby("g", sort=False)
+            .head(n_per_group)["i"]
+            .to_numpy()
+        )
+        keep.sort()
+        return t.take(pa.array(keep))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["__rank", id_col], kind="stable")
+            .groupby(group_col, sort=False)
+            .head(n_per_group)
+            .drop(columns=["__rank", "__bucket"])
+        )
+
+    return (
+        ds.map_batches(add_rank, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(finalize, batch_format="pandas")
+    )
