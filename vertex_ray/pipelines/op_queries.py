@@ -1151,6 +1151,15 @@ FROM documents GROUP BY 1
 """
 
 
+def q_hll_distinct_events(sf_dir: str):
+    """Approximate distinct users per event_type via the mergeable HLL
+    sketch (rows-only: the estimator is probabilistic; accuracy and
+    partition-independence are pinned in tests/test_sketch.py)."""
+    from vertex_ray.stages.sketch import hll_distinct
+
+    return hll_distinct(_ev(sf_dir), "event_type", "user_id")
+
+
 def q_stratified_sample_docs(sf_dir: str):
     """Cap documents per source domain: keep the 20 smallest-md5(doc_id)
     docs of each source (deterministic training-data downsampling)."""
@@ -1285,6 +1294,7 @@ OP_QUERIES = {
     "op_range_join_events": q_range_join_events,
     "op_cardinality_bloom_events": q_cardinality_bloom_events,
     "op_stratified_sample_docs": q_stratified_sample_docs,
+    "op_hll_distinct_events": q_hll_distinct_events,
 }
 
 OP_ORACLES = {

@@ -1,0 +1,99 @@
+"""Mergeable cardinality sketch (HyperLogLog) — the distributed
+approximate-COUNT-DISTINCT a 100 TB pipeline needs where the exact
+cardinality budget (stages/cardinality.py) would shuffle every distinct
+value. Public-algorithm implementation (Flajolet et al., HLL, AMS 2007;
+bias thresholds per the classic constants) — the reference's probabilistic
+cardinality mode (``src/transforms/cardinality.rs:62-87``) solves the same
+"bounded memory vs distinct explosion" problem with a bloom; HLL adds the
+*count* estimate.
+
+Shape: one ``map_batches`` computes per-(group, register) partial maxima —
+at most ``groups × 2^p`` rows leave a batch no matter how many values it
+held — then ONE ``groupby(group)`` merges registers and evaluates the
+estimator. Registers are plain numpy; merge is elementwise max, so the
+reduction is associative and order-independent.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["hll_partial_op", "hll_distinct"]
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _clz_rho(rem: np.ndarray, width: int) -> np.ndarray:
+    """rho = position of the first 1-bit in the low `width` bits (1-based);
+    width+1 if all zero. Loop-free via float64 log2 on values < 2^53."""
+    rem = rem & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))
+    # highest set bit h (0-based) of rem: floor(log2(rem)); width bits < 2^53
+    # so float64 log2 is exact for the leading bit position
+    h = np.full(len(rem), -1, dtype=np.int64)
+    nz = rem != 0
+    h[nz] = np.floor(np.log2(rem[nz].astype(np.float64))).astype(np.int64)
+    return (width - h).astype(np.int64)  # all-zero -> width + 1
+
+
+def hll_partial_op(group_col: str, value_col: str, p: int = 12):
+    """map_batches fn: per-batch (group, register, rho-max) partials."""
+    if not 11 <= p <= 16:
+        # width = 64 - p must stay <= 53 so float64 log2 in _clz_rho is
+        # exact on the register remainder; >16 wastes shuffle rows
+        raise ValueError("p must be in [11, 16]")
+    m = 1 << p
+    width = 64 - p
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        grp = t[group_col].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.ascontiguousarray(vals)).astype(np.uint64)
+        idx = (h >> np.uint64(width)).astype(np.int64)
+        rho = _clz_rho(h, width)
+        df = pd.DataFrame({"g": grp, "idx": idx, "rho": rho})
+        part = df.groupby(["g", "idx"], sort=False)["rho"].max().reset_index()
+        return pa.table({
+            group_col: pa.array(part["g"]),
+            "idx": pa.array(part["idx"].to_numpy()),
+            "rho": pa.array(part["rho"].to_numpy()),
+        })
+
+    return fn
+
+
+def hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
+    """Approximate distinct ``value_col`` per ``group_col`` →
+    (group, approx_distinct:int64). Standard error ≈ 1.04/sqrt(2^p)
+    (~1.6% at the default p=12); small ranges use linear counting and are
+    near-exact."""
+    m = 1 << p
+    alpha = _alpha(m)
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        name = g[group_col].iloc[0]
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, g["idx"].to_numpy(), g["rho"].to_numpy())
+        e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int(np.count_nonzero(regs == 0))
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)  # linear counting
+        elif e > (1 << 64) / 30.0:
+            e = -(2.0**64) * np.log1p(-e / 2.0**64)
+        return pd.DataFrame(
+            {group_col: [name], "approx_distinct": [np.int64(round(e))]})
+
+    return (
+        ds.map_batches(hll_partial_op(group_col, value_col, p),
+                       batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(estimate, batch_format="pandas")
+    )
