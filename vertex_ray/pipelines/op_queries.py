@@ -1151,6 +1151,20 @@ FROM documents GROUP BY 1
 """
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table: fit 10
+    centroids with streaming Lloyd passes (no shuffle; k×d partials per
+    batch), then a stateless assignment pass. Rows-only: the synthetic
+    labels are weakly separable (~41% even for supervised label
+    centroids), so cluster recovery is pinned on constructed separable
+    data in tests/test_cluster.py instead."""
+    from vertex_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    ds = _emb(sf_dir)
+    cents = kmeans_fit(ds, "embedding", k=10, iters=6)
+    return kmeans_assign(ds, cents, "embedding", "vec_id")
+
+
 def q_hll_distinct_events(sf_dir: str):
     """Approximate distinct users per event_type via the mergeable HLL
     sketch (rows-only: the estimator is probabilistic; accuracy and
@@ -1295,6 +1309,7 @@ OP_QUERIES = {
     "op_cardinality_bloom_events": q_cardinality_bloom_events,
     "op_stratified_sample_docs": q_stratified_sample_docs,
     "op_hll_distinct_events": q_hll_distinct_events,
+    "op_kmeans_embeddings": q_kmeans_embeddings,
 }
 
 OP_ORACLES = {

@@ -72,7 +72,20 @@ def train_centroids(ds, vec_col: str, n_centroids: int, sample_rows: int = 2048,
     small by construction; the full data never leaves the cluster."""
     sample = _stack(pa.Table.from_pandas(ds.limit(sample_rows).to_pandas())[vec_col])
     rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    k = min(n_centroids, len(sample))
+    # k-means++ seeding (deterministic): D²-weighted picks avoid the
+    # two-seeds-in-one-cluster local minimum plain random choice hits
+    u = _unit(sample)
+    picks = [int(rng.integers(len(sample)))]
+    d2 = np.full(len(sample), np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, 1.0 - u @ u[picks[-1]])
+        tot = d2.sum()
+        if tot <= 0:
+            picks.append(int(rng.integers(len(sample))))
+            continue
+        picks.append(int(rng.choice(len(sample), p=np.maximum(d2, 0) / tot)))
+    cents = sample[np.array(picks)]
     for _ in range(iters):
         assign = np.argmax(_unit(sample) @ _unit(cents).T, axis=1)
         for c in range(len(cents)):
