@@ -63,3 +63,29 @@ def test_syslog_fields_and_unparseable():
     assert np.isnan(out["pid"].to_pylist()[1])
     assert out["message"].to_pylist()[:2] == ["accepted", "started ok"]
     assert out["ts"].to_pylist()[0].month == 1
+
+
+def test_decode_csv_basic():
+    import pyarrow as pa
+
+    from vertex_ray.sources.codecs import decode_csv
+
+    t = pa.table({"text": ["1,click,2.5", "2,view,0.125", ""]})
+    out = decode_csv(t, column_names=["event_id", "event_type", "value"])
+    assert out["event_id"].to_pylist() == [1, 2]
+    assert out["event_type"].to_pylist() == ["click", "view"]
+    assert out["value"].to_pylist() == [2.5, 0.125]
+
+
+def test_decode_csv_skips_malformed_unless_strict():
+    import pyarrow as pa
+    import pytest as _pt
+
+    from vertex_ray.sources.codecs import decode_csv
+
+    t = pa.table({"text": ["1,click,2.5", "bad,row,with,extra,cols", "3,err,1.0"]})
+    out = decode_csv(t, column_names=["event_id", "event_type", "value"])
+    assert out["event_id"].to_pylist() == [1, 3]
+    with _pt.raises(Exception):
+        decode_csv(t, column_names=["event_id", "event_type", "value"],
+                   strict=True)

@@ -729,6 +729,8 @@ def _codec_fixture(sf_dir: str, fmt: str) -> str:
             elif fmt == "logfmt":
                 f.write(f'event_id={r["event_id"]} event_type={r["event_type"]} '
                         f'value={r["value"]!r} msg="ev {r["event_id"]}"\n')
+            elif fmt == "csv":
+                f.write(f'{r["event_id"]},{r["event_type"]},{r["value"]!r}\n')
             elif fmt == "prom":
                 # one counter sample per event; repr(float) round-trips
                 # bit-exactly through the parser's float()
@@ -781,6 +783,20 @@ SQL_CODEC_JSONL_EVENTS = """
 SELECT event_type, count(*) AS count, min(value) AS min, max(value) AS max
 FROM events GROUP BY 1
 """
+
+
+def q_codec_csv_events(sf_dir: str):
+    """CSV codec (haproxy-stats analogue): header-less frames + explicit
+    column names through pyarrow's C++ CSV reader."""
+    from vertex_ray.sources.codecs import decode_csv, read_lines
+
+    path = _codec_fixture(sf_dir, "csv")
+    decoded = read_lines(path).map_batches(
+        lambda t: decode_csv(
+            t, column_names=["event_id", "event_type", "value"]),
+        batch_format="pyarrow",
+    )
+    return _count_minmax_by(decoded, "event_type")
 
 
 def q_codec_logfmt_events(sf_dir: str):
@@ -1294,6 +1310,7 @@ OP_QUERIES = {
     "op_ann_ivf_topk": q_ann_ivf_topk,
     "op_multimodal_features": q_multimodal_features,
     "op_codec_jsonl_events": q_codec_jsonl_events,
+    "op_codec_csv_events": q_codec_csv_events,
     "op_codec_logfmt_events": q_codec_logfmt_events,
     "op_codec_syslog_events": q_codec_syslog_events,
     "op_codec_prom_events": q_codec_prom_events,
@@ -1337,6 +1354,7 @@ OP_ORACLES = {
     "op_ngram_jaccard_docs": SQL_NGRAM_JACCARD_DOCS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
+    "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_logfmt_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_syslog_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_prom_events": SQL_CODEC_JSONL_EVENTS,

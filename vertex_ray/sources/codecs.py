@@ -124,6 +124,28 @@ def decode_syslog(batch: pa.Table, column: str = "text",
     )
 
 
+def decode_csv(batch: pa.Table, column: str = "text",
+               column_names: list[str] | None = None,
+               strict: bool = False) -> pa.Table:
+    """CSV codec (the reference's haproxy stats-CSV parse,
+    ``src/sources/haproxy`` / ``benches/haproxy.rs``): the batch's lines go
+    to pyarrow's C++ CSV reader as ONE buffer. ``column_names`` supplies
+    the schema when the frames don't carry a header line (the usual case
+    for line-framed streams); with strict=False malformed rows are skipped
+    (the reference logs-and-drops per-event decode errors)."""
+    import pyarrow.csv as pacsv
+
+    lines = batch[column].to_numpy(zero_copy_only=False)
+    joined = "\n".join(s for s in lines if s)
+    if not joined:
+        return pa.table({})
+    read_opts = pacsv.ReadOptions(column_names=column_names)
+    parse_opts = pacsv.ParseOptions(
+        invalid_row_handler=None if strict else (lambda row: "skip"))
+    return pacsv.read_csv(io.BytesIO(joined.encode()),
+                          read_options=read_opts, parse_options=parse_opts)
+
+
 def read_jsonl(paths, **kwargs):
     """JSON-lines source: framing + codec in one pruned scan (Ray's
     read_json is the pyarrow C++ reader underneath)."""
