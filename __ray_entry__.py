@@ -289,6 +289,21 @@ def _q_mean_1h(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_hist_p99_1m(sf_dir: str):
+    """histogram_quantile(0.99) derived at read time from the 1m tier's
+    cumulative bucket state (stages/quantile; Prometheus interpolation)."""
+    from vertex_ray.stages.quantile import histogram_quantile_batch
+
+    ds = _tier_agg(sf_dir, "1m")
+
+    def shape(t):
+        t = _real_rows(t, "inter_turn_latency_seconds")
+        t = histogram_quantile_batch(t, 0.99, out_col="p99")
+        return t.select(["series_key", "window_start", "p99"])
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def _ensure_epochs(sf_dir: str) -> str:
     """Run (or resume) the epoch-incremental flagship: one committed
     increment per day of data, per-bucket carry state between epochs
@@ -329,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1h_latency": _lat_query("1h"),
         "rollup_1d_latency": _lat_query("1d"),
         "rollup_1m_hist_buckets": _q_hist_buckets,
+        "rollup_1m_latency_p99": _q_hist_p99_1m,
         "transcript_passthrough": _q_passthrough,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
@@ -474,6 +490,22 @@ def oracle_sql() -> dict[str, str]:
            0 AS count, FALSE AS filled, TRUE AS stale
     FROM seq, bound
     WHERE ws + 360 < coalesce(next_w, global_end + 60)
+    """
+
+    from vertex_ray.stages.quantile import histogram_quantile_sql
+
+    sqls["rollup_1m_latency_p99"] = f"""{_LAT_CTE}
+    , h AS (
+      SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}' AS series_key,
+             {_w(60)} AS window_start,
+             count(*) AS count,
+             {_BUCKET_SQL_COLS}
+      FROM lat WHERE lat IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT series_key, window_start,
+           {histogram_quantile_sql(0.99)} AS p99
+    FROM h
     """
 
     sqls["rollup_1h_latency_mean"] = f"""{_LAT_CTE}

@@ -163,3 +163,40 @@ def test_pack_and_gorilla_block_roundtrip():
         if row["kind"] == KIND_HISTOGRAM:
             for b in BUCKET_COLS:
                 np.testing.assert_array_equal(dec[b], ref[b].to_numpy(np.float64))
+
+
+def test_histogram_quantile_interpolation():
+    """Prometheus interpolation: rank inside a bucket interpolates
+    linearly; overflow beyond the last finite bucket returns its upper;
+    rank in the first bucket interpolates from 0."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vertex_ray.schema import DEFAULT_BUCKETS, N_BUCKETS
+    from vertex_ray.stages.quantile import histogram_quantile_batch
+
+    # row 0: all 100 obs <= 0.005 (first bucket): p50 interpolates 0..0.005
+    # row 1: uniform-ish: 50 in <=0.1, 100 in <=0.25 -> p75 inside (0.1,0.25]
+    # row 2: all obs above the last finite bucket -> returns 10.0
+    def cum(partial):
+        out = np.zeros(N_BUCKETS, dtype=np.int64)
+        for i, v in partial:
+            out[i] = v
+        return np.maximum.accumulate(out)
+
+    rows = [
+        cum([(0, 100)]),
+        cum([(4, 50), (5, 100)]),
+        np.zeros(N_BUCKETS, dtype=np.int64),
+    ]
+    t = pa.table({
+        **{f"b{i:02d}": pa.array([int(r[i]) for r in rows])
+           for i in range(N_BUCKETS)},
+        "count": pa.array([100, 100, 40]),
+    })
+    p50 = histogram_quantile_batch(t, 0.5, out_col="q")["q"].to_pylist()
+    assert p50[0] == 0.005 * 0.5  # 0 + (0.005-0)*(50-0)/(100-0)
+    assert p50[2] == DEFAULT_BUCKETS[-1]
+    p75 = histogram_quantile_batch(t, 0.75, out_col="q")["q"].to_pylist()
+    lo, hi = 0.1, 0.25
+    assert abs(p75[1] - (lo + (hi - lo) * (75 - 50) / (100 - 50))) < 1e-12
