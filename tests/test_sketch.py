@@ -59,3 +59,41 @@ def test_hll_p_bounds():
 
     with pytest.raises(ValueError):
         hll_partial_op("g", "v", p=8)
+
+
+def test_heavy_hitters_exact_when_k_covers(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.sketch import heavy_hitters
+
+    t = pa.table({"v": ["a"] * 50 + ["b"] * 30 + ["c"] * 20})
+    out = heavy_hitters(
+        rd.from_arrow(t).repartition(6), "v", k=8
+    ).to_pandas()
+    assert out["value"].tolist() == ["a", "b", "c"]
+    assert out["approx_count"].tolist() == [50, 30, 20]
+
+
+def test_heavy_hitters_guarantee_under_compression(ray_session):
+    """Skewed stream, k far below distinct count: every value with true
+    freq > n/(k+1) surfaces, and counts underestimate by <= n/(k+1)."""
+    import ray.data as rd
+
+    from vertex_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    k = 8
+    heavy = np.repeat([f"H{i}" for i in range(3)], 3000)   # 3 heavy values
+    tail = rng.integers(0, 2000, 6000).astype(str)          # long tail
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    n = len(vals)
+    out = heavy_hitters(
+        rd.from_arrow(pa.table({"v": vals})).repartition(10), "v", k=k
+    ).to_pandas().set_index("value")["approx_count"]
+    exact = pd.Series(vals).value_counts()
+    bound = n / (k + 1)
+    for h in ("H0", "H1", "H2"):
+        assert h in out.index            # guaranteed to surface
+        assert exact[h] - out[h] <= bound
+        assert out[h] <= exact[h]        # never overestimates

@@ -1190,6 +1190,24 @@ def q_hll_distinct_events(sf_dir: str):
     return hll_distinct(_ev(sf_dir), "event_type", "user_id")
 
 
+def q_heavy_hitters_events(sf_dir: str):
+    """Top-10 heaviest users by event count via the mergeable Misra-Gries
+    summary. k=256 exceeds the distinct user count at test SFs, so the
+    sketch is in its exact regime and SQL-oracled; the approximate
+    regime's frequency guarantee is pinned in tests/test_sketch.py."""
+    from vertex_ray.stages.sketch import heavy_hitters
+
+    return heavy_hitters(_ev(sf_dir), "user_id", k=256, top=10)
+
+
+SQL_HEAVY_HITTERS_EVENTS = """
+SELECT user_id AS value, CAST(count(*) AS BIGINT) AS approx_count
+FROM events GROUP BY 1
+ORDER BY approx_count DESC, value ASC
+LIMIT 10
+"""
+
+
 def q_stratified_sample_docs(sf_dir: str):
     """Cap documents per source domain: keep the 20 smallest-md5(doc_id)
     docs of each source (deterministic training-data downsampling)."""
@@ -1326,6 +1344,7 @@ OP_QUERIES = {
     "op_cardinality_bloom_events": q_cardinality_bloom_events,
     "op_stratified_sample_docs": q_stratified_sample_docs,
     "op_hll_distinct_events": q_hll_distinct_events,
+    "op_heavy_hitters_events": q_heavy_hitters_events,
     "op_kmeans_embeddings": q_kmeans_embeddings,
 }
 
@@ -1369,6 +1388,7 @@ OP_ORACLES = {
     "op_range_join_events": SQL_RANGE_JOIN_EVENTS,
     "op_cardinality_bloom_events": SQL_CARDINALITY_BLOOM_EVENTS,
     "op_stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
+    "op_heavy_hitters_events": SQL_HEAVY_HITTERS_EVENTS,
     # langid / fingerprint / minhash / simhash / embedding-lsh / ivf /
     # multimodal: not SQL-expressible (heuristics, hashing, LSH, stub
     # decoders) → rows-only checks; the LSH/IVF variants are recall-tested

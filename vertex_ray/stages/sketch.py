@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["hll_partial_op", "hll_distinct"]
+__all__ = ["hll_partial_op", "hll_distinct", "heavy_hitters"]
 
 
 def _alpha(m: int) -> float:
@@ -96,4 +96,51 @@ def hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
                        batch_format="pyarrow")
         .groupby(group_col)
         .map_groups(estimate, batch_format="pandas")
+    )
+
+
+def heavy_hitters(ds, col: str, k: int, top: int | None = None):
+    """Top-k frequent values by the mergeable Misra-Gries summary
+    (Agarwal et al., "Mergeable Summaries", PODS'12 — public algorithm):
+    each batch compresses its exact value counts to at most ``k`` counters
+    by subtracting the (k+1)-th largest count and dropping non-positives;
+    compressed partials merge exactly by summation. Counts are
+    UNDERestimates with total error <= n/(k+1); any value with true
+    frequency above that bound is guaranteed to surface.
+
+    Scale shape: a batch emits <= k rows no matter its size; the merge is
+    one ``groupby(value).sum`` over blocks*k tiny rows; the final global
+    compression is a distributed sort + limit. Returns the ``top``
+    (default ``k``) rows of (value, approx_count:int64) ordered by
+    approx_count desc, value asc.
+
+    With ``k`` >= the true number of distinct values no subtraction ever
+    happens, so counts are exact (the SQL-oracled regime of the driver
+    query); the approximate regime's guarantee is pinned in
+    tests/test_sketch.py.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[col].to_numpy(zero_copy_only=False))
+        vc = s.value_counts()  # descending
+        if len(vc) > k:
+            thresh = int(vc.iloc[k])
+            vc = vc - thresh
+            vc = vc[vc > 0]
+        return pa.table({
+            "value": pa.array(vc.index.to_numpy(dtype=object)),
+            "approx_count": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("value", sort=False)["approx_count"].sum().reset_index()
+        out["approx_count"] = out["approx_count"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["approx_count", "value"], descending=[True, False])
+        .limit(top if top is not None else k)
     )
