@@ -114,6 +114,54 @@ FROM events
 """
 
 
+def q_route_split_events(sf_dir: str):
+    """Exercise the true multi-output form: `route_split` returns one
+    Dataset per port (each a lazy filter view over ONE shared flagging
+    pass — the input is scanned once, not once per port); the query tags
+    each port with its name and unions them back so the driver can hash
+    the full port assignment. A row is multicast to EVERY matching port,
+    `_unmatched` only when no route matches — exactly the reference's
+    route transform semantics (src/transforms/route.rs:84-95)."""
+    import pyarrow.compute as pc
+
+    from vertex_ray.stages.ops import route_split
+
+    routes = {
+        "click": lambda t: pc.equal(t["event_type"], "click"),
+        "big": lambda t: pc.greater(t["value"], 250.0),
+    }
+    ports = route_split(
+        _ev(sf_dir).map_batches(
+            lambda t: t.select(["event_id", "event_type", "value"]),
+            batch_format="pyarrow",
+        ),
+        routes,
+    )
+    tagged = [
+        d.map_batches(
+            lambda t, p=name: t.select(["event_id"]).append_column(
+                "port", pa.array([p] * len(t), type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+        for name, d in ports.items()
+    ]
+    out = tagged[0]
+    for d in tagged[1:]:
+        out = out.union(d)
+    return out
+
+
+SQL_ROUTE_SPLIT_EVENTS = """
+SELECT event_id, 'click' AS port FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, 'big' AS port FROM events WHERE value > 250
+UNION ALL
+SELECT event_id, '_unmatched' AS port FROM events
+WHERE NOT (event_type = 'click' OR value > 250)
+"""
+
+
 # --- sample ----------------------------------------------------------------
 
 
@@ -1343,6 +1391,7 @@ OP_QUERIES = {
     "op_range_join_events": q_range_join_events,
     "op_cardinality_bloom_events": q_cardinality_bloom_events,
     "op_stratified_sample_docs": q_stratified_sample_docs,
+    "op_route_split_events": q_route_split_events,
     "op_hll_distinct_events": q_hll_distinct_events,
     "op_heavy_hitters_events": q_heavy_hitters_events,
     "op_kmeans_embeddings": q_kmeans_embeddings,
@@ -1389,6 +1438,7 @@ OP_ORACLES = {
     "op_cardinality_bloom_events": SQL_CARDINALITY_BLOOM_EVENTS,
     "op_stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "op_heavy_hitters_events": SQL_HEAVY_HITTERS_EVENTS,
+    "op_route_split_events": SQL_ROUTE_SPLIT_EVENTS,
     # langid / fingerprint / minhash / simhash / embedding-lsh / ivf /
     # multimodal: not SQL-expressible (heuristics, hashing, LSH, stub
     # decoders) → rows-only checks; the LSH/IVF variants are recall-tested
