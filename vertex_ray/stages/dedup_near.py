@@ -207,6 +207,12 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
     to its first max_bucket doc_ids (sorted, deterministic) and logged —
     near-dups that common are better handled by exact dedup upstream.
     Returns a Dataset of (a, b, jaccard) with a < b, deduplicated.
+
+    The band groupby and the pair dedup are hash-BUCKETED (one task per
+    bucket of ~n_keys/join_buckets band-hashes / pairs, vectorized inner
+    pandas groupby) rather than one Ray task per band bucket / per pair —
+    the per-distinct-key map_groups form is task-overhead-bound at
+    billions of keys (same shape as stages/dedup.dedup_exact).
     """
     from vertex_ray.stages.join import hash_join
 
@@ -214,35 +220,65 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
         minhash_bands_op(text_col, id_col, num_perm, bands, k), batch_format="pyarrow"
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) > max_bucket:
-            import logging
+    def add_band_bucket(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        bi = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = bh * np.uint64(1000003) + bi
+        return t.append_column(
+            "__bucket", pa.array((mixed % np.uint64(join_buckets)).astype(np.int64))
+        )
 
-            logging.getLogger("vertex_ray.dedup_near").warning(
-                "LSH band bucket truncated: %d > max_bucket=%d doc_ids "
-                "(band_id=%s); pair expansion capped",
-                len(ids), max_bucket, g["band_id"].iloc[0],
-            )
-            ids = ids[:max_bucket]
-        # always slice the typed id array so EMPTY outputs keep the id
-        # dtype (an untyped empty frame would poison Ray's schema union)
-        arr = np.asarray(ids if ids else g["doc_id"].to_numpy()[:0])
-        if len(ids) < 2:
-            return pd.DataFrame({"a": arr[:0], "b": arr[:0]})
-        iu = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": arr[iu[0]], "b": arr[iu[1]]})
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        empty = g["doc_id"].to_numpy()[:0]
+        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.unique(sub["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                import logging
+
+                logging.getLogger("vertex_ray.dedup_near").warning(
+                    "LSH band bucket truncated: %d > max_bucket=%d doc_ids "
+                    "(band_id=%s); pair expansion capped",
+                    len(ids), max_bucket, sub["band_id"].iloc[0],
+                )
+                ids = ids[:max_bucket]
+            iu = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[iu[0]])
+            outs_b.append(ids[iu[1]])
+        if not outs_a:
+            # keep the id dtype on EMPTY outputs (an untyped empty frame
+            # would poison Ray's schema union)
+            return pd.DataFrame({"a": empty, "b": empty})
+        return pd.DataFrame(
+            {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
+        )
 
     cand = (
-        band_rows.groupby(["band_id", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
+        band_rows.map_batches(add_band_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
     )
+
     # same pair can surface from several bands → dedup BEFORE the text
     # joins so each candidate is verified once
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        ha = pd.util.hash_array(t["a"].to_numpy(zero_copy_only=False))
+        hb = pd.util.hash_array(t["b"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "__bucket",
+            pa.array(((ha ^ hb) % np.uint64(join_buckets)).astype(np.int64)),
+        )
 
-    cand = cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    cand = (
+        cand.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    )
 
     texts_ds = ds.map_batches(
         lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
