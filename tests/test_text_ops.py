@@ -363,3 +363,41 @@ def test_ngram_jaccard_posting_cap_logged(ray_session, caplog):
     ).to_pandas()
     # capped: pairs only among the 5 kept doc_ids per gram → far fewer than 30*29/2
     assert 0 < len(out) <= 10
+
+
+def test_connected_components_ray(ray_session):
+    import ray.data
+
+    from vertex_ray.stages.graph import connected_components, dedup_clusters
+
+    # two chains (1-2-3-4, 10-11) + a triangle with a cross edge (20,21,22,3)
+    edges = pd.DataFrame({
+        "a": [2, 3, 4, 11, 20, 21, 20, 3],
+        "b": [1, 2, 3, 10, 21, 22, 22, 22],
+    })
+    cc = connected_components(ray.data.from_pandas(edges)).to_pandas()
+    lab = dict(zip(cc["node"], cc["lab"]))
+    # the cross edge 3-22 merges the chain and the triangle into one
+    assert {lab[n] for n in (1, 2, 3, 4, 20, 21, 22)} == {1}
+    assert lab[10] == lab[11] == 10
+    assert len(cc) == 9
+
+    out = dedup_clusters(ray.data.from_pandas(edges)).to_pandas()
+    assert set(out.columns) == {"doc_id", "canonical_id"}
+    keep = out[out["doc_id"] == out["canonical_id"]]["doc_id"].tolist()
+    assert sorted(keep) == [1, 10]
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data
+
+    from vertex_ray.stages.graph import connected_components
+
+    empty = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    cc = connected_components(empty)
+    # Dataset schema is typed even when empty (to_pandas drops columns on
+    # zero-row datasets, so assert on the schema, the thing unions consume)
+    assert cc.schema().names == ["node", "lab"]
+    assert cc.count() == 0

@@ -562,6 +562,30 @@ WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.7
 """
 
 
+def q_dedup_clusters_docs(sf_dir: str):
+    from vertex_ray.stages.dedup_near import ngram_jaccard_pairs
+    from vertex_ray.stages.graph import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(_docs(sf_dir), "text", "doc_id", k=3, threshold=0.7)
+    return dedup_clusters(pairs, "a", "b")
+
+
+# Transitive closure over the (SQL-oracled) exact-jaccard pairs: every doc
+# in >=1 pair gets the min doc_id of its connected component as canonical.
+SQL_DEDUP_CLUSTERS_DOCS = f"""
+WITH RECURSIVE
+pairs AS ({SQL_NGRAM_JACCARD_DOCS}),
+sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+reach(x, y) AS (
+  SELECT x, y FROM sym
+  UNION
+  SELECT r.x, s.y FROM reach r JOIN sym s ON s.x = r.y
+)
+SELECT x AS doc_id, LEAST(x, MIN(y)) AS canonical_id
+FROM reach GROUP BY x
+"""
+
+
 # threshold 0.45: the synthetic embeddings top out at cosine ≈ 0.51, so a
 # "near-dup" threshold of 0.9 selects nothing; 0.45 selects a small,
 # well-separated set (neighbouring cosines differ by ≥1e-3, far above
@@ -1370,6 +1394,7 @@ OP_QUERIES = {
     "op_minhash_pairs_docs": q_minhash_pairs_docs,
     "op_simhash_pairs_docs": q_simhash_pairs_docs,
     "op_ngram_jaccard_docs": q_ngram_jaccard_docs,
+    "op_dedup_clusters_docs": q_dedup_clusters_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -1420,6 +1445,7 @@ OP_ORACLES = {
     "op_ann_topk": SQL_ANN_TOPK,
     "op_embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
     "op_ngram_jaccard_docs": SQL_NGRAM_JACCARD_DOCS,
+    "op_dedup_clusters_docs": SQL_DEDUP_CLUSTERS_DOCS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,
