@@ -401,3 +401,39 @@ def test_connected_components_empty(ray_session):
     # zero-row datasets, so assert on the schema, the thing unions consume)
     assert cc.schema().names == ["node", "lab"]
     assert cc.count() == 0
+
+
+def test_pack_bins_greedy():
+    from vertex_ray.stages.pack import pack_bins
+
+    # 5+4 fit in 10, 3 starts bin 1 with 7; 12 oversized -> own bin; 2 after
+    toks = np.array([5, 4, 3, 7, 12, 2])
+    assert pack_bins(toks, 10).tolist() == [0, 0, 1, 1, 2, 3]
+    # oversized FIRST doc still opens bin 0
+    assert pack_bins(np.array([20, 1, 1]), 10).tolist() == [0, 1, 1]
+    assert pack_bins(np.array([], dtype=np.int64), 10).tolist() == []
+
+
+def test_pack_documents_ray(ray_session):
+    import ray.data
+
+    from vertex_ray.stages.pack import pack_documents
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [("w " * (i % 7 + 1)).strip() for i in range(40)],
+    })
+    out = (
+        pack_documents(ray.data.from_pandas(docs), "text", "doc_id", 10, n_parts=4)
+        .to_pandas().sort_values(["part", "doc_id"]).reset_index(drop=True)
+    )
+    assert len(out) == 40
+    # every bin's fill <= budget unless it is a single oversized doc
+    fills = out.groupby(["part", "bin"])["n_tokens"].agg(["sum", "count"])
+    assert ((fills["sum"] <= 10) | (fills["count"] == 1)).all()
+    # deterministic: same input -> same assignment
+    out2 = (
+        pack_documents(ray.data.from_pandas(docs), "text", "doc_id", 10, n_parts=4)
+        .to_pandas().sort_values(["part", "doc_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)

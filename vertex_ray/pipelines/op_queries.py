@@ -562,6 +562,45 @@ WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.7
 """
 
 
+_PACK_BUDGET = 2048
+_PACK_PARTS = 8
+
+
+def q_pack_docs(sf_dir: str):
+    from vertex_ray.stages.pack import pack_documents
+
+    return pack_documents(
+        _docs(sf_dir), "text", "doc_id", _PACK_BUDGET, n_parts=_PACK_PARTS
+    )
+
+
+# Greedy sequential packing per partition in doc_id order, reset-cumsum as
+# a recursive CTE (depth = max docs per partition). Mirrors
+# stages/pack.pack_documents exactly: \S+ token count, doc_id % n_parts
+# partitioning, a bin takes consecutive docs while fill <= budget, an
+# oversized doc opens a bin of its own.
+SQL_PACK_DOCS = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id % {_PACK_PARTS} AS part, doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {_PACK_PARTS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed(part, rn, doc_id, n_tokens, bin, fill) AS (
+  SELECT part, rn, doc_id, n_tokens, 0, n_tokens FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.part, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+              THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+              THEN p.fill + d.n_tokens ELSE d.n_tokens END
+  FROM docs d JOIN packed p ON p.part = d.part AND d.rn = p.rn + 1
+)
+SELECT part, doc_id, n_tokens, bin FROM packed
+"""
+
+
 def q_dedup_clusters_docs(sf_dir: str):
     from vertex_ray.stages.dedup_near import ngram_jaccard_pairs
     from vertex_ray.stages.graph import dedup_clusters
@@ -1395,6 +1434,7 @@ OP_QUERIES = {
     "op_simhash_pairs_docs": q_simhash_pairs_docs,
     "op_ngram_jaccard_docs": q_ngram_jaccard_docs,
     "op_dedup_clusters_docs": q_dedup_clusters_docs,
+    "op_pack_docs": q_pack_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -1446,6 +1486,7 @@ OP_ORACLES = {
     "op_embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
     "op_ngram_jaccard_docs": SQL_NGRAM_JACCARD_DOCS,
     "op_dedup_clusters_docs": SQL_DEDUP_CLUSTERS_DOCS,
+    "op_pack_docs": SQL_PACK_DOCS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,
