@@ -97,3 +97,35 @@ def test_heavy_hitters_guarantee_under_compression(ray_session):
         assert h in out.index            # guaranteed to surface
         assert exact[h] - out[h] <= bound
         assert out[h] <= exact[h]        # never overestimates
+
+
+def test_exact_quantiles_radix_selection(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from vertex_ray.stages.quantile import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.standard_normal(5000) * 100,          # negatives + positives
+        np.repeat([3.25, -7.5], 500),             # heavy duplicates
+        np.array([1e-300, -1e-300, 1e308]),       # extreme magnitudes
+    ])
+    ds = rd.from_pandas(pd.DataFrame({"value": vals})).repartition(8)
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    out = exact_quantiles(ds, "value", qs)
+    srt = np.sort(vals)
+    for q, got in zip(out["q"], out["value"]):
+        k = max(int(np.ceil(q * len(srt))) - 1, 0)
+        assert got == srt[k], (q, got, srt[k])
+
+
+def test_exact_quantiles_empty_and_null(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from vertex_ray.stages.quantile import exact_quantiles
+
+    ds = rd.from_pandas(pd.DataFrame({"value": [np.nan, np.nan]}))
+    out = exact_quantiles(ds, "value", [0.5])
+    assert np.isnan(out["value"].iloc[0])

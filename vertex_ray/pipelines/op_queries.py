@@ -562,6 +562,26 @@ WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.7
 """
 
 
+def q_exact_quantiles_events(sf_dir: str):
+    from vertex_ray.stages.quantile import exact_quantiles
+
+    import ray.data as rd
+
+    # prune at the READ: only the one column the selection scans leaves
+    # storage (the selection re-scans the dataset once per radix round)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return exact_quantiles(ds, "value", [0.5, 0.9, 0.99])
+
+
+SQL_EXACT_QUANTILES_EVENTS = """
+SELECT 0.5 AS q, quantile_disc(value, 0.5) AS value FROM events
+UNION ALL
+SELECT 0.9, quantile_disc(value, 0.9) FROM events
+UNION ALL
+SELECT 0.99, quantile_disc(value, 0.99) FROM events
+"""
+
+
 _PACK_BUDGET = 2048
 _PACK_PARTS = 8
 
@@ -1435,6 +1455,7 @@ OP_QUERIES = {
     "op_ngram_jaccard_docs": q_ngram_jaccard_docs,
     "op_dedup_clusters_docs": q_dedup_clusters_docs,
     "op_pack_docs": q_pack_docs,
+    "op_exact_quantiles_events": q_exact_quantiles_events,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -1487,6 +1508,7 @@ OP_ORACLES = {
     "op_ngram_jaccard_docs": SQL_NGRAM_JACCARD_DOCS,
     "op_dedup_clusters_docs": SQL_DEDUP_CLUSTERS_DOCS,
     "op_pack_docs": SQL_PACK_DOCS,
+    "op_exact_quantiles_events": SQL_EXACT_QUANTILES_EVENTS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,
