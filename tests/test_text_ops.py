@@ -437,3 +437,17 @@ def test_pack_documents_ray(ray_session):
         .to_pandas().sort_values(["part", "doc_id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_vocab_topk_ray(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.text import vocab_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b b c", "b c  c", "c zz"],
+    })
+    out = vocab_topk(rd.from_pandas(docs), "text", 3).to_pandas()
+    assert out["token"].tolist() == ["c", "b", "a"]  # tie a/zz -> token asc
+    assert out["cnt"].tolist() == [4, 3, 1]

@@ -562,6 +562,21 @@ WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.7
 """
 
 
+def q_vocab_docs(sf_dir: str):
+    from vertex_ray.stages.text import vocab_topk
+
+    return vocab_topk(_docs(sf_dir), "text", 50)
+
+
+SQL_VOCAB_DOCS = r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+)
+SELECT token, count(*) AS cnt FROM tok GROUP BY token
+ORDER BY cnt DESC, token ASC LIMIT 50
+"""
+
+
 def q_exact_quantiles_events(sf_dir: str):
     from vertex_ray.stages.quantile import exact_quantiles
 
@@ -1456,6 +1471,7 @@ OP_QUERIES = {
     "op_dedup_clusters_docs": q_dedup_clusters_docs,
     "op_pack_docs": q_pack_docs,
     "op_exact_quantiles_events": q_exact_quantiles_events,
+    "op_vocab_docs": q_vocab_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -1509,6 +1525,7 @@ OP_ORACLES = {
     "op_dedup_clusters_docs": SQL_DEDUP_CLUSTERS_DOCS,
     "op_pack_docs": SQL_PACK_DOCS,
     "op_exact_quantiles_events": SQL_EXACT_QUANTILES_EVENTS,
+    "op_vocab_docs": SQL_VOCAB_DOCS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,

@@ -168,3 +168,37 @@ def fingerprint_op(text_col: str = "text", algo: str = "blake2b64"):
         return t.append_column("fingerprint", fp)
 
     return fn
+
+
+def vocab_topk(ds, text_col: str, k: int):
+    """Top-k corpus vocabulary by global token count (deterministic ties:
+    count desc, token asc) — the "build a vocabulary / frequency table"
+    corpus-stats step of a training-data pipeline.
+
+    Scale shape (combiner pattern): each batch pre-aggregates its own
+    token counts with Arrow ``value_counts`` (zero-copy split + flatten,
+    no Python per row), so the ONE ``groupby(token)`` exchange carries
+    per-batch DISTINCT tokens, not raw token occurrences — shuffle volume
+    is bounded by vocabulary size × batches, independent of corpus length.
+    The final sort runs on the aggregated vocabulary only.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(t[text_col]))
+        toks = toks.drop_null().filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        return pa.table({
+            "token": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["token", "cnt"]),
+            batch_format="pyarrow",
+        )
+    )
+    return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
