@@ -133,3 +133,97 @@ def test_joins_match_duckdb_sf0001(ray_session):
         a = mine[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_hash_join_inner_dup_keys(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.join import hash_join
+
+    left = pa.table({"k": [1, 1, 2, 3], "lv": [10, 11, 20, 30]})
+    right = pa.table({"k": [1, 1, 4], "rv": [100, 101, 400]})
+    out = (
+        hash_join(rd.from_arrow(left), rd.from_arrow(right), "k",
+                  n_buckets=4)
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    )
+    # dup keys on both sides -> full cartesian per key (2x2=4 for k=1)
+    assert out["k"].tolist() == [1, 1, 1, 1]
+    assert out["lv"].tolist() == [10, 10, 11, 11]
+    assert out["rv"].tolist() == [100, 101, 100, 101]
+
+
+def test_hash_join_left_outer_nulls(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.join import hash_join
+
+    left = pa.table({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    right = pa.table({"k": [2], "rv": [200]})
+    out = (
+        hash_join(rd.from_arrow(left), rd.from_arrow(right), "k",
+                  how="left", n_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["rv"].fillna(-1).tolist() == [-1, 200, -1]
+
+
+def test_topk_per_group_combiner_safe(ray_session):
+    """Result is identical however rows split across input blocks, because
+    each block keeps its own top-k per group before the exchange."""
+    import ray.data as rd
+
+    from vertex_ray.stages.ops import topk_per_group
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, 200),
+        "v": rng.integers(0, 20, 200).astype(np.float64),  # many value ties
+        "id": np.arange(200),
+    })
+    expect = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g").head(3).sort_values(["g", "v", "id"],
+                                          ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    for nblocks in (1, 7):
+        out = (
+            topk_per_group(
+                rd.from_pandas(df).repartition(nblocks), "g", "v", 3, "id")
+            .to_pandas().sort_values(["g", "v", "id"],
+                                     ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            out[["g", "v", "id"]], expect[["g", "v", "id"]],
+            check_dtype=False)
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.text import decontaminate
+
+    bench = pd.DataFrame({
+        "doc_id": [100],
+        "text": ["the quick brown fox jumps"],
+    })
+    cand = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a sentence with the quick brown fox inside it",  # contaminated
+            "completely novel words only here",               # clean
+            "",                                               # empty: 0 grams
+            "quick brown",                                    # short-doc gram, no match
+        ],
+    })
+    out = (
+        decontaminate(rd.from_pandas(cand), rd.from_pandas(bench),
+                      "text", "doc_id", k=3, min_overlap=1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [True, False, False, False]
+    assert out.loc[0, "n_overlap"] >= 2  # 'the quick brown','quick brown fox'
+    assert out.loc[2, "n_grams"] == 0

@@ -1443,6 +1443,143 @@ FROM events e JOIN p
 """
 
 
+# --- large-large equi joins (hash-co-partitioned) ---------------------------
+
+
+def q_hash_join_orders(sf_dir: str):
+    """orders ⋈ lineitem on orderkey — both sides too big to broadcast at
+    scale, so stages/join.hash_join co-partitions them in ONE exchange."""
+    import ray.data as rd
+
+    from vertex_ray.stages.join import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return hash_join(orders, li, "o_orderkey", "l_orderkey")
+
+
+SQL_HASH_JOIN_ORDERS = """
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus,
+       l.l_linenumber, l.l_quantity
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def q_left_join_orders(sf_dir: str):
+    """Left-outer variant: orders LEFT JOIN high-quantity lineitems; null
+    right columns are filled with sentinels post-join so the value-hash is
+    dtype-stable on both sides (nullable-int → NaN-float pandas hop)."""
+    import ray.data as rd
+
+    from vertex_ray.stages.join import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)),
+        batch_format="pyarrow")
+    joined = hash_join(orders, li, "o_orderkey", "l_orderkey", how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderstatus": t["o_orderstatus"],
+            "l_linenumber": pc.fill_null(
+                pc.cast(t["l_linenumber"], pa.int64()), -1),
+            "l_quantity": pc.fill_null(t["l_quantity"], -1.0),
+            "matched": pc.is_valid(t["l_linenumber"]),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_LEFT_JOIN_ORDERS = """
+SELECT o.o_orderkey, o.o_orderstatus,
+       CAST(COALESCE(l.l_linenumber, -1) AS BIGINT) AS l_linenumber,
+       COALESCE(l.l_quantity, -1.0) AS l_quantity,
+       l.l_linenumber IS NOT NULL AS matched
+FROM orders o
+LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) l
+  ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def q_topk_per_group_events(sf_dir: str):
+    from vertex_ray.stages.ops import topk_per_group
+
+    return topk_per_group(_ev(sf_dir), "event_type", "value", 3, "event_id")
+
+
+SQL_TOPK_PER_GROUP_EVENTS = """
+SELECT event_type, value, event_id FROM (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 20 == 0 act as the
+    held-out eval set; every other doc is scored for distinct-3-gram
+    overlap against it (broadcast gram-hash set, candidate side streams)."""
+    from vertex_ray.stages.text import decontaminate
+
+    def mod20(is_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy() % 20 == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+
+        return fn
+
+    bench = _docs(sf_dir).map_batches(mod20(True), batch_format="pyarrow")
+    cand = _docs(sf_dir).map_batches(mod20(False), batch_format="pyarrow")
+    return decontaminate(cand, bench, "text", "doc_id", k=3, min_overlap=1)
+
+
+SQL_DECONTAMINATE_DOCS = r"""
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(w) AS t, unnest(range(1, len(w)+1)) AS i FROM ws
+),
+grams AS (
+  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g
+  FROM tok a JOIN tok b ON b.doc_id=a.doc_id AND b.i=a.i+1
+             JOIN tok c ON c.doc_id=a.doc_id AND c.i=a.i+2
+),
+short AS (
+  SELECT doc_id, array_to_string(w, ' ') AS g FROM ws WHERE len(w) BETWEEN 1 AND 2
+),
+allg AS (SELECT * FROM grams UNION SELECT * FROM short),
+bench AS (SELECT DISTINCT g FROM allg WHERE doc_id % 20 = 0),
+cand AS (SELECT * FROM allg WHERE doc_id % 20 <> 0),
+ov AS (
+  SELECT c.doc_id,
+         count(*) AS n_grams,
+         count(*) FILTER (WHERE b.g IS NOT NULL) AS n_overlap
+  FROM cand c LEFT JOIN bench b ON b.g = c.g
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(o.n_grams, 0) AS n_grams,
+       COALESCE(o.n_overlap, 0) AS n_overlap,
+       COALESCE(o.n_overlap, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN ov o ON o.doc_id = d.doc_id
+WHERE d.doc_id % 20 <> 0
+"""
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -1472,6 +1609,10 @@ OP_QUERIES = {
     "op_pack_docs": q_pack_docs,
     "op_exact_quantiles_events": q_exact_quantiles_events,
     "op_vocab_docs": q_vocab_docs,
+    "op_hash_join_orders": q_hash_join_orders,
+    "op_left_join_orders": q_left_join_orders,
+    "op_topk_per_group_events": q_topk_per_group_events,
+    "op_decontaminate_docs": q_decontaminate_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -1526,6 +1667,10 @@ OP_ORACLES = {
     "op_pack_docs": SQL_PACK_DOCS,
     "op_exact_quantiles_events": SQL_EXACT_QUANTILES_EVENTS,
     "op_vocab_docs": SQL_VOCAB_DOCS,
+    "op_hash_join_orders": SQL_HASH_JOIN_ORDERS,
+    "op_left_join_orders": SQL_LEFT_JOIN_ORDERS,
+    "op_topk_per_group_events": SQL_TOPK_PER_GROUP_EVENTS,
+    "op_decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,

@@ -52,8 +52,12 @@ def hash_join(
 
     Returns a Dataset with the left key column (named ``left_on``), all
     left payload columns, and all right payload columns (collisions get
-    ``rsuffix``). ``how`` is any pandas merge mode ('inner'/'left'/...).
+    ``rsuffix``). ``how`` is 'inner' or 'left' (left-outer: unmatched left
+    rows carry nulls in the right columns). Duplicate keys on both sides
+    expand to the full per-key cartesian product, like SQL.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     right_on = right_on or left_on
     ls, rs = left.schema(), right.schema()
     l_payload = [
@@ -106,18 +110,52 @@ def hash_join(
     )
 
     def merge(g: pa.Table) -> pa.Table:
-        # split sides in Arrow FIRST: selecting each side's own columns
-        # before the pandas hop means no null-filled columns ever reach
-        # pandas (which would silently widen int64 → float64); the result
-        # goes back to Arrow under an EXPLICIT schema so every output
-        # block — including empties — is identically typed (Ray's schema
-        # union otherwise degrades the whole column).
+        # stays in Arrow end to end (no pandas hop, so no int64 → float64
+        # widening for nullable right columns on a left join): rank-compress
+        # the bucket's keys, sort the right side ONCE, then two vectorized
+        # searchsorteds give every probe its [lo, hi) match slice and
+        # np.repeat expands — loop-free, like the asof/range kernels.
         import pyarrow.compute as pc
 
-        is_left = pc.equal(g["__side"], 0)
-        lg = g.filter(is_left).select(["__key", *l_out]).to_pandas()
-        rg = g.filter(pc.invert(is_left)).select(["__key", *r_out]).to_pandas()
-        m = lg.merge(rg, on="__key", how=how).rename(columns={"__key": left_on})
-        return pa.Table.from_pandas(m, schema=out_schema, preserve_index=False)
+        side = np.concatenate([c.to_numpy() for c in g["__side"].chunks]) \
+            if g["__side"].num_chunks != 1 else g["__side"].chunk(0).to_numpy()
+        L = g.filter(pa.array(side == 0))
+        R = g.filter(pa.array(side == 1))
+        empty = pa.table(
+            {f.name: pa.array([], type=f.type) for f in out_schema})
+        if not len(L) or (how == "inner" and not len(R)):
+            return empty
+        lk = L["__key"].to_numpy(zero_copy_only=False)
+        rk = R["__key"].to_numpy(zero_copy_only=False)
+        allk = np.concatenate([lk, rk])
+        _, inv = np.unique(allk, return_inverse=True)
+        l_kr, r_kr = inv[:len(lk)], inv[len(lk):]
+        order = np.argsort(r_kr, kind="stable")
+        r_sorted = r_kr[order]
+        lo = np.searchsorted(r_sorted, l_kr, side="left")
+        hi = np.searchsorted(r_sorted, l_kr, side="right")
+        counts = hi - lo
+        li = np.repeat(np.arange(len(L), dtype=np.int64), counts)
+        total = int(counts.sum())
+        starts = np.repeat(lo, counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        ri = order[starts + within]
+        out = {left_on: pc.take(L["__key"], pa.array(li))}
+        for c in l_out:
+            out[c] = pc.take(L[c], pa.array(li))
+        for c in r_out:
+            out[c] = pc.take(R[c], pa.array(ri))
+        t = pa.table(out)
+        if how == "left":
+            un = np.flatnonzero(counts == 0)
+            if len(un):
+                extra = {left_on: pc.take(L["__key"], pa.array(un))}
+                for c in l_out:
+                    extra[c] = pc.take(L[c], pa.array(un))
+                for c, typ in [(n, ty) for n, _s, ty in r_payload]:
+                    extra[c] = pa.nulls(len(un), type=typ)
+                t = pa.concat_tables([t, pa.table(extra)])
+        return t.cast(out_schema)
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

@@ -302,3 +302,46 @@ def stratified_sample(ds, group_col: str, id_col: str, n_per_group: int,
         .groupby("__bucket")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def topk_per_group(ds, group_col: str, value_col: str, k: int,
+                   tiebreak: str, keep_cols: list[str] | None = None):
+    """Top-k rows PER GROUP by value desc (deterministic ties: tiebreak
+    asc) — `ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, tb) <= k`.
+
+    Scale shape (combiner pattern): each batch first reduces ITSELF to at
+    most k rows per group it contains (vectorized lexsort + segment-rank,
+    no Python loop), so the ONE ``groupby(group)`` exchange moves at most
+    k × groups-per-batch × batches rows, independent of rows-per-group;
+    the per-group finalizer then re-ranks the ≤ k·n_batches survivors.
+    """
+    cols = list(dict.fromkeys(
+        [group_col, value_col, tiebreak] + (keep_cols or [])))
+
+    def _rank_trim(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        tb = t[tiebreak].to_numpy(zero_copy_only=False)
+        if v.dtype.kind not in "fiu":
+            raise TypeError(f"topk_per_group needs a numeric value column, "
+                            f"got {v.dtype}")
+        # descending sort key; for unsigned, max-v is the wrap-safe negation
+        neg = (v.max() - v) if v.dtype.kind == "u" and len(v) else -v
+        order = np.lexsort((tb, neg, g))
+        gs = g[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        seg = np.cumsum(new) - 1
+        first_pos = np.flatnonzero(new)
+        rank = np.arange(len(gs)) - first_pos[seg]
+        keep = order[rank < k]
+        return t.select(cols).take(pa.array(np.sort(keep)))
+
+    def _finalize(g: pa.Table) -> pa.Table:
+        return _rank_trim(g)
+
+    return (
+        ds.map_batches(_rank_trim, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(_finalize, batch_format="pyarrow")
+    )

@@ -202,3 +202,63 @@ def vocab_topk(ds, text_col: str, k: int):
         )
     )
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def decontaminate(candidates, benchmark, text_col: str, id_col: str, *,
+                  k: int = 3, min_overlap: int = 1,
+                  max_bench_grams: int = 50_000_000):
+    """Benchmark decontamination — flag training docs sharing ≥
+    ``min_overlap`` distinct word k-grams with a held-out benchmark set
+    (the step every training-data pipeline runs before a model sees the
+    corpus).
+
+    Scale shape: the benchmark side (eval sets — small by definition) is
+    reduced per batch to its distinct gram hashes, streamed to the driver
+    (bounded by ``max_bench_grams``, asserted), sorted once, and broadcast
+    with ``ray.put``; the candidate corpus then STREAMS through one
+    ``map_batches`` that hashes its own grams vectorized (no gram strings
+    materialized — see dedup_near._gram_hashes) and counts membership with
+    one ``searchsorted`` per batch. The 100-TB side never shuffles.
+    Matching is on 64-bit gram hashes: collisions vs the string-equality
+    oracle are possible in principle, negligible in practice.
+    """
+    import ray
+
+    from vertex_ray.stages.dedup_near import _gram_hashes
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        g, _ = _gram_hashes(t[text_col].to_pylist(), k)
+        return pa.table({"g": pa.array(np.unique(g))})
+
+    parts = [
+        b["g"].to_numpy()
+        for b in benchmark.map_batches(bench_grams, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    bench = (np.unique(np.concatenate(parts)) if parts
+             else np.zeros(0, dtype=np.uint64))
+    if len(bench) > max_bench_grams:
+        raise ValueError(
+            f"benchmark gram set ({len(bench)}) exceeds max_bench_grams="
+            f"{max_bench_grams}; a set this large should be joined, not "
+            "broadcast")
+    ref = ray.put(bench)
+
+    def score(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        n = len(t)
+        grams, counts = _gram_hashes(t[text_col].to_pylist(), k)
+        doc_of = np.repeat(np.arange(n), counts)
+        idx = np.searchsorted(b, grams)
+        hit = np.zeros(len(grams), dtype=bool)
+        inb = idx < len(b)
+        hit[inb] = b[idx[inb]] == grams[inb]
+        overlap = np.bincount(doc_of[hit], minlength=n).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_grams": pa.array(counts),
+            "n_overlap": pa.array(overlap),
+            "contaminated": pa.array(overlap >= min_overlap),
+        })
+
+    return candidates.map_batches(score, batch_format="pyarrow")
