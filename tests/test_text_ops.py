@@ -451,3 +451,31 @@ def test_vocab_topk_ray(ray_session):
     out = vocab_topk(rd.from_pandas(docs), "text", 3).to_pandas()
     assert out["token"].tolist() == ["c", "b", "a"]  # tie a/zz -> token asc
     assert out["cnt"].tolist() == [4, 3, 1]
+
+
+def test_tfidf_top_terms_ray(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.text import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "apple apple banana common",
+            "banana cherry common",
+            "common common cherry",
+        ],
+    })
+    out = (
+        tfidf_top_terms(rd.from_pandas(docs).repartition(2), "text",
+                        "doc_id", k=2)
+        .to_pandas().sort_values(["doc_id", "tf", "token"],
+                                 ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # doc 1: apple tf=2 df=1 (ratio 2.0) then banana 1/2 over common 1/3
+    d1 = out[out.doc_id == 1]
+    assert d1["token"].tolist() == ["apple", "banana"]
+    # doc 3: common 2/3 beats cherry 1/2
+    d3 = out[out.doc_id == 3]
+    assert d3["token"].tolist() == ["common", "cherry"]

@@ -1580,6 +1580,65 @@ WHERE d.doc_id % 20 <> 0
 """
 
 
+def q_tfidf_docs(sf_dir: str):
+    from vertex_ray.stages.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), "text", "doc_id", k=3)
+
+
+SQL_TFIDF_DOCS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token) AS rn
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, df FROM scored WHERE rn <= 3
+"""
+
+
+def q_outlier_trim_docs(sf_dir: str):
+    """Quantile-based outlier trim: keep docs whose n_chars lies within the
+    corpus [p01, p99] band — composes the exact distributed quantile
+    (4 radix scans, never sorts) with a streaming filter; the two cut
+    points are the only values that ever reach the driver."""
+    import ray.data as rd
+
+    from vertex_ray.stages.quantile import exact_quantiles
+
+    vals = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    ).map_batches(
+        lambda t: pa.table({"v": pc.cast(t["n_chars"], pa.float64())}),
+        batch_format="pyarrow")
+    qv = exact_quantiles(vals, "v", [0.01, 0.99])
+    qdf = qv.to_pandas() if hasattr(qv, "to_pandas") else qv
+    lo, hi = sorted(qdf["value"].tolist())
+
+    def trim(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy()
+        return t.select(["doc_id", "n_chars"]).filter(
+            pa.array((v >= lo) & (v <= hi)))
+
+    return _docs(sf_dir).map_batches(trim, batch_format="pyarrow")
+
+
+SQL_OUTLIER_TRIM_DOCS = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_disc(CAST(n_chars AS DOUBLE), 0.01) FROM documents)
+  AND n_chars <= (SELECT quantile_disc(CAST(n_chars AS DOUBLE), 0.99) FROM documents)
+"""
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -1613,6 +1672,8 @@ OP_QUERIES = {
     "op_left_join_orders": q_left_join_orders,
     "op_topk_per_group_events": q_topk_per_group_events,
     "op_decontaminate_docs": q_decontaminate_docs,
+    "op_tfidf_docs": q_tfidf_docs,
+    "op_outlier_trim_docs": q_outlier_trim_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -1671,6 +1732,8 @@ OP_ORACLES = {
     "op_left_join_orders": SQL_LEFT_JOIN_ORDERS,
     "op_topk_per_group_events": SQL_TOPK_PER_GROUP_EVENTS,
     "op_decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+    "op_tfidf_docs": SQL_TFIDF_DOCS,
+    "op_outlier_trim_docs": SQL_OUTLIER_TRIM_DOCS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,

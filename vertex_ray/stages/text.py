@@ -262,3 +262,78 @@ def decontaminate(candidates, benchmark, text_col: str, id_col: str, *,
         })
 
     return candidates.map_batches(score, batch_format="pyarrow")
+
+
+def _doc_token_tf(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Per-document term frequencies for one batch: (id, token, tf) with
+    one Arrow lower+split pass and a C-level pandas groupby — a document
+    never spans batches, so tf is complete without any exchange."""
+    import pandas as pd
+
+    lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    off = lists.offsets.to_numpy().astype(np.int64)
+    doc_of = np.repeat(np.arange(len(t)), np.diff(off))
+    toks = flat.to_numpy(zero_copy_only=False)
+    keep = toks != ""
+    df = (
+        pd.DataFrame({"d": doc_of[keep], "token": toks[keep]})
+        .groupby(["d", "token"], sort=False).size().reset_index(name="tf")
+    )
+    ids = t[id_col].to_numpy(zero_copy_only=False)[df["d"].to_numpy()]
+    return pa.table({
+        id_col: pa.array(ids),
+        "token": pa.array(df["token"].to_numpy(), type=pa.string()),
+        "tf": pa.array(df["tf"].to_numpy().astype(np.int64)),
+    })
+
+
+def tfidf_top_terms(ds, text_col: str, id_col: str, k: int = 3):
+    """Top-k characteristic terms per document by tf·idf — ranked by the
+    EXACT ratio tf/df (monotone in tf·idf for fixed corpus size, and IEEE
+    double division is bit-identical in numpy and the SQL oracle, so the
+    comparison needs no epsilon); ties break on token asc.
+
+    Composition of three scale-shaped operators, no new exchange types:
+      1. per-batch (id, token, tf) — no shuffle (a doc never spans batches)
+      2. document frequency: combiner pre-aggregation → one groupby(token)
+      3. stages/join.hash_join (token, df) back onto the tf triples —
+         co-partitioned, because at corpus scale the vocabulary is itself
+         too big to broadcast
+      4. stages/ops.topk_per_group per document
+    """
+    from vertex_ray.stages.join import hash_join
+    from vertex_ray.stages.ops import topk_per_group
+
+    tf = ds.map_batches(
+        lambda t: _doc_token_tf(t, text_col, id_col), batch_format="pyarrow")
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["token"])
+        return pa.table({
+            "token": vc.field("values"),
+            "df": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    df = (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token").sum("df")
+        .map_batches(lambda t: t.rename_columns(["token", "df"]),
+                     batch_format="pyarrow")
+    )
+
+    joined = hash_join(tf, df, "token")
+
+    def score(t: pa.Table) -> pa.Table:
+        ratio = (t["tf"].to_numpy().astype(np.float64)
+                 / t["df"].to_numpy().astype(np.float64))
+        return t.append_column("score", pa.array(ratio))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    out = topk_per_group(scored, id_col, "score", k, "token",
+                         keep_cols=["tf", "df"])
+    return out.map_batches(
+        lambda t: t.select([id_col, "token", "tf", "df"]),
+        batch_format="pyarrow")
