@@ -293,3 +293,31 @@ def test_stratified_sample_truncation_lossless(ray_session):
         [["id", "g"]].sort_values(["g", "id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_mix_proportions_rebalances(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from vertex_ray.stages.ops import mix_proportions
+
+    # interleaved so id % denom is uniform WITHIN each group (the
+    # documented assumption of threshold sampling)
+    df = pd.DataFrame({
+        "id": range(1000),
+        "g": ["big" if i % 5 < 4 else "small" for i in range(1000)],
+    })
+    out = mix_proportions(
+        rd.from_pandas(df), "g", "id", {"big": 0.5, "small": 0.5},
+        total_out=400, denom=1000,
+    ).to_pandas()
+    vc = out["g"].value_counts()
+    # 50/50 target from an 80/20 corpus: both groups land near 200
+    assert abs(int(vc["big"]) - 200) <= 30
+    assert abs(int(vc["small"]) - 200) <= 30
+    # deterministic: same call keeps exactly the same ids
+    out2 = mix_proportions(
+        rd.from_pandas(df), "g", "id", {"big": 0.5, "small": 0.5},
+        total_out=400, denom=1000,
+    ).to_pandas()
+    assert sorted(out["id"]) == sorted(out2["id"])

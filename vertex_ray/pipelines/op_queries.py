@@ -1639,6 +1639,28 @@ WHERE n_chars >= (SELECT quantile_disc(CAST(n_chars AS DOUBLE), 0.01) FROM docum
 """
 
 
+def q_mix_docs(sf_dir: str):
+    """Corpus mixing: rebalance the language-skewed documents table toward
+    equal per-language proportions (~250 rows total at sf0.01) with
+    deterministic id-threshold sampling per group."""
+    from vertex_ray.stages.ops import mix_proportions
+
+    targets = {lang: 0.2 for lang in ("en", "de", "es", "fr", "zh")}
+    return mix_proportions(
+        _docs(sf_dir), "lang", "doc_id", targets, total_out=250,
+    ).map_batches(lambda t: t.select(["doc_id", "lang"]),
+                  batch_format="pyarrow")
+
+
+SQL_MIX_DOCS = """
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cnt USING (lang)
+WHERE d.doc_id % 1000 <
+      CAST(floor(LEAST(1.0, 250 * 0.2 / c) * 1000) AS BIGINT)
+"""
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -1674,6 +1696,7 @@ OP_QUERIES = {
     "op_decontaminate_docs": q_decontaminate_docs,
     "op_tfidf_docs": q_tfidf_docs,
     "op_outlier_trim_docs": q_outlier_trim_docs,
+    "op_mix_docs": q_mix_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -1734,6 +1757,7 @@ OP_ORACLES = {
     "op_decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "op_tfidf_docs": SQL_TFIDF_DOCS,
     "op_outlier_trim_docs": SQL_OUTLIER_TRIM_DOCS,
+    "op_mix_docs": SQL_MIX_DOCS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,

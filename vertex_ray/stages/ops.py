@@ -345,3 +345,52 @@ def topk_per_group(ds, group_col: str, value_col: str, k: int,
         .groupby(group_col)
         .map_groups(_finalize, batch_format="pyarrow")
     )
+
+
+def mix_proportions(ds, group_col: str, id_col: str,
+                    targets: dict[str, float], total_out: int,
+                    denom: int = 1000):
+    """Dataset mixing: deterministically downsample each group (source /
+    language / domain) so the output approximates ``total_out`` rows at the
+    ``targets`` proportions — the corpus-mixing step of a training-data
+    pipeline ("40% web, 30% code, ...").
+
+    Per-group keep rates are derived from per-group counts (ONE tiny
+    combiner groupby whose result is #groups rows — bounded by the mixture
+    spec, never by data volume) and applied as a deterministic integer
+    threshold ``id % denom < floor(rate·denom)``, so membership is a pure
+    function of the row — reruns, retries and the SQL oracle all agree,
+    and the big side streams through a single stateless filter.  Groups
+    absent from ``targets`` are dropped.
+
+    Assumption (documented per the partitioning contract): ``id_col`` is
+    uniform modulo ``denom`` within each group (true for any dense or
+    hashed id); correlated ids need ``hashmod`` applied first.
+    """
+    def count_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(t[group_col])
+        return pa.table({
+            group_col: vc.field("values"),
+            "c": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(group_col).sum("c")
+        .to_pandas()  # #groups rows — the mixture spec, not the data
+    )
+    thr = {}
+    for g, c in zip(counts[group_col], counts.iloc[:, 1]):
+        if g in targets and c > 0:
+            rate = min(1.0, total_out * targets[g] / float(c))
+            thr[g] = int(np.floor(rate * denom))
+
+    def keep(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        th = np.array([thr.get(x, 0) for x in g], dtype=np.int64)
+        return t.filter(pa.array((ids % denom) < th))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
