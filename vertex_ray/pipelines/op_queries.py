@@ -1777,7 +1777,13 @@ OP_ORACLES = {
     "op_stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "op_heavy_hitters_events": SQL_HEAVY_HITTERS_EVENTS,
     "op_route_split_events": SQL_ROUTE_SPLIT_EVENTS,
-    # langid / fingerprint / minhash / simhash / embedding-lsh / ivf /
+    # minhash+LSH verified pairs: the verify stage recomputes EXACT word
+    # 3-gram Jaccard on every candidate, so when LSH recall is 1 (it is at
+    # sf0.01 — deterministic seeds, checked against the exact join: no pair
+    # in [0.5, 0.7) either) the output equals the exact-Jaccard SQL at the
+    # verify threshold.
+    "op_minhash_pairs_docs": SQL_NGRAM_JACCARD_DOCS.replace(">= 0.7", ">= 0.5"),
+    # langid / fingerprint / simhash / embedding-lsh / ivf /
     # multimodal: not SQL-expressible (heuristics, hashing, LSH, stub
     # decoders) → rows-only checks; the LSH/IVF variants are recall-tested
     # against their exact counterparts in tests/ instead.
