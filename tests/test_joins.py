@@ -227,3 +227,35 @@ def test_decontaminate_flags_overlap(ray_session):
     assert out["contaminated"].tolist() == [True, False, False, False]
     assert out.loc[0, "n_overlap"] >= 2  # 'the quick brown','quick brown fox'
     assert out.loc[2, "n_grams"] == 0
+
+
+def test_hash_join_property_vs_pandas(ray_session):
+    """Randomized equivalence: hash_join == pandas merge for inner and left,
+    including duplicate keys, missing keys on either side, and a hot key
+    holding ~1/3 of all rows (skew lands in one bucket — correctness must
+    not depend on balance)."""
+    import ray.data as rd
+
+    from vertex_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        nl, nr = rng.integers(1, 120, 2)
+        lk = rng.integers(0, 12, nl)
+        lk[: nl // 3] = 3  # hot key
+        rk = rng.integers(5, 17, nr)  # partial overlap
+        left = pd.DataFrame({"k": lk, "lv": rng.integers(0, 100, nl)})
+        right = pd.DataFrame({"k": rk, "rv": rng.integers(0, 100, nr)})
+        for how in ("inner", "left"):
+            got = (
+                hash_join(rd.from_pandas(left).repartition(3),
+                          rd.from_pandas(right).repartition(2),
+                          "k", how=how, n_buckets=4)
+                .to_pandas()
+            )
+            want = left.merge(right, on="k", how=how)
+            key = ["k", "lv", "rv"]
+            got = got.sort_values(key).reset_index(drop=True)
+            want = want.sort_values(key).reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got[key], want[key], check_dtype=False)
