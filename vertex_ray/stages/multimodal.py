@@ -1,12 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels themselves are STUBS — image/audio libraries are not
-in this container — but everything Ray-side is real and tested: the
-schema convention, the actor-pool stage shape (decoder "model" loaded
-once per actor), batch sizing for large binary payloads, and the output
-layout. Swap ``_decode_stub`` for a real decoder (PIL/librosa/ffmpeg)
-without touching the pipeline.
+Two decode paths:
+
+- **RAWM (real, default)** — a raw uncompressed container
+  (stages/media_codec) that needs no codec library, so decode → resize /
+  frame-sample → feature-extract runs for REAL here: bytes → numpy →
+  vectorized features (channel stats, rFFT band energies, sampled-frame
+  luma). This is the path the synth tables and tests exercise end to end.
+- **Library formats (stub)** — PNG/WAV/MP4 would call PIL / librosa /
+  ffmpeg, none of which exist in this container; unknown payloads fall
+  back to ``_decode_stub`` (deterministic digest feature) and are counted
+  in the output's ``decoded`` flag so the substitution is visible, never
+  silent.
+
+The Ray-side contract is identical either way: actor-pool stage (decoder
+state acquired once per actor, the geoip pattern), SMALL batch_size because
+payloads are large, explicit output schema.
 """
 
 from __future__ import annotations
@@ -15,6 +25,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from vertex_ray.stages import media_codec
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -28,25 +40,24 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+FEATURE_DIM = 16
+
 
 def synth_media_table(n: int, seed: int = 21) -> pa.Table:
-    """Deterministic fake media rows (payload = seeded bytes) for testing
-    the plumbing at any scale."""
+    """Deterministic media rows with REAL decodable RAWM payloads (actual
+    pixel/sample data, not digest noise) for testing at any scale."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[
         rng.integers(0, 3, size=n)
     ]
-    payloads = [rng.integers(0, 256, size=int(sz), dtype=np.uint8).tobytes()
-                for sz in rng.integers(200, 4000, size=n)]
+    payloads = [media_codec.synth_rawm_payload(k, rng) for k in kinds]
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
             "kind": pa.array(kinds, type=pa.string()),
             "payload": pa.array(payloads, type=pa.binary()),
             "mime": pa.array(
-                np.where(kinds == "image", "image/png",
-                         np.where(kinds == "audio", "audio/wav", "video/mp4")),
-                type=pa.string(),
+                np.full(n, "application/x-rawm", dtype=object), type=pa.string()
             ),
             "width": pa.array(rng.integers(32, 512, size=n).astype(np.int32)),
             "height": pa.array(rng.integers(32, 512, size=n).astype(np.int32)),
@@ -57,10 +68,9 @@ def synth_media_table(n: int, seed: int = 21) -> pa.Table:
 
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB decoder: a real build would call PIL.Image.open / librosa.load
-    / an ffmpeg frame sampler here. Deterministic fake: a 16-dim feature
-    from the payload digest, so tests are stable and the full pipeline
-    (batch sizes, schemas, actor signature) is exercised for real."""
+    """STUB for library-backed formats (PIL.Image.open / librosa.load /
+    ffmpeg frame sampling — not installed here): deterministic 16-dim
+    feature from the payload digest, so foreign-format rows still flow."""
     d = hashlib.blake2b(payload, digest_size=16).digest()
     return (np.frombuffer(d, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
 
@@ -68,22 +78,38 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
 class MediaFeaturize:
     """Actor-pool stage: decode + feature-extract media payloads.
 
-    The "model" (decoder context) is acquired once per actor in __init__
-    (the geoip pattern). Use SMALL batch_size (payloads are large): e.g.
+    Decoder state is acquired once per actor in __init__ (the geoip
+    pattern). Use SMALL batch_size (payloads are large): e.g.
     ``map_batches(MediaFeaturize, batch_size=32, concurrency=N,
     num_cpus=1)`` so batch × concurrency fits worker heaps.
     """
 
-    def __init__(self, feature_dim: int = 16):
+    def __init__(self, feature_dim: int = FEATURE_DIM):
         self.feature_dim = feature_dim
-        self.decoder_ready = True  # stands in for loading codec/model state
+        # stands in for loading codec/model state once per actor
+        self.decoder_ready = True
+
+    def _one(self, payload: bytes, kind: str) -> tuple[np.ndarray, bool]:
+        try:
+            name, data = media_codec.decode(payload)
+        except ValueError:  # not RAWM → library format we cannot decode here
+            return _decode_stub(payload, kind), False
+        if name == "image":
+            return media_codec.image_features(data), True
+        if name == "audio":
+            return media_codec.audio_features(*data), True
+        return media_codec.video_features(data), True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         kinds = batch["kind"].to_numpy(zero_copy_only=False)
-        feats = np.stack(
-            [_decode_stub(p, k) for p, k in zip(payloads, kinds)]
-        ) if len(payloads) else np.zeros((0, self.feature_dim), dtype=np.float32)
+        if payloads:
+            pairs = [self._one(p, k) for p, k in zip(payloads, kinds)]
+            feats = np.stack([f for f, _ in pairs])
+            decoded = np.array([d for _, d in pairs], dtype=bool)
+        else:
+            feats = np.zeros((0, self.feature_dim), dtype=np.float32)
+            decoded = np.zeros(0, dtype=bool)
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -91,6 +117,7 @@ class MediaFeaturize:
                 "n_bytes": pa.array(
                     np.array([len(p) for p in payloads], dtype=np.int64)
                 ),
+                "decoded": pa.array(decoded),
                 "feature": pa.array(list(feats)),
             }
         )
