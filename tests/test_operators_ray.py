@@ -321,3 +321,31 @@ def test_mix_proportions_rebalances(ray_session):
         total_out=400, denom=1000,
     ).to_pandas()
     assert sorted(out["id"]) == sorted(out2["id"])
+
+
+def test_late_data_flag_watermark(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from vertex_ray.stages.windows import late_data_flag
+
+    us = 1_000_000
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"],
+        # arrival order = seq; event times jump back and forth
+        "seq": [1, 2, 3, 4, 5, 1],
+        "ts": pd.to_datetime(
+            [100 * us, 1000 * us, 950 * us,   # 950 within lateness 60 of 1000
+             100 * us,                        # 100 < 1000-60 → LATE
+             2000 * us,
+             50 * us],                        # key b first row: never late
+            unit="us"),
+    })
+    out = (
+        late_data_flag(rd.from_pandas(df), "k", "ts", "seq",
+                       allowed_lateness_s=60, window_s=100)
+        .to_pandas().sort_values(["k", "seq"]).reset_index(drop=True)
+    )
+    assert out["late"].tolist() == [False, False, False, True, False, False]
+    # on-time rows get their tumbling window; the late row gets -1
+    assert out["window_start"].tolist() == [100, 1000, 900, -1, 2000, 0]

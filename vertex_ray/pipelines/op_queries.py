@@ -1661,6 +1661,45 @@ WHERE d.doc_id % 1000 <
 """
 
 
+def q_late_data_events(sf_dir: str):
+    """Streaming watermark semantics: per-key high watermark advances in
+    ARRIVAL order; events whose event-time is > allowed-lateness behind it
+    are flagged late (window −1 = the dropped port). The synthetic events
+    arrive in event-time order, so a deterministic hash shuffle of
+    event_id stands in for network arrival disorder on BOTH sides."""
+    from vertex_ray.stages.windows import late_data_flag
+
+    def add_seq(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        seq = (eid * np.int64(2654435761)) % np.int64(4294967296)
+        return t.append_column("seq", pa.array(seq))
+
+    ds = _ev(sf_dir).map_batches(add_seq, batch_format="pyarrow")
+    return late_data_flag(ds, "user_id", "ts", "seq",
+                          allowed_lateness_s=3600, window_s=300)
+
+
+SQL_LATE_DATA_EVENTS = """
+WITH arr AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         (event_id * 2654435761) % 4294967296 AS seq
+  FROM events
+),
+marked AS (
+  SELECT user_id, seq, t,
+         max(t) OVER (PARTITION BY user_id ORDER BY seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS high
+  FROM arr
+)
+SELECT user_id, seq,
+       COALESCE(t < high - 3600000000, FALSE) AS late,
+       CAST(CASE WHEN COALESCE(t < high - 3600000000, FALSE)
+                 THEN -1 ELSE t // 300000000 * 300 END AS BIGINT)
+         AS window_start
+FROM marked
+"""
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -1697,6 +1736,7 @@ OP_QUERIES = {
     "op_tfidf_docs": q_tfidf_docs,
     "op_outlier_trim_docs": q_outlier_trim_docs,
     "op_mix_docs": q_mix_docs,
+    "op_late_data_events": q_late_data_events,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -1758,6 +1798,7 @@ OP_ORACLES = {
     "op_tfidf_docs": SQL_TFIDF_DOCS,
     "op_outlier_trim_docs": SQL_OUTLIER_TRIM_DOCS,
     "op_mix_docs": SQL_MIX_DOCS,
+    "op_late_data_events": SQL_LATE_DATA_EVENTS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,

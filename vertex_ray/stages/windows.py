@@ -84,3 +84,47 @@ def sessionize(
         return agg[[key_col, "session_id", "n_events", "start_ts", "end_ts"]]
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def late_data_flag(
+    ds,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    allowed_lateness_s: int,
+    window_s: int,
+):
+    """Streaming watermark semantics replayed over a batch table: process
+    each key's events in ARRIVAL order (``seq_col`` — the ingest sequence),
+    advance a per-key high watermark = max(event time seen so far) −
+    allowed lateness, and flag every event whose event time has already
+    fallen behind the watermark at its arrival. On-time rows get their
+    tumbling ``window_start``; late rows get −1 (the reference's dropped
+    port: a downstream filter splits the two streams).
+
+    One ``groupby(key)`` exchange; the per-key kernel is a vectorized
+    prefix max (np.maximum.accumulate) — no Python loop. Partitioning
+    assumption: one key's events fit one task (same bound sessionize has);
+    the watermark is per-key, so keys never synchronize — exactly the
+    property that lets a real stream shard by key.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(seq_col, kind="stable")
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        high = np.empty(len(ts), dtype=np.int64)
+        if len(ts):
+            # sentinel far below any timestamp but safe against int64
+            # underflow when the lateness is subtracted
+            high[0] = -(2**62)
+            np.maximum.accumulate(ts[:-1], out=high[1:])
+        late = ts < (high - allowed_lateness_s * US_PER_SECOND)
+        win = np.where(late, -1, ts // (window_s * US_PER_SECOND) * window_s)
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            seq_col: g[seq_col].to_numpy(),
+            "late": late,
+            "window_start": win.astype(np.int64),
+        })
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
