@@ -1700,6 +1700,116 @@ FROM marked
 """
 
 
+def q_curate_docs(sf_dir: str):
+    """END-TO-END corpus curation — the whole training-data pipeline as one
+    Dataset graph, composed purely from the already-oracled stages:
+
+      1. corpus stats: exact [p01, p99] n_chars band (radix quantile)
+      2. quality gate: ≥ 20 tokens (quality_score_op columns)
+      3. near-dup removal: keep only cluster canonicals (exact-Jaccard
+         pairs → connected components → LEFT hash_join, null ⇒ unique doc)
+      4. benchmark decontamination: drop docs sharing ≥ 5 distinct 3-grams
+         with the held-out doc_id % 20 == 0 set (broadcast gram hashes)
+
+    Everything streams; the only driver-side values are two quantile cut
+    points and the benchmark gram set."""
+    import ray.data as rd
+
+    from vertex_ray.stages.dedup_near import ngram_jaccard_pairs
+    from vertex_ray.stages.graph import dedup_clusters
+    from vertex_ray.stages.join import hash_join
+    from vertex_ray.stages.quantile import exact_quantiles
+    from vertex_ray.stages.text import decontaminate, quality_score_op
+
+    docs = _docs(sf_dir)
+    vals = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    ).map_batches(
+        lambda t: pa.table({"v": pc.cast(t["n_chars"], pa.float64())}),
+        batch_format="pyarrow")
+    qv = exact_quantiles(vals, "v", [0.01, 0.99])
+    qdf = qv.to_pandas() if hasattr(qv, "to_pandas") else qv
+    lo, hi = sorted(qdf["value"].tolist())
+
+    def mod20(is_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy() % 20 == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+
+        return fn
+
+    bench = docs.map_batches(mod20(True), batch_format="pyarrow")
+    cand = docs.map_batches(mod20(False), batch_format="pyarrow")
+
+    def gate(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy()
+        nt = t["n_tokens"].to_numpy()
+        keep = (nc >= lo) & (nc <= hi) & (nt >= 20)
+        return t.select(["doc_id", "lang", "n_chars"]).filter(pa.array(keep))
+
+    base = cand.map_batches(quality_score_op(), batch_format="pyarrow") \
+               .map_batches(gate, batch_format="pyarrow")
+
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.7)
+    canon = dedup_clusters(pairs, "a", "b").map_batches(
+        # explicit int64 schema: empty cluster blocks otherwise surface a
+        # null-typed column and poison the join's unioned schema
+        lambda t: pa.table({
+            "member": t.column(0).cast(pa.int64()),
+            "canonical_id": t.column(1).cast(pa.int64()),
+        }),
+        batch_format="pyarrow")
+    with_canon = hash_join(base, canon, "doc_id", "member", how="left")
+
+    def keep_canonical(t: pa.Table) -> pa.Table:
+        # a doc outside every cluster has a null canonical → it IS canonical
+        keep = pc.or_kleene(
+            pc.is_null(t["canonical_id"]),
+            pc.equal(t["canonical_id"], t["doc_id"]))
+        return t.select(["doc_id", "lang", "n_chars"]).filter(
+            pc.fill_null(keep, True))
+
+    dedup = with_canon.map_batches(keep_canonical, batch_format="pyarrow")
+
+    flags = decontaminate(cand, bench, "text", "doc_id", k=3, min_overlap=5) \
+        .map_batches(lambda t: t.select(["doc_id", "contaminated"]),
+                     batch_format="pyarrow")
+    final = hash_join(dedup, flags, "doc_id")
+
+    return final.map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_chars"]).filter(
+            pc.invert(t["contaminated"])),
+        batch_format="pyarrow")
+
+
+SQL_CURATE_DOCS = r"""
+WITH bounds AS (SELECT quantile_disc(CAST(n_chars AS DOUBLE), 0.01) lo,
+                       quantile_disc(CAST(n_chars AS DOUBLE), 0.99) hi
+                FROM documents),
+base AS (
+  SELECT d.doc_id, d.lang, d.n_chars FROM documents d, bounds b
+  WHERE d.doc_id % 20 <> 0 AND d.n_chars >= b.lo AND d.n_chars <= b.hi
+    AND len(regexp_extract_all(d.text, '\S+')) >= 20
+),
+canon AS (SELECT * FROM ({CLUSTERS})),
+decon AS (SELECT * FROM ({DECON}))
+SELECT b.doc_id, b.lang, b.n_chars
+FROM base b
+LEFT JOIN canon c ON c.doc_id = b.doc_id
+JOIN decon x ON x.doc_id = b.doc_id
+WHERE COALESCE(c.canonical_id, b.doc_id) = b.doc_id
+  AND NOT x.contaminated
+"""
+# splice in the already-oracled sub-pipelines; the decon threshold moves
+# from flag-anything (>= 1) to the curation gate (>= 5)
+SQL_CURATE_DOCS = SQL_CURATE_DOCS.replace(
+    "{CLUSTERS}", SQL_DEDUP_CLUSTERS_DOCS
+).replace(
+    "{DECON}", SQL_DECONTAMINATE_DOCS.replace(
+        ">= 1 AS contaminated", ">= 5 AS contaminated")
+)
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -1737,6 +1847,7 @@ OP_QUERIES = {
     "op_outlier_trim_docs": q_outlier_trim_docs,
     "op_mix_docs": q_mix_docs,
     "op_late_data_events": q_late_data_events,
+    "pipeline_curate_docs": q_curate_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -1799,6 +1910,7 @@ OP_ORACLES = {
     "op_outlier_trim_docs": SQL_OUTLIER_TRIM_DOCS,
     "op_mix_docs": SQL_MIX_DOCS,
     "op_late_data_events": SQL_LATE_DATA_EVENTS,
+    "pipeline_curate_docs": SQL_CURATE_DOCS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,

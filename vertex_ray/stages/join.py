@@ -146,7 +146,10 @@ def hash_join(
             out[c] = pc.take(L[c], pa.array(li))
         for c in r_out:
             out[c] = pc.take(R[c], pa.array(ri))
-        t = pa.table(out)
+        # cast each piece to the declared schema BEFORE any concat: a bucket
+        # whose input blocks carried a null-typed (all-null) column would
+        # otherwise mismatch its sibling (null casts losslessly to any type)
+        t = pa.table(out).cast(out_schema)
         if how == "left":
             un = np.flatnonzero(counts == 0)
             if len(un):
@@ -155,7 +158,7 @@ def hash_join(
                     extra[c] = pc.take(L[c], pa.array(un))
                 for c, typ in [(n, ty) for n, _s, ty in r_payload]:
                     extra[c] = pa.nulls(len(un), type=typ)
-                t = pa.concat_tables([t, pa.table(extra)])
-        return t.cast(out_schema)
+                t = pa.concat_tables([t, pa.table(extra).cast(out_schema)])
+        return t
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
