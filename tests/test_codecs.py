@@ -89,3 +89,27 @@ def test_decode_csv_skips_malformed_unless_strict():
     with _pt.raises(Exception):
         decode_csv(t, column_names=["event_id", "event_type", "value"],
                    strict=True)
+
+
+def test_framing_modes():
+    from vertex_ray.sources.codecs import (
+        frame_char_delimited,
+        frame_length_delimited,
+        frame_octet_counting,
+    )
+
+    assert frame_char_delimited(b"a\nbb\nccc\n") == [b"a", b"bb", b"ccc"]
+    assert frame_char_delimited(b"a|bb", b"|") == [b"a", b"bb"]
+    assert frame_char_delimited(b"") == []
+
+    assert frame_octet_counting(b"1 a3 bbb2 cc") == [b"a", b"bbb", b"cc"]
+    # multi-digit counts and embedded spaces/newlines inside frames
+    assert frame_octet_counting(b"11 hello world") == [b"hello world"]
+    import pytest as _p
+    with _p.raises(ValueError):
+        frame_octet_counting(b"5 ab")  # truncated
+
+    buf = b"".join(len(f).to_bytes(4, "big") + f for f in (b"x", b"yz"))
+    assert frame_length_delimited(buf) == [b"x", b"yz"]
+    with _p.raises(ValueError):
+        frame_length_delimited(buf[:-1])

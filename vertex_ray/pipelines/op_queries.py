@@ -1810,6 +1810,35 @@ SQL_CURATE_DOCS = SQL_CURATE_DOCS.replace(
 )
 
 
+def q_codec_octet_roundtrip_events(sf_dir: str):
+    """Wire round-trip through RFC 6587 octet-counting framing: events are
+    rendered to JSON lines (vectorized string concat), packed into ONE
+    octet-counted byte chunk per batch, then framed + JSON-decoded back —
+    the oracle checks the decoded stream equals the source table, proving
+    framer + deserializer are lossless together."""
+    import pandas as pd
+
+    from vertex_ray.sources.codecs import decode_json_lines, frames_op
+
+    def to_wire(t: pa.Table) -> pa.Table:
+        eid = pd.Series(t["event_id"].to_numpy()).astype(str)
+        etype = pd.Series(t["event_type"].to_numpy(zero_copy_only=False))
+        lines = ('{"event_id":' + eid + ',"event_type":"' + etype + '"}')
+        nbytes = lines.str.encode("utf-8").str.len()  # octet = BYTE count
+        framed = nbytes.astype(str) + " " + lines
+        return pa.table({
+            "stream": pa.array([framed.str.cat().encode()], type=pa.binary())
+        })
+
+    wire = _ev(sf_dir).map_batches(to_wire, batch_format="pyarrow")
+    return wire.map_batches(
+        frames_op("stream", "octet_counting"), batch_format="pyarrow"
+    ).map_batches(decode_json_lines, batch_format="pyarrow")
+
+
+SQL_CODEC_OCTET_EVENTS = "SELECT event_id, event_type FROM events"
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -1848,6 +1877,7 @@ OP_QUERIES = {
     "op_mix_docs": q_mix_docs,
     "op_late_data_events": q_late_data_events,
     "pipeline_curate_docs": q_curate_docs,
+    "op_codec_octet_events": q_codec_octet_roundtrip_events,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -1911,6 +1941,7 @@ OP_ORACLES = {
     "op_mix_docs": SQL_MIX_DOCS,
     "op_late_data_events": SQL_LATE_DATA_EVENTS,
     "pipeline_curate_docs": SQL_CURATE_DOCS,
+    "op_codec_octet_events": SQL_CODEC_OCTET_EVENTS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,

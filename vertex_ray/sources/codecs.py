@@ -159,3 +159,85 @@ def read_lines(paths, **kwargs):
     import ray.data as rd
 
     return rd.read_text(paths, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Framing (lib/codecs/src/decoding framing configs): how a raw byte stream
+# is cut into frames BEFORE a deserializer runs. Newline framing is the
+# read_lines path above; these cover the other reference modes over a
+# binary "stream chunk" column (one row = one wire chunk, frames never
+# split across chunks — the same contract the reference's stream sources
+# maintain per connection read).
+# ---------------------------------------------------------------------------
+
+
+def frame_char_delimited(buf: bytes, delim: bytes = b"\n") -> list[bytes]:
+    """Character-delimited framing (newline is the special case)."""
+    if not buf:
+        return []
+    frames = buf.split(delim)
+    if frames and frames[-1] == b"":
+        frames.pop()
+    return frames
+
+
+def frame_octet_counting(buf: bytes) -> list[bytes]:
+    """RFC 6587 octet-counting: each frame is ``<len-decimal><SP><msg>``.
+    Sequential by nature (the next frame starts where the declared length
+    ends), so this loops over FRAMES within one chunk — the same per-frame
+    cost the reference's tokio codec pays; chunks parallelize across tasks."""
+    frames = []
+    pos, n = 0, len(buf)
+    while pos < n:
+        sp = buf.index(b" ", pos)
+        ln = int(buf[pos:sp])
+        start = sp + 1
+        end = start + ln
+        if end > n:
+            raise ValueError("truncated octet-counted frame")
+        frames.append(buf[start:end])
+        pos = end
+    return frames
+
+
+def frame_length_delimited(buf: bytes, prefix_bytes: int = 4) -> list[bytes]:
+    """Big-endian length-prefixed framing (the reference's
+    length_delimited mode)."""
+    frames = []
+    pos, n = 0, len(buf)
+    while pos < n:
+        if pos + prefix_bytes > n:
+            raise ValueError("truncated length prefix")
+        ln = int.from_bytes(buf[pos:pos + prefix_bytes], "big")
+        start = pos + prefix_bytes
+        end = start + ln
+        if end > n:
+            raise ValueError("truncated length-delimited frame")
+        frames.append(buf[start:end])
+        pos = end
+    return frames
+
+
+_FRAMERS = {
+    "newline": frame_char_delimited,
+    "char": frame_char_delimited,
+    "octet_counting": frame_octet_counting,
+    "length_delimited": frame_length_delimited,
+}
+
+
+def frames_op(column: str = "stream", method: str = "newline", **kw):
+    """map_batches body: explode a binary stream-chunk column into one
+    string row per frame (column ``text`` — feed it any decode_* above)."""
+    framer = _FRAMERS[method]
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = []
+        for buf in t[column].to_pylist():
+            out.extend(framer(buf or b"", **kw))
+        return pa.table({
+            "text": pa.array([f.decode("utf-8", "replace") for f in out],
+                             type=pa.string())
+        })
+
+    return fn
