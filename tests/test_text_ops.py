@@ -521,3 +521,23 @@ def test_media_codec_roundtrip_and_ops():
     for f in (mc.image_features(img), mc.audio_features(wav, 16000),
               mc.video_features(vid)):
         assert f.shape == (16,) and np.isfinite(f).all()
+
+
+def test_bigram_freq_score_ray(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.text import bigram_freq_score
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a b", "a b", "x y", "solo"],
+    })
+    out = (
+        bigram_freq_score(rd.from_pandas(docs).repartition(2), "text", "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # global counts: "a b"=3 (2 from doc1, 1 from doc2), "b a"=1, "x y"=1
+    # doc1 pairs: a-b, b-a, a-b -> score 3+1+3 = 7; doc2: 3; doc3: 1
+    assert out["doc_id"].tolist() == [1, 2, 3]  # doc4 has no pairs
+    assert out["n_pairs"].tolist() == [3, 1, 1]
+    assert out["score"].tolist() == [7, 3, 1]

@@ -1839,6 +1839,32 @@ def q_codec_octet_roundtrip_events(sf_dir: str):
 SQL_CODEC_OCTET_EVENTS = "SELECT event_id, event_type FROM events"
 
 
+def q_bigram_score_docs(sf_dir: str):
+    from vertex_ray.stages.text import bigram_freq_score
+
+    return bigram_freq_score(_docs(sf_dir), "text", "doc_id")
+
+
+SQL_BIGRAM_SCORE_DOCS = r"""
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(w) AS t, unnest(range(1, len(w)+1)) AS i FROM ws
+),
+pairs AS (
+  SELECT a.doc_id, a.t || ' ' || b.t AS bg
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+cnt AS (SELECT bg, count(*) AS c FROM pairs GROUP BY 1)
+SELECT p.doc_id, count(*) AS n_pairs, CAST(SUM(c.c) AS BIGINT) AS score
+FROM pairs p JOIN cnt c USING (bg)
+GROUP BY 1
+"""
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -1878,6 +1904,7 @@ OP_QUERIES = {
     "op_late_data_events": q_late_data_events,
     "pipeline_curate_docs": q_curate_docs,
     "op_codec_octet_events": q_codec_octet_roundtrip_events,
+    "op_bigram_score_docs": q_bigram_score_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -1942,6 +1969,7 @@ OP_ORACLES = {
     "op_late_data_events": SQL_LATE_DATA_EVENTS,
     "pipeline_curate_docs": SQL_CURATE_DOCS,
     "op_codec_octet_events": SQL_CODEC_OCTET_EVENTS,
+    "op_bigram_score_docs": SQL_BIGRAM_SCORE_DOCS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,

@@ -337,3 +337,89 @@ def tfidf_top_terms(ds, text_col: str, id_col: str, k: int = 3):
     return out.map_batches(
         lambda t: t.select([id_col, "token", "tf", "df"]),
         batch_format="pyarrow")
+
+
+def _doc_bigrams(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Per-batch (id, bigram, occ): adjacent lowered-token pairs WITH
+    multiplicity, pre-aggregated within the batch (combiner) so the
+    downstream exchanges carry distinct bigrams, not occurrences."""
+    import pandas as pd
+
+    lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    off = lists.offsets.to_numpy().astype(np.int64)
+    doc_of = np.repeat(np.arange(len(t)), np.diff(off))
+    toks = flat.to_numpy(zero_copy_only=False)
+    keep = toks != ""
+    toks, doc_of = toks[keep], doc_of[keep]
+    if len(toks) < 2:
+        return pa.table({id_col: pa.array([], t[id_col].type),
+                         "bigram": pa.array([], pa.string()),
+                         "occ": pa.array([], pa.int64())})
+    same = doc_of[:-1] == doc_of[1:]
+    bg = np.char.add(np.char.add(toks[:-1].astype(str), " "),
+                     toks[1:].astype(str))[same]
+    d = doc_of[:-1][same]
+    df = (pd.DataFrame({"d": d, "bigram": bg})
+          .groupby(["d", "bigram"], sort=False).size().reset_index(name="occ"))
+    ids = t[id_col].to_numpy(zero_copy_only=False)[df["d"].to_numpy()]
+    return pa.table({
+        id_col: pa.array(ids),
+        "bigram": pa.array(df["bigram"].to_numpy(), type=pa.string()),
+        "occ": pa.array(df["occ"].to_numpy().astype(np.int64)),
+    })
+
+
+def bigram_freq_score(ds, text_col: str, id_col: str):
+    """Corpus-frequency document score — the train-then-score shape of
+    model-based quality filtering, with an integer-exact "model" so the
+    result is bit-checkable against SQL: TRAIN = global bigram occurrence
+    counts over the corpus (one combiner groupby — the vocabulary² table
+    stays distributed); SCORE = each document's Σ over its adjacent token
+    pairs of the global count of that pair (multiplicity × count), via a
+    co-partitioned join on the bigram — never broadcast, because a corpus
+    bigram table at 100 TB is itself huge. High score ⇒ the document is
+    made of corpus-common constructions (fluent/boilerplate); low ⇒ rare
+    text. Output: (id, n_pairs, score); docs with < 2 tokens have no pairs
+    and are absent, like the SQL inner join."""
+    from vertex_ray.stages.join import hash_join
+
+    pairs = ds.map_batches(
+        lambda t: _doc_bigrams(t, text_col, id_col), batch_format="pyarrow")
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (pd.DataFrame({
+            "bigram": t["bigram"].to_numpy(zero_copy_only=False),
+            "c": t["occ"].to_numpy(),
+        }).groupby("bigram", sort=False)["c"].sum().reset_index())
+        return pa.table({
+            "bigram": pa.array(df["bigram"].to_numpy(), type=pa.string()),
+            "c": pa.array(df["c"].to_numpy().astype(np.int64)),
+        })
+
+    model = (
+        pairs.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("bigram").sum("c")
+        .map_batches(lambda t: t.rename_columns(["bigram", "c"]),
+                     batch_format="pyarrow")
+    )
+
+    joined = hash_join(pairs, model, "bigram")
+
+    def weigh(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "n_pairs": t["occ"],
+            "score": pa.array(t["occ"].to_numpy() * t["c"].to_numpy()),
+        })
+
+    return (
+        joined.map_batches(weigh, batch_format="pyarrow")
+        .groupby(id_col).sum(["n_pairs", "score"])
+        .map_batches(lambda t: t.rename_columns([id_col, "n_pairs", "score"]),
+                     batch_format="pyarrow")
+    )
