@@ -67,3 +67,36 @@ def test_kmeans_streaming_equals_singlenode(ray_session, separable):
         cents = new / np.linalg.norm(new, axis=1, keepdims=True)
     assert np.allclose(np.sort(got, axis=0), np.sort(cents, axis=0),
                        atol=1e-8)
+
+
+def test_pca_fit_project(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.cluster import pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    # anisotropic 8-d data: variance concentrated on a known direction
+    base = rng.standard_normal((400, 8))
+    base[:, 0] *= 6.0
+    base[:, 1] *= 3.0
+    df = pd.DataFrame({"vec_id": range(400),
+                       "embedding": [list(r) for r in base]})
+    ds = rd.from_pandas(df).repartition(4)
+    mean, comps = pca_fit(ds, "embedding", k=2)
+    assert comps.shape == (2, 8)
+    # components recover the stretched axes (up to sign, which is fixed)
+    assert abs(comps[0, 0]) > 0.95 and abs(comps[1, 1]) > 0.9
+    assert comps[0, np.abs(comps[0]).argmax()] > 0  # deterministic sign
+
+    out = pca_project(ds, mean, comps, "embedding", "vec_id").to_pandas()
+    proj = np.stack(out.sort_values("vec_id")["proj"].to_numpy())
+    # projected variance ordered and dominated by the stretched axis
+    assert proj[:, 0].var() > proj[:, 1].var() > 0
+    # exact equivalence with the numpy reference computation
+    want = (base - base.mean(axis=0)) @ comps.T
+    np.testing.assert_allclose(proj, want, atol=1e-9)
+
+    # fit is partition-invariant (associative merge of partials)
+    mean2, comps2 = pca_fit(rd.from_pandas(df).repartition(1), "embedding", 2)
+    np.testing.assert_allclose(mean, mean2, atol=1e-12)
+    np.testing.assert_allclose(comps, comps2, atol=1e-9)

@@ -1865,6 +1865,19 @@ GROUP BY 1
 """
 
 
+def q_pca_embeddings(sf_dir: str):
+    """PCA dimensionality reduction of the embedding column: streaming
+    covariance fit (driver holds only d×d) → broadcast top-8 components →
+    per-batch matmul projection. Not SQL-expressible (eigendecomposition)
+    → rows-only; fit/projection exactness and partition-invariance are
+    property-tested in tests/test_cluster.py."""
+    from vertex_ray.stages.cluster import pca_fit, pca_project
+
+    ds = _emb(sf_dir)
+    mean, comps = pca_fit(ds, "embedding", k=8)
+    return pca_project(_emb(sf_dir), mean, comps, "embedding", "vec_id")
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -1905,6 +1918,7 @@ OP_QUERIES = {
     "pipeline_curate_docs": q_curate_docs,
     "op_codec_octet_events": q_codec_octet_roundtrip_events,
     "op_bigram_score_docs": q_bigram_score_docs,
+    "op_pca_embeddings": q_pca_embeddings,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,

@@ -78,3 +78,67 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str, id_col: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pca_fit(ds, vec_col: str, k: int):
+    """Distributed PCA fit: ONE streaming pass accumulates per-batch
+    (count, Σx, ΣxxT) — the combiner shape, d×d partials merged
+    associatively on the driver (d is the embedding dim, so the driver
+    holds O(d²), never O(n)) — then an eigendecomposition of the
+    covariance gives the top-k components. Deterministic sign convention:
+    each component is flipped so its largest-|entry| coordinate is
+    positive (eigh's sign is otherwise arbitrary).
+
+    Returns (mean[d], components[k, d]) ready to broadcast.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        s = x.sum(axis=0)
+        ss = x.T @ x
+        return pa.table({
+            "n": pa.array([len(x)]),
+            "s": pa.array([s.tobytes()], type=pa.binary()),
+            "ss": pa.array([ss.tobytes()], type=pa.binary()),
+        })
+
+    n_tot, s_tot, ss_tot = 0, None, None
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for n, sb, ssb in zip(b["n"].to_pylist(), b["s"].to_pylist(),
+                              b["ss"].to_pylist()):
+            s = np.frombuffer(sb, np.float64)
+            d = len(s)
+            ss = np.frombuffer(ssb, np.float64).reshape(d, d)
+            n_tot += n
+            s_tot = s if s_tot is None else s_tot + s
+            ss_tot = ss if ss_tot is None else ss_tot + ss
+    if not n_tot:
+        raise ValueError("pca_fit on an empty dataset")
+    mean = s_tot / n_tot
+    cov = ss_tot / n_tot - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = v[:, ::-1][:, :k].T  # top-k rows
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return mean, comps
+
+
+def pca_project(ds, mean: np.ndarray, comps: np.ndarray,
+                vec_col: str, id_col: str):
+    """Project embeddings onto fitted components: broadcast the tiny
+    (mean, W) model once (ray.put) and stream the corpus through one
+    matmul per batch."""
+    import ray
+
+    ref = ray.put((mean, comps))
+
+    def fn(t: pa.Table) -> pa.Table:
+        m, w = ray.get(ref)
+        x = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        proj = (x - m) @ w.T
+        return pa.table({
+            id_col: t[id_col],
+            "proj": pa.array(list(proj)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
