@@ -259,3 +259,24 @@ def test_hash_join_property_vs_pandas(ray_session):
             want = want.sort_values(key).reset_index(drop=True)
             pd.testing.assert_frame_equal(
                 got[key], want[key], check_dtype=False)
+
+
+def test_hash_join_semi_anti(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.join import hash_join
+
+    left = pa.table({"k": [1, 1, 2, 3, 4], "lv": [10, 11, 20, 30, 40]})
+    right = pa.table({"k": [1, 1, 3, 9], "rv": [0, 0, 0, 0]})
+    semi = (hash_join(rd.from_arrow(left), rd.from_arrow(right), "k",
+                      how="semi", n_buckets=4)
+            .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+    # each matching LEFT row exactly once, duplicate right keys don't fan out
+    assert list(map(tuple, semi[["k", "lv"]].to_numpy())) == [
+        (1, 10), (1, 11), (3, 30)]
+    assert "rv" not in semi.columns
+    anti = (hash_join(rd.from_arrow(left), rd.from_arrow(right), "k",
+                      how="anti", n_buckets=4)
+            .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+    assert list(map(tuple, anti[["k", "lv"]].to_numpy())) == [
+        (2, 20), (4, 40)]

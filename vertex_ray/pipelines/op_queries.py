@@ -1878,6 +1878,45 @@ def q_pca_embeddings(sf_dir: str):
     return pca_project(_emb(sf_dir), mean, comps, "embedding", "vec_id")
 
 
+def _semi_anti_base(sf_dir: str, how: str):
+    import ray.data as rd
+
+    from vertex_ray.stages.join import hash_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 450000.0)),
+        batch_format="pyarrow")
+    return hash_join(cust, big, "c_custkey", "o_custkey", how=how)
+
+
+def q_semi_join_customers(sf_dir: str):
+    """Customers WITH at least one big order — semi join: only distinct
+    right keys cross the exchange, never order payloads."""
+    return _semi_anti_base(sf_dir, "semi")
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Customers with NO big order — anti join (NOT EXISTS)."""
+    return _semi_anti_base(sf_dir, "anti")
+
+
+SQL_SEMI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+"""
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+"""
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -1919,6 +1958,8 @@ OP_QUERIES = {
     "op_codec_octet_events": q_codec_octet_roundtrip_events,
     "op_bigram_score_docs": q_bigram_score_docs,
     "op_pca_embeddings": q_pca_embeddings,
+    "op_semi_join_customers": q_semi_join_customers,
+    "op_anti_join_customers": q_anti_join_customers,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -1984,6 +2025,8 @@ OP_ORACLES = {
     "pipeline_curate_docs": SQL_CURATE_DOCS,
     "op_codec_octet_events": SQL_CODEC_OCTET_EVENTS,
     "op_bigram_score_docs": SQL_BIGRAM_SCORE_DOCS,
+    "op_semi_join_customers": SQL_SEMI_JOIN_CUSTOMERS,
+    "op_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,

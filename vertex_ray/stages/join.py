@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _arrow_type(t) -> pa.DataType:
@@ -53,11 +54,15 @@ def hash_join(
     Returns a Dataset with the left key column (named ``left_on``), all
     left payload columns, and all right payload columns (collisions get
     ``rsuffix``). ``how`` is 'inner' or 'left' (left-outer: unmatched left
-    rows carry nulls in the right columns). Duplicate keys on both sides
-    expand to the full per-key cartesian product, like SQL.
+    rows carry nulls in the right columns), or 'semi' / 'anti' — left rows
+    with ≥1 / 0 right-side key matches, emitted at most once each with
+    left columns only (SQL EXISTS / NOT EXISTS). Duplicate keys on both
+    sides expand to the full per-key cartesian product for inner/left,
+    like SQL.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}")
     right_on = right_on or left_on
     ls, rs = left.schema(), right.schema()
     l_payload = [
@@ -70,6 +75,10 @@ def hash_join(
         for n, t in zip(rs.names, rs.types)
         if n != right_on
     ]
+    if how in ("semi", "anti"):
+        # existence checks never read right payloads: drop them from the
+        # tagged schema entirely, so only right KEYS cross the exchange
+        r_payload = []
     l_out = [n for n, _ in l_payload]
     r_out = [n for n, _, _ in r_payload]
 
@@ -87,6 +96,14 @@ def hash_join(
         return pa.table(cols)
 
     def prep_right(t: pa.Table) -> pa.Table:
+        if how in ("semi", "anti"):
+            # per-batch distinct right keys (combiner): existence only
+            # needs each key once, so the shuffle carries the batch's key
+            # SET, not its rows
+            keys = t[right_on].cast(key_type)
+            t = pa.table({right_on: pc.unique(
+                keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+                else keys)})
         n = t.num_rows
         cols: dict[str, pa.Array | pa.ChunkedArray] = {
             "__key": t[right_on].cast(key_type),
@@ -103,11 +120,11 @@ def hash_join(
         right.map_batches(prep_right, batch_format="pyarrow")
     )
 
-    out_schema = pa.schema(
-        [(left_on, key_type)]
-        + [(n, t) for n, t in l_payload]
-        + [(n, t) for n, _, t in r_payload]
-    )
+    semi_like = how in ("semi", "anti")
+    out_fields = [(left_on, key_type)] + [(n, t) for n, t in l_payload]
+    if not semi_like:
+        out_fields += [(n, t) for n, _, t in r_payload]
+    out_schema = pa.schema(out_fields)
 
     def merge(g: pa.Table) -> pa.Table:
         # stays in Arrow end to end (no pandas hop, so no int64 → float64
@@ -123,8 +140,12 @@ def hash_join(
         R = g.filter(pa.array(side == 1))
         empty = pa.table(
             {f.name: pa.array([], type=f.type) for f in out_schema})
-        if not len(L) or (how == "inner" and not len(R)):
+        if not len(L) or (how in ("inner", "semi") and not len(R)):
             return empty
+        if how == "anti" and not len(R):
+            return pa.table(
+                {left_on: L["__key"], **{c: L[c] for c in l_out}}
+            ).cast(out_schema)
         lk = L["__key"].to_numpy(zero_copy_only=False)
         rk = R["__key"].to_numpy(zero_copy_only=False)
         allk = np.concatenate([lk, rk])
@@ -135,6 +156,12 @@ def hash_join(
         lo = np.searchsorted(r_sorted, l_kr, side="left")
         hi = np.searchsorted(r_sorted, l_kr, side="right")
         counts = hi - lo
+        if semi_like:
+            sel = np.flatnonzero(counts > 0 if how == "semi" else counts == 0)
+            return pa.table({
+                left_on: pc.take(L["__key"], pa.array(sel)),
+                **{c: pc.take(L[c], pa.array(sel)) for c in l_out},
+            }).cast(out_schema)
         li = np.repeat(np.arange(len(L), dtype=np.int64), counts)
         total = int(counts.sum())
         starts = np.repeat(lo, counts)
