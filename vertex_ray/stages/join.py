@@ -65,6 +65,12 @@ def hash_join(
             f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}")
     right_on = right_on or left_on
     ls, rs = left.schema(), right.schema()
+    if ls is None or rs is None:
+        raise ValueError(
+            "hash_join needs typed schemas on both sides; Ray could not "
+            "infer one (dataset has no blocks at all — an empty TABLE, not "
+            "just empty partitions). Give the input an explicit schema or "
+            "skip the join when a side is schemaless.")
     l_payload = [
         (n, _arrow_type(t)) for n, t in zip(ls.names, ls.types) if n != left_on
     ]
