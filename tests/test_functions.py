@@ -171,3 +171,17 @@ def test_predicates_and_misc():
     apply("assert_eq", pa.array([1, 2]), pa.array([1, 2]))
     with pytest.raises(AssertionError):
         apply("assert_eq", pa.array([1]), pa.array([2]))
+
+
+def test_levenshtein_vectorized():
+    import numpy as np
+    import pyarrow as pa
+
+    from vertex_ray.functions.registry import apply
+
+    a = pa.array(["kitten", "sitting", "", None, "saturday", "sittings"])
+    got = apply("levenshtein", a, "sitting").to_pylist()
+    assert got == [3, 0, 7, 7, 6, 1]
+    # unicode beyond the BMP path (utf-32 codepoint view)
+    b = pa.array(["héllo", "hello"])
+    assert apply("levenshtein", b, "hello").to_pylist() == [1, 0]

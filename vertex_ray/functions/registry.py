@@ -341,10 +341,43 @@ def hash64(arr) -> pa.Array:
     return pa.array(pd.util.hash_array(v, categorize=False).astype(np.uint64))
 
 
+def levenshtein_to(arr, target: str) -> pa.Array:
+    """Vectorized edit distance of every string in the batch against ONE
+    target (fuzzy matching / data cleaning; DuckDB ``levenshtein`` is the
+    oracle). The DP runs over (max_len × len(target)) scalar steps, each a
+    numpy op across the WHOLE batch — no per-row Python loop: strings are
+    viewed as a fixed-width uint32 codepoint matrix via numpy's 'U' dtype."""
+    s = arr.to_numpy(zero_copy_only=False) if hasattr(arr, "to_numpy") else np.asarray(arr)
+    n = len(s)
+    if n == 0:
+        return pa.array(np.zeros(0, dtype=np.int64))
+    su = np.array(["" if x is None else str(x) for x in s], dtype="U")
+    lens = np.char.str_len(su)
+    L = int(lens.max())
+    t = np.frombuffer(target.encode("utf-32-le"), dtype=np.uint32)
+    m = len(t)
+    if L == 0:
+        return pa.array(np.full(n, m, dtype=np.int64))
+    view = su.view(np.uint32).reshape(n, -1)[:, :L]
+    v = np.broadcast_to(np.arange(m + 1, dtype=np.int64), (n, m + 1)).copy()
+    new = np.empty_like(v)
+    for i in range(1, L + 1):
+        c = view[:, i - 1]
+        new[:, 0] = i
+        for j in range(1, m + 1):
+            sub = v[:, j - 1] + (c != t[j - 1])
+            np.minimum(v[:, j] + 1, new[:, j - 1] + 1, out=new[:, j])
+            np.minimum(new[:, j], sub, out=new[:, j])
+        alive = lens >= i
+        v[alive] = new[alive]
+    return pa.array(v[:, m])
+
+
 FUNCTIONS: dict = {
     # string case / shape (VTL: lowercase uppercase camelcase pascalcase
     # snakecase kebabcase trim truncate slice split join replace)
     "lowercase": pc.utf8_lower,
+    "levenshtein": levenshtein_to,
     "uppercase": pc.utf8_upper,
     "capitalize": pc.utf8_capitalize,
     "trim": pc.utf8_trim_whitespace,

@@ -1917,6 +1917,30 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_fuzzy_match_customers(sf_dir: str):
+    """Fuzzy matching: batch-vectorized edit distance of every customer
+    name against a probe name (dedup/entity-resolution primitive)."""
+    import ray.data as rd
+
+    from vertex_ray.functions.registry import apply
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "dist": apply("levenshtein", t["c_name"], "Customer#000000042"),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_FUZZY_MATCH_CUSTOMERS = """
+SELECT c_custkey, levenshtein(c_name, 'Customer#000000042') AS dist
+FROM customer
+"""
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -1960,6 +1984,7 @@ OP_QUERIES = {
     "op_pca_embeddings": q_pca_embeddings,
     "op_semi_join_customers": q_semi_join_customers,
     "op_anti_join_customers": q_anti_join_customers,
+    "op_fuzzy_match_customers": q_fuzzy_match_customers,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -2027,6 +2052,7 @@ OP_ORACLES = {
     "op_bigram_score_docs": SQL_BIGRAM_SCORE_DOCS,
     "op_semi_join_customers": SQL_SEMI_JOIN_CUSTOMERS,
     "op_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+    "op_fuzzy_match_customers": SQL_FUZZY_MATCH_CUSTOMERS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,
