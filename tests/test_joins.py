@@ -280,3 +280,37 @@ def test_hash_join_semi_anti(ray_session):
             .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
     assert list(map(tuple, anti[["k", "lv"]].to_numpy())) == [
         (2, 20), (4, 40)]
+
+
+def test_hash_join_skewed_equals_plain(ray_session):
+    """Skew-aware plan == plain plan on every mode, with a genuinely hot
+    key (40% of left rows) detected by the Misra-Gries probe."""
+    import ray.data as rd
+
+    from vertex_ray.stages.join import hash_join, hash_join_skewed
+
+    rng = np.random.default_rng(13)
+    nl = 500
+    lk = rng.integers(0, 50, nl)
+    lk[: nl * 2 // 5] = 7  # hot key
+    left = pd.DataFrame({"k": lk, "lv": np.arange(nl)})
+    right = pd.DataFrame({"k": np.arange(0, 60, 2), "rv": np.arange(30)})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(2)
+    for how in ("inner", "left", "semi", "anti"):
+        plain = (hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                           how=how, n_buckets=4).to_pandas())
+        skewed = (hash_join_skewed(lds, rds, "k", how=how, n_buckets=4,
+                                   hot_fraction=0.05).to_pandas())
+        cols = sorted(plain.columns)
+        assert cols == sorted(skewed.columns), how
+        a = plain[cols].sort_values(cols).reset_index(drop=True)
+        b = skewed[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False), how
+
+    # explicit hot_keys short-circuits the probe
+    explicit = hash_join_skewed(lds, rds, "k", hot_keys=[7],
+                                n_buckets=4).to_pandas()
+    plain = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      "k", n_buckets=4).to_pandas()
+    assert len(explicit) == len(plain)

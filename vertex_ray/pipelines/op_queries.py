@@ -1941,6 +1941,51 @@ FROM customer
 """
 
 
+def q_skew_join_events(sf_dir: str):
+    """Skew-aware join demo: 10% of users are collapsed onto one hot key
+    (the power-law reality of web data), then events join a per-key
+    dimension. hash_join_skewed routes the hot key through the broadcast
+    path (detected by the Misra-Gries probe) and everything else through
+    the ordinary exchange; the oracle is the plain SQL join — identical
+    semantics, different physical plan."""
+    from vertex_ray.stages.join import hash_join_skewed
+
+    def add_skew_key(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        sk = np.where(u % 20 < 2, 0, u)
+        return pa.table({"event_id": t["event_id"],
+                         "skew_key": pa.array(sk.astype(np.int64))})
+
+    left = _ev(sf_dir).map_batches(add_skew_key, batch_format="pyarrow")
+
+    def dim_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["skew_key"].combine_chunks()
+                             if isinstance(t["skew_key"], pa.ChunkedArray)
+                             else t["skew_key"])
+        return pa.table({"skew_key": vc.field("values"),
+                         "n_events": pc.cast(vc.field("counts"), pa.int64())})
+
+    dim = (
+        left.map_batches(dim_partial, batch_format="pyarrow")
+        .groupby("skew_key").sum("n_events")
+        .map_batches(lambda t: t.rename_columns(["skew_key", "n_events"]),
+                     batch_format="pyarrow")
+    )
+    return hash_join_skewed(left, dim, "skew_key", hot_fraction=0.05)
+
+
+SQL_SKEW_JOIN_EVENTS = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 20 < 2 THEN 0 ELSE user_id END AS skew_key
+  FROM events
+),
+dim AS (SELECT skew_key, count(*) AS n_events FROM ev GROUP BY 1)
+SELECT e.skew_key, e.event_id, d.n_events
+FROM ev e JOIN dim d USING (skew_key)
+"""
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -1985,6 +2030,7 @@ OP_QUERIES = {
     "op_semi_join_customers": q_semi_join_customers,
     "op_anti_join_customers": q_anti_join_customers,
     "op_fuzzy_match_customers": q_fuzzy_match_customers,
+    "op_skew_join_events": q_skew_join_events,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -2053,6 +2099,7 @@ OP_ORACLES = {
     "op_semi_join_customers": SQL_SEMI_JOIN_CUSTOMERS,
     "op_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "op_fuzzy_match_customers": SQL_FUZZY_MATCH_CUSTOMERS,
+    "op_skew_join_events": SQL_SKEW_JOIN_EVENTS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,

@@ -195,3 +195,123 @@ def hash_join(
         return t
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def hash_join_skewed(left, right, left_on, right_on=None, *, how="inner",
+                     n_buckets: int = 64, rsuffix: str = "_r",
+                     hot_keys=None, max_hot: int = 32,
+                     hot_fraction: float = 0.01, mg_counters: int = 256):
+    """Skew-aware :func:`hash_join`: identical semantics, different plan
+    for HOT keys. A plain hash join puts all rows of one key in one bucket
+    — a key holding 5% of a 100-TB table serializes 5 TB through a single
+    task. Here the hot keys take the broadcast path instead:
+
+      1. DETECT — a Misra-Gries heavy-hitter pass over the left keys
+         (mergeable sketch, ≤ ``mg_counters`` rows per batch cross the
+         wire); keys with estimated frequency ≥ ``hot_fraction`` (top
+         ``max_hot``) are hot. Callers who already know their hot keys
+         pass ``hot_keys`` and skip the probe.
+      2. SPLIT — both sides split on hot-key membership with one
+         broadcast set + vectorized ``np.isin`` filter per batch.
+      3. COLD keys take the normal co-partitioned exchange.
+      4. HOT keys: the right side's hot rows are collected and broadcast
+         (``ray.put`` once), and the left side's hot rows stream through a
+         stateless ``map_batches`` probe — hot keys are spread over ALL
+         tasks instead of one bucket. Partitioning assumption: the right
+         side's hot rows fit in one worker (documented bound — the same
+         one any broadcast join has; the LEFT side's hot rows stay
+         distributed, which is the point).
+      5. UNION of the two result streams.
+    """
+    import ray
+
+    right_on = right_on or left_on
+    if hot_keys is None:
+        from vertex_ray.stages.sketch import heavy_hitters
+
+        total = left.count()
+        hh = heavy_hitters(left, left_on, mg_counters, top=max_hot)
+        hh = hh.to_pandas() if hasattr(hh, "to_pandas") else hh
+        hot_keys = [
+            v for v, c in zip(hh.iloc[:, 0], hh.iloc[:, 1])
+            if c >= hot_fraction * total
+        ][:max_hot]
+    hot = np.sort(np.asarray(list(hot_keys)))
+    if len(hot) == 0:
+        return hash_join(left, right, left_on, right_on,
+                         n_buckets=n_buckets, how=how, rsuffix=rsuffix)
+    hot_ref = ray.put(hot)
+
+    def split(key_col, want_hot):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            m = np.isin(k, ray.get(hot_ref))
+            return t.filter(pa.array(m if want_hot else ~m))
+
+        return fn
+
+    cold = hash_join(
+        left.map_batches(split(left_on, False), batch_format="pyarrow"),
+        right.map_batches(split(right_on, False), batch_format="pyarrow"),
+        left_on, right_on, n_buckets=n_buckets, how=how, rsuffix=rsuffix)
+
+    # hot path: broadcast the right side's hot rows once
+    ls, rs = left.schema(), right.schema()
+    l_names = set(ls.names)
+    r_payload = [((n + rsuffix) if n in l_names else n, n, _arrow_type(t))
+                 for n, t in zip(rs.names, rs.types) if n != right_on]
+    if how in ("semi", "anti"):
+        r_payload = []
+    l_payload_names = [n for n in ls.names if n != left_on]
+
+    hot_blocks = [
+        b for b in right.map_batches(split(right_on, True),
+                                     batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    right_hot_tbl = pa.concat_tables(hot_blocks) if hot_blocks else pa.table(
+        {n: pa.array([], type=_arrow_type(t))
+         for n, t in zip(rs.names, rs.types)})
+    # sort broadcast rows by key once, on the driver (bounded by contract)
+    rk = right_hot_tbl[right_on].to_numpy(zero_copy_only=False)
+    order = np.argsort(rk, kind="stable")
+    right_sorted = right_hot_tbl.take(pa.array(order))
+    rk_sorted = rk[order]
+    rh_ref = ray.put((rk_sorted, right_sorted))
+
+    def probe_hot(t: pa.Table) -> pa.Table:
+        rk_s, r_tbl = ray.get(rh_ref)
+        lk = t[left_on].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(rk_s, lk, side="left")
+        hi = np.searchsorted(rk_s, lk, side="right")
+        counts = hi - lo
+        if how in ("semi", "anti"):
+            sel = np.flatnonzero(counts > 0 if how == "semi" else counts == 0)
+            # same column ORDER as the cold side, so union schemas line up
+            return t.take(pa.array(sel)).select([left_on, *l_payload_names])
+        li = np.repeat(np.arange(len(lk), dtype=np.int64), counts)
+        total_m = int(counts.sum())
+        starts = np.repeat(lo, counts)
+        within = np.arange(total_m, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        ri = starts + within
+        out = {left_on: pc.take(t[left_on], pa.array(li))}
+        for c in l_payload_names:
+            out[c] = pc.take(t[c], pa.array(li))
+        for name, src, typ in r_payload:
+            out[name] = pc.take(r_tbl[src], pa.array(ri)).cast(typ)
+        tbl = pa.table(out)
+        if how == "left":
+            un = np.flatnonzero(counts == 0)
+            if len(un):
+                extra = {left_on: pc.take(t[left_on], pa.array(un))}
+                for c in l_payload_names:
+                    extra[c] = pc.take(t[c], pa.array(un))
+                for name, _src, typ in r_payload:
+                    extra[name] = pa.nulls(len(un), type=typ)
+                tbl = pa.concat_tables([tbl, pa.table(extra)])
+        return tbl
+
+    hot_res = left.map_batches(split(left_on, True), batch_format="pyarrow") \
+                  .map_batches(probe_hot, batch_format="pyarrow")
+    return cold.union(hot_res)
