@@ -11,8 +11,10 @@ Partitioning assumptions (documented per the custom-operator contract):
   (|L| + |R|) / n_buckets rows — size it so that fits a worker heap.
 - join-key dtype must match between the two sides (the bucket hash is
   dtype-sensitive).
-- a single hot key still lands in one bucket; skewed keys need salting
-  upstream (the same strategy the rollup pipeline uses for hot series).
+- in plain :func:`hash_join` a single hot key lands in one bucket; for
+  power-law keys use :func:`hash_join_skewed`, which detects hot keys with
+  a Misra-Gries probe and routes them through a broadcast path while cold
+  keys take the ordinary exchange.
 """
 
 from __future__ import annotations
