@@ -167,6 +167,18 @@ def _q_passthrough(sf_dir: str):
     )
 
 
+def _q_conv_stitch(sf_dir: str):
+    """Transcripts → one training document per conversation (turns in
+    order, newline-joined) via the bucketed stitch operator."""
+    import ray.data as rd
+
+    from vertex_ray.stages.text import stitch_conversations
+
+    trans = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(trans, columns=["conv_id", "turn_idx", "text"])
+    return stitch_conversations(ds, "conv_id", "turn_idx", "text")
+
+
 def _q_gorilla_roundtrip(sf_dir: str):
     """1m latency tier routed through gap-fill → Gorilla encode → decode;
     real (unfilled) points must match the plain SQL rollup bit-for-bit
@@ -346,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m_hist_buckets": _q_hist_buckets,
         "rollup_1m_latency_p99": _q_hist_p99_1m,
         "transcript_passthrough": _q_passthrough,
+        "transcript_conv_stitch": _q_conv_stitch,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -412,6 +425,12 @@ def oracle_sql() -> dict[str, str]:
         "transcript_passthrough": f"""
             SELECT conv_id, turn_idx, text FROM {_SQL_TRANSCRIPTS}
             ORDER BY conv_id, turn_idx
+            """,
+        "transcript_conv_stitch": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS doc
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY conv_id
             """,
         "gorilla_roundtrip_1m_latency": _sql_lat(60),
         "rollup_1m_latency_epochs": _sql_lat(60),

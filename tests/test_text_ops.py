@@ -541,3 +541,22 @@ def test_bigram_freq_score_ray(ray_session):
     assert out["doc_id"].tolist() == [1, 2, 3]  # doc4 has no pairs
     assert out["n_pairs"].tolist() == [3, 1, 1]
     assert out["score"].tolist() == [7, 3, 1]
+
+
+def test_stitch_conversations_ray(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.text import stitch_conversations
+
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2", "c1", "c2"],
+        "turn_idx": [2, 0, 1, 1, 0],
+        "text": ["third", "first", "b", "second", "a"],
+    })
+    out = (
+        stitch_conversations(rd.from_pandas(df).repartition(3),
+                             "conv_id", "turn_idx", "text", n_buckets=4)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    assert out["doc"].tolist() == ["first\nsecond\nthird", "a\nb"]
+    assert out["n_turns"].tolist() == [3, 2]

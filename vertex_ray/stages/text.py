@@ -423,3 +423,37 @@ def bigram_freq_score(ds, text_col: str, id_col: str):
         .map_batches(lambda t: t.rename_columns([id_col, "n_pairs", "score"]),
                      batch_format="pyarrow")
     )
+
+
+def stitch_conversations(ds, key_col: str, order_col: str, text_col: str,
+                         sep: str = "\n", n_buckets: int = 64):
+    """Assemble one training sample per conversation: turns sorted by
+    ``order_col`` within each ``key_col`` group, text joined with ``sep``
+    — the transcripts → documents step of a conversational-data pipeline.
+
+    Scale shape: conversations are hash-bucketed so ONE exchange moves
+    each turn once and each task stitches ~n_convs/n_buckets whole
+    conversations with a single vectorized sort + C-level pandas
+    group-join (no task-per-conversation overhead). Partitioning
+    assumption: one conversation fits one task — the same bound the
+    rollup's bucket groups already rely on.
+    """
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        agg = g.groupby(key_col, sort=False).agg(
+            n_turns=(order_col, "size"), doc=(text_col, sep.join))
+        return agg.reset_index()[[key_col, "n_turns", "doc"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(stitch, batch_format="pandas")
+    )
