@@ -179,6 +179,58 @@ def _q_conv_stitch(sf_dir: str):
     return stitch_conversations(ds, "conv_id", "turn_idx", "text")
 
 
+def _q_build_samples(sf_dir: str):
+    """END-TO-END transcripts → training batches: stitch each conversation
+    into one ordered document, then greedily pack conversations into
+    2048-token bins (8 hash partitions) — the sample-assembly pipeline a
+    trainer consumes, as one Dataset graph (stitch bucketing feeds pack
+    partitioning; text crosses the wire exactly twice)."""
+    import ray.data as rd
+
+    from vertex_ray.stages.pack import pack_documents
+    from vertex_ray.stages.text import stitch_conversations
+
+    trans = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(trans, columns=["conv_id", "turn_idx", "text"])
+    stitched = stitch_conversations(ds, "conv_id", "turn_idx", "text")
+
+    def add_cid(t):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        cid = _pc.cast(_pc.utf8_slice_codeunits(t["conv_id"], 4, 99), _pa.int64())
+        return t.append_column("cid", cid)
+
+    with_cid = stitched.map_batches(add_cid, batch_format="pyarrow")
+    return pack_documents(with_cid, "doc", "cid", 2048, n_parts=8)
+
+
+_SQL_BUILD_SAMPLES_TMPL = """
+WITH RECURSIVE conv AS (
+  SELECT CAST(substr(conv_id, 5) AS BIGINT) AS cid,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS doc
+  FROM {TRANS} GROUP BY conv_id
+),
+docs AS (
+  SELECT cid % 8 AS part, cid,
+         len(regexp_extract_all(doc, '\\S+')) AS n_tokens,
+         row_number() OVER (PARTITION BY cid % 8 ORDER BY cid) AS rn
+  FROM conv
+),
+packed(part, rn, cid, n_tokens, bin, fill) AS (
+  SELECT part, rn, cid, n_tokens, 0, n_tokens FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.part, d.rn, d.cid, d.n_tokens,
+         CASE WHEN p.fill + d.n_tokens <= 2048
+              THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + d.n_tokens <= 2048
+              THEN p.fill + d.n_tokens ELSE d.n_tokens END
+  FROM docs d JOIN packed p ON p.part = d.part AND d.rn = p.rn + 1
+)
+SELECT part, cid, n_tokens, bin FROM packed
+"""
+
+
 def _q_gorilla_roundtrip(sf_dir: str):
     """1m latency tier routed through gap-fill → Gorilla encode → decode;
     real (unfilled) points must match the plain SQL rollup bit-for-bit
@@ -359,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m_latency_p99": _q_hist_p99_1m,
         "transcript_passthrough": _q_passthrough,
         "transcript_conv_stitch": _q_conv_stitch,
+        "pipeline_build_samples": _q_build_samples,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -432,6 +485,8 @@ def oracle_sql() -> dict[str, str]:
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY conv_id
             """,
+        "pipeline_build_samples": _SQL_BUILD_SAMPLES_TMPL.replace(
+            "{TRANS}", _SQL_TRANSCRIPTS),
         "gorilla_roundtrip_1m_latency": _sql_lat(60),
         "rollup_1m_latency_epochs": _sql_lat(60),
         "rollup_1d_latency_epochs": _sql_lat(86_400),
