@@ -187,6 +187,74 @@ def run_scaling() -> dict:
     return out
 
 
+def run_corpus() -> dict:
+    """Corpus-ops throughput at scale: the sf transcripts stitched into one
+    document per conversation (~321k real docs at sf0.1), then the heavy
+    training-data operators over that corpus. Evidence for the round-1
+    "minhash is weak at scale" finding being fixed (vectorized shingling,
+    bucketed pair expansion, co-partitioned text join)."""
+    import ray
+    import ray.data as rd
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from vertex_ray.stages.dedup_near import minhash_lsh_pairs
+    from vertex_ray.stages.text import decontaminate, stitch_conversations
+    from vertex_ray.synth import ensure_transcripts, sf_of_dir
+
+    trans = ensure_transcripts(sf_dir)
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    ds = rd.read_parquet(trans, columns=["conv_id", "turn_idx", "text"])
+    corpus = stitch_conversations(ds, "conv_id", "turn_idx", "text").materialize()
+    n_docs = corpus.count()
+    timings["stitch"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_pairs = minhash_lsh_pairs(
+        corpus, "doc", "conv_id", verify_threshold=0.5).count()
+    timings["minhash_near_dup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    import numpy as np
+    import pyarrow as pa
+
+    def mod20(is_bench):
+        def fn(t):
+            ids = np.array([int(x[4:]) for x in t["conv_id"].to_pylist()],
+                           dtype=np.int64)
+            m = ids % 20 == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+        return fn
+
+    bench_side = corpus.map_batches(mod20(True), batch_format="pyarrow")
+    cand = corpus.map_batches(mod20(False), batch_format="pyarrow")
+    n_cand = decontaminate(cand, bench_side, "doc", "conv_id",
+                           min_overlap=5).count()
+    timings["decontaminate"] = round(time.time() - t0, 3)
+
+    total = sum(timings.values())
+    out = {
+        "metric": "corpus_ops_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of_dir(sf_dir),
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec_total": round(n_docs * len(timings) / total, 1),
+        "near_dup_pairs": n_pairs,
+        "n_candidates": n_cand,
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
-    res = run_scaling() if "--scaling" in sys.argv else run_bench()
+    res = (run_scaling() if "--scaling" in sys.argv else
+       run_corpus() if "--corpus" in sys.argv else run_bench())
     print(json.dumps(res))
