@@ -166,6 +166,95 @@ def _t_route(cfg, ds):
     return route_split(ds, routes)  # dict of ports
 
 
+def _t_topk_per_group(cfg, ds):
+    from vertex_ray.stages.ops import topk_per_group
+
+    return topk_per_group(ds, cfg["group_col"], cfg["value_col"], cfg["k"],
+                          cfg["tiebreak"], cfg.get("keep_cols"))
+
+
+def _t_mix(cfg, ds):
+    from vertex_ray.stages.ops import mix_proportions
+
+    return mix_proportions(ds, cfg["group_col"], cfg["id_col"],
+                           dict(cfg["targets"]), cfg["total_out"],
+                           cfg.get("denom", 1000))
+
+
+def _t_stitch(cfg, ds):
+    from vertex_ray.stages.text import stitch_conversations
+
+    return stitch_conversations(ds, cfg["key_col"], cfg["order_col"],
+                                cfg.get("text_col", "text"),
+                                cfg.get("sep", "\n"))
+
+
+def _t_late_data(cfg, ds):
+    from vertex_ray.stages.windows import late_data_flag
+
+    return late_data_flag(ds, cfg["key_col"], cfg["ts_col"], cfg["seq_col"],
+                          cfg["allowed_lateness_s"], cfg["window_s"])
+
+
+def _t_vocab(cfg, ds):
+    from vertex_ray.stages.text import vocab_topk
+
+    return vocab_topk(ds, cfg.get("text_col", "text"), cfg["k"])
+
+
+def _t_tfidf(cfg, ds):
+    from vertex_ray.stages.text import tfidf_top_terms
+
+    return tfidf_top_terms(ds, cfg.get("text_col", "text"), cfg["id_col"],
+                           cfg.get("k", 3))
+
+
+# --- multi-input transform builders (cfg, [ds, ...]) ------------------------
+
+
+def _t_join(cfg, inputs):
+    from vertex_ray.stages.join import hash_join
+
+    left, right = inputs
+    return hash_join(left, right, cfg["left_on"], cfg.get("right_on"),
+                     how=cfg.get("how", "inner"),
+                     n_buckets=cfg.get("n_buckets", 64),
+                     rsuffix=cfg.get("rsuffix", "_r"))
+
+
+def _t_join_skewed(cfg, inputs):
+    from vertex_ray.stages.join import hash_join_skewed
+
+    left, right = inputs
+    return hash_join_skewed(
+        left, right, cfg["left_on"], cfg.get("right_on"),
+        how=cfg.get("how", "inner"), n_buckets=cfg.get("n_buckets", 64),
+        hot_keys=cfg.get("hot_keys"),
+        hot_fraction=cfg.get("hot_fraction", 0.01))
+
+
+def _t_asof_join(cfg, inputs):
+    from vertex_ray.stages.joins import asof_join
+
+    left, right = inputs
+    return asof_join(left, right, key=tuple(cfg["key"]), ts=tuple(cfg["ts"]),
+                     left_cols=list(cfg["left_cols"]),
+                     right_cols=list(cfg["right_cols"]),
+                     right_tiebreak=cfg["right_tiebreak"],
+                     n_buckets=cfg.get("n_buckets", 64))
+
+
+def _t_decontaminate(cfg, inputs):
+    from vertex_ray.stages.text import decontaminate
+
+    candidates, benchmark = inputs
+    return decontaminate(candidates, benchmark, cfg.get("text_col", "text"),
+                         cfg["id_col"], k=cfg.get("k", 3),
+                         min_overlap=cfg.get("min_overlap", 1))
+
+
+MULTI_INPUT_TYPES = {"join", "join_skewed", "asof_join", "decontaminate"}
+
 STEP_TYPES: dict[str, Callable] = {
     # sources
     "parquet": _src_parquet,
@@ -185,6 +274,17 @@ STEP_TYPES: dict[str, Callable] = {
     "quality": _t_text_op("quality_score_op"),
     "langid": _t_text_op("lang_id_op"),
     "fingerprint": _t_text_op("fingerprint_op"),
+    "topk_per_group": _t_topk_per_group,
+    "mix": _t_mix,
+    "stitch": _t_stitch,
+    "late_data": _t_late_data,
+    "vocab": _t_vocab,
+    "tfidf": _t_tfidf,
+    # multi-input (inputs are passed as an ordered list, not unioned)
+    "join": _t_join,
+    "join_skewed": _t_join_skewed,
+    "asof_join": _t_asof_join,
+    "decontaminate": _t_decontaminate,
 }
 
 
@@ -250,11 +350,15 @@ def build(config: dict) -> dict:
             ins = list(cfg["inputs"])
             if not all(i in built or i.split(".")[0] in built for i in ins):
                 continue
-            ds = None
-            for i in ins:
-                up = built[i] if i in built else built[i.split(".")[0]]
-                ds = up if ds is None else ds.union(up)
-            out = STEP_TYPES[cfg["type"]](cfg, ds)
+            ups = [built[i] if i in built else built[i.split(".")[0]]
+                   for i in ins]
+            if cfg["type"] in MULTI_INPUT_TYPES:
+                out = STEP_TYPES[cfg["type"]](cfg, ups)
+            else:
+                ds = ups[0]
+                for up in ups[1:]:
+                    ds = ds.union(up)
+                out = STEP_TYPES[cfg["type"]](cfg, ds)
             if isinstance(out, dict):  # multi-port (route)
                 for port, pds in out.items():
                     built[f"{name}.{port}"] = pds
