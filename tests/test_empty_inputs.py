@@ -30,6 +30,7 @@ EXPECTED_RAISE = {
     "op_semi_join_customers", "op_anti_join_customers",
     "op_left_join_orders", "op_minhash_pairs_docs", "op_tfidf_docs",
     "op_bigram_score_docs", "op_range_join_events", "pipeline_curate_docs",
+    "op_skew_join_events",
 }
 
 

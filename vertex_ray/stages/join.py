@@ -234,10 +234,13 @@ def hash_join_skewed(left, right, left_on, right_on=None, *, how="inner",
         total = left.count()
         hh = heavy_hitters(left, left_on, mg_counters, top=max_hot)
         hh = hh.to_pandas() if hasattr(hh, "to_pandas") else hh
-        hot_keys = [
-            v for v, c in zip(hh.iloc[:, 0], hh.iloc[:, 1])
-            if c >= hot_fraction * total
-        ][:max_hot]
+        if total == 0 or len(hh.columns) < 2:
+            hot_keys = []  # empty probe → plain join handles the rest
+        else:
+            hot_keys = [
+                v for v, c in zip(hh.iloc[:, 0], hh.iloc[:, 1])
+                if c >= hot_fraction * total
+            ][:max_hot]
     hot = np.sort(np.asarray(list(hot_keys)))
     if len(hot) == 0:
         return hash_join(left, right, left_on, right_on,
