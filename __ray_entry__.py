@@ -167,6 +167,47 @@ def _q_passthrough(sf_dir: str):
     )
 
 
+def _q_select_series(sf_dir: str):
+    """PromQL-style series selector over the COMPRESSED store: a regex
+    matcher on series_key plus a time range, applied to block rows BEFORE
+    any decode — only the ~10 matching conversations' blocks are ever
+    decompressed (decode work proportional to the selection, not the
+    store). The read path of the prometheus_exporter analogue."""
+    import pyarrow.compute as _pc
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks, read_stage
+
+    out = _ensure_pipeline(sf_dir)
+
+    def prune(t):
+        m = _pc.and_(
+            _pc.equal(t["name"], "inter_turn_latency_seconds"),
+            _pc.match_substring_regex(
+                t["series_key"], r"conv_id=conv0000000[0-9]\}"),
+        )
+        return t.filter(m)
+
+    sel = read_stage(out, "blocks", "1m").map_batches(
+        prune, batch_format="pyarrow")
+    t0 = sel.min("block_start")
+    t1 = t0 + 3600
+
+    def shape(t):
+        import pyarrow as _pa
+
+        keep = _pc.and_(
+            _pc.and_(_pc.invert(t["filled"]), _pc.invert(t["stale"])),
+            _pc.and_(_pc.greater_equal(t["window_start"], t0),
+                     _pc.less_equal(t["window_start"], t1)),
+        )
+        t = t.filter(keep)
+        return t.select(
+            ["series_key", "window_start", "sum", "count", "min", "max", "last"]
+        ).set_column(3, "count", _pc.cast(t["count"], _pa.int64()))
+
+    return decode_tier_blocks(sel).map_batches(shape, batch_format="pyarrow")
+
+
 def _q_conv_stitch(sf_dir: str):
     """Transcripts → one training document per conversation (turns in
     order, newline-joined) via the bucketed stitch operator."""
@@ -412,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_passthrough": _q_passthrough,
         "transcript_conv_stitch": _q_conv_stitch,
         "pipeline_build_samples": _q_build_samples,
+        "select_series_1m_latency": _q_select_series,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -487,6 +529,23 @@ def oracle_sql() -> dict[str, str]:
             """,
         "pipeline_build_samples": _SQL_BUILD_SAMPLES_TMPL.replace(
             "{TRANS}", _SQL_TRANSCRIPTS),
+        "select_series_1m_latency": f"""{_LAT_CTE},
+            roll AS (
+              SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}'
+                       AS series_key,
+                     {_w(60)} AS window_start,
+                     sum(lat) AS sum, count(*) AS count,
+                     min(lat) AS min, max(lat) AS max,
+                     arg_max(lat, ts) AS last
+              FROM lat
+              WHERE lat IS NOT NULL AND conv_id LIKE 'conv0000000_'
+              GROUP BY 1, 2
+            )
+            SELECT * FROM roll
+            WHERE window_start
+              BETWEEN (SELECT min(window_start) FROM roll)
+                  AND (SELECT min(window_start) FROM roll) + 3600
+            """,
         "gorilla_roundtrip_1m_latency": _sql_lat(60),
         "rollup_1m_latency_epochs": _sql_lat(60),
         "rollup_1d_latency_epochs": _sql_lat(86_400),
