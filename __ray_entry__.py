@@ -336,6 +336,16 @@ def _q_gauge_1h(sf_dir: str):
     return _metric_tier(sf_dir, "1h", "conv_turn_idx", _LAT_COLS)
 
 
+def _q_gauge_delta_1m(sf_dir: str):
+    """PromQL delta(): per-series change of the gauge's last value between
+    consecutive 1m windows, computed over the tier store."""
+    from vertex_ray.stages.windows import series_delta
+
+    gauge = _metric_tier(sf_dir, "1m", "conv_turn_idx",
+                         ["series_key", "window_start", "last"])
+    return series_delta(gauge, "series_key", "window_start", "last")
+
+
 def _q_internal_counters(sf_dir: str):
     """Per-stage/per-partition rows+bytes+wall counters from the committed
     pipeline manifests — the `vertex top` / internal_metrics analogue
@@ -458,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
         "rollup_1m_turn_gauge": _q_gauge_1m,
+        "delta_1m_turn_gauge": _q_gauge_delta_1m,
         "rollup_1h_turn_gauge": _q_gauge_1h,
         "gorilla_roundtrip_1m_gauge_locf": _q_gauge_locf_roundtrip,
         "internal_counters": _q_internal_counters,
@@ -594,6 +605,14 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sqls["rollup_1m_turn_gauge"] = _sql_gauge(60)
+    sqls["delta_1m_turn_gauge"] = f"""
+    WITH g AS ({_sql_gauge(60)})
+    SELECT series_key, window_start,
+           last - lag(last) OVER (PARTITION BY series_key
+                                  ORDER BY window_start) AS delta
+    FROM g
+    QUALIFY delta IS NOT NULL
+    """
     sqls["rollup_1h_turn_gauge"] = _sql_gauge(3600)
     sqls["gorilla_roundtrip_1m_gauge_locf"] = f"""
     WITH agg AS (

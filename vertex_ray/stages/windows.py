@@ -128,3 +128,37 @@ def late_data_flag(
         })
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def series_delta(ds, key_col: str, order_col: str, value_col: str,
+                 out_col: str = "delta", n_buckets: int = 64):
+    """PromQL ``delta()`` primitive: per-series difference of a value
+    between consecutive windows (first window of each series emits
+    nothing, like ``lag`` being NULL). Series are hash-bucketed so ONE
+    exchange co-locates each series and the kernel is a single vectorized
+    sort + shifted subtraction per bucket — no per-series task."""
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        v = g[value_col].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = k[1:] == k[:-1]
+        d = np.empty(len(g), dtype=np.float64)
+        d[1:] = v[1:] - v[:-1]
+        out = g.loc[same, [key_col, order_col]].copy()
+        out[out_col] = d[same]
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
