@@ -560,3 +560,20 @@ def test_stitch_conversations_ray(ray_session):
     )
     assert out["doc"].tolist() == ["first\nsecond\nthird", "a\nb"]
     assert out["n_turns"].tolist() == [3, 2]
+
+
+def test_chunk_documents_overlap(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.text import chunk_documents
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["a b c d e f g"]})
+    out = (
+        chunk_documents(rd.from_pandas(df), "text", "doc_id",
+                        size=4, stride=2)
+        .to_pandas().sort_values("chunk_idx").reset_index(drop=True)
+    )
+    # windows start every 2 tokens, 4 tokens wide; trailing windows shrink
+    assert out["chunk_text"].tolist() == [
+        "a b c d", "c d e f", "e f g", "g"]
+    assert out["n_tokens"].tolist() == [4, 4, 3, 1]

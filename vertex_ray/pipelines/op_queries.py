@@ -1986,6 +1986,29 @@ FROM ev e JOIN dim d USING (skew_key)
 """
 
 
+def q_chunk_docs(sf_dir: str):
+    """Document chunking for embedding/RAG pipelines: 64-token chunks,
+    non-overlapping here so the SQL oracle is exact (the overlapping-
+    stride path is unit-tested)."""
+    from vertex_ray.stages.text import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), "text", "doc_id", size=64)
+
+
+SQL_CHUNK_DOCS = r"""
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(w) AS t, unnest(range(0, len(w))) AS i FROM ws
+)
+SELECT doc_id, i // 64 AS chunk_idx, count(*) AS n_tokens,
+       string_agg(t, ' ' ORDER BY i) AS chunk_text
+FROM tok GROUP BY 1, 2
+"""
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -2031,6 +2054,7 @@ OP_QUERIES = {
     "op_anti_join_customers": q_anti_join_customers,
     "op_fuzzy_match_customers": q_fuzzy_match_customers,
     "op_skew_join_events": q_skew_join_events,
+    "op_chunk_docs": q_chunk_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
@@ -2100,6 +2124,7 @@ OP_ORACLES = {
     "op_anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "op_fuzzy_match_customers": SQL_FUZZY_MATCH_CUSTOMERS,
     "op_skew_join_events": SQL_SKEW_JOIN_EVENTS,
+    "op_chunk_docs": SQL_CHUNK_DOCS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,

@@ -457,3 +457,67 @@ def stitch_conversations(ds, key_col: str, order_col: str, text_col: str,
         .groupby("__bucket")
         .map_groups(stitch, batch_format="pandas")
     )
+
+
+def chunk_documents(ds, text_col: str, id_col: str, size: int,
+                    stride: int | None = None):
+    """Split documents into fixed-token-count chunks (the chunking step of
+    an embedding / retrieval pipeline). ``stride`` < ``size`` gives
+    overlapping windows; default non-overlapping (= size).
+
+    Vectorized shape: one Arrow split pass per batch, within-doc token
+    positions by offset arithmetic, chunk membership by integer division
+    (np.repeat expansion for overlap), then a single C-level pandas
+    group-join builds the chunk strings — no Python loop over tokens.
+    A document never spans batches, so there is NO exchange at all.
+    """
+    import pandas as pd
+
+    stride = stride or size
+    if stride > size:
+        raise ValueError("stride must be <= size")
+
+    def fn(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(t[text_col], r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        off = lists.offsets.to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(len(t)), np.diff(off))
+        toks = flat.to_numpy(zero_copy_only=False)
+        keep = toks != ""
+        toks, doc_of = toks[keep], doc_of[keep]
+        if not len(toks):
+            return pa.table({id_col: pa.array([], t[id_col].type),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        starts = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(np.bincount(doc_of, minlength=len(t)), out=starts[1:])
+        pos = np.arange(len(toks)) - starts[doc_of]
+        # chunk ids covering position p: from max(0, ceil((p-size+1)/stride))
+        # to p // stride — one row per (token, covering chunk)
+        first = np.maximum(0, -(-(pos - size + 1) // stride))
+        last = pos // stride
+        reps = (last - first + 1).astype(np.int64)
+        tok_rep = np.repeat(np.arange(len(toks)), reps)
+        within = np.arange(int(reps.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        chunk_of = first[tok_rep] + within
+        df = pd.DataFrame({
+            "d": doc_of[tok_rep],
+            "chunk_idx": chunk_of,
+            "t": toks[tok_rep],
+        })
+        agg = (df.groupby(["d", "chunk_idx"], sort=False)["t"]
+               .agg([("chunk_text", " ".join), ("n_tokens", "size")])
+               .reset_index())
+        ids = t[id_col].to_numpy(zero_copy_only=False)[agg["d"].to_numpy()]
+        return pa.table({
+            id_col: pa.array(ids),
+            "chunk_idx": pa.array(agg["chunk_idx"].to_numpy().astype(np.int64)),
+            "n_tokens": pa.array(agg["n_tokens"].to_numpy().astype(np.int64)),
+            "chunk_text": pa.array(agg["chunk_text"].to_numpy(), pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
