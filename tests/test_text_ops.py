@@ -577,3 +577,17 @@ def test_chunk_documents_overlap(ray_session):
     assert out["chunk_text"].tolist() == [
         "a b c d", "c d e f", "e f g", "g"]
     assert out["n_tokens"].tolist() == [4, 4, 3, 1]
+
+
+def test_rag_index_self_similarity(ray_session):
+    """Chunk → hash-embed → ANN: every probe's nearest neighbour is
+    itself at cosine 1.0 (unit-norm vectors), and embeddings are
+    deterministic across runs."""
+    from vertex_ray.pipelines.op_queries import q_rag_pipeline_docs
+
+    out = q_rag_pipeline_docs("/root/testdata/sf0.001").to_pandas()
+    probe_ids = [1000, 2000, 3000]
+    for qi, pid in enumerate(probe_ids):
+        top = out[out.query_id == qi].sort_values("rank")
+        assert int(top.iloc[0]["vec_id"]) == pid
+        assert abs(float(top.iloc[0]["cosine"]) - 1.0) < 1e-12

@@ -2009,6 +2009,36 @@ FROM tok GROUP BY 1, 2
 """
 
 
+def q_rag_pipeline_docs(sf_dir: str):
+    """END-TO-END retrieval indexing: chunk documents into 64-token
+    windows → hashing-trick embedding per chunk (no model needed) →
+    brute-force cosine top-5 for three probe chunks. Rows-only (feature
+    hashing is not SQL-expressible); the invariant that every probe's
+    nearest neighbour is ITSELF at cosine 1.0 is asserted in
+    tests/test_text_ops.py."""
+    import numpy as np
+
+    from vertex_ray.stages.ann import brute_force_topk
+    from vertex_ray.stages.text import chunk_documents, hashing_embed
+
+    chunks = chunk_documents(_docs(sf_dir), "text", "doc_id", size=64)
+
+    def add_chunk_id(t: pa.Table) -> pa.Table:
+        cid = pc.add(pc.multiply(t["doc_id"], 1000), t["chunk_idx"])
+        return pa.table({"chunk_id": pc.cast(cid, pa.int64()),
+                         "chunk_text": t["chunk_text"]})
+
+    emb = hashing_embed(
+        chunks.map_batches(add_chunk_id, batch_format="pyarrow"),
+        "chunk_text", "chunk_id", dim=128).materialize()
+
+    probe_ids = {1000, 2000, 3000}  # first chunk of docs 1..3
+    probes = emb.filter(lambda r: r["chunk_id"] in probe_ids).to_pandas()
+    probes = probes.sort_values("chunk_id")
+    qmat = np.stack(probes["embedding"].to_numpy())
+    return brute_force_topk(emb, qmat, 5, "embedding", "chunk_id")
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -2055,6 +2085,7 @@ OP_QUERIES = {
     "op_fuzzy_match_customers": q_fuzzy_match_customers,
     "op_skew_join_events": q_skew_join_events,
     "op_chunk_docs": q_chunk_docs,
+    "pipeline_rag_index": q_rag_pipeline_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,

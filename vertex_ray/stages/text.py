@@ -521,3 +521,45 @@ def chunk_documents(ds, text_col: str, id_col: str, size: int,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hashing_embed(ds, text_col: str, id_col: str, dim: int = 256,
+                  lower: bool = True):
+    """Feature-hashing text vectorizer (the classical hashing trick —
+    Weinberger et al., ICML'09; sklearn's HashingVectorizer): token counts
+    scattered into ``dim`` buckets by a stable 64-bit hash, sign-split to
+    debias, L2-normalized. Gives every chunk/document a dense
+    ``list<double>`` embedding with NO model or vocabulary — the
+    deterministic stand-in for a neural embedder that makes the
+    chunk → embed → ANN pipeline runnable end to end in this container.
+
+    Vectorized: one Arrow split pass, one vectorized token hash, one
+    np.add.at scatter per batch. Stateless → plain task pool.
+    """
+    from vertex_ray.stages.dedup_near import _hash_strings
+
+    def fn(t: pa.Table) -> pa.Table:
+        src = pc.utf8_lower(t[text_col]) if lower else t[text_col]
+        lists = pc.split_pattern_regex(src, r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        off = lists.offsets.to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(len(t)), np.diff(off))
+        toks = flat.to_numpy(zero_copy_only=False)
+        keep = toks != ""
+        toks, doc_of = toks[keep], doc_of[keep]
+        mat = np.zeros((len(t), dim), dtype=np.float64)
+        if len(toks):
+            h = _hash_strings(toks)
+            bucket = (h % np.uint64(dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
+            np.add.at(mat, (doc_of, bucket), sign)
+        norms = np.linalg.norm(mat, axis=1)
+        mat = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        return pa.table({
+            id_col: t[id_col],
+            "embedding": pa.array(list(mat)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
