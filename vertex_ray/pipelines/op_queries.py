@@ -2034,6 +2034,11 @@ def q_rag_pipeline_docs(sf_dir: str):
 
     probe_ids = {1000, 2000, 3000}  # first chunk of docs 1..3
     probes = emb.filter(lambda r: r["chunk_id"] in probe_ids).to_pandas()
+    if len(probes) == 0:  # empty corpus → empty result, stable schema
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
     probes = probes.sort_values("chunk_id")
     qmat = np.stack(probes["embedding"].to_numpy())
     return brute_force_topk(emb, qmat, 5, "embedding", "chunk_id")
