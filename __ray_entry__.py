@@ -419,6 +419,29 @@ def _q_hist_p99_1m(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_summary_1m(sf_dir: str):
+    """Summary kind end-to-end (MetricValue::Summary,
+    /root/reference lib/event/src/metric/mod.rs:33-39): exact per-(series,
+    1m window) count/sum + q50/q90/q99 over inter-turn latency, one bucket
+    exchange (stages/summary)."""
+    from vertex_ray.pipelines.rollup_pipeline import read_transcripts
+    from vertex_ray.stages.summary import latency_summary
+
+    return latency_summary(read_transcripts(ensure_transcripts(sf_dir)), 60)
+
+
+def _q_summary_1h_firstwins(sf_dir: str):
+    """Summary tier cascade under the reference's NO-OP merge
+    (MetricValue::merge does nothing for Summary, mod.rs:42-64): the 1h
+    summary is the first accumulated 1m state per (series, 1h window)."""
+    from vertex_ray.pipelines.rollup_pipeline import read_transcripts
+    from vertex_ray.stages.summary import latency_summary
+
+    return latency_summary(
+        read_transcripts(ensure_transcripts(sf_dir)), 60, coarse_seconds=3600
+    )
+
+
 def _ensure_epochs(sf_dir: str) -> str:
     """Run (or resume) the epoch-incremental flagship: one committed
     increment per day of data, per-bucket carry state between epochs
@@ -472,6 +495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1h_turn_gauge": _q_gauge_1h,
         "gorilla_roundtrip_1m_gauge_locf": _q_gauge_locf_roundtrip,
         "internal_counters": _q_internal_counters,
+        "rollup_1m_latency_summary": _q_summary_1m,
+        "rollup_1h_latency_summary_firstwins": _q_summary_1h_firstwins,
         "rollup_1m_latency_epochs": _lat_epochs_query("1m"),
         "rollup_1d_latency_epochs": _lat_epochs_query("1d"),
     }
@@ -558,6 +583,33 @@ def oracle_sql() -> dict[str, str]:
                   AND (SELECT min(window_start) FROM roll) + 3600
             """,
         "gorilla_roundtrip_1m_latency": _sql_lat(60),
+        "rollup_1m_latency_summary": f"""{_LAT_CTE}
+            SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}' AS series_key,
+                   {_w(60)} AS window_start,
+                   count(*) AS count, sum(lat) AS sum,
+                   quantile_disc(lat, 0.5) AS q50,
+                   quantile_disc(lat, 0.9) AS q90,
+                   quantile_disc(lat, 0.99) AS q99
+            FROM lat WHERE lat IS NOT NULL
+            GROUP BY 1, 2
+            """,
+        "rollup_1h_latency_summary_firstwins": f"""{_LAT_CTE},
+            fine AS (
+              SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}' AS series_key,
+                     {_w(60)} AS ws,
+                     count(*) AS count, sum(lat) AS sum,
+                     quantile_disc(lat, 0.5) AS q50,
+                     quantile_disc(lat, 0.9) AS q90,
+                     quantile_disc(lat, 0.99) AS q99
+              FROM lat WHERE lat IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT series_key, (ws // 3600) * 3600 AS window_start,
+                   arg_min(count, ws) AS count, arg_min(sum, ws) AS sum,
+                   arg_min(q50, ws) AS q50, arg_min(q90, ws) AS q90,
+                   arg_min(q99, ws) AS q99
+            FROM fine GROUP BY 1, 2
+            """,
         "rollup_1m_latency_epochs": _sql_lat(60),
         "rollup_1d_latency_epochs": _sql_lat(86_400),
     }
