@@ -346,6 +346,29 @@ def _q_gauge_delta_1m(sf_dir: str):
     return series_delta(gauge, "series_key", "window_start", "last")
 
 
+def _q_rate_1h_turns(sf_dir: str):
+    """PromQL increase()/rate() over the counter tier. Tiers store
+    per-window deltas (the MetricNormalize absolute→incremental contract,
+    /root/reference lib/framework/src/sink/buffer/metrics.rs:110-146), so
+    increase(1h) IS the 1h window's count and rate = increase / 3600."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+
+    def shape(t):
+        inc = pc.cast(t["count"], pa.float64())
+        return pa.table({
+            "series_key": t["series_key"],
+            "window_start": t["window_start"],
+            "increase": inc,
+            "rate": pc.divide(inc, 3600.0),
+        })
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_internal_counters(sf_dir: str):
     """Per-stage/per-partition rows+bytes+wall counters from the committed
     pipeline manifests — the `vertex top` / internal_metrics analogue
@@ -495,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1h_turn_gauge": _q_gauge_1h,
         "gorilla_roundtrip_1m_gauge_locf": _q_gauge_locf_roundtrip,
         "internal_counters": _q_internal_counters,
+        "rate_1h_turns": _q_rate_1h_turns,
         "rollup_1m_latency_summary": _q_summary_1m,
         "rollup_1h_latency_summary_firstwins": _q_summary_1h_firstwins,
         "rollup_1m_latency_epochs": _lat_epochs_query("1m"),
@@ -583,6 +607,14 @@ def oracle_sql() -> dict[str, str]:
                   AND (SELECT min(window_start) FROM roll) + 3600
             """,
         "gorilla_roundtrip_1m_latency": _sql_lat(60),
+        "rate_1h_turns": f"""
+            SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}' AS series_key,
+                   {_w(3600)} AS window_start,
+                   CAST(count(*) AS DOUBLE) AS increase,
+                   CAST(count(*) AS DOUBLE) / 3600.0 AS rate
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2
+            """,
         "rollup_1m_latency_summary": f"""{_LAT_CTE}
             SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}' AS series_key,
                    {_w(60)} AS window_start,
