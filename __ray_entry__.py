@@ -369,6 +369,54 @@ def _q_rate_1h_turns(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_agg_by_role_1h(sf_dir: str):
+    """PromQL ``sum by (role) (increase(turns_total[1h]))``: cross-series
+    aggregation over the counter tier — the role tag is re-derived from
+    the canonical series_key (sorted-tag identity, SURVEY §1.3) and
+    per-window counts are summed across all series sharing it. Combiner
+    pre-aggregation before the one exchange (stages/promql)."""
+    from vertex_ray.stages.promql import label_aggregate
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return label_aggregate(ds, "role", "count", out_col="turns")
+
+
+def _q_topk_series_1h(sf_dir: str):
+    """PromQL ``topk(3, increase(turns_total[1h]))``: the 3 busiest series
+    per 1h window, deterministic ties by series_key — block-local trim
+    before the exchange (stages/ops.topk_per_group)."""
+    from vertex_ray.stages.ops import topk_per_group
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return topk_per_group(ds, "window_start", "count", 3,
+                          tiebreak="series_key")
+
+
+def _q_avg_over_time_1h(sf_dir: str):
+    """PromQL ``avg_over_time(turns[4 windows])``: per-series moving mean
+    of the 1h counter over a 4-window ROWS frame — exact int64 cumsum
+    differencing, one exchange (stages/promql.over_time)."""
+    from vertex_ray.stages.promql import over_time
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return over_time(ds, "series_key", "window_start", "count", 4,
+                     agg="avg", out_col="avg_count")
+
+
+def _q_max_over_time_1h_latency(sf_dir: str):
+    """PromQL ``max_over_time(latency_max[4 windows])`` over the 1h
+    latency tier (order-free float moving max)."""
+    from vertex_ray.stages.promql import over_time
+
+    ds = _metric_tier(sf_dir, "1h", "inter_turn_latency_seconds",
+                      ["series_key", "window_start", "max"])
+    return over_time(ds, "series_key", "window_start", "max", 4,
+                     agg="max", out_col="max_over")
+
+
 def _q_internal_counters(sf_dir: str):
     """Per-stage/per-partition rows+bytes+wall counters from the committed
     pipeline manifests — the `vertex top` / internal_metrics analogue
@@ -519,6 +567,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gorilla_roundtrip_1m_gauge_locf": _q_gauge_locf_roundtrip,
         "internal_counters": _q_internal_counters,
         "rate_1h_turns": _q_rate_1h_turns,
+        "agg_by_role_1h_turns": _q_agg_by_role_1h,
+        "topk_series_1h_turns": _q_topk_series_1h,
+        "avg_over_time_1h_turns": _q_avg_over_time_1h,
+        "max_over_time_1h_latency": _q_max_over_time_1h_latency,
         "rollup_1m_latency_summary": _q_summary_1m,
         "rollup_1h_latency_summary_firstwins": _q_summary_1h_firstwins,
         "rollup_1m_latency_epochs": _lat_epochs_query("1m"),
@@ -614,6 +666,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS DOUBLE) / 3600.0 AS rate
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
+            """,
+        "agg_by_role_1h_turns": f"""
+            SELECT role, {_w(3600)} AS window_start,
+                   count(*) AS turns
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2
+            """,
+        "topk_series_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+                       AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT window_start, count, series_key FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY window_start
+                  ORDER BY count DESC, series_key) AS rn
+              FROM g
+            ) WHERE rn <= 3
+            """,
+        "avg_over_time_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+                       AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT series_key, window_start,
+                   avg(count) OVER (
+                     PARTITION BY series_key ORDER BY window_start
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS avg_count
+            FROM g
+            """,
+        "max_over_time_1h_latency": f"""{_LAT_CTE},
+            g AS (
+              SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}'
+                       AS series_key,
+                     {_w(3600)} AS window_start,
+                     max(lat) AS max
+              FROM lat WHERE lat IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT series_key, window_start,
+                   max(max) OVER (
+                     PARTITION BY series_key ORDER BY window_start
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS max_over
+            FROM g
             """,
         "rollup_1m_latency_summary": f"""{_LAT_CTE}
             SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}' AS series_key,

@@ -1,0 +1,106 @@
+"""PromQL read-path operators: label re-derivation + cross-series
+aggregation (sum by), and per-series moving-window aggregates
+(avg/sum/max/min _over_time)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _tier_table():
+    # two labels x two series each, 3 windows, deliberately out of order
+    return pa.table({
+        "series_key": [
+            "turns_total{conv_id=c1,role=user}",
+            "turns_total{conv_id=c2,role=user}",
+            "turns_total{conv_id=c3,role=assistant}",
+            "turns_total{conv_id=c1,role=user}",
+            "turns_total{conv_id=c3,role=assistant}",
+            "turns_total{conv_id=c2,role=user}",
+        ],
+        "window_start": [60, 60, 60, 120, 120, 180],
+        "count": [2, 3, 5, 7, 11, 13],
+    })
+
+
+def test_extract_label():
+    from vertex_ray.stages.promql import extract_label
+
+    t = extract_label(_tier_table(), "role")
+    assert t["role"].to_pylist() == [
+        "user", "user", "assistant", "user", "assistant", "user"]
+    # first tag and missing tag
+    t2 = pa.table({"series_key": ["m{a=x,b=y}", "m{b=y}"]})
+    from vertex_ray.stages.promql import extract_label as ex
+    assert ex(t2, "a")["a"].to_pylist() == ["x", None]
+    assert ex(t2, "b")["b"].to_pylist() == ["y", "y"]
+
+
+def test_label_aggregate_sum_by(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import label_aggregate
+
+    out = (label_aggregate(rd.from_arrow(_tier_table()), "role", "count",
+                           out_col="turns")
+           .to_pandas().sort_values(["role", "window_start"])
+           .reset_index(drop=True))
+    exp = pd.DataFrame({
+        "role": ["assistant", "assistant", "user", "user", "user"],
+        "window_start": [60, 120, 60, 120, 180],
+        "turns": [5, 11, 5, 7, 13],
+    })
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_over_time_avg_exact_frames(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import over_time
+
+    # one series with 5 windows, another overlapping to verify isolation
+    t = pa.table({
+        "series_key": ["s1"] * 5 + ["s2"] * 2,
+        "window_start": [0, 60, 120, 180, 240, 0, 60],
+        "count": [1, 2, 3, 4, 5, 100, 200],
+    })
+    out = (over_time(rd.from_arrow(t), "series_key", "window_start",
+                     "count", 3, agg="avg", out_col="a")
+           .to_pandas().sort_values(["series_key", "window_start"])
+           .reset_index(drop=True))
+    # frames: [1], [1,2], [1,2,3], [2,3,4], [3,4,5]; s2: [100], [100,200]
+    assert out["a"].tolist() == [1.0, 1.5, 2.0, 3.0, 4.0, 100.0, 150.0]
+
+
+def test_over_time_sum_and_minmax(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import over_time
+
+    t = pa.table({
+        "series_key": ["s"] * 4,
+        "window_start": [0, 60, 120, 180],
+        "v": [4, 1, 3, 2],
+    })
+    ds = rd.from_arrow(t)
+    s = over_time(ds, "series_key", "window_start", "v", 2,
+                  agg="sum").to_pandas().sort_values("window_start")
+    assert s["sum_over"].tolist() == [4.0, 5.0, 4.0, 5.0]
+    mx = over_time(ds, "series_key", "window_start", "v", 2,
+                   agg="max").to_pandas().sort_values("window_start")
+    assert mx["max_over"].tolist() == [4.0, 4.0, 3.0, 3.0]
+    mn = over_time(ds, "series_key", "window_start", "v", 2,
+                   agg="min").to_pandas().sort_values("window_start")
+    assert mn["min_over"].tolist() == [4.0, 1.0, 1.0, 2.0]
+
+
+def test_over_time_rejects_float_avg(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import over_time
+
+    t = pa.table({"k": ["s"], "w": [0], "v": [1.5]})
+    ds = over_time(rd.from_arrow(t), "k", "w", "v", 2, agg="avg")
+    with pytest.raises(Exception, match="integer"):
+        ds.to_pandas()

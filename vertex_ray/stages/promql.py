@@ -1,0 +1,150 @@
+"""PromQL-style read-path operators over the tier store.
+
+The reference's prometheus_exporter sink is a read surface: Prometheus
+scrapes it and runs PromQL over the exposed series. This module supplies
+the engine-side analogues of the PromQL constructs that operate ACROSS
+series or ACROSS windows (the per-series ones — rate/increase/delta,
+selector, histogram_quantile — live in __ray_entry__ / stages.windows /
+stages.quantile):
+
+- ``label_aggregate``  — ``sum by (label) (metric)``: re-derive one tag
+  from the canonical series_key (series identity is the sorted-tag string,
+  SURVEY.md §1.3) and aggregate across all series sharing that tag value.
+- ``over_time``        — ``avg_over_time / max_over_time / min_over_time /
+  sum_over_time (metric[n windows])``: per-series moving aggregate over
+  the last n tier windows.
+
+Scale shape: both are one-exchange operators. ``label_aggregate`` reduces
+each batch to per-(label, window) partials before the shuffle (combiner
+pattern), so exchange volume is bounded by distinct (label, window) pairs
+per batch, not rows. ``over_time`` hash-buckets series so each bucket is
+ONE vectorized kernel call (no per-series task), mirroring
+stages.windows.series_delta.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["extract_label", "label_aggregate", "over_time"]
+
+
+def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
+                  out_col: str | None = None) -> pa.Table:
+    """Append the value of ``label`` parsed out of the canonical series_key
+    (``name{k1=v1,k2=v2}``) as a string column. Vectorized single-pass
+    regex (pyarrow extract_regex); series without the label get NULL."""
+    out = out_col or label
+    m = pc.extract_regex(
+        t[key_col], rf"[{{,]{label}=(?P<v>[^,}}]*)[,}}]")
+    return t.append_column(out, pc.struct_field(m, "v"))
+
+
+def label_aggregate(ds, label: str, value_col: str,
+                    window_col: str = "window_start",
+                    out_col: str | None = None,
+                    key_col: str = "series_key"):
+    """``sum by (label)``: cross-series aggregation of an integer value
+    column, grouped by (label value, window). Exact for integer inputs
+    (int64 partial sums commute). Returns columns
+    ``(label, window_col, out_col)``.
+
+    Per-batch partial aggregation happens BEFORE the exchange, so the
+    shuffle moves one row per distinct (label, window) per batch — at
+    100 TB the exchange is proportional to the rollup cardinality of the
+    coarse key, never to input rows."""
+    out = out_col or value_col
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = extract_label(t, label, key_col=key_col, out_col="__lbl")
+        df = pd.DataFrame({
+            "__lbl": t["__lbl"].to_pandas(),
+            window_col: t[window_col].to_numpy(zero_copy_only=False),
+            "__v": t[value_col].to_numpy(zero_copy_only=False),
+        })
+        g = (df.groupby(["__lbl", window_col], sort=False, dropna=False)
+             ["__v"].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        r = (g.groupby(["__lbl", window_col], sort=False, dropna=False)
+             ["__v"].sum().reset_index())
+        r.columns = [label, window_col, out]
+        return r
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__lbl")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
+              agg: str = "avg", out_col: str | None = None,
+              n_buckets: int = 64):
+    """PromQL ``<agg>_over_time(metric[n windows])`` over tier rows: a
+    per-series moving aggregate across the last ``n`` windows (ROWS frame
+    ``n-1 PRECEDING .. CURRENT ROW``; shorter at series start, like a
+    range selector clipped at the series' first sample).
+
+    ``avg``/``sum`` require an integer value column — the moving sum is
+    computed by exact int64 cumsum differencing so the result is
+    bit-identical to any evaluation order (float frames would need a
+    defined summation order; use max/min for floats). ``max``/``min``
+    accept any numeric dtype (order-free).
+
+    One exchange: series are hash-bucketed (same shape as
+    stages.windows.series_delta); each bucket kernel is one vectorized
+    sort + cumsum/rolling call, never a per-series Python task."""
+    if agg not in ("avg", "sum", "max", "min"):
+        raise ValueError(f"unsupported over_time agg: {agg}")
+    out = out_col or f"{agg}_over"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        v = g[value_col].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        # position within the series (0-based) -> frame row count
+        first_pos = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(len(g)) - first_pos[seg]
+        cnt = np.minimum(pos + 1, n)
+        if agg in ("avg", "sum"):
+            if v.dtype.kind not in "iu":
+                raise TypeError(
+                    f"over_time {agg} needs an integer column for exact "
+                    f"moving sums, got {v.dtype}")
+            c = np.cumsum(v.astype(np.int64))
+            s = c.copy()
+            # subtract the cumsum at the row before the frame: n rows back,
+            # clipped to just-before-the-series (cuts off prior series too)
+            back = np.maximum(pos - n, -1) + first_pos[seg]
+            has_back = back >= 0
+            s[has_back] -= c[back[has_back]]
+            res = s.astype(np.float64) / cnt if agg == "avg" \
+                else s.astype(np.float64)
+        else:
+            roll = (g.groupby(k, sort=False)[value_col]
+                    .rolling(n, min_periods=1))
+            res = (roll.max() if agg == "max" else roll.min()) \
+                .to_numpy(dtype=np.float64)
+        outdf = g[[key_col, order_col]].copy()
+        outdf[out] = res
+        return outdf
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
