@@ -417,6 +417,28 @@ def _q_max_over_time_1h_latency(sf_dir: str):
                      agg="max", out_col="max_over")
 
 
+def _q_hist_p99_global_1m(sf_dir: str):
+    """The canonical Prometheus dashboard read:
+    ``histogram_quantile(0.99, sum by (window) (latency_bucket))`` — the
+    cumulative bucket vectors of ALL series are summed per 1m window
+    (exact int64 merges, one combiner exchange — stages/promql.group_sum),
+    then the quantile is interpolated from the aggregated histogram."""
+    from vertex_ray.schema import N_BUCKETS
+    from vertex_ray.stages.promql import group_sum
+    from vertex_ray.stages.quantile import histogram_quantile_batch
+
+    bcols = [f"b{i:02d}" for i in range(N_BUCKETS)]
+    ds = _metric_tier(sf_dir, "1m", "inter_turn_latency_seconds",
+                      ["window_start", "count"] + bcols)
+    summed = group_sum(ds, ["window_start"], ["count"] + bcols)
+
+    def shape(t):
+        t = histogram_quantile_batch(t, 0.99, out_col="p99")
+        return t.select(["window_start", "p99"])
+
+    return summed.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_internal_counters(sf_dir: str):
     """Per-stage/per-partition rows+bytes+wall counters from the committed
     pipeline manifests — the `vertex top` / internal_metrics analogue
@@ -568,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "internal_counters": _q_internal_counters,
         "rate_1h_turns": _q_rate_1h_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
+        "hist_p99_global_1m": _q_hist_p99_global_1m,
         "topk_series_1h_turns": _q_topk_series_1h,
         "avg_over_time_1h_turns": _q_avg_over_time_1h,
         "max_over_time_1h_latency": _q_max_over_time_1h_latency,
@@ -844,6 +867,19 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY 1, 2
     )
     SELECT series_key, window_start,
+           {histogram_quantile_sql(0.99)} AS p99
+    FROM h
+    """
+
+    sqls["hist_p99_global_1m"] = f"""{_LAT_CTE}
+    , h AS (
+      SELECT {_w(60)} AS window_start,
+             count(*) AS count,
+             {_BUCKET_SQL_COLS}
+      FROM lat WHERE lat IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT window_start,
            {histogram_quantile_sql(0.99)} AS p99
     FROM h
     """

@@ -54,6 +54,24 @@ def test_label_aggregate_sum_by(ray_session):
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
 
 
+def test_group_sum_multi_column(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import group_sum
+
+    t = pa.table({
+        "w": [60, 60, 120, 60, 120],
+        "count": [1, 2, 3, 4, 5],
+        "b00": [10, 20, 30, 40, 50],
+        "b01": [1, 1, 1, 1, 1],
+    })
+    out = (group_sum(rd.from_arrow(t), ["w"], ["count", "b00", "b01"])
+           .to_pandas().sort_values("w").reset_index(drop=True))
+    assert out["count"].tolist() == [7, 8]
+    assert out["b00"].tolist() == [70, 80]
+    assert out["b01"].tolist() == [3, 2]
+
+
 def test_over_time_avg_exact_frames(ray_session):
     import ray.data as rd
 

@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["extract_label", "label_aggregate", "over_time"]
+__all__ = ["extract_label", "label_aggregate", "group_sum", "over_time"]
 
 
 def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
@@ -78,6 +78,40 @@ def label_aggregate(ds, label: str, value_col: str,
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__lbl")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def group_sum(ds, group_cols: list[str], value_cols: list[str],
+              n_buckets: int = 64):
+    """Exact integer sums of ``value_cols`` grouped by ``group_cols`` —
+    the building block for ``sum by (...)`` over MULTIPLE mergeable state
+    columns at once (e.g. summing a histogram's cumulative bucket vector
+    across all series per window, the classic
+    ``histogram_quantile(q, sum by (le)(...))`` dashboard read).
+
+    Combiner pattern: each batch collapses to one row per distinct group
+    it contains before the ONE hash exchange, so shuffle volume is the
+    group cardinality per batch, never input rows. Integer partial sums
+    commute, so the result is exact under any merge order."""
+    cols = list(dict.fromkeys(list(group_cols) + list(value_cols)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        g = (df.groupby(list(group_cols), sort=False, dropna=False)
+             [list(value_cols)].sum().reset_index())
+        b = (pd.util.hash_pandas_object(g[list(group_cols)], index=False)
+             .to_numpy() % np.uint64(n_buckets)).astype(np.int64)
+        g["__bucket"] = b
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(list(group_cols), sort=False, dropna=False)
+                [list(value_cols)].sum().reset_index())
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
         .map_groups(final, batch_format="pandas")
     )
 
