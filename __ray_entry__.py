@@ -439,6 +439,40 @@ def _q_hist_p99_global_1m(sf_dir: str):
     return summed.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_retention_1m(sf_dir: str):
+    """Retention GC end-to-end: the 1m tier compacted to a 1-day horizon
+    (stages/retention — expired blocks dropped from footer stats,
+    boundary blocks decode→truncate→re-encode), then decoded back; real
+    points must equal the plain rollup restricted to the horizon."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.retention import apply_retention
+    from vertex_ray.state.checkpoint import read_manifest, stage_files
+
+    out = _ensure_pipeline(sf_dir)
+    gend = read_manifest(os.path.join(out, "blocks"))["lineage"]["global_end_s"]
+    dst = os.path.join(OUT_BASE, f"sf{sf_of_dir(sf_dir):g}", "tiers_retained")
+    apply_retention(out, dst, {"1m": 86_400}, now_s=gend,
+                    tier_seconds=dict(TIER_SECONDS))
+    blocks = rd.read_parquet(stage_files(os.path.join(dst, "blocks")),
+                             filter=pc.field("tier") == "1m")
+
+    def shape(t):
+        mask = pc.and_(
+            pc.and_(pc.invert(t["filled"]), pc.invert(t["stale"])),
+            pc.equal(t["name"], "inter_turn_latency_seconds"),
+        )
+        t = t.filter(mask)
+        return t.select(
+            ["series_key", "window_start", "sum", "count", "min", "max", "last"]
+        ).set_column(3, "count", pc.cast(t["count"], pa.int64()))
+
+    return decode_tier_blocks(blocks).map_batches(shape, batch_format="pyarrow")
+
+
 def _q_internal_counters(sf_dir: str):
     """Per-stage/per-partition rows+bytes+wall counters from the committed
     pipeline manifests — the `vertex top` / internal_metrics analogue
@@ -591,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_1h_turns": _q_rate_1h_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
         "hist_p99_global_1m": _q_hist_p99_global_1m,
+        "retention_1m_latency": _q_retention_1m,
         "topk_series_1h_turns": _q_topk_series_1h,
         "avg_over_time_1h_turns": _q_avg_over_time_1h,
         "max_over_time_1h_latency": _q_max_over_time_1h_latency,
@@ -869,6 +904,23 @@ def oracle_sql() -> dict[str, str]:
     SELECT series_key, window_start,
            {histogram_quantile_sql(0.99)} AS p99
     FROM h
+    """
+
+    sqls["retention_1m_latency"] = f"""{_LAT_CTE},
+    roll AS (
+      SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}' AS series_key,
+             {_w(60)} AS window_start,
+             sum(lat) AS sum, count(*) AS count,
+             min(lat) AS min, max(lat) AS max,
+             arg_max(lat, ts) AS last
+      FROM lat WHERE lat IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    bound AS (
+      SELECT (max(epoch_us(ts)) // 60000000) * 60 - 86400 AS cutoff
+      FROM {_SQL_TRANSCRIPTS}
+    )
+    SELECT roll.* FROM roll, bound WHERE roll.window_start >= bound.cutoff
     """
 
     sqls["hist_p99_global_1m"] = f"""{_LAT_CTE}

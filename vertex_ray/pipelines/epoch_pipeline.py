@@ -269,7 +269,7 @@ def run_pipeline_epochs(
             "salt": salt,
             "tiers": [t for t, _ in tiers],
             "metrics": list(METRIC_NAMES),
-            "block_format": "gorilla-columnar-v2",
+            "block_format": "gorilla-columnar-v2.1",
             "epoch_seconds": epoch_seconds,
             "epoch_start_s": es,
             "fill_end_s": fill_end,

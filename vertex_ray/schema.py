@@ -143,6 +143,7 @@ BLOCK_SCHEMA = pa.schema(
         pa.field("kind", pa.uint8()),
         pa.field("tier", pa.string()),
         pa.field("block_start", pa.int64()),
+        pa.field("block_end", pa.int64()),  # last window_start in the block
         pa.field("n_points", pa.int32()),
         pa.field("ts_block", pa.binary()),
         pa.field("val_blocks", pa.list_(pa.binary())),

@@ -51,8 +51,16 @@ class GorillaEncode:
             block_start = np.where(
                 counts > 0, ws_val[np.minimum(ws_off[:-1], len(ws_val) - 1)], 0
             )
+            # last window of each block: windows are sorted within a series,
+            # so the block's time extent is [block_start, block_end]. Stored
+            # so retention GC and range selectors can drop/keep whole blocks
+            # from footer stats without decoding.
+            block_end = np.where(
+                counts > 0, ws_val[np.maximum(ws_off[1:] - 1, 0)], 0
+            )
         else:
             block_start = np.zeros(n, dtype=np.int64)
+            block_end = np.zeros(n, dtype=np.int64)
 
         ts_blocks = encode_timestamps_multi(ws_val, ws_off)
         scalar_blocks = [
@@ -88,6 +96,7 @@ class GorillaEncode:
                 "kind": batch["kind"],
                 "tier": batch["tier"],
                 "block_start": pa.array(block_start, type=pa.int64()),
+                "block_end": pa.array(block_end, type=pa.int64()),
                 "n_points": pa.array(n_points, type=pa.int32()),
                 "ts_block": pa.array(ts_blocks, type=pa.binary()),
                 "val_blocks": pa.array(val_blocks, type=pa.list_(pa.binary())),

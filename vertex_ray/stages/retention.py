@@ -1,0 +1,185 @@
+"""Retention GC over the committed Gorilla block store.
+
+The third word in this engine's charter — rollup, downsample, RETENTION —
+as a first-class compaction job: each tier keeps a bounded horizon
+(e.g. 1m for 2 days, 1h for 90, 1d forever), and a retention pass
+produces a compacted copy of the blocks stage with everything older than
+each tier's cutoff removed. The reference's analogue is the
+prometheus_exporter sink's TTL expiry (series with no sample within the
+TTL stop being served, /root/reference src/sinks/prometheus_exporter.rs:
+463-481); here the store is at rest, so expiry is a rewrite pass — the
+same shape as a TSDB segment-GC/compaction.
+
+Scale design (what happens per block row, cheapest class first):
+
+1. **expired** (``block_end < cutoff``) — dropped by the parquet scan
+   filter itself: the predicate is pushed to row-group statistics, so a
+   100 TB store drops most of its expired history from footer stats
+   without reading a byte of block payload.
+2. **fully retained** (``block_start >= cutoff``) — passes through
+   byte-identical; never decoded.
+3. **straddling** (``block_start < cutoff <= block_end``) — at most ONE
+   block per (series, tier): decoded, windows before the cutoff sliced
+   off, re-encoded through the same ``GorillaEncode`` the pipeline uses
+   (one vectorized pass per batch of straddlers, no per-point loop).
+
+Tiers without a horizon are retained whole. The output is a committed
+stage (manifest + lineage with the policy and ``now_s``), so reruns are
+idempotent and downstream readers (``decode_tier_blocks``, the PromQL
+selectors) work on the compacted store unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from vertex_ray.schema import BUCKET_COLS, KIND_HISTOGRAM
+
+__all__ = ["retention_cutoffs", "apply_retention"]
+
+_SCALARS = ("sum", "count", "min", "max", "last")
+
+
+def retention_cutoffs(horizons: dict[str, int], now_s: int,
+                      tier_seconds: dict[str, int]) -> dict[str, int]:
+    """Per-tier cutoff window (inclusive keep-from), aligned down to the
+    tier's window size so a cutoff never splits a window."""
+    return {
+        tier: (now_s - h) // tier_seconds[tier] * tier_seconds[tier]
+        for tier, h in horizons.items()
+    }
+
+
+def _rewrite_straddlers(t: pa.Table, cutoffs: dict[str, int]) -> pa.Table:
+    """Decode → slice off pre-cutoff windows → re-encode, vectorized over
+    the whole batch of straddling block rows."""
+    from vertex_ray.gorilla import (
+        decode_flags_multi,
+        decode_timestamps_multi_flat,
+        decode_values_multi_flat,
+    )
+    from vertex_ray.stages.encode import GorillaEncode
+
+    t = t.combine_chunks()
+    n_rows = t.num_rows
+    n_points = t["n_points"].to_numpy().astype(np.int64)
+    kinds = t["kind"].to_numpy(zero_copy_only=False)
+    tiers = t["tier"].to_numpy(zero_copy_only=False)
+    val_blocks = t["val_blocks"].to_pylist()
+
+    ws = decode_timestamps_multi_flat(t["ts_block"].to_pylist(), n_points)
+    flags = np.concatenate(
+        decode_flags_multi(t["flags"].to_pylist(), n_points))
+    scalars = {
+        s: decode_values_multi_flat([vb[i] for vb in val_blocks], n_points)
+        for i, s in enumerate(_SCALARS)
+    }
+    total = int(n_points.sum())
+    hist_rows = np.flatnonzero(kinds == KIND_HISTOGRAM)
+    el_hist = np.repeat(kinds == KIND_HISTOGRAM, n_points)
+    buckets = {}
+    for b_i, b_col in enumerate(BUCKET_COLS):
+        col = np.zeros(total, dtype=np.float64)
+        if len(hist_rows):
+            col[el_hist] = decode_values_multi_flat(
+                [val_blocks[i][len(_SCALARS) + b_i] for i in hist_rows],
+                n_points[hist_rows],
+            )
+        buckets[b_col] = col
+
+    row_ix = np.repeat(np.arange(n_rows, dtype=np.int64), n_points)
+    cuts = np.array([cutoffs.get(tr, np.iinfo(np.int64).min)
+                     for tr in tiers], dtype=np.int64)
+    keep = ws >= cuts[row_ix]
+
+    new_counts = np.add.reduceat(keep.astype(np.int64),
+                                 np.concatenate([[0], np.cumsum(n_points)[:-1]]))
+    live = new_counts > 0
+    offsets = np.zeros(int(live.sum()) + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(new_counts[live])
+
+    def lst(values: np.ndarray, typ) -> pa.ListArray:
+        return pa.ListArray.from_arrays(offsets, pa.array(values[keep], type=typ))
+
+    live_ix = pa.array(np.flatnonzero(live))
+    packed = {
+        "bucket": t["bucket"].take(live_ix),
+        "series_key": t["series_key"].take(live_ix),
+        "name": t["name"].take(live_ix),
+        "kind": t["kind"].take(live_ix),
+        "window_starts": lst(ws, pa.int64()),
+    }
+    for s in _SCALARS:
+        packed[f"vals_{s}"] = lst(scalars[s], pa.float64())
+    for b_col in BUCKET_COLS:
+        packed[f"vals_{b_col}"] = lst(buckets[b_col], pa.float64())
+    packed["flags"] = lst(flags, pa.uint8())
+    tbl = pa.table(packed).append_column(
+        "tier", t["tier"].take(live_ix))
+    return GorillaEncode()(tbl)
+
+
+def retention_pass(t: pa.Table, cutoffs: dict[str, int]) -> pa.Table:
+    """map_batches body over block rows: route each row to drop /
+    pass-through / rewrite by its tier's cutoff."""
+    if t.num_rows == 0:
+        return t
+    tiers = t["tier"].to_numpy(zero_copy_only=False)
+    cuts = np.array([cutoffs.get(tr, np.iinfo(np.int64).min)
+                     for tr in tiers], dtype=np.int64)
+    b_start = t["block_start"].to_numpy()
+    b_end = t["block_end"].to_numpy()
+    alive = b_end >= cuts                # scan filter re-applied (exactness)
+    whole = alive & (b_start >= cuts)    # fully inside the horizon
+    straddle = alive & ~whole
+    out = t.filter(pa.array(whole))
+    if straddle.any():
+        rewritten = _rewrite_straddlers(t.filter(pa.array(straddle)), cutoffs)
+        out = pa.concat_tables([out, rewritten]) if out.num_rows else rewritten
+    return out
+
+
+def apply_retention(src_out: str, dst_out: str, horizons: dict[str, int],
+                    now_s: int, tier_seconds: dict[str, int]) -> dict:
+    """Compact ``src_out``'s committed blocks stage into ``dst_out`` under
+    the per-tier retention policy. Committed-stage semantics: idempotent,
+    resumable, lineage-stamped with the policy."""
+    import os
+
+    import ray.data as rd
+
+    from vertex_ray.state import fsio
+    from vertex_ray.state.checkpoint import (
+        read_manifest,
+        stage_done,
+        stage_files,
+        write_stage,
+    )
+
+    cutoffs = retention_cutoffs(horizons, now_s, tier_seconds)
+    # push the expiry predicate into the scan: expired row-groups (and
+    # whole files) are skipped from parquet footer statistics
+    expr = None
+    for tier, cut in cutoffs.items():
+        keep = (pc.field("tier") != tier) | (pc.field("block_end") >= cut)
+        expr = keep if expr is None else (expr & keep)
+    src = os.path.join(src_out, "blocks")
+    ds = rd.read_parquet(stage_files(src), filter=expr)
+    ds = ds.map_batches(lambda b: retention_pass(b, cutoffs),
+                        batch_format="pyarrow")
+    lineage = {
+        "src": src,
+        "horizons": dict(horizons),
+        "now_s": now_s,
+        "cutoffs": cutoffs,
+    }
+    dst = os.path.join(dst_out, "blocks")
+    if stage_done(dst):
+        prior = {k: v for k, v in read_manifest(dst).get("lineage", {}).items()
+                 if k != "wall_seconds"}
+        if prior != lineage:
+            # same dst, different policy/input: recompute, never reuse
+            fsio.rmtree(dst)
+    return write_stage(ds, dst, lineage)
