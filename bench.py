@@ -105,6 +105,20 @@ def run_bench() -> dict:
     decode_tier_blocks(read_stage(out, "blocks", "1m")).count()
     timings["decode_1m_blocks"] = round(time.time() - t0, 3)
 
+    # retention GC throughput: compact the finest tiers to a 1-day horizon
+    # (expired blocks pruned from parquet footer stats, boundary blocks
+    # decode→truncate→re-encode — stages/retention)
+    from vertex_ray.schema import TIER_SECONDS
+    from vertex_ray.stages.retention import apply_retention
+
+    gend = manifests["blocks"]["lineage"]["global_end_s"]
+    ret_out = out + "_retained"
+    shutil.rmtree(ret_out, ignore_errors=True)
+    t0 = time.time()
+    ret_m = apply_retention(out, ret_out, {"1m": 86_400, "5m": 86_400},
+                            now_s=gend, tier_seconds=dict(TIER_SECONDS))
+    timings["retention_gc"] = round(time.time() - t0, 3)
+
     agg_rows = manifests["agg"]["rows"]
     blocks_bytes = sum(f["bytes"] for f in manifests["blocks"]["files"].values())
     result = {
@@ -118,6 +132,7 @@ def run_bench() -> dict:
         "turns_per_sec": round(n_turns / headline, 1),
         "tier_points": int(agg_rows),
         "gorilla_bytes_per_point": round(blocks_bytes / max(1, agg_rows), 2),
+        "retained_block_rows": int(ret_m["rows"]),
     }
     ray.shutdown()
     return result
