@@ -473,6 +473,53 @@ def _q_retention_1m(sf_dir: str):
     return decode_tier_blocks(blocks).map_batches(shape, batch_format="pyarrow")
 
 
+def _q_retention_epochs_1m(sf_dir: str):
+    """Retention GC over the TIME-CHUNKED epoch store: per-epoch block
+    dirs are the layout where whole expired epochs drop at the scan from
+    row-group statistics and fully in-horizon epochs pass through without
+    a decode; only the boundary epoch's blocks are re-encoded. Same
+    result contract as retention_1m_latency."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vertex_ray.pipelines.epoch_pipeline import (
+        epoch_dirs,
+        transcripts_span_s,
+    )
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.retention import apply_retention
+    from vertex_ray.state.checkpoint import stage_files
+
+    out = _ensure_epochs(sf_dir)
+    src_files = [
+        f for ed in epoch_dirs(out)
+        for f in stage_files(_os.path.join(ed, "blocks"))
+    ]
+    _, hi = transcripts_span_s(ensure_transcripts(sf_dir))
+    gend = hi // 60 * 60
+    dst = os.path.join(OUT_BASE, f"sf{sf_of_dir(sf_dir):g}",
+                       "tiers_epochs_retained")
+    apply_retention(out, dst, {"1m": 86_400}, now_s=gend,
+                    tier_seconds=dict(TIER_SECONDS), src_files=src_files)
+    blocks = rd.read_parquet(stage_files(os.path.join(dst, "blocks")),
+                             filter=pc.field("tier") == "1m")
+
+    def shape(t):
+        mask = pc.and_(
+            pc.and_(pc.invert(t["filled"]), pc.invert(t["stale"])),
+            pc.equal(t["name"], "inter_turn_latency_seconds"),
+        )
+        t = t.filter(mask)
+        return t.select(
+            ["series_key", "window_start", "sum", "count", "min", "max", "last"]
+        ).set_column(3, "count", pc.cast(t["count"], pa.int64()))
+
+    return decode_tier_blocks(blocks).map_batches(shape, batch_format="pyarrow")
+
+
 def _q_internal_counters(sf_dir: str):
     """Per-stage/per-partition rows+bytes+wall counters from the committed
     pipeline manifests — the `vertex top` / internal_metrics analogue
@@ -626,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
         "hist_p99_global_1m": _q_hist_p99_global_1m,
         "retention_1m_latency": _q_retention_1m,
+        "retention_1m_latency_epochs": _q_retention_epochs_1m,
         "topk_series_1h_turns": _q_topk_series_1h,
         "avg_over_time_1h_turns": _q_avg_over_time_1h,
         "max_over_time_1h_latency": _q_max_over_time_1h_latency,
@@ -922,6 +970,9 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT roll.* FROM roll, bound WHERE roll.window_start >= bound.cutoff
     """
+    # epoch-store retention has the same result contract (epoch rollup is
+    # bit-for-bit equal to one-shot; retention semantics identical)
+    sqls["retention_1m_latency_epochs"] = sqls["retention_1m_latency"]
 
     sqls["hist_p99_global_1m"] = f"""{_LAT_CTE}
     , h AS (

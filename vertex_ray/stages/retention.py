@@ -142,10 +142,17 @@ def retention_pass(t: pa.Table, cutoffs: dict[str, int]) -> pa.Table:
 
 
 def apply_retention(src_out: str, dst_out: str, horizons: dict[str, int],
-                    now_s: int, tier_seconds: dict[str, int]) -> dict:
+                    now_s: int, tier_seconds: dict[str, int],
+                    src_files: list[str] | None = None) -> dict:
     """Compact ``src_out``'s committed blocks stage into ``dst_out`` under
     the per-tier retention policy. Committed-stage semantics: idempotent,
-    resumable, lineage-stamped with the policy."""
+    resumable, lineage-stamped with the policy.
+
+    ``src_files`` overrides the single-stage file listing — pass the
+    union of per-epoch ``blocks`` dirs to GC a time-chunked epoch store
+    (pipelines/epoch_pipeline layout), where most expired blocks drop at
+    the scan from row-group statistics and whole in-horizon epochs pass
+    through without decode."""
     import os
 
     import ray.data as rd
@@ -166,11 +173,12 @@ def apply_retention(src_out: str, dst_out: str, horizons: dict[str, int],
         keep = (pc.field("tier") != tier) | (pc.field("block_end") >= cut)
         expr = keep if expr is None else (expr & keep)
     src = os.path.join(src_out, "blocks")
-    ds = rd.read_parquet(stage_files(src), filter=expr)
+    files = src_files if src_files is not None else stage_files(src)
+    ds = rd.read_parquet(files, filter=expr)
     ds = ds.map_batches(lambda b: retention_pass(b, cutoffs),
                         batch_format="pyarrow")
     lineage = {
-        "src": src,
+        "src": src if src_files is None else sorted(src_files),
         "horizons": dict(horizons),
         "now_s": now_s,
         "cutoffs": cutoffs,
