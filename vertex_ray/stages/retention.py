@@ -62,8 +62,14 @@ def _rewrite_straddlers(t: pa.Table, cutoffs: dict[str, int]) -> pa.Table:
     )
     from vertex_ray.stages.encode import GorillaEncode
 
-    t = t.combine_chunks()
+    # zero-point rows would collapse reduceat segment boundaries below;
+    # they carry nothing to retain either way
+    t = t.filter(pc.greater(t["n_points"], 0)).combine_chunks()
     n_rows = t.num_rows
+    if n_rows == 0:
+        from vertex_ray.schema import BLOCK_SCHEMA
+
+        return BLOCK_SCHEMA.empty_table()
     n_points = t["n_points"].to_numpy().astype(np.int64)
     kinds = t["kind"].to_numpy(zero_copy_only=False)
     tiers = t["tier"].to_numpy(zero_copy_only=False)
