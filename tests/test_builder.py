@@ -126,3 +126,33 @@ def test_builder_multi_input_join_and_topk(ray_session):
     got = out[out.o_orderkey == key].sort_values(
         ["l_quantity", "l_linenumber"], ascending=[False, True])
     assert got["l_linenumber"].tolist() == want["l_linenumber"].tolist()
+
+
+def test_build_promql_over_time_chain(ray_session):
+    cfg = {
+        "sources": {"ev": {"type": "parquet", "path": EVENTS}},
+        "transforms": {
+            "m": {
+                "type": "metricalize",
+                "inputs": ["ev"],
+                "tag_cols": ["event_type"],
+                "value_col": "value",
+                "ts_col": "ts",
+                "window_seconds": 3600,
+                "order_col": "event_id",
+            },
+            "smooth": {
+                "type": "over_time",
+                "inputs": ["m"],
+                "key_col": "event_type",
+                "order_col": "window_start",
+                "value_col": "count",
+                "n": 4,
+                "agg": "avg",
+            },
+        },
+        "sinks": {},
+    }
+    out = build(cfg)["smooth"].to_pandas()
+    assert {"event_type", "window_start", "avg_over"} <= set(out.columns)
+    assert len(out) > 0

@@ -196,6 +196,30 @@ def _t_late_data(cfg, ds):
                           cfg["allowed_lateness_s"], cfg["window_s"])
 
 
+def _t_label_aggregate(cfg, ds):
+    from vertex_ray.stages.promql import label_aggregate
+
+    return label_aggregate(ds, cfg["label"], cfg["value_col"],
+                           window_col=cfg.get("window_col", "window_start"),
+                           out_col=cfg.get("out_col"),
+                           key_col=cfg.get("key_col", "series_key"))
+
+
+def _t_over_time(cfg, ds):
+    from vertex_ray.stages.promql import over_time
+
+    return over_time(ds, cfg["key_col"], cfg["order_col"], cfg["value_col"],
+                     cfg["n"], agg=cfg.get("agg", "avg"),
+                     out_col=cfg.get("out_col"))
+
+
+def _t_group_sum(cfg, ds):
+    from vertex_ray.stages.promql import group_sum
+
+    return group_sum(ds, list(cfg["group_cols"]), list(cfg["value_cols"]),
+                     n_buckets=cfg.get("n_buckets", 64))
+
+
 def _t_vocab(cfg, ds):
     from vertex_ray.stages.text import vocab_topk
 
@@ -280,6 +304,9 @@ STEP_TYPES: dict[str, Callable] = {
     "late_data": _t_late_data,
     "vocab": _t_vocab,
     "tfidf": _t_tfidf,
+    "label_aggregate": _t_label_aggregate,
+    "over_time": _t_over_time,
+    "group_sum": _t_group_sum,
     # multi-input (inputs are passed as an ordered list, not unioned)
     "join": _t_join,
     "join_skewed": _t_join_skewed,
