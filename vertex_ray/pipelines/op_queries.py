@@ -202,6 +202,29 @@ FROM documents
 """
 
 
+def q_relabel_regex_docs(sf_dir: str):
+    """Operation::Drop / Operation::Keep parity
+    (/root/reference src/transforms/relabel.rs:44-51): tag keys retained
+    by name regex — columns in the columnar model."""
+    from vertex_ray.stages.ops import relabel_ops
+
+    return _docs(sf_dir).map_batches(
+        relabel_ops(
+            [
+                ("set", "env", "prod"),
+                ("drop_regex", "^n_"),
+                ("keep_regex", "^(doc_id|lang|source|env)$"),
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RELABEL_REGEX_DOCS = """
+SELECT doc_id, lang, source, 'prod' AS env FROM documents
+"""
+
+
 # --- dedup (exact, distributed) --------------------------------------------
 
 
@@ -2054,6 +2077,7 @@ OP_QUERIES = {
     "op_route_events": q_route_events,
     "op_sample_events": q_sample_events,
     "op_relabel_docs": q_relabel_docs,
+    "op_relabel_regex_docs": q_relabel_regex_docs,
     "op_dedup_events": q_dedup_events,
     "op_throttle_events": q_throttle_events,
     "op_metricalize_events": q_metricalize_events,
@@ -2128,6 +2152,7 @@ OP_ORACLES = {
     "op_route_events": SQL_ROUTE_EVENTS,
     "op_sample_events": SQL_SAMPLE_EVENTS,
     "op_relabel_docs": SQL_RELABEL_DOCS,
+    "op_relabel_regex_docs": SQL_RELABEL_REGEX_DOCS,
     "op_dedup_events": SQL_DEDUP_EVENTS,
     "op_throttle_events": SQL_THROTTLE_EVENTS,
     "op_metricalize_events": SQL_METRICALIZE_EVENTS,

@@ -92,7 +92,14 @@ def relabel_ops(ops: list[tuple]):
     """ops: list of tuples —
     ("set", col, value) | ("add", col, value) | ("delete", col)
     | ("rename", col, new) | ("lowercase", col) | ("uppercase", col)
-    | ("hashmod", col, modulus, out_col)"""
+    | ("hashmod", col, modulus, out_col)
+    | ("drop_regex", pattern[, protect]) | ("keep_regex", pattern[, protect])
+
+    drop_regex / keep_regex retain COLUMNS by name regex — the columnar
+    form of the reference's Operation::Drop/Keep over tag keys
+    (src/transforms/relabel.rs:44-51, 124-126: tags.retain(regex match)).
+    ``protect`` lists non-tag columns (ids, values) always kept."""
+    import re
 
     def fn(t: pa.Table) -> pa.Table:
         for op in ops:
@@ -130,6 +137,18 @@ def relabel_ops(ops: list[tuple]):
                 vals = t[col].to_numpy(zero_copy_only=False)
                 h = (_stable_hash_u64(vals) % modulus).astype(np.int64)
                 t = t.append_column(out, pa.array(h, type=pa.int64()))
+            elif kind in ("drop_regex", "keep_regex"):
+                pattern = op[1]
+                protect = set(op[2]) if len(op) > 2 else set()
+                rx = re.compile(pattern)
+                if kind == "drop_regex":
+                    gone = [n for n in t.schema.names
+                            if rx.search(n) and n not in protect]
+                else:
+                    gone = [n for n in t.schema.names
+                            if not rx.search(n) and n not in protect]
+                if gone:
+                    t = t.drop_columns(gone)
             else:
                 raise ValueError(f"unknown relabel op {kind!r}")
         return t
