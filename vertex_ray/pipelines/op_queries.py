@@ -225,6 +225,27 @@ SELECT doc_id, lang, source, 'prod' AS env FROM documents
 """
 
 
+def q_repetition_docs(sf_dir: str):
+    """Repetition quality filter: duplicated-token fraction per document
+    (corpus-curation signal for boilerplate / degenerate text)."""
+    from vertex_ray.stages.text import repetition_stats_op
+
+    return _docs(sf_dir).map_batches(
+        repetition_stats_op(), batch_format="pyarrow")
+
+
+SQL_REPETITION_DOCS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+)
+SELECT doc_id, count(*) AS n_tokens,
+       count(DISTINCT tok) AS n_distinct,
+       1.0 - count(DISTINCT tok) / CAST(count(*) AS DOUBLE) AS dup_frac
+FROM toks GROUP BY doc_id
+"""
+
+
 # --- dedup (exact, distributed) --------------------------------------------
 
 
@@ -2078,6 +2099,7 @@ OP_QUERIES = {
     "op_sample_events": q_sample_events,
     "op_relabel_docs": q_relabel_docs,
     "op_relabel_regex_docs": q_relabel_regex_docs,
+    "op_repetition_docs": q_repetition_docs,
     "op_dedup_events": q_dedup_events,
     "op_throttle_events": q_throttle_events,
     "op_metricalize_events": q_metricalize_events,
@@ -2153,6 +2175,7 @@ OP_ORACLES = {
     "op_sample_events": SQL_SAMPLE_EVENTS,
     "op_relabel_docs": SQL_RELABEL_DOCS,
     "op_relabel_regex_docs": SQL_RELABEL_REGEX_DOCS,
+    "op_repetition_docs": SQL_REPETITION_DOCS,
     "op_dedup_events": SQL_DEDUP_EVENTS,
     "op_throttle_events": SQL_THROTTLE_EVENTS,
     "op_metricalize_events": SQL_METRICALIZE_EVENTS,

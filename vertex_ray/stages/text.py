@@ -53,6 +53,42 @@ def token_count_op(text_col: str = "text"):
     return fn
 
 
+def repetition_stats_op(text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition statistics — the classic repetition quality
+    filter of large-corpus curation (fraction of duplicated tokens; a high
+    value flags boilerplate / degenerate generations): ``n_tokens``,
+    ``n_distinct`` and ``dup_frac = 1 - distinct/total``. Documents with
+    zero tokens are dropped (no repetition signal).
+
+    Per-batch only (no exchange): Arrow whitespace split + one pandas
+    groupby(count, nunique) over the exploded (row, token) pairs."""
+    import pandas as pd
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(t[text_col])
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        row_ix = np.repeat(np.arange(t.num_rows), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "row": row_ix[keep],
+            "tok": flat.to_numpy(zero_copy_only=False)[keep],
+        })
+        g = df.groupby("row", sort=True)["tok"].agg(["count", "nunique"])
+        rows = pa.array(g.index.to_numpy())
+        n = g["count"].to_numpy().astype(np.int64)
+        d = g["nunique"].to_numpy().astype(np.int64)
+        return pa.table({
+            id_col: t[id_col].take(rows),
+            "n_tokens": pa.array(n, type=pa.int64()),
+            "n_distinct": pa.array(d, type=pa.int64()),
+            "dup_frac": pa.array(1.0 - d / n.astype(np.float64),
+                                 type=pa.float64()),
+        })
+
+    return fn
+
+
 def quality_score_op(text_col: str = "text"):
     """Length / punctuation / word-ratio quality features + a composite
     score in [0, 1]. Pure Arrow kernels where possible."""
