@@ -417,6 +417,25 @@ def _q_max_over_time_1h_latency(sf_dir: str):
                      agg="max", out_col="max_over")
 
 
+def _q_ratio_tools_per_turn_1h(sf_dir: str):
+    """PromQL binary op with vector matching:
+    ``tool_invocations_total / on(conv_id) turns_total`` over the 1h
+    tier — both counters re-aggregated to the conv_id label, matched with
+    one hash join, divided as a single Arrow kernel (stages/promql)."""
+    from vertex_ray.stages.promql import binary_op, label_aggregate
+
+    tools = label_aggregate(
+        _metric_tier(sf_dir, "1h", "tool_invocations_total",
+                     ["series_key", "window_start", "count"]),
+        "conv_id", "count", out_col="tools")
+    turns = label_aggregate(
+        _metric_tier(sf_dir, "1h", "turns_total",
+                     ["series_key", "window_start", "count"]),
+        "conv_id", "count", out_col="turns")
+    return binary_op(tools, turns, ["conv_id", "window_start"],
+                     "tools", "turns", op="div", out_col="tools_per_turn")
+
+
 def _q_hist_p99_global_1m(sf_dir: str):
     """The canonical Prometheus dashboard read:
     ``histogram_quantile(0.99, sum by (window) (latency_bucket))`` — the
@@ -672,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_1h_turns": _q_rate_1h_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
         "hist_p99_global_1m": _q_hist_p99_global_1m,
+        "ratio_tools_per_turn_1h": _q_ratio_tools_per_turn_1h,
         "retention_1m_latency": _q_retention_1m,
         "retention_1m_latency_epochs": _q_retention_epochs_1m,
         "topk_series_1h_turns": _q_topk_series_1h,
@@ -772,6 +792,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS DOUBLE) / 3600.0 AS rate
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
+            """,
+        "ratio_tools_per_turn_1h": f"""
+            WITH tools AS (
+              SELECT conv_id, {_w(3600)} AS window_start, count(*) AS tools
+              FROM {_SQL_TRANSCRIPTS} WHERE tool <> ''
+              GROUP BY 1, 2
+            ),
+            turns AS (
+              SELECT conv_id, {_w(3600)} AS window_start, count(*) AS turns
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT conv_id, window_start, tools, turns,
+                   CAST(tools AS DOUBLE) / CAST(turns AS DOUBLE)
+                     AS tools_per_turn
+            FROM tools JOIN turns USING (conv_id, window_start)
             """,
         "agg_by_role_1h_turns": f"""
             SELECT role, {_w(3600)} AS window_start,

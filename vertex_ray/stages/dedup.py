@@ -56,7 +56,10 @@ def _key_strings(t: pa.Table, key_cols: list[str]) -> np.ndarray:
         tag = str(col.type)
         vals = col.to_numpy(zero_copy_only=False).astype(str)
         null = np.asarray(col.is_null().to_numpy(zero_copy_only=False))
-        vals = np.where(null, "\x00null", vals)
+        # \x1f (not NUL): pandas' bucket hash C-truncates object strings at
+        # an embedded NUL, which would collapse every null-bearing key into
+        # one hash prefix (bucket skew; see stages/promql.binary_op note)
+        vals = np.where(null, "\x1fnull", vals)
         parts.append(np.char.add(f"{c}\x01{tag}\x02", vals.astype(str)))
     key = parts[0]
     for p in parts[1:]:

@@ -29,7 +29,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["extract_label", "label_aggregate", "group_sum", "over_time"]
+__all__ = ["extract_label", "label_aggregate", "group_sum", "over_time",
+           "binary_op"]
 
 
 def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
@@ -114,6 +115,59 @@ def group_sum(ds, group_cols: list[str], value_cols: list[str],
         .groupby("__bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def binary_op(left, right, on_cols: list[str], left_val: str,
+              right_val: str, op: str = "div",
+              out_col: str = "value", n_buckets: int = 64,
+              sep: str = "\x1f"):
+    """PromQL binary operation with vector matching —
+    ``left <op> on(on_cols) right`` (e.g. an error-rate or per-turn ratio
+    panel: ``tool_invocations_total / on(conv_id) turns_total``).
+
+    Both vectors are matched on ``on_cols`` via ONE hash-partitioned
+    equi-join (stages/join.hash_join on a composite key, inner match —
+    PromQL drops unmatched samples), then the arithmetic runs as a single
+    Arrow kernel per batch. Division casts both sides to float64 first so
+    the expression is the same IEEE op sequence as the SQL oracle.
+
+    ``sep`` joins on_cols into the composite key and must not occur in
+    their values (defaults to the unit separator \\x1f — impossible in
+    label values / window numbers). Do NOT use NUL: pandas' bucket hash
+    (hash_object_array) C-truncates object strings at an embedded NUL on
+    some block representations, so the same key can land in different
+    buckets on the two sides and silently drop matches (measured: 18,795
+    of 23,368 matches survived with a NUL separator)."""
+    from vertex_ray.stages.join import hash_join
+
+    ops = {"div": pc.divide, "add": pc.add, "sub": pc.subtract,
+           "mul": pc.multiply}
+    if op not in ops:
+        raise ValueError(f"unsupported binary op: {op}")
+
+    def with_key(keep_val):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[on_cols[0]].cast(pa.string())
+            for c in on_cols[1:]:
+                k = pc.binary_join_element_wise(
+                    k, t[c].cast(pa.string()), sep)
+            return t.select(on_cols + [keep_val]).append_column("__k", k)
+        return fn
+
+    l = left.map_batches(with_key(left_val), batch_format="pyarrow")
+    r = right.map_batches(
+        lambda t: t.select([right_val]).append_column(
+            "__k", with_key(right_val)(t)["__k"]),
+        batch_format="pyarrow")
+    joined = hash_join(l, r, "__k", n_buckets=n_buckets, how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        lv = pc.cast(t[left_val], pa.float64())
+        rv = pc.cast(t[right_val], pa.float64())
+        return t.select(on_cols + [left_val, right_val]).append_column(
+            out_col, ops[op](lv, rv))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
