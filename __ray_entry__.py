@@ -382,6 +382,19 @@ def _q_agg_by_role_1h(sf_dir: str):
     return label_aggregate(ds, "role", "count", out_col="turns")
 
 
+def _q_avg_by_role_1h(sf_dir: str):
+    """PromQL ``avg by (role) (increase(turns_total[1h]))``: mean
+    per-series 1h turn count across each role's series — exact int64
+    partial sums, single division at the end (never an average of
+    partial averages)."""
+    from vertex_ray.stages.promql import label_aggregate
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return label_aggregate(ds, "role", "count", out_col="avg_turns",
+                           agg="avg")
+
+
 def _q_topk_series_1h(sf_dir: str):
     """PromQL ``topk(3, increase(turns_total[1h]))``: the 3 busiest series
     per 1h window, deterministic ties by series_key — block-local trim
@@ -690,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "internal_counters": _q_internal_counters,
         "rate_1h_turns": _q_rate_1h_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
+        "avg_by_role_1h_turns": _q_avg_by_role_1h,
         "hist_p99_global_1m": _q_hist_p99_global_1m,
         "ratio_tools_per_turn_1h": _q_ratio_tools_per_turn_1h,
         "retention_1m_latency": _q_retention_1m,
@@ -814,6 +828,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS turns
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
+            """,
+        "avg_by_role_1h_turns": f"""
+            WITH g AS (
+              SELECT conv_id, role, {_w(3600)} AS window_start,
+                     count(*) AS c
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2, 3
+            )
+            SELECT role, window_start,
+                   CAST(sum(c) AS DOUBLE) / count(*) AS avg_turns
+            FROM g GROUP BY 1, 2
             """,
         "topk_series_1h_turns": f"""
             WITH g AS (

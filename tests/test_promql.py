@@ -122,3 +122,48 @@ def test_over_time_rejects_float_avg(ray_session):
     ds = over_time(rd.from_arrow(t), "k", "w", "v", 2, agg="avg")
     with pytest.raises(Exception, match="integer"):
         ds.to_pandas()
+
+
+def test_binary_op_vector_matching(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import binary_op
+
+    l = rd.from_arrow(pa.table({
+        "conv": ["a", "a", "b", "c"],
+        "w": [60, 120, 60, 60],
+        "errs": [1, 2, 3, 9],
+    }))
+    r = rd.from_arrow(pa.table({
+        "conv": ["a", "a", "b"],
+        "w": [60, 120, 60],
+        "total": [4, 8, 6],
+    }))
+    out = (binary_op(l, r, ["conv", "w"], "errs", "total",
+                     op="div", out_col="rate")
+           .to_pandas().sort_values(["conv", "w"]).reset_index(drop=True))
+    # ("c", 60) has no right match -> dropped (PromQL inner matching)
+    assert out["conv"].tolist() == ["a", "a", "b"]
+    assert out["rate"].tolist() == [0.25, 0.25, 0.5]
+
+
+def test_label_aggregate_family(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import label_aggregate
+
+    ds = rd.from_arrow(_tier_table())
+
+    def run(agg):
+        return (label_aggregate(ds, "role", "count", out_col="x", agg=agg)
+                .to_pandas().sort_values(["role", "window_start"])
+                .reset_index(drop=True))
+
+    mx = run("max")
+    assert mx["x"].tolist() == [5, 11, 3, 7, 13]
+    mn = run("min")
+    assert mn["x"].tolist() == [5, 11, 2, 7, 13]
+    ct = run("count")
+    assert ct["x"].tolist() == [1, 1, 2, 1, 1]
+    av = run("avg")
+    assert av["x"].tolist() == [5.0, 11.0, 2.5, 7.0, 13.0]

@@ -47,32 +47,58 @@ def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
 def label_aggregate(ds, label: str, value_col: str,
                     window_col: str = "window_start",
                     out_col: str | None = None,
-                    key_col: str = "series_key"):
-    """``sum by (label)``: cross-series aggregation of an integer value
-    column, grouped by (label value, window). Exact for integer inputs
-    (int64 partial sums commute). Returns columns
+                    key_col: str = "series_key",
+                    agg: str = "sum"):
+    """PromQL aggregation operators — ``<agg> by (label) (metric)`` for
+    agg ∈ sum/min/max/count/avg: cross-series aggregation of a value
+    column, grouped by (label value, window). Returns columns
     ``(label, window_col, out_col)``.
+
+    Exactness: sum/count/avg require an integer value column (int64
+    partials commute; avg divides the exact sum once at the end — never
+    averages partial averages); min/max are order-free and accept floats.
 
     Per-batch partial aggregation happens BEFORE the exchange, so the
     shuffle moves one row per distinct (label, window) per batch — at
     100 TB the exchange is proportional to the rollup cardinality of the
     coarse key, never to input rows."""
+    if agg not in ("sum", "min", "max", "count", "avg"):
+        raise ValueError(f"unsupported label_aggregate agg: {agg}")
     out = out_col or value_col
+    keys = ["__lbl", window_col]
 
     def partial(t: pa.Table) -> pa.Table:
         t = extract_label(t, label, key_col=key_col, out_col="__lbl")
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        if agg in ("sum", "count", "avg") and v.dtype.kind not in "iu":
+            raise TypeError(
+                f"label_aggregate {agg} needs an integer column for exact "
+                f"merges, got {v.dtype}")
         df = pd.DataFrame({
             "__lbl": t["__lbl"].to_pandas(),
             window_col: t[window_col].to_numpy(zero_copy_only=False),
-            "__v": t[value_col].to_numpy(zero_copy_only=False),
+            "__v": v,
         })
-        g = (df.groupby(["__lbl", window_col], sort=False, dropna=False)
-             ["__v"].sum().reset_index())
+        gb = df.groupby(keys, sort=False, dropna=False)["__v"]
+        if agg == "avg":
+            g = gb.agg(__s="sum", __c="count").reset_index()
+        elif agg == "count":
+            g = gb.count().reset_index().rename(columns={"__v": "__c"})
+        else:
+            g = getattr(gb, agg)().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        r = (g.groupby(["__lbl", window_col], sort=False, dropna=False)
-             ["__v"].sum().reset_index())
+        gb = g.groupby(keys, sort=False, dropna=False)
+        if agg == "avg":
+            r = gb[["__s", "__c"]].sum().reset_index()
+            r[out] = r["__s"].to_numpy(np.int64) / r["__c"].to_numpy(np.float64)
+            r = r[keys + [out]]
+        elif agg == "count":
+            r = gb["__c"].sum().reset_index().rename(columns={"__c": out})
+        else:
+            r = getattr(gb["__v"], agg)().reset_index().rename(
+                columns={"__v": out})
         r.columns = [label, window_col, out]
         return r
 
