@@ -471,6 +471,42 @@ def _q_hist_p99_global_1m(sf_dir: str):
     return summed.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_exphist_1m(sf_dir: str):
+    """Sparse exponential-bucket histogram (native-histogram analogue,
+    stages/exphist): power-of-2 µs buckets of inter-turn latency per
+    (series, 1m window), one sparse row per occupied bucket."""
+    from vertex_ray.pipelines.rollup_pipeline import read_transcripts
+    from vertex_ray.stages.exphist import latency_exp_histogram
+
+    return latency_exp_histogram(read_transcripts(ensure_transcripts(sf_dir)), 60)
+
+
+def _q_exphist_1h_merged(sf_dir: str):
+    """The exponential histogram's MERGEABLE cascade: 1m sparse vectors
+    fold into 1h windows by integer bucket-count sums (same-scale sparse
+    add — the property the fixed-bucket Histogram kind shares and the
+    Summary kind lacks)."""
+    from vertex_ray.pipelines.rollup_pipeline import read_transcripts
+    from vertex_ray.stages.exphist import latency_exp_histogram
+
+    return latency_exp_histogram(
+        read_transcripts(ensure_transcripts(sf_dir)), 60, coarse_seconds=3600)
+
+
+def _q_exphist_p99_1m(sf_dir: str):
+    """Read-time p99 from the sparse exponential store: smallest occupied
+    bucket reaching ceil(0.99·total); value = the bucket's exact 2^(idx+1)
+    upper bound (SQL-reproducible bit-for-bit)."""
+    from vertex_ray.pipelines.rollup_pipeline import read_transcripts
+    from vertex_ray.stages.exphist import (
+        exp_histogram_quantile,
+        latency_exp_histogram,
+    )
+
+    rows = latency_exp_histogram(read_transcripts(ensure_transcripts(sf_dir)), 60)
+    return exp_histogram_quantile(rows, 0.99, out_col="p99")
+
+
 def _q_retention_1m(sf_dir: str):
     """Retention GC end-to-end: the 1m tier compacted to a 1-day horizon
     (stages/retention — expired blocks dropped from footer stats,
@@ -708,6 +744,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ratio_tools_per_turn_1h": _q_ratio_tools_per_turn_1h,
         "retention_1m_latency": _q_retention_1m,
         "retention_1m_latency_epochs": _q_retention_epochs_1m,
+        "exphist_1m_latency": _q_exphist_1m,
+        "exphist_1h_latency_merged": _q_exphist_1h_merged,
+        "exphist_1m_latency_p99": _q_exphist_p99_1m,
         "topk_series_1h_turns": _q_topk_series_1h,
         "avg_over_time_1h_turns": _q_avg_over_time_1h,
         "max_over_time_1h_latency": _q_max_over_time_1h_latency,
@@ -1034,6 +1073,53 @@ def oracle_sql() -> dict[str, str]:
     # epoch-store retention has the same result contract (epoch rollup is
     # bit-for-bit equal to one-shot; retention semantics identical)
     sqls["retention_1m_latency_epochs"] = sqls["retention_1m_latency"]
+
+    _LAT_US_CTE = f"""
+    WITH lat AS (
+      SELECT conv_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) AS lat_us
+      FROM {_SQL_TRANSCRIPTS}
+    )
+    """
+
+    def _sql_exphist(seconds: int) -> str:
+        return f"""{_LAT_US_CTE}
+        SELECT 'inter_turn_latency_us{{conv_id=' || conv_id || '}}' AS series_key,
+               {_w(seconds)} AS window_start,
+               CASE WHEN lat_us = 0 THEN -1
+                    ELSE CAST(floor(log2(lat_us)) AS INT) END AS idx,
+               count(*) AS bucket_count
+        FROM lat WHERE lat_us IS NOT NULL
+        GROUP BY 1, 2, 3
+        """
+
+    sqls["exphist_1m_latency"] = _sql_exphist(60)
+    sqls["exphist_1h_latency_merged"] = _sql_exphist(3600)
+    sqls["exphist_1m_latency_p99"] = f"""{_LAT_US_CTE},
+    h AS (
+      SELECT 'inter_turn_latency_us{{conv_id=' || conv_id || '}}' AS series_key,
+             {_w(60)} AS window_start,
+             CASE WHEN lat_us = 0 THEN -1
+                  ELSE CAST(floor(log2(lat_us)) AS INT) END AS idx,
+             count(*) AS bucket_count
+      FROM lat WHERE lat_us IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    c AS (
+      SELECT *,
+             sum(bucket_count) OVER (PARTITION BY series_key, window_start
+                                     ORDER BY idx) AS cum,
+             sum(bucket_count) OVER (PARTITION BY series_key, window_start)
+               AS total
+      FROM h
+    )
+    SELECT series_key, window_start,
+           min(CASE WHEN cum >= ceil(0.99 * total)
+                    THEN CASE WHEN idx = -1 THEN 0.0
+                              ELSE power(2.0, idx + 1) END END) AS p99
+    FROM c GROUP BY 1, 2
+    """
 
     sqls["hist_p99_global_1m"] = f"""{_LAT_CTE}
     , h AS (

@@ -1,0 +1,171 @@
+"""Sparse exponential-bucket histogram — the Prometheus native-histogram
+analogue of the fixed-bucket `MetricValue::Histogram`.
+
+Instead of a fixed `le` bucket vector (schema.DEFAULT_BUCKETS), buckets
+are power-of-2 ranges of the integer-microsecond latency: bucket ``idx``
+covers ``[2^idx, 2^(idx+1))`` µs, ``idx = floor(log2(lat_us))``, and a
+zero bucket (``idx = -1``) holds exact zeros. State is SPARSE — one
+``(series_key, window_start, idx, bucket_count)`` row per occupied
+bucket — so resolution is unbounded without a per-metric bucket layout,
+which is exactly the native-histogram pitch.
+
+Why scale 0 (power-of-2) and integer µs: the bucket boundary computation
+``floor(log2(n))`` over exact integers is reproducible bit-for-bit across
+engines — true log2(n) is an integer only at exact powers of two (where
+libm is exact), elsewhere it is ≥ ~2^-40 away from an integer, far beyond
+double rounding error — so the DuckDB oracle computes the identical
+bucket index. Finer scales (idx = floor(log2(v)·2^s)) would hinge on
+last-ulp libm agreement between engines.
+
+Merge IS mergeable (unlike Summary): same-scale sparse vectors add by
+bucket index, so the tier cascade re-aggregates fine rows into coarse
+windows with plain integer sums (``coarse_seconds``).
+
+Partitioning: same single key as every flagship wide step —
+``bucket = conv_hash % n_buckets`` co-locates a conversation's turns;
+each bucket group is one vectorized lexsort + reduceat pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from vertex_ray.series import series_key_arrays
+from vertex_ray.stages.derive import project_for_rollup_fast
+from vertex_ray.stages.summary import _segment_starts
+
+_US = 1_000_000
+
+__all__ = ["latency_exp_histogram", "exp_histogram_quantile"]
+
+
+def _bucket_body(t: pa.Table, window_seconds: int,
+                 coarse_seconds: int | None) -> pa.Table:
+    conv = t["conv_id"].to_numpy(zero_copy_only=False)
+    ch = t["conv_hash"].to_numpy()
+    turn = t["turn_idx"].to_numpy()
+    ts_us = t["ts"].cast("int64").to_numpy()
+
+    order = np.lexsort((turn, ch))
+    conv, ch, turn, ts_us = conv[order], ch[order], turn[order], ts_us[order]
+
+    lat_mask = turn > 0
+    prev_ts = np.empty(len(ts_us), dtype=np.int64)
+    prev_ts[1:] = ts_us[:-1]
+    prev_ts[:1] = 0
+    lat_us = ts_us - prev_ts
+
+    conv, ch, lat_us = conv[lat_mask], ch[lat_mask], lat_us[lat_mask]
+    window = (ts_us[lat_mask] // (window_seconds * _US)) * window_seconds
+
+    # scale-0 exponential bucket index; exact zeros -> the zero bucket
+    idx = np.full(len(lat_us), -1, dtype=np.int32)
+    pos = lat_us > 0
+    idx[pos] = np.floor(np.log2(lat_us[pos].astype(np.float64))).astype(np.int32)
+
+    order = np.lexsort((idx, window, ch))
+    conv, ch, window, idx = conv[order], ch[order], window[order], idx[order]
+    starts = _segment_starts(ch, conv.astype(object), window, idx)
+    n = len(idx)
+    counts = np.diff(np.r_[starts, np.int64(n)]).astype(np.int64)
+    conv_s, ch_s, ws, idx_s = (
+        conv[starts], ch[starts], window[starts], idx[starts])
+
+    if coarse_seconds is not None:
+        # sparse vectors are mergeable: re-aggregate fine rows into the
+        # coarse window by integer bucket-count sums
+        coarse = (ws // coarse_seconds) * coarse_seconds
+        order2 = np.lexsort((idx_s, coarse, ch_s))
+        conv_s, ch_s, idx_s = conv_s[order2], ch_s[order2], idx_s[order2]
+        coarse, counts = coarse[order2], counts[order2]
+        starts2 = _segment_starts(ch_s, conv_s.astype(object), coarse, idx_s)
+        counts = np.add.reduceat(counts, starts2) if len(counts) else counts
+        conv_s, ws, idx_s = conv_s[starts2], coarse[starts2], idx_s[starts2]
+
+    series = series_key_arrays(
+        "inter_turn_latency_us", conv_id=conv_s.astype(object))
+    return pa.table({
+        "series_key": pa.array(series, type=pa.string()),
+        "window_start": pa.array(ws, type=pa.int64()),
+        "idx": pa.array(idx_s, type=pa.int32()),
+        "bucket_count": pa.array(counts, type=pa.int64()),
+    })
+
+
+def latency_exp_histogram(transcripts_ds, window_seconds: int = 60, *,
+                          n_buckets: int = 64,
+                          coarse_seconds: int | None = None):
+    """Sparse exponential histogram of inter-turn latency (µs) per
+    (series, window): one bucket exchange, one vectorized pass per group;
+    with ``coarse_seconds`` the mergeable cascade to a coarser tier."""
+    projected = transcripts_ds.map_batches(
+        lambda b: project_for_rollup_fast(b, n_buckets),
+        batch_format="pyarrow",
+    )
+    return projected.groupby("bucket").map_groups(
+        lambda t: _bucket_body(t, window_seconds, coarse_seconds),
+        batch_format="pyarrow",
+    )
+
+
+def exp_histogram_quantile(ds, q: float, out_col: str = "phi",
+                           n_buckets: int = 64):
+    """Read-time quantile over the sparse exploded rows: per (series,
+    window), the smallest occupied bucket whose cumulative count reaches
+    ``ceil(q·total)``; reported value is the bucket's exact upper bound
+    ``2^(idx+1)`` µs (0.0 for the zero bucket) — an exact power of two,
+    so the SQL oracle reproduces it bit-for-bit with ``power(2, idx+1)``.
+
+    One hash exchange on series; each bucket group is a single lexsort +
+    segmented cumulative pass (no per-series task)."""
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["series_key"].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.schema([
+                ("series_key", pa.string()), ("window_start", pa.int64()),
+                (out_col, pa.float64()),
+            ]).empty_table()
+        sk = g["series_key"].to_numpy(zero_copy_only=False)
+        ws = g["window_start"].to_numpy()
+        idx = g["idx"].to_numpy()
+        cnt = g["bucket_count"].to_numpy()
+        order = np.lexsort((idx, ws, sk.astype(object)))
+        sk, ws, idx, cnt = sk[order], ws[order], idx[order], cnt[order]
+        starts = _segment_starts(sk.astype(object), ws)
+        n = len(idx)
+        seg_of = np.zeros(n, dtype=np.int64)
+        seg_of[starts] = 1
+        seg_of = np.cumsum(seg_of) - 1
+        c = np.cumsum(cnt)
+        base = np.zeros(len(starts), dtype=np.int64)
+        base[1:] = c[starts[1:] - 1]
+        cum = c - base[seg_of]
+        ends = np.r_[starts[1:] - 1, np.int64(n - 1)]
+        total = cum[ends]
+        rank = np.ceil(q * total.astype(np.float64))
+        ok = cum >= rank[seg_of]
+        # first qualifying row per segment (rows are idx-sorted in-segment)
+        first = np.full(len(starts), -1, dtype=np.int64)
+        rev = np.flatnonzero(ok)[::-1]
+        first[seg_of[rev]] = rev
+        val = np.where(idx[first] == -1, 0.0,
+                       np.power(2.0, idx[first].astype(np.float64) + 1.0))
+        return pa.table({
+            "series_key": pa.array(sk[starts], type=pa.string()),
+            "window_start": pa.array(ws[starts], type=pa.int64()),
+            out_col: pa.array(val, type=pa.float64()),
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
