@@ -493,6 +493,17 @@ def _q_exphist_1h_merged(sf_dir: str):
         read_transcripts(ensure_transcripts(sf_dir)), 60, coarse_seconds=3600)
 
 
+def _q_exphist_exemplars_1m(sf_dir: str):
+    """Exemplars: each bucket carries its largest observation (the slow
+    turn a dashboard drills into from the histogram panel) — merged by
+    max, deterministic."""
+    from vertex_ray.pipelines.rollup_pipeline import read_transcripts
+    from vertex_ray.stages.exphist import latency_exp_histogram
+
+    return latency_exp_histogram(
+        read_transcripts(ensure_transcripts(sf_dir)), 60, exemplars=True)
+
+
 def _q_exphist_p99_1m(sf_dir: str):
     """Read-time p99 from the sparse exponential store: smallest occupied
     bucket reaching ceil(0.99·total); value = the bucket's exact 2^(idx+1)
@@ -747,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exphist_1m_latency": _q_exphist_1m,
         "exphist_1h_latency_merged": _q_exphist_1h_merged,
         "exphist_1m_latency_p99": _q_exphist_p99_1m,
+        "exphist_1m_latency_exemplars": _q_exphist_exemplars_1m,
         "topk_series_1h_turns": _q_topk_series_1h,
         "avg_over_time_1h_turns": _q_avg_over_time_1h,
         "max_over_time_1h_latency": _q_max_over_time_1h_latency,
@@ -1096,6 +1108,16 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["exphist_1m_latency"] = _sql_exphist(60)
     sqls["exphist_1h_latency_merged"] = _sql_exphist(3600)
+    sqls["exphist_1m_latency_exemplars"] = f"""{_LAT_US_CTE}
+    SELECT 'inter_turn_latency_us{{conv_id=' || conv_id || '}}' AS series_key,
+           {_w(60)} AS window_start,
+           CASE WHEN lat_us = 0 THEN -1
+                ELSE CAST(floor(log2(lat_us)) AS INT) END AS idx,
+           count(*) AS bucket_count,
+           max(lat_us) AS exemplar_us
+    FROM lat WHERE lat_us IS NOT NULL
+    GROUP BY 1, 2, 3
+    """
     sqls["exphist_1m_latency_p99"] = f"""{_LAT_US_CTE},
     h AS (
       SELECT 'inter_turn_latency_us{{conv_id=' || conv_id || '}}' AS series_key,

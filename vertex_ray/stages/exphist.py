@@ -41,7 +41,8 @@ __all__ = ["latency_exp_histogram", "exp_histogram_quantile"]
 
 
 def _bucket_body(t: pa.Table, window_seconds: int,
-                 coarse_seconds: int | None) -> pa.Table:
+                 coarse_seconds: int | None,
+                 exemplars: bool = False) -> pa.Table:
     conv = t["conv_id"].to_numpy(zero_copy_only=False)
     ch = t["conv_hash"].to_numpy()
     turn = t["turn_idx"].to_numpy()
@@ -66,45 +67,59 @@ def _bucket_body(t: pa.Table, window_seconds: int,
 
     order = np.lexsort((idx, window, ch))
     conv, ch, window, idx = conv[order], ch[order], window[order], idx[order]
+    lat_us = lat_us[order]
     starts = _segment_starts(ch, conv.astype(object), window, idx)
     n = len(idx)
     counts = np.diff(np.r_[starts, np.int64(n)]).astype(np.int64)
+    ex = (np.maximum.reduceat(lat_us, starts) if n and exemplars else
+          np.empty(0, np.int64))
     conv_s, ch_s, ws, idx_s = (
         conv[starts], ch[starts], window[starts], idx[starts])
 
     if coarse_seconds is not None:
         # sparse vectors are mergeable: re-aggregate fine rows into the
-        # coarse window by integer bucket-count sums
+        # coarse window by integer bucket-count sums (exemplars by max)
         coarse = (ws // coarse_seconds) * coarse_seconds
         order2 = np.lexsort((idx_s, coarse, ch_s))
         conv_s, ch_s, idx_s = conv_s[order2], ch_s[order2], idx_s[order2]
         coarse, counts = coarse[order2], counts[order2]
         starts2 = _segment_starts(ch_s, conv_s.astype(object), coarse, idx_s)
-        counts = np.add.reduceat(counts, starts2) if len(counts) else counts
+        if len(counts):
+            counts = np.add.reduceat(counts, starts2)
+            if exemplars:
+                ex = np.maximum.reduceat(ex[order2], starts2)
         conv_s, ws, idx_s = conv_s[starts2], coarse[starts2], idx_s[starts2]
 
     series = series_key_arrays(
         "inter_turn_latency_us", conv_id=conv_s.astype(object))
-    return pa.table({
+    cols = {
         "series_key": pa.array(series, type=pa.string()),
         "window_start": pa.array(ws, type=pa.int64()),
         "idx": pa.array(idx_s, type=pa.int32()),
         "bucket_count": pa.array(counts, type=pa.int64()),
-    })
+    }
+    if exemplars:
+        # the bucket's largest observation — the exemplar a dashboard
+        # links from the bucket to a concrete slow turn (deterministic:
+        # max is order-free)
+        cols["exemplar_us"] = pa.array(ex, type=pa.int64())
+    return pa.table(cols)
 
 
 def latency_exp_histogram(transcripts_ds, window_seconds: int = 60, *,
                           n_buckets: int = 64,
-                          coarse_seconds: int | None = None):
+                          coarse_seconds: int | None = None,
+                          exemplars: bool = False):
     """Sparse exponential histogram of inter-turn latency (µs) per
     (series, window): one bucket exchange, one vectorized pass per group;
-    with ``coarse_seconds`` the mergeable cascade to a coarser tier."""
+    with ``coarse_seconds`` the mergeable cascade to a coarser tier;
+    ``exemplars`` adds each bucket's largest observation."""
     projected = transcripts_ds.map_batches(
         lambda b: project_for_rollup_fast(b, n_buckets),
         batch_format="pyarrow",
     )
     return projected.groupby("bucket").map_groups(
-        lambda t: _bucket_body(t, window_seconds, coarse_seconds),
+        lambda t: _bucket_body(t, window_seconds, coarse_seconds, exemplars),
         batch_format="pyarrow",
     )
 
