@@ -80,3 +80,18 @@ def test_fn_eval(capsys):
     assert main(["fn", "uppercase", "hello"]) == 0
     assert json.loads(capsys.readouterr().out) == "HELLO"
     assert main(["fn", "no_such_fn", "x"]) == 1
+
+
+def test_retention_cli(ray_session, tmp_path, capsys):
+    from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+    from vertex_ray.synth import ensure_transcripts
+
+    trans = ensure_transcripts(0.001, base="/tmp/vertex_ray_testdata")
+    src = str(tmp_path / "tiers")
+    run_pipeline(trans, src, n_buckets=8)
+    dst = str(tmp_path / "gc")
+    assert main(["retention", src, dst, "--keep", "1m=86400"]) == 0
+    out = capsys.readouterr().out
+    assert "rows retained" in out
+    # bad tier spec
+    assert main(["retention", src, dst, "--keep", "2m=1"]) == 2

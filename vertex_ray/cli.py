@@ -119,6 +119,35 @@ def cmd_rollup(args) -> int:
     return 0
 
 
+def cmd_retention(args) -> int:
+    """Compact a committed block store under per-tier horizons
+    (stages/retention): `--keep 1m=172800 --keep 5m=604800 ...`."""
+    _ray_up()
+    from vertex_ray.schema import TIER_SECONDS
+    from vertex_ray.stages.retention import apply_retention
+    from vertex_ray.state.checkpoint import read_manifest
+
+    horizons = {}
+    for spec in args.keep:
+        tier, _, secs = spec.partition("=")
+        if tier not in TIER_SECONDS or not secs.isdigit():
+            print(f"bad --keep {spec!r}: want <tier>=<seconds>, "
+                  f"tier in {sorted(TIER_SECONDS)}")
+            return 2
+        horizons[tier] = int(secs)
+    now_s = args.now
+    if now_s is None:
+        import os as _os
+
+        now_s = read_manifest(
+            _os.path.join(args.src, "blocks"))["lineage"]["global_end_s"]
+    m = apply_retention(args.src, args.dst, horizons, now_s=now_s,
+                        tier_seconds=dict(TIER_SECONDS))
+    print(f"blocks: {m['rows']} rows retained in {len(m['files'])} files "
+          f"(cutoffs {m['lineage']['cutoffs']})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vertex_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -148,6 +177,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="epoch seconds for incremental mode (0 = one-shot)")
     sp.add_argument("--buckets", type=int, default=64)
     sp.set_defaults(fn=cmd_rollup)
+
+    sp = sub.add_parser("retention",
+                        help="compact a block store under per-tier horizons")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp.add_argument("--keep", action="append", default=[],
+                    metavar="TIER=SECONDS", required=True)
+    sp.add_argument("--now", type=int, default=None,
+                    help="retention reference time (epoch s); default: the "
+                         "store's global_end_s lineage stamp")
+    sp.set_defaults(fn=cmd_retention)
 
     args = p.parse_args(argv)
     return args.fn(args)
