@@ -430,6 +430,55 @@ def _q_max_over_time_1h_latency(sf_dir: str):
                      agg="max", out_col="max_over")
 
 
+def _q_count_over_time_1h(sf_dir: str):
+    """PromQL ``count_over_time(turns_total[4 windows])``: per-series
+    sample count in the ROWS frame (stages/promql.over_time)."""
+    from vertex_ray.stages.promql import over_time
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return over_time(ds, "series_key", "window_start", "count", 4,
+                     agg="count", out_col="n_samples")
+
+
+def _q_quantile_over_time_1h_latency(sf_dir: str):
+    """PromQL ``quantile_over_time(0.9, latency_max[4 windows])`` over
+    the 1h latency tier — order-free frame selection + linear
+    interpolation in the exact ``quantile_cont`` evaluation shape, so
+    the float result is bit-identical to the SQL oracle."""
+    from vertex_ray.stages.promql import over_time
+
+    ds = _metric_tier(sf_dir, "1h", "inter_turn_latency_seconds",
+                      ["series_key", "window_start", "max"])
+    return over_time(ds, "series_key", "window_start", "max", 4,
+                     agg="quantile", q=0.9, out_col="q90_over")
+
+
+def _q_stddev_by_role_1h(sf_dir: str):
+    """PromQL ``stddev by (role) (increase(turns_total[1h]))``:
+    population stddev of per-series 1h turn counts across each role's
+    series — exact int64 (sum, sumsq, count) partials through the one
+    exchange, single float evaluation at the end (stages/promql)."""
+    from vertex_ray.stages.promql import label_aggregate
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return label_aggregate(ds, "role", "count", out_col="sd_turns",
+                           agg="stddev")
+
+
+def _q_bottomk_series_1h(sf_dir: str):
+    """PromQL ``bottomk(3, increase(turns_total[1h]))``: the 3 quietest
+    series per 1h window, deterministic ties by series_key — same
+    block-local trim combiner as topk, ascending order."""
+    from vertex_ray.stages.ops import topk_per_group
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return topk_per_group(ds, "window_start", "count", 3,
+                          tiebreak="series_key", ascending=True)
+
+
 def _q_ratio_tools_per_turn_1h(sf_dir: str):
     """PromQL binary op with vector matching:
     ``tool_invocations_total / on(conv_id) turns_total`` over the 1h
@@ -760,6 +809,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exphist_1m_latency_p99": _q_exphist_p99_1m,
         "exphist_1m_latency_exemplars": _q_exphist_exemplars_1m,
         "topk_series_1h_turns": _q_topk_series_1h,
+        "bottomk_series_1h_turns": _q_bottomk_series_1h,
+        "count_over_time_1h_turns": _q_count_over_time_1h,
+        "quantile_over_time_1h_latency": _q_quantile_over_time_1h_latency,
+        "stddev_by_role_1h_turns": _q_stddev_by_role_1h,
         "avg_over_time_1h_turns": _q_avg_over_time_1h,
         "max_over_time_1h_latency": _q_max_over_time_1h_latency,
         "rollup_1m_latency_summary": _q_summary_1m,
@@ -906,6 +959,66 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY count DESC, series_key) AS rn
               FROM g
             ) WHERE rn <= 3
+            """,
+        "bottomk_series_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+                       AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT window_start, count, series_key FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY window_start
+                  ORDER BY count ASC, series_key) AS rn
+              FROM g
+            ) WHERE rn <= 3
+            """,
+        "count_over_time_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+                       AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT series_key, window_start,
+                   count(*) OVER (
+                     PARTITION BY series_key ORDER BY window_start
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_samples
+            FROM g
+            """,
+        "quantile_over_time_1h_latency": f"""{_LAT_CTE},
+            g AS (
+              SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}'
+                       AS series_key,
+                     {_w(3600)} AS window_start,
+                     max(lat) AS max
+              FROM lat WHERE lat IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT series_key, window_start,
+                   quantile_cont(max, 0.9) OVER (
+                     PARTITION BY series_key ORDER BY window_start
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS q90_over
+            FROM g
+            """,
+        "stddev_by_role_1h_turns": f"""
+            WITH g AS (
+              SELECT conv_id, role, {_w(3600)} AS window_start,
+                     count(*) AS c
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2, 3
+            )
+            SELECT role, window_start,
+                   sqrt((CAST(sum(c*c) AS DOUBLE)
+                         - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)
+                           / count(*))
+                        / count(*)) AS sd_turns
+            FROM g GROUP BY 1, 2
             """,
         "avg_over_time_1h_turns": f"""
             WITH g AS (

@@ -167,3 +167,47 @@ def test_label_aggregate_family(ray_session):
     assert ct["x"].tolist() == [1, 1, 2, 1, 1]
     av = run("avg")
     assert av["x"].tolist() == [5.0, 11.0, 2.5, 7.0, 13.0]
+    sd = run("stddev")
+    # population stddev; singleton groups -> 0.0, {2,3} -> 0.5
+    assert sd["x"].tolist() == [0.0, 0.0, 0.5, 0.0, 0.0]
+
+
+def test_over_time_count_and_quantile(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import over_time
+
+    t = pa.table({
+        "series_key": ["s1"] * 5 + ["s2"] * 2,
+        "window_start": [60, 120, 180, 240, 300, 60, 120],
+        "v": [1.0, 9.0, 5.0, 3.0, 7.0, 2.0, 4.0],
+    })
+    ds = rd.from_arrow(t)
+    ct = (over_time(ds, "series_key", "window_start", "v", 3, agg="count",
+                    out_col="n")
+          .to_pandas().sort_values(["series_key", "window_start"])
+          .reset_index(drop=True))
+    assert ct["n"].tolist() == [1, 2, 3, 3, 3, 1, 2]
+    qt = (over_time(ds, "series_key", "window_start", "v", 3,
+                    agg="quantile", q=0.5, out_col="med")
+          .to_pandas().sort_values(["series_key", "window_start"])
+          .reset_index(drop=True))
+    # frame medians: [1], [1,9], [1,9,5], [9,5,3], [5,3,7] / [2], [2,4]
+    assert qt["med"].tolist() == [1.0, 5.0, 5.0, 5.0, 5.0, 2.0, 3.0]
+
+
+def test_topk_per_group_ascending(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.ops import topk_per_group
+
+    t = pa.table({
+        "g": [1, 1, 1, 1, 2, 2],
+        "v": [4, 2, 9, 2, 5, 3],
+        "id": ["a", "b", "c", "d", "e", "f"],
+    })
+    out = (topk_per_group(rd.from_arrow(t), "g", "v", 2, tiebreak="id",
+                          ascending=True)
+           .to_pandas().sort_values(["g", "v", "id"]).reset_index(drop=True))
+    assert out["id"].tolist() == ["b", "d", "f", "e"]
+    assert out["v"].tolist() == [2, 2, 3, 5]

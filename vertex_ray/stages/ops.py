@@ -324,9 +324,11 @@ def stratified_sample(ds, group_col: str, id_col: str, n_per_group: int,
 
 
 def topk_per_group(ds, group_col: str, value_col: str, k: int,
-                   tiebreak: str, keep_cols: list[str] | None = None):
+                   tiebreak: str, keep_cols: list[str] | None = None,
+                   ascending: bool = False):
     """Top-k rows PER GROUP by value desc (deterministic ties: tiebreak
     asc) — `ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, tb) <= k`.
+    ``ascending=True`` is PromQL ``bottomk`` (ORDER BY v ASC, tb).
 
     Scale shape (combiner pattern): each batch first reduces ITSELF to at
     most k rows per group it contains (vectorized lexsort + segment-rank,
@@ -344,8 +346,12 @@ def topk_per_group(ds, group_col: str, value_col: str, k: int,
         if v.dtype.kind not in "fiu":
             raise TypeError(f"topk_per_group needs a numeric value column, "
                             f"got {v.dtype}")
-        # descending sort key; for unsigned, max-v is the wrap-safe negation
-        neg = (v.max() - v) if v.dtype.kind == "u" and len(v) else -v
+        if ascending:
+            neg = v
+        else:
+            # descending sort key; for unsigned, max-v is the wrap-safe
+            # negation
+            neg = (v.max() - v) if v.dtype.kind == "u" and len(v) else -v
         order = np.lexsort((tb, neg, g))
         gs = g[order]
         new = np.ones(len(gs), dtype=bool)

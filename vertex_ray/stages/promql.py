@@ -54,15 +54,19 @@ def label_aggregate(ds, label: str, value_col: str,
     column, grouped by (label value, window). Returns columns
     ``(label, window_col, out_col)``.
 
-    Exactness: sum/count/avg require an integer value column (int64
-    partials commute; avg divides the exact sum once at the end — never
-    averages partial averages); min/max are order-free and accept floats.
+    Exactness: sum/count/avg/stddev require an integer value column
+    (int64 partials commute; avg divides the exact sum once at the end —
+    never averages partial averages; stddev carries exact int64
+    (sum, sum-of-squares, count) partials and evaluates the population
+    formula ``sqrt((ss - s*s/n)/n)`` once at the end, the same float
+    evaluation shape as the SQL mirror so results are bit-identical);
+    min/max are order-free and accept floats.
 
     Per-batch partial aggregation happens BEFORE the exchange, so the
     shuffle moves one row per distinct (label, window) per batch — at
     100 TB the exchange is proportional to the rollup cardinality of the
     coarse key, never to input rows."""
-    if agg not in ("sum", "min", "max", "count", "avg"):
+    if agg not in ("sum", "min", "max", "count", "avg", "stddev"):
         raise ValueError(f"unsupported label_aggregate agg: {agg}")
     out = out_col or value_col
     keys = ["__lbl", window_col]
@@ -70,7 +74,7 @@ def label_aggregate(ds, label: str, value_col: str,
     def partial(t: pa.Table) -> pa.Table:
         t = extract_label(t, label, key_col=key_col, out_col="__lbl")
         v = t[value_col].to_numpy(zero_copy_only=False)
-        if agg in ("sum", "count", "avg") and v.dtype.kind not in "iu":
+        if agg in ("sum", "count", "avg", "stddev") and v.dtype.kind not in "iu":
             raise TypeError(
                 f"label_aggregate {agg} needs an integer column for exact "
                 f"merges, got {v.dtype}")
@@ -79,6 +83,12 @@ def label_aggregate(ds, label: str, value_col: str,
             window_col: t[window_col].to_numpy(zero_copy_only=False),
             "__v": v,
         })
+        if agg == "stddev":
+            df["__v2"] = v.astype(np.int64) ** 2
+            g = (df.groupby(keys, sort=False, dropna=False)
+                 .agg(__s=("__v", "sum"), __ss=("__v2", "sum"),
+                      __c=("__v", "count")).reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
         gb = df.groupby(keys, sort=False, dropna=False)["__v"]
         if agg == "avg":
             g = gb.agg(__s="sum", __c="count").reset_index()
@@ -90,7 +100,16 @@ def label_aggregate(ds, label: str, value_col: str,
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         gb = g.groupby(keys, sort=False, dropna=False)
-        if agg == "avg":
+        if agg == "stddev":
+            r = gb[["__s", "__ss", "__c"]].sum().reset_index()
+            s = r["__s"].to_numpy(np.float64)
+            ss = r["__ss"].to_numpy(np.float64)
+            nn = r["__c"].to_numpy(np.int64)
+            # population stddev, evaluated in the exact same float op
+            # order as the SQL mirror: sqrt((ss - s*s/n) / n)
+            r[out] = np.sqrt((ss - s * s / nn) / nn)
+            r = r[keys + [out]]
+        elif agg == "avg":
             r = gb[["__s", "__c"]].sum().reset_index()
             r[out] = r["__s"].to_numpy(np.int64) / r["__c"].to_numpy(np.float64)
             r = r[keys + [out]]
@@ -198,7 +217,7 @@ def binary_op(left, right, on_cols: list[str], left_val: str,
 
 def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
               agg: str = "avg", out_col: str | None = None,
-              n_buckets: int = 64):
+              n_buckets: int = 64, q: float = 0.5):
     """PromQL ``<agg>_over_time(metric[n windows])`` over tier rows: a
     per-series moving aggregate across the last ``n`` windows (ROWS frame
     ``n-1 PRECEDING .. CURRENT ROW``; shorter at series start, like a
@@ -208,12 +227,18 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
     computed by exact int64 cumsum differencing so the result is
     bit-identical to any evaluation order (float frames would need a
     defined summation order; use max/min for floats). ``max``/``min``
-    accept any numeric dtype (order-free).
+    accept any numeric dtype (order-free). ``count`` is the frame row
+    count (int64). ``quantile`` (PromQL ``quantile_over_time(q, ...)``)
+    is an order-free selection + linear interpolation using the exact
+    `(CRN-RN)*lo + (RN-FRN)*hi` evaluation shape of SQL
+    ``quantile_cont`` so results are bit-identical to the oracle; the
+    frame matrix is (rows × n), fine for the small selector ranges
+    PromQL uses (n ≤ ~64).
 
     One exchange: series are hash-bucketed (same shape as
     stages.windows.series_delta); each bucket kernel is one vectorized
     sort + cumsum/rolling call, never a per-series Python task."""
-    if agg not in ("avg", "sum", "max", "min"):
+    if agg not in ("avg", "sum", "max", "min", "count", "quantile"):
         raise ValueError(f"unsupported over_time agg: {agg}")
     out = out_col or f"{agg}_over"
 
@@ -234,7 +259,27 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
         seg = np.cumsum(new) - 1
         pos = np.arange(len(g)) - first_pos[seg]
         cnt = np.minimum(pos + 1, n)
-        if agg in ("avg", "sum"):
+        if agg == "count":
+            res = cnt.astype(np.int64)
+        elif agg == "quantile":
+            # frame matrix: column j holds the value j rows back within
+            # the same series (NaN past the series start); np.sort pushes
+            # NaN to the end so the first cnt entries are the frame
+            m = np.full((len(g), n), np.nan)
+            vf = v.astype(np.float64)
+            rows = np.arange(len(g))
+            for j in range(n):
+                ok = pos >= j
+                m[rows[ok], j] = vf[rows[ok] - j]
+            m.sort(axis=1)
+            rn = (cnt - 1) * q
+            frn = np.floor(rn)
+            crn = np.ceil(rn)
+            lo = m[rows, frn.astype(np.int64)]
+            hi = m[rows, crn.astype(np.int64)]
+            # exact SQL quantile_cont evaluation shape (bit-for-bit)
+            res = np.where(frn == crn, lo, (crn - rn) * lo + (rn - frn) * hi)
+        elif agg in ("avg", "sum"):
             if v.dtype.kind not in "iu":
                 raise TypeError(
                     f"over_time {agg} needs an integer column for exact "
