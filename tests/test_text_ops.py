@@ -454,6 +454,34 @@ def test_vocab_topk_ray(ray_session):
     assert out["cnt"].tolist() == [4, 3, 1]
 
 
+def test_unigram_freq_score_methods_agree(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.text import unigram_freq_score
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b b c", "b c  c", "c zz", "   "],  # doc 4: no tokens
+    })
+    # corpus counts: a=1 b=3 c=4 zz=1
+    ds = rd.from_pandas(docs)
+    b = (unigram_freq_score(ds, "text", "doc_id")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert b["doc_id"].tolist() == [1, 2, 3]  # empty doc dropped
+    assert b["n_tokens"].tolist() == [4, 3, 2]
+    assert b["min_tok_cnt"].tolist() == [1, 3, 1]
+    assert b["avg_tok_cnt"].tolist() == [(1 + 3 + 3 + 4) / 4,
+                                         (3 + 4 + 4) / 3, (4 + 1) / 2]
+    j = (unigram_freq_score(ds, "text", "doc_id", method="join")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, j, check_dtype=False)
+    # top_v cap binds -> out-of-vocab tokens floor at cnt=1 (a and zz
+    # already have cnt 1 here, so capped == uncapped on this corpus)
+    capped = (unigram_freq_score(ds, "text", "doc_id", top_v=2)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, capped, check_dtype=False)
+
+
 def test_tfidf_top_terms_ray(ray_session):
     import ray.data as rd
 

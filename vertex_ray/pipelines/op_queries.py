@@ -621,6 +621,29 @@ ORDER BY cnt DESC, token ASC LIMIT 50
 """
 
 
+def q_unigram_score_docs(sf_dir: str):
+    """Word-frequency quality filter: per-doc min / mean corpus frequency
+    of its tokens (unigram-LM-style rarity score) — two-pass, exact
+    int64 aggregation, broadcast frequency table (stages/text)."""
+    from vertex_ray.stages.text import unigram_freq_score
+
+    return unigram_freq_score(_docs(sf_dir), "text", "doc_id")
+
+
+SQL_UNIGRAM_SCORE_DOCS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+)
+SELECT t.doc_id, count(*) AS n_tokens, min(v.cnt) AS min_tok_cnt,
+       CAST(sum(v.cnt) AS DOUBLE) / count(*) AS avg_tok_cnt
+FROM tok t JOIN vocab v USING (token)
+GROUP BY t.doc_id
+"""
+
+
 def q_exact_quantiles_events(sf_dir: str):
     from vertex_ray.stages.quantile import exact_quantiles
 
@@ -2108,6 +2131,7 @@ OP_QUERIES = {
     "op_enrich_customers": q_enrich_customers,
     "op_lineitem_agg": q_lineitem_agg,
     "op_tokens_docs": q_tokens_docs,
+    "op_unigram_score_docs": q_unigram_score_docs,
     "op_quality_docs": q_quality_docs,
     "op_langid_docs": q_langid_docs,
     "op_fingerprint_docs": q_fingerprint_docs,
@@ -2184,6 +2208,7 @@ OP_ORACLES = {
     "op_enrich_customers": SQL_ENRICH_CUSTOMERS,
     "op_lineitem_agg": SQL_LINEITEM_AGG,
     "op_tokens_docs": SQL_TOKENS_DOCS,
+    "op_unigram_score_docs": SQL_UNIGRAM_SCORE_DOCS,
     "op_quality_docs": SQL_QUALITY_DOCS,
     "op_langid_docs": _sql_langid(),
     "op_ann_topk": SQL_ANN_TOPK,

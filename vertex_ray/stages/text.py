@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -206,17 +207,14 @@ def fingerprint_op(text_col: str = "text", algo: str = "blake2b64"):
     return fn
 
 
-def vocab_topk(ds, text_col: str, k: int):
-    """Top-k corpus vocabulary by global token count (deterministic ties:
-    count desc, token asc) — the "build a vocabulary / frequency table"
-    corpus-stats step of a training-data pipeline.
+def token_counts(ds, text_col: str):
+    """Global (token, cnt) frequency table as a Dataset.
 
     Scale shape (combiner pattern): each batch pre-aggregates its own
     token counts with Arrow ``value_counts`` (zero-copy split + flatten,
     no Python per row), so the ONE ``groupby(token)`` exchange carries
     per-batch DISTINCT tokens, not raw token occurrences — shuffle volume
     is bounded by vocabulary size × batches, independent of corpus length.
-    The final sort runs on the aggregated vocabulary only.
     """
 
     def partial(t: pa.Table) -> pa.Table:
@@ -228,7 +226,7 @@ def vocab_topk(ds, text_col: str, k: int):
             "cnt": pc.cast(vc.field("counts"), pa.int64()),
         })
 
-    agg = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("token")
         .sum("cnt")
@@ -237,7 +235,136 @@ def vocab_topk(ds, text_col: str, k: int):
             batch_format="pyarrow",
         )
     )
-    return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def vocab_topk(ds, text_col: str, k: int):
+    """Top-k corpus vocabulary by global token count (deterministic ties:
+    count desc, token asc) — the "build a vocabulary / frequency table"
+    corpus-stats step of a training-data pipeline. The final sort runs on
+    the aggregated vocabulary only (see :func:`token_counts`)."""
+    return (token_counts(ds, text_col)
+            .sort(["cnt", "token"], descending=[True, False]).limit(k))
+
+
+def unigram_freq_score(ds, text_col: str, id_col: str, *,
+                       method: str = "broadcast", top_v: int = 1 << 20,
+                       n_buckets: int = 64):
+    """Unigram-LM-style corpus-frequency score per document — the
+    "word-frequency quality filter" of a training-data pipeline: docs
+    made of globally rare tokens (OCR noise, lang-ID misses, boilerplate
+    hashes) score low. Two-pass: (1) global token frequency table
+    (:func:`token_counts`), (2) per-doc lookup + aggregate. Emits
+    ``(id, n_tokens, min_tok_cnt, avg_tok_cnt)`` — min/avg corpus count
+    of the doc's tokens (occurrence-weighted). All aggregation is exact
+    int64 (order-free partials); the ONE division per doc happens at the
+    end, so results are bit-identical to the SQL mirror. Zero-token docs
+    are dropped (SQL-join semantics). Uses mean FREQUENCY rather than
+    mean log-probability so the score is exact under any merge order;
+    it ranks docs identically to additive-smoothed unigram likelihood
+    for filtering purposes.
+
+    ``method="broadcast"``: the top ``top_v`` tokens by count are
+    broadcast once (``ray.put``) and looked up per batch via one
+    ``searchsorted`` — the fast path; tokens outside the cap floor at
+    cnt=1 (a lower bound for any real token; the cap never binds below
+    ~1M-token vocabularies). ``method="join"``: exact at any vocabulary
+    size — per-doc distinct tokens (with occurrence counts) flow through
+    one hash-partitioned equi-join against the frequency table, then one
+    combiner-style groupby(id); shuffle volume is per-doc distinct
+    tokens, never raw corpus length."""
+    import ray
+    import ray.data as rd
+
+    counts = token_counts(ds, text_col)
+
+    def _flat_tokens(t: pa.Table):
+        tl = pc.utf8_split_whitespace(t[text_col])
+        flat = pc.list_flatten(tl)
+        parent = pc.list_parent_indices(tl)
+        mask = pc.and_(pc.is_valid(flat), pc.not_equal(flat, ""))
+        ftok = flat.filter(mask).to_numpy(zero_copy_only=False)
+        fpar = parent.filter(mask).to_numpy(zero_copy_only=False)
+        return ftok, fpar
+
+    if method == "join":
+        def explode(t: pa.Table) -> pa.Table:
+            ftok, fpar = _flat_tokens(t)
+            ids = t[id_col].to_numpy(zero_copy_only=False)[fpar]
+            df = pd.DataFrame({id_col: ids, "token": ftok})
+            g = (df.groupby([id_col, "token"], sort=False)
+                 .size().rename("occ").reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from vertex_ray.stages.join import hash_join
+
+        joined = hash_join(
+            ds.map_batches(explode, batch_format="pyarrow"), counts,
+            left_on="token", right_on="token", n_buckets=n_buckets)
+
+        def partial_doc(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                id_col: t[id_col].to_numpy(zero_copy_only=False),
+                "occ": t["occ"].to_numpy(zero_copy_only=False),
+                "wc": (t["occ"].to_numpy(zero_copy_only=False)
+                       * t["cnt"].to_numpy(zero_copy_only=False)),
+                "mn": t["cnt"].to_numpy(zero_copy_only=False),
+            })
+            g = (df.groupby(id_col, sort=False)
+                 .agg(n=("occ", "sum"), s=("wc", "sum"), m=("mn", "min"))
+                 .reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def final_doc(g: pd.DataFrame) -> pd.DataFrame:
+            r = (g.groupby(id_col, sort=False)
+                 .agg(n_tokens=("n", "sum"), __s=("s", "sum"),
+                      min_tok_cnt=("m", "min")).reset_index())
+            r["avg_tok_cnt"] = (r["__s"].to_numpy(np.float64)
+                                / r["n_tokens"].to_numpy(np.int64))
+            return r[[id_col, "n_tokens", "min_tok_cnt", "avg_tok_cnt"]]
+
+        return (joined.map_batches(partial_doc, batch_format="pyarrow")
+                .groupby(id_col).map_groups(final_doc,
+                                            batch_format="pandas"))
+
+    if method != "broadcast":
+        raise ValueError(f"unknown unigram_freq_score method: {method}")
+
+    top = (counts.sort(["cnt", "token"], descending=[True, False])
+           .limit(top_v).to_pandas())
+    toks = top["token"].to_numpy()
+    order = np.argsort(toks)
+    ref = ray.put((toks[order], top["cnt"].to_numpy()[order]))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, cnts = ray.get(ref)
+        ftok, fpar = _flat_tokens(t)
+        pos = np.searchsorted(vocab, ftok)
+        posc = np.minimum(pos, len(vocab) - 1)
+        hit = vocab[posc] == ftok
+        c = np.where(hit, cnts[posc], 1).astype(np.int64)
+        # parent indices are non-decreasing -> reduceat segments (exact
+        # int64 sums / mins, no float accumulation)
+        if len(fpar) == 0:
+            return pa.table({id_col: pa.array([], t[id_col].type),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "min_tok_cnt": pa.array([], pa.int64()),
+                             "avg_tok_cnt": pa.array([], pa.float64())})
+        new = np.ones(len(fpar), dtype=bool)
+        new[1:] = fpar[1:] != fpar[:-1]
+        starts = np.flatnonzero(new)
+        docs = fpar[starts]
+        n_tok = np.diff(np.append(starts, len(fpar)))
+        s = np.add.reduceat(c, starts)
+        mn = np.minimum.reduceat(c, starts)
+        ids = t[id_col].to_numpy(zero_copy_only=False)[docs]
+        return pa.table({
+            id_col: pa.array(ids, t[id_col].type),
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "min_tok_cnt": pa.array(mn),
+            "avg_tok_cnt": pa.array(s.astype(np.float64) / n_tok),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def decontaminate(candidates, benchmark, text_col: str, id_col: str, *,
