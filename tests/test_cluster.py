@@ -100,3 +100,34 @@ def test_pca_fit_project(ray_session):
     mean2, comps2 = pca_fit(rd.from_pandas(df).repartition(1), "embedding", 2)
     np.testing.assert_allclose(mean, mean2, atol=1e-12)
     np.testing.assert_allclose(comps, comps2, atol=1e-9)
+
+
+def test_semantic_dedup_keeps_far_from_centroid(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from vertex_ray.stages.dedup_near import semantic_dedup
+
+    # two well-separated clusters on orthogonal axes; in cluster A, vecs
+    # 0 and 1 are near-identical (cos > 0.99), vec 2 is distinct
+    a = np.array([1.0, 0.02, 0, 0])
+    vecs = [a, a + [0, 0.005, 0, 0], [1.0, -0.8, 0, 0]]
+    # cluster B filler, fanned 0.25 apart so every pairwise cos < 0.99
+    for i in range(7):
+        vecs.append([0, 0, 1.0, -0.75 + 0.25 * i])
+    df = pd.DataFrame({"vec_id": range(len(vecs)),
+                       "embedding": [list(map(float, v)) for v in vecs]})
+    out = (semantic_dedup(rd.from_pandas(df).repartition(3), "embedding",
+                          "vec_id", k=2, iters=4, threshold=0.99)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == len(vecs)
+    v01 = out.iloc[[0, 1]]
+    # exactly one of the near-dup pair survives: the one FARTHER from the
+    # centroid (smaller centroid cosine)
+    assert sorted(v01["keep"].tolist()) == [False, True]
+    kept = v01.loc[v01["keep"], "cosine"].item()
+    droppd = v01.loc[~v01["keep"], "cosine"].item()
+    assert kept <= droppd
+    # the distinct member of the cluster and all of cluster B survive
+    assert bool(out.loc[2, "keep"])
+    assert out.loc[3:, "keep"].all()

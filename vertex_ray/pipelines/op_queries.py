@@ -742,6 +742,44 @@ def q_embedding_near_pairs(sf_dir: str):
     )
 
 
+_SEMDEDUP_ASSIGN = "/tmp/vertex_ray_out/semdedup_assign"
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means the embeddings, then drop the
+    near-centroid member of every within-cluster near-dup pair. The
+    engine writes its (vec_id, cluster, cosine) assignment table to
+    parquet; the oracle reads it back and recomputes the keep verdicts
+    with exact SQL cosines over the same assignment (recursive-oracle
+    pattern, as SQL cannot reproduce the k-means fit itself)."""
+    from vertex_ray.stages.dedup_near import semantic_dedup
+
+    return semantic_dedup(
+        _emb(sf_dir), "embedding", "vec_id", k=8, iters=4,
+        threshold=_EMB_NEAR_THRESHOLD, assign_out=_SEMDEDUP_ASSIGN)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH a AS (
+  SELECT * FROM read_parquet('{_SEMDEDUP_ASSIGN}/*.parquet')
+),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM a x
+  JOIN a y ON y.cluster = x.cluster AND y.vec_id <> x.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE list_cosine_similarity(ex.embedding, ey.embedding)
+          >= {_EMB_NEAR_THRESHOLD}
+    AND (y.cosine < x.cosine
+         OR (y.cosine = x.cosine AND y.vec_id < x.vec_id))
+)
+SELECT a.vec_id, a.cluster, a.cosine,
+       a.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+FROM a
+"""
+
+
 SQL_EMBEDDING_NEAR_PAIRS = f"""
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -2162,6 +2200,7 @@ OP_QUERIES = {
     "op_chunk_docs": q_chunk_docs,
     "pipeline_rag_index": q_rag_pipeline_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
+    "op_semantic_dedup_embeddings": q_semantic_dedup,
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
     "op_ann_ivf_topk": q_ann_ivf_topk,
@@ -2213,6 +2252,7 @@ OP_ORACLES = {
     "op_langid_docs": _sql_langid(),
     "op_ann_topk": SQL_ANN_TOPK,
     "op_embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
+    "op_semantic_dedup_embeddings": SQL_SEMANTIC_DEDUP,
     "op_ngram_jaccard_docs": SQL_NGRAM_JACCARD_DOCS,
     "op_dedup_clusters_docs": SQL_DEDUP_CLUSTERS_DOCS,
     "op_pack_docs": SQL_PACK_DOCS,

@@ -696,3 +696,83 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3,
         .groupby("pb")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def semantic_dedup(ds, vec_col: str, id_col: str, *, k: int = 8,
+                   iters: int = 4, threshold: float = 0.9, seed: int = 13,
+                   assign_out: str | None = None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    removal via embedding clustering. (1) fit spherical k-means
+    (stages/cluster.kmeans_fit — deterministic init, streaming Lloyd
+    passes, no shuffle), (2) assign every vector to its centroid, (3)
+    within each cluster compute pairwise cosines and KEEP, of every
+    near-dup pair, the member FARTHER from the centroid (the paper's
+    low-centroid-similarity tie: it preserves the diverse tail), breaking
+    exact centroid-cosine ties by smaller id. Emits
+    ``(id, cluster, cosine, keep)`` for every input vector.
+
+    Deterministic and order-free: the drop rule for x is "exists a
+    same-cluster y with cos(x, y) >= threshold and (y.centroid_cosine,
+    y.id) < (x.centroid_cosine, x.id)" — a pure pairwise predicate, no
+    greedy sweep order.
+
+    Scale shape: ONE groupby(cluster) exchange; each cluster is one
+    vectorized task (unit-matmul tiled in ``tile`` chunks so peak memory
+    is tile x cluster, not cluster²). Cluster size is bounded by N/k on
+    balanced data — pick k so N/k fits a task, and raise k (or recurse
+    into hot clusters) under skew. If ``assign_out`` is set the
+    (id, cluster, cosine) assignment table is also written there as
+    parquet (the recursive-oracle hook and the natural checkpoint).
+    """
+    from vertex_ray.stages.ann import _stack, _unit
+    from vertex_ray.stages.cluster import kmeans_fit
+
+    cents = kmeans_fit(ds, vec_col, k=k, iters=iters, seed=seed)
+    cu = _unit(cents)
+
+    def assign_full(t: pa.Table) -> pa.Table:
+        vecs = _unit(_stack(t[vec_col]))
+        sims = vecs @ cu.T
+        a = np.argmax(sims, axis=1)
+        return pa.table({
+            id_col: t[id_col],
+            vec_col: t[vec_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "cosine": pa.array(sims[np.arange(len(a)), a]),
+        })
+
+    assigned = ds.map_batches(assign_full, batch_format="pyarrow")
+    if assign_out is not None:
+        import shutil
+
+        shutil.rmtree(assign_out, ignore_errors=True)
+        (assigned.map_batches(
+            lambda t: t.select([id_col, "cluster", "cosine"]),
+            batch_format="pyarrow")
+         .write_parquet(assign_out))
+
+    def cluster_verdicts(g: pd.DataFrame, tile: int = 4096) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        csim = g["cosine"].to_numpy()
+        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        unit = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        # rank of (centroid_cosine, id): y beats x iff rank_y < rank_x
+        rank = np.lexsort((ids, csim))
+        inv = np.empty(len(rank), dtype=np.int64)
+        inv[rank] = np.arange(len(rank))
+        drop = np.zeros(len(ids), dtype=bool)
+        for lo in range(0, len(ids), tile):
+            cos = unit[lo:lo + tile] @ unit.T
+            near = cos >= threshold
+            near[np.arange(lo, min(lo + tile, len(ids))) - lo,
+                 np.arange(lo, min(lo + tile, len(ids)))] = False
+            beats = inv[None, :] < inv[lo:lo + tile, None]
+            drop[lo:lo + tile] = np.any(near & beats, axis=1)
+        return pd.DataFrame({
+            id_col: ids, "cluster": g["cluster"].to_numpy(),
+            "cosine": csim, "keep": ~drop,
+        })
+
+    return (assigned.groupby("cluster")
+            .map_groups(cluster_verdicts, batch_format="pandas"))
