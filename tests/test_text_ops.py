@@ -347,6 +347,44 @@ def test_ngram_jaccard_exact_pairs(ray_session):
     assert got == want
 
 
+def test_ngram_overlap_pairs(ray_session):
+    """ngram_overlap_pairs finds doc pairs sharing exact k-token windows
+    and counts the DISTINCT shared windows (Lee et al. style)."""
+    import ray.data as rd
+
+    from vertex_ray.stages.dedup_near import ngram_overlap_pairs
+
+    boiler = "this content is licensed under the creative commons license"
+    docs = {
+        1: "alpha beta " + boiler,                  # shares boiler with 2
+        2: boiler + " gamma delta epsilon",
+        3: "totally unrelated text about something else entirely here now",
+        4: "short dup",                              # <k tokens, dup of 5
+        5: "short dup",
+        6: "alpha beta " + boiler,                   # exact dup of 1
+    }
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs.items()])
+    out = (ngram_overlap_pairs(ds, "text", "doc_id", k=8)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    got = {(int(r.a), int(r.b)): int(r.n_shared) for r in out.itertuples()}
+    # boiler is 9 tokens -> 2 windows of 8; docs 1&2 share those windows
+    assert got[(1, 2)] == 2
+    # exact dup 1&6: all windows shared (11 tokens -> 4 windows)
+    assert got[(1, 6)] == 4
+    assert got[(2, 6)] == 2
+    assert got[(4, 5)] == 1  # whole-short-doc gram
+    assert set(got) == {(1, 2), (1, 6), (2, 6), (4, 5)}
+
+
+def test_gram_mix_stable_prefix():
+    from vertex_ray.stages.dedup_near import _GRAM_MIX, _gram_mix
+
+    m8 = _gram_mix(8)
+    assert (m8[:5] == _GRAM_MIX).all()
+    assert len(set(m8.tolist())) == 8
+    assert all(int(x) % 2 == 1 for x in m8)
+
+
 def test_ngram_jaccard_posting_cap_logged(ray_session, caplog):
     """A gram shared by more docs than max_posting is truncated (and the
     truncation is logged) instead of going quadratic."""

@@ -703,6 +703,38 @@ SELECT part, doc_id, n_tokens, bin FROM packed
 """
 
 
+_OVERLAP_K = 8
+
+
+def q_ngram_overlap_docs(sf_dir: str):
+    """Exact-substring duplication pairs (Lee et al., arXiv:2107.06499):
+    docs sharing >= 1 exact 8-token window, with the distinct shared
+    window count (stages/dedup_near.ngram_overlap_pairs)."""
+    from vertex_ray.stages.dedup_near import ngram_overlap_pairs
+
+    return ngram_overlap_pairs(_docs(sf_dir), "text", "doc_id",
+                               k=_OVERLAP_K, min_shared=1)
+
+
+SQL_NGRAM_OVERLAP_DOCS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ts, i, i + {_OVERLAP_K} - 1), ' ')
+           AS gram
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(ts) - {_OVERLAP_K} + 2, 2))) AS i
+  ) r
+  WHERE len(ts) > 0
+)
+SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_clusters_docs(sf_dir: str):
     from vertex_ray.stages.dedup_near import ngram_jaccard_pairs
     from vertex_ray.stages.graph import dedup_clusters
@@ -2177,6 +2209,7 @@ OP_QUERIES = {
     "op_minhash_pairs_docs": q_minhash_pairs_docs,
     "op_simhash_pairs_docs": q_simhash_pairs_docs,
     "op_ngram_jaccard_docs": q_ngram_jaccard_docs,
+    "op_ngram_overlap_docs": q_ngram_overlap_docs,
     "op_dedup_clusters_docs": q_dedup_clusters_docs,
     "op_pack_docs": q_pack_docs,
     "op_exact_quantiles_events": q_exact_quantiles_events,
@@ -2254,6 +2287,7 @@ OP_ORACLES = {
     "op_embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
     "op_semantic_dedup_embeddings": SQL_SEMANTIC_DEDUP,
     "op_ngram_jaccard_docs": SQL_NGRAM_JACCARD_DOCS,
+    "op_ngram_overlap_docs": SQL_NGRAM_OVERLAP_DOCS,
     "op_dedup_clusters_docs": SQL_DEDUP_CLUSTERS_DOCS,
     "op_pack_docs": SQL_PACK_DOCS,
     "op_exact_quantiles_events": SQL_EXACT_QUANTILES_EVENTS,

@@ -56,6 +56,25 @@ _GRAM_MIX = np.array(
 )
 
 
+def _gram_mix(k: int) -> np.ndarray:
+    """First k odd 64-bit mixing constants: the 5 fixed ones above (kept
+    verbatim so existing gram hashes are stable), extended deterministically
+    by splitmix64 for larger window sizes (ngram_overlap_pairs k=8+)."""
+    if k <= len(_GRAM_MIX):
+        return _GRAM_MIX[:k]
+    out = np.empty(k, dtype=np.uint64)
+    out[: len(_GRAM_MIX)] = _GRAM_MIX
+    x = _GRAM_MIX[-1]
+    with np.errstate(over="ignore"):
+        for j in range(len(_GRAM_MIX), k):
+            x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(2**64 - 1)
+            z = x
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            out[j] = (z ^ (z >> np.uint64(31))) | np.uint64(1)  # force odd
+    return out
+
+
 def _gram_hashes(texts, k: int):
     """Per-doc DEDUPED k-gram hash sets for a whole batch: ONE Arrow
     lowercase+split pass, one vectorized token hash, grams combined
@@ -82,7 +101,7 @@ def _gram_hashes(texts, k: int):
     total = len(h)
     doc_of = np.repeat(np.arange(n), counts)
 
-    mix = _GRAM_MIX[:k]
+    mix = _gram_mix(k)
     parts = []
     part_docs = []
     if total >= k:
@@ -596,7 +615,8 @@ def embedding_near_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.9,
 
 def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3,
                         threshold: float = 0.7, max_posting: int = 1000,
-                        n_buckets: int = 64):
+                        n_buckets: int = 64,
+                        _overlap_min: int | None = None):
     """EXACT k-gram Jaccard near-duplicate pairs — the ground-truth member
     of the dedup family (exact hash / MinHash+LSH / SimHash / embedding);
     it doubles as the recall oracle for the approximate variants and is
@@ -680,6 +700,12 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3,
             .agg(inter=("inter", "sum"), sa=("sa", "first"), sb=("sb", "first"))
             .reset_index()
         )
+        if _overlap_min is not None:
+            # overlap mode (ngram_overlap_pairs): shared-window count
+            keep = gp["inter"].to_numpy() >= _overlap_min
+            out = gp.loc[keep, ["a", "b"]].copy()
+            out["n_shared"] = gp.loc[keep, "inter"].astype(np.int64)
+            return out
         jac = gp["inter"].to_numpy(dtype=np.float64) / (
             gp["sa"].to_numpy() + gp["sb"].to_numpy() - gp["inter"].to_numpy()
         )
@@ -696,6 +722,29 @@ def ngram_jaccard_pairs(ds, text_col: str, id_col: str, *, k: int = 3,
         .groupby("pb")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def ngram_overlap_pairs(ds, text_col: str, id_col: str, *, k: int = 8,
+                        min_shared: int = 1, max_posting: int = 1000,
+                        n_buckets: int = 64):
+    """Exact-substring duplication pairs (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better"): doc pairs sharing at least ``min_shared`` DISTINCT exact
+    k-token windows, with the shared-window count. Where the Jaccard
+    variant measures whole-doc similarity, this catches long verbatim
+    overlap between otherwise-different docs (boilerplate, quotations,
+    license blocks) — the duplication that most inflates LM memorization.
+
+    Same two-bounded-shuffle shape as :func:`ngram_jaccard_pairs`
+    (k-gram hash explode → within-gram pair partials, posting lists
+    capped at ``max_posting`` → per-pair sum); exactness modulo 64-bit
+    gram-hash collisions and the cap. Docs shorter than k tokens
+    contribute one whole-doc gram (so short exact dups still pair);
+    empty docs contribute nothing."""
+    return ngram_jaccard_pairs(
+        ds, text_col, id_col, k=k, threshold=0.0,
+        max_posting=max_posting, n_buckets=n_buckets,
+        _overlap_min=min_shared)
 
 
 def semantic_dedup(ds, vec_col: str, id_col: str, *, k: int = 8,
