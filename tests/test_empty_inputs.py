@@ -27,6 +27,7 @@ EXPECTED_RAISE = {
     # joins over schemaless (blockless) sides: clear ValueError from
     # hash_join; the *_union_tagged co-partition joins hit Ray's None
     # schema the same way
+    "op_semantic_dedup_embeddings",             # k-means seed from empty
     "op_semi_join_customers", "op_anti_join_customers",
     "op_left_join_orders", "op_minhash_pairs_docs", "op_tfidf_docs",
     "op_bigram_score_docs", "op_range_join_events", "pipeline_curate_docs",

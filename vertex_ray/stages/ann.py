@@ -70,7 +70,12 @@ def train_centroids(ds, vec_col: str, n_centroids: int, sample_rows: int = 2048,
                     iters: int = 5, seed: int = 13) -> np.ndarray:
     """k-means-lite on a driver-side sample (deterministic). The sample is
     small by construction; the full data never leaves the cluster."""
-    sample = _stack(pa.Table.from_pandas(ds.limit(sample_rows).to_pandas())[vec_col])
+    df = ds.limit(sample_rows).to_pandas()
+    if len(df) == 0:
+        raise ValueError(
+            f"train_centroids: input dataset is empty — no rows to sample "
+            f"a centroid seed for {vec_col!r} from")
+    sample = _stack(pa.Table.from_pandas(df)[vec_col])
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(sample))
     # k-means++ seeding (deterministic): D²-weighted picks avoid the

@@ -331,6 +331,9 @@ def unigram_freq_score(ds, text_col: str, id_col: str, *,
 
     top = (counts.sort(["cnt", "token"], descending=[True, False])
            .limit(top_v).to_pandas())
+    if "token" not in top.columns:  # empty corpus: typed empty vocabulary
+        top = pd.DataFrame({"token": np.array([], dtype=object),
+                            "cnt": np.array([], dtype=np.int64)})
     toks = top["token"].to_numpy()
     order = np.argsort(toks)
     ref = ray.put((toks[order], top["cnt"].to_numpy()[order]))
@@ -338,10 +341,13 @@ def unigram_freq_score(ds, text_col: str, id_col: str, *,
     def score(t: pa.Table) -> pa.Table:
         vocab, cnts = ray.get(ref)
         ftok, fpar = _flat_tokens(t)
-        pos = np.searchsorted(vocab, ftok)
-        posc = np.minimum(pos, len(vocab) - 1)
-        hit = vocab[posc] == ftok
-        c = np.where(hit, cnts[posc], 1).astype(np.int64)
+        if len(vocab):
+            pos = np.searchsorted(vocab, ftok)
+            posc = np.minimum(pos, len(vocab) - 1)
+            hit = vocab[posc] == ftok
+            c = np.where(hit, cnts[posc], 1).astype(np.int64)
+        else:  # cap of 0 / empty corpus: every token floors at cnt=1
+            c = np.ones(len(ftok), dtype=np.int64)
         # parent indices are non-decreasing -> reduceat segments (exact
         # int64 sums / mins, no float accumulation)
         if len(fpar) == 0:
