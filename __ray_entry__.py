@@ -430,6 +430,33 @@ def _q_max_over_time_1h_latency(sf_dir: str):
                      agg="max", out_col="max_over")
 
 
+def _q_record_rule_role_turns(sf_dir: str):
+    """Recording rule (continuous-aggregate materialization): evaluate
+    ``sum by (role) (turns_total)`` over the 1h tier, store the result as
+    a NEW gauge metric ``role_turns_total`` in Gorilla block rows, decode
+    them back — points must equal the plain SQL role aggregate
+    bit-for-bit after the compression round-trip (stages/record)."""
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.record import record_rule
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    blocks = record_rule(ds, label="role", value_col="count",
+                         new_metric="role_turns_total", tier="1h")
+    dec = decode_tier_blocks(blocks)
+
+    def shape(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "series_key": t["series_key"],
+            "window_start": t["window_start"],
+            "turns": t["last"],
+        })
+
+    return dec.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_count_over_time_1h(sf_dir: str):
     """PromQL ``count_over_time(turns_total[4 windows])``: per-series
     sample count in the ROWS frame (stages/promql.over_time)."""
@@ -810,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exphist_1m_latency_exemplars": _q_exphist_exemplars_1m,
         "topk_series_1h_turns": _q_topk_series_1h,
         "bottomk_series_1h_turns": _q_bottomk_series_1h,
+        "record_rule_role_turns_1h": _q_record_rule_role_turns,
         "count_over_time_1h_turns": _q_count_over_time_1h,
         "quantile_over_time_1h_latency": _q_quantile_over_time_1h_latency,
         "stddev_by_role_1h_turns": _q_stddev_by_role_1h,
@@ -959,6 +987,13 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY count DESC, series_key) AS rn
               FROM g
             ) WHERE rn <= 3
+            """,
+        "record_rule_role_turns_1h": f"""
+            SELECT 'role_turns_total{{role=' || role || '}}' AS series_key,
+                   {_w(3600)} AS window_start,
+                   CAST(count(*) AS DOUBLE) AS turns
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2
             """,
         "bottomk_series_1h_turns": f"""
             WITH g AS (

@@ -211,3 +211,30 @@ def test_topk_per_group_ascending(ray_session):
            .to_pandas().sort_values(["g", "v", "id"]).reset_index(drop=True))
     assert out["id"].tolist() == ["b", "d", "f", "e"]
     assert out["v"].tolist() == [2, 2, 3, 5]
+
+
+def test_record_rule_roundtrip(ray_session):
+    """record_rule materializes an aggregated gauge into Gorilla blocks;
+    decode returns exactly the aggregate values (compression round-trip)."""
+    import ray.data as rd
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.record import record_rule
+
+    blocks = record_rule(
+        rd.from_arrow(_tier_table()), label="role", value_col="count",
+        new_metric="role_turns", tier="1h", n_buckets=4)
+    dec = (decode_tier_blocks(blocks).to_pandas()
+           .sort_values(["series_key", "window_start"])
+           .reset_index(drop=True))
+    assert dec["tier"].unique().tolist() == ["1h"]
+    assert not dec["filled"].any() and not dec["stale"].any()
+    got = {(r.series_key, int(r.window_start)): r.last
+           for r in dec.itertuples()}
+    assert got == {
+        ("role_turns{role=assistant}", 60): 5.0,
+        ("role_turns{role=assistant}", 120): 11.0,
+        ("role_turns{role=user}", 60): 5.0,
+        ("role_turns{role=user}", 120): 7.0,
+        ("role_turns{role=user}", 180): 13.0,
+    }
