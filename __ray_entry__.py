@@ -369,6 +369,34 @@ def _q_rate_1h_turns(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_peak_5m_rate_1h(sf_dir: str):
+    """PromQL subquery composition —
+    ``max_over_time(increase(turns_total[5m])[1h:5m])``: the peak 5-minute
+    burst within each trailing hour, per series. Composes the stored 5m
+    counter tier with a 12-window moving max (stages/promql.over_time);
+    the dashboard "worst burst" read."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vertex_ray.stages.promql import over_time
+
+    ds = _metric_tier(sf_dir, "5m", "turns_total",
+                      ["series_key", "window_start", "count"])
+    mx = over_time(ds, "series_key", "window_start", "count", 12,
+                   agg="max", out_col="peak_5m_increase")
+
+    def shape(t):
+        return pa.table({
+            "series_key": t["series_key"],
+            "window_start": t["window_start"],
+            "peak_5m_increase": t["peak_5m_increase"],
+            "peak_5m_rate": pc.divide(
+                pc.cast(t["peak_5m_increase"], pa.float64()), 300.0),
+        })
+
+    return mx.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_agg_by_role_1h(sf_dir: str):
     """PromQL ``sum by (role) (increase(turns_total[1h]))``: cross-series
     aggregation over the counter tier — the role tag is re-derived from
@@ -825,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gorilla_roundtrip_1m_gauge_locf": _q_gauge_locf_roundtrip,
         "internal_counters": _q_internal_counters,
         "rate_1h_turns": _q_rate_1h_turns,
+        "peak_5m_rate_1h_turns": _q_peak_5m_rate_1h,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
         "avg_by_role_1h_turns": _q_avg_by_role_1h,
         "hist_p99_global_1m": _q_hist_p99_global_1m,
@@ -931,6 +960,27 @@ def oracle_sql() -> dict[str, str]:
                   AND (SELECT min(window_start) FROM roll) + 3600
             """,
         "gorilla_roundtrip_1m_latency": _sql_lat(60),
+        "peak_5m_rate_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+                       AS series_key,
+                     {_w(300)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT series_key, window_start,
+                     CAST(max(count) OVER (
+                       PARTITION BY series_key ORDER BY window_start
+                       ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       AS peak_5m_increase
+              FROM g
+            )
+            SELECT series_key, window_start, peak_5m_increase,
+                   peak_5m_increase / 300.0 AS peak_5m_rate
+            FROM m
+            """,
         "rate_1h_turns": f"""
             SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}' AS series_key,
                    {_w(3600)} AS window_start,
