@@ -875,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m_latency_summary": _q_summary_1m,
         "rollup_1h_latency_summary_firstwins": _q_summary_1h_firstwins,
         "rollup_1m_latency_epochs": _lat_epochs_query("1m"),
+        "compact_1m_latency_epochs": _q_compact_1m_latency,
         "rollup_1d_latency_epochs": _lat_epochs_query("1d"),
     }
 
@@ -892,6 +893,29 @@ def _sql_turns() -> str:
     FROM {_SQL_TRANSCRIPTS}
     GROUP BY 1, 2
     """
+
+
+def _q_compact_1m_latency(sf_dir: str):
+    """TSDB-style compaction of the epoch store's blocks (one block per
+    series × tier instead of one per epoch — stages/compact), then decode:
+    points must still match the plain SQL 1m rollup bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vertex_ray.pipelines.epoch_pipeline import read_epochs_stage
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.compact import compact_blocks
+
+    out = _ensure_epochs(sf_dir)
+    comp = compact_blocks(read_epochs_stage(out, "blocks", "1m"))
+    dec = decode_tier_blocks(comp)
+
+    def shape(t):
+        t = _real_rows(t, "inter_turn_latency_seconds")
+        return t.select(_LAT_COLS).set_column(
+            3, "count", pc.cast(t["count"], pa.int64()))
+
+    return dec.map_batches(shape, batch_format="pyarrow")
 
 
 def _sql_lat(seconds: int) -> str:
@@ -1163,6 +1187,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fine GROUP BY 1, 2
             """,
         "rollup_1m_latency_epochs": _sql_lat(60),
+        "compact_1m_latency_epochs": _sql_lat(60),
         "rollup_1d_latency_epochs": _sql_lat(86_400),
     }
     for tier, seconds in TIER_SECONDS.items():

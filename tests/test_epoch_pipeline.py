@@ -210,3 +210,39 @@ def test_state_stays_bounded(ray_session, micro_transcripts, tmp_path):
     # conv c went silent in epoch 0; by the final epoch its series must
     # have been pruned from the carry state (stale already emitted)
     assert not ser["conv_id"].eq("c").any()
+
+
+def test_compact_blocks_bitwise(ray_session, micro_transcripts, tmp_path):
+    """TSDB-style compaction of the epoch store: fewer blocks (one per
+    series x tier under the cap), decoded points bit-for-bit identical —
+    including stale-NaN payloads; the windows cap splits long series into
+    consecutive blocks without changing any point."""
+    from vertex_ray.pipelines.epoch_pipeline import (
+        read_epochs_stage,
+        run_pipeline_epochs,
+    )
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.compact import compact_blocks
+
+    epo = os.path.join(str(tmp_path), "epochs")
+    run_pipeline_epochs(micro_transcripts, epo, epoch_seconds=3600,
+                        n_buckets=4, tiers=TIERS_SMALL)
+    blocks = read_epochs_stage(epo, "blocks")
+    n_before = blocks.count()
+
+    comp = compact_blocks(blocks).materialize()
+    n_after = comp.count()
+    assert n_after < n_before
+    per = comp.to_pandas().groupby(["series_key", "tier"]).size()
+    assert per.max() == 1  # one block per (series, tier)
+
+    def points(bds):
+        return _agg_frame(decode_tier_blocks(bds))
+
+    a, b = points(blocks), points(comp)
+    _assert_bitwise_equal(a, b)
+
+    # cap forces multiple consecutive blocks per series; points unchanged
+    capped = compact_blocks(blocks, max_block_windows=3).materialize()
+    assert capped.count() > n_after
+    _assert_bitwise_equal(a, points(capped))
