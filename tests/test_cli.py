@@ -95,3 +95,26 @@ def test_retention_cli(ray_session, tmp_path, capsys):
     assert "rows retained" in out
     # bad tier spec
     assert main(["retention", src, dst, "--keep", "2m=1"]) == 2
+
+
+def test_compact_cli(ray_session, tmp_path, capsys):
+    from vertex_ray.pipelines.epoch_pipeline import (
+        read_epochs_stage,
+        run_pipeline_epochs,
+    )
+    from vertex_ray.synth import ensure_transcripts
+
+    trans = ensure_transcripts(0.001, base="/tmp/vertex_ray_testdata")
+    src = str(tmp_path / "epochs")
+    run_pipeline_epochs(trans, src, epoch_seconds=86_400, n_buckets=8)
+    n_before = read_epochs_stage(src, "blocks").count()
+    dst = str(tmp_path / "compacted")
+    assert main(["compact", src, dst]) == 0
+    out = capsys.readouterr().out
+    assert "compacted rows" in out
+    import ray.data as rd
+
+    from vertex_ray.state.checkpoint import stage_files
+
+    n_after = rd.read_parquet(stage_files(dst + "/blocks")).count()
+    assert 0 < n_after < n_before

@@ -148,6 +148,26 @@ def cmd_retention(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Merge an epoch store's per-epoch blocks into one block per
+    series × tier (stages/compact) and commit the result as a `blocks`
+    stage at dst — the TSDB-compaction step of the store lifecycle."""
+    _ray_up()
+    import os as _os
+
+    from vertex_ray.pipelines.epoch_pipeline import read_epochs_stage
+    from vertex_ray.stages.compact import compact_blocks
+    from vertex_ray.state.checkpoint import write_stage
+
+    comp = compact_blocks(read_epochs_stage(args.src, "blocks"),
+                          max_block_windows=args.max_windows)
+    m = write_stage(comp, _os.path.join(args.dst, "blocks"),
+                    {"compacted_from": args.src,
+                     "max_block_windows": args.max_windows})
+    print(f"blocks: {m['rows']} compacted rows in {len(m['files'])} files")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vertex_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -188,6 +208,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="retention reference time (epoch s); default: the "
                          "store's global_end_s lineage stamp")
     sp.set_defaults(fn=cmd_retention)
+
+    sp = sub.add_parser("compact",
+                        help="merge an epoch store's blocks per series")
+    sp.add_argument("src", help="epoch store root (epoch-*/blocks)")
+    sp.add_argument("dst", help="output store root (gets dst/blocks)")
+    sp.add_argument("--max-windows", type=int, default=1 << 20,
+                    dest="max_windows",
+                    help="points per output block before splitting")
+    sp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)
