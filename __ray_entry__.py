@@ -397,6 +397,19 @@ def _q_peak_5m_rate_1h(sf_dir: str):
     return mx.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_zscore_1h_turns(sf_dir: str):
+    """Streaming anomaly score over the counter tier:
+    ``z = (x - mean(prev 6 windows)) / stddev(prev 6 windows)`` per
+    series, baseline excluding the current window — the alerting read
+    (stages/promql.zscore_over_time); exact int64 baseline sums, NaN
+    where the baseline is empty or constant."""
+    from vertex_ray.stages.promql import zscore_over_time
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return zscore_over_time(ds, "series_key", "window_start", "count", 6)
+
+
 def _q_agg_by_role_1h(sf_dir: str):
     """PromQL ``sum by (role) (increase(turns_total[1h]))``: cross-series
     aggregation over the counter tier — the role tag is re-derived from
@@ -854,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "internal_counters": _q_internal_counters,
         "rate_1h_turns": _q_rate_1h_turns,
         "peak_5m_rate_1h_turns": _q_peak_5m_rate_1h,
+        "zscore_1h_turns": _q_zscore_1h_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
         "avg_by_role_1h_turns": _q_avg_by_role_1h,
         "hist_p99_global_1m": _q_hist_p99_global_1m,
@@ -984,6 +998,35 @@ def oracle_sql() -> dict[str, str]:
                   AND (SELECT min(window_start) FROM roll) + 3600
             """,
         "gorilla_roundtrip_1m_latency": _sql_lat(60),
+        "zscore_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+                       AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT series_key, window_start, count,
+                     sum(count) OVER w AS s,
+                     sum(count*count) OVER w AS ss,
+                     count(*) OVER w AS c
+              FROM g
+              WINDOW w AS (PARTITION BY series_key ORDER BY window_start
+                           ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT series_key, window_start, count,
+                   CASE WHEN c = 0
+                          OR (CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/c)/c <= 0
+                        THEN NULL
+                        ELSE (CAST(count AS DOUBLE) - CAST(s AS DOUBLE)/c)
+                             / sqrt((CAST(ss AS DOUBLE)
+                                     - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/c)/c)
+                   END AS zscore
+            FROM b
+            """,
         "peak_5m_rate_1h_turns": f"""
             WITH g AS (
               SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'

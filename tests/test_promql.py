@@ -238,3 +238,29 @@ def test_record_rule_roundtrip(ray_session):
         ("role_turns{role=user}", 120): 7.0,
         ("role_turns{role=user}", 180): 13.0,
     }
+
+
+def test_zscore_over_time(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import zscore_over_time
+
+    t = pa.table({
+        "k": ["s"] * 5 + ["c"] * 3,
+        "w": [0, 60, 120, 180, 240, 0, 60, 120],
+        # s: baseline {1,3} -> mean 2, pop std 1 -> z(10) = 8
+        # c: constant history -> variance 0 -> NaN
+        "v": [1, 3, 10, 2, 2, 5, 5, 5],
+    })
+    out = (zscore_over_time(rd.from_arrow(t), "k", "w", "v", 6)
+           .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
+    z = out["zscore"].tolist()
+    # c: first row no baseline, rest constant baseline -> all NaN
+    assert all(np.isnan(x) for x in z[:3])
+    # s: row0 no baseline; row1 baseline {1} zero var -> NaN; row2 z=8
+    assert np.isnan(z[3]) and np.isnan(z[4])
+    assert z[5] == 8.0
+    # row3 (v=2): baseline {1,3,10} mean 14/3, var (110-196/3)/3
+    m = 14 / 3
+    var = (110 - 14.0 * 14.0 / 3) / 3
+    assert z[6] == (2 - m) / np.sqrt(var)

@@ -307,3 +307,77 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def zscore_over_time(ds, key_col: str, order_col: str, value_col: str,
+                     n: int, out_col: str = "zscore", n_buckets: int = 64):
+    """Streaming anomaly score per series: how many trailing-baseline
+    standard deviations the current window's value sits from the trailing
+    mean — ``z = (x - mean(prev n)) / stddev(prev n)``, baseline frame
+    ``ROWS BETWEEN n PRECEDING AND 1 PRECEDING`` (the current value never
+    contaminates its own baseline). The alerting primitive a rollup store
+    exists to serve.
+
+    Exactness: requires an integer value column; the baseline carries
+    exact int64 (sum, sum-of-squares, count) via cumsum differencing and
+    evaluates ``(x - s/c) / sqrt((ss - s*s/c)/c)`` in the same float op
+    order as the SQL mirror, so finite scores are bit-identical. Rows
+    with no usable baseline — empty frame (series start) or zero variance
+    (constant history) — are NaN on both sides (SQL NULL): the variance
+    guard is explicit because numpy's 0/0 NaN differs bitwise from SQL
+    NULL→NaN, and DuckDB's sqrt raises on tiny negative float residue.
+
+    One exchange: same hash-bucketed series kernel as over_time."""
+    out = out_col
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        v = g[value_col].to_numpy()
+        if v.dtype.kind not in "iu":
+            raise TypeError(
+                f"zscore_over_time needs an integer column for exact "
+                f"baseline sums, got {v.dtype}")
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        first_pos = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(len(g)) - first_pos[seg]
+        vi = v.astype(np.int64)
+        c1 = np.cumsum(vi)
+        c2 = np.cumsum(vi * vi)
+        # inclusive trailing window of n+1 rows, then peel off the
+        # current row -> the exclusive n-row baseline
+        n_incl = n + 1
+        back = np.maximum(pos - n_incl, -1) + first_pos[seg]
+        has_back = back >= 0
+        s = c1.copy()
+        ss = c2.copy()
+        s[has_back] -= c1[back[has_back]]
+        ss[has_back] -= c2[back[has_back]]
+        s -= vi
+        ss -= vi * vi
+        cnt = np.minimum(pos + 1, n_incl) - 1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sf = s.astype(np.float64)
+            ssf = ss.astype(np.float64)
+            m = sf / cnt
+            var = (ssf - sf * sf / cnt) / cnt
+            z = np.where((cnt > 0) & (var > 0),
+                         (vi.astype(np.float64) - m) / np.sqrt(var),
+                         np.nan)
+        outdf = g[[key_col, order_col, value_col]].copy()
+        outdf[out] = z
+        return outdf
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
