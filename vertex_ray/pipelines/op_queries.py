@@ -878,6 +878,20 @@ def q_ann_ivf_topk(sf_dir: str):
     # nprobe == n_centroids → exhaustive probing; still exercises the IVF path
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantized ANN: 16-byte codes instead of 512-byte raw
+    vectors (32x), ADC lookup-table scoring. Rows-only: PQ is lossy by
+    design; recall@10 >= 0.5 vs brute force and the code-size contract
+    are pinned in tests/test_text_ops.py::test_ann_pq_recall..."""
+    from vertex_ray.stages.ann import pq_encode, pq_fit, pq_topk
+
+    qids, qvecs = _query_vectors(sf_dir)
+    emb = _emb(sf_dir)
+    books = pq_fit(emb, "embedding", m=16, k=64)
+    codes = pq_encode(emb, books, "embedding", "vec_id")
+    return pq_topk(codes, books, qvecs, 5, "vec_id")
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 
@@ -2237,6 +2251,7 @@ OP_QUERIES = {
     "op_embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "op_ann_topk": q_ann_topk,
     "op_ann_ivf_topk": q_ann_ivf_topk,
+    "op_ann_pq_topk": q_ann_pq_topk,
     "op_multimodal_features": q_multimodal_features,
     "op_codec_jsonl_events": q_codec_jsonl_events,
     "op_codec_csv_events": q_codec_csv_events,
