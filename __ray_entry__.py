@@ -410,6 +410,19 @@ def _q_zscore_1h_turns(sf_dir: str):
     return zscore_over_time(ds, "series_key", "window_start", "count", 6)
 
 
+def _q_lttb_1m_turns(sf_dir: str):
+    """Dashboard-render downsampling: LTTB (largest-triangle-three-
+    buckets) of each 1m counter series to 20 points — endpoints exact,
+    spikes preserved (stages/promql.lttb_downsample). Rows-only: LTTB is
+    an algorithmic selection with no SQL analogue; the selection
+    invariants are pinned in tests/test_promql.py."""
+    from vertex_ray.stages.promql import lttb_downsample
+
+    ds = _metric_tier(sf_dir, "1m", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return lttb_downsample(ds, "series_key", "window_start", "count", 20)
+
+
 def _q_agg_by_role_1h(sf_dir: str):
     """PromQL ``sum by (role) (increase(turns_total[1h]))``: cross-series
     aggregation over the counter tier — the role tag is re-derived from
@@ -868,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_1h_turns": _q_rate_1h_turns,
         "peak_5m_rate_1h_turns": _q_peak_5m_rate_1h,
         "zscore_1h_turns": _q_zscore_1h_turns,
+        "lttb_1m_turns": _q_lttb_1m_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
         "avg_by_role_1h_turns": _q_avg_by_role_1h,
         "hist_p99_global_1m": _q_hist_p99_global_1m,

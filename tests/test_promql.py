@@ -264,3 +264,31 @@ def test_zscore_over_time(ray_session):
     m = 14 / 3
     var = (110 - 14.0 * 14.0 / 3) / 3
     assert z[6] == (2 - m) / np.sqrt(var)
+
+
+def test_lttb_downsample(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import lttb_downsample
+
+    n = 400
+    w = np.arange(n) * 60
+    v = np.sin(np.arange(n) / 7.0) * 10
+    v[123] = 99.0  # spike LTTB must keep
+    t = pa.table({
+        "series_key": ["s"] * n + ["tiny"] * 3,
+        "window_start": np.concatenate([w, [0, 60, 120]]),
+        "value": np.concatenate([v, [1.0, 2.0, 3.0]]),
+    })
+    out = (lttb_downsample(rd.from_arrow(t), "series_key", "window_start",
+                           "value", 50)
+           .to_pandas().sort_values(["series_key", "window_start"])
+           .reset_index(drop=True))
+    s = out[out.series_key == "s"]
+    tiny = out[out.series_key == "tiny"]
+    assert len(s) == 50
+    assert len(tiny) == 3  # <= n_out passes through
+    # endpoints exact
+    assert s["window_start"].iloc[0] == 0 and s["window_start"].iloc[-1] == w[-1]
+    # the spike survives downsampling
+    assert 99.0 in s["value"].to_numpy()

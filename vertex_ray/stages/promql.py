@@ -381,3 +381,68 @@ def zscore_over_time(ds, key_col: str, order_col: str, value_col: str,
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def lttb_downsample(ds, key_col: str, order_col: str, value_col: str,
+                    n_out: int, n_buckets: int = 64):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    each series to ``n_out`` points — the dashboard-render read: a chart
+    can't draw a million windows, and naive striding hides spikes; LTTB
+    keeps the visually-dominant points (every local extreme that matters)
+    while preserving the first and last sample exactly.
+
+    Per series: points are split into n_out-2 interior time buckets; from
+    each bucket keep the point forming the largest triangle with the
+    previously kept point and the NEXT bucket's centroid. Series with
+    <= n_out points pass through unchanged.
+
+    Scale shape: same ONE hash-bucketed exchange as over_time; the kernel
+    loops over the n_out output slots (not input rows) with vectorized
+    area computation inside each slot, per series batched via offsets."""
+    out_cols = [key_col, order_col, value_col]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        x = g[order_col].to_numpy().astype(np.float64)
+        y = g[value_col].to_numpy().astype(np.float64)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g))
+        keep_idx = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n <= n_out:
+                keep_idx.append(np.arange(s, e))
+                continue
+            # bucket boundaries over the interior points
+            edges = s + 1 + np.round(
+                np.linspace(0, n - 2, n_out - 1)).astype(np.int64)
+            kept = [s]
+            for bi in range(n_out - 2):
+                lo, hi = edges[bi], edges[bi + 1]
+                nlo, nhi = edges[bi + 1], (
+                    e if bi == n_out - 3 else edges[bi + 2])
+                ax, ay = x[kept[-1]], y[kept[-1]]
+                cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+                area = np.abs((ax - cx) * (y[lo:hi] - ay)
+                              - (ax - x[lo:hi]) * (cy - ay))
+                kept.append(lo + int(np.argmax(area)))
+            kept.append(e - 1)
+            keep_idx.append(np.array(kept, dtype=np.int64))
+        if not keep_idx:
+            return g[out_cols].iloc[:0]
+        return g.iloc[np.concatenate(keep_idx)][out_cols]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
