@@ -410,6 +410,59 @@ def _q_zscore_1h_turns(sf_dir: str):
     return zscore_over_time(ds, "series_key", "window_start", "count", 6)
 
 
+def _ensure_backfill_split(sf_dir: str) -> tuple[str, str]:
+    """Deterministically split the transcripts into an 'on-time' table and
+    a 'late correction' table (every 7th turn index arrives late) — the
+    backfill scenario's fixtures, materialized once per scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    trans = ensure_transcripts(sf_dir)
+    base = os.path.join(OUT_BASE, f"sf{sf_of_dir(sf_dir):g}", "backfill_in")
+    ontime_p = os.path.join(base, "ontime.parquet")
+    late_p = os.path.join(base, "late.parquet")
+    if not (os.path.exists(ontime_p) and os.path.exists(late_p)):
+        import numpy as np
+
+        os.makedirs(base, exist_ok=True)
+        t = pads.dataset(trans).to_table()
+        ti = t["turn_idx"].to_numpy()
+        late_mask = pa.array((ti % 7) == 3)
+        pq.write_table(t.filter(pc.invert(late_mask)), ontime_p)
+        pq.write_table(t.filter(late_mask), late_p)
+    return ontime_p, late_p
+
+
+def _q_backfill_1m_turns(sf_dir: str):
+    """Out-of-order correction merge: roll up the on-time turns, roll up
+    the late batch separately, fold the late aggregates into the store
+    with backfill_merge (stages/backfill) — the merged counter must equal
+    the full recompute over ALL turns (the SQL oracle) exactly, without
+    ever re-reading the on-time raw data."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vertex_ray.pipelines.rollup_pipeline import read_stage, run_pipeline
+    from vertex_ray.stages.backfill import backfill_merge
+
+    ontime, late = _ensure_backfill_split(sf_dir)
+    root = os.path.join(OUT_BASE, f"sf{sf_of_dir(sf_dir):g}")
+    out_a = os.path.join(root, "tiers_ontime")
+    out_b = os.path.join(root, "tiers_late")
+    run_pipeline(ontime, out_a, n_buckets=16, tiers=(("1m", 60),))
+    run_pipeline(late, out_b, n_buckets=16, tiers=(("1m", 60),))
+    merged = backfill_merge(read_stage(out_a, "agg", "1m"),
+                            read_stage(out_b, "agg", "1m"))
+
+    def shape(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["name"], "turns_total"))
+        return t.select(["series_key", "window_start", "count"])
+
+    return merged.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_lttb_1m_turns(sf_dir: str):
     """Dashboard-render downsampling: LTTB (largest-triangle-three-
     buckets) of each 1m counter series to 20 points — endpoints exact,
@@ -882,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_5m_rate_1h_turns": _q_peak_5m_rate_1h,
         "zscore_1h_turns": _q_zscore_1h_turns,
         "lttb_1m_turns": _q_lttb_1m_turns,
+        "backfill_1m_turns": _q_backfill_1m_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
         "avg_by_role_1h_turns": _q_avg_by_role_1h,
         "hist_p99_global_1m": _q_hist_p99_global_1m,
@@ -966,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         **OP_ORACLES,
         "rollup_1m_turns": _sql_turns(),
         "rollup_1m_turns_salted": _sql_turns(),
+        "backfill_1m_turns": _sql_turns(),
         "rollup_1m_tools": f"""
             SELECT 'tool_invocations_total{{conv_id=' || conv_id || ',tool=' || tool || '}}'
                      AS series_key,
