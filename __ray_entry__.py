@@ -463,6 +463,19 @@ def _q_backfill_1m_turns(sf_dir: str):
     return merged.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_holt_winters_1h_turns(sf_dir: str):
+    """PromQL ``holt_winters(turns_total, 0.4, 0.3)`` over the 1h counter
+    tier: level+trend smoothing per series, vectorized across series
+    (stages/promql.holt_winters); bit-identical to the recursive-CTE SQL
+    oracle evaluating the same recurrence."""
+    from vertex_ray.stages.promql import holt_winters
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return holt_winters(ds, "series_key", "window_start", "count",
+                        sf=0.4, tf=0.3)
+
+
 def _q_lttb_1m_turns(sf_dir: str):
     """Dashboard-render downsampling: LTTB (largest-triangle-three-
     buckets) of each 1m counter series to 20 points — endpoints exact,
@@ -935,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_5m_rate_1h_turns": _q_peak_5m_rate_1h,
         "zscore_1h_turns": _q_zscore_1h_turns,
         "lttb_1m_turns": _q_lttb_1m_turns,
+        "holt_winters_1h_turns": _q_holt_winters_1h_turns,
         "backfill_1m_turns": _q_backfill_1m_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
         "avg_by_role_1h_turns": _q_avg_by_role_1h,
@@ -1018,6 +1032,38 @@ def oracle_sql() -> dict[str, str]:
     _ensure_oracle_transcripts()
     sqls = {
         **OP_ORACLES,
+        "holt_winters_1h_turns": f"""
+            WITH RECURSIVE g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+                       AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS x
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT series_key, window_start, x,
+                     row_number() OVER (PARTITION BY series_key
+                                        ORDER BY window_start) AS rn
+              FROM g
+            ),
+            hw(series_key, rn, window_start, s, b) AS (
+              SELECT r1.series_key, 1, r1.window_start,
+                     CAST(r1.x AS DOUBLE),
+                     CAST(r2.x AS DOUBLE) - CAST(r1.x AS DOUBLE)
+              FROM r r1 JOIN r r2
+                ON r2.series_key = r1.series_key AND r2.rn = 2
+              WHERE r1.rn = 1
+              UNION ALL
+              SELECT d.series_key, d.rn, d.window_start,
+                     0.4*CAST(d.x AS DOUBLE) + 0.6*(p.s + p.b),
+                     0.3*((0.4*CAST(d.x AS DOUBLE) + 0.6*(p.s + p.b)) - p.s)
+                       + 0.7*p.b
+              FROM r d JOIN hw p
+                ON p.series_key = d.series_key AND d.rn = p.rn + 1
+            )
+            SELECT series_key, window_start, s AS smoothed FROM hw
+            """,
         "rollup_1m_turns": _sql_turns(),
         "rollup_1m_turns_salted": _sql_turns(),
         "backfill_1m_turns": _sql_turns(),

@@ -292,3 +292,34 @@ def test_lttb_downsample(ray_session):
     assert s["window_start"].iloc[0] == 0 and s["window_start"].iloc[-1] == w[-1]
     # the spike survives downsampling
     assert 99.0 in s["value"].to_numpy()
+
+
+def test_holt_winters_matches_sequential(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import holt_winters
+
+    sf, tf = 0.4, 0.3
+    series = {"a": [3.0, 7.0, 2.0, 9.0, 4.0], "b": [10.0, 12.0], "solo": [5.0]}
+    rows = []
+    for k, vs in series.items():
+        for i, v in enumerate(vs):
+            rows.append({"k": k, "w": i * 60, "v": v})
+    out = (holt_winters(rd.from_items(rows), "k", "w", "v", sf=sf, tf=tf)
+           .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
+    # single-sample series dropped
+    assert "solo" not in set(out["k"])
+
+    def ref(vs):
+        s, b = vs[0], vs[1] - vs[0]
+        exp = [s]
+        for x in vs[1:]:
+            s_new = sf * x + (1.0 - sf) * (s + b)
+            b = tf * (s_new - s) + (1.0 - tf) * b
+            s = s_new
+            exp.append(s)
+        return exp
+
+    for k, vs in (("a", series["a"]), ("b", series["b"])):
+        got = out[out.k == k].sort_values("w")["smoothed"].to_numpy()
+        np.testing.assert_array_equal(got, np.array(ref(vs)))

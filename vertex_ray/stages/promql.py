@@ -446,3 +446,71 @@ def lttb_downsample(ds, key_col: str, order_col: str, value_col: str,
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def holt_winters(ds, key_col: str, order_col: str, value_col: str,
+                 sf: float = 0.4, tf: float = 0.3, out_col: str = "smoothed",
+                 n_buckets: int = 64):
+    """PromQL ``holt_winters`` / ``double_exponential_smoothing``: per
+    series, level/trend smoothing over its windows in order —
+    ``s_i = sf·x_i + (1-sf)·(s_{i-1} + b_{i-1})``,
+    ``b_i = tf·(s_i - s_{i-1}) + (1-tf)·b_{i-1}`` with ``s_0 = x_0``,
+    ``b_0 = x_1 - x_0`` (Prometheus's seeding). Emits the smoothed level
+    per window; series with fewer than 2 samples are dropped (PromQL
+    returns no value for them).
+
+    The recurrence is sequential per series but vectorized ACROSS series:
+    each hash bucket pivots its series into a (series × window-position)
+    matrix and runs ONE loop over positions (max series length), each step
+    an array op over every series in the bucket — never a per-series
+    Python loop. Float ops are evaluated in exactly the SQL mirror's
+    (recursive CTE) order, so results are bit-identical.
+
+    Memory: the pivot is n_series_in_bucket × max_len × 8 B; size
+    n_buckets so a bucket's pivot fits a task (same partitioning
+    assumption as the gap-fill kernel)."""
+    osf, otf = 1.0 - sf, 1.0 - tf
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        x = g[value_col].to_numpy().astype(np.float64)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        first = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(len(g)) - first[seg]
+        lens = np.diff(np.append(first, len(g)))
+        keep_series = lens >= 2
+        n_s, max_len = len(first), int(lens.max()) if len(lens) else 0
+        X = np.full((n_s, max_len), np.nan)
+        X[seg, pos] = x
+        out = np.full((n_s, max_len), np.nan)
+        if max_len >= 2:
+            s = X[:, 0].copy()
+            b = X[:, 1] - X[:, 0]
+            out[:, 0] = s
+            for i in range(1, max_len):
+                xi = X[:, i]
+                live = i < lens
+                s_new = sf * xi + osf * (s + b)
+                b_new = tf * (s_new - s) + otf * b
+                out[live, i] = s_new[live]
+                s = np.where(live, s_new, s)
+                b = np.where(live, b_new, b)
+        val = out[seg, pos]
+        outdf = g[[key_col, order_col]].copy()
+        outdf[out_col] = val
+        return outdf[keep_series[seg]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
