@@ -156,3 +156,35 @@ def test_build_promql_over_time_chain(ray_session):
     out = build(cfg)["smooth"].to_pandas()
     assert {"event_type", "window_start", "avg_over"} <= set(out.columns)
     assert len(out) > 0
+
+
+def test_builder_round2_steps(ray_session):
+    """Round-2 step types registered in the config surface: zscore,
+    holt_winters, lttb over a synthetic tier; unigram_score over docs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from vertex_ray.pipelines.builder import STEP_TYPES
+
+    tier = rd.from_arrow(pa.table({
+        "series_key": ["s"] * 6,
+        "window_start": [0, 60, 120, 180, 240, 300],
+        "count": [1, 2, 3, 4, 100, 6],
+    }))
+    z = STEP_TYPES["zscore"](
+        {"key_col": "series_key", "order_col": "window_start",
+         "value_col": "count", "n": 4}, tier).to_pandas()
+    assert len(z) == 6 and "zscore" in z.columns
+    hw = STEP_TYPES["holt_winters"](
+        {"key_col": "series_key", "order_col": "window_start",
+         "value_col": "count"}, tier).to_pandas()
+    assert len(hw) == 6 and "smoothed" in hw.columns
+    lt = STEP_TYPES["lttb"](
+        {"key_col": "series_key", "order_col": "window_start",
+         "value_col": "count", "n_out": 4}, tier).to_pandas()
+    assert len(lt) == 4
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b a", "b c"]}))
+    ug = STEP_TYPES["unigram_score"]({}, docs).to_pandas()
+    assert set(ug["doc_id"]) == {1, 2}

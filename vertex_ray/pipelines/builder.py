@@ -202,7 +202,8 @@ def _t_label_aggregate(cfg, ds):
     return label_aggregate(ds, cfg["label"], cfg["value_col"],
                            window_col=cfg.get("window_col", "window_start"),
                            out_col=cfg.get("out_col"),
-                           key_col=cfg.get("key_col", "series_key"))
+                           key_col=cfg.get("key_col", "series_key"),
+                           agg=cfg.get("agg", "sum"))
 
 
 def _t_over_time(cfg, ds):
@@ -210,7 +211,65 @@ def _t_over_time(cfg, ds):
 
     return over_time(ds, cfg["key_col"], cfg["order_col"], cfg["value_col"],
                      cfg["n"], agg=cfg.get("agg", "avg"),
-                     out_col=cfg.get("out_col"))
+                     out_col=cfg.get("out_col"), q=cfg.get("q", 0.5))
+
+
+def _t_zscore(cfg, ds):
+    from vertex_ray.stages.promql import zscore_over_time
+
+    return zscore_over_time(ds, cfg["key_col"], cfg["order_col"],
+                            cfg["value_col"], cfg["n"],
+                            out_col=cfg.get("out_col", "zscore"))
+
+
+def _t_holt_winters(cfg, ds):
+    from vertex_ray.stages.promql import holt_winters
+
+    return holt_winters(ds, cfg["key_col"], cfg["order_col"],
+                        cfg["value_col"], sf=cfg.get("sf", 0.4),
+                        tf=cfg.get("tf", 0.3),
+                        out_col=cfg.get("out_col", "smoothed"))
+
+
+def _t_lttb(cfg, ds):
+    from vertex_ray.stages.promql import lttb_downsample
+
+    return lttb_downsample(ds, cfg["key_col"], cfg["order_col"],
+                           cfg["value_col"], cfg["n_out"])
+
+
+def _t_unigram_score(cfg, ds):
+    from vertex_ray.stages.text import unigram_freq_score
+
+    return unigram_freq_score(ds, cfg.get("text_col", "text"),
+                              cfg.get("id_col", "doc_id"),
+                              method=cfg.get("method", "broadcast"))
+
+
+def _t_semantic_dedup(cfg, ds):
+    from vertex_ray.stages.dedup_near import semantic_dedup
+
+    return semantic_dedup(ds, cfg.get("vec_col", "embedding"),
+                          cfg.get("id_col", "vec_id"),
+                          k=cfg.get("k", 8),
+                          threshold=cfg.get("threshold", 0.9))
+
+
+def _t_ngram_overlap(cfg, ds):
+    from vertex_ray.stages.dedup_near import ngram_overlap_pairs
+
+    return ngram_overlap_pairs(ds, cfg.get("text_col", "text"),
+                               cfg.get("id_col", "doc_id"),
+                               k=cfg.get("k", 8),
+                               min_shared=cfg.get("min_shared", 1))
+
+
+def _t_record_rule(cfg, ds):
+    from vertex_ray.stages.record import record_rule
+
+    return record_rule(ds, label=cfg["label"], value_col=cfg["value_col"],
+                       new_metric=cfg["new_metric"], tier=cfg["tier"],
+                       agg=cfg.get("agg", "sum"))
 
 
 def _t_group_sum(cfg, ds):
@@ -307,6 +366,13 @@ STEP_TYPES: dict[str, Callable] = {
     "label_aggregate": _t_label_aggregate,
     "over_time": _t_over_time,
     "group_sum": _t_group_sum,
+    "zscore": _t_zscore,
+    "holt_winters": _t_holt_winters,
+    "lttb": _t_lttb,
+    "unigram_score": _t_unigram_score,
+    "semantic_dedup": _t_semantic_dedup,
+    "ngram_overlap": _t_ngram_overlap,
+    "record_rule": _t_record_rule,
     # multi-input (inputs are passed as an ordered list, not unioned)
     "join": _t_join,
     "join_skewed": _t_join_skewed,
