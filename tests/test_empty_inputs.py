@@ -19,6 +19,7 @@ TABLES = ("region nation customer supplier part orders lineitem "
 # must be explicit, not an internal AttributeError
 EXPECTED_RAISE = {
     "op_ann_topk", "op_ann_ivf_topk",          # query matrix from the table
+    "op_ann_pq_topk",                           # query matrix + codebook fit
     "op_pca_embeddings",                        # fit on empty: ValueError
     "op_kmeans_embeddings",                     # centroid seed from empty
     "op_embedding_near_pairs_lsh",              # projection seed from empty
