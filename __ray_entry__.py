@@ -476,6 +476,18 @@ def _q_holt_winters_1h_turns(sf_dir: str):
                         sf=0.4, tf=0.3)
 
 
+def _q_predict_linear_1h_turns(sf_dir: str):
+    """PromQL ``predict_linear(turns_total[6 windows], +3 windows)`` over
+    the 1h counter tier — per-series trailing least squares, exact int64
+    regression sums (stages/promql.predict_linear)."""
+    from vertex_ray.stages.promql import predict_linear
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return predict_linear(ds, "series_key", "window_start", "count",
+                          n=6, steps_ahead=3, tier_seconds=3600)
+
+
 def _q_lttb_1m_turns(sf_dir: str):
     """Dashboard-render downsampling: LTTB (largest-triangle-three-
     buckets) of each 1m counter series to 20 points — endpoints exact,
@@ -948,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_5m_rate_1h_turns": _q_peak_5m_rate_1h,
         "zscore_1h_turns": _q_zscore_1h_turns,
         "lttb_1m_turns": _q_lttb_1m_turns,
+        "predict_linear_1h_turns": _q_predict_linear_1h_turns,
         "holt_winters_1h_turns": _q_holt_winters_1h_turns,
         "backfill_1m_turns": _q_backfill_1m_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
@@ -1063,6 +1076,43 @@ def oracle_sql() -> dict[str, str]:
                 ON p.series_key = d.series_key AND d.rn = p.rn + 1
             )
             SELECT series_key, window_start, s AS smoothed FROM hw
+            """,
+        "predict_linear_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+                       AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT series_key, window_start,
+                     window_start // 3600 AS u,
+                     count(*) OVER w AS n,
+                     sum(count) OVER w AS sy,
+                     sum(window_start // 3600) OVER w AS sw,
+                     sum((window_start // 3600) * count) OVER w AS swy,
+                     sum((window_start // 3600) * (window_start // 3600))
+                       OVER w AS sww
+              FROM g
+              WINDOW w AS (PARTITION BY series_key ORDER BY window_start
+                           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+            )
+            SELECT series_key, window_start,
+                   CASE WHEN n*(sww - 2*u*sw + n*u*u)
+                             - (sw - n*u)*(sw - n*u) <= 0 THEN NULL
+                   ELSE
+                     (CAST(sy AS DOUBLE)
+                      - (CAST(n*(swy - u*sy) - (sw - n*u)*sy AS DOUBLE)
+                         / (n*(sww - 2*u*sw + n*u*u)
+                            - (sw - n*u)*(sw - n*u)))
+                        * CAST(sw - n*u AS DOUBLE)) / n
+                     + (CAST(n*(swy - u*sy) - (sw - n*u)*sy AS DOUBLE)
+                        / (n*(sww - 2*u*sw + n*u*u)
+                           - (sw - n*u)*(sw - n*u))) * 3.0
+                   END AS predicted
+            FROM b
             """,
         "rollup_1m_turns": _sql_turns(),
         "rollup_1m_turns_salted": _sql_turns(),

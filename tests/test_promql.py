@@ -323,3 +323,25 @@ def test_holt_winters_matches_sequential(ray_session):
     for k, vs in (("a", series["a"]), ("b", series["b"])):
         got = out[out.k == k].sort_values("w")["smoothed"].to_numpy()
         np.testing.assert_array_equal(got, np.array(ref(vs)))
+
+
+def test_predict_linear(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import predict_linear
+
+    # perfectly linear series: y = 2*i + 1 -> prediction is exact
+    t = pa.table({
+        "k": ["s"] * 5 + ["one"],
+        "w": [0, 3600, 7200, 10800, 14400, 0],
+        "v": [1, 3, 5, 7, 9, 42],
+    })
+    out = (predict_linear(rd.from_arrow(t), "k", "w", "v", n=4,
+                          steps_ahead=2, tier_seconds=3600)
+           .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
+    one = out[out.k == "one"]["predicted"]
+    assert np.isnan(one.iloc[0])  # single sample: no slope
+    s = out[out.k == "s"].sort_values("w")["predicted"].to_numpy()
+    assert np.isnan(s[0])
+    # from the second window on the fit is exact: value at +2 windows
+    np.testing.assert_allclose(s[1:], [7.0, 9.0, 11.0, 13.0], atol=1e-12)

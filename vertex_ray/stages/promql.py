@@ -514,3 +514,80 @@ def holt_winters(ds, key_col: str, order_col: str, value_col: str,
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def predict_linear(ds, key_col: str, order_col: str, value_col: str,
+                   n: int, steps_ahead: int, tier_seconds: int,
+                   out_col: str = "predicted", n_buckets: int = 64):
+    """PromQL ``predict_linear(metric[n windows], t)``: per series, least-
+    squares regression over the trailing ``n`` windows (ROWS frame
+    including the current row), evaluated ``steps_ahead`` windows past the
+    current one — the capacity-planning read ("when does the disk fill").
+
+    Exactness: requires an integer value column. Window positions are
+    normalized to small per-row-relative integers (x = window index −
+    current row's index), so every regression sum (Σx, Σy, Σxy, Σx²) is
+    an exact int64 computed by cumsum differencing; the slope/intercept/
+    projection are evaluated in the same float op order as the SQL
+    mirror, so finite predictions are bit-identical. Frames with zero
+    x-variance (a single sample) are NaN on both sides (SQL NULL).
+
+    One exchange: the same hash-bucketed series kernel as over_time."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        ws = g[order_col].to_numpy().astype(np.int64)
+        y = g[value_col].to_numpy()
+        if y.dtype.kind not in "iu":
+            raise TypeError(
+                f"predict_linear needs an integer column for exact "
+                f"regression sums, got {y.dtype}")
+        yi = y.astype(np.int64)
+        wi = ws // tier_seconds  # small window index
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        first = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(len(g)) - first[seg]
+        cnt = np.minimum(pos + 1, n)
+
+        def frame_sum(v: np.ndarray) -> np.ndarray:
+            c = np.cumsum(v)
+            s = c.copy()
+            back = np.maximum(pos - n, -1) + first[seg]
+            has = back >= 0
+            s[has] -= c[back[has]]
+            return s
+
+        sy = frame_sum(yi)
+        sw = frame_sum(wi)
+        swy = frame_sum(wi * yi)
+        sww = frame_sum(wi * wi)
+        # shift x to be relative to the current row's index u (exact ints)
+        u = wi
+        sx = sw - cnt * u
+        sxy = swy - u * sy
+        sxx = sww - 2 * u * sw + cnt * u * u
+        num = cnt * sxy - sx * sy
+        den = cnt * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b = num.astype(np.float64) / den
+            a = (sy.astype(np.float64) - b * sx.astype(np.float64)) / cnt
+            p = a + b * float(steps_ahead)
+        p = np.where(den > 0, p, np.nan)
+        outdf = g[[key_col, order_col]].copy()
+        outdf[out_col] = p
+        return outdf
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
