@@ -246,3 +246,50 @@ def test_compact_blocks_bitwise(ray_session, micro_transcripts, tmp_path):
     capped = compact_blocks(blocks, max_block_windows=3).materialize()
     assert capped.count() > n_after
     _assert_bitwise_equal(a, points(capped))
+
+
+def test_retention_after_compaction(ray_session, micro_transcripts, tmp_path):
+    """Lifecycle composition: epoch store → compact → retention GC on the
+    compacted store. Retained points equal retention applied to the
+    original epoch store directly (order-insensitive, bit-for-bit)."""
+    import posixpath
+
+    from vertex_ray.pipelines.epoch_pipeline import (
+        epoch_dirs,
+        read_epochs_stage,
+        run_pipeline_epochs,
+    )
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks, read_stage
+    from vertex_ray.schema import TIER_SECONDS
+    from vertex_ray.stages.compact import compact_blocks
+    from vertex_ray.stages.retention import apply_retention
+    from vertex_ray.state.checkpoint import stage_files, write_stage
+
+    epo = os.path.join(str(tmp_path), "epochs")
+    m = run_pipeline_epochs(micro_transcripts, epo, epoch_seconds=3600,
+                            n_buckets=4, tiers=TIERS_SMALL)
+    # commit the compacted store like the CLI does
+    comp_root = os.path.join(str(tmp_path), "compacted")
+    write_stage(compact_blocks(read_epochs_stage(epo, "blocks")),
+                os.path.join(comp_root, "blocks"), {"compacted_from": epo})
+
+    now_s = E0 + 5 * 3600
+    horizons = {"1m": 3600, "5m": 2 * 3600}
+    tiers = dict(TIER_SECONDS)
+    ret_a = apply_retention(comp_root, os.path.join(str(tmp_path), "gc_a"),
+                            horizons, now_s=now_s, tier_seconds=tiers)
+    epoch_files = [f for ed in epoch_dirs(epo)
+                   for f in stage_files(posixpath.join(ed, "blocks"))]
+    ret_b = apply_retention(epo, os.path.join(str(tmp_path), "gc_b"),
+                            horizons, now_s=now_s, tier_seconds=tiers,
+                            src_files=epoch_files)
+
+    import ray.data as rd
+
+    def points(root):
+        return _agg_frame(decode_tier_blocks(read_stage(root, "blocks")))
+
+    a = points(os.path.join(str(tmp_path), "gc_a"))
+    b = points(os.path.join(str(tmp_path), "gc_b"))
+    assert len(a) > 0
+    _assert_bitwise_equal(a, b)

@@ -792,9 +792,9 @@ def semantic_dedup(ds, vec_col: str, id_col: str, *, k: int = 8,
 
     assigned = ds.map_batches(assign_full, batch_format="pyarrow")
     if assign_out is not None:
-        import shutil
+        from vertex_ray.state import fsio
 
-        shutil.rmtree(assign_out, ignore_errors=True)
+        fsio.rmtree(assign_out)  # pyarrow.fs: works on shared/object stores
         (assigned.map_batches(
             lambda t: t.select([id_col, "cluster", "cosine"]),
             batch_format="pyarrow")
