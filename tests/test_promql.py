@@ -345,3 +345,115 @@ def test_predict_linear(ray_session):
     assert np.isnan(s[0])
     # from the second window on the fit is exact: value at +2 windows
     np.testing.assert_allclose(s[1:], [7.0, 9.0, 11.0, 13.0], atol=1e-12)
+
+
+def test_promql_kernels_random_crosscheck(ray_session):
+    """Seeded random sweep: the vectorized multi-series kernels (zscore,
+    holt_winters, predict_linear, quantile_over_time) agree bit-for-bit
+    with naive per-series Python references across ragged series lengths
+    and duplicate values."""
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import (
+        holt_winters,
+        over_time,
+        predict_linear,
+        zscore_over_time,
+    )
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for s in range(12):
+        ln = int(rng.integers(1, 15))
+        vals = rng.integers(0, 6, ln)  # small ints, lots of ties
+        for i, v in enumerate(vals):
+            rows.append({"k": f"s{s:02d}", "w": i * 3600, "v": int(v)})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(3)
+    n = 4
+
+    def per_series(fn):
+        out = {}
+        for k, g in df.groupby("k"):
+            vs = g.sort_values("w")["v"].to_numpy()
+            for i, w in enumerate(g.sort_values("w")["w"].to_numpy()):
+                out[(k, w)] = fn(vs, i)
+        return out
+
+    # quantile_over_time
+    def ref_quant(vs, i):
+        fr = np.sort(vs[max(0, i - n + 1):i + 1].astype(np.float64))
+        rn = (len(fr) - 1) * 0.9
+        lo, hi = int(np.floor(rn)), int(np.ceil(rn))
+        return fr[lo] if lo == hi else \
+            (np.ceil(rn) - rn) * fr[lo] + (rn - np.floor(rn)) * fr[hi]
+
+    got = over_time(ds, "k", "w", "v", n, agg="quantile", q=0.9,
+                    out_col="x").to_pandas()
+    want = per_series(ref_quant)
+    for r in got.itertuples():
+        assert r.x == want[(r.k, r.w)], (r.k, r.w)
+
+    # zscore (baseline excludes current row)
+    def ref_z(vs, i):
+        base = vs[max(0, i - n):i].astype(np.int64)
+        c = len(base)
+        if c == 0:
+            return None
+        s, ss = float(base.sum()), float((base ** 2).sum())
+        var = (ss - s * s / c) / c
+        if var <= 0:
+            return None
+        return (float(vs[i]) - s / c) / np.sqrt(var)
+
+    got = zscore_over_time(ds, "k", "w", "v", n).to_pandas()
+    want = per_series(ref_z)
+    for r in got.itertuples():
+        w = want[(r.k, r.w)]
+        assert (np.isnan(r.zscore) and w is None) or r.zscore == w, (r.k, r.w)
+
+    # predict_linear (frame includes current row; x relative to current)
+    def ref_pl(vs, i):
+        fr = vs[max(0, i - n + 1):i + 1].astype(np.int64)
+        c = len(fr)
+        x = np.arange(i - c + 1, i + 1, dtype=np.int64) - i
+        sy, sx = int(fr.sum()), int(x.sum())
+        sxy, sxx = int((x * fr).sum()), int((x * x).sum())
+        num, den = c * sxy - sx * sy, c * sxx - sx * sx
+        if den <= 0:
+            return None
+        b = float(num) / den
+        a = (float(sy) - b * float(sx)) / c
+        return a + b * 2.0
+
+    got = predict_linear(ds, "k", "w", "v", n=n, steps_ahead=2,
+                         tier_seconds=3600).to_pandas()
+    want = per_series(ref_pl)
+    for r in got.itertuples():
+        w = want[(r.k, r.w)]
+        assert (np.isnan(r.predicted) and w is None) or r.predicted == w
+
+    # holt_winters (series with >= 2 samples)
+    def ref_hw_all():
+        out = {}
+        for k, g in df.groupby("k"):
+            g = g.sort_values("w")
+            vs = g["v"].to_numpy().astype(np.float64)
+            if len(vs) < 2:
+                continue
+            s, b = vs[0], vs[1] - vs[0]
+            res = [s]
+            for x in vs[1:]:
+                s_new = 0.4 * x + 0.6 * (s + b)
+                b = 0.3 * (s_new - s) + 0.7 * b
+                s = s_new
+                res.append(s)
+            for w, val in zip(g["w"].to_numpy(), res):
+                out[(k, w)] = val
+        return out
+
+    got = holt_winters(ds, "k", "w", "v", sf=0.4, tf=0.3).to_pandas()
+    want = ref_hw_all()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert r.smoothed == want[(r.k, r.w)], (r.k, r.w)
