@@ -488,6 +488,65 @@ def _q_predict_linear_1h_turns(sf_dir: str):
                           n=6, steps_ahead=3, tier_seconds=3600)
 
 
+def _q_series_churn_1h(sf_dir: str):
+    """Store observability: per 1h window, the number of ACTIVE series
+    and how many of them are NEW (this window is their first sample) —
+    the cardinality-churn read an operator uses to spot label explosions.
+    Two one-exchange aggregates over tier rows: rows-per-window (tier
+    rows are unique per (series, window)), plus min-window per series
+    re-aggregated to births-per-window."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from vertex_ray.stages.promql import group_sum
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return t.append_column("one", pa.array(np.ones(t.num_rows,
+                                                       dtype=np.int64)))
+
+    active = group_sum(ds.map_batches(ones, batch_format="pyarrow"),
+                       ["window_start"], ["one"])
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (df.groupby("series_key", sort=False)["window_start"]
+             .min().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def first_final(g: pd.DataFrame) -> pd.DataFrame:
+        r = (g.groupby("series_key", sort=False)["window_start"]
+             .min().reset_index())
+        r["one"] = 1
+        return (r.groupby("window_start", sort=False)["one"]
+                .sum().reset_index())
+
+    born = (ds.map_batches(first_partial, batch_format="pyarrow")
+            .groupby("series_key")
+            .map_groups(first_final, batch_format="pandas")
+            .groupby("window_start").sum("one")
+            .map_batches(lambda t: t.rename_columns(
+                ["window_start", "one"]), batch_format="pyarrow"))
+
+    from vertex_ray.stages.join import hash_join
+
+    def shape(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "window_start": t["window_start"],
+            "active_series": t["one"],
+            "new_series": pc.coalesce(t["one_r"], pa.scalar(0, pa.int64())),
+        })
+
+    joined = hash_join(active, born, left_on="window_start", how="left")
+    return joined.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_lttb_1m_turns(sf_dir: str):
     """Dashboard-render downsampling: LTTB (largest-triangle-three-
     buckets) of each 1m counter series to 20 points — endpoints exact,
@@ -960,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_5m_rate_1h_turns": _q_peak_5m_rate_1h,
         "zscore_1h_turns": _q_zscore_1h_turns,
         "lttb_1m_turns": _q_lttb_1m_turns,
+        "series_churn_1h_turns": _q_series_churn_1h,
         "predict_linear_1h_turns": _q_predict_linear_1h_turns,
         "holt_winters_1h_turns": _q_holt_winters_1h_turns,
         "backfill_1m_turns": _q_backfill_1m_turns,
@@ -1113,6 +1173,25 @@ def oracle_sql() -> dict[str, str]:
                            - (sw - n*u)*(sw - n*u))) * 3.0
                    END AS predicted
             FROM b
+            """,
+        "series_churn_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+                       AS series_key,
+                     {_w(3600)} AS window_start
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            born2 AS (
+              SELECT window_start, count(*) AS new_series
+              FROM (SELECT series_key, min(window_start) AS window_start
+                    FROM g GROUP BY 1)
+              GROUP BY 1
+            )
+            SELECT a.window_start, count(*) AS active_series,
+                   coalesce(any_value(b.new_series), 0) AS new_series
+            FROM g a LEFT JOIN born2 b ON b.window_start = a.window_start
+            GROUP BY 1
             """,
         "rollup_1m_turns": _sql_turns(),
         "rollup_1m_turns_salted": _sql_turns(),
