@@ -547,6 +547,41 @@ def _q_series_churn_1h(sf_dir: str):
     return joined.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_tier_splice_turns(sf_dir: str):
+    """Tiered dashboard read: ONE continuous per-series counter stream
+    spliced from two tiers — coarse 1h windows before the boundary T
+    (old data reads from the downsampled tier), fine 1m windows from T on
+    (recent data reads full-resolution). T is the range midpoint floored
+    to the coarse tier. Both sides are pruned tier reads; the splice is a
+    union, no recompute."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    trans = ensure_transcripts(sf_dir)
+    ts = rd.read_parquet(trans, columns=["ts"])
+    lo = ts.min("ts")
+    hi = ts.max("ts")
+
+    def _s(v):
+        return int(v.timestamp()) if hasattr(v, "timestamp") else int(v) // 1_000_000
+
+    t_split = ((_s(lo) + _s(hi)) // 2) // 3600 * 3600
+
+    def side(tier, op, tag):
+        ds = _metric_tier(sf_dir, tier, "turns_total",
+                          ["series_key", "window_start", "count"])
+
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(op(t["window_start"], t_split))
+            return t.append_column(
+                "tier", pa.array([tag] * t.num_rows, type=pa.string()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return side("1h", pc.less, "1h").union(side("1m", pc.greater_equal, "1m"))
+
+
 def _q_lttb_1m_turns(sf_dir: str):
     """Dashboard-render downsampling: LTTB (largest-triangle-three-
     buckets) of each 1m counter series to 20 points — endpoints exact,
@@ -1019,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_5m_rate_1h_turns": _q_peak_5m_rate_1h,
         "zscore_1h_turns": _q_zscore_1h_turns,
         "lttb_1m_turns": _q_lttb_1m_turns,
+        "tier_splice_turns": _q_tier_splice_turns,
         "series_churn_1h_turns": _q_series_churn_1h,
         "predict_linear_1h_turns": _q_predict_linear_1h_turns,
         "holt_winters_1h_turns": _q_holt_winters_1h_turns,
@@ -1192,6 +1228,27 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(any_value(b.new_series), 0) AS new_series
             FROM g a LEFT JOIN born2 b ON b.window_start = a.window_start
             GROUP BY 1
+            """,
+        "tier_splice_turns": f"""
+            WITH bounds AS (
+              SELECT ((epoch_us(min(ts)) // 1000000
+                       + epoch_us(max(ts)) // 1000000) // 2) // 3600 * 3600
+                       AS t
+              FROM {_SQL_TRANSCRIPTS}
+            )
+            SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+                     AS series_key,
+                   {_w(3600)} AS window_start,
+                   count(*) AS count, '1h' AS tier
+            FROM {_SQL_TRANSCRIPTS}
+            WHERE {_w(3600)} < (SELECT t FROM bounds)
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}',
+                   {_w(60)}, count(*), '1m'
+            FROM {_SQL_TRANSCRIPTS}
+            WHERE {_w(60)} >= (SELECT t FROM bounds)
+            GROUP BY 1, 2
             """,
         "rollup_1m_turns": _sql_turns(),
         "rollup_1m_turns_salted": _sql_turns(),
