@@ -88,11 +88,11 @@ def run_bench() -> dict:
     # for genuinely hot single series — it subdivides work within a task,
     # so it costs kernel time and is off unless a series is hot enough to
     # need it (salted ≡ unsalted is property-tested).
-    # Best-of-2: identical legs on this shared VM routinely differ 2×
+    # Best-of-3: identical legs on this shared VM routinely differ 2×
     # from neighbor noise (see BASELINE.md); the best leg is the engine
-    # number, both raw legs are reported.
+    # number, all raw legs are reported.
     legs = []
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         manifests = run_pipeline(trans, out, n_buckets=8 * num_cpus, salt=1)
