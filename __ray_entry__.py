@@ -346,6 +346,19 @@ def _q_gauge_delta_1m(sf_dir: str):
     return series_delta(gauge, "series_key", "window_start", "last")
 
 
+def _q_resets_changes_1m_gauge(sf_dir: str):
+    """PromQL ``resets(conv_turn_idx[12 windows])`` and
+    ``changes(conv_turn_idx[12 windows])`` over the 1m gauge tier:
+    per series, counts of consecutive-sample decreases / value changes
+    within the trailing 12-window frame (stages/promql.resets_changes) —
+    the counter-reset and gauge-flappiness dashboard reads."""
+    from vertex_ray.stages.promql import resets_changes
+
+    gauge = _metric_tier(sf_dir, "1m", "conv_turn_idx",
+                         ["series_key", "window_start", "last"])
+    return resets_changes(gauge, "series_key", "window_start", "last", 12)
+
+
 def _q_rate_1h_turns(sf_dir: str):
     """PromQL increase()/rate() over the counter tier. Tiers store
     per-window deltas (the MetricNormalize absolute→incremental contract,
@@ -1047,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1h_latency_mean": _q_mean_1h,
         "rollup_1m_turn_gauge": _q_gauge_1m,
         "delta_1m_turn_gauge": _q_gauge_delta_1m,
+        "resets_changes_1m_gauge": _q_resets_changes_1m_gauge,
         "rollup_1h_turn_gauge": _q_gauge_1h,
         "gorilla_roundtrip_1m_gauge_locf": _q_gauge_locf_roundtrip,
         "internal_counters": _q_internal_counters,
@@ -1587,6 +1601,22 @@ def oracle_sql() -> dict[str, str]:
     QUALIFY delta IS NOT NULL
     """
     sqls["rollup_1h_turn_gauge"] = _sql_gauge(3600)
+    sqls["resets_changes_1m_gauge"] = f"""
+    WITH g AS ({_sql_gauge(60)}),
+    d AS (
+      SELECT series_key, window_start,
+             CASE WHEN last < lag(last) OVER w1 THEN 1 ELSE 0 END AS dec,
+             CASE WHEN last <> lag(last) OVER w1 THEN 1 ELSE 0 END AS chg
+      FROM g
+      WINDOW w1 AS (PARTITION BY series_key ORDER BY window_start)
+    )
+    SELECT series_key, window_start,
+           CAST(sum(dec) OVER w AS BIGINT) AS resets,
+           CAST(sum(chg) OVER w AS BIGINT) AS changes
+    FROM d
+    WINDOW w AS (PARTITION BY series_key ORDER BY window_start
+                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+    """
     sqls["gorilla_roundtrip_1m_gauge_locf"] = f"""
     WITH agg AS (
       SELECT 'conv_turn_idx{{conv_id=' || conv_id || '}}' AS series_key,

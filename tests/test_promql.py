@@ -457,3 +457,23 @@ def test_promql_kernels_random_crosscheck(ray_session):
     assert len(got) == len(want)
     for r in got.itertuples():
         assert r.smoothed == want[(r.k, r.w)], (r.k, r.w)
+
+
+def test_resets_changes(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import resets_changes
+
+    t = pa.table({
+        # s indicators vs previous sample: dec=[0,1,0,0,1] chg=[0,1,0,1,1]
+        # c: single-row series -> 0/0
+        "k": ["s"] * 5 + ["c"],
+        "w": [0, 60, 120, 180, 240, 0],
+        "v": [5.0, 2.0, 2.0, 7.0, 1.0, 9.0],
+    })
+    out = (resets_changes(rd.from_arrow(t), "k", "w", "v", 3)
+           .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
+    # sorted order: c@0 then s@0..240; frame = 3 trailing rows, clipped
+    # at the series start (sum of dec/chg indicators over rows p-2..p)
+    assert out["resets"].tolist() == [0, 0, 1, 1, 1, 1]
+    assert out["changes"].tolist() == [0, 0, 1, 1, 2, 2]

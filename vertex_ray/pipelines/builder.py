@@ -231,6 +231,13 @@ def _t_holt_winters(cfg, ds):
                         out_col=cfg.get("out_col", "smoothed"))
 
 
+def _t_resets_changes(cfg, ds):
+    from vertex_ray.stages.promql import resets_changes
+
+    return resets_changes(ds, cfg["key_col"], cfg["order_col"],
+                          cfg["value_col"], cfg["n"])
+
+
 def _t_lttb(cfg, ds):
     from vertex_ray.stages.promql import lttb_downsample
 
@@ -368,6 +375,7 @@ STEP_TYPES: dict[str, Callable] = {
     "group_sum": _t_group_sum,
     "zscore": _t_zscore,
     "holt_winters": _t_holt_winters,
+    "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,
     "unigram_score": _t_unigram_score,
     "semantic_dedup": _t_semantic_dedup,

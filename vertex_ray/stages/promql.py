@@ -591,3 +591,63 @@ def predict_linear(ds, key_col: str, order_col: str, value_col: str,
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def resets_changes(ds, key_col: str, order_col: str, value_col: str,
+                   n: int, n_buckets: int = 64):
+    """PromQL ``resets(metric[n windows])`` and ``changes(metric[n
+    windows])`` over tier rows: per series, within the trailing frame of
+    the last ``n`` windows (ROWS ``n-1 PRECEDING .. CURRENT ROW``), how
+    many consecutive-sample DECREASES (``resets`` — counter-reset
+    detection, /root/reference lib/prometheus semantics) and how many
+    consecutive-sample value CHANGES (``changes`` — gauge flappiness)
+    occurred. The comparison indicator for a row compares it to the
+    previous sample of the SAME series (the series' first row scores 0,
+    like PromQL's range clipped at the series start); the frame then sums
+    indicators — exact int64, order-free.
+
+    One exchange: the same hash-bucketed series kernel as ``over_time`` —
+    sort + shifted compare + cumsum differencing, no per-series task."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        v = g[value_col].to_numpy()
+        m = len(g)
+        new = np.ones(m, dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        first_pos = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(m) - first_pos[seg]
+        same = ~new
+        dec = np.zeros(m, dtype=np.int64)
+        chg = np.zeros(m, dtype=np.int64)
+        if m > 1:
+            dec[1:] = ((v[1:] < v[:-1]) & same[1:]).astype(np.int64)
+            chg[1:] = ((v[1:] != v[:-1]) & same[1:]).astype(np.int64)
+        # trailing-frame sums by cumsum differencing, clipped at the
+        # series start (same shape as over_time's sum path)
+        back = np.maximum(pos - n, -1) + first_pos[seg]
+        has_back = back >= 0
+        cd = np.cumsum(dec)
+        cc = np.cumsum(chg)
+        rd = cd.copy()
+        rc = cc.copy()
+        rd[has_back] -= cd[back[has_back]]
+        rc[has_back] -= cc[back[has_back]]
+        outdf = g[[key_col, order_col]].copy()
+        outdf["resets"] = rd
+        outdf["changes"] = rc
+        return outdf
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
