@@ -501,6 +501,19 @@ def _q_predict_linear_1h_turns(sf_dir: str):
                           n=6, steps_ahead=3, tier_seconds=3600)
 
 
+def _q_deriv_1h_turns(sf_dir: str):
+    """PromQL ``deriv(turns_total[6 windows])`` over the 1h counter tier:
+    per-second least-squares slope of each series' trailing 6 windows —
+    the trend read (stages/promql.deriv), same exact int64 regression
+    sums as predict_linear."""
+    from vertex_ray.stages.promql import deriv
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return deriv(ds, "series_key", "window_start", "count",
+                 n=6, tier_seconds=3600)
+
+
 def _q_series_churn_1h(sf_dir: str):
     """Store observability: per 1h window, the number of ACTIVE series
     and how many of them are NEW (this window is their first sample) —
@@ -1071,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tier_splice_turns": _q_tier_splice_turns,
         "series_churn_1h_turns": _q_series_churn_1h,
         "predict_linear_1h_turns": _q_predict_linear_1h_turns,
+        "deriv_1h_turns": _q_deriv_1h_turns,
         "holt_winters_1h_turns": _q_holt_winters_1h_turns,
         "backfill_1m_turns": _q_backfill_1m_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
@@ -1222,6 +1236,38 @@ def oracle_sql() -> dict[str, str]:
                         / (n*(sww - 2*u*sw + n*u*u)
                            - (sw - n*u)*(sw - n*u))) * 3.0
                    END AS predicted
+            FROM b
+            """,
+        "deriv_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+                       AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT series_key, window_start,
+                     window_start // 3600 AS u,
+                     count(*) OVER w AS n,
+                     sum(count) OVER w AS sy,
+                     sum(window_start // 3600) OVER w AS sw,
+                     sum((window_start // 3600) * count) OVER w AS swy,
+                     sum((window_start // 3600) * (window_start // 3600))
+                       OVER w AS sww
+              FROM g
+              WINDOW w AS (PARTITION BY series_key ORDER BY window_start
+                           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+            )
+            SELECT series_key, window_start,
+                   CASE WHEN n*(sww - 2*u*sw + n*u*u)
+                             - (sw - n*u)*(sw - n*u) <= 0 THEN NULL
+                   ELSE
+                     (CAST(n*(swy - u*sy) - (sw - n*u)*sy AS DOUBLE)
+                      / (n*(sww - 2*u*sw + n*u*u)
+                         - (sw - n*u)*(sw - n*u))) / 3600.0
+                   END AS deriv
             FROM b
             """,
         "series_churn_1h_turns": f"""

@@ -477,3 +477,26 @@ def test_resets_changes(ray_session):
     # at the series start (sum of dec/chg indicators over rows p-2..p)
     assert out["resets"].tolist() == [0, 0, 1, 1, 1, 1]
     assert out["changes"].tolist() == [0, 0, 1, 1, 2, 2]
+
+
+def test_deriv(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import deriv
+
+    t = pa.table({
+        "k": ["s"] * 4 + ["c"],
+        "w": [0, 3600, 7200, 10800, 0],
+        "v": np.array([10, 13, 10, 19, 5], dtype=np.int64),
+    })
+    out = (deriv(rd.from_arrow(t), "k", "w", "v", n=3, tier_seconds=3600)
+           .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
+    d = out["deriv"].tolist()
+    # c@0 and s@0: single-sample frame -> NaN
+    assert np.isnan(d[0]) and np.isnan(d[1])
+    # s@3600: frame {10,13} at x={0,1} -> slope 3/window
+    assert d[2] == 3.0 / 3600.0
+    # s@7200: frame {10,13,10} -> slope 0
+    assert d[3] == 0.0
+    # s@10800: frame {13,10,19} at x={1,2,3} -> lstsq slope 3/window
+    assert d[4] == 3.0 / 3600.0

@@ -231,6 +231,21 @@ def _t_holt_winters(cfg, ds):
                         out_col=cfg.get("out_col", "smoothed"))
 
 
+def _t_predict_linear(cfg, ds):
+    from vertex_ray.stages.promql import predict_linear
+
+    return predict_linear(ds, cfg["key_col"], cfg["order_col"],
+                          cfg["value_col"], cfg["n"], cfg["steps_ahead"],
+                          cfg["tier_seconds"])
+
+
+def _t_deriv(cfg, ds):
+    from vertex_ray.stages.promql import deriv
+
+    return deriv(ds, cfg["key_col"], cfg["order_col"], cfg["value_col"],
+                 cfg["n"], cfg["tier_seconds"])
+
+
 def _t_resets_changes(cfg, ds):
     from vertex_ray.stages.promql import resets_changes
 
@@ -375,6 +390,8 @@ STEP_TYPES: dict[str, Callable] = {
     "group_sum": _t_group_sum,
     "zscore": _t_zscore,
     "holt_winters": _t_holt_winters,
+    "predict_linear": _t_predict_linear,
+    "deriv": _t_deriv,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,
     "unigram_score": _t_unigram_score,

@@ -516,23 +516,15 @@ def holt_winters(ds, key_col: str, order_col: str, value_col: str,
     )
 
 
-def predict_linear(ds, key_col: str, order_col: str, value_col: str,
-                   n: int, steps_ahead: int, tier_seconds: int,
-                   out_col: str = "predicted", n_buckets: int = 64):
-    """PromQL ``predict_linear(metric[n windows], t)``: per series, least-
-    squares regression over the trailing ``n`` windows (ROWS frame
-    including the current row), evaluated ``steps_ahead`` windows past the
-    current one — the capacity-planning read ("when does the disk fill").
-
-    Exactness: requires an integer value column. Window positions are
-    normalized to small per-row-relative integers (x = window index −
-    current row's index), so every regression sum (Σx, Σy, Σxy, Σx²) is
-    an exact int64 computed by cumsum differencing; the slope/intercept/
-    projection are evaluated in the same float op order as the SQL
-    mirror, so finite predictions are bit-identical. Frames with zero
-    x-variance (a single sample) are NaN on both sides (SQL NULL).
-
-    One exchange: the same hash-bucketed series kernel as over_time."""
+def _linreg_stage(ds, key_col: str, order_col: str, value_col: str,
+                  n: int, tier_seconds: int, out_col: str, emit,
+                  n_buckets: int = 64):
+    """Shared trailing-frame least-squares machinery for predict_linear /
+    deriv: per series, exact int64 regression sums (Σx, Σy, Σxy, Σx²) over
+    the last ``n`` windows by cumsum differencing, x normalized to the
+    current row's window index so the ints stay small. ``emit(a, b)``
+    maps intercept/slope (per window step) to the output array; rows whose
+    frame has zero x-variance are NaN. One hash-bucketed exchange."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
         k = t[key_col].to_numpy(zero_copy_only=False)
@@ -547,8 +539,8 @@ def predict_linear(ds, key_col: str, order_col: str, value_col: str,
         y = g[value_col].to_numpy()
         if y.dtype.kind not in "iu":
             raise TypeError(
-                f"predict_linear needs an integer column for exact "
-                f"regression sums, got {y.dtype}")
+                f"linear regression reads need an integer column for "
+                f"exact regression sums, got {y.dtype}")
         yi = y.astype(np.int64)
         wi = ws // tier_seconds  # small window index
         new = np.ones(len(g), dtype=bool)
@@ -580,7 +572,7 @@ def predict_linear(ds, key_col: str, order_col: str, value_col: str,
         with np.errstate(divide="ignore", invalid="ignore"):
             b = num.astype(np.float64) / den
             a = (sy.astype(np.float64) - b * sx.astype(np.float64)) / cnt
-            p = a + b * float(steps_ahead)
+            p = emit(a, b)
         p = np.where(den > 0, p, np.nan)
         outdf = g[[key_col, order_col]].copy()
         outdf[out_col] = p
@@ -591,6 +583,43 @@ def predict_linear(ds, key_col: str, order_col: str, value_col: str,
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def predict_linear(ds, key_col: str, order_col: str, value_col: str,
+                   n: int, steps_ahead: int, tier_seconds: int,
+                   out_col: str = "predicted", n_buckets: int = 64):
+    """PromQL ``predict_linear(metric[n windows], t)``: per series, least-
+    squares regression over the trailing ``n`` windows (ROWS frame
+    including the current row), evaluated ``steps_ahead`` windows past the
+    current one — the capacity-planning read ("when does the disk fill").
+
+    Exactness: requires an integer value column. Window positions are
+    normalized to small per-row-relative integers (x = window index −
+    current row's index), so every regression sum (Σx, Σy, Σxy, Σx²) is
+    an exact int64 computed by cumsum differencing; the slope/intercept/
+    projection are evaluated in the same float op order as the SQL
+    mirror, so finite predictions are bit-identical. Frames with zero
+    x-variance (a single sample) are NaN on both sides (SQL NULL).
+
+    One exchange: the same hash-bucketed series kernel as over_time."""
+    return _linreg_stage(
+        ds, key_col, order_col, value_col, n, tier_seconds, out_col,
+        lambda a, b: a + b * float(steps_ahead), n_buckets=n_buckets)
+
+
+def deriv(ds, key_col: str, order_col: str, value_col: str,
+          n: int, tier_seconds: int, out_col: str = "deriv",
+          n_buckets: int = 64):
+    """PromQL ``deriv(metric[n windows])``: the per-SECOND least-squares
+    slope of the series over the trailing ``n`` windows (the trend read —
+    sign says growing/shrinking, magnitude says how fast). Same exact
+    int64 regression sums as predict_linear; the per-window slope is
+    divided by the tier width in the same float op order as the SQL
+    mirror so finite values are bit-identical. Single-sample frames are
+    NaN (SQL NULL)."""
+    return _linreg_stage(
+        ds, key_col, order_col, value_col, n, tier_seconds, out_col,
+        lambda a, b: b / float(tier_seconds), n_buckets=n_buckets)
 
 
 def resets_changes(ds, key_col: str, order_col: str, value_col: str,
