@@ -514,6 +514,28 @@ def _q_deriv_1h_turns(sf_dir: str):
                  n=6, tier_seconds=3600)
 
 
+def _q_irate_idelta_1m_latency(sf_dir: str):
+    """PromQL ``irate()`` / ``idelta()`` over the 1m latency tier's
+    ``last`` sample: instantaneous rate/delta from each series' last two
+    samples, counter-reset rule on decreases
+    (stages/promql.irate_idelta). Latencies are integer seconds stored
+    exactly in float64, so the cast back to int64 is lossless."""
+    from vertex_ray.stages.promql import irate_idelta
+
+    ds = _metric_tier(sf_dir, "1m", "inter_turn_latency_seconds",
+                      ["series_key", "window_start", "last"])
+
+    def cast_last(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return t.set_column(t.schema.get_field_index("last"), "last",
+                            pc.cast(t["last"], pa.int64()))
+
+    ds = ds.map_batches(cast_last, batch_format="pyarrow")
+    return irate_idelta(ds, "series_key", "window_start", "last")
+
+
 def _q_series_churn_1h(sf_dir: str):
     """Store observability: per 1h window, the number of ACTIVE series
     and how many of them are NEW (this window is their first sample) —
@@ -1085,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_churn_1h_turns": _q_series_churn_1h,
         "predict_linear_1h_turns": _q_predict_linear_1h_turns,
         "deriv_1h_turns": _q_deriv_1h_turns,
+        "irate_idelta_1m_latency": _q_irate_idelta_1m_latency,
         "holt_winters_1h_turns": _q_holt_winters_1h_turns,
         "backfill_1m_turns": _q_backfill_1m_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
@@ -1269,6 +1292,21 @@ def oracle_sql() -> dict[str, str]:
                          - (sw - n*u)*(sw - n*u))) / 3600.0
                    END AS deriv
             FROM b
+            """,
+        "irate_idelta_1m_latency": f"""
+            WITH g AS ({_sql_lat(60)}),
+            d AS (
+              SELECT series_key, window_start, last AS v,
+                     lag(last) OVER w AS pv,
+                     lag(window_start) OVER w AS pw
+              FROM g
+              WINDOW w AS (PARTITION BY series_key ORDER BY window_start)
+            )
+            SELECT series_key, window_start,
+                   CAST(v - pv AS DOUBLE) AS idelta,
+                   CAST(CASE WHEN v >= pv THEN v - pv ELSE v END AS DOUBLE)
+                     / (window_start - pw) AS irate
+            FROM d
             """,
         "series_churn_1h_turns": f"""
             WITH g AS (

@@ -500,3 +500,29 @@ def test_deriv(ray_session):
     assert d[3] == 0.0
     # s@10800: frame {13,10,19} at x={1,2,3} -> lstsq slope 3/window
     assert d[4] == 3.0 / 3600.0
+
+
+def test_irate_idelta(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import irate_idelta
+
+    t = pa.table({
+        "k": ["s"] * 4 + ["c"],
+        # uneven gaps: 60s then 120s then 60s
+        "w": [0, 60, 180, 240, 0],
+        "v": np.array([10, 16, 4, 4, 7], dtype=np.int64),
+    })
+    out = (irate_idelta(rd.from_arrow(t), "k", "w", "v")
+           .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
+    idelta = out["idelta"].tolist()
+    irate = out["irate"].tolist()
+    # c@0, s@0: first sample of each series -> NaN
+    assert np.isnan(idelta[0]) and np.isnan(irate[0])
+    assert np.isnan(idelta[1]) and np.isnan(irate[1])
+    # s@60: +6 over 60s
+    assert idelta[2] == 6.0 and irate[2] == 0.1
+    # s@180: decrease 16 -> 4 => idelta -12; reset rule: irate = 4/120
+    assert idelta[3] == -12.0 and irate[3] == 4.0 / 120.0
+    # s@240: flat
+    assert idelta[4] == 0.0 and irate[4] == 0.0

@@ -246,6 +246,13 @@ def _t_deriv(cfg, ds):
                  cfg["n"], cfg["tier_seconds"])
 
 
+def _t_irate_idelta(cfg, ds):
+    from vertex_ray.stages.promql import irate_idelta
+
+    return irate_idelta(ds, cfg["key_col"], cfg["order_col"],
+                        cfg["value_col"])
+
+
 def _t_resets_changes(cfg, ds):
     from vertex_ray.stages.promql import resets_changes
 
@@ -392,6 +399,7 @@ STEP_TYPES: dict[str, Callable] = {
     "holt_winters": _t_holt_winters,
     "predict_linear": _t_predict_linear,
     "deriv": _t_deriv,
+    "irate_idelta": _t_irate_idelta,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,
     "unigram_score": _t_unigram_score,

@@ -622,6 +622,61 @@ def deriv(ds, key_col: str, order_col: str, value_col: str,
         lambda a, b: b / float(tier_seconds), n_buckets=n_buckets)
 
 
+def irate_idelta(ds, key_col: str, order_col: str, value_col: str,
+                 n_buckets: int = 64):
+    """PromQL ``irate()`` / ``idelta()``: instantaneous rate and delta from
+    the LAST TWO samples of each series at every evaluation point — the
+    spiky-counter read (vs ``rate``'s whole-range average). Per series
+    sorted by ``order_col`` (window_start, epoch seconds):
+
+    - ``idelta`` = v − v_prev
+    - ``irate``  = (v − v_prev) / (w − w_prev) when v ≥ v_prev, else
+      v / (w − w_prev) — the counter-reset rule: a decrease means the
+      counter restarted, so the post-reset value IS the increase.
+
+    Both are NULL (NaN) on a series' first sample. Requires an integer
+    value column so the numerator is exact and the single float division
+    is bit-identical to the SQL mirror. One hash-bucketed exchange, same
+    kernel shape as over_time — shifted compares, no per-series task."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        w = g[order_col].to_numpy().astype(np.int64)
+        v = g[value_col].to_numpy()
+        if v.dtype.kind not in "iu":
+            raise TypeError(
+                f"irate/idelta need an integer column for an exact "
+                f"numerator, got {v.dtype}")
+        vi = v.astype(np.int64)
+        m = len(g)
+        same = np.zeros(m, dtype=bool)
+        same[1:] = k[1:] == k[:-1]
+        dv = np.zeros(m, dtype=np.int64)
+        dt = np.ones(m, dtype=np.int64)
+        dv[1:] = vi[1:] - vi[:-1]
+        dt[1:] = w[1:] - w[:-1]
+        num = np.where(dv >= 0, dv, vi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            irate = num.astype(np.float64) / dt.astype(np.float64)
+        outdf = g[[key_col, order_col]].copy()
+        outdf["idelta"] = np.where(same, dv.astype(np.float64), np.nan)
+        outdf["irate"] = np.where(same, irate, np.nan)
+        return outdf
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
 def resets_changes(ds, key_col: str, order_col: str, value_col: str,
                    n: int, n_buckets: int = 64):
     """PromQL ``resets(metric[n windows])`` and ``changes(metric[n
