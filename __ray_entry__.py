@@ -514,6 +514,18 @@ def _q_deriv_1h_turns(sf_dir: str):
                  n=6, tier_seconds=3600)
 
 
+def _q_stddev_over_1h_turns(sf_dir: str):
+    """PromQL ``stddev_over_time(turns_total[6 windows])`` over the 1h
+    counter tier: trailing population stddev per series from exact int64
+    sum / sum-of-squares partials (stages/promql.over_time)."""
+    from vertex_ray.stages.promql import over_time
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return over_time(ds, "series_key", "window_start", "count", 6,
+                     agg="stddev")
+
+
 def _q_irate_idelta_1m_latency(sf_dir: str):
     """PromQL ``irate()`` / ``idelta()`` over the 1m latency tier's
     ``last`` sample: instantaneous rate/delta from each series' last two
@@ -1108,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predict_linear_1h_turns": _q_predict_linear_1h_turns,
         "deriv_1h_turns": _q_deriv_1h_turns,
         "irate_idelta_1m_latency": _q_irate_idelta_1m_latency,
+        "stddev_over_1h_turns": _q_stddev_over_1h_turns,
         "holt_winters_1h_turns": _q_holt_winters_1h_turns,
         "backfill_1m_turns": _q_backfill_1m_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
@@ -1307,6 +1320,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN v >= pv THEN v - pv ELSE v END AS DOUBLE)
                      / (window_start - pw) AS irate
             FROM d
+            """,
+        "stddev_over_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+                       AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT series_key, window_start,
+                     count(*) OVER w AS n,
+                     sum(count) OVER w AS s,
+                     sum(count * count) OVER w AS ss
+              FROM g
+              WINDOW w AS (PARTITION BY series_key ORDER BY window_start
+                           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+            )
+            SELECT series_key, window_start,
+                   sqrt(CAST(n*ss - s*s AS DOUBLE) / (n*n)) AS stddev_over
+            FROM b
             """,
         "series_churn_1h_turns": f"""
             WITH g AS (

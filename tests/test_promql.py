@@ -526,3 +526,25 @@ def test_irate_idelta(ray_session):
     assert idelta[3] == -12.0 and irate[3] == 4.0 / 120.0
     # s@240: flat
     assert idelta[4] == 0.0 and irate[4] == 0.0
+
+
+def test_stddev_stdvar_over_time(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import over_time
+
+    t = pa.table({
+        "k": ["s"] * 4 + ["c"],
+        "w": [0, 60, 120, 180, 0],
+        "v": np.array([2, 4, 4, 4, 9], dtype=np.int64),
+    })
+    ds = rd.from_arrow(t)
+    sv = (over_time(ds, "k", "w", "v", 3, agg="stdvar")
+          .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
+    # c@0 and s@0: single-sample frame -> var 0
+    # s@60 frame {2,4}: var 1; s@120 frame {2,4,4}: var 8/9; s@180 {4,4,4}: 0
+    assert sv["stdvar_over"].tolist() == [0.0, 0.0, 1.0, 8.0 / 9.0, 0.0]
+    sd = (over_time(ds, "k", "w", "v", 3, agg="stddev")
+          .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
+    assert sd["stddev_over"].tolist() == [
+        0.0, 0.0, 1.0, np.sqrt(8.0 / 9.0), 0.0]

@@ -223,7 +223,8 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
     ``n-1 PRECEDING .. CURRENT ROW``; shorter at series start, like a
     range selector clipped at the series' first sample).
 
-    ``avg``/``sum`` require an integer value column — the moving sum is
+    ``avg``/``sum``/``stddev``/``stdvar`` require an integer value column
+    — the moving sum (and sum of squares) is
     computed by exact int64 cumsum differencing so the result is
     bit-identical to any evaluation order (float frames would need a
     defined summation order; use max/min for floats). ``max``/``min``
@@ -238,7 +239,8 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
     One exchange: series are hash-bucketed (same shape as
     stages.windows.series_delta); each bucket kernel is one vectorized
     sort + cumsum/rolling call, never a per-series Python task."""
-    if agg not in ("avg", "sum", "max", "min", "count", "quantile"):
+    if agg not in ("avg", "sum", "max", "min", "count", "quantile",
+                   "stddev", "stdvar"):
         raise ValueError(f"unsupported over_time agg: {agg}")
     out = out_col or f"{agg}_over"
 
@@ -279,20 +281,38 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
             hi = m[rows, crn.astype(np.int64)]
             # exact SQL quantile_cont evaluation shape (bit-for-bit)
             res = np.where(frn == crn, lo, (crn - rn) * lo + (rn - frn) * hi)
-        elif agg in ("avg", "sum"):
+        elif agg in ("avg", "sum", "stddev", "stdvar"):
             if v.dtype.kind not in "iu":
                 raise TypeError(
                     f"over_time {agg} needs an integer column for exact "
                     f"moving sums, got {v.dtype}")
-            c = np.cumsum(v.astype(np.int64))
-            s = c.copy()
-            # subtract the cumsum at the row before the frame: n rows back,
-            # clipped to just-before-the-series (cuts off prior series too)
-            back = np.maximum(pos - n, -1) + first_pos[seg]
-            has_back = back >= 0
-            s[has_back] -= c[back[has_back]]
-            res = s.astype(np.float64) / cnt if agg == "avg" \
-                else s.astype(np.float64)
+
+            def frame_sum(x: np.ndarray) -> np.ndarray:
+                c = np.cumsum(x)
+                s = c.copy()
+                # subtract the cumsum at the row before the frame: n rows
+                # back, clipped to just-before-the-series (cuts off prior
+                # series too)
+                back = np.maximum(pos - n, -1) + first_pos[seg]
+                has_back = back >= 0
+                s[has_back] -= c[back[has_back]]
+                return s
+
+            vi = v.astype(np.int64)
+            s = frame_sum(vi)
+            if agg in ("stddev", "stdvar"):
+                # population variance from exact int64 sum / sum-of-squares
+                # partials: var = (n·Σv² − (Σv)²) / n² — numerator exact,
+                # single float division (+ IEEE sqrt) mirrors the SQL shape
+                # bit-for-bit (same formula the stddev-by-label aggregate
+                # uses; Prometheus stddev_over_time is population stddev)
+                ss = frame_sum(vi * vi)
+                res = (cnt * ss - s * s).astype(np.float64) / (cnt * cnt)
+                if agg == "stddev":
+                    res = np.sqrt(res)
+            else:
+                res = s.astype(np.float64) / cnt if agg == "avg" \
+                    else s.astype(np.float64)
         else:
             roll = (g.groupby(k, sort=False)[value_col]
                     .rolling(n, min_periods=1))
