@@ -514,6 +514,21 @@ def _q_deriv_1h_turns(sf_dir: str):
                  n=6, tier_seconds=3600)
 
 
+def _q_label_replace_clamp_1h(sf_dir: str):
+    """PromQL ``clamp(label_replace(turns_total, "conv_prefix", "$1",
+    "conv_id", "conv(\\d{4})\\d*"), 1, 5)`` over the 1h counter tier:
+    derive a conv-id-prefix label into the rewritten series_key (appended
+    last — the engine's relabeled-key normal form) and clamp the count
+    (stages/promql.label_replace / clamp)."""
+    from vertex_ray.stages.promql import clamp, label_replace
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    ds = label_replace(ds, "conv_prefix", "$1", "conv_id",
+                       r"conv(\d{4})\d*")
+    return clamp(ds, "count", lo=1, hi=5)
+
+
 def _q_stddev_over_1h_turns(sf_dir: str):
     """PromQL ``stddev_over_time(turns_total[6 windows])`` over the 1h
     counter tier: trailing population stddev per series from exact int64
@@ -1121,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deriv_1h_turns": _q_deriv_1h_turns,
         "irate_idelta_1m_latency": _q_irate_idelta_1m_latency,
         "stddev_over_1h_turns": _q_stddev_over_1h_turns,
+        "label_replace_clamp_1h_turns": _q_label_replace_clamp_1h,
         "holt_winters_1h_turns": _q_holt_winters_1h_turns,
         "backfill_1m_turns": _q_backfill_1m_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
@@ -1342,6 +1358,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT series_key, window_start,
                    sqrt(CAST(n*ss - s*s AS DOUBLE) / (n*n)) AS stddev_over
             FROM b
+            """,
+        "label_replace_clamp_1h_turns": f"""
+            SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                     || ',conv_prefix='
+                     || regexp_extract(conv_id, 'conv(\\d{{4}})\\d*', 1)
+                     || '}}' AS series_key,
+                   {_w(3600)} AS window_start,
+                   LEAST(GREATEST(count(*), 1), 5) AS count
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY conv_id, role, 2
             """,
         "series_churn_1h_turns": f"""
             WITH g AS (

@@ -548,3 +548,66 @@ def test_stddev_stdvar_over_time(ray_session):
           .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
     assert sd["stddev_over"].tolist() == [
         0.0, 0.0, 1.0, np.sqrt(8.0 / 9.0), 0.0]
+
+
+def test_label_replace_join_clamp(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import clamp, label_join, label_replace
+
+    t = pa.table({
+        "series_key": [
+            "m{conv_id=conv0007,role=user}",
+            "m{conv_id=other,role=tool}",
+            "m{role=assistant}",
+        ],
+        "v": [1.0, 5.0, 9.0],
+    })
+    ds = rd.from_arrow(t)
+
+    # capture-group expansion; non-matching rows pass through; missing
+    # src label matches as empty string only if the regex allows it
+    out = (label_replace(ds, "conv_short", "$1", "conv_id",
+                         r"conv0*(\d+)")
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    assert out["series_key"].tolist() == [
+        "m{conv_id=conv0007,role=user,conv_short=7}",
+        "m{conv_id=other,role=tool}",
+        "m{role=assistant}",
+    ]
+
+    # overwrite an existing label: stripped then appended last
+    out = (label_replace(ds, "role", "R", "role", r".*")
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    assert out["series_key"].tolist() == [
+        "m{conv_id=conv0007,role=R}",
+        "m{conv_id=other,role=R}",
+        "m{role=R}",
+    ]
+
+    # empty replacement removes the label (down to {})
+    out = (label_replace(ds, "role", "", "role", r".*")
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    assert out["series_key"].tolist() == [
+        "m{conv_id=conv0007}",
+        "m{conv_id=other}",
+        "m{}",
+    ]
+
+    # label_join: missing srcs join as empty strings
+    out = (label_join(ds, "combo", "-", ["role", "conv_id"])
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    assert out["series_key"].tolist() == [
+        "m{conv_id=conv0007,role=user,combo=user-conv0007}",
+        "m{conv_id=other,role=tool,combo=tool-other}",
+        "m{role=assistant,combo=assistant-}",
+    ]
+
+    # clamp family
+    got = (clamp(ds, "v", lo=2.0, hi=6.0).to_pandas()
+           .sort_values("series_key")["v"].tolist())
+    assert sorted(got) == [2.0, 5.0, 6.0]
+    got = clamp(ds, "v", lo=4.0).to_pandas()["v"].tolist()
+    assert sorted(got) == [4.0, 5.0, 9.0]
+    with pytest.raises(ValueError):
+        clamp(ds, "v")

@@ -246,6 +246,25 @@ def _t_deriv(cfg, ds):
                  cfg["n"], cfg["tier_seconds"])
 
 
+def _t_label_replace(cfg, ds):
+    from vertex_ray.stages.promql import label_replace
+
+    return label_replace(ds, cfg["dst"], cfg["replacement"], cfg["src"],
+                         cfg["regex"])
+
+
+def _t_label_join(cfg, ds):
+    from vertex_ray.stages.promql import label_join
+
+    return label_join(ds, cfg["dst"], cfg.get("sep", ""), cfg["srcs"])
+
+
+def _t_clamp(cfg, ds):
+    from vertex_ray.stages.promql import clamp
+
+    return clamp(ds, cfg["value_col"], lo=cfg.get("lo"), hi=cfg.get("hi"))
+
+
 def _t_irate_idelta(cfg, ds):
     from vertex_ray.stages.promql import irate_idelta
 
@@ -400,6 +419,9 @@ STEP_TYPES: dict[str, Callable] = {
     "predict_linear": _t_predict_linear,
     "deriv": _t_deriv,
     "irate_idelta": _t_irate_idelta,
+    "label_replace": _t_label_replace,
+    "label_join": _t_label_join,
+    "clamp": _t_clamp,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,
     "unigram_score": _t_unigram_score,

@@ -24,6 +24,8 @@ stages.windows.series_delta.
 
 from __future__ import annotations
 
+import re as _re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -755,3 +757,92 @@ def resets_changes(ds, key_col: str, order_col: str, value_col: str,
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def _splice_label(key: pa.ChunkedArray, dst: str,
+                  dstval: pa.Array | pa.ChunkedArray):
+    """Rebuild series_keys with label ``dst`` set to ``dstval`` per row:
+    any existing ``dst`` is stripped, then (where ``dstval`` is non-empty)
+    the label is appended as the LAST label — the engine's rewritten-key
+    convention (PromQL label identity is a set; this rendering is the
+    documented normal form for relabeled keys). Empty ``dstval`` removes
+    the label (PromQL label_replace semantics). All steps are vectorized
+    RE2 / concat kernels."""
+    # strip an existing dst label: mid (",dst=v"), first-of-many
+    # ("{dst=v,"), or only ("{dst=v}")
+    stripped = pc.replace_substring_regex(key, rf",{dst}=[^,}}]*", "")
+    stripped = pc.replace_substring_regex(stripped, rf"\{{{dst}=[^,}}]*,", "{")
+    stripped = pc.replace_substring_regex(stripped, rf"\{{{dst}=[^,}}]*\}}", "{}")
+    base = pc.replace_substring_regex(stripped, r"\}$", "")
+    sep = pc.if_else(pc.ends_with(base, "{"), "", ",")
+    joined = pc.binary_join_element_wise(
+        base, sep, f"{dst}=", dstval, "}", "")
+    return pc.if_else(pc.equal(dstval, ""), stripped, joined)
+
+
+def label_replace(ds, dst: str, replacement: str, src: str, regex: str,
+                  key_col: str = "series_key"):
+    """PromQL ``label_replace(metric, dst, replacement, src, regex)``:
+    where ``regex`` FULL-matches the value of label ``src`` (missing label
+    = empty string, as in PromQL), set label ``dst`` to ``replacement``
+    with ``$1``-style capture-group expansion and rewrite the series_key;
+    non-matching rows pass through unchanged. An empty expanded
+    replacement removes ``dst``. Element-wise (no shuffle); rewritten keys
+    carry ``dst`` as the last label."""
+    rewrite = _re.sub(r"\$(\d)", r"\\\1", replacement)
+    anchored = rf"^(?:{regex})$"
+
+    def fn(t: pa.Table) -> pa.Table:
+        src_t = extract_label(t, src, key_col=key_col, out_col="__src")
+        sv = pc.fill_null(src_t["__src"], "")
+        matched = pc.match_substring_regex(sv, anchored)
+        dstval = pc.replace_substring_regex(sv, anchored, rewrite)
+        newkey = pc.if_else(matched,
+                            _splice_label(t[key_col], dst, dstval),
+                            t[key_col])
+        return t.set_column(t.schema.get_field_index(key_col), key_col,
+                            newkey)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def label_join(ds, dst: str, sep: str, srcs: list[str],
+               key_col: str = "series_key"):
+    """PromQL ``label_join(metric, dst, sep, src1, src2, ...)``: set label
+    ``dst`` to the values of the ``srcs`` labels joined by ``sep``
+    (missing labels join as empty strings) and rewrite the series_key.
+    Element-wise; same rewritten-key convention as label_replace."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals = []
+        for s in srcs:
+            st = extract_label(t, s, key_col=key_col, out_col="__v")
+            vals.append(pc.fill_null(st["__v"], ""))
+        dstval = pc.binary_join_element_wise(*vals, sep) if len(vals) > 1 \
+            else vals[0]
+        return t.set_column(t.schema.get_field_index(key_col), key_col,
+                            _splice_label(t[key_col], dst, dstval))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def clamp(ds, value_col: str, lo: float | None = None,
+          hi: float | None = None, out_col: str | None = None):
+    """PromQL ``clamp(metric, lo, hi)`` / ``clamp_min`` / ``clamp_max``:
+    element-wise bound of a value column (pass lo, hi, or both). No
+    shuffle; pure Arrow kernels."""
+    if lo is None and hi is None:
+        raise ValueError("clamp needs at least one bound")
+    out = out_col or value_col
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        if lo is not None:
+            v = pc.max_element_wise(v, pa.scalar(lo, type=v.type))
+        if hi is not None:
+            v = pc.min_element_wise(v, pa.scalar(hi, type=v.type))
+        if out in t.column_names:
+            return t.set_column(t.schema.get_field_index(out), out, v)
+        return t.append_column(out, v)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
