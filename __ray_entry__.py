@@ -514,6 +514,19 @@ def _q_deriv_1h_turns(sf_dir: str):
                  n=6, tier_seconds=3600)
 
 
+def _q_alert_state_1m_latency(sf_dir: str):
+    """Prometheus-style alerting rule over the 1m latency tier:
+    ``max_latency > 30s FOR 3 windows`` — inactive/pending/firing state
+    per series sample, consecutive-breach runs broken by missing windows
+    (stages/promql.alert_state)."""
+    from vertex_ray.stages.promql import alert_state
+
+    ds = _metric_tier(sf_dir, "1m", "inter_turn_latency_seconds",
+                      ["series_key", "window_start", "max"])
+    return alert_state(ds, "series_key", "window_start", "max",
+                       threshold=30.0, for_windows=3, tier_seconds=60)
+
+
 def _q_label_replace_clamp_1h(sf_dir: str):
     """PromQL ``clamp(label_replace(turns_total, "conv_prefix", "$1",
     "conv_id", "conv(\\d{4})\\d*"), 1, 5)`` over the 1h counter tier:
@@ -1137,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "irate_idelta_1m_latency": _q_irate_idelta_1m_latency,
         "stddev_over_1h_turns": _q_stddev_over_1h_turns,
         "label_replace_clamp_1h_turns": _q_label_replace_clamp_1h,
+        "alert_state_1m_latency": _q_alert_state_1m_latency,
         "holt_winters_1h_turns": _q_holt_winters_1h_turns,
         "backfill_1m_turns": _q_backfill_1m_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
@@ -1368,6 +1382,40 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(GREATEST(count(*), 1), 5) AS count
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY conv_id, role, 2
+            """,
+        "alert_state_1m_latency": f"""
+            WITH g AS ({_sql_lat(60)}),
+            d AS (
+              SELECT series_key, window_start, max,
+                     CASE WHEN max > 30 THEN 1 ELSE 0 END AS cond,
+                     lag(window_start) OVER w AS pw,
+                     lag(CASE WHEN max > 30 THEN 1 ELSE 0 END) OVER w AS pcond
+              FROM g
+              WINDOW w AS (PARTITION BY series_key ORDER BY window_start)
+            ),
+            s AS (
+              SELECT *, CASE WHEN cond = 1 AND NOT
+                               (coalesce(pcond, 0) = 1
+                                AND window_start - pw = 60)
+                             THEN 1 ELSE 0 END AS strt
+              FROM d
+            ),
+            r AS (
+              SELECT *, sum(strt) OVER (PARTITION BY series_key
+                                        ORDER BY window_start) AS grp
+              FROM s
+            )
+            SELECT series_key, window_start, max,
+                   CAST(CASE WHEN cond = 1 THEN
+                          row_number() OVER (PARTITION BY series_key, grp
+                                             ORDER BY window_start)
+                        ELSE 0 END AS BIGINT) AS run,
+                   CASE WHEN cond = 0 THEN 'inactive'
+                        WHEN row_number() OVER (PARTITION BY series_key, grp
+                                                ORDER BY window_start) >= 3
+                          THEN 'firing'
+                        ELSE 'pending' END AS state
+            FROM r
             """,
         "series_churn_1h_turns": f"""
             WITH g AS (

@@ -611,3 +611,28 @@ def test_label_replace_join_clamp(ray_session):
     assert sorted(got) == [4.0, 5.0, 9.0]
     with pytest.raises(ValueError):
         clamp(ds, "v")
+
+
+def test_alert_state(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import alert_state
+
+    t = pa.table({
+        "k": ["s"] * 6 + ["q"] * 2,
+        #                         gap breaks the run v
+        "w": [0, 60, 120, 180, 300, 360, 0, 60],
+        "v": [1.0, 9.0, 9.0, 9.0, 9.0, 2.0, 9.0, 9.0],
+    })
+    out = (alert_state(rd.from_arrow(t), "k", "w", "v",
+                       threshold=5.0, for_windows=3, tier_seconds=60)
+           .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
+    # q: two consecutive breaches -> pending, pending... wait run 1,2 < 3
+    assert out[out.k == "q"]["state"].tolist() == ["pending", "pending"]
+    assert out[out.k == "q"]["run"].tolist() == [1, 2]
+    s = out[out.k == "s"]
+    # s: below, breach run 1,2,3 (fires at 180), gap resets -> run 1,
+    # then below again
+    assert s["run"].tolist() == [0, 1, 2, 3, 1, 0]
+    assert s["state"].tolist() == [
+        "inactive", "pending", "pending", "firing", "pending", "inactive"]

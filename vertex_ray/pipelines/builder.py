@@ -272,6 +272,14 @@ def _t_irate_idelta(cfg, ds):
                         cfg["value_col"])
 
 
+def _t_alert_state(cfg, ds):
+    from vertex_ray.stages.promql import alert_state
+
+    return alert_state(ds, cfg["key_col"], cfg["order_col"],
+                       cfg["value_col"], cfg["threshold"],
+                       cfg["for_windows"], cfg["tier_seconds"])
+
+
 def _t_resets_changes(cfg, ds):
     from vertex_ray.stages.promql import resets_changes
 
@@ -422,6 +430,7 @@ STEP_TYPES: dict[str, Callable] = {
     "label_replace": _t_label_replace,
     "label_join": _t_label_join,
     "clamp": _t_clamp,
+    "alert_state": _t_alert_state,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,
     "unigram_score": _t_unigram_score,

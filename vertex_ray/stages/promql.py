@@ -846,3 +846,57 @@ def clamp(ds, value_col: str, lo: float | None = None,
         return t.append_column(out, v)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def alert_state(ds, key_col: str, order_col: str, value_col: str,
+                threshold: float, for_windows: int, tier_seconds: int,
+                n_buckets: int = 64):
+    """Prometheus-style alerting rule evaluation over tier rows —
+    ``expr > threshold FOR <for_windows> windows``. Per series sorted by
+    window_start, each sample is classified:
+
+    - ``inactive`` — value ≤ threshold
+    - ``pending``  — breaching, but the current CONSECUTIVE breach run
+      (contiguous samples exactly ``tier_seconds`` apart; a missing
+      window breaks the run, like staleness ending a PromQL vector) is
+      shorter than ``for_windows``
+    - ``firing``   — the run has reached ``for_windows`` samples
+
+    Also emits ``run`` (consecutive breach count, int64) so downstream
+    routing can dedup/throttle notifications. Vectorized run-length via
+    the start-marker + cummax trick — no per-series loop; one
+    hash-bucketed exchange (same kernel shape as over_time)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        w = g[order_col].to_numpy().astype(np.int64)
+        v = g[value_col].to_numpy()
+        m = len(g)
+        cond = v > threshold
+        chain = np.zeros(m, dtype=bool)  # continues the previous row's run
+        if m > 1:
+            chain[1:] = (cond[1:] & cond[:-1] & (k[1:] == k[:-1])
+                         & (w[1:] - w[:-1] == tier_seconds))
+        start = cond & ~chain
+        idx = np.arange(m)
+        last_start = np.maximum.accumulate(np.where(start, idx, -1))
+        run = np.where(cond, idx - last_start + 1, 0).astype(np.int64)
+        state = np.where(run == 0, "inactive",
+                         np.where(run >= for_windows, "firing", "pending"))
+        outdf = g[[key_col, order_col, value_col]].copy()
+        outdf["run"] = run
+        outdf["state"] = state
+        return outdf
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
