@@ -349,3 +349,34 @@ def test_late_data_flag_watermark(ray_session):
     assert out["late"].tolist() == [False, False, False, True, False, False]
     # on-time rows get their tumbling window; the late row gets -1
     assert out["window_start"].tolist() == [100, 1000, 900, -1, 2000, 0]
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_epoch_shuffle(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.shuffle import epoch_shuffle, shuffle_key
+
+    ids = np.arange(100, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "v": ids * 2}))
+
+    out = epoch_shuffle(ds, "doc_id", seed=7).to_pandas()
+    # totality + determinism: a permutation of the input, sorted by key
+    assert sorted(out["doc_id"]) == list(range(100))
+    k = shuffle_key(out["doc_id"].to_numpy(), 7)
+    assert (out["shuffle_key"].to_numpy() == k).all()
+    assert (np.diff(out["shuffle_key"].to_numpy()) >= 0).all()
+    # actually scrambled (not identity / not reversed)
+    assert out["doc_id"].tolist() != list(range(100))
+    # different seed -> different order; same seed -> same order
+    out2 = epoch_shuffle(ds, "doc_id", seed=8).to_pandas()
+    assert out2["doc_id"].tolist() != out["doc_id"].tolist()
+    out3 = epoch_shuffle(ds, "doc_id", seed=7).to_pandas()
+    assert out3["doc_id"].tolist() == out["doc_id"].tolist()
+    # payload stays attached
+    assert (out["v"].to_numpy() == out["doc_id"].to_numpy() * 2).all()
+
+    with pytest.raises(ValueError):
+        shuffle_key(ids, -1)

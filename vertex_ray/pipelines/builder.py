@@ -272,6 +272,12 @@ def _t_irate_idelta(cfg, ds):
                         cfg["value_col"])
 
 
+def _t_epoch_shuffle(cfg, ds):
+    from vertex_ray.stages.shuffle import epoch_shuffle
+
+    return epoch_shuffle(ds, cfg["id_col"], cfg["seed"])
+
+
 def _t_alert_state(cfg, ds):
     from vertex_ray.stages.promql import alert_state
 
@@ -431,6 +437,7 @@ STEP_TYPES: dict[str, Callable] = {
     "label_join": _t_label_join,
     "clamp": _t_clamp,
     "alert_state": _t_alert_state,
+    "epoch_shuffle": _t_epoch_shuffle,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,
     "unigram_score": _t_unigram_score,

@@ -2146,6 +2146,25 @@ def q_chunk_docs(sf_dir: str):
     return chunk_documents(_docs(sf_dir), "text", "doc_id", size=64)
 
 
+def q_epoch_shuffle_docs(sf_dir: str):
+    """Deterministic seeded epoch shuffle for training-data ordering:
+    shuffle_key = Knuth multiplicative hash of (doc_id, seed), one global
+    range sort (stages/shuffle.epoch_shuffle). Same seed → same order on
+    every run; the oracle recomputes the identical key in exact int64
+    arithmetic."""
+    from vertex_ray.stages.shuffle import epoch_shuffle
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    return epoch_shuffle(ds, "doc_id", seed=3)
+
+
+SQL_EPOCH_SHUFFLE_DOCS = """
+SELECT doc_id, n_chars,
+       ((doc_id + 3 * 40503) * 2654435761) % 4294967296 AS shuffle_key
+FROM documents
+"""
+
+
 SQL_CHUNK_DOCS = r"""
 WITH ws AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
@@ -2245,6 +2264,7 @@ OP_QUERIES = {
     "op_fuzzy_match_customers": q_fuzzy_match_customers,
     "op_skew_join_events": q_skew_join_events,
     "op_chunk_docs": q_chunk_docs,
+    "op_epoch_shuffle_docs": q_epoch_shuffle_docs,
     "pipeline_rag_index": q_rag_pipeline_docs,
     "op_embedding_near_pairs": q_embedding_near_pairs,
     "op_semantic_dedup_embeddings": q_semantic_dedup,
@@ -2323,6 +2343,7 @@ OP_ORACLES = {
     "op_fuzzy_match_customers": SQL_FUZZY_MATCH_CUSTOMERS,
     "op_skew_join_events": SQL_SKEW_JOIN_EVENTS,
     "op_chunk_docs": SQL_CHUNK_DOCS,
+    "op_epoch_shuffle_docs": SQL_EPOCH_SHUFFLE_DOCS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,
