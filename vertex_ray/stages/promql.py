@@ -46,6 +46,19 @@ def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
     return t.append_column(out, pc.struct_field(m, "v"))
 
 
+def _add_series_bucket(t: pa.Table, key_col: str, n_buckets: int) -> pa.Table:
+    """Append the series hash bucket used by every per-series window
+    kernel in this module: series are hash-bucketed so each groupby
+    group is ONE vectorized kernel call over many whole series (never a
+    per-series task). \x1f-free string hash via pandas (see
+    pandas-hash-nul note: bucket inputs are single columns here, no
+    composite separator needed)."""
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    b = (pd.util.hash_array(np.ascontiguousarray(k))
+         % np.uint64(n_buckets)).astype(np.int64)
+    return t.append_column("__bucket", pa.array(b))
+
+
 def label_aggregate(ds, label: str, value_col: str,
                     window_col: str = "window_start",
                     out_col: str | None = None,
@@ -246,12 +259,6 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
         raise ValueError(f"unsupported over_time agg: {agg}")
     out = out_col or f"{agg}_over"
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False)
-        b = (pd.util.hash_array(np.ascontiguousarray(k))
-             % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
-
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, order_col], kind="stable")
         k = g[key_col].to_numpy()
@@ -325,7 +332,8 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
         return outdf
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        ds.map_batches(lambda t: _add_series_bucket(t, key_col, n_buckets),
+                       batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
@@ -351,12 +359,6 @@ def zscore_over_time(ds, key_col: str, order_col: str, value_col: str,
 
     One exchange: same hash-bucketed series kernel as over_time."""
     out = out_col
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False)
-        b = (pd.util.hash_array(np.ascontiguousarray(k))
-             % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, order_col], kind="stable")
@@ -399,7 +401,8 @@ def zscore_over_time(ds, key_col: str, order_col: str, value_col: str,
         return outdf
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        ds.map_batches(lambda t: _add_series_bucket(t, key_col, n_buckets),
+                       batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
@@ -422,12 +425,6 @@ def lttb_downsample(ds, key_col: str, order_col: str, value_col: str,
     loops over the n_out output slots (not input rows) with vectorized
     area computation inside each slot, per series batched via offsets."""
     out_cols = [key_col, order_col, value_col]
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False)
-        b = (pd.util.hash_array(np.ascontiguousarray(k))
-             % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, order_col], kind="stable")
@@ -464,7 +461,8 @@ def lttb_downsample(ds, key_col: str, order_col: str, value_col: str,
         return g.iloc[np.concatenate(keep_idx)][out_cols]
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        ds.map_batches(lambda t: _add_series_bucket(t, key_col, n_buckets),
+                       batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
@@ -492,12 +490,6 @@ def holt_winters(ds, key_col: str, order_col: str, value_col: str,
     n_buckets so a bucket's pivot fits a task (same partitioning
     assumption as the gap-fill kernel)."""
     osf, otf = 1.0 - sf, 1.0 - tf
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False)
-        b = (pd.util.hash_array(np.ascontiguousarray(k))
-             % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, order_col], kind="stable")
@@ -532,7 +524,8 @@ def holt_winters(ds, key_col: str, order_col: str, value_col: str,
         return outdf[keep_series[seg]]
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        ds.map_batches(lambda t: _add_series_bucket(t, key_col, n_buckets),
+                       batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
@@ -547,12 +540,6 @@ def _linreg_stage(ds, key_col: str, order_col: str, value_col: str,
     current row's window index so the ints stay small. ``emit(a, b)``
     maps intercept/slope (per window step) to the output array; rows whose
     frame has zero x-variance are NaN. One hash-bucketed exchange."""
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False)
-        b = (pd.util.hash_array(np.ascontiguousarray(k))
-             % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, order_col], kind="stable")
@@ -601,7 +588,8 @@ def _linreg_stage(ds, key_col: str, order_col: str, value_col: str,
         return outdf
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        ds.map_batches(lambda t: _add_series_bucket(t, key_col, n_buckets),
+                       batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
@@ -661,12 +649,6 @@ def irate_idelta(ds, key_col: str, order_col: str, value_col: str,
     is bit-identical to the SQL mirror. One hash-bucketed exchange, same
     kernel shape as over_time — shifted compares, no per-series task."""
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False)
-        b = (pd.util.hash_array(np.ascontiguousarray(k))
-             % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
-
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, order_col], kind="stable")
         k = g[key_col].to_numpy()
@@ -693,7 +675,8 @@ def irate_idelta(ds, key_col: str, order_col: str, value_col: str,
         return outdf
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        ds.map_batches(lambda t: _add_series_bucket(t, key_col, n_buckets),
+                       batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
@@ -714,12 +697,6 @@ def resets_changes(ds, key_col: str, order_col: str, value_col: str,
 
     One exchange: the same hash-bucketed series kernel as ``over_time`` —
     sort + shifted compare + cumsum differencing, no per-series task."""
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False)
-        b = (pd.util.hash_array(np.ascontiguousarray(k))
-             % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, order_col], kind="stable")
@@ -753,7 +730,8 @@ def resets_changes(ds, key_col: str, order_col: str, value_col: str,
         return outdf
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        ds.map_batches(lambda t: _add_series_bucket(t, key_col, n_buckets),
+                       batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
@@ -867,12 +845,6 @@ def alert_state(ds, key_col: str, order_col: str, value_col: str,
     the start-marker + cummax trick — no per-series loop; one
     hash-bucketed exchange (same kernel shape as over_time)."""
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False)
-        b = (pd.util.hash_array(np.ascontiguousarray(k))
-             % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
-
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, order_col], kind="stable")
         k = g[key_col].to_numpy()
@@ -896,7 +868,8 @@ def alert_state(ds, key_col: str, order_col: str, value_col: str,
         return outdf
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        ds.map_batches(lambda t: _add_series_bucket(t, key_col, n_buckets),
+                       batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
