@@ -208,6 +208,39 @@ def _q_select_series(sf_dir: str):
     return decode_tier_blocks(sel).map_batches(shape, batch_format="pyarrow")
 
 
+def _q_read_api_range(sf_dir: str):
+    """The query façade (vertex_ray/read.query_range): range-read the 1h
+    turns_total tier for role=user series over the first 6 hours — block
+    rows pruned by metric name + key regex + footer interval BEFORE any
+    decode, then exact window filtering after."""
+    from vertex_ray.read import query_range
+
+    out = _ensure_pipeline(sf_dir)
+    probe = query_range(out, "1h", metric="turns_total",
+                        key_regex=r"role=user\}",
+                        columns=["series_key", "window_start", "count"])
+    t0 = probe.min("window_start")
+    return query_range(out, "1h", metric="turns_total",
+                       key_regex=r"role=user\}", start=t0, end=t0 + 21600,
+                       columns=["series_key", "window_start", "count"])
+
+
+def _q_read_api_instant(sf_dir: str):
+    """The query façade (vertex_ray/read.instant_query): PromQL instant
+    vector over the 1h turns_total tier — newest real sample per
+    role=user series within a 3h lookback of the store's end."""
+    from vertex_ray.read import instant_query, query_range
+
+    out = _ensure_pipeline(sf_dir)
+    probe = query_range(out, "1h", metric="turns_total",
+                        key_regex=r"role=user\}",
+                        columns=["series_key", "window_start", "count"])
+    at = probe.max("window_start")
+    return instant_query(out, "1h", at=at, lookback=3 * 3600,
+                         metric="turns_total", key_regex=r"role=user\}",
+                         columns=["series_key", "window_start", "count"])
+
+
 def _q_conv_stitch(sf_dir: str):
     """Transcripts → one training document per conversation (turns in
     order, newline-joined) via the bucketed stitch operator."""
@@ -1130,6 +1163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_conv_stitch": _q_conv_stitch,
         "pipeline_build_samples": _q_build_samples,
         "select_series_1m_latency": _q_select_series,
+        "read_api_range_1h_turns": _q_read_api_range,
+        "read_api_instant_1h_turns": _q_read_api_instant,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -1382,6 +1417,35 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(GREATEST(count(*), 1), 5) AS count
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY conv_id, role, 2
+            """,
+        "read_api_range_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS} WHERE role = 'user'
+              GROUP BY 1, 2
+            ),
+            t0 AS (SELECT min(window_start) AS t0 FROM g)
+            SELECT series_key, window_start, count
+            FROM g, t0 WHERE window_start <= t0 + 21600
+            """,
+        "read_api_instant_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS} WHERE role = 'user'
+              GROUP BY 1, 2
+            ),
+            m AS (SELECT max(window_start) AS at FROM g)
+            SELECT series_key, max(window_start) AS window_start,
+                   arg_max(count, window_start) AS count
+            FROM g, m
+            WHERE window_start > at - 10800 AND window_start <= at
+            GROUP BY 1
             """,
         "alert_state_1m_latency": f"""
             WITH g AS ({_sql_lat(60)}),

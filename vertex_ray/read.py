@@ -1,0 +1,114 @@
+"""The store's query façade — the prometheus_exporter read surface as an
+API (reference: the exporter sink exposes series for PromQL range /
+instant queries; here the same two verbs run directly over the committed
+Gorilla block store).
+
+- ``query_range``   — tier rows for a metric + label-regex + time range.
+  Selection is applied to BLOCK rows before any decode (name/key match,
+  block_start/block_end footer overlap), so decompression work is
+  proportional to the selection, not the store — the same
+  prune-then-decode shape as ``select_series_1m_latency``.
+- ``instant_query`` — the latest real sample per series at time ``at``
+  within a ``lookback`` window (PromQL instant-vector semantics: a
+  series with no sample inside the lookback is absent).
+
+Both return Datasets, so every `stages.promql` function composes on top
+(``over_time(query_range(...), ...)``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["query_range", "instant_query"]
+
+_SCALAR_COLS = ["series_key", "window_start", "sum", "count", "min",
+                "max", "last"]
+
+
+def query_range(out_dir: str, tier: str, metric: str | None = None,
+                key_regex: str | None = None, start: int | None = None,
+                end: int | None = None, include_filled: bool = False,
+                columns: list[str] | None = None):
+    """Tier rows from the committed block store for one range query.
+
+    ``metric`` (exact name) and ``key_regex`` (RE2 over series_key) prune
+    block ROWS; ``start``/``end`` (epoch seconds, inclusive) prune blocks
+    by their footer interval before decode, then exact-filter the decoded
+    windows. Gap-filled / stale-marker rows are dropped unless
+    ``include_filled`` (real-sample reads vs dashboard LOCF reads).
+    ``count`` is cast back to int64 (the tiers' storage flag layout keeps
+    it unsigned)."""
+    from vertex_ray.pipelines.rollup_pipeline import (
+        decode_tier_blocks,
+        read_stage,
+    )
+
+    cols = columns or _SCALAR_COLS
+
+    def prune(t: pa.Table) -> pa.Table:
+        m = pa.array(np.ones(len(t), dtype=bool))
+        if metric is not None:
+            m = pc.and_(m, pc.equal(t["name"], metric))
+        if key_regex is not None:
+            m = pc.and_(m, pc.match_substring_regex(t["series_key"],
+                                                    key_regex))
+        if start is not None:
+            m = pc.and_(m, pc.greater_equal(t["block_end"], start))
+        if end is not None:
+            m = pc.and_(m, pc.less_equal(t["block_start"], end))
+        return t.filter(m)
+
+    sel = read_stage(out_dir, "blocks", tier).map_batches(
+        prune, batch_format="pyarrow")
+
+    def shape(t: pa.Table) -> pa.Table:
+        keep = pa.array(np.ones(len(t), dtype=bool))
+        if not include_filled:
+            keep = pc.and_(keep, pc.and_(pc.invert(t["filled"]),
+                                         pc.invert(t["stale"])))
+        if start is not None:
+            keep = pc.and_(keep, pc.greater_equal(t["window_start"], start))
+        if end is not None:
+            keep = pc.and_(keep, pc.less_equal(t["window_start"], end))
+        t = t.filter(keep).select(cols)
+        if "count" in cols:
+            i = t.schema.get_field_index("count")
+            t = t.set_column(i, "count", pc.cast(t["count"], pa.int64()))
+        return t
+
+    return decode_tier_blocks(sel).map_batches(shape, batch_format="pyarrow")
+
+
+def instant_query(out_dir: str, tier: str, at: int, lookback: int,
+                  metric: str | None = None, key_regex: str | None = None,
+                  columns: list[str] | None = None, n_buckets: int = 64):
+    """PromQL instant vector at evaluation time ``at``: per series, the
+    newest real sample with ``at - lookback < window_start <= at``;
+    series with none are absent. One hash-bucketed exchange over the
+    already-pruned range read (the range covers only the lookback)."""
+    cols = columns or _SCALAR_COLS
+    rng = query_range(out_dir, tier, metric=metric, key_regex=key_regex,
+                      start=at - lookback + 1, end=at, columns=cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["series_key"].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def newest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["series_key", "window_start"], kind="stable")
+        keep = np.ones(len(g), dtype=bool)
+        k = g["series_key"].to_numpy()
+        keep[:-1] = k[:-1] != k[1:]  # last row of each series run
+        return g.loc[keep, cols]
+
+    return (
+        rng.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(newest, batch_format="pandas")
+    )
