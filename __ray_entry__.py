@@ -208,6 +208,48 @@ def _q_select_series(sf_dir: str):
     return decode_tier_blocks(sel).map_batches(shape, batch_format="pyarrow")
 
 
+def _q_quantile_by_role_1h(sf_dir: str):
+    """PromQL ``quantile by (role) (0.9, increase(turns_total[1h]))``:
+    the p90 of per-series 1h turn counts across each role's series —
+    order-free selection + quantile_cont interpolation
+    (stages/promql.label_aggregate agg="quantile")."""
+    from vertex_ray.stages.promql import label_aggregate
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return label_aggregate(ds, "role", "count", out_col="p90_turns",
+                           agg="quantile", q=0.9)
+
+
+def _q_burn_rate_1m_latency(sf_dir: str):
+    """Multiwindow SLO burn-rate alert over the 1m latency tier: SLO =
+    "latency ≤ 2.5s" (cumulative bucket b08), budget 10%, burn rate over
+    a 5-window fast and 60-window slow frame, firing when both exceed
+    2× (stages/promql.burn_rate over one group_sum exchange)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vertex_ray.stages.promql import burn_rate, group_sum
+
+    ds = _metric_tier(sf_dir, "1m", "inter_turn_latency_seconds",
+                      ["series_key", "window_start", "count", "b08"])
+
+    def prep(t):
+        total = pc.cast(t["count"], pa.int64())
+        return pa.table({"window_start": t["window_start"],
+                         "total": total,
+                         "bad": pc.subtract(total, t["b08"])})
+
+    g = group_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                  ["window_start"], ["total", "bad"])
+    g = g.map_batches(
+        lambda t: t.append_column(
+            "slo", pa.array(["latency_le_2.5s"] * len(t))),
+        batch_format="pyarrow")
+    return burn_rate(g, "slo", "window_start", "bad", "total",
+                     n_fast=5, n_slow=60, budget=0.1, factor=2.0)
+
+
 def _q_read_api_range(sf_dir: str):
     """The query façade (vertex_ray/read.query_range): range-read the 1h
     turns_total tier for role=user series over the first 6 hours — block
@@ -1164,6 +1206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_build_samples": _q_build_samples,
         "select_series_1m_latency": _q_select_series,
         "read_api_range_1h_turns": _q_read_api_range,
+        "burn_rate_1m_latency": _q_burn_rate_1m_latency,
+        "quantile_by_role_1h_turns": _q_quantile_by_role_1h,
         "read_api_instant_1h_turns": _q_read_api_instant,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
@@ -1417,6 +1461,43 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(GREATEST(count(*), 1), 5) AS count
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY conv_id, role, 2
+            """,
+        "quantile_by_role_1h_turns": f"""
+            WITH g AS (
+              SELECT conv_id, role, {_w(3600)} AS window_start,
+                     count(*) AS c
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2, 3
+            )
+            SELECT role, window_start,
+                   quantile_cont(c, 0.9) AS p90_turns
+            FROM g GROUP BY 1, 2
+            """,
+        "burn_rate_1m_latency": f"""{_LAT_CTE},
+            g AS (
+              SELECT {_w(60)} AS window_start, count(*) AS total,
+                     sum(CASE WHEN lat <= 2.5 THEN 1 ELSE 0 END) AS good
+              FROM lat WHERE lat IS NOT NULL
+              GROUP BY 1
+            ),
+            f AS (
+              SELECT window_start,
+                     sum(total) OVER wf AS tf,
+                     sum(total - good) OVER wf AS bf,
+                     sum(total) OVER ws AS tsl,
+                     sum(total - good) OVER ws AS bsl
+              FROM g
+              WINDOW wf AS (ORDER BY window_start
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                     ws AS (ORDER BY window_start
+                            ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+            )
+            SELECT 'latency_le_2.5s' AS slo, window_start,
+                   (CAST(bf AS DOUBLE) / tf) / 0.1 AS burn_fast,
+                   (CAST(bsl AS DOUBLE) / tsl) / 0.1 AS burn_slow,
+                   ((CAST(bf AS DOUBLE) / tf) / 0.1 > 2.0)
+                     AND ((CAST(bsl AS DOUBLE) / tsl) / 0.1 > 2.0) AS firing
+            FROM f
             """,
         "read_api_range_1h_turns": f"""
             WITH g AS (

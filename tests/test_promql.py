@@ -636,3 +636,55 @@ def test_alert_state(ray_session):
     assert s["run"].tolist() == [0, 1, 2, 3, 1, 0]
     assert s["state"].tolist() == [
         "inactive", "pending", "pending", "firing", "pending", "inactive"]
+
+
+def test_burn_rate(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import burn_rate
+
+    # one global series, budget 0.5, fast frame 2 / slow frame 4
+    t = pa.table({
+        "k": ["slo"] * 4,
+        "w": [0, 60, 120, 180],
+        "bad": np.array([0, 5, 5, 0], dtype=np.int64),
+        "tot": np.array([10, 10, 10, 10], dtype=np.int64),
+    })
+    out = (burn_rate(rd.from_arrow(t), "k", "w", "bad", "tot",
+                     n_fast=2, n_slow=4, budget=0.5, factor=0.55)
+           .to_pandas().sort_values("w").reset_index(drop=True))
+    # fast frames: [10],[20],[20],[20] bad [0],[5],[10],[5]
+    assert out["burn_fast"].tolist() == [0.0, 0.5, 1.0, 0.5]
+    # slow frames: [10],[20],[30],[40] bad [0],[5],[10],[10]
+    assert out["burn_slow"].tolist() == [0.0, 0.5, 2.0 / 3.0, 0.5]
+    # firing only where BOTH exceed 0.55
+    assert out["firing"].tolist() == [False, False, True, False]
+
+
+def test_label_aggregate_quantile(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import label_aggregate
+
+    t = pa.table({
+        "series_key": [
+            "m{conv_id=a,role=u}", "m{conv_id=b,role=u}",
+            "m{conv_id=c,role=u}", "m{conv_id=d,role=v}",
+            "m{conv_id=a,role=u}",
+        ],
+        "window_start": [0, 0, 0, 0, 60],
+        "count": np.array([1, 2, 10, 7, 5], dtype=np.int64),
+    })
+    out = (label_aggregate(rd.from_arrow(t), "role", "count",
+                           out_col="p50", agg="quantile", q=0.5)
+           .to_pandas().sort_values(["role", "window_start"])
+           .reset_index(drop=True))
+    # (u, 0): {1,2,10} -> median 2; (u, 60): {5}; (v, 0): {7}
+    assert out["role"].tolist() == ["u", "u", "v"]
+    assert out["p50"].tolist() == [2.0, 5.0, 7.0]
+    # interpolated case: q=0.75 over {1,2,10} -> 0.5*2 + 0.5*10 = 6
+    out2 = (label_aggregate(rd.from_arrow(t), "role", "count",
+                            out_col="p75", agg="quantile", q=0.75)
+            .to_pandas().sort_values(["role", "window_start"])
+            .reset_index(drop=True))
+    assert out2["p75"].tolist() == [6.0, 5.0, 7.0]

@@ -203,7 +203,8 @@ def _t_label_aggregate(cfg, ds):
                            window_col=cfg.get("window_col", "window_start"),
                            out_col=cfg.get("out_col"),
                            key_col=cfg.get("key_col", "series_key"),
-                           agg=cfg.get("agg", "sum"))
+                           agg=cfg.get("agg", "sum"),
+                           q=cfg.get("q", 0.5))
 
 
 def _t_over_time(cfg, ds):
@@ -270,6 +271,14 @@ def _t_irate_idelta(cfg, ds):
 
     return irate_idelta(ds, cfg["key_col"], cfg["order_col"],
                         cfg["value_col"])
+
+
+def _t_burn_rate(cfg, ds):
+    from vertex_ray.stages.promql import burn_rate
+
+    return burn_rate(ds, cfg["key_col"], cfg["order_col"], cfg["bad_col"],
+                     cfg["total_col"], cfg["n_fast"], cfg["n_slow"],
+                     cfg["budget"], cfg["factor"])
 
 
 def _t_epoch_shuffle(cfg, ds):
@@ -438,6 +447,7 @@ STEP_TYPES: dict[str, Callable] = {
     "clamp": _t_clamp,
     "alert_state": _t_alert_state,
     "epoch_shuffle": _t_epoch_shuffle,
+    "burn_rate": _t_burn_rate,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,
     "unigram_score": _t_unigram_score,

@@ -90,15 +90,11 @@ def instant_query(out_dir: str, tier: str, at: int, lookback: int,
     newest real sample with ``at - lookback < window_start <= at``;
     series with none are absent. One hash-bucketed exchange over the
     already-pruned range read (the range covers only the lookback)."""
+    from vertex_ray.stages.promql import _add_series_bucket
+
     cols = columns or _SCALAR_COLS
     rng = query_range(out_dir, tier, metric=metric, key_regex=key_regex,
                       start=at - lookback + 1, end=at, columns=cols)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t["series_key"].to_numpy(zero_copy_only=False)
-        b = (pd.util.hash_array(np.ascontiguousarray(k))
-             % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
 
     def newest(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["series_key", "window_start"], kind="stable")
@@ -108,7 +104,9 @@ def instant_query(out_dir: str, tier: str, at: int, lookback: int,
         return g.loc[keep, cols]
 
     return (
-        rng.map_batches(add_bucket, batch_format="pyarrow")
+        rng.map_batches(
+            lambda t: _add_series_bucket(t, "series_key", n_buckets),
+            batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(newest, batch_format="pandas")
     )

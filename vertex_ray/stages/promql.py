@@ -32,7 +32,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["extract_label", "label_aggregate", "group_sum", "over_time",
-           "binary_op"]
+           "binary_op", "zscore_over_time", "lttb_downsample",
+           "holt_winters", "predict_linear", "deriv", "irate_idelta",
+           "resets_changes", "label_replace", "label_join", "clamp",
+           "alert_state", "burn_rate"]
 
 
 def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
@@ -63,7 +66,7 @@ def label_aggregate(ds, label: str, value_col: str,
                     window_col: str = "window_start",
                     out_col: str | None = None,
                     key_col: str = "series_key",
-                    agg: str = "sum"):
+                    agg: str = "sum", q: float = 0.5):
     """PromQL aggregation operators — ``<agg> by (label) (metric)`` for
     agg ∈ sum/min/max/count/avg: cross-series aggregation of a value
     column, grouped by (label value, window). Returns columns
@@ -75,13 +78,20 @@ def label_aggregate(ds, label: str, value_col: str,
     (sum, sum-of-squares, count) partials and evaluates the population
     formula ``sqrt((ss - s*s/n)/n)`` once at the end, the same float
     evaluation shape as the SQL mirror so results are bit-identical);
-    min/max are order-free and accept floats.
+    min/max are order-free and accept floats. ``quantile`` (PromQL
+    ``quantile by (label)(q, metric)``) is an order-free selection with
+    the exact ``quantile_cont`` interpolation shape.
 
     Per-batch partial aggregation happens BEFORE the exchange, so the
     shuffle moves one row per distinct (label, window) per batch — at
     100 TB the exchange is proportional to the rollup cardinality of the
-    coarse key, never to input rows."""
-    if agg not in ("sum", "min", "max", "count", "avg", "stddev"):
+    coarse key, never to input rows. Exception: ``quantile`` has no
+    mergeable partial, so its exchange carries one value per SERIES per
+    window (the cross-series vector being ranked) — still tier-read
+    volume, never raw turns; use the sketch stages for budget-bounded
+    percentiles over raw data."""
+    if agg not in ("sum", "min", "max", "count", "avg", "stddev",
+                   "quantile"):
         raise ValueError(f"unsupported label_aggregate agg: {agg}")
     out = out_col or value_col
     keys = ["__lbl", window_col]
@@ -98,6 +108,9 @@ def label_aggregate(ds, label: str, value_col: str,
             window_col: t[window_col].to_numpy(zero_copy_only=False),
             "__v": v,
         })
+        if agg == "quantile":
+            # no mergeable partial — ship (label, window, value) rows
+            return pa.Table.from_pandas(df, preserve_index=False)
         if agg == "stddev":
             df["__v2"] = v.astype(np.int64) ** 2
             g = (df.groupby(keys, sort=False, dropna=False)
@@ -115,6 +128,30 @@ def label_aggregate(ds, label: str, value_col: str,
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         gb = g.groupby(keys, sort=False, dropna=False)
+        if agg == "quantile":
+            # vectorized per-group quantile_cont: one lexsort puts each
+            # (label, window) group's values in ascending order, then the
+            # selection indices are pure segment arithmetic — no
+            # per-group Python call
+            g = g.sort_values(keys + ["__v"], kind="stable")
+            lbl = g["__lbl"].to_numpy()
+            win = g[window_col].to_numpy()
+            v = g["__v"].to_numpy(np.float64)
+            new = np.ones(len(g), dtype=bool)
+            new[1:] = (lbl[1:] != lbl[:-1]) | (win[1:] != win[:-1])
+            starts = np.flatnonzero(new)
+            ends = np.concatenate([starts[1:], [len(g)]])
+            cnt = ends - starts
+            rn = (cnt - 1) * q
+            frn = np.floor(rn)
+            crn = np.ceil(rn)
+            lo = v[starts + frn.astype(np.int64)]
+            hi = v[starts + crn.astype(np.int64)]
+            # exact SQL quantile_cont evaluation shape (bit-for-bit)
+            res = np.where(frn == crn, lo,
+                           (crn - rn) * lo + (rn - frn) * hi)
+            return pd.DataFrame({label: lbl[starts],
+                                 window_col: win[starts], out: res})
         if agg == "stddev":
             r = gb[["__s", "__ss", "__c"]].sum().reset_index()
             s = r["__s"].to_numpy(np.float64)
@@ -865,6 +902,63 @@ def alert_state(ds, key_col: str, order_col: str, value_col: str,
         outdf = g[[key_col, order_col, value_col]].copy()
         outdf["run"] = run
         outdf["state"] = state
+        return outdf
+
+    return (
+        ds.map_batches(lambda t: _add_series_bucket(t, key_col, n_buckets),
+                       batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def burn_rate(ds, key_col: str, order_col: str, bad_col: str,
+              total_col: str, n_fast: int, n_slow: int, budget: float,
+              factor: float, n_buckets: int = 64):
+    """Multiwindow SLO burn-rate alert (the Google SRE workbook recipe):
+    per series, the error-budget burn rate over a FAST and a SLOW
+    trailing frame — ``burn = (Σbad / Σtotal) / budget`` with
+    ``budget = 1 − SLO target`` — and ``firing`` when BOTH frames exceed
+    ``factor`` (the fast frame makes the alert responsive, the slow frame
+    stops flapping).
+
+    Exactness: ``bad_col``/``total_col`` must be integers; frame sums are
+    exact int64 cumsum differences and each burn rate is evaluated as
+    ``(bad/total)/budget`` in that float op order, mirroring the SQL
+    oracle bit-for-bit. Frames are ROWS-based over present windows (same
+    contract as over_time). One hash-bucketed exchange."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        bad = g[bad_col].to_numpy()
+        tot = g[total_col].to_numpy()
+        if bad.dtype.kind not in "iu" or tot.dtype.kind not in "iu":
+            raise TypeError("burn_rate needs integer bad/total columns")
+        m = len(g)
+        new = np.ones(m, dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        first_pos = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(m) - first_pos[seg]
+
+        def frame_sum(x: np.ndarray, n: int) -> np.ndarray:
+            c = np.cumsum(x.astype(np.int64))
+            s = c.copy()
+            back = np.maximum(pos - n, -1) + first_pos[seg]
+            has = back >= 0
+            s[has] -= c[back[has]]
+            return s
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bf = (frame_sum(bad, n_fast).astype(np.float64)
+                  / frame_sum(tot, n_fast)) / budget
+            bs = (frame_sum(bad, n_slow).astype(np.float64)
+                  / frame_sum(tot, n_slow)) / budget
+        outdf = g[[key_col, order_col]].copy()
+        outdf["burn_fast"] = bf
+        outdf["burn_slow"] = bs
+        outdf["firing"] = (bf > factor) & (bs > factor)
         return outdf
 
     return (
