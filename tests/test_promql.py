@@ -688,3 +688,106 @@ def test_label_aggregate_quantile(ray_session):
             .to_pandas().sort_values(["role", "window_start"])
             .reset_index(drop=True))
     assert out2["p75"].tolist() == [6.0, 5.0, 7.0]
+
+
+def test_promql_new_kernels_random_crosscheck(ray_session):
+    """Seeded random sweep for the round-2 additions (deriv, irate/idelta,
+    resets/changes, stddev_over_time): vectorized kernels agree
+    bit-for-bit with naive per-series references on ragged series with
+    duplicate values and irregular window gaps."""
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import (
+        deriv,
+        irate_idelta,
+        over_time,
+        resets_changes,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for s in range(12):
+        ln = int(rng.integers(1, 15))
+        vals = rng.integers(0, 6, ln)
+        # irregular gaps: windows are a strictly increasing subset
+        gaps = np.cumsum(rng.integers(1, 4, ln)) * 3600
+        for w, v in zip(gaps, vals):
+            rows.append({"k": f"s{s:02d}", "w": int(w), "v": int(v)})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(3)
+    n = 4
+
+    def per_series(fn):
+        out = {}
+        for k, g in df.groupby("k"):
+            g = g.sort_values("w")
+            vs = g["v"].to_numpy()
+            ws = g["w"].to_numpy()
+            for i, w in enumerate(ws):
+                out[(k, w)] = fn(vs, ws, i)
+        return out
+
+    # deriv: least-squares slope over trailing n windows, per second
+    def ref_deriv(vs, ws, i):
+        lo = max(0, i - n + 1)
+        x = (ws[lo:i + 1] // 3600).astype(np.int64)
+        y = vs[lo:i + 1].astype(np.int64)
+        c = len(x)
+        u = x[-1]
+        sx = int(x.sum()) - c * u
+        sy = int(y.sum())
+        sxy = int((x * y).sum()) - u * sy
+        sxx = int((x * x).sum()) - 2 * u * int(x.sum()) + c * u * u
+        num = c * sxy - sx * sy
+        den = c * sxx - sx * sx
+        if den <= 0:
+            return None
+        return (float(num) / den) / 3600.0
+
+    got = deriv(ds, "k", "w", "v", n=n, tier_seconds=3600).to_pandas()
+    want = per_series(ref_deriv)
+    for r in got.itertuples():
+        w = want[(r.k, r.w)]
+        assert (np.isnan(r.deriv) and w is None) or r.deriv == w
+
+    # irate / idelta from the last two samples
+    def ref_ir(vs, ws, i):
+        if i == 0:
+            return None
+        dv = int(vs[i]) - int(vs[i - 1])
+        dt = int(ws[i]) - int(ws[i - 1])
+        num = dv if dv >= 0 else int(vs[i])
+        return (float(dv), float(num) / float(dt))
+
+    got = irate_idelta(ds, "k", "w", "v").to_pandas()
+    want = per_series(ref_ir)
+    for r in got.itertuples():
+        w = want[(r.k, r.w)]
+        if w is None:
+            assert np.isnan(r.idelta) and np.isnan(r.irate)
+        else:
+            assert (r.idelta, r.irate) == w
+
+    # resets / changes over the trailing n-row frame
+    def ref_rc(vs, ws, i):
+        lo = max(0, i - n + 1)
+        dec = sum(1 for j in range(max(lo, 1), i + 1) if vs[j] < vs[j - 1])
+        chg = sum(1 for j in range(max(lo, 1), i + 1) if vs[j] != vs[j - 1])
+        return (dec, chg)
+
+    got = resets_changes(ds, "k", "w", "v", n).to_pandas()
+    want = per_series(ref_rc)
+    for r in got.itertuples():
+        assert (r.resets, r.changes) == want[(r.k, r.w)]
+
+    # stddev_over_time from exact int sums
+    def ref_sd(vs, ws, i):
+        fr = vs[max(0, i - n + 1):i + 1].astype(np.int64)
+        c = len(fr)
+        s, ss = int(fr.sum()), int((fr ** 2).sum())
+        return np.sqrt(np.float64(c * ss - s * s) / (c * c))
+
+    got = over_time(ds, "k", "w", "v", n, agg="stddev").to_pandas()
+    want = per_series(ref_sd)
+    for r in got.itertuples():
+        assert r.stddev_over == want[(r.k, r.w)]
