@@ -208,6 +208,57 @@ def _q_select_series(sf_dir: str):
     return decode_tier_blocks(sel).map_batches(shape, batch_format="pyarrow")
 
 
+def _q_stream_encode_roundtrip(sf_dir: str):
+    """Streaming ingest path: the 1m turns tier fed as three TIME-SLICED
+    micro-batches through the open-block actor pool
+    (stages/stream_encode — per-partition Gorilla encoder state held
+    ACROSS batches), then every closed+flushed block decoded back to
+    points. Oracle = the tier itself: the round-trip must be
+    bit-identical however the stream was sliced. (Materializing the tier
+    to micro-batches on the driver is this harness's slicing, not the
+    operator — ingest deployments feed the actors from their source.)"""
+    import pyarrow as pa
+
+    from vertex_ray.gorilla import decode_timestamps, decode_values
+    from vertex_ray.stages.stream_encode import stream_encode
+
+    tier = _metric_tier(sf_dir, "1m", "turns_total",
+                        ["series_key", "window_start", "count"])
+    t = pa.concat_tables(
+        tier.iter_batches(batch_format="pyarrow", batch_size=None))
+    import pyarrow.compute as pc
+
+    t = pa.table({
+        "series_key": t["series_key"],
+        "window_start": t["window_start"],
+        "value": pc.cast(t["count"], pa.float64()),
+    }).sort_by([("window_start", "ascending")])
+    cuts = [0, t.num_rows // 3, 2 * t.num_rows // 3, t.num_rows]
+    batches = [t.slice(a, b - a) for a, b in zip(cuts, cuts[1:]) if b > a]
+    blocks = stream_encode(batches, n_actors=4, max_points=240)
+
+    import ray.data as rd
+
+    def decode(bt: pa.Table) -> pa.Table:
+        keys, ws, vals = [], [], []
+        for r in bt.to_pylist():
+            n = r["n_points"]
+            keys.extend([r["series_key"]] * n)
+            ws.append(decode_timestamps(r["ts_block"], n))
+            vals.append(decode_values(r["val_block"], n))
+        import numpy as np
+
+        return pa.table({
+            "series_key": pa.array(keys, type=pa.string()),
+            "window_start": pa.array(np.concatenate(ws) if ws else
+                                     np.zeros(0, np.int64)),
+            "value": pa.array(np.concatenate(vals) if vals else
+                              np.zeros(0, np.float64)),
+        })
+
+    return rd.from_arrow(blocks).map_batches(decode, batch_format="pyarrow")
+
+
 def _q_quantile_by_role_1h(sf_dir: str):
     """PromQL ``quantile by (role) (0.9, increase(turns_total[1h]))``:
     the p90 of per-series 1h turn counts across each role's series —
@@ -1208,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "read_api_range_1h_turns": _q_read_api_range,
         "burn_rate_1m_latency": _q_burn_rate_1m_latency,
         "quantile_by_role_1h_turns": _q_quantile_by_role_1h,
+        "stream_encode_roundtrip_1m_turns": _q_stream_encode_roundtrip,
         "read_api_instant_1h_turns": _q_read_api_instant,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
@@ -1605,6 +1657,14 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m_turns": _sql_turns(),
         "rollup_1m_turns_salted": _sql_turns(),
         "backfill_1m_turns": _sql_turns(),
+        "stream_encode_roundtrip_1m_turns": f"""
+            SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                     || '}}' AS series_key,
+                   {_w(60)} AS window_start,
+                   CAST(count(*) AS DOUBLE) AS value
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2
+            """,
         "rollup_1m_tools": f"""
             SELECT 'tool_invocations_total{{conv_id=' || conv_id || ',tool=' || tool || '}}'
                      AS series_key,

@@ -1,0 +1,95 @@
+"""Streaming Gorilla encoder: per-partition open-block actor state.
+
+The bit-for-bit contract: feeding a series in ANY micro-batch slicing
+yields blocks whose decoded concatenation equals the original points —
+and closed blocks are cut at exactly max_points regardless of how many
+batches the points arrived in."""
+
+import numpy as np
+import pyarrow as pa
+
+from vertex_ray.gorilla import decode_timestamps, decode_values
+from vertex_ray.stages.stream_encode import StreamGorillaEncoder, stream_encode
+
+
+def _mk(keys, ts, vals):
+    return pa.table({
+        "series_key": keys,
+        "window_start": np.asarray(ts, dtype=np.int64),
+        "value": np.asarray(vals, dtype=np.float64),
+    })
+
+
+def _decode_all(blocks: pa.Table) -> dict[str, tuple[list, list]]:
+    out: dict[str, tuple[list, list]] = {}
+    df = blocks.to_pandas().sort_values(["series_key", "block_start"])
+    for r in df.itertuples():
+        ts = decode_timestamps(r.ts_block, r.n_points)
+        vs = decode_values(r.val_block, r.n_points)
+        a = out.setdefault(r.series_key, ([], []))
+        a[0].extend(ts.tolist())
+        a[1].extend(vs.tolist())
+    return out
+
+
+def test_open_blocks_span_micro_batches():
+    enc = StreamGorillaEncoder(max_points=5)
+    # series a arrives 3 points per batch: the first block must close
+    # mid-SECOND-batch (5 points buffered across batch boundary)
+    b1 = enc.append(_mk(["a"] * 3, [0, 60, 120], [1, 2, 3]))
+    assert b1.num_rows == 0
+    b2 = enc.append(_mk(["a"] * 3, [180, 240, 300], [4, 5, 6]))
+    assert b2.num_rows == 1
+    assert b2["n_points"][0].as_py() == 5
+    assert b2["block_start"][0].as_py() == 0
+    assert b2["block_end"][0].as_py() == 240
+    rest = enc.flush()
+    assert rest.num_rows == 1 and rest["n_points"][0].as_py() == 1
+    got = _decode_all(pa.concat_tables([b2, rest]))
+    assert got["a"] == ([0, 60, 120, 180, 240, 300],
+                        [1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+
+
+def test_multi_block_close_in_one_batch():
+    enc = StreamGorillaEncoder(max_points=4)
+    n = 11
+    b = enc.append(_mk(["s"] * n, np.arange(n) * 60, np.arange(n) * 1.5))
+    assert b.num_rows == 2  # 4 + 4 closed, 3 left open
+    rest = enc.flush()
+    assert rest["n_points"][0].as_py() == 3
+    got = _decode_all(pa.concat_tables([b, rest]))
+    assert got["s"][0] == (np.arange(n) * 60).tolist()
+    assert got["s"][1] == (np.arange(n) * 1.5).tolist()
+    # flush is terminal: nothing left behind
+    assert enc.flush().num_rows == 0
+
+
+def test_stream_encode_pool_matches_oneshot(ray_session):
+    rng = np.random.default_rng(11)
+    keys, ts, vals = [], [], []
+    truth = {}
+    for s in range(17):
+        k = f"series{s:02d}"
+        n = int(rng.integers(1, 40))
+        t = np.cumsum(rng.integers(1, 5, n)) * 60
+        v = rng.integers(-3, 4, n).astype(np.float64)
+        truth[k] = (t.tolist(), v.tolist())
+        keys.extend([k] * n)
+        ts.extend(t.tolist())
+        vals.extend(v.tolist())
+    # interleave series but keep per-series time order: sort by ts then
+    # slice into ragged micro-batches
+    order = np.argsort(np.asarray(ts), kind="stable")
+    keys = np.asarray(keys, dtype=object)[order]
+    ts = np.asarray(ts)[order]
+    vals = np.asarray(vals)[order]
+    cuts = [0, 50, 120, 200, len(keys)]
+    batches = [_mk(keys[a:b].tolist(), ts[a:b], vals[a:b])
+               for a, b in zip(cuts, cuts[1:]) if b > a]
+    blocks = stream_encode(batches, n_actors=3, max_points=8)
+    got = _decode_all(blocks)
+    assert got == truth
+    # block sizing: every non-final block of a series is exactly 8 points
+    df = blocks.to_pandas().sort_values(["series_key", "block_start"])
+    for k, g in df.groupby("series_key"):
+        assert (g["n_points"].to_numpy()[:-1] == 8).all()

@@ -1,0 +1,146 @@
+"""Streaming Gorilla encode: actor pool holding per-partition OPEN-block
+encoder state across micro-batches.
+
+The batch pipeline (rollup_pipeline / epoch_pipeline) closes one block
+per (series, tier) per run or per epoch — a run boundary forces a block
+boundary. A long-lived INGEST deployment instead wants blocks cut by
+SIZE (n points), independent of micro-batch cadence: an encoder that
+keeps each series' open tail buffered until it has a full block, no
+matter how many micro-batches it took to arrive (the reference's sink
+buffers hold exactly this per-series accumulation state —
+/root/reference lib/framework/src/sink/buffer/metrics.rs:19,168).
+
+This is the one place the Dataset API genuinely can't express the
+semantics: ``map_batches`` with a callable class gives per-ACTOR state,
+but does not co-route a series' later micro-batches to the same actor.
+So the stage drops to raw Ray actors (SURVEY §2 extension contract):
+``StreamGorillaEncoder`` is a plain class (unit-testable, and usable
+behind ``ray.remote``), and ``stream_encode`` drives a pool of them with
+explicit hash routing — series_key hash picks the actor, so one actor
+owns each series for the stream's lifetime. Points must arrive
+time-ordered per series (the ingest contract; epochs replaying out of
+order go through backfill_merge instead).
+
+Closed blocks use the same single-series codec as the store
+(gorilla.encode_timestamps/encode_values), so everything downstream
+(decode, compaction, retention) applies unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from vertex_ray.gorilla import encode_timestamps, encode_values
+
+__all__ = ["StreamGorillaEncoder", "stream_encode"]
+
+_EMPTY = pa.table({
+    "series_key": pa.array([], type=pa.string()),
+    "block_start": pa.array([], type=pa.int64()),
+    "block_end": pa.array([], type=pa.int64()),
+    "n_points": pa.array([], type=pa.int32()),
+    "ts_block": pa.array([], type=pa.binary()),
+    "val_block": pa.array([], type=pa.binary()),
+})
+
+
+class StreamGorillaEncoder:
+    """Per-partition open-block state: ``{series_key: (ts[], val[])}``.
+
+    ``append`` folds a micro-batch into the buffers and returns the
+    blocks it CLOSED (every full ``max_points`` run); ``flush`` closes
+    whatever remains. Block rows carry footer stats (block_start/end,
+    n_points) so the store's pruning reads work on streamed blocks too."""
+
+    def __init__(self, max_points: int = 256):
+        self.max_points = int(max_points)
+        self._ts: dict[str, list[np.ndarray]] = {}
+        self._val: dict[str, list[np.ndarray]] = {}
+
+    def _close(self, key: str, ts: np.ndarray, val: np.ndarray) -> dict:
+        return {
+            "series_key": key,
+            "block_start": int(ts[0]),
+            "block_end": int(ts[-1]),
+            "n_points": len(ts),
+            "ts_block": encode_timestamps(ts),
+            "val_block": encode_values(val),
+        }
+
+    def append(self, t: pa.Table, key_col: str = "series_key",
+               ts_col: str = "window_start",
+               val_col: str = "value") -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # one stable sort groups the batch by series (ts order preserved
+        # within a series — the ingest contract)
+        order = np.argsort(k, kind="stable")
+        k, ts, val = k[order], ts[order], val[order]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(k)]])
+        closed: list[dict] = []
+        for s, e in zip(starts, ends):
+            key = k[s]
+            self._ts.setdefault(key, []).append(ts[s:e])
+            self._val.setdefault(key, []).append(val[s:e])
+            buffered = sum(len(x) for x in self._ts[key])
+            if buffered >= self.max_points:
+                bts = np.concatenate(self._ts[key])
+                bval = np.concatenate(self._val[key])
+                i = 0
+                while len(bts) - i >= self.max_points:
+                    closed.append(self._close(
+                        key, bts[i:i + self.max_points],
+                        bval[i:i + self.max_points]))
+                    i += self.max_points
+                self._ts[key] = [bts[i:]] if i < len(bts) else []
+                self._val[key] = [bval[i:]] if i < len(bval) else []
+        if not closed:
+            return _EMPTY
+        return pa.Table.from_pylist(closed, schema=_EMPTY.schema)
+
+    def flush(self) -> pa.Table:
+        closed = []
+        for key in sorted(self._ts):
+            parts = self._ts[key]
+            if not parts or not sum(len(x) for x in parts):
+                continue
+            closed.append(self._close(key, np.concatenate(parts),
+                                      np.concatenate(self._val[key])))
+        self._ts.clear()
+        self._val.clear()
+        if not closed:
+            return _EMPTY
+        return pa.Table.from_pylist(closed, schema=_EMPTY.schema)
+
+
+def stream_encode(batches, n_actors: int = 4, max_points: int = 256,
+                  key_col: str = "series_key", ts_col: str = "window_start",
+                  val_col: str = "value") -> pa.Table:
+    """Drive an actor pool of StreamGorillaEncoders over an iterable of
+    time-ordered micro-batches (pa.Table each). Rows are routed by
+    series-key hash so ONE actor owns each series across all
+    micro-batches; the pool appends concurrently per batch. Returns the
+    concatenation of all closed + flushed block rows."""
+    import ray
+
+    Actor = ray.remote(StreamGorillaEncoder)
+    pool = [Actor.remote(max_points=max_points) for _ in range(n_actors)]
+    out_refs = []
+    for t in batches:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        route = (pd.util.hash_array(np.ascontiguousarray(k))
+                 % np.uint64(n_actors)).astype(np.int64)
+        for a in range(n_actors):
+            m = route == a
+            if m.any():
+                out_refs.append(pool[a].append.remote(
+                    t.filter(pa.array(m)), key_col, ts_col, val_col))
+    out_refs.extend(a.flush.remote() for a in pool)
+    tables = [t for t in ray.get(out_refs) if t.num_rows]
+    return pa.concat_tables(tables) if tables else _EMPTY
