@@ -93,3 +93,55 @@ def test_stream_encode_pool_matches_oneshot(ray_session):
     df = blocks.to_pandas().sort_values(["series_key", "block_start"])
     for k, g in df.groupby("series_key"):
         assert (g["n_points"].to_numpy()[:-1] == 8).all()
+
+
+def test_stream_encoder_slicing_property():
+    """Hypothesis: ANY micro-batch slicing of a time-ordered stream
+    yields the same decoded points as the unsliced stream, with every
+    non-final block exactly max_points."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        data=st.lists(  # per series: number of points
+            st.integers(min_value=1, max_value=30),
+            min_size=1, max_size=5),
+        cuts=st.lists(st.integers(min_value=1, max_value=120),
+                      min_size=0, max_size=6),
+        max_points=st.integers(min_value=2, max_value=9),
+        seed=st.integers(min_value=0, max_value=2**16),
+    )
+    def check(data, cuts, max_points, seed):
+        rng = np.random.default_rng(seed)
+        keys, ts, vals = [], [], []
+        truth = {}
+        for s, n in enumerate(data):
+            k = f"s{s}"
+            t = np.cumsum(rng.integers(1, 4, n)) * 60
+            v = rng.integers(-2, 3, n).astype(np.float64)
+            truth[k] = (t.tolist(), v.tolist())
+            keys.extend([k] * n)
+            ts.extend(t.tolist())
+            vals.extend(v.tolist())
+        order = np.argsort(np.asarray(ts), kind="stable")
+        keys = np.asarray(keys, dtype=object)[order]
+        ts = np.asarray(ts)[order]
+        vals = np.asarray(vals)[order]
+        bounds = sorted({0, len(keys), *[c % (len(keys) + 1) for c in cuts]})
+        enc = StreamGorillaEncoder(max_points=max_points)
+        blocks = []
+        for a, b in zip(bounds, bounds[1:]):
+            out = enc.append(_mk(keys[a:b].tolist(), ts[a:b], vals[a:b]))
+            if out.num_rows:
+                blocks.append(out)
+        out = enc.flush()
+        if out.num_rows:
+            blocks.append(out)
+        allb = pa.concat_tables(blocks)
+        assert _decode_all(allb) == truth
+        df = allb.to_pandas().sort_values(["series_key", "block_start"])
+        for _, g in df.groupby("series_key"):
+            assert (g["n_points"].to_numpy()[:-1] == max_points).all()
+
+    check()
