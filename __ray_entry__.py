@@ -208,6 +208,18 @@ def _q_select_series(sf_dir: str):
     return decode_tier_blocks(sel).map_batches(shape, batch_format="pyarrow")
 
 
+def _q_count_values_1h_turns(sf_dir: str):
+    """PromQL ``count_values("count", increase(turns_total[1h]))``: per
+    1h window, how many series reported each distinct turn count — the
+    long-tail distribution read (stages/promql.count_values, combiner
+    pre-aggregation before the one exchange)."""
+    from vertex_ray.stages.promql import count_values
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return count_values(ds, "count")
+
+
 def _q_stream_encode_roundtrip(sf_dir: str):
     """Streaming ingest path: the 1m turns tier fed as three TIME-SLICED
     micro-batches through the open-block actor pool
@@ -1260,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burn_rate_1m_latency": _q_burn_rate_1m_latency,
         "quantile_by_role_1h_turns": _q_quantile_by_role_1h,
         "stream_encode_roundtrip_1m_turns": _q_stream_encode_roundtrip,
+        "count_values_1h_turns": _q_count_values_1h_turns,
         "read_api_instant_1h_turns": _q_read_api_instant,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
@@ -1513,6 +1526,17 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(GREATEST(count(*), 1), 5) AS count
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY conv_id, role, 2
+            """,
+        "count_values_1h_turns": f"""
+            WITH g AS (
+              SELECT conv_id, role, {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2, 3
+            )
+            SELECT count, window_start,
+                   CAST(count(*) AS BIGINT) AS n_series
+            FROM g GROUP BY 1, 2
             """,
         "quantile_by_role_1h_turns": f"""
             WITH g AS (

@@ -791,3 +791,19 @@ def test_promql_new_kernels_random_crosscheck(ray_session):
     want = per_series(ref_sd)
     for r in got.itertuples():
         assert r.stddev_over == want[(r.k, r.w)]
+
+
+def test_count_values(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import count_values
+
+    t = pa.table({
+        "series_key": [f"m{{c={i}}}" for i in range(6)],
+        "window_start": [0, 0, 0, 0, 60, 60],
+        "count": np.array([2, 2, 5, 2, 5, 5], dtype=np.int64),
+    })
+    out = (count_values(rd.from_arrow(t), "count").to_pandas()
+           .sort_values(["window_start", "count"]).reset_index(drop=True))
+    assert out.values.tolist() == [
+        [2, 0, 3], [5, 0, 1], [5, 60, 2]]

@@ -273,6 +273,13 @@ def _t_irate_idelta(cfg, ds):
                         cfg["value_col"])
 
 
+def _t_count_values(cfg, ds):
+    from vertex_ray.stages.promql import count_values
+
+    return count_values(ds, cfg["value_col"],
+                        window_col=cfg.get("window_col", "window_start"))
+
+
 def _t_burn_rate(cfg, ds):
     from vertex_ray.stages.promql import burn_rate
 
@@ -448,6 +455,7 @@ STEP_TYPES: dict[str, Callable] = {
     "alert_state": _t_alert_state,
     "epoch_shuffle": _t_epoch_shuffle,
     "burn_rate": _t_burn_rate,
+    "count_values": _t_count_values,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,
     "unigram_score": _t_unigram_score,

@@ -1,7 +1,9 @@
 """The store's query façade — the prometheus_exporter read surface as an
 API (reference: the exporter sink exposes series for PromQL range /
-instant queries; here the same two verbs run directly over the committed
-Gorilla block store).
+instant queries and skips expired entries at read time,
+/root/reference src/sinks/prometheus_exporter.rs:351-356; here the same
+two verbs run directly over the committed Gorilla block store, with
+staleness materialized as the filled/stale flags the fill stage wrote).
 
 - ``query_range``   — tier rows for a metric + label-regex + time range.
   Selection is applied to BLOCK rows before any decode (name/key match,

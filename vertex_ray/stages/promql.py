@@ -35,7 +35,7 @@ __all__ = ["extract_label", "label_aggregate", "group_sum", "over_time",
            "binary_op", "zscore_over_time", "lttb_downsample",
            "holt_winters", "predict_linear", "deriv", "irate_idelta",
            "resets_changes", "label_replace", "label_join", "clamp",
-           "alert_state", "burn_rate"]
+           "alert_state", "burn_rate", "count_values"]
 
 
 def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
@@ -867,8 +867,11 @@ def alert_state(ds, key_col: str, order_col: str, value_col: str,
                 threshold: float, for_windows: int, tier_seconds: int,
                 n_buckets: int = 64):
     """Prometheus-style alerting rule evaluation over tier rows —
-    ``expr > threshold FOR <for_windows> windows``. Per series sorted by
-    window_start, each sample is classified:
+    ``expr > threshold FOR <for_windows> windows`` (the evaluation side
+    of the reference's alert delivery sink,
+    /root/reference src/sinks/alertmanager — vertex ships alerts, a rule
+    engine upstream decides them; here both live in the store's read
+    path). Per series sorted by window_start, each sample is classified:
 
     - ``inactive`` — value ≤ threshold
     - ``pending``  — breaching, but the current CONSECUTIVE breach run
@@ -966,4 +969,39 @@ def burn_rate(ds, key_col: str, order_col: str, bad_col: str,
                        batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def count_values(ds, value_col: str, window_col: str = "window_start",
+                 out_col: str = "n_series", n_buckets: int = 64):
+    """PromQL ``count_values("value", metric)``: per window, how many
+    series currently report each distinct value — the long-tail
+    distribution read (e.g. how many conversations had exactly k turns
+    this hour). Combiner pattern: each batch collapses to one row per
+    distinct (value, window) BEFORE the one hash exchange, so shuffle
+    volume is the distinct-value cardinality per batch, never tier rows;
+    int64 partial counts commute, so the merged counts are exact."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "__v": t[value_col].to_numpy(zero_copy_only=False),
+            window_col: t[window_col].to_numpy(zero_copy_only=False),
+        })
+        g = (df.groupby(["__v", window_col], sort=False, dropna=False)
+             .size().rename("__c").reset_index())
+        b = (pd.util.hash_pandas_object(g[["__v", window_col]], index=False)
+             .to_numpy() % np.uint64(n_buckets)).astype(np.int64)
+        g["__bucket"] = b
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        r = (g.groupby(["__v", window_col], sort=False, dropna=False)
+             ["__c"].sum().reset_index())
+        r.columns = [value_col, window_col, out_col]
+        return r
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(final, batch_format="pandas")
     )
