@@ -346,6 +346,30 @@ def _q_read_api_instant(sf_dir: str):
                          columns=["series_key", "window_start", "count"])
 
 
+def _q_delete_series_1h_turns(sf_dir: str):
+    """TSDB delete lifecycle, read side: a tombstone (assistant series
+    of turns_total over the middle third of the store's time range) is
+    applied by the query façade at read time — deleted points vanish
+    without rewriting a single block (state/tombstones; the reference
+    skips expired entries at read time the same way,
+    /root/reference src/sinks/prometheus_exporter.rs:351-356). Blocks
+    fully inside the stone never decode; straddling blocks decode then
+    drop the deleted windows."""
+    from vertex_ray.read import query_range
+
+    out = _ensure_pipeline(sf_dir)
+    cols = ["series_key", "window_start", "count"]
+    probe = query_range(out, "1h", metric="turns_total", columns=cols,
+                        tombstones=False)
+    lo, hi = probe.min("window_start"), probe.max("window_start")
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + 2 * (hi - lo) // 3
+    stone = {"metric": "turns_total", "key_regex": r"role=assistant\}",
+             "start": t1, "end": t2, "tiers": ["1h"]}
+    return query_range(out, "1h", metric="turns_total", columns=cols,
+                       tombstones=[stone])
+
+
 def _q_conv_stitch(sf_dir: str):
     """Transcripts → one training document per conversation (turns in
     order, newline-joined) via the bucketed stitch operator."""
@@ -1274,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_encode_roundtrip_1m_turns": _q_stream_encode_roundtrip,
         "count_values_1h_turns": _q_count_values_1h_turns,
         "read_api_instant_1h_turns": _q_read_api_instant,
+        "delete_series_1h_turns": _q_delete_series_1h_turns,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -1587,6 +1612,25 @@ def oracle_sql() -> dict[str, str]:
             t0 AS (SELECT min(window_start) AS t0 FROM g)
             SELECT series_key, window_start, count
             FROM g, t0 WHERE window_start <= t0 + 21600
+            """,
+        "delete_series_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     role, {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2, 3
+            ),
+            b AS (SELECT min(window_start) AS lo, max(window_start) AS hi
+                  FROM g),
+            d AS (SELECT lo + CAST(floor((hi - lo) / 3) AS BIGINT) AS t1,
+                         lo + CAST(floor(2 * (hi - lo) / 3) AS BIGINT) AS t2
+                  FROM b)
+            SELECT series_key, window_start, count
+            FROM g, d
+            WHERE NOT (role = 'assistant'
+                       AND window_start BETWEEN t1 AND t2)
             """,
         "read_api_instant_1h_turns": f"""
             WITH g AS (

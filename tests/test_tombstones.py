@@ -1,0 +1,103 @@
+"""Tombstone delete lifecycle (state/tombstones): delete request →
+read-time skip with zero rewrite → compaction applies physically →
+CleanTombstones. Mirrors the public Prometheus TSDB delete shape; the
+reference skips expired entries at read time the same way
+(src/sinks/prometheus_exporter.rs:351-356)."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from vertex_ray.synth import ensure_transcripts
+
+COLS = ["series_key", "window_start", "count"]
+
+
+@pytest.fixture(scope="module")
+def store(ray_session, tmp_path_factory):
+    trans = ensure_transcripts(0.001, base="/tmp/vertex_ray_testdata")
+    out = str(tmp_path_factory.mktemp("tiers_del"))
+    from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+
+    run_pipeline(trans, out, n_buckets=4)
+    return out
+
+
+def _read(out, tier="1h", **kw):
+    from vertex_ray.read import query_range
+
+    df = query_range(out, tier, metric="turns_total", columns=COLS,
+                     **kw).to_pandas()
+    return df.sort_values(COLS, kind="stable").reset_index(drop=True)
+
+
+def test_delete_lifecycle(store):
+    from vertex_ray.pipelines.rollup_pipeline import (
+        decode_tier_blocks,
+        read_stage,
+    )
+    from vertex_ray.stages.compact import compact_blocks
+    from vertex_ray.state.tombstones import (
+        add_tombstone,
+        clear_tombstones,
+        load_tombstones,
+    )
+
+    base = _read(store, tombstones=False)
+    lo, hi = int(base.window_start.min()), int(base.window_start.max())
+    t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    hit = (base.series_key.str.contains(r"role=assistant\}")
+           & base.window_start.between(t1, t2))
+    assert hit.any() and (~hit).any()  # the stone is a strict subset
+
+    # 1. delete request → next read (default tombstones=True) skips the
+    #    points; nothing on disk but the stone file changed
+    add_tombstone(store, metric="turns_total",
+                  key_regex=r"role=assistant\}", start=t1, end=t2,
+                  tiers=["1h"])
+    after = _read(store)
+    pd.testing.assert_frame_equal(
+        after, base[~hit].reset_index(drop=True))
+
+    # other tiers are untouched (the stone names only 1h)
+    assert len(_read(store, tier="1m")) == len(
+        _read(store, tier="1m", tombstones=False))
+
+    # 2. compaction applies the stones physically: the compacted blocks
+    #    decode to exactly the post-delete view
+    stones = load_tombstones(store)
+    comp = compact_blocks(read_stage(store, "blocks", "1h"),
+                          tombstones=stones)
+
+    def shape(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.invert(t["filled"]), pc.invert(t["stale"]))
+        t = t.filter(pc.and_(m, pc.equal(t["name"], "turns_total")))
+        t = t.select(COLS)
+        i = t.schema.get_field_index("count")
+        return t.set_column(i, "count", pc.cast(t["count"], pa.int64()))
+
+    phys = (decode_tier_blocks(comp)
+            .map_batches(shape, batch_format="pyarrow").to_pandas()
+            .sort_values(COLS, kind="stable").reset_index(drop=True))
+    pd.testing.assert_frame_equal(phys, after)
+
+    # 3. CleanTombstones: stones cleared, reads stay stable against the
+    #    (hypothetically committed) compacted store
+    clear_tombstones(store)
+    assert load_tombstones(store) == []
+    pd.testing.assert_frame_equal(_read(store), base)  # raw store back
+
+
+def test_unbounded_stone_prunes_whole_blocks(store):
+    """A delete with open time bounds drops matching blocks BEFORE
+    decode (block_keep_mask full-coverage rule) — the read returns no
+    rows for the matched series and all rows for the rest."""
+    base = _read(store, tombstones=False)
+    stone = {"metric": "turns_total", "key_regex": r"role=user\}",
+             "start": None, "end": None, "tiers": None}
+    got = _read(store, tombstones=[stone])
+    want = base[~base.series_key.str.contains(r"role=user\}")]
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))

@@ -34,7 +34,8 @@ _SCALAR_COLS = ["series_key", "window_start", "sum", "count", "min",
 def query_range(out_dir: str, tier: str, metric: str | None = None,
                 key_regex: str | None = None, start: int | None = None,
                 end: int | None = None, include_filled: bool = False,
-                columns: list[str] | None = None):
+                columns: list[str] | None = None,
+                tombstones: bool | list = True):
     """Tier rows from the committed block store for one range query.
 
     ``metric`` (exact name) and ``key_regex`` (RE2 over series_key) prune
@@ -43,13 +44,26 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
     windows. Gap-filled / stale-marker rows are dropped unless
     ``include_filled`` (real-sample reads vs dashboard LOCF reads).
     ``count`` is cast back to int64 (the tiers' storage flag layout keeps
-    it unsigned)."""
+    it unsigned).
+
+    ``tombstones``: True (default) loads the store's delete tombstones
+    (state/tombstones) once on the driver and applies them — a block
+    fully covered by a stone never decodes, a partially-covered block
+    drops the deleted points post-decode; False ignores them; an
+    explicit list applies those stones (dry-run of a delete request)."""
     from vertex_ray.pipelines.rollup_pipeline import (
         decode_tier_blocks,
         read_stage,
     )
+    from vertex_ray.state.tombstones import (
+        block_keep_mask,
+        load_tombstones,
+        point_keep_mask,
+    )
 
     cols = columns or _SCALAR_COLS
+    stones = (load_tombstones(out_dir) if tombstones is True
+              else list(tombstones or []))
 
     def prune(t: pa.Table) -> pa.Table:
         m = pa.array(np.ones(len(t), dtype=bool))
@@ -62,6 +76,8 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
             m = pc.and_(m, pc.greater_equal(t["block_end"], start))
         if end is not None:
             m = pc.and_(m, pc.less_equal(t["block_start"], end))
+        if stones:
+            m = pc.and_(m, block_keep_mask(t, stones, tier))
         return t.filter(m)
 
     sel = read_stage(out_dir, "blocks", tier).map_batches(
@@ -76,6 +92,8 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
             keep = pc.and_(keep, pc.greater_equal(t["window_start"], start))
         if end is not None:
             keep = pc.and_(keep, pc.less_equal(t["window_start"], end))
+        if stones:
+            keep = pc.and_(keep, point_keep_mask(t, stones, tier))
         t = t.filter(keep).select(cols)
         if "count" in cols:
             i = t.schema.get_field_index("count")
@@ -87,7 +105,8 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
 
 def instant_query(out_dir: str, tier: str, at: int, lookback: int,
                   metric: str | None = None, key_regex: str | None = None,
-                  columns: list[str] | None = None, n_buckets: int = 64):
+                  columns: list[str] | None = None, n_buckets: int = 64,
+                  tombstones: bool | list = True):
     """PromQL instant vector at evaluation time ``at``: per series, the
     newest real sample with ``at - lookback < window_start <= at``;
     series with none are absent. One hash-bucketed exchange over the
@@ -96,7 +115,8 @@ def instant_query(out_dir: str, tier: str, at: int, lookback: int,
 
     cols = columns or _SCALAR_COLS
     rng = query_range(out_dir, tier, metric=metric, key_regex=key_regex,
-                      start=at - lookback + 1, end=at, columns=cols)
+                      start=at - lookback + 1, end=at, columns=cols,
+                      tombstones=tombstones)
 
     def newest(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["series_key", "window_start"], kind="stable")

@@ -29,15 +29,25 @@ import pandas as pd
 import pyarrow as pa
 
 
-def compact_blocks(blocks_ds, *, max_block_windows: int = 1 << 20):
+def compact_blocks(blocks_ds, *, max_block_windows: int = 1 << 20,
+                   tombstones: list | None = None):
     """Block-row Dataset (e.g. ``read_epochs_stage(out, "blocks")``) →
     compacted block-row Dataset: one block per (series, tier) up to
-    ``max_block_windows`` points per block."""
+    ``max_block_windows`` points per block.
+
+    ``tombstones`` (state/tombstones stones) are applied PHYSICALLY:
+    deleted points are dropped between decode and re-encode, so the
+    compacted store no longer needs the tombstone file (the caller
+    clears it after committing — the CleanTombstones step). A series
+    whose every point is tombstoned simply emits no block."""
     from vertex_ray.stages.encode import GorillaEncode, decode_blocks_batch
     from vertex_ray.stages.fill import pack_series
+    from vertex_ray.state.tombstones import filter_points
+
+    stones = list(tombstones or [])
 
     def compact_group(g: pa.Table) -> pa.Table:
-        flat = decode_blocks_batch(g).to_pandas()
+        flat = filter_points(decode_blocks_batch(g), stones).to_pandas()
         # decoded rows drop the partition key; it is constant per group
         flat["bucket"] = np.int32(g["bucket"][0].as_py())
         flat = flat.sort_values(["tier", "series_key", "window_start"],
@@ -60,6 +70,9 @@ def compact_blocks(blocks_ds, *, max_block_windows: int = 1 << 20):
                 "tier", pa.array(np.full(packed.num_rows, tier,
                                          dtype=object), type=pa.string()))
             outs.append(enc(packed))
+        if not outs:  # every point of this bucket was tombstoned
+            from vertex_ray.schema import BLOCK_SCHEMA
+            return BLOCK_SCHEMA.empty_table()
         return pa.concat_tables(outs)
 
     return blocks_ds.groupby("bucket").map_groups(
