@@ -370,6 +370,48 @@ def _q_delete_series_1h_turns(sf_dir: str):
                        tombstones=[stone])
 
 
+def _q_absent_1h_conv0(sf_dir: str):
+    """PromQL ``absent(turns_total{conv_id=conv00000000})`` over the
+    store's whole 1h range: one row per evaluation window where that
+    conversation reported nothing (stages/promql.absent_over_time — the
+    "metric stopped reporting" alert primitive; a single conversation is
+    active for hours of a multi-day range, so most windows are absent)."""
+    from vertex_ray.read import query_range
+    from vertex_ray.stages.promql import absent_over_time
+
+    out = _ensure_pipeline(sf_dir)
+    cols = ["series_key", "window_start", "count"]
+    probe = query_range(out, "1h", metric="turns_total", columns=cols,
+                        tombstones=False)
+    lo, hi = probe.min("window_start"), probe.max("window_start")
+    sel = query_range(out, "1h", metric="turns_total",
+                      key_regex=r"conv_id=conv00000000,", columns=cols,
+                      tombstones=False)
+    return absent_over_time(sel, "window_start", 3600, lo, hi)
+
+
+def _q_group_left_share_1h(sf_dir: str):
+    """PromQL group_left many-to-one matching:
+    ``turns_total / on(role, window) group_left sum by (role)`` — each
+    series' share of its role's hourly traffic. The per-series vector
+    (many) joins its role-level total (one) on (role, window) while
+    series_key rides through (stages/promql.binary_op carry_left)."""
+    from vertex_ray.stages.promql import (
+        binary_op,
+        extract_label,
+        label_aggregate,
+    )
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    left = ds.map_batches(lambda t: extract_label(t, "role"),
+                          batch_format="pyarrow")
+    right = label_aggregate(ds, "role", "count", out_col="role_total")
+    return binary_op(left, right, ["role", "window_start"], "count",
+                     "role_total", op="div", out_col="share",
+                     carry_left=["series_key"])
+
+
 def _q_conv_stitch(sf_dir: str):
     """Transcripts → one training document per conversation (turns in
     order, newline-joined) via the bucketed stitch operator."""
@@ -1299,6 +1341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_values_1h_turns": _q_count_values_1h_turns,
         "read_api_instant_1h_turns": _q_read_api_instant,
         "delete_series_1h_turns": _q_delete_series_1h_turns,
+        "absent_1h_conv0_turns": _q_absent_1h_conv0,
+        "group_left_share_1h_turns": _q_group_left_share_1h,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -1631,6 +1675,39 @@ def oracle_sql() -> dict[str, str]:
             FROM g, d
             WHERE NOT (role = 'assistant'
                        AND window_start BETWEEN t1 AND t2)
+            """,
+        "absent_1h_conv0_turns": f"""
+            WITH w AS (SELECT DISTINCT {_w(3600)} AS ws
+                       FROM {_SQL_TRANSCRIPTS}),
+            b AS (SELECT min(ws) AS lo, max(ws) AS hi FROM w),
+            spine AS (SELECT unnest(generate_series(lo, hi, 3600))
+                        AS window_start FROM b),
+            p AS (SELECT DISTINCT {_w(3600)} AS ws
+                  FROM {_SQL_TRANSCRIPTS}
+                  WHERE conv_id = 'conv00000000')
+            SELECT window_start, CAST(1 AS BIGINT) AS absent
+            FROM spine
+            WHERE window_start NOT IN (SELECT ws FROM p)
+            """,
+        "group_left_share_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     role, {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2, 3
+            ),
+            r AS (
+              SELECT role, window_start, sum(count) AS role_total
+              FROM g GROUP BY 1, 2
+            )
+            SELECT g.role, g.window_start, g.series_key,
+                   g.count, CAST(r.role_total AS BIGINT) AS role_total,
+                   CAST(g.count AS DOUBLE) / CAST(r.role_total AS DOUBLE)
+                     AS share
+            FROM g JOIN r
+              ON r.role = g.role AND r.window_start = g.window_start
             """,
         "read_api_instant_1h_turns": f"""
             WITH g AS (

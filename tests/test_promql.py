@@ -793,6 +793,45 @@ def test_promql_new_kernels_random_crosscheck(ray_session):
         assert r.stddev_over == want[(r.k, r.w)]
 
 
+def test_absent_over_time(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import absent_over_time
+
+    t = pa.table({"window_start": np.array([60, 180, 300], dtype=np.int64)})
+    out = (absent_over_time(rd.from_arrow(t), "window_start", 60, 0, 360)
+           .to_pandas().sort_values("window_start").reset_index(drop=True))
+    assert out.window_start.tolist() == [0, 120, 240, 360]
+    assert (out.absent == 1).all()
+    # default bounds: only interior gaps
+    out2 = absent_over_time(rd.from_arrow(t), "window_start", 60).to_pandas()
+    assert sorted(out2.window_start) == [120, 240]
+
+
+def test_binary_op_group_left(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import binary_op
+
+    left = pa.table({
+        "series_key": ["a", "b", "c"],
+        "role": ["user", "user", "tool"],
+        "window_start": np.array([0, 0, 0], dtype=np.int64),
+        "count": np.array([1, 3, 2], dtype=np.int64),
+    })
+    right = pa.table({
+        "role": ["user", "tool"],
+        "window_start": np.array([0, 0], dtype=np.int64),
+        "role_total": np.array([4, 2], dtype=np.int64),
+    })
+    out = (binary_op(rd.from_arrow(left), rd.from_arrow(right),
+                     ["role", "window_start"], "count", "role_total",
+                     op="div", out_col="share", carry_left=["series_key"])
+           .to_pandas().sort_values("series_key").reset_index(drop=True))
+    assert out.series_key.tolist() == ["a", "b", "c"]
+    assert out.share.tolist() == [0.25, 0.75, 1.0]
+
+
 def test_count_values(ray_session):
     import ray.data as rd
 

@@ -35,7 +35,7 @@ __all__ = ["extract_label", "label_aggregate", "group_sum", "over_time",
            "binary_op", "zscore_over_time", "lttb_downsample",
            "holt_winters", "predict_linear", "deriv", "irate_idelta",
            "resets_changes", "label_replace", "label_join", "clamp",
-           "alert_state", "burn_rate", "count_values"]
+           "alert_state", "burn_rate", "count_values", "absent_over_time"]
 
 
 def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
@@ -217,7 +217,7 @@ def group_sum(ds, group_cols: list[str], value_cols: list[str],
 def binary_op(left, right, on_cols: list[str], left_val: str,
               right_val: str, op: str = "div",
               out_col: str = "value", n_buckets: int = 64,
-              sep: str = "\x1f"):
+              sep: str = "\x1f", carry_left: list[str] | None = None):
     """PromQL binary operation with vector matching —
     ``left <op> on(on_cols) right`` (e.g. an error-rate or per-turn ratio
     panel: ``tool_invocations_total / on(conv_id) turns_total``).
@@ -227,6 +227,16 @@ def binary_op(left, right, on_cols: list[str], left_val: str,
     PromQL drops unmatched samples), then the arithmetic runs as a single
     Arrow kernel per batch. Division casts both sides to float64 first so
     the expression is the same IEEE op sequence as the SQL oracle.
+
+    ``carry_left`` adds PromQL ``group_left`` many-to-one matching: the
+    listed LEFT columns ride through the join unchanged (e.g. keep
+    ``series_key`` while dividing each series by its role-level total, so
+    on_cols=[role, window] matches many left rows to one right row). As
+    in PromQL, the right vector is the "one" side and must be unique per
+    match key — a duplicate right key duplicates output rows (PromQL
+    rejects many-to-many; here the invariant holds by construction when
+    the right side is a label_aggregate/group_sum result keyed on
+    on_cols).
 
     ``sep`` joins on_cols into the composite key and must not occur in
     their values (defaults to the unit separator \\x1f — impossible in
@@ -241,17 +251,19 @@ def binary_op(left, right, on_cols: list[str], left_val: str,
            "mul": pc.multiply}
     if op not in ops:
         raise ValueError(f"unsupported binary op: {op}")
+    carry = [c for c in (carry_left or []) if c not in on_cols]
 
-    def with_key(keep_val):
+    def with_key(keep_val, extra=()):
         def fn(t: pa.Table) -> pa.Table:
             k = t[on_cols[0]].cast(pa.string())
             for c in on_cols[1:]:
                 k = pc.binary_join_element_wise(
                     k, t[c].cast(pa.string()), sep)
-            return t.select(on_cols + [keep_val]).append_column("__k", k)
+            return t.select(on_cols + list(extra) + [keep_val]
+                            ).append_column("__k", k)
         return fn
 
-    l = left.map_batches(with_key(left_val), batch_format="pyarrow")
+    l = left.map_batches(with_key(left_val, carry), batch_format="pyarrow")
     r = right.map_batches(
         lambda t: t.select([right_val]).append_column(
             "__k", with_key(right_val)(t)["__k"]),
@@ -261,8 +273,8 @@ def binary_op(left, right, on_cols: list[str], left_val: str,
     def finish(t: pa.Table) -> pa.Table:
         lv = pc.cast(t[left_val], pa.float64())
         rv = pc.cast(t[right_val], pa.float64())
-        return t.select(on_cols + [left_val, right_val]).append_column(
-            out_col, ops[op](lv, rv))
+        return t.select(on_cols + carry + [left_val, right_val]
+                        ).append_column(out_col, ops[op](lv, rv))
 
     return joined.map_batches(finish, batch_format="pyarrow")
 
@@ -970,6 +982,38 @@ def burn_rate(ds, key_col: str, order_col: str, bad_col: str,
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def absent_over_time(ds, window_col: str = "window_start",
+                     tier_seconds: int = 60, start: int | None = None,
+                     end: int | None = None, out_col: str = "absent"):
+    """PromQL ``absent()`` evaluated across a range — one row
+    ``(window, 1)`` for every evaluation window in ``[start, end]``
+    (step = the tier) where the selector matched NOTHING; windows with
+    any sample are omitted (PromQL absent() returns an empty vector when
+    the selector matches). The alerting primitive for "this metric
+    stopped reporting".
+
+    Scale contract: the distributed side is a distinct-window reduction
+    (Ray ``unique`` — a combiner aggregate whose exchange carries one
+    row per distinct window per block, never samples); the spine
+    anti-join then runs over the evaluation GRID, whose size is
+    range/step — bounded by the dashboard's time axis, independent of
+    series count or sample volume. ``start``/``end`` default to the
+    observed window range (then only interior gaps report)."""
+    import ray.data as rd
+
+    present = np.asarray(sorted(ds.unique(window_col)), dtype=np.int64)
+    lo = int(start if start is not None
+             else (present[0] if len(present) else 0))
+    hi = int(end if end is not None
+             else (present[-1] if len(present) else -1))
+    spine = np.arange(lo, hi + 1, tier_seconds, dtype=np.int64)
+    gaps = spine[~np.isin(spine, present)]
+    return rd.from_arrow(pa.table({
+        window_col: gaps,
+        out_col: np.ones(len(gaps), dtype=np.int64),
+    }))
 
 
 def count_values(ds, value_col: str, window_col: str = "window_start",
