@@ -412,6 +412,23 @@ def _q_group_left_share_1h(sf_dir: str):
                      carry_left=["series_key"])
 
 
+def _q_offset_dod_1h(sf_dir: str):
+    """PromQL offset modifier: ``turns_total - turns_total offset 1d``
+    per series at the 1h tier — the day-over-day traffic delta panel.
+    The offset leg re-stamps windows forward 86400 s (per-batch, no
+    exchange), then the standard vector match joins the two legs
+    (stages/promql.offset_modifier + binary_op); windows without a
+    sample a day earlier drop, as PromQL does with unmatched vectors."""
+    from vertex_ray.stages.promql import binary_op, offset_modifier
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    prev = offset_modifier(ds, "window_start", 86400,
+                           rename={"count": "count_prev"})
+    return binary_op(ds, prev, ["series_key", "window_start"], "count",
+                     "count_prev", op="sub", out_col="dod")
+
+
 def _q_conv_stitch(sf_dir: str):
     """Transcripts → one training document per conversation (turns in
     order, newline-joined) via the bucketed stitch operator."""
@@ -1343,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_series_1h_turns": _q_delete_series_1h_turns,
         "absent_1h_conv0_turns": _q_absent_1h_conv0,
         "group_left_share_1h_turns": _q_group_left_share_1h,
+        "offset_dod_1h_turns": _q_offset_dod_1h,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -1675,6 +1693,23 @@ def oracle_sql() -> dict[str, str]:
             FROM g, d
             WHERE NOT (role = 'assistant'
                        AND window_start BETWEEN t1 AND t2)
+            """,
+        "offset_dod_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT a.series_key, a.window_start, a.count,
+                   b.count AS count_prev,
+                   CAST(a.count AS DOUBLE) - CAST(b.count AS DOUBLE)
+                     AS dod
+            FROM g a JOIN g b
+              ON b.series_key = a.series_key
+             AND b.window_start = a.window_start - 86400
             """,
         "absent_1h_conv0_turns": f"""
             WITH w AS (SELECT DISTINCT {_w(3600)} AS ws

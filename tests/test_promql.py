@@ -832,6 +832,27 @@ def test_binary_op_group_left(ray_session):
     assert out.share.tolist() == [0.25, 0.75, 1.0]
 
 
+def test_offset_modifier(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import binary_op, offset_modifier
+
+    t = pa.table({
+        "series_key": ["a"] * 4,
+        "window_start": np.array([0, 60, 120, 180], dtype=np.int64),
+        "count": np.array([5, 7, 4, 9], dtype=np.int64),
+    })
+    ds = rd.from_arrow(t)
+    prev = offset_modifier(ds, "window_start", 60,
+                           rename={"count": "count_prev"})
+    out = (binary_op(ds, prev, ["series_key", "window_start"], "count",
+                     "count_prev", op="sub", out_col="d")
+           .to_pandas().sort_values("window_start").reset_index(drop=True))
+    # first window has no sample 60 s earlier → dropped
+    assert out.window_start.tolist() == [60, 120, 180]
+    assert out.d.tolist() == [2.0, -3.0, 5.0]
+
+
 def test_count_values(ray_session):
     import ray.data as rd
 

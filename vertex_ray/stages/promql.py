@@ -35,7 +35,8 @@ __all__ = ["extract_label", "label_aggregate", "group_sum", "over_time",
            "binary_op", "zscore_over_time", "lttb_downsample",
            "holt_winters", "predict_linear", "deriv", "irate_idelta",
            "resets_changes", "label_replace", "label_join", "clamp",
-           "alert_state", "burn_rate", "count_values", "absent_over_time"]
+           "alert_state", "burn_rate", "count_values", "absent_over_time",
+           "offset_modifier"]
 
 
 def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
@@ -982,6 +983,28 @@ def burn_rate(ds, key_col: str, order_col: str, bad_col: str,
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def offset_modifier(ds, order_col: str, offset_seconds: int,
+                    rename: dict | None = None):
+    """PromQL ``offset`` modifier: re-stamp each sample's evaluation
+    window FORWARD by ``offset_seconds``, so vector matching at window w
+    sees the value from w - offset. Compose with binary_op for
+    self-comparisons (``metric - metric offset 1d`` — day-over-day
+    deltas); ``rename`` remaps value columns so the two legs of the
+    self-join don't collide. Pure per-batch arithmetic — no exchange of
+    its own (the one hash exchange happens in the downstream match)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(order_col)
+        t = t.set_column(i, order_col, pc.add(t[order_col],
+                                              offset_seconds))
+        if rename:
+            t = t.rename_columns(
+                [rename.get(c, c) for c in t.schema.names])
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def absent_over_time(ds, window_col: str = "window_start",
