@@ -1082,6 +1082,26 @@ def _q_hist_p99_global_1m(sf_dir: str):
     return summed.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_hist_fraction_1m_latency(sf_dir: str):
+    """Prometheus ``histogram_fraction(0.3, 2.0, latency)`` per series
+    at the 1m tier: the SLO read "what share of inter-turn latencies
+    fell in (300 ms, 2 s]", linearly interpolated from the stored
+    cumulative buckets (stages/quantile.histogram_fraction_batch; SQL
+    mirror generated from the same constants)."""
+    from vertex_ray.schema import N_BUCKETS
+    from vertex_ray.stages.quantile import histogram_fraction_batch
+
+    bcols = [f"b{i:02d}" for i in range(N_BUCKETS)]
+    ds = _metric_tier(sf_dir, "1m", "inter_turn_latency_seconds",
+                      ["series_key", "window_start", "count"] + bcols)
+
+    def shape(t):
+        t = histogram_fraction_batch(t, 0.3, 2.0, out_col="fraction")
+        return t.select(["series_key", "window_start", "fraction"])
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_exphist_1m(sf_dir: str):
     """Sparse exponential-bucket histogram (native-histogram analogue,
     stages/exphist): power-of-2 µs buckets of inter-turn latency per
@@ -1387,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
         "avg_by_role_1h_turns": _q_avg_by_role_1h,
         "hist_p99_global_1m": _q_hist_p99_global_1m,
+        "hist_fraction_1m_latency": _q_hist_fraction_1m_latency,
         "ratio_tools_per_turn_1h": _q_ratio_tools_per_turn_1h,
         "retention_1m_latency": _q_retention_1m,
         "retention_1m_latency_epochs": _q_retention_epochs_1m,
@@ -2316,6 +2337,23 @@ def oracle_sql() -> dict[str, str]:
                     THEN CASE WHEN idx = -1 THEN 0.0
                               ELSE power(2.0, idx + 1) END END) AS p99
     FROM c GROUP BY 1, 2
+    """
+
+    from vertex_ray.stages.quantile import histogram_fraction_sql
+
+    sqls["hist_fraction_1m_latency"] = f"""{_LAT_CTE}
+    , h AS (
+      SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}'
+               AS series_key,
+             {_w(60)} AS window_start,
+             count(*) AS count,
+             {_BUCKET_SQL_COLS}
+      FROM lat WHERE lat IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT series_key, window_start,
+           {histogram_fraction_sql(0.3, 2.0)} AS fraction
+    FROM h
     """
 
     sqls["hist_p99_global_1m"] = f"""{_LAT_CTE}

@@ -200,3 +200,34 @@ def test_histogram_quantile_interpolation():
     p75 = histogram_quantile_batch(t, 0.75, out_col="q")["q"].to_pylist()
     lo, hi = 0.1, 0.25
     assert abs(p75[1] - (lo + (hi - lo) * (75 - 50) / (100 - 50))) < 1e-12
+
+
+def test_histogram_fraction():
+    """histogram_fraction(lo, hi): linear interpolation at both
+    thresholds; hi beyond the last finite bucket counts everything;
+    lo <= 0 counts from zero."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vertex_ray.schema import N_BUCKETS
+    from vertex_ray.stages.quantile import histogram_fraction_batch
+
+    # cumulative: 2 obs <=0.25, 4 <=0.5, 6 <=1.0, 8 <=2.5, 10 <=5.0
+    cum = np.zeros(N_BUCKETS, dtype=np.int64)
+    for i, v in [(5, 2), (6, 4), (7, 6), (8, 8), (9, 10), (10, 10)]:
+        cum[i] = v
+    t = pa.table({
+        **{f"b{i:02d}": pa.array([int(cum[i])]) for i in range(N_BUCKETS)},
+        "count": pa.array([10]),
+    })
+
+    def frac(lo, hi):
+        return histogram_fraction_batch(t, lo, hi, out_col="f")[
+            "f"].to_pylist()[0]
+
+    # cum(2.0) = 6 + (8-6)*(2-1)/(2.5-1); cum(0.3) = 2 + (4-2)*(.3-.25)/.25
+    c2 = 6 + 2 * ((2.0 - 1.0) / (2.5 - 1.0))
+    c03 = 2 + 2 * ((0.3 - 0.25) / (0.5 - 0.25))
+    assert frac(0.3, 2.0) == (c2 - c03) / 10.0
+    assert frac(0.0, 20.0) == 1.0     # everything
+    assert frac(0.0, 0.25) == 0.2     # exact bucket boundary -> b05/count

@@ -22,6 +22,8 @@ from vertex_ray.schema import DEFAULT_BUCKETS_ARR, N_BUCKETS
 __all__ = [
     "histogram_quantile_batch",
     "histogram_quantile_sql",
+    "histogram_fraction_batch",
+    "histogram_fraction_sql",
     "exact_quantiles",
 ]
 
@@ -74,6 +76,77 @@ def histogram_quantile_sql(q: float, count_expr: str = "count",
         )
     last = f"CAST({DEFAULT_BUCKETS_ARR[-1]!r} AS DOUBLE)"
     return "CASE " + " ".join(whens) + f" ELSE {last} END"
+
+
+def _frac_idx(x: float) -> tuple:
+    """Shared bucket lookup for the fraction estimator: (index of the
+    bucket holding threshold ``x``, its lower bound, its upper bound,
+    the interpolation constant ``(x - lower) / (upper - lower)``). The
+    constant is evaluated in float64 HERE for the numpy path; the SQL
+    generator re-emits the same three short literals and the same two
+    ops so DuckDB's constant folding produces the bit-identical double
+    (a pre-folded 17-digit literal could round differently through
+    DuckDB's DECIMAL parse)."""
+    idx = int(np.searchsorted(DEFAULT_BUCKETS_ARR, x, side="left"))
+    if x <= 0 or idx >= N_BUCKETS:
+        return idx, 0.0, 0.0, 0.0
+    upper = float(DEFAULT_BUCKETS_ARR[idx])
+    lower = float(DEFAULT_BUCKETS_ARR[idx - 1]) if idx > 0 else 0.0
+    return idx, lower, upper, (x - lower) / (upper - lower)
+
+
+def histogram_fraction_batch(t: pa.Table, lo: float, hi: float, *,
+                             out_col: str = "fraction") -> pa.Table:
+    """Prometheus ``histogram_fraction(lo, hi, h)`` over the classic
+    cumulative b00..bNN columns: estimated fraction of observations in
+    ``(lo, hi]``, linearly interpolated inside the buckets holding the
+    thresholds — the same estimator family as histogram_quantile (the
+    SLO read "what share of latencies were between 300 ms and 2 s").
+    Fully vectorized; :func:`histogram_fraction_sql` is generated from
+    the same formula/constants so both sides run the identical IEEE-754
+    expression."""
+    n = len(t)
+    count = t["count"].to_numpy().astype(np.float64)
+
+    def cum_at(x: float) -> np.ndarray:
+        if x <= 0:
+            return np.zeros(n, dtype=np.float64)
+        idx, _lo, _up, c = _frac_idx(x)
+        if idx >= N_BUCKETS:
+            return count
+        cur = t[f"b{idx:02d}"].to_numpy().astype(np.float64)
+        prev = (t[f"b{idx - 1:02d}"].to_numpy().astype(np.float64)
+                if idx > 0 else np.zeros(n, dtype=np.float64))
+        return prev + (cur - prev) * c
+
+    frac = (cum_at(hi) - cum_at(lo)) / count
+    return t.append_column(out_col, pa.array(frac, type=pa.float64()))
+
+
+def histogram_fraction_sql(lo: float, hi: float,
+                           count_expr: str = "count",
+                           bucket_fmt: str = "b{i:02d}") -> str:
+    """The DuckDB expression for the SAME fraction — thresholds are
+    compile-time constants, so the bucket index and interpolation
+    constant fold here (in Python float64) instead of in a CASE
+    ladder; the remaining SQL arithmetic mirrors the numpy op order."""
+
+    def cum_expr(x: float) -> str:
+        if x <= 0:
+            return "CAST(0.0 AS DOUBLE)"
+        idx, lower, upper, _c = _frac_idx(x)
+        if idx >= N_BUCKETS:
+            return f"CAST({count_expr} AS DOUBLE)"
+        cur = f"CAST({bucket_fmt.format(i=idx)} AS DOUBLE)"
+        prev = (f"CAST({bucket_fmt.format(i=idx - 1)} AS DOUBLE)"
+                if idx > 0 else "CAST(0.0 AS DOUBLE)")
+        # same short literals, same op order as _frac_idx's constant
+        c = (f"((CAST({x!r} AS DOUBLE) - CAST({lower!r} AS DOUBLE))"
+             f" / (CAST({upper!r} AS DOUBLE) - CAST({lower!r} AS DOUBLE)))")
+        return f"({prev} + ({cur} - {prev}) * {c})"
+
+    return (f"(({cum_expr(hi)} - {cum_expr(lo)})"
+            f" / CAST({count_expr} AS DOUBLE))")
 
 
 # --- exact distributed quantile (iterative radix selection) -----------------
