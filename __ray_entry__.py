@@ -429,6 +429,31 @@ def _q_offset_dod_1h(sf_dir: str):
                      "count_prev", op="sub", out_col="dod")
 
 
+def _q_hourly_profile_turns(sf_dir: str):
+    """Seasonal traffic profile: total turns by (role, hour-of-day,
+    day-of-week) — PromQL's hour()/day_of_week() time functions over
+    the 1h tier (stages/promql.window_time, pure epoch-second integer
+    arithmetic so the SQL mirror is exact), then one combiner-pattern
+    sum exchange (group_sum)."""
+    from vertex_ray.stages.promql import (
+        extract_label,
+        group_sum,
+        window_time,
+    )
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+
+    def prep(t):
+        t = extract_label(t, "role")
+        t = window_time(t, "window_start", "hour")
+        t = window_time(t, "window_start", "day_of_week")
+        return t.select(["role", "hour", "day_of_week", "count"])
+
+    return group_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                     ["role", "hour", "day_of_week"], ["count"])
+
+
 def _q_conv_stitch(sf_dir: str):
     """Transcripts → one training document per conversation (turns in
     order, newline-joined) via the bucketed stitch operator."""
@@ -1381,6 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "absent_1h_conv0_turns": _q_absent_1h_conv0,
         "group_left_share_1h_turns": _q_group_left_share_1h,
         "offset_dod_1h_turns": _q_offset_dod_1h,
+        "hourly_profile_1h_turns": _q_hourly_profile_turns,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -1714,6 +1740,19 @@ def oracle_sql() -> dict[str, str]:
             FROM g, d
             WHERE NOT (role = 'assistant'
                        AND window_start BETWEEN t1 AND t2)
+            """,
+        "hourly_profile_1h_turns": f"""
+            WITH g AS (
+              SELECT role, {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT role,
+                   (window_start % 86400) // 3600 AS hour,
+                   ((window_start // 86400) + 4) % 7 AS day_of_week,
+                   CAST(sum(count) AS BIGINT) AS count
+            FROM g GROUP BY 1, 2, 3
             """,
         "offset_dod_1h_turns": f"""
             WITH g AS (

@@ -853,6 +853,17 @@ def test_offset_modifier(ray_session):
     assert out.d.tolist() == [2.0, -3.0, 5.0]
 
 
+def test_window_time():
+    from vertex_ray.stages.promql import window_time
+
+    t = pa.table({"window_start": np.array(
+        [0, 3600 * 5, 86400 * 3, 86400 * 3 + 82800], dtype=np.int64)})
+    out = window_time(window_time(t, part="hour"), part="day_of_week")
+    assert out["hour"].to_pylist() == [0, 5, 0, 23]
+    # epoch day 0 = Thursday(4); 1970-01-04 = Sunday(0)
+    assert out["day_of_week"].to_pylist() == [4, 4, 0, 0]
+
+
 def test_count_values(ray_session):
     import ray.data as rd
 

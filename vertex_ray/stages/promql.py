@@ -36,7 +36,7 @@ __all__ = ["extract_label", "label_aggregate", "group_sum", "over_time",
            "holt_winters", "predict_linear", "deriv", "irate_idelta",
            "resets_changes", "label_replace", "label_join", "clamp",
            "alert_state", "burn_rate", "count_values", "absent_over_time",
-           "offset_modifier"]
+           "offset_modifier", "window_time"]
 
 
 def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
@@ -983,6 +983,26 @@ def burn_rate(ds, key_col: str, order_col: str, bad_col: str,
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def window_time(t: pa.Table, window_col: str = "window_start",
+                part: str = "hour", out_col: str | None = None) -> pa.Table:
+    """PromQL time functions over the evaluation window —
+    ``hour()`` (0-23 UTC), ``day_of_week()`` (0-6, 0 = Sunday, the
+    Prometheus convention), ``day_of_month`` / ``month`` omitted (they
+    need a calendar; the two shipped parts are pure integer arithmetic
+    on epoch seconds, identical in SQL: ``(ws % 86400) // 3600`` and
+    ``((ws // 86400) + 4) % 7`` — epoch day 0 was a Thursday). The
+    building block for seasonal dashboards (traffic by hour-of-day)."""
+    ws = t[window_col].to_numpy()
+    if part == "hour":
+        v = (ws % 86400) // 3600
+    elif part == "day_of_week":
+        v = ((ws // 86400) + 4) % 7
+    else:
+        raise ValueError(f"unsupported time part: {part}")
+    return t.append_column(out_col or part,
+                           pa.array(v.astype(np.int64)))
 
 
 def offset_modifier(ds, order_col: str, offset_seconds: int,
