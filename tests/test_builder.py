@@ -188,3 +188,48 @@ def test_builder_round2_steps(ray_session):
         {"doc_id": [1, 2], "text": ["a b a", "b c"]}))
     ug = STEP_TYPES["unigram_score"]({}, docs).to_pandas()
     assert set(ug["doc_id"]) == {1, 2}
+
+
+def test_builder_late_round2_steps(ray_session):
+    """Late round-2 step types: absent, offset, window_time,
+    hist_fraction, binary_op (multi-input), count_values."""
+    import numpy as np
+    import ray.data as rd
+
+    from vertex_ray.pipelines.builder import MULTI_INPUT_TYPES, STEP_TYPES
+    from vertex_ray.schema import N_BUCKETS
+
+    tier = rd.from_arrow(pa.table({
+        "series_key": ["s"] * 3,
+        "window_start": np.array([0, 120, 240], dtype=np.int64),
+        "count": np.array([2, 3, 4], dtype=np.int64),
+    }))
+    ab = STEP_TYPES["absent"](
+        {"tier_seconds": 60, "start": 0, "end": 240}, tier).to_pandas()
+    assert sorted(ab.window_start) == [60, 180]
+
+    off = STEP_TYPES["offset"](
+        {"offset_seconds": 120, "rename": {"count": "prev"}},
+        tier).to_pandas()
+    assert sorted(off.window_start) == [120, 240, 360]
+    assert "prev" in off.columns
+
+    wt = STEP_TYPES["window_time"]({"part": "hour"}, tier).to_pandas()
+    assert wt.hour.tolist() == [0, 0, 0]
+
+    hist = rd.from_arrow(pa.table({
+        **{f"b{i:02d}": pa.array([10]) for i in range(N_BUCKETS)},
+        "count": pa.array([10]),
+    }))
+    hf = STEP_TYPES["hist_fraction"]({"lo": 0.0, "hi": 20.0},
+                                     hist).to_pandas()
+    assert hf.fraction.tolist() == [1.0]
+
+    assert "binary_op" in MULTI_INPUT_TYPES
+    bo = STEP_TYPES["binary_op"](
+        {"on_cols": ["series_key", "window_start"], "left_val": "count",
+         "right_val": "prev", "op": "sub", "out_col": "d"},
+        [tier, STEP_TYPES["offset"](
+            {"offset_seconds": 120, "rename": {"count": "prev"}}, tier)],
+    ).to_pandas()
+    assert sorted(bo.d.tolist()) == [1.0, 1.0]

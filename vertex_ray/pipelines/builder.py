@@ -280,6 +280,53 @@ def _t_count_values(cfg, ds):
                         window_col=cfg.get("window_col", "window_start"))
 
 
+def _t_absent(cfg, ds):
+    from vertex_ray.stages.promql import absent_over_time
+
+    return absent_over_time(
+        ds, cfg.get("window_col", "window_start"),
+        tier_seconds=cfg.get("tier_seconds", 60),
+        start=cfg.get("start"), end=cfg.get("end"))
+
+
+def _t_offset(cfg, ds):
+    from vertex_ray.stages.promql import offset_modifier
+
+    return offset_modifier(ds, cfg.get("window_col", "window_start"),
+                           cfg["offset_seconds"],
+                           rename=cfg.get("rename"))
+
+
+def _t_window_time(cfg, ds):
+    from vertex_ray.stages.promql import window_time
+
+    return ds.map_batches(
+        lambda t: window_time(t, cfg.get("window_col", "window_start"),
+                              cfg.get("part", "hour"),
+                              cfg.get("out_col")),
+        batch_format="pyarrow")
+
+
+def _t_hist_fraction(cfg, ds):
+    from vertex_ray.stages.quantile import histogram_fraction_batch
+
+    return ds.map_batches(
+        lambda t: histogram_fraction_batch(
+            t, cfg["lo"], cfg["hi"],
+            out_col=cfg.get("out_col", "fraction")),
+        batch_format="pyarrow")
+
+
+def _t_binary_op(cfg, dss):
+    from vertex_ray.stages.promql import binary_op
+
+    left, right = dss
+    return binary_op(left, right, cfg["on_cols"], cfg["left_val"],
+                     cfg["right_val"], op=cfg.get("op", "div"),
+                     out_col=cfg.get("out_col", "value"),
+                     carry_left=cfg.get("carry_left"))
+
+
 def _t_burn_rate(cfg, ds):
     from vertex_ray.stages.promql import burn_rate
 
@@ -414,7 +461,8 @@ def _t_decontaminate(cfg, inputs):
                          min_overlap=cfg.get("min_overlap", 1))
 
 
-MULTI_INPUT_TYPES = {"join", "join_skewed", "asof_join", "decontaminate"}
+MULTI_INPUT_TYPES = {"join", "join_skewed", "asof_join", "decontaminate",
+                     "binary_op"}
 
 STEP_TYPES: dict[str, Callable] = {
     # sources
@@ -456,6 +504,10 @@ STEP_TYPES: dict[str, Callable] = {
     "epoch_shuffle": _t_epoch_shuffle,
     "burn_rate": _t_burn_rate,
     "count_values": _t_count_values,
+    "absent": _t_absent,
+    "offset": _t_offset,
+    "window_time": _t_window_time,
+    "hist_fraction": _t_hist_fraction,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,
     "unigram_score": _t_unigram_score,
@@ -467,6 +519,7 @@ STEP_TYPES: dict[str, Callable] = {
     "join_skewed": _t_join_skewed,
     "asof_join": _t_asof_join,
     "decontaminate": _t_decontaminate,
+    "binary_op": _t_binary_op,
 }
 
 
