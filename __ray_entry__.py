@@ -1137,6 +1137,23 @@ def _q_exphist_1m(sf_dir: str):
     return latency_exp_histogram(read_transcripts(ensure_transcripts(sf_dir)), 60)
 
 
+def _q_exphist_fraction_1m(sf_dir: str):
+    """Native-histogram fraction read: exact share of inter-turn
+    latencies in (2^20, 2^22] µs (≈1.05–4.2 s) per (series, 1m window)
+    from the sparse power-of-2 rows — thresholds snap to bucket bounds
+    so the count is exact, no interpolation
+    (stages/exphist.exp_histogram_fraction)."""
+    from vertex_ray.pipelines.rollup_pipeline import read_transcripts
+    from vertex_ray.stages.exphist import (
+        exp_histogram_fraction,
+        latency_exp_histogram,
+    )
+
+    hist = latency_exp_histogram(
+        read_transcripts(ensure_transcripts(sf_dir)), 60)
+    return exp_histogram_fraction(hist, 20, 21)
+
+
 def _q_exphist_1h_merged(sf_dir: str):
     """The exponential histogram's MERGEABLE cascade: 1m sparse vectors
     fold into 1h windows by integer bucket-count sums (same-scale sparse
@@ -1438,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_1m_latency": _q_retention_1m,
         "retention_1m_latency_epochs": _q_retention_epochs_1m,
         "exphist_1m_latency": _q_exphist_1m,
+        "exphist_1m_latency_fraction": _q_exphist_fraction_1m,
         "exphist_1h_latency_merged": _q_exphist_1h_merged,
         "exphist_1m_latency_p99": _q_exphist_p99_1m,
         "exphist_1m_latency_exemplars": _q_exphist_exemplars_1m,
@@ -2342,6 +2360,23 @@ def oracle_sql() -> dict[str, str]:
         """
 
     sqls["exphist_1m_latency"] = _sql_exphist(60)
+    sqls["exphist_1m_latency_fraction"] = f"""{_LAT_US_CTE}
+    , h AS (
+      SELECT 'inter_turn_latency_us{{conv_id=' || conv_id || '}}'
+               AS series_key,
+             {_w(60)} AS window_start,
+             CASE WHEN lat_us = 0 THEN -1
+                  ELSE CAST(floor(log2(lat_us)) AS INT) END AS idx,
+             count(*) AS bucket_count
+      FROM lat WHERE lat_us IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT series_key, window_start,
+           CAST(sum(CASE WHEN idx BETWEEN 20 AND 21
+                         THEN bucket_count ELSE 0 END) AS DOUBLE)
+             / CAST(sum(bucket_count) AS DOUBLE) AS fraction
+    FROM h GROUP BY 1, 2
+    """
     sqls["exphist_1h_latency_merged"] = _sql_exphist(3600)
     sqls["exphist_1m_latency_exemplars"] = f"""{_LAT_US_CTE}
     SELECT 'inter_turn_latency_us{{conv_id=' || conv_id || '}}' AS series_key,

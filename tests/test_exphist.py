@@ -85,3 +85,23 @@ def test_exphist_quantile_upper_bound(ray_session):
              .to_pandas().sort_values("series_key").reset_index(drop=True))
     # s: rank ceil(9.9)=10 -> last bucket idx 5 -> 2^6 = 64.0
     assert out99["p"].tolist() == [64.0, 0.0]
+
+
+def test_exphist_fraction_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vertex_ray.stages.exphist import exp_histogram_fraction
+
+    rows = pa.table({
+        "series_key": ["s"] * 4,
+        "window_start": np.array([0, 0, 0, 0], dtype=np.int64),
+        "idx": np.array([-1, 3, 5, 9], dtype=np.int32),
+        "bucket_count": np.array([1, 2, 3, 4], dtype=np.int64),
+    })
+    out = exp_histogram_fraction(rd.from_arrow(rows), 3, 5).to_pandas()
+    assert out.fraction.tolist() == [(2 + 3) / 10.0]
+    # zero bucket via idx -1
+    z = exp_histogram_fraction(rd.from_arrow(rows), -1, -1).to_pandas()
+    assert z.fraction.tolist() == [0.1]

@@ -184,3 +184,48 @@ def exp_histogram_quantile(ds, q: float, out_col: str = "phi",
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def exp_histogram_fraction(ds, lo_idx: int, hi_idx: int,
+                           out_col: str = "fraction",
+                           n_buckets: int = 64):
+    """Native-histogram ``histogram_fraction`` analogue over the sparse
+    power-of-2 rows: per (series, window), the EXACT share of
+    observations whose value fell in ``(2^lo_idx, 2^(hi_idx+1)]`` µs —
+    i.e. bucket index in ``[lo_idx, hi_idx]`` (idx -1 is the zero
+    bucket). Thresholds snap to the schema's power-of-2 bounds, so
+    unlike the classic-bucket estimator there is NO interpolation: the
+    count is exact and the single float division mirrors the SQL oracle
+    bit-for-bit.
+
+    Combiner shape: each batch collapses its sparse rows to one
+    (in-range, total) pair per (series, window) before the one exchange
+    (stages/promql.group_sum), so shuffle volume is series-window
+    cardinality, never bucket rows."""
+    from vertex_ray.stages.promql import group_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = t["idx"].to_numpy()
+        cnt = t["bucket_count"].to_numpy()
+        inr = np.where((idx >= lo_idx) & (idx <= hi_idx), cnt, 0)
+        return pa.table({
+            "series_key": t["series_key"],
+            "window_start": t["window_start"],
+            "__in": pa.array(inr.astype(np.int64)),
+            "__tot": pa.array(cnt.astype(np.int64)),
+        })
+
+    g = group_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                  ["series_key", "window_start"], ["__in", "__tot"],
+                  n_buckets=n_buckets)
+
+    def fin(t: pa.Table) -> pa.Table:
+        f = (t["__in"].to_numpy().astype(np.float64)
+             / t["__tot"].to_numpy().astype(np.float64))
+        return pa.table({
+            "series_key": t["series_key"],
+            "window_start": t["window_start"],
+            out_col: pa.array(f, type=pa.float64()),
+        })
+
+    return g.map_batches(fin, batch_format="pyarrow")
