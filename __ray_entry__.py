@@ -429,6 +429,18 @@ def _q_offset_dod_1h(sf_dir: str):
                      "count_prev", op="sub", out_col="dod")
 
 
+def _q_limit_ratio_1h(sf_dir: str):
+    """PromQL ``limit_ratio(0.25, turns_total)`` at the 1h tier: a
+    deterministic quarter of the SERIES (md5-hash predicate, identical
+    on the SQL side) — the dashboard-sampling read for high-cardinality
+    panels (stages/promql.limit_ratio)."""
+    from vertex_ray.stages.promql import limit_ratio
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return limit_ratio(ds, "series_key", 0.25)
+
+
 def _q_hourly_profile_turns(sf_dir: str):
     """Seasonal traffic profile: total turns by (role, hour-of-day,
     day-of-week) — PromQL's hour()/day_of_week() time functions over
@@ -1424,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_left_share_1h_turns": _q_group_left_share_1h,
         "offset_dod_1h_turns": _q_offset_dod_1h,
         "hourly_profile_1h_turns": _q_hourly_profile_turns,
+        "limit_ratio_1h_turns": _q_limit_ratio_1h,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -1758,6 +1771,18 @@ def oracle_sql() -> dict[str, str]:
             FROM g, d
             WHERE NOT (role = 'assistant'
                        AND window_start BETWEEN t1 AND t2)
+            """,
+        "limit_ratio_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT series_key, window_start, count FROM g
+            WHERE substr(md5(series_key), 1, 16) < '4000000000000000'
             """,
         "hourly_profile_1h_turns": f"""
             WITH g AS (

@@ -878,3 +878,24 @@ def test_count_values(ray_session):
            .sort_values(["window_start", "count"]).reset_index(drop=True))
     assert out.values.tolist() == [
         [2, 0, 3], [5, 0, 1], [5, 60, 2]]
+
+
+def test_limit_ratio_deterministic(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import limit_ratio
+
+    keys = [f"m{{c={i}}}" for i in range(200)]
+    t = pa.table({
+        "series_key": keys * 2,
+        "window_start": np.array([0] * 200 + [60] * 200, dtype=np.int64),
+    })
+    out = limit_ratio(rd.from_arrow(t), "series_key", 0.5).to_pandas()
+    kept = set(out.series_key)
+    # every window of a kept series survives (series-, not row-sampling)
+    assert (out.groupby("series_key").size() == 2).all()
+    want = {k for k in keys
+            if hashlib.md5(k.encode()).hexdigest()[:16] < "8" + "0" * 15}
+    assert kept == want and 0 < len(kept) < 200

@@ -36,7 +36,7 @@ __all__ = ["extract_label", "label_aggregate", "group_sum", "over_time",
            "holt_winters", "predict_linear", "deriv", "irate_idelta",
            "resets_changes", "label_replace", "label_join", "clamp",
            "alert_state", "burn_rate", "count_values", "absent_over_time",
-           "offset_modifier", "window_time"]
+           "offset_modifier", "window_time", "limit_ratio"]
 
 
 def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
@@ -983,6 +983,28 @@ def burn_rate(ds, key_col: str, order_col: str, bad_col: str,
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def limit_ratio(ds, key_col: str, ratio: float):
+    """PromQL ``limit_ratio(r, expr)``: keep a deterministic ~r sample
+    of SERIES (every window of a kept series survives — unlike row
+    sampling, panels stay continuous). A series is kept iff the first
+    64 bits of md5(series_key) < r·2^64, compared as fixed-width hex so
+    the DuckDB mirror is the string predicate
+    ``substr(md5(series_key), 1, 16) < '<thresh>'`` — same hash, same
+    sample, on both sides and on every node. Embarrassingly parallel:
+    a pure per-batch filter, no exchange."""
+    import hashlib
+
+    thresh = format(min(int(ratio * (1 << 64)), (1 << 64) - 1), "016x")
+
+    def keep(t: pa.Table) -> pa.Table:
+        ks = t[key_col].to_pylist()
+        m = pa.array([hashlib.md5(k.encode()).hexdigest()[:16] < thresh
+                      for k in ks], type=pa.bool_())
+        return t.filter(m)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def window_time(t: pa.Table, window_col: str = "window_start",
