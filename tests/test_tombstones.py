@@ -101,3 +101,60 @@ def test_unbounded_stone_prunes_whole_blocks(store):
     got = _read(store, tombstones=[stone])
     want = base[~base.series_key.str.contains(r"role=user\}")]
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def test_block_prune_implies_point_delete_property():
+    """Safety invariant of the two-level delete: whenever
+    block_keep_mask drops a block pre-decode, EVERY point of that block
+    would also be dropped by point_keep_mask — pruning can never delete
+    more than the stone says."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vertex_ray.state.tombstones import block_keep_mask, point_keep_mask
+
+    stone_st = st.fixed_dictionaries({
+        "metric": st.sampled_from([None, "m1", "m2"]),
+        "key_regex": st.sampled_from([None, "a", "b", "^m"]),
+        "start": st.one_of(st.none(), st.integers(0, 500)),
+        "end": st.one_of(st.none(), st.integers(0, 500)),
+        "tiers": st.sampled_from([None, ["1m"], ["1h"]]),
+    })
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        stones=st.lists(stone_st, min_size=1, max_size=3),
+        starts=st.lists(st.integers(0, 480), min_size=1, max_size=8),
+        spans=st.lists(st.integers(0, 120), min_size=8, max_size=8),
+        keys=st.lists(st.sampled_from(["ma", "mb", "xa"]), min_size=8,
+                      max_size=8),
+    )
+    def check(stones, starts, spans, keys):
+        n = len(starts)
+        bs = np.array(starts, dtype=np.int64)
+        be = bs + np.array(spans[:n], dtype=np.int64)
+        blocks = pa.table({
+            "name": ["m1" if k[0] == "m" else "x1" for k in keys[:n]],
+            "series_key": keys[:n],
+            "tier": ["1m"] * n,
+            "block_start": bs,
+            "block_end": be,
+        })
+        keep_blocks = block_keep_mask(blocks, stones).to_pylist()
+        for i, kb in enumerate(keep_blocks):
+            if kb:
+                continue
+            # decode this block: one point per window in its interval
+            ws = np.arange(bs[i], be[i] + 1, 60, dtype=np.int64)
+            if not len(ws):
+                ws = np.array([bs[i]], dtype=np.int64)
+            pts = pa.table({
+                "name": [blocks["name"][i].as_py()] * len(ws),
+                "series_key": [keys[i]] * len(ws),
+                "tier": ["1m"] * len(ws),
+                "window_start": ws,
+            })
+            assert not any(point_keep_mask(pts, stones).to_pylist())
+
+    check()
