@@ -429,6 +429,18 @@ def _q_offset_dod_1h(sf_dir: str):
                      "count_prev", op="sub", out_col="dod")
 
 
+def _q_group_by_role_1h(sf_dir: str):
+    """PromQL ``group by (role) (turns_total)``: constant 1 per
+    (role, window) with any member series — the membership/existence
+    aggregation operator (stages/promql.label_aggregate(agg="group"))."""
+    from vertex_ray.stages.promql import label_aggregate
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return label_aggregate(ds, "role", "count", out_col="present",
+                           agg="group")
+
+
 def _q_limit_ratio_1h(sf_dir: str):
     """PromQL ``limit_ratio(0.25, turns_total)`` at the 1h tier: a
     deterministic quarter of the SERIES (md5-hash predicate, identical
@@ -1437,6 +1449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "offset_dod_1h_turns": _q_offset_dod_1h,
         "hourly_profile_1h_turns": _q_hourly_profile_turns,
         "limit_ratio_1h_turns": _q_limit_ratio_1h,
+        "group_by_role_1h_turns": _q_group_by_role_1h,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -1771,6 +1784,12 @@ def oracle_sql() -> dict[str, str]:
             FROM g, d
             WHERE NOT (role = 'assistant'
                        AND window_start BETWEEN t1 AND t2)
+            """,
+        "group_by_role_1h_turns": f"""
+            SELECT role, {_w(3600)} AS window_start,
+                   CAST(1 AS BIGINT) AS present
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2
             """,
         "limit_ratio_1h_turns": f"""
             WITH g AS (

@@ -92,8 +92,13 @@ def label_aggregate(ds, label: str, value_col: str,
     volume, never raw turns; use the sketch stages for budget-bounded
     percentiles over raw data."""
     if agg not in ("sum", "min", "max", "count", "avg", "stddev",
-                   "quantile"):
+                   "quantile", "group"):
         raise ValueError(f"unsupported label_aggregate agg: {agg}")
+    # PromQL ``group by (label)``: constant 1 per non-empty group —
+    # membership only; runs the count machinery, emits 1
+    emit_one = agg == "group"
+    if emit_one:
+        agg = "count"
     out = out_col or value_col
     keys = ["__lbl", window_col]
 
@@ -168,6 +173,8 @@ def label_aggregate(ds, label: str, value_col: str,
             r = r[keys + [out]]
         elif agg == "count":
             r = gb["__c"].sum().reset_index().rename(columns={"__c": out})
+            if emit_one:
+                r[out] = np.int64(1)
         else:
             r = getattr(gb["__v"], agg)().reset_index().rename(
                 columns={"__v": out})
