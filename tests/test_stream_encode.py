@@ -145,3 +145,37 @@ def test_stream_encoder_slicing_property():
             assert (g["n_points"].to_numpy()[:-1] == max_points).all()
 
     check()
+
+
+def test_replay_guard_effectively_once():
+    """At-least-once delivery: re-delivering an entire micro-batch (or a
+    prefix overlap) leaves the encoded stream byte-identical to a clean
+    single-delivery run — the per-series high-water mark absorbs it."""
+    clean = StreamGorillaEncoder(max_points=4)
+    dirty = StreamGorillaEncoder(max_points=4)
+
+    b1 = _mk(["a"] * 3 + ["b"], [0, 60, 120, 0], [1, 2, 3, 9])
+    b2 = _mk(["a"] * 3, [180, 240, 300], [4, 5, 6])
+
+    out_c = [clean.append(b1), clean.append(b2), clean.flush()]
+    # dirty: b1 delivered twice, then an overlapping b1+b2 union, then b2
+    union = _mk(["a"] * 6 + ["b"], [0, 60, 120, 180, 240, 300, 0],
+                [1, 2, 3, 4, 5, 6, 9])
+    out_d = [dirty.append(b1), dirty.append(b1), dirty.append(union),
+             dirty.append(b2), dirty.flush()]
+
+    cat_c = pa.concat_tables([t for t in out_c if t.num_rows])
+    cat_d = pa.concat_tables([t for t in out_d if t.num_rows])
+    assert _decode_all(cat_c) == _decode_all(cat_d)
+    # byte-identical blocks, same cut points
+    dc = cat_c.to_pandas().sort_values(["series_key", "block_start"])
+    dd = cat_d.to_pandas().sort_values(["series_key", "block_start"])
+    assert dc["ts_block"].tolist() == dd["ts_block"].tolist()
+    assert dc["val_block"].tolist() == dd["val_block"].tolist()
+
+    # intra-batch duplicate rows are dropped too
+    e = StreamGorillaEncoder(max_points=8)
+    dup = _mk(["a"] * 4, [0, 0, 60, 60], [1, 1, 2, 2])
+    e.append(dup)
+    got = _decode_all(e.flush())
+    assert got["a"] == ([0, 60], [1.0, 2.0])

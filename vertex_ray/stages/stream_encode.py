@@ -52,12 +52,25 @@ class StreamGorillaEncoder:
     ``append`` folds a micro-batch into the buffers and returns the
     blocks it CLOSED (every full ``max_points`` run); ``flush`` closes
     whatever remains. Block rows carry footer stats (block_start/end,
-    n_points) so the store's pruning reads work on streamed blocks too."""
+    n_points) so the store's pruning reads work on streamed blocks too.
+
+    Effectively-once under at-least-once delivery: each series carries a
+    high-water mark (last accepted timestamp, surviving flush); a
+    retried/re-delivered micro-batch's points at or below it are
+    silently dropped, so a replayed stream encodes byte-identically to
+    the clean stream — no source coordination needed because exactly one
+    actor owns each series."""
 
     def __init__(self, max_points: int = 256):
         self.max_points = int(max_points)
         self._ts: dict[str, list[np.ndarray]] = {}
         self._val: dict[str, list[np.ndarray]] = {}
+        # per-series high-water mark (last accepted timestamp): an
+        # at-least-once source that RETRIES a micro-batch replays points
+        # the actor already buffered or closed; dropping ts <= hwm makes
+        # ingest effectively-once without any coordination (the actor is
+        # the single owner of its series, so the hwm is authoritative)
+        self._hwm: dict[str, int] = {}
 
     def _close(self, key: str, ts: np.ndarray, val: np.ndarray) -> dict:
         return {
@@ -86,8 +99,21 @@ class StreamGorillaEncoder:
         closed: list[dict] = []
         for s, e in zip(starts, ends):
             key = k[s]
-            self._ts.setdefault(key, []).append(ts[s:e])
-            self._val.setdefault(key, []).append(val[s:e])
+            seg_ts, seg_val = ts[s:e], val[s:e]
+            # replay guard: keep only strictly-increasing points above
+            # the series' high-water mark (drops re-delivered batches
+            # AND intra-batch duplicates in one cummax pass)
+            floor = self._hwm.get(key, np.iinfo(np.int64).min)
+            prev = np.maximum.accumulate(
+                np.r_[np.int64(floor), seg_ts[:-1]])
+            keep = seg_ts > prev
+            if not keep.all():
+                seg_ts, seg_val = seg_ts[keep], seg_val[keep]
+            if not len(seg_ts):
+                continue
+            self._hwm[key] = int(seg_ts[-1])
+            self._ts.setdefault(key, []).append(seg_ts)
+            self._val.setdefault(key, []).append(seg_val)
             buffered = sum(len(x) for x in self._ts[key])
             if buffered >= self.max_points:
                 bts = np.concatenate(self._ts[key])
