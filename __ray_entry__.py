@@ -390,6 +390,29 @@ def _q_absent_1h_conv0(sf_dir: str):
     return absent_over_time(sel, "window_start", 3600, lo, hi)
 
 
+def _q_series_metadata_1h(sf_dir: str):
+    """The ``/api/v1/series`` metadata endpoint: distinct user-role
+    turns_total series with first/last block coverage — computed
+    entirely from block-row metadata, zero decode
+    (vertex_ray/read.series_metadata)."""
+    from vertex_ray.read import series_metadata
+
+    out = _ensure_pipeline(sf_dir)
+    return series_metadata(out, "1h", metric="turns_total",
+                           key_regex=r"role=user\}")
+
+
+def _q_label_values_1h(sf_dir: str):
+    """The ``/api/v1/label/role/values`` metadata endpoint: distinct
+    role label values across turns_total series, extracted from
+    series_key on block rows — zero decode
+    (vertex_ray/read.label_values)."""
+    from vertex_ray.read import label_values
+
+    out = _ensure_pipeline(sf_dir)
+    return label_values(out, "1h", "role", metric="turns_total")
+
+
 def _q_group_left_share_1h(sf_dir: str):
     """PromQL group_left many-to-one matching:
     ``turns_total / on(role, window) group_left sum by (role)`` — each
@@ -1446,6 +1469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_series_1h_turns": _q_delete_series_1h_turns,
         "absent_1h_conv0_turns": _q_absent_1h_conv0,
         "group_left_share_1h_turns": _q_group_left_share_1h,
+        "series_metadata_1h_turns": _q_series_metadata_1h,
+        "label_values_role_1h": _q_label_values_1h,
         "offset_dod_1h_turns": _q_offset_dod_1h,
         "hourly_profile_1h_turns": _q_hourly_profile_turns,
         "limit_ratio_1h_turns": _q_limit_ratio_1h,
@@ -1784,6 +1809,23 @@ def oracle_sql() -> dict[str, str]:
             FROM g, d
             WHERE NOT (role = 'assistant'
                        AND window_start BETWEEN t1 AND t2)
+            """,
+        "series_metadata_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     min({_w(3600)}) AS fr, max({_w(3600)}) AS lr
+              FROM {_SQL_TRANSCRIPTS} WHERE role = 'user'
+              GROUP BY 1
+            ),
+            ge AS (SELECT max({_w(3600)}) AS ge FROM {_SQL_TRANSCRIPTS})
+            SELECT 'turns_total' AS name, series_key,
+                   fr AS first_seen,
+                   least(lr + 3600, ge) AS last_seen
+            FROM g, ge
+            """,
+        "label_values_role_1h": f"""
+            SELECT DISTINCT role FROM {_SQL_TRANSCRIPTS}
             """,
         "group_by_role_1h_turns": f"""
             SELECT role, {_w(3600)} AS window_start,

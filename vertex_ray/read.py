@@ -25,7 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["query_range", "instant_query"]
+__all__ = ["query_range", "instant_query", "series_metadata",
+           "label_values"]
 
 _SCALAR_COLS = ["series_key", "window_start", "sum", "count", "min",
                 "max", "last"]
@@ -131,4 +132,84 @@ def instant_query(out_dir: str, tier: str, at: int, lookback: int,
             batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(newest, batch_format="pandas")
+    )
+
+
+def series_metadata(out_dir: str, tier: str, metric: str | None = None,
+                    key_regex: str | None = None,
+                    start: int | None = None, end: int | None = None):
+    """The ``/api/v1/series`` metadata read: distinct series matching a
+    selector, WITHOUT decoding a single block — series identity and the
+    footer interval live on the block rows themselves, so this is a
+    prune + distinct over block metadata (columns
+    ``name, series_key, first_seen, last_seen``). At 100 TB the read
+    touches only the block index columns of the parquet footers."""
+    from vertex_ray.pipelines.rollup_pipeline import read_stage
+    from vertex_ray.stages.promql import _add_series_bucket
+
+    ds = read_stage(out_dir, "blocks", tier)
+
+    def prune(t: pa.Table) -> pa.Table:
+        m = pa.array(np.ones(len(t), dtype=bool))
+        if metric is not None:
+            m = pc.and_(m, pc.equal(t["name"], metric))
+        if key_regex is not None:
+            m = pc.and_(m, pc.match_substring_regex(t["series_key"],
+                                                    key_regex))
+        if start is not None:
+            m = pc.and_(m, pc.greater_equal(t["block_end"], start))
+        if end is not None:
+            m = pc.and_(m, pc.less_equal(t["block_start"], end))
+        t = t.filter(m).select(["name", "series_key", "block_start",
+                                "block_end"])
+        # per-batch partial distinct BEFORE the exchange
+        df = t.to_pandas()
+        g = (df.groupby(["name", "series_key"], sort=False)
+             .agg(first_seen=("block_start", "min"),
+                  last_seen=("block_end", "max")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["name", "series_key"], sort=False)
+                .agg(first_seen=("first_seen", "min"),
+                     last_seen=("last_seen", "max")).reset_index())
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .map_batches(lambda t: _add_series_bucket(t, "series_key", 64),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def label_values(out_dir: str, tier: str, label: str,
+                 metric: str | None = None):
+    """The ``/api/v1/label/<label>/values`` metadata read: distinct
+    values of one label across matching series — extract the label from
+    series_key on block rows (no decode), partial-distinct per batch,
+    one tiny exchange."""
+    from vertex_ray.pipelines.rollup_pipeline import read_stage
+    from vertex_ray.stages.promql import extract_label
+
+    ds = read_stage(out_dir, "blocks", tier)
+
+    def prune(t: pa.Table) -> pa.Table:
+        if metric is not None:
+            t = t.filter(pc.equal(t["name"], metric))
+        t = extract_label(t.select(["series_key"]), label)
+        vals = pc.unique(t[label].combine_chunks())
+        vals = vals.filter(pc.is_valid(vals))
+        return pa.table({label: vals})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g[[label]].drop_duplicates()
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .map_batches(lambda t: t.append_column(
+            "__bucket", pa.array(np.zeros(len(t), dtype=np.int64))),
+            batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
     )
