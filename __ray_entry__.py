@@ -452,6 +452,18 @@ def _q_offset_dod_1h(sf_dir: str):
                      "count_prev", op="sub", out_col="dod")
 
 
+def _q_sum_without_role_1h(sf_dir: str):
+    """PromQL ``sum without(role) (turns_total)`` at the 1h tier: roles
+    collapse onto per-conversation series (series_key keeps full
+    identity minus the stripped label, so downstream promql functions
+    compose on the result — stages/promql.aggregate_without)."""
+    from vertex_ray.stages.promql import aggregate_without
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return aggregate_without(ds, ["role"], "count")
+
+
 def _q_group_by_role_1h(sf_dir: str):
     """PromQL ``group by (role) (turns_total)``: constant 1 per
     (role, window) with any member series — the membership/existence
@@ -1475,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_profile_1h_turns": _q_hourly_profile_turns,
         "limit_ratio_1h_turns": _q_limit_ratio_1h,
         "group_by_role_1h_turns": _q_group_by_role_1h,
+        "sum_without_role_1h_turns": _q_sum_without_role_1h,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -1809,6 +1822,14 @@ def oracle_sql() -> dict[str, str]:
             FROM g, d
             WHERE NOT (role = 'assistant'
                        AND window_start BETWEEN t1 AND t2)
+            """,
+        "sum_without_role_1h_turns": f"""
+            SELECT 'turns_total{{conv_id=' || conv_id || '}}'
+                     AS series_key,
+                   {_w(3600)} AS window_start,
+                   count(*) AS count
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2
             """,
         "series_metadata_1h_turns": f"""
             WITH g AS (

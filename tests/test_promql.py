@@ -899,3 +899,38 @@ def test_limit_ratio_deterministic(ray_session):
     want = {k for k in keys
             if hashlib.md5(k.encode()).hexdigest()[:16] < "8" + "0" * 15}
     assert kept == want and 0 < len(kept) < 200
+
+
+def test_strip_labels_positions():
+    from vertex_ray.stages.promql import strip_labels
+
+    t = pa.table({"series_key": [
+        "m{a=1,b=2,c=3}",   # middle
+        "m{b=2,a=1}",       # tail
+        "m{a=1,b=2}",       # head
+        "m{a=1}",           # only label
+        "m{b=2}",           # absent
+    ]})
+    got = strip_labels(t, ["a"])["series_key"].to_pylist()
+    assert got == ["m{b=2,c=3}", "m{b=2}", "m{b=2}", "m{}", "m{b=2}"]
+    both = strip_labels(t, ["a", "b"])["series_key"].to_pylist()
+    assert both == ["m{c=3}", "m{}", "m{}", "m{}", "m{}"]
+
+
+def test_aggregate_without(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import aggregate_without
+
+    out = (aggregate_without(rd.from_arrow(_tier_table()), ["role"],
+                             "count")
+           .to_pandas().sort_values(["series_key", "window_start"])
+           .reset_index(drop=True))
+    assert out.values.tolist() == [
+        ["turns_total{conv_id=c1}", 60, 2],
+        ["turns_total{conv_id=c1}", 120, 7],
+        ["turns_total{conv_id=c2}", 60, 3],
+        ["turns_total{conv_id=c2}", 180, 13],
+        ["turns_total{conv_id=c3}", 60, 5],
+        ["turns_total{conv_id=c3}", 120, 11],
+    ]

@@ -36,7 +36,8 @@ __all__ = ["extract_label", "label_aggregate", "group_sum", "over_time",
            "holt_winters", "predict_linear", "deriv", "irate_idelta",
            "resets_changes", "label_replace", "label_join", "clamp",
            "alert_state", "burn_rate", "count_values", "absent_over_time",
-           "offset_modifier", "window_time", "limit_ratio"]
+           "offset_modifier", "window_time", "limit_ratio",
+           "strip_labels", "aggregate_without"]
 
 
 def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
@@ -186,6 +187,46 @@ def label_aggregate(ds, label: str, value_col: str,
         .groupby("__lbl")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def strip_labels(t: pa.Table, labels: list[str],
+                 key_col: str = "series_key",
+                 out_col: str | None = None) -> pa.Table:
+    """Remove ``label=value`` pairs from the canonical series_key
+    (``name{k1=v1,k2=v2}``) — the key transform behind PromQL
+    ``without(...)`` aggregation. Three vectorized RE2 replaces per
+    label cover every position (RE2 has no lookahead): mid/tail with a
+    leading comma, head with a trailing comma, and the only-label case."""
+    out = out_col or key_col
+    k = t[key_col]
+    for lbl in labels:
+        k = pc.replace_substring_regex(k, rf",{lbl}=[^,}}]*", "")
+        k = pc.replace_substring_regex(k, rf"{{{lbl}=[^,}}]*,", "{")
+        k = pc.replace_substring_regex(k, rf"{{{lbl}=[^,}}]*}}", "{}")
+    if out in t.schema.names:
+        return t.set_column(t.schema.get_field_index(out), out, k)
+    return t.append_column(out, k)
+
+
+def aggregate_without(ds, drop_labels: list[str], value_col: str,
+                      window_col: str = "window_start",
+                      key_col: str = "series_key",
+                      out_col: str | None = None, n_buckets: int = 64):
+    """PromQL ``sum without(labels) (metric)``: exact integer sum across
+    the series that collapse onto the same key once ``drop_labels`` are
+    stripped — the complement of ``by (label)``. The output vector keeps
+    full series identity minus the dropped labels (a real series_key,
+    so every downstream promql function composes on it). Combiner
+    pattern: per-batch partial sums before the one exchange."""
+    out = out_col or value_col
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = strip_labels(t, drop_labels, key_col=key_col)
+        return t.select([key_col, window_col, value_col])
+
+    return group_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                     [key_col, window_col], [value_col],
+                     n_buckets=n_buckets)
 
 
 def group_sum(ds, group_cols: list[str], value_cols: list[str],
