@@ -145,3 +145,57 @@ def test_rerun_idempotent_and_policy_change_recomputes(retained, ray_session):
     kept = _decode_all(os.path.join(dst, "blocks"), "1m")
     cut = (gend - 43_200) // 60 * 60
     assert (kept["window_start"] >= cut).all()
+
+
+def test_per_metric_horizons():
+    """Per-metric retention overrides: with the tier default at 300 but
+    metric 'keep' overridden to horizon 0-cut (keep everything), only
+    the non-overridden metric's old windows are GC'd; overridden
+    straddlers truncate at their own cut."""
+    import pyarrow as pa
+
+    from vertex_ray.stages.encode import GorillaEncode, decode_blocks_batch
+    from vertex_ray.stages.retention import retention_pass
+
+    def packed(sk, name, windows, vals):
+        off = np.array([0, len(windows)], dtype=np.int32)
+
+        def lst(v, typ):
+            return pa.ListArray.from_arrays(off, pa.array(v, type=typ))
+
+        cols = {
+            "bucket": pa.array([0], type=pa.int32()),
+            "series_key": pa.array([sk]),
+            "name": pa.array([name]),
+            "kind": pa.array([0], type=pa.uint8()),
+            "window_starts": lst(np.asarray(windows, np.int64), pa.int64()),
+        }
+        for s in ["sum", "count", "min", "max", "last"]:
+            cols[f"vals_{s}"] = lst(np.asarray(vals, np.float64),
+                                    pa.float64())
+        from vertex_ray.schema import BUCKET_COLS
+        for b in BUCKET_COLS:
+            cols[f"vals_{b}"] = lst(np.zeros(len(windows)), pa.float64())
+        cols["flags"] = lst(np.zeros(len(windows), np.uint8), pa.uint8())
+        return pa.table(cols).append_column("tier", pa.array(["1m"]))
+
+    enc = GorillaEncode()
+    blocks = pa.concat_tables([
+        enc(packed("a", "gc_me", [0, 60], [1.0, 2.0])),      # expired
+        enc(packed("b", "keep", [0, 60], [3.0, 4.0])),       # saved by override
+        enc(packed("c", "gc_me", [60, 600], [5.0, 6.0])),    # straddles default
+        enc(packed("d", "keep", [60, 600], [7.0, 8.0])),     # override: whole
+    ])
+    out = retention_pass(blocks, {"1m": 300},
+                         name_cutoffs={("keep", "1m"): -10**9})
+    keys = sorted(out["series_key"].to_pylist())
+    assert keys == ["b", "c", "d"]
+    dec = decode_blocks_batch(out).to_pandas()
+    got = {k: sorted(g.window_start) for k, g in dec.groupby("series_key")}
+    assert got == {"b": [0, 60], "c": [600], "d": [60, 600]}
+    # override in the other direction: tighter cut for 'keep' only
+    out2 = retention_pass(blocks, {"1m": 0},
+                          name_cutoffs={("keep", "1m"): 300})
+    dec2 = decode_blocks_batch(out2).to_pandas()
+    got2 = {k: sorted(g.window_start) for k, g in dec2.groupby("series_key")}
+    assert got2 == {"a": [0, 60], "c": [60, 600], "d": [600]}

@@ -41,6 +41,22 @@ __all__ = ["retention_cutoffs", "apply_retention"]
 
 _SCALARS = ("sum", "count", "min", "max", "last")
 
+_MIN64 = np.iinfo(np.int64).min
+
+
+def _row_cuts(names, tiers, cutoffs: dict,
+              name_cutoffs: dict | None) -> np.ndarray:
+    """Per block-row cutoff: metric-name override first, then the
+    tier default (per-METRIC retention — keep latency 30d but turns
+    forever; the loop is over block rows, orders of magnitude fewer
+    than points)."""
+    if not name_cutoffs:
+        return np.array([cutoffs.get(tr, _MIN64) for tr in tiers],
+                        dtype=np.int64)
+    return np.array(
+        [name_cutoffs.get((nm, tr), cutoffs.get(tr, _MIN64))
+         for nm, tr in zip(names, tiers)], dtype=np.int64)
+
 
 def retention_cutoffs(horizons: dict[str, int], now_s: int,
                       tier_seconds: dict[str, int]) -> dict[str, int]:
@@ -52,7 +68,8 @@ def retention_cutoffs(horizons: dict[str, int], now_s: int,
     }
 
 
-def _rewrite_straddlers(t: pa.Table, cutoffs: dict[str, int]) -> pa.Table:
+def _rewrite_straddlers(t: pa.Table, cutoffs: dict[str, int],
+                        name_cutoffs: dict | None = None) -> pa.Table:
     """Decode → slice off pre-cutoff windows → re-encode, vectorized over
     the whole batch of straddling block rows."""
     from vertex_ray.gorilla import (
@@ -96,8 +113,8 @@ def _rewrite_straddlers(t: pa.Table, cutoffs: dict[str, int]) -> pa.Table:
         buckets[b_col] = col
 
     row_ix = np.repeat(np.arange(n_rows, dtype=np.int64), n_points)
-    cuts = np.array([cutoffs.get(tr, np.iinfo(np.int64).min)
-                     for tr in tiers], dtype=np.int64)
+    cuts = _row_cuts(t["name"].to_numpy(zero_copy_only=False), tiers,
+                     cutoffs, name_cutoffs)
     keep = ws >= cuts[row_ix]
 
     new_counts = np.add.reduceat(keep.astype(np.int64),
@@ -127,14 +144,15 @@ def _rewrite_straddlers(t: pa.Table, cutoffs: dict[str, int]) -> pa.Table:
     return GorillaEncode()(tbl)
 
 
-def retention_pass(t: pa.Table, cutoffs: dict[str, int]) -> pa.Table:
+def retention_pass(t: pa.Table, cutoffs: dict[str, int],
+                   name_cutoffs: dict | None = None) -> pa.Table:
     """map_batches body over block rows: route each row to drop /
-    pass-through / rewrite by its tier's cutoff."""
+    pass-through / rewrite by its (metric, tier) cutoff."""
     if t.num_rows == 0:
         return t
     tiers = t["tier"].to_numpy(zero_copy_only=False)
-    cuts = np.array([cutoffs.get(tr, np.iinfo(np.int64).min)
-                     for tr in tiers], dtype=np.int64)
+    cuts = _row_cuts(t["name"].to_numpy(zero_copy_only=False), tiers,
+                     cutoffs, name_cutoffs)
     b_start = t["block_start"].to_numpy()
     b_end = t["block_end"].to_numpy()
     alive = b_end >= cuts                # scan filter re-applied (exactness)
@@ -142,14 +160,16 @@ def retention_pass(t: pa.Table, cutoffs: dict[str, int]) -> pa.Table:
     straddle = alive & ~whole
     out = t.filter(pa.array(whole))
     if straddle.any():
-        rewritten = _rewrite_straddlers(t.filter(pa.array(straddle)), cutoffs)
+        rewritten = _rewrite_straddlers(t.filter(pa.array(straddle)),
+                                        cutoffs, name_cutoffs)
         out = pa.concat_tables([out, rewritten]) if out.num_rows else rewritten
     return out
 
 
 def apply_retention(src_out: str, dst_out: str, horizons: dict[str, int],
                     now_s: int, tier_seconds: dict[str, int],
-                    src_files: list[str] | None = None) -> dict:
+                    src_files: list[str] | None = None,
+                    name_horizons: dict | None = None) -> dict:
     """Compact ``src_out``'s committed blocks stage into ``dst_out`` under
     the per-tier retention policy. Committed-stage semantics: idempotent,
     resumable, lineage-stamped with the policy.
@@ -158,7 +178,13 @@ def apply_retention(src_out: str, dst_out: str, horizons: dict[str, int],
     union of per-epoch ``blocks`` dirs to GC a time-chunked epoch store
     (pipelines/epoch_pipeline layout), where most expired blocks drop at
     the scan from row-group statistics and whole in-horizon epochs pass
-    through without decode."""
+    through without decode.
+
+    ``name_horizons`` (``{metric_name: {tier: horizon_s}}``) overrides
+    the tier default per METRIC — e.g. keep latency histograms 30 d but
+    turn counters forever. The parquet scan filter uses each tier's
+    LOOSEST cutoff (so pushdown never over-drops); the exact per-name
+    cut applies in the pass."""
     import os
 
     import ray.data as rd
@@ -172,16 +198,27 @@ def apply_retention(src_out: str, dst_out: str, horizons: dict[str, int],
     )
 
     cutoffs = retention_cutoffs(horizons, now_s, tier_seconds)
+    name_cutoffs = {
+        (nm, tier): (now_s - h) // tier_seconds[tier] * tier_seconds[tier]
+        for nm, per_tier in (name_horizons or {}).items()
+        for tier, h in per_tier.items()
+    }
     # push the expiry predicate into the scan: expired row-groups (and
-    # whole files) are skipped from parquet footer statistics
+    # whole files) are skipped from parquet footer statistics. With
+    # per-name overrides, a tier's pushdown cutoff is its LOOSEST
+    # (smallest) cut across default + overrides — never over-drops.
+    scan_cuts = dict(cutoffs)
+    for (nm, tier), cut in name_cutoffs.items():
+        if tier in scan_cuts:
+            scan_cuts[tier] = min(scan_cuts[tier], cut)
     expr = None
-    for tier, cut in cutoffs.items():
+    for tier, cut in scan_cuts.items():
         keep = (pc.field("tier") != tier) | (pc.field("block_end") >= cut)
         expr = keep if expr is None else (expr & keep)
     src = os.path.join(src_out, "blocks")
     files = src_files if src_files is not None else stage_files(src)
     ds = rd.read_parquet(files, filter=expr)
-    ds = ds.map_batches(lambda b: retention_pass(b, cutoffs),
+    ds = ds.map_batches(lambda b: retention_pass(b, cutoffs, name_cutoffs),
                         batch_format="pyarrow")
     lineage = {
         "src": src if src_files is None else sorted(src_files),
@@ -189,6 +226,9 @@ def apply_retention(src_out: str, dst_out: str, horizons: dict[str, int],
         "now_s": now_s,
         "cutoffs": cutoffs,
     }
+    if name_cutoffs:
+        lineage["name_horizons"] = {k: dict(v) for k, v in
+                                    sorted((name_horizons or {}).items())}
     dst = os.path.join(dst_out, "blocks")
     if stage_done(dst):
         prior = {k: v for k, v in read_manifest(dst).get("lineage", {}).items()
