@@ -452,6 +452,28 @@ def _q_offset_dod_1h(sf_dir: str):
                      "count_prev", op="sub", out_col="dod")
 
 
+def _q_above_role_avg_1h(sf_dir: str):
+    """PromQL comparison filter with group_left:
+    ``turns_total > on(role, window) group_left avg by (role)`` — the
+    series whose hourly turn count beats their role's average that hour
+    (filter semantics keep the left sample; stages/promql.binary_op
+    comparison ops)."""
+    from vertex_ray.stages.promql import (
+        binary_op,
+        extract_label,
+        label_aggregate,
+    )
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    left = ds.map_batches(lambda t: extract_label(t, "role"),
+                          batch_format="pyarrow")
+    right = label_aggregate(ds, "role", "count", out_col="role_avg",
+                            agg="avg")
+    return binary_op(left, right, ["role", "window_start"], "count",
+                     "role_avg", op="gt", carry_left=["series_key"])
+
+
 def _q_sum_without_role_1h(sf_dir: str):
     """PromQL ``sum without(role) (turns_total)`` at the 1h tier: roles
     collapse onto per-conversation series (series_key keeps full
@@ -1488,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "limit_ratio_1h_turns": _q_limit_ratio_1h,
         "group_by_role_1h_turns": _q_group_by_role_1h,
         "sum_without_role_1h_turns": _q_sum_without_role_1h,
+        "above_role_avg_1h_turns": _q_above_role_avg_1h,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -1822,6 +1845,26 @@ def oracle_sql() -> dict[str, str]:
             FROM g, d
             WHERE NOT (role = 'assistant'
                        AND window_start BETWEEN t1 AND t2)
+            """,
+        "above_role_avg_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     role, {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2, 3
+            ),
+            r AS (
+              SELECT role, window_start,
+                     CAST(sum(count) AS DOUBLE) / count(*) AS role_avg
+              FROM g GROUP BY 1, 2
+            )
+            SELECT g.role, g.window_start, g.series_key, g.count,
+                   r.role_avg
+            FROM g JOIN r
+              ON r.role = g.role AND r.window_start = g.window_start
+            WHERE CAST(g.count AS DOUBLE) > r.role_avg
             """,
         "sum_without_role_1h_turns": f"""
             SELECT 'turns_total{{conv_id=' || conv_id || '}}'

@@ -934,3 +934,27 @@ def test_aggregate_without(ray_session):
         ["turns_total{conv_id=c3}", 60, 5],
         ["turns_total{conv_id=c3}", 120, 11],
     ]
+
+
+def test_binary_op_comparison_filter_and_bool(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import binary_op
+
+    l = rd.from_arrow(pa.table({
+        "k": ["a", "b", "c"],
+        "w": np.array([0, 0, 0], dtype=np.int64),
+        "v": np.array([5, 2, 7], dtype=np.int64),
+    }))
+    r = rd.from_arrow(pa.table({
+        "k": ["a", "b", "c"],
+        "w": np.array([0, 0, 0], dtype=np.int64),
+        "thr": np.array([4, 4, 9], dtype=np.int64),
+    }))
+    filt = (binary_op(l, r, ["k", "w"], "v", "thr", op="gt")
+            .to_pandas().sort_values("k"))
+    assert filt.k.tolist() == ["a"] and "value" not in filt.columns
+    boolv = (binary_op(l, r, ["k", "w"], "v", "thr", op="gt",
+                       bool_mode=True, out_col="hit")
+             .to_pandas().sort_values("k"))
+    assert boolv.hit.tolist() == [1.0, 0.0, 0.0]

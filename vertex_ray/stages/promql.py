@@ -266,7 +266,8 @@ def group_sum(ds, group_cols: list[str], value_cols: list[str],
 def binary_op(left, right, on_cols: list[str], left_val: str,
               right_val: str, op: str = "div",
               out_col: str = "value", n_buckets: int = 64,
-              sep: str = "\x1f", carry_left: list[str] | None = None):
+              sep: str = "\x1f", carry_left: list[str] | None = None,
+              bool_mode: bool = False):
     """PromQL binary operation with vector matching —
     ``left <op> on(on_cols) right`` (e.g. an error-rate or per-turn ratio
     panel: ``tool_invocations_total / on(conv_id) turns_total``).
@@ -287,6 +288,11 @@ def binary_op(left, right, on_cols: list[str], left_val: str,
     the right side is a label_aggregate/group_sum result keyed on
     on_cols).
 
+    Comparison operators (``gt ge lt le eq ne``) follow PromQL: by
+    default they FILTER — rows where the comparison holds keep the left
+    sample; with ``bool_mode=True`` they return a 0/1 vector instead
+    (``expr > bool threshold``).
+
     ``sep`` joins on_cols into the composite key and must not occur in
     their values (defaults to the unit separator \\x1f — impossible in
     label values / window numbers). Do NOT use NUL: pandas' bucket hash
@@ -298,7 +304,9 @@ def binary_op(left, right, on_cols: list[str], left_val: str,
 
     ops = {"div": pc.divide, "add": pc.add, "sub": pc.subtract,
            "mul": pc.multiply}
-    if op not in ops:
+    cmps = {"gt": pc.greater, "ge": pc.greater_equal, "lt": pc.less,
+            "le": pc.less_equal, "eq": pc.equal, "ne": pc.not_equal}
+    if op not in ops and op not in cmps:
         raise ValueError(f"unsupported binary op: {op}")
     carry = [c for c in (carry_left or []) if c not in on_cols]
 
@@ -322,8 +330,16 @@ def binary_op(left, right, on_cols: list[str], left_val: str,
     def finish(t: pa.Table) -> pa.Table:
         lv = pc.cast(t[left_val], pa.float64())
         rv = pc.cast(t[right_val], pa.float64())
-        return t.select(on_cols + carry + [left_val, right_val]
-                        ).append_column(out_col, ops[op](lv, rv))
+        keep_cols = on_cols + carry + [left_val, right_val]
+        if op in cmps:
+            m = cmps[op](lv, rv)
+            if bool_mode:
+                # PromQL `op bool`: 0/1 vector instead of filtering
+                return t.select(keep_cols).append_column(
+                    out_col, pc.cast(m, pa.float64()))
+            # PromQL filter semantics: keep the LEFT sample where true
+            return t.filter(m).select(keep_cols)
+        return t.select(keep_cols).append_column(out_col, ops[op](lv, rv))
 
     return joined.map_batches(finish, batch_format="pyarrow")
 
