@@ -452,6 +452,45 @@ def _q_offset_dod_1h(sf_dir: str):
                      "count_prev", op="sub", out_col="dod")
 
 
+def _sides_turns_and_tools(sf_dir: str):
+    from vertex_ray.stages.promql import extract_label
+
+    turns = _metric_tier(sf_dir, "1h", "turns_total",
+                         ["series_key", "window_start", "count"])
+    left = turns.map_batches(
+        lambda t: extract_label(t, "conv_id").select(
+            ["series_key", "conv_id", "window_start", "count"]),
+        batch_format="pyarrow")
+    tools = _metric_tier(sf_dir, "1h", "tool_invocations_total",
+                         ["series_key", "window_start", "count"])
+    right = tools.map_batches(
+        lambda t: extract_label(t, "conv_id").select(
+            ["conv_id", "window_start"]),
+        batch_format="pyarrow")
+    return left, right
+
+
+def _q_and_tools_1h(sf_dir: str):
+    """PromQL vector ``and``:
+    ``turns_total and on(conv_id, window) tool_invocations_total`` —
+    turn series-windows in hours where that conversation invoked a tool
+    (one semi-join exchange, right values never move —
+    stages/promql.set_op)."""
+    from vertex_ray.stages.promql import set_op
+
+    left, right = _sides_turns_and_tools(sf_dir)
+    return set_op(left, right, ["conv_id", "window_start"], op="and")
+
+
+def _q_unless_tools_1h(sf_dir: str):
+    """PromQL vector ``unless``: the complement — turn series-windows in
+    hours where the conversation invoked NO tool (anti-join)."""
+    from vertex_ray.stages.promql import set_op
+
+    left, right = _sides_turns_and_tools(sf_dir)
+    return set_op(left, right, ["conv_id", "window_start"], op="unless")
+
+
 def _q_above_role_avg_1h(sf_dir: str):
     """PromQL comparison filter with group_left:
     ``turns_total > on(role, window) group_left avg by (role)`` — the
@@ -1511,6 +1550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_by_role_1h_turns": _q_group_by_role_1h,
         "sum_without_role_1h_turns": _q_sum_without_role_1h,
         "above_role_avg_1h_turns": _q_above_role_avg_1h,
+        "and_tools_1h_turns": _q_and_tools_1h,
+        "unless_tools_1h_turns": _q_unless_tools_1h,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -1845,6 +1886,44 @@ def oracle_sql() -> dict[str, str]:
             FROM g, d
             WHERE NOT (role = 'assistant'
                        AND window_start BETWEEN t1 AND t2)
+            """,
+        "and_tools_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     conv_id, {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2, 3
+            ),
+            tools AS (
+              SELECT DISTINCT conv_id, {_w(3600)} AS window_start
+              FROM {_SQL_TRANSCRIPTS} WHERE tool <> ''
+            )
+            SELECT series_key, conv_id, window_start, count
+            FROM g
+            WHERE EXISTS (SELECT 1 FROM tools t
+                          WHERE t.conv_id = g.conv_id
+                            AND t.window_start = g.window_start)
+            """,
+        "unless_tools_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     conv_id, {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2, 3
+            ),
+            tools AS (
+              SELECT DISTINCT conv_id, {_w(3600)} AS window_start
+              FROM {_SQL_TRANSCRIPTS} WHERE tool <> ''
+            )
+            SELECT series_key, conv_id, window_start, count
+            FROM g
+            WHERE NOT EXISTS (SELECT 1 FROM tools t
+                              WHERE t.conv_id = g.conv_id
+                                AND t.window_start = g.window_start)
             """,
         "above_role_avg_1h_turns": f"""
             WITH g AS (

@@ -958,3 +958,30 @@ def test_binary_op_comparison_filter_and_bool(ray_session):
                        bool_mode=True, out_col="hit")
              .to_pandas().sort_values("k"))
     assert boolv.hit.tolist() == [1.0, 0.0, 0.0]
+
+
+def test_set_op_and_unless_or(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import set_op
+
+    left = rd.from_arrow(pa.table({
+        "k": ["a", "b", "c"],
+        "w": np.array([0, 0, 60], dtype=np.int64),
+        "v": np.array([1, 2, 3], dtype=np.int64),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": ["a", "x"],
+        "w": np.array([0, 0], dtype=np.int64),
+        "v": np.array([9, 8], dtype=np.int64),
+    }))
+    a = set_op(left, right, ["k", "w"], op="and").to_pandas()
+    assert a[["k", "v"]].values.tolist() == [["a", 1]]
+    u = (set_op(left, right, ["k", "w"], op="unless").to_pandas()
+         .sort_values("k"))
+    assert u.k.tolist() == ["b", "c"]
+    o = (set_op(left, right, ["k", "w"], op="or").to_pandas()
+         .sort_values(["k", "w"]))
+    # left wins on collision (a@0 keeps v=1); x@0 only on the right
+    assert o[["k", "v"]].values.tolist() == [
+        ["a", 1], ["b", 2], ["c", 3], ["x", 8]]

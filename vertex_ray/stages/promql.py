@@ -37,7 +37,7 @@ __all__ = ["extract_label", "label_aggregate", "group_sum", "over_time",
            "resets_changes", "label_replace", "label_join", "clamp",
            "alert_state", "burn_rate", "count_values", "absent_over_time",
            "offset_modifier", "window_time", "limit_ratio",
-           "strip_labels", "aggregate_without"]
+           "strip_labels", "aggregate_without", "set_op"]
 
 
 def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
@@ -342,6 +342,52 @@ def binary_op(left, right, on_cols: list[str], left_val: str,
         return t.select(keep_cols).append_column(out_col, ops[op](lv, rv))
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def set_op(left, right, on_cols: list[str], op: str = "and",
+           n_buckets: int = 64, sep: str = "\x1f"):
+    """PromQL logical/set binary operators between instant vectors,
+    matched ``on(on_cols)``:
+
+    - ``and``    — left samples whose match key EXISTS on the right
+                   (one semi-join exchange; right values never move)
+    - ``unless`` — left samples with NO right match (anti-join)
+    - ``or``     — every left sample, plus right samples whose key has
+                   no left match (right must share the left schema)
+
+    The reference ships alert/metric streams through route/filter
+    combinators; these are their vector-algebra analogues on the read
+    side (`src/transforms/route.rs` splits by predicate, here the
+    predicate is membership of another vector)."""
+    if op not in ("and", "unless", "or"):
+        raise ValueError(f"unsupported set op: {op}")
+    from vertex_ray.stages.join import hash_join
+
+    def key_of(t: pa.Table):
+        k = t[on_cols[0]].cast(pa.string())
+        for c in on_cols[1:]:
+            k = pc.binary_join_element_wise(k, t[c].cast(pa.string()), sep)
+        return k
+
+    def with_key(t: pa.Table) -> pa.Table:
+        return t.append_column("__k", key_of(t))
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        return pa.table({"__k": key_of(t)})
+
+    def drop_key(t: pa.Table) -> pa.Table:
+        return t.select([c for c in t.schema.names if c != "__k"])
+
+    if op in ("and", "unless"):
+        j = hash_join(left.map_batches(with_key, batch_format="pyarrow"),
+                      right.map_batches(keys_only, batch_format="pyarrow"),
+                      "__k", n_buckets=n_buckets,
+                      how="semi" if op == "and" else "anti")
+        return j.map_batches(drop_key, batch_format="pyarrow")
+    extra = hash_join(right.map_batches(with_key, batch_format="pyarrow"),
+                      left.map_batches(keys_only, batch_format="pyarrow"),
+                      "__k", n_buckets=n_buckets, how="anti")
+    return left.union(extra.map_batches(drop_key, batch_format="pyarrow"))
 
 
 def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
