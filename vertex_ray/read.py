@@ -25,8 +25,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from vertex_ray.schema import TIER_SECONDS
+
 __all__ = ["query_range", "instant_query", "series_metadata",
-           "label_values"]
+           "label_values", "pick_tier", "query_range_auto"]
 
 _SCALAR_COLS = ["series_key", "window_start", "sum", "count", "min",
                 "max", "last"]
@@ -213,3 +215,24 @@ def label_values(out_dir: str, tier: str, label: str,
         .groupby("__bucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def pick_tier(step_seconds: int,
+              tiers: dict[str, int] | None = None) -> str:
+    """Grafana-style resolution selection: the COARSEST tier whose
+    window still resolves the requested step (largest tier_seconds <=
+    step), falling back to the finest tier for sub-tier steps. Reading
+    a 30-day dashboard at a 1h step from the 1h tier touches ~720
+    points per series instead of ~43k from the 1m tier — the read cost
+    scales with the pixels, not the retention."""
+    ts = tiers or dict(TIER_SECONDS)
+    fitting = [(s, t) for t, s in ts.items() if s <= step_seconds]
+    if fitting:
+        return max(fitting)[1]
+    return min((s, t) for t, s in ts.items())[1]
+
+
+def query_range_auto(out_dir: str, step_seconds: int, **kwargs):
+    """query_range with the tier chosen by :func:`pick_tier` from the
+    requested step — the dashboard entry point."""
+    return query_range(out_dir, pick_tier(step_seconds), **kwargs)
