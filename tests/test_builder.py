@@ -233,3 +233,31 @@ def test_builder_late_round2_steps(ray_session):
             {"offset_seconds": 120, "rename": {"count": "prev"}}, tier)],
     ).to_pandas()
     assert sorted(bo.d.tolist()) == [1.0, 1.0]
+
+
+def test_builder_setop_and_samplers(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from vertex_ray.pipelines.builder import STEP_TYPES
+
+    tier = rd.from_arrow(pa.table({
+        "series_key": ["m{a=1}", "m{a=2}"],
+        "window_start": np.array([0, 0], dtype=np.int64),
+        "count": np.array([3, 4], dtype=np.int64),
+    }))
+    other = rd.from_arrow(pa.table({
+        "series_key": ["m{a=1}"],
+        "window_start": np.array([0], dtype=np.int64),
+    }))
+    so = STEP_TYPES["set_op"](
+        {"on_cols": ["series_key", "window_start"], "op": "and"},
+        [tier, other]).to_pandas()
+    assert so.series_key.tolist() == ["m{a=1}"]
+
+    aw = STEP_TYPES["aggregate_without"](
+        {"drop_labels": ["a"], "value_col": "count"}, tier).to_pandas()
+    assert aw.series_key.tolist() == ["m{}"] and aw["count"].tolist() == [7]
+
+    lr = STEP_TYPES["limit_ratio"]({"ratio": 1.0}, tier).to_pandas()
+    assert len(lr) == 2

@@ -317,6 +317,27 @@ def _t_hist_fraction(cfg, ds):
         batch_format="pyarrow")
 
 
+def _t_limit_ratio(cfg, ds):
+    from vertex_ray.stages.promql import limit_ratio
+
+    return limit_ratio(ds, cfg.get("key_col", "series_key"), cfg["ratio"])
+
+
+def _t_aggregate_without(cfg, ds):
+    from vertex_ray.stages.promql import aggregate_without
+
+    return aggregate_without(ds, cfg["drop_labels"], cfg["value_col"],
+                             window_col=cfg.get("window_col",
+                                                "window_start"))
+
+
+def _t_set_op(cfg, dss):
+    from vertex_ray.stages.promql import set_op
+
+    left, right = dss
+    return set_op(left, right, cfg["on_cols"], op=cfg.get("op", "and"))
+
+
 def _t_binary_op(cfg, dss):
     from vertex_ray.stages.promql import binary_op
 
@@ -462,7 +483,7 @@ def _t_decontaminate(cfg, inputs):
 
 
 MULTI_INPUT_TYPES = {"join", "join_skewed", "asof_join", "decontaminate",
-                     "binary_op"}
+                     "binary_op", "set_op"}
 
 STEP_TYPES: dict[str, Callable] = {
     # sources
@@ -508,6 +529,8 @@ STEP_TYPES: dict[str, Callable] = {
     "offset": _t_offset,
     "window_time": _t_window_time,
     "hist_fraction": _t_hist_fraction,
+    "limit_ratio": _t_limit_ratio,
+    "aggregate_without": _t_aggregate_without,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,
     "unigram_score": _t_unigram_score,
@@ -520,6 +543,7 @@ STEP_TYPES: dict[str, Callable] = {
     "asof_join": _t_asof_join,
     "decontaminate": _t_decontaminate,
     "binary_op": _t_binary_op,
+    "set_op": _t_set_op,
 }
 
 
