@@ -118,3 +118,30 @@ def test_compact_cli(ray_session, tmp_path, capsys):
 
     n_after = rd.read_parquet(stage_files(dst + "/blocks")).count()
     assert 0 < n_after < n_before
+
+
+def test_query_cli(ray_session, tmp_path, capsys):
+    from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+    from vertex_ray.synth import ensure_transcripts
+
+    trans = ensure_transcripts(0.001, base="/tmp/vertex_ray_testdata")
+    store = str(tmp_path / "tiers")
+    run_pipeline(trans, store, n_buckets=8)
+
+    assert main(["query", "range", store, "--step", "3600",
+                 "--metric", "turns_total", "--match", r"role=user\}",
+                 "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("series_key,") and "turns_total" in out
+    assert len(out.strip().splitlines()) == 6  # header + 5 rows
+
+    assert main(["query", "labels", store, "--tier", "1h",
+                 "--metric", "turns_total"]) == 0
+    out = capsys.readouterr().out
+    got = set(out.strip().splitlines()[1:])
+    assert got == {"user", "assistant", "tool"}
+
+    assert main(["query", "series", store, "--tier", "1h",
+                 "--metric", "turns_total", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "first_seen" in out.splitlines()[0]

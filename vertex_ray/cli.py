@@ -168,6 +168,41 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Query the committed block store from the command line — the
+    exporter-API verbs (range / instant / series / labels) over a store
+    directory; prints CSV to stdout so it pipes into anything."""
+    _ray_up()
+    from vertex_ray.read import (
+        instant_query,
+        label_values,
+        pick_tier,
+        query_range,
+        series_metadata,
+    )
+
+    tier = args.tier or pick_tier(args.step)
+    if args.verb == "range":
+        ds = query_range(args.store, tier, metric=args.metric,
+                         key_regex=args.match, start=args.start,
+                         end=args.end)
+    elif args.verb == "instant":
+        ds = instant_query(args.store, tier, at=args.at,
+                           lookback=args.lookback, metric=args.metric,
+                           key_regex=args.match)
+    elif args.verb == "series":
+        ds = series_metadata(args.store, tier, metric=args.metric,
+                             key_regex=args.match)
+    else:  # labels
+        ds = label_values(args.store, tier, args.label,
+                          metric=args.metric)
+    df = ds.to_pandas()
+    if args.limit:
+        df = df.head(args.limit)
+    print(df.to_csv(index=False), end="")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vertex_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -217,6 +252,29 @@ def main(argv: list[str] | None = None) -> int:
                     dest="max_windows",
                     help="points per output block before splitting")
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("query",
+                        help="read the block store (range/instant/"
+                             "series/labels)")
+    sp.add_argument("verb", choices=["range", "instant", "series",
+                                     "labels"])
+    sp.add_argument("store")
+    sp.add_argument("--tier", default=None,
+                    help="explicit tier; default picks from --step")
+    sp.add_argument("--step", type=int, default=60,
+                    help="dashboard step (s) for tier auto-selection")
+    sp.add_argument("--metric", default=None)
+    sp.add_argument("--match", default=None,
+                    help="RE2 over series_key")
+    sp.add_argument("--start", type=int, default=None)
+    sp.add_argument("--end", type=int, default=None)
+    sp.add_argument("--at", type=int, default=0,
+                    help="instant evaluation time (epoch s)")
+    sp.add_argument("--lookback", type=int, default=300)
+    sp.add_argument("--label", default="role",
+                    help="label for the labels verb")
+    sp.add_argument("--limit", type=int, default=0)
+    sp.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)
