@@ -380,3 +380,25 @@ def test_epoch_shuffle(ray_session):
 
     with pytest.raises(ValueError):
         shuffle_key(ids, -1)
+
+
+def test_span_dedup(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vertex_ray.stages.dedup_near import span_dedup
+
+    docs = pa.table({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": [
+            "a b c d",          # spans (k=2): "a b", "c d"
+            "c d a b",          # both spans already seen -> all dropped
+            "a b x y a b",      # "a b" dup; "x y" new; trailing "a b" dup
+        ],
+    })
+    out = (span_dedup(rd.from_arrow(docs), "text", "doc_id", k=2)
+           .to_pandas().sort_values(["doc_id", "span_idx"])
+           .reset_index(drop=True))
+    assert out.values.tolist() == [
+        [1, 0, "a b"], [1, 1, "c d"], [3, 1, "x y"]]

@@ -2374,3 +2374,34 @@ OP_ORACLES = {
     # decoders) → rows-only checks; the LSH/IVF variants are recall-tested
     # against their exact counterparts in tests/ instead.
 }
+
+
+def q_span_dedup_docs(sf_dir: str):
+    """C4-style span-level exact dedup (arXiv:1910.10683 §2.2): each
+    distinct 8-token span survives once, at its first (doc_id, span_idx)
+    occurrence (stages/dedup_near.span_dedup)."""
+    from vertex_ray.stages.dedup_near import span_dedup
+
+    return span_dedup(_docs(sf_dir), "text", "doc_id", k=8)
+
+
+SQL_SPAN_DEDUP_DOCS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, (i - 1) // 8 AS span_idx,
+         string_agg(tok, ' ' ORDER BY i) AS span
+  FROM toks GROUP BY 1, 2
+)
+SELECT doc_id, span_idx, span FROM (
+  SELECT *, row_number() OVER (PARTITION BY span
+                               ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+) WHERE rn = 1
+"""
+
+OP_QUERIES["op_span_dedup_docs"] = q_span_dedup_docs
+OP_ORACLES["op_span_dedup_docs"] = SQL_SPAN_DEDUP_DOCS

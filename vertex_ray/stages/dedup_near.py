@@ -825,3 +825,48 @@ def semantic_dedup(ds, vec_col: str, id_col: str, *, k: int = 8,
 
     return (assigned.groupby("cluster")
             .map_groups(cluster_verdicts, batch_format="pandas"))
+
+
+def span_dedup(ds, text_col: str, id_col: str, *, k: int = 8,
+               n_buckets: int = 64):
+    """C4-style span-level exact dedup across the corpus (the reference
+    unit for "remove any three-sentence span occurring twice",
+    arXiv:1910.10683 §2.2 — here the span is ``k`` consecutive
+    whitespace tokens because the synthetic docs carry no sentence
+    punctuation): every doc is cut into consecutive k-token spans, and
+    each distinct span text survives ONCE, at its first occurrence in
+    stable ``(doc_id, span_idx)`` order.
+
+    Shape: per-batch tokenize/explode/re-join is pandas-vectorized
+    (str.split + explode + groupby-join, no per-token Python); the one
+    hash exchange routes span TEXT, and each group keeps its
+    lexicographically-first (doc_id, span_idx) — deterministic under
+    any partitioning because the key is unique. Returns
+    ``(doc_id, span_idx, span)`` of kept spans."""
+    import pandas as pd
+
+    def spans(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, text_col]).to_pandas()
+        toks = df[text_col].str.split(" ")
+        ex = df[[id_col]].copy()
+        ex["__toks"] = toks
+        ex = ex.explode("__toks", ignore_index=True)
+        ex["__i"] = ex.groupby(id_col, sort=False).cumcount()
+        ex["span_idx"] = ex["__i"] // k
+        sp = (ex.groupby([id_col, "span_idx"], sort=False)["__toks"]
+              .agg(" ".join).rename("span").reset_index())
+        b = (pd.util.hash_array(sp["span"].to_numpy(dtype=object))
+             % np.uint64(n_buckets)).astype(np.int64)
+        sp["__bucket"] = b
+        return pa.Table.from_pandas(sp, preserve_index=False)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "span_idx"], kind="stable")
+        keep = ~g["span"].duplicated()
+        return g.loc[keep, [id_col, "span_idx", "span"]]
+
+    return (
+        ds.map_batches(spans, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(first, batch_format="pandas")
+    )
