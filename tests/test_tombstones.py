@@ -158,3 +158,14 @@ def test_block_prune_implies_point_delete_property():
             assert not any(point_keep_mask(pts, stones).to_pylist())
 
     check()
+
+
+def test_query_range_auto_picks_tier(store):
+    from vertex_ray.read import pick_tier, query_range_auto
+
+    assert pick_tier(3600) == "1h" and pick_tier(90) == "1m"
+    auto = (query_range_auto(store, 3600, metric="turns_total",
+                             columns=COLS, tombstones=False).to_pandas()
+            .sort_values(COLS).reset_index(drop=True))
+    explicit = _read(store, tier="1h", tombstones=False)
+    pd.testing.assert_frame_equal(auto, explicit)
