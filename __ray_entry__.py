@@ -537,6 +537,19 @@ def _q_group_by_role_1h(sf_dir: str):
                            agg="group")
 
 
+def _q_mad_over_1h_turns(sf_dir: str):
+    """Prometheus (experimental) ``mad_over_time(turns_total[6h])``:
+    per-series median absolute deviation over the trailing 6 windows —
+    the robust-outlier band for spiky series (stages/promql.over_time
+    agg="mad"; both quantile_cont passes bit-match the SQL oracle)."""
+    from vertex_ray.stages.promql import over_time
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return over_time(ds, "series_key", "window_start", "count", 6,
+                     agg="mad", out_col="mad")
+
+
 def _q_limit_ratio_1h(sf_dir: str):
     """PromQL ``limit_ratio(0.25, turns_total)`` at the 1h tier: a
     deterministic quarter of the SERIES (md5-hash predicate, identical
@@ -1548,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_profile_1h_turns": _q_hourly_profile_turns,
         "limit_ratio_1h_turns": _q_limit_ratio_1h,
         "group_by_role_1h_turns": _q_group_by_role_1h,
+        "mad_over_1h_turns": _q_mad_over_1h_turns,
         "sum_without_role_1h_turns": _q_sum_without_role_1h,
         "above_role_avg_1h_turns": _q_above_role_avg_1h,
         "and_tools_1h_turns": _q_and_tools_1h,
@@ -1975,6 +1989,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS present
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
+            """,
+        "mad_over_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY series_key
+                                           ORDER BY window_start) AS rn
+              FROM g
+            ),
+            f AS (
+              SELECT a.series_key, a.window_start, a.count,
+                     b.count AS v
+              FROM r a JOIN r b
+                ON b.series_key = a.series_key
+               AND b.rn BETWEEN a.rn - 5 AND a.rn
+            ),
+            med AS (
+              SELECT series_key, window_start,
+                     quantile_cont(v, 0.5) AS med
+              FROM f GROUP BY 1, 2
+            ),
+            dev AS (
+              SELECT f.series_key, f.window_start,
+                     abs(CAST(f.v AS DOUBLE) - m.med) AS d
+              FROM f JOIN med m
+                ON m.series_key = f.series_key
+               AND m.window_start = f.window_start
+            )
+            SELECT series_key, window_start,
+                   quantile_cont(d, 0.5) AS mad
+            FROM dev GROUP BY 1, 2
             """,
         "limit_ratio_1h_turns": f"""
             WITH g AS (

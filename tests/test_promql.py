@@ -985,3 +985,22 @@ def test_set_op_and_unless_or(ray_session):
     # left wins on collision (a@0 keeps v=1); x@0 only on the right
     assert o[["k", "v"]].values.tolist() == [
         ["a", 1], ["b", 2], ["c", 3], ["x", 8]]
+
+
+def test_mad_over_time(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import over_time
+
+    t = pa.table({
+        "series_key": ["s"] * 5,
+        "window_start": np.array([0, 60, 120, 180, 240], dtype=np.int64),
+        "v": np.array([1, 9, 5, 3, 7], dtype=np.int64),
+    })
+    out = (over_time(rd.from_arrow(t), "series_key", "window_start", "v",
+                     3, agg="mad", out_col="mad")
+           .to_pandas().sort_values("window_start").reset_index(drop=True))
+    # frames: [1] mad 0; [1,9] med 5, devs {4,4} mad 4; [1,9,5] med 5,
+    # devs {4,4,0} mad 4; [9,5,3] med 5 devs {4,0,2} mad 2;
+    # [5,3,7] med 5 devs {0,2,2} mad 2
+    assert out["mad"].tolist() == [0.0, 4.0, 4.0, 2.0, 2.0]

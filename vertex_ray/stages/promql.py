@@ -415,7 +415,7 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
     stages.windows.series_delta); each bucket kernel is one vectorized
     sort + cumsum/rolling call, never a per-series Python task."""
     if agg not in ("avg", "sum", "max", "min", "count", "quantile",
-                   "stddev", "stdvar"):
+                   "stddev", "stdvar", "mad"):
         raise ValueError(f"unsupported over_time agg: {agg}")
     out = out_col or f"{agg}_over"
 
@@ -432,7 +432,7 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
         cnt = np.minimum(pos + 1, n)
         if agg == "count":
             res = cnt.astype(np.int64)
-        elif agg == "quantile":
+        elif agg in ("quantile", "mad"):
             # frame matrix: column j holds the value j rows back within
             # the same series (NaN past the series start); np.sort pushes
             # NaN to the end so the first cnt entries are the frame
@@ -443,13 +443,27 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
                 ok = pos >= j
                 m[rows[ok], j] = vf[rows[ok] - j]
             m.sort(axis=1)
-            rn = (cnt - 1) * q
-            frn = np.floor(rn)
-            crn = np.ceil(rn)
-            lo = m[rows, frn.astype(np.int64)]
-            hi = m[rows, crn.astype(np.int64)]
-            # exact SQL quantile_cont evaluation shape (bit-for-bit)
-            res = np.where(frn == crn, lo, (crn - rn) * lo + (rn - frn) * hi)
+
+            def interp(mat: np.ndarray, qq: float) -> np.ndarray:
+                rn = (cnt - 1) * qq
+                frn = np.floor(rn)
+                crn = np.ceil(rn)
+                lo = mat[rows, frn.astype(np.int64)]
+                hi = mat[rows, crn.astype(np.int64)]
+                # exact SQL quantile_cont evaluation shape (bit-for-bit)
+                return np.where(frn == crn, lo,
+                                (crn - rn) * lo + (rn - frn) * hi)
+
+            if agg == "quantile":
+                res = interp(m, q)
+            else:
+                # mad_over_time (Prometheus experimental): median of
+                # absolute deviations from the frame median — the two
+                # quantile_cont passes mirror the SQL oracle exactly
+                med = interp(m, 0.5)
+                d = np.abs(m - med[:, None])
+                d.sort(axis=1)  # NaN pads stay at the end
+                res = interp(d, 0.5)
         elif agg in ("avg", "sum", "stddev", "stdvar"):
             if v.dtype.kind not in "iu":
                 raise TypeError(
