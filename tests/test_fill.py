@@ -231,3 +231,46 @@ def test_histogram_fraction():
     assert frac(0.3, 2.0) == (c2 - c03) / 10.0
     assert frac(0.0, 20.0) == 1.0     # everything
     assert frac(0.0, 0.25) == 0.2     # exact bucket boundary -> b05/count
+
+
+def test_histogram_fraction_properties():
+    """Estimator sanity under random monotone cumulative buckets:
+    bounded to [0,1], monotone in the upper threshold, and additive
+    across adjacent ranges (up to float addition)."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vertex_ray.schema import N_BUCKETS
+    from vertex_ray.stages.quantile import histogram_fraction_batch
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        incs=st.lists(st.integers(0, 20), min_size=N_BUCKETS,
+                      max_size=N_BUCKETS),
+        cuts=st.tuples(st.floats(0.001, 12.0), st.floats(0.001, 12.0),
+                       st.floats(0.001, 12.0)),
+    )
+    def check(incs, cuts):
+        cum = np.cumsum(np.asarray(incs, dtype=np.int64))
+        if cum[-1] == 0:
+            return
+        t = pa.table({
+            **{f"b{i:02d}": pa.array([int(cum[i])])
+               for i in range(N_BUCKETS)},
+            "count": pa.array([int(cum[-1])]),
+        })
+        a, b, c = sorted(cuts)
+
+        def frac(lo, hi):
+            return histogram_fraction_batch(t, lo, hi, out_col="f")[
+                "f"].to_pylist()[0]
+
+        f_ab, f_bc, f_ac = frac(a, b), frac(b, c), frac(a, c)
+        for f in (f_ab, f_bc, f_ac):
+            assert -1e-12 <= f <= 1 + 1e-12
+        assert f_ac >= f_ab - 1e-12  # monotone in the upper threshold
+        assert abs((f_ab + f_bc) - f_ac) < 1e-9  # additivity
+
+    check()

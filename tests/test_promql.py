@@ -1004,3 +1004,29 @@ def test_mad_over_time(ray_session):
     # devs {4,4,0} mad 4; [9,5,3] med 5 devs {4,0,2} mad 2;
     # [5,3,7] med 5 devs {0,2,2} mad 2
     assert out["mad"].tolist() == [0.0, 4.0, 4.0, 2.0, 2.0]
+
+
+def test_strip_labels_fuzz_vs_reference():
+    """strip_labels' three RE2 replaces == parse-remove-rerender on the
+    canonical key, for any subset of labels at any position."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vertex_ray.stages.promql import strip_labels
+
+    lbl = st.sampled_from(["aa", "bb", "cc", "dd"])
+    val = st.text(alphabet="xyz0", min_size=0, max_size=3)
+
+    @settings(max_examples=200, deadline=None)
+    @given(pairs=st.dictionaries(lbl, val, min_size=0, max_size=4),
+           drop=st.lists(lbl, min_size=1, max_size=2, unique=True))
+    def check(pairs, drop):
+        items = sorted(pairs.items())
+        key = "m{" + ",".join(f"{k}={v}" for k, v in items) + "}"
+        want = ("m{" + ",".join(f"{k}={v}" for k, v in items
+                                if k not in drop) + "}")
+        t = pa.table({"series_key": [key]})
+        got = strip_labels(t, list(drop))["series_key"].to_pylist()[0]
+        assert got == want
+
+    check()
