@@ -169,3 +169,56 @@ def test_query_range_auto_picks_tier(store):
             .sort_values(COLS).reset_index(drop=True))
     explicit = _read(store, tier="1h", tombstones=False)
     pd.testing.assert_frame_equal(auto, explicit)
+
+
+def test_point_keep_mask_fuzz_vs_reference():
+    """point_keep_mask == a row-at-a-time reference evaluator for any
+    stones and rows (regex matcher semantics: RE2 substring search)."""
+    import re
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vertex_ray.state.tombstones import point_keep_mask
+
+    stone_st = st.fixed_dictionaries({
+        "metric": st.sampled_from([None, "m1", "m2"]),
+        "key_regex": st.sampled_from([None, "a", "b=2", "^k"]),
+        "start": st.one_of(st.none(), st.integers(0, 300)),
+        "end": st.one_of(st.none(), st.integers(0, 300)),
+        "tiers": st.sampled_from([None, ["1m"], ["1h"]]),
+    })
+
+    @settings(max_examples=200, deadline=None)
+    @given(stones=st.lists(stone_st, min_size=0, max_size=3),
+           n=st.integers(1, 12), seed=st.integers(0, 999))
+    def check(stones, n, seed):
+        rng = np.random.default_rng(seed)
+        names = rng.choice(["m1", "m2"], n)
+        keys = rng.choice(["ka{b=1}", "ka{b=2}", "xx{b=2}"], n)
+        tiers = rng.choice(["1m", "1h"], n)
+        ws = rng.integers(0, 300, n)
+        t = pa.table({"name": names, "series_key": keys, "tier": tiers,
+                      "window_start": ws})
+
+        def ref_drop(i):
+            for s in stones:
+                if s["tiers"] is not None and tiers[i] not in s["tiers"]:
+                    continue
+                if s["metric"] is not None and names[i] != s["metric"]:
+                    continue
+                if (s["key_regex"] is not None
+                        and not re.search(s["key_regex"], keys[i])):
+                    continue
+                if s["start"] is not None and ws[i] < s["start"]:
+                    continue
+                if s["end"] is not None and ws[i] > s["end"]:
+                    continue
+                return True
+            return False
+
+        got = point_keep_mask(t, stones).to_pylist()
+        assert got == [not ref_drop(i) for i in range(n)]
+
+    check()
