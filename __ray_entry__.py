@@ -1287,6 +1287,36 @@ def _q_exphist_fraction_1m(sf_dir: str):
     return exp_histogram_fraction(hist, 20, 21)
 
 
+def _q_exphist_global_p99_1m(sf_dir: str):
+    """Global native-histogram quantile:
+    ``histogram_quantile(0.99, sum(latency_exphist))`` — the sparse
+    power-of-2 rows of ALL conversations are summed per (window, idx)
+    with the combiner exchange (stages/promql.group_sum), then the
+    quantile picks the exact bucket upper bound (stages/exphist)."""
+    import pyarrow as pa
+
+    from vertex_ray.pipelines.rollup_pipeline import read_transcripts
+    from vertex_ray.stages.exphist import (
+        exp_histogram_quantile,
+        latency_exp_histogram,
+    )
+    from vertex_ray.stages.promql import group_sum
+
+    hist = latency_exp_histogram(
+        read_transcripts(ensure_transcripts(sf_dir)), 60)
+    summed = group_sum(hist, ["window_start", "idx"], ["bucket_count"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "series_key", pa.array(["all"] * len(t), type=pa.string()))
+
+    q = exp_histogram_quantile(
+        summed.map_batches(tag, batch_format="pyarrow"), 0.99,
+        out_col="p99")
+    return q.map_batches(lambda t: t.select(["window_start", "p99"]),
+                         batch_format="pyarrow")
+
+
 def _q_exphist_1h_merged(sf_dir: str):
     """The exponential histogram's MERGEABLE cascade: 1m sparse vectors
     fold into 1h windows by integer bucket-count sums (same-scale sparse
@@ -1598,6 +1628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_1m_latency_epochs": _q_retention_epochs_1m,
         "exphist_1m_latency": _q_exphist_1m,
         "exphist_1m_latency_fraction": _q_exphist_fraction_1m,
+        "exphist_1m_global_p99": _q_exphist_global_p99_1m,
         "exphist_1h_latency_merged": _q_exphist_1h_merged,
         "exphist_1m_latency_p99": _q_exphist_p99_1m,
         "exphist_1m_latency_exemplars": _q_exphist_exemplars_1m,
@@ -2668,6 +2699,29 @@ def oracle_sql() -> dict[str, str]:
     FROM lat WHERE lat_us IS NOT NULL
     GROUP BY 1, 2, 3
     """
+    sqls["exphist_1m_global_p99"] = f"""{_LAT_US_CTE},
+    h AS (
+      SELECT {_w(60)} AS window_start,
+             CASE WHEN lat_us = 0 THEN -1
+                  ELSE CAST(floor(log2(lat_us)) AS INT) END AS idx,
+             count(*) AS bucket_count
+      FROM lat WHERE lat_us IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT *,
+             sum(bucket_count) OVER (PARTITION BY window_start
+                                     ORDER BY idx) AS cum,
+             sum(bucket_count) OVER (PARTITION BY window_start) AS total
+      FROM h
+    )
+    SELECT window_start,
+           min(CASE WHEN cum >= ceil(0.99 * total)
+                    THEN CASE WHEN idx = -1 THEN 0.0
+                              ELSE power(2.0, idx + 1) END END) AS p99
+    FROM c GROUP BY 1
+    """
+
     sqls["exphist_1m_latency_p99"] = f"""{_LAT_US_CTE},
     h AS (
       SELECT 'inter_turn_latency_us{{conv_id=' || conv_id || '}}' AS series_key,

@@ -1030,3 +1030,24 @@ def test_strip_labels_fuzz_vs_reference():
         assert got == want
 
     check()
+
+
+def test_aggregate_without_family(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import aggregate_without
+
+    ds = rd.from_arrow(_tier_table())
+
+    def run(agg):
+        return (aggregate_without(ds, ["role"], "count", agg=agg,
+                                  out_col="x")
+                .to_pandas().sort_values(["series_key", "window_start"])
+                .reset_index(drop=True))
+
+    ct = run("count")
+    assert ct.x.tolist() == [1, 1, 1, 1, 1, 1]  # one series per conv
+    mx = run("max")
+    assert mx.x.tolist() == [2, 7, 3, 13, 5, 11]
+    mn = run("min")
+    assert mn.x.tolist() == [2, 7, 3, 13, 5, 11]

@@ -211,22 +211,45 @@ def strip_labels(t: pa.Table, labels: list[str],
 def aggregate_without(ds, drop_labels: list[str], value_col: str,
                       window_col: str = "window_start",
                       key_col: str = "series_key",
-                      out_col: str | None = None, n_buckets: int = 64):
-    """PromQL ``sum without(labels) (metric)``: exact integer sum across
-    the series that collapse onto the same key once ``drop_labels`` are
-    stripped — the complement of ``by (label)``. The output vector keeps
-    full series identity minus the dropped labels (a real series_key,
-    so every downstream promql function composes on it). Combiner
-    pattern: per-batch partial sums before the one exchange."""
+                      out_col: str | None = None, n_buckets: int = 64,
+                      agg: str = "sum"):
+    """PromQL ``<agg> without(labels) (metric)`` for agg ∈
+    sum/count/min/max: exact aggregation across the series that collapse
+    onto the same key once ``drop_labels`` are stripped — the complement
+    of ``by (label)``. The output vector keeps full series identity
+    minus the dropped labels (a real series_key, so every downstream
+    promql function composes on it). Combiner pattern: per-batch
+    partials before the one exchange (sum/count merge by summing int64
+    partials; min/max are order-free)."""
+    if agg not in ("sum", "count", "min", "max"):
+        raise ValueError(f"unsupported aggregate_without agg: {agg}")
     out = out_col or value_col
+    keys = [key_col, window_col]
 
     def prep(t: pa.Table) -> pa.Table:
         t = strip_labels(t, drop_labels, key_col=key_col)
-        return t.select([key_col, window_col, value_col])
+        df = t.select(keys + [value_col]).to_pandas()
+        gb = df.groupby(keys, sort=False)[value_col]
+        g = (gb.size().rename("__p") if agg == "count"
+             else getattr(gb, agg)().rename("__p")).reset_index()
+        b = (pd.util.hash_pandas_object(g[keys], index=False)
+             .to_numpy() % np.uint64(n_buckets)).astype(np.int64)
+        g["__bucket"] = b
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    return group_sum(ds.map_batches(prep, batch_format="pyarrow"),
-                     [key_col, window_col], [value_col],
-                     n_buckets=n_buckets)
+    merge_op = "sum" if agg in ("sum", "count") else agg
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        r = getattr(g.groupby(keys, sort=False)["__p"],
+                    merge_op)().reset_index()
+        r.columns = keys + [out]
+        return r
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(final, batch_format="pandas")
+    )
 
 
 def group_sum(ds, group_cols: list[str], value_cols: list[str],
