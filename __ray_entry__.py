@@ -491,6 +491,26 @@ def _q_unless_tools_1h(sf_dir: str):
     return set_op(left, right, ["conv_id", "window_start"], op="unless")
 
 
+def _q_or_user_all_1h(sf_dir: str):
+    """PromQL vector ``or``: per-conversation USER-turn counts, OR the
+    all-role count for (conv, window)s that had no user turn at all —
+    left-priority union (roles cycle turn order, so hours holding only
+    assistant/tool turns exist; stages/promql.set_op op="or")."""
+    from vertex_ray.stages.promql import label_aggregate, set_op
+
+    import pyarrow.compute as pc
+
+    all_series = _metric_tier(sf_dir, "1h", "turns_total",
+                              ["series_key", "window_start", "count"])
+    user = all_series.map_batches(
+        lambda t: t.filter(pc.match_substring(t["series_key"],
+                                              "role=user}")),
+        batch_format="pyarrow")
+    left = label_aggregate(user, "conv_id", "count", out_col="c")
+    right = label_aggregate(all_series, "conv_id", "count", out_col="c")
+    return set_op(left, right, ["conv_id", "window_start"], op="or")
+
+
 def _q_above_role_avg_1h(sf_dir: str):
     """PromQL comparison filter with group_left:
     ``turns_total > on(role, window) group_left avg by (role)`` — the
@@ -1596,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_role_avg_1h_turns": _q_above_role_avg_1h,
         "and_tools_1h_turns": _q_and_tools_1h,
         "unless_tools_1h_turns": _q_unless_tools_1h,
+        "or_user_all_1h_turns": _q_or_user_all_1h,
         "gorilla_roundtrip_1m_latency": _q_gorilla_roundtrip,
         "rollup_1m_latency_locf_stale": _q_locf_1m,
         "rollup_1h_latency_mean": _q_mean_1h,
@@ -1931,6 +1952,26 @@ def oracle_sql() -> dict[str, str]:
             FROM g, d
             WHERE NOT (role = 'assistant'
                        AND window_start BETWEEN t1 AND t2)
+            """,
+        "or_user_all_1h_turns": f"""
+            WITH l AS (
+              SELECT conv_id, {_w(3600)} AS window_start,
+                     count(*) AS c
+              FROM {_SQL_TRANSCRIPTS} WHERE role = 'user'
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT conv_id, {_w(3600)} AS window_start,
+                     count(*) AS c
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT conv_id, window_start, c FROM l
+            UNION ALL
+            SELECT r.conv_id, r.window_start, r.c FROM r
+            WHERE NOT EXISTS (SELECT 1 FROM l
+                              WHERE l.conv_id = r.conv_id
+                                AND l.window_start = r.window_start)
             """,
         "and_tools_1h_turns": f"""
             WITH g AS (
