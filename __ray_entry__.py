@@ -1337,6 +1337,22 @@ def _q_exphist_global_p99_1m(sf_dir: str):
                          batch_format="pyarrow")
 
 
+def _q_exphist_stddev_1m(sf_dir: str):
+    """Native-histogram ``histogram_stddev`` analogue: per (series,
+    1m window) population stddev of latencies, each represented by its
+    power-of-2 bucket's arithmetic midpoint (dyadic-exact partial sums,
+    order-independent — stages/exphist.exp_histogram_stddev)."""
+    from vertex_ray.pipelines.rollup_pipeline import read_transcripts
+    from vertex_ray.stages.exphist import (
+        exp_histogram_stddev,
+        latency_exp_histogram,
+    )
+
+    hist = latency_exp_histogram(
+        read_transcripts(ensure_transcripts(sf_dir)), 60)
+    return exp_histogram_stddev(hist)
+
+
 def _q_exphist_1h_merged(sf_dir: str):
     """The exponential histogram's MERGEABLE cascade: 1m sparse vectors
     fold into 1h windows by integer bucket-count sums (same-scale sparse
@@ -1650,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exphist_1m_latency": _q_exphist_1m,
         "exphist_1m_latency_fraction": _q_exphist_fraction_1m,
         "exphist_1m_global_p99": _q_exphist_global_p99_1m,
+        "exphist_1m_latency_stddev": _q_exphist_stddev_1m,
         "exphist_1h_latency_merged": _q_exphist_1h_merged,
         "exphist_1m_latency_p99": _q_exphist_p99_1m,
         "exphist_1m_latency_exemplars": _q_exphist_exemplars_1m,
@@ -2740,6 +2757,35 @@ def oracle_sql() -> dict[str, str]:
     FROM lat WHERE lat_us IS NOT NULL
     GROUP BY 1, 2, 3
     """
+    sqls["exphist_1m_latency_stddev"] = f"""{_LAT_US_CTE},
+    h AS (
+      SELECT 'inter_turn_latency_us{{conv_id=' || conv_id || '}}' AS series_key,
+             {_w(60)} AS window_start,
+             CASE WHEN lat_us = 0 THEN -1
+                  ELSE CAST(floor(log2(lat_us)) AS INT) END AS idx,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM lat WHERE lat_us IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT series_key, window_start,
+             sum(c * (CASE WHEN idx = -1 THEN 0.0
+                           ELSE (power(2.0, idx) + power(2.0, idx + 1))
+                                / 2.0 END)) AS s,
+             sum(c * (CASE WHEN idx = -1 THEN 0.0
+                           ELSE (power(2.0, idx) + power(2.0, idx + 1))
+                                / 2.0 END)
+                   * (CASE WHEN idx = -1 THEN 0.0
+                           ELSE (power(2.0, idx) + power(2.0, idx + 1))
+                                / 2.0 END)) AS s2,
+             sum(c) AS n
+      FROM h GROUP BY 1, 2
+    )
+    SELECT series_key, window_start,
+           sqrt(greatest((s2 - s * s / n) / n, 0.0)) AS stddev
+    FROM m
+    """
+
     sqls["exphist_1m_global_p99"] = f"""{_LAT_US_CTE},
     h AS (
       SELECT {_w(60)} AS window_start,

@@ -105,3 +105,25 @@ def test_exphist_fraction_exact(ray_session):
     # zero bucket via idx -1
     z = exp_histogram_fraction(rd.from_arrow(rows), -1, -1).to_pandas()
     assert z.fraction.tolist() == [0.1]
+
+
+def test_exphist_stddev_midpoint_estimator(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vertex_ray.stages.exphist import exp_histogram_stddev
+
+    # two obs in bucket 2 (mid 6.0), one in bucket 3 (mid 12.0)
+    rows = pa.table({
+        "series_key": ["s", "s"],
+        "window_start": np.array([0, 0], dtype=np.int64),
+        "idx": np.array([2, 3], dtype=np.int32),
+        "bucket_count": np.array([2, 1], dtype=np.int64),
+    })
+    out = exp_histogram_stddev(rd.from_arrow(rows)).to_pandas()
+    s, s2, n = 2 * 6.0 + 12.0, 2 * 36.0 + 144.0, 3.0
+    assert out.stddev.tolist() == [np.sqrt((s2 - s * s / n) / n)]
+    var = exp_histogram_stddev(rd.from_arrow(rows), variance=True,
+                               out_col="v").to_pandas()
+    assert var.v.tolist() == [(s2 - s * s / n) / n]

@@ -229,3 +229,61 @@ def exp_histogram_fraction(ds, lo_idx: int, hi_idx: int,
         })
 
     return g.map_batches(fin, batch_format="pyarrow")
+
+
+def exp_histogram_stddev(ds, out_col: str = "stddev",
+                         variance: bool = False, n_buckets: int = 64):
+    """Native-histogram ``histogram_stddev/stdvar`` analogue over the
+    sparse power-of-2 rows: population stddev per (series, window) with
+    each observation represented by its bucket's arithmetic midpoint
+    ``(2^idx + 2^(idx+1)) / 2`` µs (0 for the zero bucket) — the
+    representative-value estimator family Prometheus applies to native
+    histograms.
+
+    Bit-exact vs SQL without ordered summation: every term
+    ``count·mid`` (and ``count·mid²``) is an integer multiple of a
+    power of two, and the per-(series, window) totals stay below 2^53,
+    so the sums are exactly representable and ORDER-INDEPENDENT — plain
+    ``sum()`` on both sides is safe. The final variance is three IEEE
+    ops in a fixed order, ``(s2 - s*s/n) / n``, mirrored in the oracle.
+    Combiner shape: one hash exchange on series, one vectorized
+    segment-sum kernel per bucket."""
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["series_key"].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["series_key", "window_start"], kind="stable")
+        idx = g["idx"].to_numpy().astype(np.float64)
+        cnt = g["bucket_count"].to_numpy().astype(np.float64)
+        mid = np.where(idx < 0, 0.0,
+                       (np.exp2(idx) + np.exp2(idx + 1.0)) / 2.0)
+        sk = g["series_key"].to_numpy(dtype=object)
+        ws = g["window_start"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (sk[1:] != sk[:-1]) | (ws[1:] != ws[:-1])
+        starts = np.flatnonzero(new)
+
+        def segsum(x: np.ndarray) -> np.ndarray:
+            # per-segment independent sums (reduceat), NOT a global
+            # cumsum difference: a cross-segment running total could
+            # round past 2^53 and break the per-group exactness argument
+            return np.add.reduceat(x, starts)
+
+        s = segsum(cnt * mid)
+        s2 = segsum(cnt * mid * mid)
+        n = segsum(cnt)
+        var = (s2 - s * s / n) / n
+        res = var if variance else np.sqrt(np.maximum(var, 0.0))
+        return pd.DataFrame({"series_key": sk[starts],
+                             "window_start": ws[starts], out_col: res})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
