@@ -413,6 +413,23 @@ def _q_label_values_1h(sf_dir: str):
     return label_values(out, "1h", "role", metric="turns_total")
 
 
+def _q_tsdb_status_1h(sf_dir: str):
+    """The ``/api/v1/status/tsdb`` analogue for turns_total at 1h:
+    series / block / stored-point totals from block metadata alone —
+    the point count includes the gap-fill machinery's stale markers, so
+    the oracle reproduces the staleness rule (one marker per
+    reporting-run end, clipped at the store's global end)
+    (vertex_ray/read.tsdb_status; payload-bytes column is engine-only
+    and dropped here)."""
+    from vertex_ray.read import tsdb_status
+
+    out = _ensure_pipeline(sf_dir)
+    st = tsdb_status(out, "1h", metric="turns_total")
+    return st.map_batches(
+        lambda t: t.select(["name", "n_series", "n_blocks", "n_points"]),
+        batch_format="pyarrow")
+
+
 def _q_group_left_share_1h(sf_dir: str):
     """PromQL group_left many-to-one matching:
     ``turns_total / on(role, window) group_left sum by (role)`` — each
@@ -1622,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "absent_1h_conv0_turns": _q_absent_1h_conv0,
         "group_left_share_1h_turns": _q_group_left_share_1h,
         "series_metadata_1h_turns": _q_series_metadata_1h,
+        "tsdb_status_1h_turns": _q_tsdb_status_1h,
         "label_values_role_1h": _q_label_values_1h,
         "offset_dod_1h_turns": _q_offset_dod_1h,
         "hourly_profile_1h_turns": _q_hourly_profile_turns,
@@ -2055,6 +2073,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
+            """,
+        "tsdb_status_1h_turns": f"""
+            WITH w AS (
+              SELECT DISTINCT conv_id, role, {_w(3600)} AS ws
+              FROM {_SQL_TRANSCRIPTS}
+            ),
+            ge AS (SELECT max({_w(3600)}) AS ge FROM {_SQL_TRANSCRIPTS}),
+            r AS (
+              SELECT conv_id, role, ws,
+                     lead(ws) OVER (PARTITION BY conv_id, role
+                                    ORDER BY ws) AS nxt
+              FROM w
+            )
+            SELECT 'turns_total' AS name,
+                   CAST(count(DISTINCT conv_id || ',' || role) AS BIGINT)
+                     AS n_series,
+                   CAST(count(DISTINCT conv_id || ',' || role) AS BIGINT)
+                     AS n_blocks,
+                   CAST(count(*) + sum(CASE WHEN (nxt IS NULL AND ws < ge)
+                                              OR nxt > ws + 3600
+                                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_points
+            FROM r, ge
             """,
         "series_metadata_1h_turns": f"""
             WITH g AS (

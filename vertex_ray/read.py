@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 from vertex_ray.schema import TIER_SECONDS
 
 __all__ = ["query_range", "instant_query", "series_metadata",
-           "label_values", "pick_tier", "query_range_auto"]
+           "label_values", "pick_tier", "query_range_auto", "tsdb_status"]
 
 _SCALAR_COLS = ["series_key", "window_start", "sum", "count", "min",
                 "max", "last"]
@@ -236,3 +236,57 @@ def query_range_auto(out_dir: str, step_seconds: int, **kwargs):
     """query_range with the tier chosen by :func:`pick_tier` from the
     requested step — the dashboard entry point."""
     return query_range(out_dir, pick_tier(step_seconds), **kwargs)
+
+
+def tsdb_status(out_dir: str, tier: str, metric: str | None = None):
+    """The ``/api/v1/status/tsdb`` analogue: per-metric store statistics
+    — series count, block count, stored point count (real + gap-fill +
+    stale-marker rows), and encoded payload bytes — computed entirely
+    from block-row metadata, zero decode. Two metadata-sized combiner
+    exchanges: (name, series) partials per batch, then per-name totals."""
+    from vertex_ray.pipelines.rollup_pipeline import read_stage
+    from vertex_ray.stages.promql import _add_series_bucket
+
+    ds = read_stage(out_dir, "blocks", tier)
+
+    def per_series(t: pa.Table) -> pa.Table:
+        if metric is not None:
+            t = t.filter(pc.equal(t["name"], metric))
+        vb = t["val_blocks"].combine_chunks()
+        # payload bytes = ts stream + every value stream + flags
+        payload = pc.binary_length(t["ts_block"]).to_numpy().astype(np.int64)
+        flat = pc.binary_length(vb.flatten()).to_numpy()
+        off = vb.offsets.to_numpy()
+        cum = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(flat, out=cum[1:])
+        payload = (payload + cum[off[1:]] - cum[off[:-1]]
+                   + pc.binary_length(t["flags"]).to_numpy())
+        df = pd.DataFrame({
+            "name": t["name"].to_pandas(),
+            "series_key": t["series_key"].to_pandas(),
+            "n_points": t["n_points"].to_numpy().astype(np.int64),
+            "bytes": payload.astype(np.int64),
+        })
+        g = (df.groupby(["name", "series_key"], sort=False)
+             .agg(n_blocks=("n_points", "size"),
+                  n_points=("n_points", "sum"),
+                  bytes=("bytes", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        per = (g.groupby(["name", "series_key"], sort=False)
+               [["n_blocks", "n_points", "bytes"]].sum().reset_index())
+        out = (per.groupby("name", sort=False)
+               .agg(n_series=("series_key", "size"),
+                    n_blocks=("n_blocks", "sum"),
+                    n_points=("n_points", "sum"),
+                    bytes=("bytes", "sum")).reset_index())
+        return out
+
+    return (
+        ds.map_batches(per_series, batch_format="pyarrow")
+        .map_batches(lambda t: _add_series_bucket(t, "name", 8),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
