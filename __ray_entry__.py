@@ -430,6 +430,17 @@ def _q_tsdb_status_1h(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_label_cardinality_1h(sf_dir: str):
+    """Label-cardinality half of the tsdb status: distinct values per
+    label across turns_total series (which label exploded the series
+    count? — vertex_ray/read.label_cardinality, zero decode)."""
+    from vertex_ray.read import label_cardinality
+
+    out = _ensure_pipeline(sf_dir)
+    return label_cardinality(out, "1h", ["conv_id", "role"],
+                             metric="turns_total")
+
+
 def _q_group_left_share_1h(sf_dir: str):
     """PromQL group_left many-to-one matching:
     ``turns_total / on(role, window) group_left sum by (role)`` — each
@@ -1640,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_left_share_1h_turns": _q_group_left_share_1h,
         "series_metadata_1h_turns": _q_series_metadata_1h,
         "tsdb_status_1h_turns": _q_tsdb_status_1h,
+        "label_cardinality_1h_turns": _q_label_cardinality_1h,
         "label_values_role_1h": _q_label_values_1h,
         "offset_dod_1h_turns": _q_offset_dod_1h,
         "hourly_profile_1h_turns": _q_hourly_profile_turns,
@@ -2073,6 +2085,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
+            """,
+        "label_cardinality_1h_turns": f"""
+            SELECT 'conv_id' AS label,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_values
+            FROM {_SQL_TRANSCRIPTS}
+            UNION ALL
+            SELECT 'role' AS label,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_values
+            FROM {_SQL_TRANSCRIPTS}
             """,
         "tsdb_status_1h_turns": f"""
             WITH w AS (

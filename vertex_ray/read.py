@@ -28,7 +28,8 @@ import pyarrow.compute as pc
 from vertex_ray.schema import TIER_SECONDS
 
 __all__ = ["query_range", "instant_query", "series_metadata",
-           "label_values", "pick_tier", "query_range_auto", "tsdb_status"]
+           "label_values", "pick_tier", "query_range_auto", "tsdb_status",
+           "label_cardinality"]
 
 _SCALAR_COLS = ["series_key", "window_start", "sum", "count", "min",
                 "max", "last"]
@@ -287,6 +288,48 @@ def tsdb_status(out_dir: str, tier: str, metric: str | None = None):
         ds.map_batches(per_series, batch_format="pyarrow")
         .map_batches(lambda t: _add_series_bucket(t, "name", 8),
                      batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def label_cardinality(out_dir: str, tier: str, labels: list[str],
+                      metric: str | None = None):
+    """The label-cardinality half of ``/api/v1/status/tsdb``: distinct
+    value count per label name across matching series — extracted from
+    series_key on block rows (zero decode), per-batch partial distinct
+    before one tiny exchange. The first number to look at when a store's
+    series count explodes (which label blew up?)."""
+    from vertex_ray.pipelines.rollup_pipeline import read_stage
+    from vertex_ray.stages.promql import extract_label
+
+    ds = read_stage(out_dir, "blocks", tier)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if metric is not None:
+            t = t.filter(pc.equal(t["name"], metric))
+        outs = []
+        for lbl in labels:
+            e = extract_label(t.select(["series_key"]), lbl)
+            vals = pc.unique(e[lbl].combine_chunks())
+            vals = vals.filter(pc.is_valid(vals))
+            outs.append(pa.table({
+                "label": pa.array([lbl] * len(vals)),
+                "value": vals.cast(pa.string()),
+            }))
+        return pa.concat_tables(outs)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop_duplicates(["label", "value"])
+                .groupby("label", sort=False).size()
+                .rename("n_values").reset_index())
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: t.append_column(
+            "__bucket", pc.cast(pc.multiply(
+                pc.binary_length(t["label"]), 0), pa.int64())),
+            batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(merge, batch_format="pandas")
     )
