@@ -585,6 +585,18 @@ def _q_group_by_role_1h(sf_dir: str):
                            agg="group")
 
 
+def _q_sqrt_scaled_1h(sf_dir: str):
+    """PromQL pointwise math + scalar arithmetic:
+    ``sqrt(turns_total) * 2`` per series at 1h — every op IEEE-exact so
+    the SQL mirror is bit-identical (stages/promql.math_op)."""
+    from vertex_ray.stages.promql import math_op
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return math_op(ds, "count", "sqrt", out_col="v", scalar=2.0,
+                   scalar_op="mul")
+
+
 def _q_mad_over_1h_turns(sf_dir: str):
     """Prometheus (experimental) ``mad_over_time(turns_total[6h])``:
     per-series median absolute deviation over the trailing 6 windows —
@@ -1658,6 +1670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "limit_ratio_1h_turns": _q_limit_ratio_1h,
         "group_by_role_1h_turns": _q_group_by_role_1h,
         "mad_over_1h_turns": _q_mad_over_1h_turns,
+        "sqrt_scaled_1h_turns": _q_sqrt_scaled_1h,
         "sum_without_role_1h_turns": _q_sum_without_role_1h,
         "above_role_avg_1h_turns": _q_above_role_avg_1h,
         "and_tools_1h_turns": _q_and_tools_1h,
@@ -2138,6 +2151,16 @@ def oracle_sql() -> dict[str, str]:
         "group_by_role_1h_turns": f"""
             SELECT role, {_w(3600)} AS window_start,
                    CAST(1 AS BIGINT) AS present
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2
+            """,
+        "sqrt_scaled_1h_turns": f"""
+            SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                     || '}}' AS series_key,
+                   {_w(3600)} AS window_start,
+                   count(*) AS count,
+                   sqrt(CAST(count(*) AS DOUBLE)) * CAST(2.0 AS DOUBLE)
+                     AS v
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
             """,

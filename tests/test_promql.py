@@ -1051,3 +1051,19 @@ def test_aggregate_without_family(ray_session):
     assert mx.x.tolist() == [2, 7, 3, 13, 5, 11]
     mn = run("min")
     assert mn.x.tolist() == [2, 7, 3, 13, 5, 11]
+
+
+def test_math_op(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import math_op
+
+    t = pa.table({"k": ["a", "b"], "v": np.array([-4, 9], dtype=np.int64)})
+    ds = rd.from_arrow(t)
+    ab = math_op(ds, "v", "abs").to_pandas().sort_values("k")
+    assert ab["abs"].tolist() == [4.0, 9.0]
+    sq = math_op(ds, "v", "sqrt", out_col="s", scalar=2.0).to_pandas() \
+        .sort_values("k")
+    assert sq.s.tolist()[1] == 6.0 and np.isnan(sq.s.tolist()[0])
+    sg = math_op(ds, "v", "sgn").to_pandas().sort_values("k")
+    assert sg.sgn.tolist() == [-1.0, 1.0]

@@ -37,7 +37,7 @@ __all__ = ["extract_label", "label_aggregate", "group_sum", "over_time",
            "resets_changes", "label_replace", "label_join", "clamp",
            "alert_state", "burn_rate", "count_values", "absent_over_time",
            "offset_modifier", "window_time", "limit_ratio",
-           "strip_labels", "aggregate_without", "set_op"]
+           "strip_labels", "aggregate_without", "set_op", "math_op"]
 
 
 def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
@@ -1130,6 +1130,35 @@ def burn_rate(ds, key_col: str, order_col: str, bad_col: str,
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def math_op(ds, value_col: str, fn: str, out_col: str | None = None,
+            scalar: float | None = None, scalar_op: str | None = None):
+    """PromQL pointwise math functions over an instant/range vector —
+    ``abs() ceil() floor() round() sqrt() sgn()`` — optionally composed
+    with a scalar arithmetic op (``metric * 2``, ``sqrt(metric) + 1``).
+    Embarrassingly parallel per-batch Arrow kernels, no exchange.
+
+    All shipped fns are IEEE-exact (correctly rounded per the standard),
+    so results are bit-identical to any SQL engine's; transcendentals
+    (exp/ln/log2) are deliberately absent — libm implementations differ
+    by ulps across engines, which would break the bit-exact oracle
+    contract this repo holds everywhere else."""
+    fns = {"abs": pc.abs, "ceil": pc.ceil, "floor": pc.floor,
+           "round": pc.round, "sqrt": pc.sqrt, "sgn": pc.sign}
+    if fn not in fns:
+        raise ValueError(f"unsupported math fn: {fn}")
+    sops = {"mul": pc.multiply, "add": pc.add, "sub": pc.subtract,
+            "div": pc.divide}
+    out = out_col or fn
+
+    def body(t: pa.Table) -> pa.Table:
+        v = fns[fn](pc.cast(t[value_col], pa.float64()))
+        if scalar is not None:
+            v = sops[scalar_op or "mul"](v, scalar)
+        return t.append_column(out, pc.cast(v, pa.float64()))
+
+    return ds.map_batches(body, batch_format="pyarrow")
 
 
 def limit_ratio(ds, key_col: str, ratio: float):
