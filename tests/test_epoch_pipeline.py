@@ -293,3 +293,39 @@ def test_retention_after_compaction(ray_session, micro_transcripts, tmp_path):
     b = points(os.path.join(str(tmp_path), "gc_b"))
     assert len(a) > 0
     _assert_bitwise_equal(a, b)
+
+
+def test_query_facade_over_epoch_store(ray_session, micro_transcripts,
+                                       tmp_path):
+    """query_range(layout="epochs") reads the time-chunked store through
+    the same façade: real rows equal the decode of all epoch blocks."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from vertex_ray.pipelines.epoch_pipeline import (
+        read_epochs_stage,
+        run_pipeline_epochs,
+    )
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.read import query_range
+
+    out = os.path.join(str(tmp_path), "epochs")
+    run_pipeline_epochs(micro_transcripts, out, epoch_seconds=3600,
+                        n_buckets=4, tiers=TIERS_SMALL)
+    cols = ["series_key", "window_start", "count"]
+    got = (query_range(out, "1m", metric="turns_total", columns=cols,
+                       layout="epochs").to_pandas()
+           .sort_values(cols).reset_index(drop=True))
+
+    def shape(t):
+        m = pc.and_(pc.invert(t["filled"]), pc.invert(t["stale"]))
+        t = t.filter(pc.and_(m, pc.equal(t["name"], "turns_total")))
+        t = t.select(cols)
+        i = t.schema.get_field_index("count")
+        return t.set_column(i, "count", pc.cast(t["count"], pa.int64()))
+
+    want = (decode_tier_blocks(read_epochs_stage(out, "blocks", "1m"))
+            .map_batches(shape, batch_format="pyarrow").to_pandas()
+            .sort_values(cols).reset_index(drop=True))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)

@@ -35,11 +35,24 @@ _SCALAR_COLS = ["series_key", "window_start", "sum", "count", "min",
                 "max", "last"]
 
 
+def _read_blocks(out_dir: str, tier: str | None, layout: str):
+    if layout == "oneshot":
+        from vertex_ray.pipelines.rollup_pipeline import read_stage
+
+        return read_stage(out_dir, "blocks", tier)
+    if layout == "epochs":
+        from vertex_ray.pipelines.epoch_pipeline import read_epochs_stage
+
+        return read_epochs_stage(out_dir, "blocks", tier)
+    raise ValueError(f"unknown store layout: {layout!r}")
+
+
 def query_range(out_dir: str, tier: str, metric: str | None = None,
                 key_regex: str | None = None, start: int | None = None,
                 end: int | None = None, include_filled: bool = False,
                 columns: list[str] | None = None,
-                tombstones: bool | list = True):
+                tombstones: bool | list = True,
+                layout: str = "oneshot"):
     """Tier rows from the committed block store for one range query.
 
     ``metric`` (exact name) and ``key_regex`` (RE2 over series_key) prune
@@ -54,11 +67,13 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
     (state/tombstones) once on the driver and applies them — a block
     fully covered by a stone never decodes, a partially-covered block
     drops the deleted points post-decode; False ignores them; an
-    explicit list applies those stones (dry-run of a delete request)."""
-    from vertex_ray.pipelines.rollup_pipeline import (
-        decode_tier_blocks,
-        read_stage,
-    )
+    explicit list applies those stones (dry-run of a delete request).
+
+    ``layout``: "oneshot" (default) reads ``out_dir/blocks``;
+    "epochs" reads the time-chunked epoch store
+    (``out_dir/epoch-*/blocks``, pipelines/epoch_pipeline) — the same
+    verbs work unchanged over a continuously-ingesting deployment."""
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
     from vertex_ray.state.tombstones import (
         block_keep_mask,
         load_tombstones,
@@ -84,7 +99,7 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
             m = pc.and_(m, block_keep_mask(t, stones, tier))
         return t.filter(m)
 
-    sel = read_stage(out_dir, "blocks", tier).map_batches(
+    sel = _read_blocks(out_dir, tier, layout).map_batches(
         prune, batch_format="pyarrow")
 
     def shape(t: pa.Table) -> pa.Table:
@@ -110,7 +125,8 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
 def instant_query(out_dir: str, tier: str, at: int, lookback: int,
                   metric: str | None = None, key_regex: str | None = None,
                   columns: list[str] | None = None, n_buckets: int = 64,
-                  tombstones: bool | list = True):
+                  tombstones: bool | list = True,
+                  layout: str = "oneshot"):
     """PromQL instant vector at evaluation time ``at``: per series, the
     newest real sample with ``at - lookback < window_start <= at``;
     series with none are absent. One hash-bucketed exchange over the
@@ -120,7 +136,7 @@ def instant_query(out_dir: str, tier: str, at: int, lookback: int,
     cols = columns or _SCALAR_COLS
     rng = query_range(out_dir, tier, metric=metric, key_regex=key_regex,
                       start=at - lookback + 1, end=at, columns=cols,
-                      tombstones=tombstones)
+                      tombstones=tombstones, layout=layout)
 
     def newest(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["series_key", "window_start"], kind="stable")
@@ -140,17 +156,17 @@ def instant_query(out_dir: str, tier: str, at: int, lookback: int,
 
 def series_metadata(out_dir: str, tier: str, metric: str | None = None,
                     key_regex: str | None = None,
-                    start: int | None = None, end: int | None = None):
+                    start: int | None = None, end: int | None = None,
+                    layout: str = "oneshot"):
     """The ``/api/v1/series`` metadata read: distinct series matching a
     selector, WITHOUT decoding a single block — series identity and the
     footer interval live on the block rows themselves, so this is a
     prune + distinct over block metadata (columns
     ``name, series_key, first_seen, last_seen``). At 100 TB the read
     touches only the block index columns of the parquet footers."""
-    from vertex_ray.pipelines.rollup_pipeline import read_stage
     from vertex_ray.stages.promql import _add_series_bucket
 
-    ds = read_stage(out_dir, "blocks", tier)
+    ds = _read_blocks(out_dir, tier, layout)
 
     def prune(t: pa.Table) -> pa.Table:
         m = pa.array(np.ones(len(t), dtype=bool))
@@ -187,15 +203,14 @@ def series_metadata(out_dir: str, tier: str, metric: str | None = None,
 
 
 def label_values(out_dir: str, tier: str, label: str,
-                 metric: str | None = None):
+                 metric: str | None = None, layout: str = "oneshot"):
     """The ``/api/v1/label/<label>/values`` metadata read: distinct
     values of one label across matching series — extract the label from
     series_key on block rows (no decode), partial-distinct per batch,
     one tiny exchange."""
-    from vertex_ray.pipelines.rollup_pipeline import read_stage
     from vertex_ray.stages.promql import extract_label
 
-    ds = read_stage(out_dir, "blocks", tier)
+    ds = _read_blocks(out_dir, tier, layout)
 
     def prune(t: pa.Table) -> pa.Table:
         if metric is not None:
@@ -239,16 +254,16 @@ def query_range_auto(out_dir: str, step_seconds: int, **kwargs):
     return query_range(out_dir, pick_tier(step_seconds), **kwargs)
 
 
-def tsdb_status(out_dir: str, tier: str, metric: str | None = None):
+def tsdb_status(out_dir: str, tier: str, metric: str | None = None,
+                layout: str = "oneshot"):
     """The ``/api/v1/status/tsdb`` analogue: per-metric store statistics
     — series count, block count, stored point count (real + gap-fill +
     stale-marker rows), and encoded payload bytes — computed entirely
     from block-row metadata, zero decode. Two metadata-sized combiner
     exchanges: (name, series) partials per batch, then per-name totals."""
-    from vertex_ray.pipelines.rollup_pipeline import read_stage
     from vertex_ray.stages.promql import _add_series_bucket
 
-    ds = read_stage(out_dir, "blocks", tier)
+    ds = _read_blocks(out_dir, tier, layout)
 
     def per_series(t: pa.Table) -> pa.Table:
         if metric is not None:
@@ -294,16 +309,16 @@ def tsdb_status(out_dir: str, tier: str, metric: str | None = None):
 
 
 def label_cardinality(out_dir: str, tier: str, labels: list[str],
-                      metric: str | None = None):
+                      metric: str | None = None,
+                      layout: str = "oneshot"):
     """The label-cardinality half of ``/api/v1/status/tsdb``: distinct
     value count per label name across matching series — extracted from
     series_key on block rows (zero decode), per-batch partial distinct
     before one tiny exchange. The first number to look at when a store's
     series count explodes (which label blew up?)."""
-    from vertex_ray.pipelines.rollup_pipeline import read_stage
     from vertex_ray.stages.promql import extract_label
 
-    ds = read_stage(out_dir, "blocks", tier)
+    ds = _read_blocks(out_dir, tier, layout)
 
     def partial(t: pa.Table) -> pa.Table:
         if metric is not None:
