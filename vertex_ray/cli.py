@@ -185,17 +185,17 @@ def cmd_query(args) -> int:
     if args.verb == "range":
         ds = query_range(args.store, tier, metric=args.metric,
                          key_regex=args.match, start=args.start,
-                         end=args.end)
+                         end=args.end, layout=args.layout)
     elif args.verb == "instant":
         ds = instant_query(args.store, tier, at=args.at,
                            lookback=args.lookback, metric=args.metric,
-                           key_regex=args.match)
+                           key_regex=args.match, layout=args.layout)
     elif args.verb == "series":
         ds = series_metadata(args.store, tier, metric=args.metric,
-                             key_regex=args.match)
+                             key_regex=args.match, layout=args.layout)
     else:  # labels
         ds = label_values(args.store, tier, args.label,
-                          metric=args.metric)
+                          metric=args.metric, layout=args.layout)
     df = ds.to_pandas()
     if args.limit:
         df = df.head(args.limit)
@@ -274,6 +274,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--label", default="role",
                     help="label for the labels verb")
     sp.add_argument("--limit", type=int, default=0)
+    sp.add_argument("--layout", choices=["oneshot", "epochs"],
+                    default="oneshot",
+                    help="store layout: one-shot blocks dir or the "
+                         "time-chunked epoch store")
     sp.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
