@@ -222,3 +222,24 @@ def test_point_keep_mask_fuzz_vs_reference():
         assert got == [not ref_drop(i) for i in range(n)]
 
     check()
+
+
+def test_read_verbs_empty_selector(store):
+    """A selector matching nothing must yield 0 rows from every read
+    verb — never a schema crash from an empty exchange."""
+    from vertex_ray.read import (
+        label_cardinality,
+        label_values,
+        query_range,
+        series_metadata,
+        tsdb_status,
+    )
+
+    assert query_range(store, "1h", metric="nope",
+                       columns=COLS).count() == 0
+    assert series_metadata(store, "1h", metric="nope").count() == 0
+    assert label_values(store, "1h", "no_such_label",
+                        metric="turns_total").count() == 0
+    assert tsdb_status(store, "1h", metric="nope").count() == 0
+    assert label_cardinality(store, "1h", ["no_such_label"],
+                             metric="turns_total").count() == 0
