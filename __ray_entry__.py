@@ -413,6 +413,39 @@ def _q_label_values_1h(sf_dir: str):
     return label_values(out, "1h", "role", metric="turns_total")
 
 
+def _q_federated_range_1h(sf_dir: str):
+    """Federated read over a two-shard fleet: transcripts split by
+    conv-id parity into two INDEPENDENT stores (each with its own
+    cascade, checkpoints and tombstone file), then ONE
+    ``query_range_multi`` union — real samples must equal the
+    single-store answer, proving shard-per-series federation loses
+    nothing (vertex_ray/read.query_range_multi; union is zero-shuffle)."""
+    import duckdb as _dk
+
+    from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+    from vertex_ray.read import query_range_multi
+
+    trans = ensure_transcripts(sf_dir)
+    root = os.path.join(OUT_BASE, f"sf{sf_of_dir(sf_dir):g}")
+    stores = []
+    for shard, pred in (("shard0", "= 0"), ("shard1", "<> 0")):
+        tdir = os.path.join(root, f"trans_{shard}")
+        if not os.path.exists(os.path.join(tdir, "part.parquet")):
+            os.makedirs(tdir, exist_ok=True)
+            _dk.sql(f"""
+                COPY (SELECT * FROM read_parquet('{trans}/*.parquet')
+                      WHERE CAST(substr(conv_id, length(conv_id), 1)
+                                 AS INT) % 2 {pred})
+                TO '{tdir}/part.parquet' (FORMAT PARQUET)
+            """)
+        out = os.path.join(root, f"tiers_{shard}")
+        run_pipeline(tdir, out, n_buckets=8)
+        stores.append(out)
+    return query_range_multi(
+        stores, "1h", metric="turns_total",
+        columns=["series_key", "window_start", "count"])
+
+
 def _q_tsdb_status_1h(sf_dir: str):
     """The ``/api/v1/status/tsdb`` analogue for turns_total at 1h:
     series / block / stored-point totals from block metadata alone —
@@ -1664,6 +1697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "series_metadata_1h_turns": _q_series_metadata_1h,
         "tsdb_status_1h_turns": _q_tsdb_status_1h,
         "label_cardinality_1h_turns": _q_label_cardinality_1h,
+        "federated_range_1h_turns": _q_federated_range_1h,
         "label_values_role_1h": _q_label_values_1h,
         "offset_dod_1h_turns": _q_offset_dod_1h,
         "hourly_profile_1h_turns": _q_hourly_profile_turns,
@@ -2094,6 +2128,14 @@ def oracle_sql() -> dict[str, str]:
         "sum_without_role_1h_turns": f"""
             SELECT 'turns_total{{conv_id=' || conv_id || '}}'
                      AS series_key,
+                   {_w(3600)} AS window_start,
+                   count(*) AS count
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2
+            """,
+        "federated_range_1h_turns": f"""
+            SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                     || '}}' AS series_key,
                    {_w(3600)} AS window_start,
                    count(*) AS count
             FROM {_SQL_TRANSCRIPTS}

@@ -29,7 +29,7 @@ from vertex_ray.schema import TIER_SECONDS
 
 __all__ = ["query_range", "instant_query", "series_metadata",
            "label_values", "pick_tier", "query_range_auto", "tsdb_status",
-           "label_cardinality"]
+           "label_cardinality", "query_range_multi"]
 
 _SCALAR_COLS = ["series_key", "window_start", "sum", "count", "min",
                 "max", "last"]
@@ -348,3 +348,16 @@ def label_cardinality(out_dir: str, tier: str, labels: list[str],
         .groupby("__bucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def query_range_multi(out_dirs: list[str], tier: str, **kwargs):
+    """Federated range read across a FLEET of stores (shards owning
+    disjoint series — the multi-node deployment where each ingest shard
+    commits its own block store): the union of per-store range reads.
+    Each shard applies its own pruning and its own tombstone file;
+    ``union`` is zero-shuffle in Ray Data, so federation adds no
+    exchange — the cost is exactly the sum of the shard reads."""
+    parts = [query_range(d, tier, **kwargs) for d in out_dirs]
+    if not parts:
+        raise ValueError("query_range_multi needs at least one store")
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
