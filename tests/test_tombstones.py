@@ -243,3 +243,19 @@ def test_read_verbs_empty_selector(store):
     assert tsdb_status(store, "1h", metric="nope").count() == 0
     assert label_cardinality(store, "1h", ["no_such_label"],
                              metric="turns_total").count() == 0
+
+
+def test_federated_replica_dedupe(store):
+    """query_range_multi over two replicas of the SAME store: plain
+    union doubles rows; dedupe=True reconciles back to exactly the
+    single-store answer (earlier store wins per (series, window))."""
+    from vertex_ray.read import query_range_multi
+
+    single = _read(store, tombstones=False)
+    plain = query_range_multi([store, store], "1h", metric="turns_total",
+                              columns=COLS, tombstones=False)
+    assert plain.count() == 2 * len(single)
+    ha = (query_range_multi([store, store], "1h", metric="turns_total",
+                            dedupe=True, columns=COLS, tombstones=False)
+          .to_pandas().sort_values(COLS).reset_index(drop=True))
+    pd.testing.assert_frame_equal(ha, single)

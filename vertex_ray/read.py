@@ -350,14 +350,46 @@ def label_cardinality(out_dir: str, tier: str, labels: list[str],
     )
 
 
-def query_range_multi(out_dirs: list[str], tier: str, **kwargs):
+def query_range_multi(out_dirs: list[str], tier: str,
+                      dedupe: bool = False, n_buckets: int = 64,
+                      **kwargs):
     """Federated range read across a FLEET of stores (shards owning
     disjoint series — the multi-node deployment where each ingest shard
     commits its own block store): the union of per-store range reads.
     Each shard applies its own pruning and its own tombstone file;
     ``union`` is zero-shuffle in Ray Data, so federation adds no
-    exchange — the cost is exactly the sum of the shard reads."""
+    exchange — the cost is exactly the sum of the shard reads.
+
+    ``dedupe=True`` is the HA-replica mode (the same series ingested by
+    MORE than one store): per (series, window) exactly one sample
+    survives, preferring the EARLIER store in ``out_dirs`` — this adds
+    the one hash exchange that replica reconciliation fundamentally
+    needs; leave it off for disjoint shards."""
     parts = [query_range(d, tier, **kwargs) for d in out_dirs]
     if not parts:
         raise ValueError("query_range_multi needs at least one store")
-    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    if not dedupe:
+        return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    from vertex_ray.stages.promql import _add_series_bucket
+
+    def stamp(i):
+        return lambda t: t.append_column(
+            "__store", pa.array(np.full(len(t), i, dtype=np.int8)))
+
+    tagged = [p.map_batches(stamp(i), batch_format="pyarrow")
+              for i, p in enumerate(parts)]
+    u = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["series_key", "window_start", "__store"],
+                          kind="stable")
+        keep = ~g.duplicated(["series_key", "window_start"])
+        return g.loc[keep].drop(columns=["__store", "__bucket"])
+
+    return (
+        u.map_batches(lambda t: _add_series_bucket(t, "series_key",
+                                                   n_buckets),
+                      batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(first, batch_format="pandas")
+    )
