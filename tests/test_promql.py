@@ -1067,3 +1067,41 @@ def test_math_op(ray_session):
     assert sq.s.tolist()[1] == 6.0 and np.isnan(sq.s.tolist()[0])
     sg = math_op(ds, "v", "sgn").to_pandas().sort_values("k")
     assert sg.sgn.tolist() == [-1.0, 1.0]
+
+
+def test_review_fixes(ray_session):
+    """Round-2 review fixes: group() accepts float vectors; math_op
+    rejects a bad scalar op eagerly; limit_ratio validates range,
+    hashes per distinct key, and negative r is the exact complement."""
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import (
+        label_aggregate,
+        limit_ratio,
+        math_op,
+    )
+
+    ft = pa.table({
+        "series_key": ["m{conv_id=c1,role=user}", "m{conv_id=c2,role=user}"],
+        "window_start": np.array([0, 0], dtype=np.int64),
+        "share": np.array([0.25, 0.75], dtype=np.float64),
+    })
+    g = label_aggregate(rd.from_arrow(ft), "role", "share",
+                        out_col="present", agg="group").to_pandas()
+    assert g.present.tolist() == [1]
+
+    with pytest.raises(ValueError, match="scalar op"):
+        math_op(rd.from_arrow(ft), "share", "sqrt", scalar=2.0,
+                scalar_op="times")
+    with pytest.raises(ValueError, match=r"\[-1, 1\]"):
+        limit_ratio(rd.from_arrow(ft), "series_key", 1.5)
+
+    keys = pa.table({"series_key": [f"m{{c={i}}}" for i in range(100)],
+                     "window_start": np.zeros(100, dtype=np.int64)})
+    ds = rd.from_arrow(keys)
+    pos = set(limit_ratio(ds, "series_key", 0.3)
+              .to_pandas().series_key)
+    neg = set(limit_ratio(ds, "series_key", -0.7)
+              .to_pandas().series_key)
+    assert pos | neg == set(keys["series_key"].to_pylist())
+    assert not (pos & neg)  # exact partition

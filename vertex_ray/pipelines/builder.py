@@ -345,7 +345,8 @@ def _t_binary_op(cfg, dss):
     return binary_op(left, right, cfg["on_cols"], cfg["left_val"],
                      cfg["right_val"], op=cfg.get("op", "div"),
                      out_col=cfg.get("out_col", "value"),
-                     carry_left=cfg.get("carry_left"))
+                     carry_left=cfg.get("carry_left"),
+                     bool_mode=cfg.get("bool_mode", False))
 
 
 def _t_burn_rate(cfg, ds):

@@ -342,8 +342,7 @@ def label_cardinality(out_dir: str, tier: str, labels: list[str],
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(lambda t: t.append_column(
-            "__bucket", pc.cast(pc.multiply(
-                pc.binary_length(t["label"]), 0), pa.int64())),
+            "__bucket", pa.array(np.zeros(len(t), dtype=np.int64))),
             batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(merge, batch_format="pandas")

@@ -51,6 +51,17 @@ def extract_label(t: pa.Table, label: str, key_col: str = "series_key",
     return t.append_column(out, pc.struct_field(m, "v"))
 
 
+def _composite_key(t: pa.Table, on_cols: list[str], sep: str):
+    """Join match columns into ONE string key for hash exchanges. The
+    separator must not occur in the values — default \\x1f everywhere;
+    never NUL (pandas' bucket hash C-truncates at an embedded NUL, see
+    binary_op's docstring for the measured match loss)."""
+    k = t[on_cols[0]].cast(pa.string())
+    for c in on_cols[1:]:
+        k = pc.binary_join_element_wise(k, t[c].cast(pa.string()), sep)
+    return k
+
+
 def _add_series_bucket(t: pa.Table, key_col: str, n_buckets: int) -> pa.Table:
     """Append the series hash bucket used by every per-series window
     kernel in this module: series are hash-bucketed so each groupby
@@ -106,7 +117,10 @@ def label_aggregate(ds, label: str, value_col: str,
     def partial(t: pa.Table) -> pa.Table:
         t = extract_label(t, label, key_col=key_col, out_col="__lbl")
         v = t[value_col].to_numpy(zero_copy_only=False)
-        if agg in ("sum", "count", "avg", "stddev") and v.dtype.kind not in "iu":
+        # group ignores values entirely (constant 1), so it must accept
+        # the float vectors other operators derive — no dtype guard
+        if (not emit_one and agg in ("sum", "count", "avg", "stddev")
+                and v.dtype.kind not in "iu"):
             raise TypeError(
                 f"label_aggregate {agg} needs an integer column for exact "
                 f"merges, got {v.dtype}")
@@ -335,10 +349,7 @@ def binary_op(left, right, on_cols: list[str], left_val: str,
 
     def with_key(keep_val, extra=()):
         def fn(t: pa.Table) -> pa.Table:
-            k = t[on_cols[0]].cast(pa.string())
-            for c in on_cols[1:]:
-                k = pc.binary_join_element_wise(
-                    k, t[c].cast(pa.string()), sep)
+            k = _composite_key(t, on_cols, sep)
             return t.select(on_cols + list(extra) + [keep_val]
                             ).append_column("__k", k)
         return fn
@@ -386,17 +397,11 @@ def set_op(left, right, on_cols: list[str], op: str = "and",
         raise ValueError(f"unsupported set op: {op}")
     from vertex_ray.stages.join import hash_join
 
-    def key_of(t: pa.Table):
-        k = t[on_cols[0]].cast(pa.string())
-        for c in on_cols[1:]:
-            k = pc.binary_join_element_wise(k, t[c].cast(pa.string()), sep)
-        return k
-
     def with_key(t: pa.Table) -> pa.Table:
-        return t.append_column("__k", key_of(t))
+        return t.append_column("__k", _composite_key(t, on_cols, sep))
 
     def keys_only(t: pa.Table) -> pa.Table:
-        return pa.table({"__k": key_of(t)})
+        return pa.table({"__k": _composite_key(t, on_cols, sep)})
 
     def drop_key(t: pa.Table) -> pa.Table:
         return t.select([c for c in t.schema.names if c != "__k"])
@@ -1139,17 +1144,22 @@ def math_op(ds, value_col: str, fn: str, out_col: str | None = None,
     with a scalar arithmetic op (``metric * 2``, ``sqrt(metric) + 1``).
     Embarrassingly parallel per-batch Arrow kernels, no exchange.
 
-    All shipped fns are IEEE-exact (correctly rounded per the standard),
-    so results are bit-identical to any SQL engine's; transcendentals
-    (exp/ln/log2) are deliberately absent — libm implementations differ
-    by ulps across engines, which would break the bit-exact oracle
-    contract this repo holds everywhere else."""
+    ``abs/ceil/floor/sqrt/sgn`` and the scalar ops are IEEE-exact
+    (correctly rounded per the standard), so their results are
+    bit-identical to any SQL engine's. ``round`` is the ONE exception:
+    it uses Arrow's default ties-to-even (0.5 → 0, 2.5 → 2), while SQL
+    engines round ties away from zero (DuckDB round(2.5) = 3) and
+    PromQL rounds ties up — do not put ``round`` output under a
+    bit-exact oracle. Transcendentals (exp/ln/log2) are deliberately
+    absent — libm implementations differ by ulps across engines."""
     fns = {"abs": pc.abs, "ceil": pc.ceil, "floor": pc.floor,
            "round": pc.round, "sqrt": pc.sqrt, "sgn": pc.sign}
     if fn not in fns:
         raise ValueError(f"unsupported math fn: {fn}")
     sops = {"mul": pc.multiply, "add": pc.add, "sub": pc.subtract,
             "div": pc.divide}
+    if scalar_op is not None and scalar_op not in sops:
+        raise ValueError(f"unsupported scalar op: {scalar_op}")
     out = out_col or fn
 
     def body(t: pa.Table) -> pa.Table:
@@ -1168,17 +1178,27 @@ def limit_ratio(ds, key_col: str, ratio: float):
     64 bits of md5(series_key) < r·2^64, compared as fixed-width hex so
     the DuckDB mirror is the string predicate
     ``substr(md5(series_key), 1, 16) < '<thresh>'`` — same hash, same
-    sample, on both sides and on every node. Embarrassingly parallel:
-    a pure per-batch filter, no exchange."""
+    sample, on both sides and on every node. Negative r follows the
+    PromQL convention: the COMPLEMENT set, so limit_ratio(0.2, x) and
+    limit_ratio(-0.8, x) partition x exactly (keep iff hex >=
+    threshold(1+r)). Embarrassingly parallel: a pure per-batch filter,
+    no exchange; md5 runs once per DISTINCT key per batch, not per
+    row."""
     import hashlib
 
-    thresh = format(min(int(ratio * (1 << 64)), (1 << 64) - 1), "016x")
+    if not -1.0 <= ratio <= 1.0:
+        raise ValueError(f"limit_ratio wants r in [-1, 1], got {ratio}")
+    cut = ratio if ratio >= 0 else 1.0 + ratio
+    thresh = format(min(int(cut * (1 << 64)), (1 << 64) - 1), "016x")
 
     def keep(t: pa.Table) -> pa.Table:
-        ks = t[key_col].to_pylist()
-        m = pa.array([hashlib.md5(k.encode()).hexdigest()[:16] < thresh
-                      for k in ks], type=pa.bool_())
-        return t.filter(m)
+        col = t[key_col]
+        uniq = pc.unique(col.combine_chunks()).to_pylist()
+        kept = {k for k in uniq
+                if (hashlib.md5(k.encode()).hexdigest()[:16] < thresh)
+                == (ratio >= 0)}
+        return t.filter(pc.is_in(col, value_set=pa.array(
+            sorted(kept), type=pa.string())))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
