@@ -699,3 +699,62 @@ def test_ann_pq_recall_and_compression(ray_session):
         sa = approx[approx.query_id == qi].sort_values("rank")["score"].iloc[0]
         se = exact[exact.query_id == qi].sort_values("rank")["cosine"].iloc[0]
         assert abs(sa - se) < 0.35
+
+
+def test_gopher_rules_features():
+    from vertex_ray.stages.text import gopher_rules_op
+
+    good = ("the cat and the dog have fun with that red ball of yarn " * 6).strip()
+    bullets = "- one\n- two\n- three\n- four\n- five\nplain tail"
+    dots = "first line...\nsecond line…\nthird stays\nx..."
+    symbols = "# hash " * 10 + "w " * 10
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [good, bullets, dots, symbols, ""],
+    })
+    out = gopher_rules_op()(t)
+    d = {c: out[c].to_pylist() for c in out.schema.names}
+    # good doc: enough words, normal lengths, stopwords present -> pass
+    assert d["n_words"][0] >= 50 and d["stop_hits"][0] >= 5
+    assert d["gopher_pass"][0] == 1
+    # 5 of 6 lines bullet-led
+    assert d["bullet_frac"][1] == pytest.approx(5 / 6)
+    # 3 of 4 lines end with an ellipsis (both ascii and unicode forms)
+    assert d["ellipsis_frac"][2] == pytest.approx(3 / 4)
+    # 10 '#' over 30 words
+    assert d["symbol_ratio"][3] == pytest.approx(10 / 30)
+    assert d["gopher_pass"][3] == 0
+    # empty doc: all-zero features, fails
+    assert d["n_words"][4] == 0 and d["gopher_pass"][4] == 0
+    # alpha fraction: '#' tokens are non-alpha words
+    assert d["alpha_word_frac"][3] == pytest.approx(20 / 30)
+
+
+def test_gopher_rules_match_duckdb_on_constructed_edges():
+    """The engine and the SQL oracle must agree bit-for-bit on texts that
+    exercise every rule (bullets, ellipses, unicode …, word boundaries)."""
+    import duckdb
+
+    from vertex_ray.pipelines.op_queries import SQL_GOPHER_DOCS
+    from vertex_ray.stages.text import gopher_rules_op
+
+    texts = [
+        "be to of and that have with the",
+        "- a\n- b\nplain",
+        "tail...\nmore…\nend...",
+        "### x... y… #",
+        "word " * 60,
+        "either-the-dash breaks\nboundaries the.end",
+        "",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    mine = gopher_rules_op()(t).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    ref = con.execute(SQL_GOPHER_DOCS).df().sort_values("doc_id").reset_index(drop=True)
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), ref[c].to_numpy()
+        if a.dtype.kind == "f":
+            np.testing.assert_array_equal(a.view(np.uint64), b.view(np.uint64), err_msg=c)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=c)

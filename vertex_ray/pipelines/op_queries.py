@@ -2405,3 +2405,59 @@ SELECT doc_id, span_idx, span FROM (
 
 OP_QUERIES["op_span_dedup_docs"] = q_span_dedup_docs
 OP_ORACLES["op_span_dedup_docs"] = SQL_SPAN_DEDUP_DOCS
+
+def q_gopher_docs(sf_dir: str):
+    """Gopher / MassiveText quality rules (arXiv:2112.11446 Table A1):
+    per-document rule features + composite keep flag, every ratio one
+    double division of exact integer counts (stages/text.gopher_rules_op)."""
+    from vertex_ray.stages.text import gopher_rules_op
+
+    return _docs(sf_dir).map_batches(gopher_rules_op(), batch_format="pyarrow")
+
+
+SQL_GOPHER_DOCS = r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+         len(regexp_extract_all(text, '\n')) + 1 AS n_lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         len(regexp_extract_all(text, '\.\.\.|…')) AS n_ell,
+         len(regexp_extract_all(text, '(^|\n)[ \t]*[-*•]')) AS n_bullet,
+         len(regexp_extract_all(text, '(\.\.\.|…)(\n|$)')) AS n_ell_end,
+         len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha_w,
+         (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+         ) AS stop_hits
+  FROM documents
+), f AS (
+  SELECT doc_id, n_words, stop_hits,
+         CASE WHEN n_words > 0
+              THEN CAST(n_nonws AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0
+              THEN CAST(n_hash + n_ell AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+         CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+         CAST(n_ell_end AS DOUBLE) / n_lines AS ellipsis_frac,
+         CASE WHEN n_words > 0
+              THEN CAST(n_alpha_w AS DOUBLE) / n_words ELSE 0.0 END AS alpha_word_frac
+  FROM c
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_word_frac, stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                  AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+                  AND ellipsis_frac < 0.3 AND alpha_word_frac > 0.8
+                  AND stop_hits >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+FROM f
+"""
+
+OP_QUERIES["op_gopher_docs"] = q_gopher_docs
+OP_ORACLES["op_gopher_docs"] = SQL_GOPHER_DOCS

@@ -732,3 +732,85 @@ def hashing_embed(ds, text_col: str, id_col: str, dim: int = 256,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) --------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules_op(text_col: str = "text", id_col: str = "doc_id"):
+    """The Gopher / MassiveText document-quality rule set (Rae et al.
+    2021, arXiv:2112.11446 Table A1) as one vectorized batch op. Emits
+    the per-document feature values plus the composite keep flag:
+
+    - ``n_words``          — whitespace tokens
+    - ``mean_word_len``    — non-whitespace chars / n_words
+    - ``symbol_ratio``     — (# '#' chars + '...'/'…' runs) / n_words
+    - ``bullet_frac``      — lines starting with a bullet / n_lines
+    - ``ellipsis_frac``    — lines ending with an ellipsis / n_lines
+    - ``alpha_word_frac``  — words containing ≥1 [A-Za-z] / n_words
+    - ``stop_hits``        — how many of the 8 Gopher stopwords occur
+    - ``gopher_pass``      — 50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10,
+      symbol < 0.1, bullets < 0.9, ellipsis < 0.3, alpha > 0.8,
+      stop_hits ≥ 2 (int64 0/1)
+
+    Every ratio is one double division of two exact integers, and every
+    count is a non-overlapping regex count with the identical pattern in
+    the SQL mirror (`SQL_GOPHER_DOCS`), so values hash bit-for-bit.
+    Stateless — plain task-pool ``map_batches`` body; regexes are
+    module-level (compiled once per worker import).
+    """
+
+    # re.ASCII everywhere: RE2 (the SQL-oracle engine) treats \b/\s/\S/\w
+    # as ASCII classes; Python's default Unicode classes would diverge on
+    # accented text
+    word = re.compile(r"\S+", re.ASCII)
+    ws = re.compile(r"\s", re.ASCII)
+    ell = re.compile(r"\.\.\.|…")
+    bullet = re.compile(r"(^|\n)[ \t]*[-*•]")
+    ell_end = re.compile(r"(\.\.\.|…)(\n|$)")
+    alpha_word = re.compile(r"\S*[A-Za-z]\S*", re.ASCII)
+    stops = [re.compile(r"\b" + w_ + r"\b", re.ASCII)
+             for w_ in GOPHER_STOPWORDS]
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[text_col].to_numpy(zero_copy_only=False)).fillna("")
+        low = s.str.lower()
+        n_words = s.str.count(word).to_numpy(np.int64)
+        n_nonws = (s.str.len() - s.str.count(ws)).to_numpy(np.int64)
+        n_lines = (s.str.count(r"\n") + 1).to_numpy(np.int64)
+        n_hash = s.str.count(r"#").to_numpy(np.int64)
+        n_ell = s.str.count(ell).to_numpy(np.int64)
+        n_bullet = s.str.count(bullet).to_numpy(np.int64)
+        n_ell_end = s.str.count(ell_end).to_numpy(np.int64)
+        n_alpha_w = s.str.count(alpha_word).to_numpy(np.int64)
+        hits = np.zeros(len(s), dtype=np.int64)
+        for p in stops:
+            hits += (low.str.count(p) > 0).to_numpy(np.int64)
+        w = n_words.astype(np.float64)
+        safe_w = np.where(n_words > 0, w, 1.0)
+        ln = n_lines.astype(np.float64)  # ≥ 1 always
+        mean_word_len = np.where(n_words > 0, n_nonws / safe_w, 0.0)
+        symbol_ratio = np.where(n_words > 0, (n_hash + n_ell) / safe_w, 0.0)
+        bullet_frac = n_bullet / ln
+        ellipsis_frac = n_ell_end / ln
+        alpha_word_frac = np.where(n_words > 0, n_alpha_w / safe_w, 0.0)
+        ok = ((n_words >= 50) & (n_words <= 100_000)
+              & (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+              & (symbol_ratio < 0.1) & (bullet_frac < 0.9)
+              & (ellipsis_frac < 0.3) & (alpha_word_frac > 0.8)
+              & (hits >= 2))
+        return pa.table({
+            id_col: t[id_col],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "mean_word_len": pa.array(mean_word_len, type=pa.float64()),
+            "symbol_ratio": pa.array(symbol_ratio, type=pa.float64()),
+            "bullet_frac": pa.array(bullet_frac, type=pa.float64()),
+            "ellipsis_frac": pa.array(ellipsis_frac, type=pa.float64()),
+            "alpha_word_frac": pa.array(alpha_word_frac, type=pa.float64()),
+            "stop_hits": pa.array(hits, type=pa.int64()),
+            "gopher_pass": pa.array(ok.astype(np.int64), type=pa.int64()),
+        })
+
+    return fn
