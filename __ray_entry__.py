@@ -680,6 +680,71 @@ def _q_hourly_profile_turns(sf_dir: str):
                      ["role", "hour", "day_of_week"], ["count"])
 
 
+def _q_avg_without_role_1h(sf_dir: str):
+    """PromQL ``avg without(role) (turns_total)`` at 1h: the mean hourly
+    turn count across a conversation's role series — exact int64
+    (sum, count) partials merged across the one exchange, ONE double
+    division at finalize so the value is bit-identical under any merge
+    order (stages/promql.aggregate_without agg="avg")."""
+    from vertex_ray.stages.promql import aggregate_without
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return aggregate_without(ds, ["role"], "count", agg="avg")
+
+
+def _q_first_over_1h(sf_dir: str):
+    """``first_over_time(turns_total[6h])`` (the SQL FIRST_VALUE
+    analogue of PromQL's last_over_time, at the other frame edge): the
+    sample at the trailing frame's start — the baseline leg of
+    "current vs 6h ago" dashboards without a second range read
+    (stages/promql.over_time agg="first"; pure gather, dtype
+    preserved)."""
+    from vertex_ray.stages.promql import over_time
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return over_time(ds, "series_key", "window_start", "count", 6,
+                     agg="first", out_col="first")
+
+
+def _q_dom_profile_1d(sf_dir: str):
+    """Seasonal calendar profile: total turns by (year, month,
+    day-of-month) over the 1d tier — the calendar-part time functions
+    (civil-from-days integer algorithm, stages/promql.window_time)
+    feeding one combiner-pattern sum exchange; bit-identical to the SQL
+    mirror's date_part over make_timestamp."""
+    from vertex_ray.stages.promql import group_sum, window_time
+
+    ds = _metric_tier(sf_dir, "1d", "turns_total",
+                      ["series_key", "window_start", "count"])
+
+    def prep(t):
+        for part in ("year", "month", "day_of_month"):
+            t = window_time(t, "window_start", part)
+        return t.select(["year", "month", "day_of_month", "count"])
+
+    return group_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                     ["year", "month", "day_of_month"], ["count"])
+
+
+def _q_stitched_1d_1h(sf_dir: str):
+    """Cross-resolution stitched range read (read.query_range_stitched):
+    deep history served from the 1d tier, the final (possibly partial)
+    day at 1h resolution, in ONE vector with per-row tier provenance —
+    two independently-pruned block reads, union is a zero-copy
+    concatenation (no exchange)."""
+    from vertex_ray.pipelines.rollup_pipeline import transcripts_end_ts
+    from vertex_ray.read import query_range_stitched
+
+    out = _ensure_pipeline(sf_dir)
+    boundary = (transcripts_end_ts(ensure_transcripts(sf_dir))
+                // 86400 * 86400)
+    return query_range_stitched(
+        out, "1d", "1h", boundary, metric="turns_total",
+        columns=["series_key", "window_start", "count"])
+
+
 def _q_conv_stitch(sf_dir: str):
     """Transcripts → one training document per conversation (turns in
     order, newline-joined) via the bucketed stitch operator."""
@@ -1706,6 +1771,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_over_1h_turns": _q_mad_over_1h_turns,
         "sqrt_scaled_1h_turns": _q_sqrt_scaled_1h,
         "sum_without_role_1h_turns": _q_sum_without_role_1h,
+        "avg_without_role_1h_turns": _q_avg_without_role_1h,
+        "first_over_1h_turns": _q_first_over_1h,
+        "dom_profile_1d_turns": _q_dom_profile_1d,
+        "stitched_1d_1h_turns": _q_stitched_1d_1h,
         "above_role_avg_1h_turns": _q_above_role_avg_1h,
         "and_tools_1h_turns": _q_and_tools_1h,
         "unless_tools_1h_turns": _q_unless_tools_1h,
@@ -2132,6 +2201,84 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
+            """,
+        "avg_without_role_1h_turns": f"""
+            WITH g AS (
+              SELECT conv_id, role, {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2, 3
+            )
+            SELECT 'turns_total{{conv_id=' || conv_id || '}}'
+                     AS series_key,
+                   window_start,
+                   CAST(sum(count) AS DOUBLE) / count(*) AS count
+            FROM g GROUP BY 1, 2
+            """,
+        "first_over_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY series_key
+                                           ORDER BY window_start) AS rn
+              FROM g
+            )
+            SELECT a.series_key, a.window_start, b.count AS first
+            FROM r a JOIN r b
+              ON b.series_key = a.series_key
+             AND b.rn = GREATEST(a.rn - 5, 1)
+            """,
+        "dom_profile_1d_turns": f"""
+            WITH g AS (
+              SELECT {_w(86400)} AS window_start, count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1
+            )
+            SELECT
+              CAST(date_part('year',
+                   make_timestamp(window_start * 1000000)) AS BIGINT)
+                AS year,
+              CAST(date_part('month',
+                   make_timestamp(window_start * 1000000)) AS BIGINT)
+                AS month,
+              CAST(date_part('day',
+                   make_timestamp(window_start * 1000000)) AS BIGINT)
+                AS day_of_month,
+              CAST(sum(count) AS BIGINT) AS count
+            FROM g GROUP BY 1, 2, 3
+            """,
+        "stitched_1d_1h_turns": f"""
+            WITH b AS (
+              SELECT (max({_w(86400)}) // 86400) * 86400 AS boundary
+              FROM {_SQL_TRANSCRIPTS}
+            ),
+            g1d AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(86400)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            g1h AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT g.series_key, g.window_start, g.count, '1d' AS tier
+            FROM g1d g, b WHERE g.window_start < b.boundary
+            UNION ALL
+            SELECT g.series_key, g.window_start, g.count, '1h' AS tier
+            FROM g1h g, b WHERE g.window_start >= b.boundary
             """,
         "federated_range_1h_turns": f"""
             SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role

@@ -329,3 +329,38 @@ def test_query_facade_over_epoch_store(ray_session, micro_transcripts,
             .sort_values(cols).reset_index(drop=True))
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_query_range_stitched(ray_session, micro_transcripts, tmp_path):
+    """Stitched cross-tier read: the union of an explicit coarse read
+    (< boundary) and fine read (>= boundary), with per-row tier
+    provenance; misaligned boundaries are rejected."""
+    from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+    from vertex_ray.read import query_range, query_range_stitched
+
+    out = os.path.join(str(tmp_path), "oneshot")
+    run_pipeline(micro_transcripts, out, n_buckets=4, tiers=TIERS_SMALL)
+    tiers = {"1m": 60, "5m": 300}
+    boundary = E0 + 2 * 3600  # 5m-aligned
+    cols = ["series_key", "window_start", "count"]
+    got = (query_range_stitched(out, "5m", "1m", boundary,
+                                metric="turns_total", columns=cols,
+                                tiers=tiers)
+           .to_pandas().sort_values(cols).reset_index(drop=True))
+    coarse = query_range(out, "5m", metric="turns_total", columns=cols,
+                         end=boundary - 1).to_pandas()
+    fine = query_range(out, "1m", metric="turns_total", columns=cols,
+                       start=boundary).to_pandas()
+    assert (got[got.tier == "5m"].window_start < boundary).all()
+    assert (got[got.tier == "1m"].window_start >= boundary).all()
+    want = pd.concat([coarse.assign(tier="5m"), fine.assign(tier="1m")])
+    want = want.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0 and got.tier.nunique() == 2
+    # no window double-served: coarse windows all strictly below boundary,
+    # and every fine window at/above it
+    with pytest.raises(ValueError, match="not aligned"):
+        query_range_stitched(out, "5m", "1m", boundary + 60,
+                             metric="turns_total", tiers=tiers)
+    with pytest.raises(ValueError, match="finer"):
+        query_range_stitched(out, "1m", "5m", boundary, tiers=tiers)

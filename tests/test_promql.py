@@ -1105,3 +1105,75 @@ def test_review_fixes(ray_session):
               .to_pandas().series_key)
     assert pos | neg == set(keys["series_key"].to_pylist())
     assert not (pos & neg)  # exact partition
+
+
+def test_window_time_calendar_parts_fuzz():
+    """minute + the civil-from-days calendar parts vs pandas datetime on
+    20k random windows spanning 1875–2096 (incl. pre-1970 floor-division
+    behavior and leap years)."""
+    from vertex_ray.stages.promql import window_time
+
+    rng = np.random.default_rng(11)
+    ws = rng.integers(-3_000_000_000, 4_000_000_000, size=20_000)
+    t = pa.table({"window_start": ws})
+    ref = pd.to_datetime(ws, unit="s", utc=True)
+    for part, attr in [("minute", "minute"), ("hour", "hour"),
+                       ("day_of_month", "day"), ("month", "month"),
+                       ("year", "year"),
+                       ("days_in_month", "days_in_month")]:
+        got = window_time(t, part=part)[part].to_numpy()
+        np.testing.assert_array_equal(
+            got, getattr(ref, attr).to_numpy().astype(np.int64),
+            err_msg=part)
+
+
+def test_over_time_first_last(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import over_time
+
+    t = pa.table({
+        "k": ["a"] * 5 + ["b"] * 2,
+        "w": np.array([0, 60, 120, 180, 240, 0, 60], dtype=np.int64),
+        "v": np.array([1, 2, 3, 4, 5, 10, 20], dtype=np.int64),
+    })
+    first = (over_time(rd.from_arrow(t), "k", "w", "v", 3, agg="first",
+                       out_col="f").to_pandas()
+             .sort_values(["k", "w"]).reset_index(drop=True))
+    # frame = 2 PRECEDING..CURRENT clipped at series start
+    assert first.f.tolist() == [1, 1, 1, 2, 3, 10, 10]
+    last = (over_time(rd.from_arrow(t), "k", "w", "v", 3, agg="last",
+                      out_col="l").to_pandas()
+            .sort_values(["k", "w"]).reset_index(drop=True))
+    assert last.l.tolist() == [1, 2, 3, 4, 5, 10, 20]
+    assert first.f.dtype == np.int64  # dtype preserved (pure gather)
+
+
+def test_aggregate_without_avg(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import aggregate_without
+
+    out = (aggregate_without(rd.from_arrow(_tier_table()), ["role"],
+                             "count", agg="avg")
+           .to_pandas().sort_values(["series_key", "window_start"])
+           .reset_index(drop=True))
+    # averages of the per-role counts behind test_aggregate_without's sums
+    assert out["count"].dtype == np.float64
+    ref = (aggregate_without(rd.from_arrow(_tier_table()), ["role"],
+                             "count", agg="sum").to_pandas()
+           .merge(aggregate_without(rd.from_arrow(_tier_table()),
+                                    ["role"], "count",
+                                    agg="count", out_col="n").to_pandas(),
+                  on=["series_key", "window_start"]))
+    ref["avg"] = ref["count"].astype(np.float64) / ref["n"]
+    m = out.merge(ref, on=["series_key", "window_start"])
+    np.testing.assert_array_equal(m["count_x"].to_numpy(),
+                                  m["avg"].to_numpy())
+
+    f = pa.table({"series_key": ["m{a=1,role=x}"],
+                  "window_start": np.array([0], dtype=np.int64),
+                  "count": np.array([1.5])})
+    with pytest.raises(Exception, match="integer"):
+        aggregate_without(rd.from_arrow(f), ["role"], "count",
+                          agg="avg").materialize()

@@ -29,7 +29,8 @@ from vertex_ray.schema import TIER_SECONDS
 
 __all__ = ["query_range", "instant_query", "series_metadata",
            "label_values", "pick_tier", "query_range_auto", "tsdb_status",
-           "label_cardinality", "query_range_multi"]
+           "label_cardinality", "query_range_multi",
+           "query_range_stitched"]
 
 _SCALAR_COLS = ["series_key", "window_start", "sum", "count", "min",
                 "max", "last"]
@@ -392,3 +393,50 @@ def query_range_multi(out_dirs: list[str], tier: str,
         .groupby("__bucket")
         .map_groups(first, batch_format="pandas")
     )
+
+
+def query_range_stitched(out_dir: str, coarse_tier: str, fine_tier: str,
+                         boundary: int, metric: str | None = None,
+                         key_regex: str | None = None,
+                         start: int | None = None, end: int | None = None,
+                         columns: list[str] | None = None,
+                         tombstones: bool | list = True,
+                         layout: str = "oneshot",
+                         tiers: dict[str, int] | None = None):
+    """Cross-resolution stitched range read — the dashboard pattern of
+    serving deep history from a coarse tier and the recent tail at fine
+    resolution in ONE vector: windows < ``boundary`` come from
+    ``coarse_tier``, windows >= ``boundary`` from ``fine_tier``, with a
+    ``tier`` column stamping each row's provenance. ``boundary`` must be
+    aligned to the coarse tier's window so the two segments partition
+    time exactly (no window is double-counted or split).
+
+    Both legs are independent pruned block reads (footer-interval prune
+    before decode), so cost is proportional to each segment's own
+    selection; the union is a zero-copy concatenation of block streams —
+    no exchange."""
+    ts = tiers or dict(TIER_SECONDS)
+    cs = ts[coarse_tier]
+    if boundary % cs:
+        raise ValueError(
+            f"boundary {boundary} not aligned to {coarse_tier} ({cs}s)")
+    if ts[fine_tier] >= cs:
+        raise ValueError("fine_tier must be finer than coarse_tier")
+    common = dict(metric=metric, key_regex=key_regex, columns=columns,
+                  tombstones=tombstones, layout=layout)
+    coarse = query_range(out_dir, coarse_tier, start=start,
+                         end=boundary - 1, **common)
+    fine = query_range(out_dir, fine_tier,
+                       start=boundary if start is None
+                       else max(start, boundary),
+                       end=end, **common)
+
+    def stamp(tier):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "tier", pa.array([tier] * len(t), type=pa.string()))
+
+        return fn
+
+    return coarse.map_batches(stamp(coarse_tier), batch_format="pyarrow") \
+        .union(fine.map_batches(stamp(fine_tier), batch_format="pyarrow"))

@@ -234,26 +234,43 @@ def aggregate_without(ds, drop_labels: list[str], value_col: str,
     minus the dropped labels (a real series_key, so every downstream
     promql function composes on it). Combiner pattern: per-batch
     partials before the one exchange (sum/count merge by summing int64
-    partials; min/max are order-free)."""
-    if agg not in ("sum", "count", "min", "max"):
+    partials; min/max are order-free; ``avg`` carries exact int64
+    (sum, count) partials and divides ONCE at finalize, so the result
+    is bit-identical under any merge order — it therefore requires an
+    integer value column, like over_time)."""
+    if agg not in ("sum", "count", "min", "max", "avg"):
         raise ValueError(f"unsupported aggregate_without agg: {agg}")
     out = out_col or value_col
     keys = [key_col, window_col]
 
     def prep(t: pa.Table) -> pa.Table:
+        if agg == "avg" and not pa.types.is_integer(
+                t.schema.field(value_col).type):
+            raise TypeError("aggregate_without avg needs an integer "
+                            "column for exact partial sums")
         t = strip_labels(t, drop_labels, key_col=key_col)
         df = t.select(keys + [value_col]).to_pandas()
         gb = df.groupby(keys, sort=False)[value_col]
-        g = (gb.size().rename("__p") if agg == "count"
-             else getattr(gb, agg)().rename("__p")).reset_index()
+        if agg == "avg":
+            g = gb.agg(__p="sum", __c="count").reset_index()
+        else:
+            g = (gb.size().rename("__p") if agg == "count"
+                 else getattr(gb, agg)().rename("__p")).reset_index()
         b = (pd.util.hash_pandas_object(g[keys], index=False)
              .to_numpy() % np.uint64(n_buckets)).astype(np.int64)
         g["__bucket"] = b
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    merge_op = "sum" if agg in ("sum", "count") else agg
+    merge_op = "sum" if agg in ("sum", "count", "avg") else agg
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        if agg == "avg":
+            r = (g.groupby(keys, sort=False)[["__p", "__c"]]
+                 .sum().reset_index())
+            r[out] = r["__p"].to_numpy(np.int64).astype(np.float64) \
+                / r["__c"].to_numpy(np.int64)
+            r = r[keys + [out]]
+            return r
         r = getattr(g.groupby(keys, sort=False)["__p"],
                     merge_op)().reset_index()
         r.columns = keys + [out]
@@ -443,7 +460,7 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
     stages.windows.series_delta); each bucket kernel is one vectorized
     sort + cumsum/rolling call, never a per-series Python task."""
     if agg not in ("avg", "sum", "max", "min", "count", "quantile",
-                   "stddev", "stdvar", "mad"):
+                   "stddev", "stdvar", "mad", "first", "last"):
         raise ValueError(f"unsupported over_time agg: {agg}")
     out = out_col or f"{agg}_over"
 
@@ -460,6 +477,13 @@ def over_time(ds, key_col: str, order_col: str, value_col: str, n: int,
         cnt = np.minimum(pos + 1, n)
         if agg == "count":
             res = cnt.astype(np.int64)
+        elif agg in ("first", "last"):
+            # PromQL last_over_time / (the SQL FIRST_VALUE analogue) on a
+            # ROWS frame: last = the current row's sample; first = the
+            # sample at the frame start (n-1 rows back, clipped at the
+            # series' first sample). Keeps the input dtype — pure gather.
+            rows = np.arange(len(g))
+            res = v if agg == "last" else v[rows - (cnt - 1)]
         elif agg in ("quantile", "mad"):
             # frame matrix: column j holds the value j rows back within
             # the same series (NaN past the series start); np.sort pushes
@@ -1205,18 +1229,47 @@ def limit_ratio(ds, key_col: str, ratio: float):
 
 def window_time(t: pa.Table, window_col: str = "window_start",
                 part: str = "hour", out_col: str | None = None) -> pa.Table:
-    """PromQL time functions over the evaluation window —
-    ``hour()`` (0-23 UTC), ``day_of_week()`` (0-6, 0 = Sunday, the
-    Prometheus convention), ``day_of_month`` / ``month`` omitted (they
-    need a calendar; the two shipped parts are pure integer arithmetic
-    on epoch seconds, identical in SQL: ``(ws % 86400) // 3600`` and
-    ``((ws // 86400) + 4) % 7`` — epoch day 0 was a Thursday). The
-    building block for seasonal dashboards (traffic by hour-of-day)."""
+    """PromQL time functions over the evaluation window — the full set:
+    ``minute()`` / ``hour()`` (UTC), ``day_of_week()`` (0-6, 0 = Sunday,
+    the Prometheus convention), ``day_of_month()``, ``month()``,
+    ``year()`` and ``days_in_month()``. minute/hour/day_of_week are pure
+    modular arithmetic on epoch seconds; the calendar parts use the
+    public-domain civil-from-days algorithm (Howard Hinnant,
+    "chrono-compatible low-level date algorithms") — exact integer
+    arithmetic, bit-identical to the SQL mirror's
+    ``date_part(..., to_timestamp(ws))``. The building block for
+    seasonal dashboards (traffic by hour-of-day / day-of-month)."""
     ws = t[window_col].to_numpy()
-    if part == "hour":
+    days = ws // 86400
+    if part == "minute":
+        v = (ws % 3600) // 60
+    elif part == "hour":
         v = (ws % 86400) // 3600
     elif part == "day_of_week":
-        v = ((ws // 86400) + 4) % 7
+        v = (days + 4) % 7
+    elif part in ("day_of_month", "month", "year", "days_in_month"):
+        # civil_from_days: numpy // and % are floor/Euclidean for int64,
+        # matching the algorithm's requirements for pre-1970 windows too
+        z = days + 719468
+        era = z // 146097
+        doe = z - era * 146097
+        yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        d = doy - (153 * mp + 2) // 5 + 1
+        m = mp + 3 - 12 * (mp >= 10)
+        y = yoe + era * 400 + (m <= 2)
+        if part == "day_of_month":
+            v = d
+        elif part == "month":
+            v = m
+        elif part == "year":
+            v = y
+        else:
+            leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+            dim = np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+                           dtype=np.int64)[m - 1]
+            v = dim + ((m == 2) & leap)
     else:
         raise ValueError(f"unsupported time part: {part}")
     return t.append_column(out_col or part,
