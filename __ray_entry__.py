@@ -745,6 +745,41 @@ def _q_stitched_1d_1h(sf_dir: str):
         columns=["series_key", "window_start", "count"])
 
 
+def _q_resample_4h_turns(sf_dir: str):
+    """Graphite-``summarize`` / Grafana interval-align: 1h tier counts
+    re-bucketed at read time to a 4h step no tier materializes —
+    combiner-pattern exact int64 sums (stages/promql.resample_windows)."""
+    from vertex_ray.stages.promql import resample_windows
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return resample_windows(ds, 4 * 3600, 3600, {"count": "sum"})
+
+
+def _q_resample_4h_gauge(sf_dir: str):
+    """Read-time re-bucketing of a GAUGE: min/max merge order-free, the
+    last-write value follows the greatest source window (carried through
+    both merge phases, so the gauge rule is merge-order-independent)."""
+    from vertex_ray.stages.promql import resample_windows
+
+    ds = _metric_tier(sf_dir, "1h", "conv_turn_idx",
+                      ["series_key", "window_start", "min", "max", "last"])
+    return resample_windows(ds, 4 * 3600, 3600,
+                            {"min": "min", "max": "max", "last": "last"})
+
+
+def _q_limitk_1h(sf_dir: str):
+    """PromQL ``limitk(3, turns_total)``: a deterministic 3-series
+    sample — smallest md5(series_key) digests, so the SQL mirror's
+    ``ORDER BY md5(key) LIMIT 3`` picks the identical set
+    (stages/promql.limitk; exchange volume ≤ k per batch)."""
+    from vertex_ray.stages.promql import limitk
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return limitk(ds, "series_key", 3)
+
+
 def _q_conv_stitch(sf_dir: str):
     """Transcripts → one training document per conversation (turns in
     order, newline-joined) via the bucketed stitch operator."""
@@ -1772,6 +1807,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sqrt_scaled_1h_turns": _q_sqrt_scaled_1h,
         "sum_without_role_1h_turns": _q_sum_without_role_1h,
         "avg_without_role_1h_turns": _q_avg_without_role_1h,
+        "resample_4h_1h_turns": _q_resample_4h_turns,
+        "limitk_3_1h_turns": _q_limitk_1h,
+        "resample_4h_gauge_last": _q_resample_4h_gauge,
         "first_over_1h_turns": _q_first_over_1h,
         "dom_profile_1d_turns": _q_dom_profile_1d,
         "stitched_1d_1h_turns": _q_stitched_1d_1h,
@@ -2199,6 +2237,39 @@ def oracle_sql() -> dict[str, str]:
                      AS series_key,
                    {_w(3600)} AS window_start,
                    count(*) AS count
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2
+            """,
+        "limitk_3_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            pick AS (
+              SELECT series_key FROM (SELECT DISTINCT series_key FROM g)
+              ORDER BY md5(series_key), series_key LIMIT 3
+            )
+            SELECT g.* FROM g JOIN pick USING (series_key)
+            """,
+        "resample_4h_1h_turns": f"""
+            SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                     || '}}' AS series_key,
+                   {_w(14400)} AS window_start,
+                   count(*) AS count
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2
+            """,
+        "resample_4h_gauge_last": f"""
+            SELECT 'conv_turn_idx{{conv_id=' || conv_id || '}}'
+                     AS series_key,
+                   {_w(14400)} AS window_start,
+                   CAST(min(turn_idx) AS DOUBLE) AS min,
+                   CAST(max(turn_idx) AS DOUBLE) AS max,
+                   CAST(arg_max(turn_idx, ts) AS DOUBLE) AS last
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
             """,

@@ -1177,3 +1177,56 @@ def test_aggregate_without_avg(ray_session):
     with pytest.raises(Exception, match="integer"):
         aggregate_without(rd.from_arrow(f), ["role"], "count",
                           agg="avg").materialize()
+
+
+def test_resample_windows(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import resample_windows
+
+    t = pa.table({
+        "series_key": ["a"] * 4 + ["b"] * 2,
+        "window_start": np.array([0, 3600, 7200, 14400, 3600, 18000],
+                                 dtype=np.int64),
+        "count": np.array([1, 2, 3, 4, 10, 20], dtype=np.int64),
+        "last": np.array([1.0, 2.0, 3.0, 4.0, 10.0, 20.0]),
+    })
+    out = (resample_windows(rd.from_arrow(t), 4 * 3600, 3600,
+                            {"count": "sum", "last": "last"})
+           .to_pandas().sort_values(["series_key", "window_start"])
+           .reset_index(drop=True))
+    assert out.values.tolist() == [
+        ["a", 0, 6, 3.0],       # three 1h windows merged; last from 7200
+        ["a", 14400, 4, 4.0],
+        ["b", 0, 10, 10.0],
+        ["b", 14400, 20, 20.0],
+    ]
+    with pytest.raises(ValueError, match="nest"):
+        resample_windows(rd.from_arrow(t), 5000, 3600, {"count": "sum"})
+    with pytest.raises(ValueError, match="unsupported"):
+        resample_windows(rd.from_arrow(t), 7200, 3600, {"count": "avg"})
+
+
+def test_limitk_deterministic(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import limitk
+
+    keys = [f"m{{c={i}}}" for i in range(40)]
+    t = pa.table({
+        "series_key": keys * 2,
+        "window_start": np.array([0] * 40 + [60] * 40, dtype=np.int64),
+        "count": np.arange(80, dtype=np.int64),
+    })
+    got = limitk(rd.from_arrow(t), "series_key", 5).to_pandas()
+    want = set(sorted(keys, key=lambda s:
+                      hashlib.md5(s.encode()).hexdigest())[:5])
+    assert set(got.series_key) == want
+    assert len(got) == 10  # both windows of each winner survive
+    # idempotent across re-evaluation
+    again = limitk(rd.from_arrow(t), "series_key", 5).to_pandas()
+    assert set(again.series_key) == want
+    with pytest.raises(ValueError, match="k >= 1"):
+        limitk(rd.from_arrow(t), "series_key", 0)

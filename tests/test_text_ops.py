@@ -758,3 +758,44 @@ def test_gopher_rules_match_duckdb_on_constructed_edges():
             np.testing.assert_array_equal(a.view(np.uint64), b.view(np.uint64), err_msg=c)
         else:
             np.testing.assert_array_equal(a, b, err_msg=c)
+
+
+def test_remove_boilerplate_lines(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.text import remove_boilerplate_lines
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "cookie banner\nreal content one\nfooter",
+            "cookie banner\nreal content two\nfooter",
+            "unique doc\ncookie banner",
+            "all original here",
+        ],
+    })
+    out = (remove_boilerplate_lines(rd.from_arrow(docs), "text", "doc_id",
+                                    max_doc_freq=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.text.tolist() == [
+        "real content one",
+        "real content two",
+        "unique doc",
+        "all original here",
+    ]
+    # doc reduced to nothing -> empty string, row preserved
+    dup = pa.table({"doc_id": [1, 2], "text": ["same", "same"]})
+    out2 = (remove_boilerplate_lines(rd.from_arrow(dup), "text", "doc_id",
+                                     max_doc_freq=1)
+            .to_pandas().sort_values("doc_id"))
+    assert out2.text.tolist() == ["", ""]
+    # duplicate lines WITHIN one doc do not count toward doc-frequency
+    tri = pa.table({"doc_id": [1, 2],
+                    "text": ["dup\ndup\nkeep", "other"]})
+    out3 = (remove_boilerplate_lines(rd.from_arrow(tri), "text", "doc_id",
+                                     max_doc_freq=1)
+            .to_pandas().sort_values("doc_id"))
+    assert out3.text.tolist() == ["dup\ndup\nkeep", "other"]
+    with pytest.raises(RuntimeError, match="max_bad_lines"):
+        remove_boilerplate_lines(rd.from_arrow(dup), "text", "doc_id",
+                                 max_doc_freq=0, max_bad_lines=0)

@@ -2461,3 +2461,37 @@ FROM f
 
 OP_QUERIES["op_gopher_docs"] = q_gopher_docs
 OP_ORACLES["op_gopher_docs"] = SQL_GOPHER_DOCS
+
+def q_boilerplate_docs(sf_dir: str):
+    """RefinedWeb/CCNet line-level boilerplate removal: lines occurring
+    in >1 distinct documents are dropped from every document, survivors
+    re-joined in order (stages/text.remove_boilerplate_lines; the
+    broadcast bad-line set is bounded by the true boilerplate count)."""
+    from vertex_ray.stages.text import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(_docs(sf_dir), "text", "doc_id",
+                                    max_doc_freq=1)
+
+
+SQL_BOILERPLATE_DOCS = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS i
+  FROM documents
+),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1
+),
+kept AS (
+  SELECT l.doc_id, l.line, l.i FROM lines l JOIN freq f USING (line)
+  WHERE f.df <= 1
+)
+SELECT d.doc_id, COALESCE(k.text, '') AS text
+FROM documents d LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+  FROM kept GROUP BY 1
+) k USING (doc_id)
+"""
+
+OP_QUERIES["op_boilerplate_docs"] = q_boilerplate_docs
+OP_ORACLES["op_boilerplate_docs"] = SQL_BOILERPLATE_DOCS

@@ -1363,3 +1363,107 @@ def count_values(ds, value_col: str, window_col: str = "window_start",
         .groupby("__bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def resample_windows(ds, step_seconds: int, tier_seconds: int,
+                     col_ops: dict[str, str],
+                     key_col: str = "series_key",
+                     window_col: str = "window_start",
+                     n_buckets: int = 64):
+    """Read-time re-bucketing of tier rows to an arbitrary coarser step
+    (the Graphite ``summarize`` / Grafana interval-align analogue): when
+    a dashboard asks for a step no tier materializes (e.g. 4h), re-floor
+    each window to the step and merge per series with the aggregate's
+    own merge rule — ``sum`` (sum/count states), ``min``/``max``
+    (order-free), ``last`` (value at the greatest source window — the
+    gauge rule; exact because the source window is carried through the
+    merge, not arrival order).
+
+    ``step_seconds`` must be a multiple of the tier so windows nest.
+    Combiner pattern: each batch collapses to one row per (series, new
+    window) BEFORE the one hash exchange; integer partials commute, so
+    sums are exact under any merge order."""
+    if step_seconds % tier_seconds:
+        raise ValueError(
+            f"step {step_seconds}s does not nest {tier_seconds}s windows")
+    bad = {c: op for c, op in col_ops.items()
+           if op not in ("sum", "min", "max", "last")}
+    if bad:
+        raise ValueError(f"unsupported resample ops: {bad}")
+    keys = [key_col, window_col]
+    lasts = [c for c, op in col_ops.items() if op == "last"]
+
+    def agg_frame(df: pd.DataFrame) -> pd.DataFrame:
+        # gauge-last: the row at the greatest SOURCE window wins — carry
+        # __src through both phases so the rule is merge-order-free
+        if lasts:
+            df = df.sort_values("__src", kind="stable")
+        spec = {c: (c, op if op != "last" else (lambda s: s.iloc[-1]))
+                for c, op in col_ops.items()}
+        spec["__src"] = ("__src", "max")
+        return df.groupby(keys, sort=False).agg(**spec).reset_index()
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + list(col_ops)).to_pandas()
+        df["__src"] = df[window_col].to_numpy()
+        df[window_col] = (df[window_col].to_numpy()
+                          // step_seconds * step_seconds)
+        g = agg_frame(df)
+        b = (pd.util.hash_pandas_object(g[keys], index=False)
+             .to_numpy() % np.uint64(n_buckets)).astype(np.int64)
+        g["__bucket"] = b
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return agg_frame(g).drop(columns="__src")
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def limitk(ds, key_col: str, k: int, n_buckets: int = 64):
+    """PromQL ``limitk(k, expr)``: a deterministic k-series sample of the
+    vector — the k series with the SMALLEST md5(series_key) digest, so
+    repeated evaluations (and the SQL mirror's ``ORDER BY md5(key)
+    LIMIT k``) pick the identical set, unlike Prometheus' intentionally
+    random limitk.
+
+    Scale shape: one metadata-sized exchange — each batch contributes
+    its distinct keys trimmed to the k smallest digests (so exchange
+    volume is ≤ k per batch, never rows), one merge group picks the
+    global k, and the winners (k strings) ride into the membership
+    filter as a plain broadcast closure."""
+    import hashlib
+
+    if k <= 0:
+        raise ValueError("limitk needs k >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t[key_col]).to_numpy(zero_copy_only=False)
+        h = np.array([hashlib.md5(s.encode()).hexdigest() for s in u],
+                     dtype=object)
+        ix = np.argsort(h, kind="stable")[:k]
+        return pa.table({
+            key_col: pa.array(u[ix], type=pa.string()),
+            "__h": pa.array(h[ix], type=pa.string()),
+            "__one": pa.array(np.zeros(len(ix), dtype=np.int8)),
+        })
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop_duplicates(key_col).sort_values("__h", kind="stable")
+                .head(k)[[key_col]])
+
+    winners = frozenset(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__one").map_groups(pick, batch_format="pandas")
+        .to_pandas()[key_col]
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[key_col],
+                                 value_set=pa.array(sorted(winners))))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

@@ -814,3 +814,81 @@ def gopher_rules_op(text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return fn
+
+
+def remove_boilerplate_lines(ds, text_col: str, id_col: str,
+                             max_doc_freq: int, n_buckets: int = 64,
+                             max_bad_lines: int = 1_000_000):
+    """RefinedWeb / CCNet-style line-level boilerplate removal: any LINE
+    that occurs in more than ``max_doc_freq`` distinct documents (nav
+    bars, cookie banners, share footers) is dropped from EVERY document;
+    the surviving lines are re-joined in their original order.
+
+    Two passes over the corpus:
+
+    1. line census — per batch, each document contributes its DISTINCT
+       lines once (a document lives in exactly one row, so per-line
+       partial doc-counts are additive across batches with no doc-level
+       dedup exchange); one combiner-pattern hash exchange merges the
+       int64 partials, and only lines ABOVE the threshold come back —
+       the broadcast set is bounded by the true boilerplate count, not
+       the corpus (capped at ``max_bad_lines``; a cap hit raises rather
+       than silently under-filtering).
+    2. rewrite — per batch, split, drop members of the broadcast
+       64-bit-hash set (blake2b via ``dedup_near._hash_strings``), and
+       re-join. The text column never enters an exchange.
+    """
+    from vertex_ray.stages.dedup_near import _hash_strings
+
+    def census(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t[text_col], "\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        off = lists.offsets.to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(len(t)), np.diff(off))
+        h = _hash_strings(flat)
+        # distinct (doc, line) pairs within the batch = distinct within
+        # each doc, because a doc occupies exactly one row
+        pair = pd.DataFrame({"d": doc_of, "h": h}).drop_duplicates()
+        g = pair.groupby("h", sort=False).size().rename("__c").reset_index()
+        g["__bucket"] = (g["h"].to_numpy()
+                         % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def over_threshold(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("h", sort=False)["__c"].sum().reset_index()
+        return r[r["__c"] > max_doc_freq][["h"]]
+
+    _badf = (ds.map_batches(census, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(over_threshold, batch_format="pandas")
+             .to_pandas())
+    # a corpus with no boilerplate at all yields only empty groups, whose
+    # concatenation can lose the column schema entirely
+    bad = (_badf["h"].to_numpy() if "h" in _badf.columns
+           else np.array([], dtype=np.uint64))
+    if len(bad) > max_bad_lines:
+        raise RuntimeError(
+            f"boilerplate line set {len(bad)} exceeds max_bad_lines="
+            f"{max_bad_lines}; raise the cap or the threshold")
+    bad = np.sort(bad.astype(np.uint64))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t[text_col], "\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        off = lists.offsets.to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(len(t)), np.diff(off))
+        keep = ~np.isin(_hash_strings(flat), bad, assume_unique=False)
+        joined = (pd.Series(flat[keep])
+                  .groupby(doc_of[keep]).agg("\n".join))
+        out = np.full(len(t), "", dtype=object)
+        out[joined.index.to_numpy()] = joined.to_numpy()
+        return pa.table({
+            id_col: t[id_col],
+            text_col: pa.array(out, type=pa.string()),
+        })
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
