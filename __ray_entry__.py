@@ -1463,6 +1463,23 @@ def _q_exphist_1m(sf_dir: str):
     return latency_exp_histogram(read_transcripts(ensure_transcripts(sf_dir)), 60)
 
 
+def _q_exphist_moments_1m(sf_dir: str):
+    """Native-histogram histogram_count/sum/avg analogues in one pass:
+    exact per-window observation count + midpoint-estimator sum/mean
+    over the sparse power-of-2 rows (stages/exphist
+    .exp_histogram_moments; estimator terms are exact powers-of-two
+    multiples < 2^53, so sums are order-independent)."""
+    from vertex_ray.pipelines.rollup_pipeline import read_transcripts
+    from vertex_ray.stages.exphist import (
+        exp_histogram_moments,
+        latency_exp_histogram,
+    )
+
+    hist = latency_exp_histogram(
+        read_transcripts(ensure_transcripts(sf_dir)), 60)
+    return exp_histogram_moments(hist)
+
+
 def _q_exphist_fraction_1m(sf_dir: str):
     """Native-histogram fraction read: exact share of inter-turn
     latencies in (2^20, 2^22] µs (≈1.05–4.2 s) per (series, 1m window)
@@ -1851,6 +1868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exphist_1m_latency_fraction": _q_exphist_fraction_1m,
         "exphist_1m_global_p99": _q_exphist_global_p99_1m,
         "exphist_1m_latency_stddev": _q_exphist_stddev_1m,
+        "exphist_1m_latency_moments": _q_exphist_moments_1m,
         "exphist_1h_latency_merged": _q_exphist_1h_merged,
         "exphist_1m_latency_p99": _q_exphist_p99_1m,
         "exphist_1m_latency_exemplars": _q_exphist_exemplars_1m,
@@ -3129,6 +3147,30 @@ def oracle_sql() -> dict[str, str]:
     SELECT series_key, window_start,
            sqrt(greatest((s2 - s * s / n) / n, 0.0)) AS stddev
     FROM m
+    """
+
+    sqls["exphist_1m_latency_moments"] = f"""{_LAT_US_CTE},
+    h AS (
+      SELECT 'inter_turn_latency_us{{conv_id=' || conv_id || '}}' AS series_key,
+             {_w(60)} AS window_start,
+             CASE WHEN lat_us = 0 THEN -1
+                  ELSE CAST(floor(log2(lat_us)) AS INT) END AS idx,
+             count(*) AS c
+      FROM lat WHERE lat_us IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT series_key, window_start,
+           CAST(sum(c) AS BIGINT) AS count,
+           sum(CAST(c AS DOUBLE)
+               * (CASE WHEN idx = -1 THEN 0.0
+                       ELSE (power(2.0, idx) + power(2.0, idx + 1))
+                            / 2.0 END)) AS sum_est,
+           sum(CAST(c AS DOUBLE)
+               * (CASE WHEN idx = -1 THEN 0.0
+                       ELSE (power(2.0, idx) + power(2.0, idx + 1))
+                            / 2.0 END))
+             / CAST(sum(c) AS BIGINT) AS avg_est
+    FROM h GROUP BY 1, 2
     """
 
     sqls["exphist_1m_global_p99"] = f"""{_LAT_US_CTE},

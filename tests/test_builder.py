@@ -261,3 +261,35 @@ def test_builder_setop_and_samplers(ray_session):
 
     lr = STEP_TYPES["limit_ratio"]({"ratio": 1.0}, tier).to_pandas()
     assert len(lr) == 2
+
+
+def test_builder_session_b_steps(ray_session):
+    """limitk / resample / gopher / boilerplate resolve from the registry
+    and run over tiny inputs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vertex_ray.pipelines.builder import STEP_TYPES
+
+    tier = rd.from_arrow(pa.table({
+        "series_key": ["a", "a", "b", "b"],
+        "window_start": np.array([0, 3600, 0, 3600], dtype=np.int64),
+        "count": np.array([1, 2, 3, 4], dtype=np.int64),
+    }))
+    lk = STEP_TYPES["limitk"]({"k": 1}, tier).to_pandas()
+    assert lk.series_key.nunique() == 1 and len(lk) == 2
+    rs = STEP_TYPES["resample"](
+        {"step_seconds": 7200, "tier_seconds": 3600,
+         "col_ops": {"count": "sum"}}, tier).to_pandas()
+    assert sorted(rs["count"].tolist()) == [3, 7]
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["the cat and the dog have fun with that ball " * 8,
+                 "shared line\nunique bit"],
+    }))
+    g = STEP_TYPES["gopher"]({}, docs).to_pandas()
+    assert set(g.columns) >= {"doc_id", "gopher_pass", "n_words"}
+    bp = STEP_TYPES["boilerplate"]({"max_doc_freq": 1}, docs).to_pandas()
+    assert len(bp) == 2

@@ -127,3 +127,28 @@ def test_exphist_stddev_midpoint_estimator(ray_session):
     var = exp_histogram_stddev(rd.from_arrow(rows), variance=True,
                                out_col="v").to_pandas()
     assert var.v.tolist() == [(s2 - s * s / n) / n]
+
+
+def test_exp_histogram_moments(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vertex_ray.stages.exphist import exp_histogram_moments
+
+    # series a, window 0: zero-bucket x2, idx 3 [8,16) x3, idx 4 x1
+    rows = pa.table({
+        "series_key": ["a"] * 3 + ["b"],
+        "window_start": np.array([0, 0, 0, 60], dtype=np.int64),
+        "idx": np.array([-1, 3, 4, 2], dtype=np.int32),
+        "bucket_count": np.array([2, 3, 1, 5], dtype=np.int64),
+    })
+    out = (exp_histogram_moments(rd.from_arrow(rows)).to_pandas()
+           .sort_values("series_key").reset_index(drop=True))
+    a = out.iloc[0]
+    assert a["count"] == 6
+    want_sum = 3 * (8 + 16) / 2 + 1 * (16 + 32) / 2  # zeros add 0
+    assert a.sum_est == want_sum and a.avg_est == want_sum / 6
+    b = out.iloc[1]
+    assert b["count"] == 5 and b.sum_est == 5 * (4 + 8) / 2

@@ -328,7 +328,41 @@ def _t_aggregate_without(cfg, ds):
 
     return aggregate_without(ds, cfg["drop_labels"], cfg["value_col"],
                              window_col=cfg.get("window_col",
-                                                "window_start"))
+                                                "window_start"),
+                             agg=cfg.get("agg", "sum"))
+
+
+def _t_resample(cfg, ds):
+    from vertex_ray.stages.promql import resample_windows
+
+    return resample_windows(ds, cfg["step_seconds"], cfg["tier_seconds"],
+                            cfg["col_ops"],
+                            key_col=cfg.get("key_col", "series_key"),
+                            window_col=cfg.get("window_col",
+                                               "window_start"))
+
+
+def _t_limitk(cfg, ds):
+    from vertex_ray.stages.promql import limitk
+
+    return limitk(ds, cfg.get("key_col", "series_key"), cfg["k"])
+
+
+def _t_gopher(cfg, ds):
+    from vertex_ray.stages.text import gopher_rules_op
+
+    return ds.map_batches(
+        gopher_rules_op(cfg.get("text_col", "text"),
+                        cfg.get("id_col", "doc_id")),
+        batch_format="pyarrow")
+
+
+def _t_boilerplate(cfg, ds):
+    from vertex_ray.stages.text import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(
+        ds, cfg.get("text_col", "text"), cfg.get("id_col", "doc_id"),
+        cfg.get("max_doc_freq", 1))
 
 
 def _t_set_op(cfg, dss):
@@ -531,6 +565,10 @@ STEP_TYPES: dict[str, Callable] = {
     "window_time": _t_window_time,
     "hist_fraction": _t_hist_fraction,
     "limit_ratio": _t_limit_ratio,
+    "limitk": _t_limitk,
+    "resample": _t_resample,
+    "gopher": _t_gopher,
+    "boilerplate": _t_boilerplate,
     "aggregate_without": _t_aggregate_without,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,

@@ -287,3 +287,50 @@ def exp_histogram_stddev(ds, out_col: str = "stddev",
         .groupby("__bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def exp_histogram_moments(ds, n_buckets: int = 64):
+    """Native-histogram ``histogram_count`` / ``histogram_sum`` /
+    ``histogram_avg`` analogues over the sparse power-of-2 rows, in one
+    pass: per (series, window), the EXACT observation count (int64 sum
+    of bucket counts) plus the midpoint-estimator sum and mean (same
+    representative-value family as :func:`exp_histogram_stddev` —
+    ``count·mid`` terms are integer multiples of powers of two below
+    2^53, so the float sums are exact and order-independent; avg is ONE
+    IEEE division, mirrored in the SQL oracle). Combiner shape: one
+    hash exchange on series, one segment-sum kernel per bucket."""
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t["series_key"].to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(np.ascontiguousarray(k))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["series_key", "window_start"], kind="stable")
+        idx = g["idx"].to_numpy().astype(np.float64)
+        cntf = g["bucket_count"].to_numpy().astype(np.float64)
+        cnti = g["bucket_count"].to_numpy().astype(np.int64)
+        mid = np.where(idx < 0, 0.0,
+                       (np.exp2(idx) + np.exp2(idx + 1.0)) / 2.0)
+        sk = g["series_key"].to_numpy(dtype=object)
+        ws = g["window_start"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (sk[1:] != sk[:-1]) | (ws[1:] != ws[:-1])
+        starts = np.flatnonzero(new)
+        n = np.add.reduceat(cnti, starts)
+        s = np.add.reduceat(cntf * mid, starts)
+        return pd.DataFrame({
+            "series_key": sk[starts],
+            "window_start": ws[starts],
+            "count": n,
+            "sum_est": s,
+            "avg_est": s / n,
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
