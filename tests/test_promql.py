@@ -1230,3 +1230,35 @@ def test_limitk_deterministic(ray_session):
     assert set(again.series_key) == want
     with pytest.raises(ValueError, match="k >= 1"):
         limitk(rd.from_arrow(t), "series_key", 0)
+
+
+def test_resample_matches_materialized_tier(ray_session):
+    """The continuous-aggregate contract at READ time: resampling the 1m
+    tier's real rows to 300s reproduces the engine's own materialized 5m
+    tier bit-for-bit (counter count by sum; gauge last by greatest
+    source window; min/max order-free) on the sf0.001 store."""
+    import os
+    import sys
+
+    import ray.data as rd
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __ray_entry__ as e
+
+    from vertex_ray.stages.promql import resample_windows
+
+    for metric, col_ops in [
+        ("turns_total", {"count": "sum"}),
+        ("conv_turn_idx", {"min": "min", "max": "max", "last": "last"}),
+    ]:
+        cols = ["series_key", "window_start"] + list(col_ops)
+        fine = e._metric_tier("/root/testdata/sf0.001", "1m", metric, cols)
+        got = (resample_windows(fine, 300, 60, col_ops)
+               .to_pandas().sort_values(cols).reset_index(drop=True))
+        want = (e._metric_tier("/root/testdata/sf0.001", "5m", metric, cols)
+                .to_pandas().sort_values(cols).reset_index(drop=True))
+        got = got[want.columns]
+        pd.testing.assert_frame_equal(
+            got.astype({c: want[c].dtype for c in want.columns}), want)
+        assert len(got) > 0

@@ -799,3 +799,21 @@ def test_remove_boilerplate_lines(ray_session):
     with pytest.raises(RuntimeError, match="max_bad_lines"):
         remove_boilerplate_lines(rd.from_arrow(dup), "text", "doc_id",
                                  max_doc_freq=0, max_bad_lines=0)
+
+
+def test_readability_op():
+    from vertex_ray.stages.text import readability_op
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["The cat sat. The dog ran!", "no sentence marks here", ""],
+    })
+    out = readability_op()(t)
+    d = {c: out[c].to_pylist() for c in out.schema.names}
+    assert d["n_words"] == [6, 4, 0]
+    assert d["n_sentences"] == [2, 1, 1]   # fragment counts as one
+    # vowel-group syllables: The(1) cat(1) sat(1) The(1) dog(1) ran(1)
+    assert d["n_syllables"][0] == 6
+    f = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert d["flesch"][0] == f
+    assert d["flesch"][2] == 0.0

@@ -2495,3 +2495,34 @@ FROM documents d LEFT JOIN (
 
 OP_QUERIES["op_boilerplate_docs"] = q_boilerplate_docs
 OP_ORACLES["op_boilerplate_docs"] = SQL_BOILERPLATE_DOCS
+
+def q_readability_docs(sf_dir: str):
+    """Flesch reading-ease readability scoring with regex-expressible
+    counting rules, bit-exact vs the SQL mirror
+    (stages/text.readability_op)."""
+    from vertex_ray.stages.text import readability_op
+
+    return _docs(sf_dir).map_batches(readability_op(),
+                                     batch_format="pyarrow")
+
+
+SQL_READABILITY_DOCS = r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0
+            THEN 206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+            ELSE 0.0 END AS flesch
+FROM c
+"""
+
+OP_QUERIES["op_readability_docs"] = q_readability_docs
+OP_ORACLES["op_readability_docs"] = SQL_READABILITY_DOCS

@@ -892,3 +892,43 @@ def remove_boilerplate_lines(ds, text_col: str, id_col: str,
         })
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def readability_op(text_col: str = "text", id_col: str = "doc_id"):
+    """Flesch reading-ease readability scoring (Flesch 1948; the public
+    formula ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``)
+    with counting rules chosen to be regex-expressible on BOTH sides:
+
+    - words      — ``\\S+`` runs,
+    - sentences  — ``[.!?]+`` runs (min 1 so fragments count as one),
+    - syllables  — vowel-group runs ``[aeiouyAEIOUY]+`` (the classic
+      approximation; consonant-only words contribute 0).
+
+    Every count is a non-overlapping regex count with the identical RE2
+    pattern in the SQL mirror, and the score is the same fixed-order
+    IEEE expression of exact-integer ratios, so values hash bit-for-bit.
+    Stateless vectorized batch op."""
+    word = re.compile(r"\S+", re.ASCII)
+    sent = re.compile(r"[.!?]+")
+    syl = re.compile(r"[aeiouyAEIOUY]+")
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[text_col].to_numpy(zero_copy_only=False)).fillna("")
+        n_words = s.str.count(word).to_numpy(np.int64)
+        n_sent = np.maximum(s.str.count(sent).to_numpy(np.int64), 1)
+        n_syl = s.str.count(syl).to_numpy(np.int64)
+        w = np.where(n_words > 0, n_words.astype(np.float64), 1.0)
+        score = np.where(
+            n_words > 0,
+            206.835 - 1.015 * (n_words / n_sent.astype(np.float64))
+            - 84.6 * (n_syl / w),
+            0.0)
+        return pa.table({
+            id_col: t[id_col],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_sentences": pa.array(n_sent, type=pa.int64()),
+            "n_syllables": pa.array(n_syl, type=pa.int64()),
+            "flesch": pa.array(score, type=pa.float64()),
+        })
+
+    return fn
