@@ -768,6 +768,21 @@ def _q_resample_4h_gauge(sf_dir: str):
                             {"min": "min", "max": "max", "last": "last"})
 
 
+def _q_trending_tools_1h(sf_dir: str):
+    """Windowed heavy hitters: the top-3 tools by hourly invocation
+    count, per 1h window (``topk(3, sum by (tool)(...))`` per
+    evaluation window) — label_aggregate's combiner exchange feeding
+    topk_per_group's block-local trim (≤ k rows per window per batch
+    cross the wire)."""
+    from vertex_ray.stages.ops import topk_per_group
+    from vertex_ray.stages.promql import label_aggregate
+
+    ds = _metric_tier(sf_dir, "1h", "tool_invocations_total",
+                      ["series_key", "window_start", "count"])
+    per_tool = label_aggregate(ds, "tool", "count")
+    return topk_per_group(per_tool, "window_start", "count", 3, "tool")
+
+
 def _q_limitk_1h(sf_dir: str):
     """PromQL ``limitk(3, turns_total)``: a deterministic 3-series
     sample — smallest md5(series_key) digests, so the SQL mirror's
@@ -1826,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_without_role_1h_turns": _q_avg_without_role_1h,
         "resample_4h_1h_turns": _q_resample_4h_turns,
         "limitk_3_1h_turns": _q_limitk_1h,
+        "trending_tools_1h": _q_trending_tools_1h,
         "resample_4h_gauge_last": _q_resample_4h_gauge,
         "first_over_1h_turns": _q_first_over_1h,
         "dom_profile_1d_turns": _q_dom_profile_1d,
@@ -2257,6 +2273,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
+            """,
+        "trending_tools_1h": f"""
+            WITH g AS (
+              SELECT tool, {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              WHERE tool <> '' GROUP BY 1, 2
+            )
+            SELECT window_start, count, tool FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY window_start
+                ORDER BY count DESC, tool) AS rn
+              FROM g
+            ) WHERE rn <= 3
             """,
         "limitk_3_1h_turns": f"""
             WITH g AS (

@@ -817,3 +817,51 @@ def test_readability_op():
     f = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
     assert d["flesch"][0] == f
     assert d["flesch"][2] == 0.0
+
+
+def _duckdb_vs_engine(texts, op, sql, table="documents"):
+    import duckdb
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    mine = op(t).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register(table, t.to_pandas())
+    ref = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    assert list(mine.columns) == list(ref.columns)
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), ref[c].to_numpy()
+        if a.dtype.kind == "f":
+            np.testing.assert_array_equal(
+                a.view(np.uint64), b.astype(np.float64).view(np.uint64),
+                err_msg=c)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=c)
+
+
+def test_gopher_and_readability_fuzz_vs_duckdb():
+    """Engine regex semantics == RE2 on adversarial random texts: random
+    printable ASCII with injected newlines, bullets, ellipses, '#' runs
+    and stopwords. Any \\b/\\s/\\S class drift or overlap-rule mismatch
+    fails the bitwise comparison."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vertex_ray.pipelines.op_queries import (
+        SQL_GOPHER_DOCS,
+        SQL_READABILITY_DOCS,
+    )
+    from vertex_ray.stages.text import gopher_rules_op, readability_op
+
+    alphabet = st.sampled_from(
+        list("abc THE the.!?#-*• \n\t'…") + ["...", "of ", "and\n", "be."])
+    texts_strategy = st.lists(
+        st.lists(alphabet, min_size=0, max_size=60).map("".join),
+        min_size=1, max_size=8)
+
+    @settings(max_examples=25, deadline=None)
+    @given(texts_strategy)
+    def run(texts):
+        _duckdb_vs_engine(texts, gopher_rules_op(), SQL_GOPHER_DOCS)
+        _duckdb_vs_engine(texts, readability_op(), SQL_READABILITY_DOCS)
+
+    run()
