@@ -138,6 +138,84 @@ def run_bench() -> dict:
     return result
 
 
+def run_reads() -> dict:
+    """Read-path latency over the committed sf0.1 store (built once if
+    absent): the dashboard verbs a TSDB serves all day — selective
+    series decode, full-metric range read, instant vector, metadata-only
+    status, cross-tier stitched read, and a read-time resample. Each
+    verb's cost should track its SELECTION (pruned blocks), not the
+    store size."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from vertex_ray.pipelines.rollup_pipeline import (
+        run_pipeline,
+        transcripts_end_ts,
+    )
+    from vertex_ray.read import (
+        instant_query,
+        query_range,
+        query_range_stitched,
+        tsdb_status,
+    )
+    from vertex_ray.stages.promql import resample_windows
+    from vertex_ray.synth import ensure_transcripts, sf_of_dir
+
+    sf = sf_of_dir(sf_dir)
+    trans = ensure_transcripts(sf_dir)
+    out = f"/tmp/vertex_ray_bench/reads_sf{sf:g}"
+    if not os.path.exists(os.path.join(out, "blocks", "manifest.json")):
+        shutil.rmtree(out, ignore_errors=True)
+        run_pipeline(trans, out, n_buckets=8 * num_cpus, salt=1)
+    gend = transcripts_end_ts(trans)
+    cols = ["series_key", "window_start", "count"]
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def leg(name, fn):
+        t0 = time.time()
+        counts[name] = int(fn().count())
+        timings[name] = round(time.time() - t0, 3)
+
+    leg("one_series_1m", lambda: query_range(
+        out, "1m", metric="turns_total",
+        key_regex=r"conv_id=conv00000000\b", columns=cols))
+    leg("full_metric_1h", lambda: query_range(
+        out, "1h", metric="turns_total", columns=cols))
+    leg("instant_1h", lambda: instant_query(
+        out, "1h", at=gend, lookback=6 * 3600, metric="turns_total",
+        columns=cols))
+    leg("tsdb_status_1m", lambda: tsdb_status(out, "1m"))
+    leg("stitched_1d_1h", lambda: query_range_stitched(
+        out, "1d", "1h", gend // 86400 * 86400, metric="turns_total",
+        columns=cols))
+    leg("resample_4h_read", lambda: resample_windows(
+        query_range(out, "1h", metric="turns_total", columns=cols),
+        4 * 3600, 3600, {"count": "sum"}))
+
+    result = {
+        "metric": "read_path_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": counts,
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return result
+
+
 def _settle():
     """Give the (shared, virtualized) node a clean memory state between
     legs: ask the kernel to compact memory so one leg's fragmentation
@@ -279,5 +357,6 @@ def run_corpus() -> dict:
 
 if __name__ == "__main__":
     res = (run_scaling() if "--scaling" in sys.argv else
-       run_corpus() if "--corpus" in sys.argv else run_bench())
+       run_corpus() if "--corpus" in sys.argv else
+       run_reads() if "--reads" in sys.argv else run_bench())
     print(json.dumps(res))

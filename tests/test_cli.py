@@ -145,3 +145,36 @@ def test_query_cli(ray_session, tmp_path, capsys):
                  "--metric", "turns_total", "--limit", "3"]) == 0
     out = capsys.readouterr().out
     assert "first_seen" in out.splitlines()[0]
+
+
+def test_delete_and_clean_tombstones_cli(ray_session, tmp_path, capsys):
+    """delete hides the selection from the next `query range`;
+    clean-tombstones forgets the stones (the post-compaction step)."""
+    from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+    from vertex_ray.synth import ensure_transcripts
+
+    trans = ensure_transcripts("/root/testdata/sf0.001")
+    store = str(tmp_path / "tiers")
+    run_pipeline(trans, store, n_buckets=8)
+
+    assert main(["query", "range", store, "--tier", "1h",
+                 "--metric", "turns_total", "--match", r"role=user\}",
+                 "--limit", "1"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 2
+
+    assert main(["delete", store, "--metric", "turns_total",
+                 "--match", r"role=user\}"]) == 0
+    assert "1 stones pending" in capsys.readouterr().out
+
+    assert main(["query", "range", store, "--tier", "1h",
+                 "--metric", "turns_total", "--match", r"role=user\}",
+                 "--limit", "1"]) == 0
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) <= 1  # header only (or empty)
+
+    assert main(["clean-tombstones", store]) == 0
+    assert "cleared 1 stones" in capsys.readouterr().out
+    assert main(["query", "range", store, "--tier", "1h",
+                 "--metric", "turns_total", "--match", r"role=user\}",
+                 "--limit", "1"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 2

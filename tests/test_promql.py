@@ -1262,3 +1262,57 @@ def test_resample_matches_materialized_tier(ray_session):
         pd.testing.assert_frame_equal(
             got.astype({c: want[c].dtype for c in want.columns}), want)
         assert len(got) > 0
+
+
+def test_limitk_multiblock(ray_session):
+    """The per-batch k-smallest trim must still find the global winners
+    when the dataset is split across many blocks (combiner correctness)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import limitk
+
+    keys = [f"m{{c={i}}}" for i in range(200)]
+    t = pa.table({
+        "series_key": keys,
+        "window_start": np.zeros(200, dtype=np.int64),
+        "count": np.arange(200, dtype=np.int64),
+    })
+    ds = rd.from_arrow(t).repartition(13)
+    got = set(limitk(ds, "series_key", 7).to_pandas().series_key)
+    want = set(sorted(keys, key=lambda s:
+                      hashlib.md5(s.encode()).hexdigest())[:7])
+    assert got == want
+
+
+def test_dashboard_composition_smoke(ray_session):
+    """Composition: stitched cross-tier read → read-time resample →
+    over_time → alert_state runs as ONE Dataset graph over the sf0.001
+    store (every stage consumes the previous stage's vector)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __ray_entry__ as e
+
+    from vertex_ray.pipelines.rollup_pipeline import transcripts_end_ts
+    from vertex_ray.read import query_range_stitched
+    from vertex_ray.stages.promql import alert_state, over_time, resample_windows
+    from vertex_ray.synth import ensure_transcripts
+
+    out = e._ensure_pipeline("/root/testdata/sf0.001")
+    boundary = (transcripts_end_ts(
+        ensure_transcripts("/root/testdata/sf0.001")) // 86400 * 86400)
+    v = query_range_stitched(out, "1d", "1h", boundary,
+                             metric="turns_total",
+                             columns=["series_key", "window_start", "count"])
+    v = resample_windows(v, 4 * 86400, 3600, {"count": "sum"})
+    v = over_time(v, "series_key", "window_start", "count", 2, agg="max",
+                  out_col="peak")
+    alerts = alert_state(v, "series_key", "window_start", "peak",
+                         threshold=1.0, for_windows=1,
+                         tier_seconds=4 * 86400).to_pandas()
+    assert len(alerts) > 0
+    assert set(alerts.state.unique()) <= {"inactive", "pending", "firing"}

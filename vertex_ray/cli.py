@@ -203,6 +203,33 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Record a series-delete tombstone (the /api/v1/admin/tsdb/
+    delete_series analogue): reads hide the selection immediately; the
+    data itself goes away at the next compaction."""
+    from vertex_ray.state.tombstones import add_tombstone, load_tombstones
+
+    stone = add_tombstone(args.store, metric=args.metric,
+                          key_regex=args.match, start=args.start,
+                          end=args.end,
+                          tiers=args.tiers.split(",") if args.tiers
+                          else None)
+    print(f"recorded {stone}; {len(load_tombstones(args.store))} stones "
+          f"pending")
+    return 0
+
+
+def cmd_clean_tombstones(args) -> int:
+    """Forget applied stones (the CleanTombstones step) — run AFTER a
+    compaction that physically applied them was committed."""
+    from vertex_ray.state.tombstones import clear_tombstones, load_tombstones
+
+    n = len(load_tombstones(args.store))
+    clear_tombstones(args.store)
+    print(f"cleared {n} stones")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vertex_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -279,6 +306,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="store layout: one-shot blocks dir or the "
                          "time-chunked epoch store")
     sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("delete",
+                        help="record a series-delete tombstone "
+                             "(hidden from reads now, removed at "
+                             "compaction)")
+    sp.add_argument("store")
+    sp.add_argument("--metric", default=None)
+    sp.add_argument("--match", default=None, help="RE2 over series_key")
+    sp.add_argument("--start", type=int, default=None)
+    sp.add_argument("--end", type=int, default=None)
+    sp.add_argument("--tiers", default=None,
+                    help="comma-separated tier names (default: all)")
+    sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("clean-tombstones",
+                        help="forget applied stones (run after the "
+                             "compaction that applied them committed)")
+    sp.add_argument("store")
+    sp.set_defaults(fn=cmd_clean_tombstones)
 
     args = p.parse_args(argv)
     return args.fn(args)
