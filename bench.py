@@ -190,6 +190,11 @@ def run_reads() -> dict:
     leg("one_series_1m", lambda: query_range(
         out, "1m", metric="turns_total",
         key_regex=r"conv_id=conv00000000\b", columns=cols))
+    # same selection through the hash-bucket point-read fast path: reads
+    # ONE part file of n_buckets instead of scanning every block row
+    leg("one_series_1m_point", lambda: query_range(
+        out, "1m", metric="turns_total", conv_id="conv00000000",
+        columns=cols))
     leg("full_metric_1h", lambda: query_range(
         out, "1h", metric="turns_total", columns=cols))
     leg("instant_1h", lambda: instant_query(

@@ -364,3 +364,35 @@ def test_query_range_stitched(ray_session, micro_transcripts, tmp_path):
                              metric="turns_total", tiers=tiers)
     with pytest.raises(ValueError, match="finer"):
         query_range_stitched(out, "1m", "5m", boundary, tiers=tiers)
+
+
+def test_point_read_fast_path(ray_session, micro_transcripts, tmp_path):
+    """conv_id point read (one hash-bucket part file per store) returns
+    exactly what the full-scan regex selector returns — on both layouts,
+    including a conv whose bucket file may not exist (fallback)."""
+    import re
+
+    from vertex_ray.pipelines.epoch_pipeline import run_pipeline_epochs
+    from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+    from vertex_ray.read import query_range
+
+    one = os.path.join(str(tmp_path), "oneshot")
+    epo = os.path.join(str(tmp_path), "epochs")
+    run_pipeline(micro_transcripts, one, n_buckets=4, tiers=TIERS_SMALL)
+    run_pipeline_epochs(micro_transcripts, epo, epoch_seconds=3600,
+                        n_buckets=4, tiers=TIERS_SMALL)
+    cols = ["series_key", "window_start", "count"]
+    for store, layout in [(one, "oneshot"), (epo, "epochs")]:
+        for conv in ["a", "e", "nosuchconv"]:
+            point = query_range(store, "1m", metric="turns_total",
+                                conv_id=conv, columns=cols,
+                                layout=layout).to_pandas()
+            rex = query_range(store, "1m", metric="turns_total",
+                              key_regex=rf"\{{conv_id={re.escape(conv)}[,}}]",
+                              columns=cols, layout=layout).to_pandas()
+            assert (len(point) > 0) == (conv != "nosuchconv")
+            assert len(point) == len(rex)
+            if len(point):
+                pd.testing.assert_frame_equal(
+                    point.sort_values(cols).reset_index(drop=True),
+                    rex.sort_values(cols).reset_index(drop=True))

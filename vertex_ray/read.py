@@ -36,7 +36,10 @@ _SCALAR_COLS = ["series_key", "window_start", "sum", "count", "min",
                 "max", "last"]
 
 
-def _read_blocks(out_dir: str, tier: str | None, layout: str):
+def _read_blocks(out_dir: str, tier: str | None, layout: str,
+                 conv_id: str | None = None):
+    if conv_id is not None:
+        return _read_blocks_point(out_dir, tier, layout, conv_id)
     if layout == "oneshot":
         from vertex_ray.pipelines.rollup_pipeline import read_stage
 
@@ -48,12 +51,59 @@ def _read_blocks(out_dir: str, tier: str | None, layout: str):
     raise ValueError(f"unknown store layout: {layout!r}")
 
 
+def _read_blocks_point(out_dir: str, tier: str | None, layout: str,
+                       conv_id: str):
+    """Point-read fast path: the store is hash-partitioned by
+    conversation (``bucket = blake2b64(conv_id) % n_buckets``, one
+    ``part-<bucket>.parquet`` per bucket — the same sharding a real
+    cluster spreads over nodes), so a single-conversation selector
+    touches exactly ONE part file per store (per epoch in the chunked
+    layout) instead of scanning every block row. ``n_buckets`` comes
+    from the stage manifest's lineage, so the path follows whatever the
+    writing run used. Cost is O(selection), independent of store
+    width."""
+    import hashlib
+    import posixpath
+
+    import ray.data as rd
+
+    from vertex_ray.state.checkpoint import read_manifest
+
+    if layout == "oneshot":
+        roots = [posixpath.join(out_dir, "blocks")]
+    elif layout == "epochs":
+        from vertex_ray.pipelines.epoch_pipeline import epoch_dirs
+
+        roots = [posixpath.join(e, "blocks") for e in epoch_dirs(out_dir)]
+    else:
+        raise ValueError(f"unknown store layout: {layout!r}")
+    h = int.from_bytes(
+        hashlib.blake2b(conv_id.encode(), digest_size=8).digest(), "big")
+    files = []
+    for root in roots:
+        m = read_manifest(root)
+        b = h % int(m["lineage"]["n_buckets"])
+        fname = f"part-{b:05d}.parquet"
+        if fname in m["files"]:
+            files.append(posixpath.join(root, fname))
+    if not files:
+        # the conversation's bucket never materialized (tiny store with
+        # more buckets than conversations) — fall back to the full scan;
+        # the caller's conv filter drops everything downstream
+        return _read_blocks(out_dir, tier, layout)
+    kwargs = {}
+    if tier is not None:
+        kwargs["filter"] = pc.field("tier") == tier
+    return rd.read_parquet(files, **kwargs)
+
+
 def query_range(out_dir: str, tier: str, metric: str | None = None,
                 key_regex: str | None = None, start: int | None = None,
                 end: int | None = None, include_filled: bool = False,
                 columns: list[str] | None = None,
                 tombstones: bool | list = True,
-                layout: str = "oneshot"):
+                layout: str = "oneshot",
+                conv_id: str | None = None):
     """Tier rows from the committed block store for one range query.
 
     ``metric`` (exact name) and ``key_regex`` (RE2 over series_key) prune
@@ -81,14 +131,21 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
         point_keep_mask,
     )
 
+    import re as _re
+
     cols = columns or _SCALAR_COLS
     stones = (load_tombstones(out_dir) if tombstones is True
               else list(tombstones or []))
+    conv_re = (rf"\{{conv_id={_re.escape(conv_id)}[,}}]"
+               if conv_id is not None else None)
 
     def prune(t: pa.Table) -> pa.Table:
         m = pa.array(np.ones(len(t), dtype=bool))
         if metric is not None:
             m = pc.and_(m, pc.equal(t["name"], metric))
+        if conv_re is not None:
+            m = pc.and_(m, pc.match_substring_regex(t["series_key"],
+                                                    conv_re))
         if key_regex is not None:
             m = pc.and_(m, pc.match_substring_regex(t["series_key"],
                                                     key_regex))
@@ -100,7 +157,7 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
             m = pc.and_(m, block_keep_mask(t, stones, tier))
         return t.filter(m)
 
-    sel = _read_blocks(out_dir, tier, layout).map_batches(
+    sel = _read_blocks(out_dir, tier, layout, conv_id=conv_id).map_batches(
         prune, batch_format="pyarrow")
 
     def shape(t: pa.Table) -> pa.Table:
