@@ -185,11 +185,13 @@ def cmd_query(args) -> int:
     if args.verb == "range":
         ds = query_range(args.store, tier, metric=args.metric,
                          key_regex=args.match, start=args.start,
-                         end=args.end, layout=args.layout)
+                         end=args.end, layout=args.layout,
+                         conv_id=args.conv)
     elif args.verb == "instant":
         ds = instant_query(args.store, tier, at=args.at,
                            lookback=args.lookback, metric=args.metric,
-                           key_regex=args.match, layout=args.layout)
+                           key_regex=args.match, layout=args.layout,
+                           conv_id=args.conv)
     elif args.verb == "series":
         ds = series_metadata(args.store, tier, metric=args.metric,
                              key_regex=args.match, layout=args.layout)
@@ -293,6 +295,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--metric", default=None)
     sp.add_argument("--match", default=None,
                     help="RE2 over series_key")
+    sp.add_argument("--conv", default=None,
+                    help="exact conv_id (hash-bucket point-read "
+                         "fast path: touches one part file)")
     sp.add_argument("--start", type=int, default=None)
     sp.add_argument("--end", type=int, default=None)
     sp.add_argument("--at", type=int, default=0,

@@ -184,17 +184,19 @@ def instant_query(out_dir: str, tier: str, at: int, lookback: int,
                   metric: str | None = None, key_regex: str | None = None,
                   columns: list[str] | None = None, n_buckets: int = 64,
                   tombstones: bool | list = True,
-                  layout: str = "oneshot"):
+                  layout: str = "oneshot", conv_id: str | None = None):
     """PromQL instant vector at evaluation time ``at``: per series, the
     newest real sample with ``at - lookback < window_start <= at``;
     series with none are absent. One hash-bucketed exchange over the
-    already-pruned range read (the range covers only the lookback)."""
+    already-pruned range read (the range covers only the lookback;
+    ``conv_id`` takes the hash-bucket point-read fast path)."""
     from vertex_ray.stages.promql import _add_series_bucket
 
     cols = columns or _SCALAR_COLS
     rng = query_range(out_dir, tier, metric=metric, key_regex=key_regex,
                       start=at - lookback + 1, end=at, columns=cols,
-                      tombstones=tombstones, layout=layout)
+                      tombstones=tombstones, layout=layout,
+                      conv_id=conv_id)
 
     def newest(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["series_key", "window_start"], kind="stable")
