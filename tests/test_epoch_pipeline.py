@@ -396,3 +396,36 @@ def test_point_read_fast_path(ray_session, micro_transcripts, tmp_path):
                 pd.testing.assert_frame_equal(
                     point.sort_values(cols).reset_index(drop=True),
                     rex.sort_values(cols).reset_index(drop=True))
+
+
+def test_point_read_falls_back_on_compacted_store(ray_session,
+                                                  micro_transcripts,
+                                                  tmp_path):
+    """A compacted store's files aren't bucket-addressed (write_stage
+    commit, no n_buckets lineage) — the point read must detect that and
+    fall back to the full scan rather than crash or silently miss
+    data."""
+    from vertex_ray.pipelines.epoch_pipeline import (
+        read_epochs_stage,
+        run_pipeline_epochs,
+    )
+    from vertex_ray.read import query_range
+    from vertex_ray.stages.compact import compact_blocks
+    from vertex_ray.state.checkpoint import write_stage
+
+    epo = os.path.join(str(tmp_path), "epochs")
+    run_pipeline_epochs(micro_transcripts, epo, epoch_seconds=3600,
+                        n_buckets=4, tiers=TIERS_SMALL)
+    comp = os.path.join(str(tmp_path), "compacted")
+    write_stage(compact_blocks(read_epochs_stage(epo, "blocks")),
+                os.path.join(comp, "blocks"), {"compacted_from": epo})
+    cols = ["series_key", "window_start", "count"]
+    point = (query_range(comp, "1m", metric="turns_total", conv_id="a",
+                         columns=cols).to_pandas()
+             .sort_values(cols).reset_index(drop=True))
+    rex = (query_range(epo, "1m", metric="turns_total",
+                       key_regex=r"\{conv_id=a[,}]", columns=cols,
+                       layout="epochs").to_pandas()
+           .sort_values(cols).reset_index(drop=True))
+    assert len(point) > 0
+    pd.testing.assert_frame_equal(point, rex)

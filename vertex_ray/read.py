@@ -82,7 +82,14 @@ def _read_blocks_point(out_dir: str, tier: str | None, layout: str,
     files = []
     for root in roots:
         m = read_manifest(root)
-        b = h % int(m["lineage"]["n_buckets"])
+        nb = m.get("lineage", {}).get("n_buckets")
+        if nb is None:
+            # a store whose files aren't bucket-addressed (e.g. a
+            # compacted stage committed by write_stage) — the bucket of
+            # this conv can't be mapped to a file; full scan is the only
+            # correct read
+            return _read_blocks(out_dir, tier, layout)
+        b = h % int(nb)
         fname = f"part-{b:05d}.parquet"
         if fname in m["files"]:
             files.append(posixpath.join(root, fname))
