@@ -865,3 +865,30 @@ def test_gopher_and_readability_fuzz_vs_duckdb():
         _duckdb_vs_engine(texts, readability_op(), SQL_READABILITY_DOCS)
 
     run()
+
+
+def test_mixture_sample(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.text import mixture_sample
+
+    t = pa.table({
+        "doc_id": list(range(400)),
+        "source": (["a"] * 200) + (["b"] * 200),
+        "text": ["x"] * 400,
+    })
+    out = mixture_sample(rd.from_arrow(t), "source", "doc_id",
+                         {"a": 1.0, "b": 0.25}).to_pandas()
+    by = out.groupby("source").size()
+    assert by["a"] == 200                   # weight 1.0 keeps everything
+    assert 20 <= by.get("b", 0) <= 80       # ~50 expected at 0.25
+    # deterministic: identical subset across evaluations
+    again = mixture_sample(rd.from_arrow(t), "source", "doc_id",
+                           {"a": 1.0, "b": 0.25}).to_pandas()
+    assert set(out.doc_id) == set(again.doc_id)
+    # weight-0 default drops unknown sources entirely
+    t2 = pa.table({"doc_id": [1], "source": ["zz"], "text": ["x"]})
+    assert mixture_sample(rd.from_arrow(t2), "source", "doc_id",
+                          {"a": 1.0}).count() == 0
+    with pytest.raises(ValueError, match="not in"):
+        mixture_sample(rd.from_arrow(t2), "source", "doc_id", {"a": 1.5})

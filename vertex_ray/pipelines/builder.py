@@ -357,6 +357,14 @@ def _t_gopher(cfg, ds):
         batch_format="pyarrow")
 
 
+def _t_mixture(cfg, ds):
+    from vertex_ray.stages.text import mixture_sample
+
+    return mixture_sample(ds, cfg.get("group_col", "source"),
+                          cfg.get("key_col", "doc_id"), cfg["weights"],
+                          default=cfg.get("default", 0.0))
+
+
 def _t_boilerplate(cfg, ds):
     from vertex_ray.stages.text import remove_boilerplate_lines
 
@@ -569,6 +577,7 @@ STEP_TYPES: dict[str, Callable] = {
     "resample": _t_resample,
     "gopher": _t_gopher,
     "boilerplate": _t_boilerplate,
+    "mixture": _t_mixture,
     "aggregate_without": _t_aggregate_without,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,

@@ -2526,3 +2526,33 @@ FROM c
 
 OP_QUERIES["op_readability_docs"] = q_readability_docs
 OP_ORACLES["op_readability_docs"] = SQL_READABILITY_DOCS
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def q_mixture_docs(sf_dir: str):
+    """Source-weighted corpus mixing (the Pile/Gopher mixture-table
+    primitive): per-source deterministic md5 sampling rates, identical
+    subset on the SQL side (stages/text.mixture_sample)."""
+    from vertex_ray.stages.text import mixture_sample
+
+    return mixture_sample(_docs(sf_dir), "source", "doc_id",
+                          _MIX_WEIGHTS, default=_MIX_DEFAULT)
+
+
+def _sql_mixture() -> str:
+    def thresh(w: float) -> str:
+        return format(min(int(w * (1 << 64)), (1 << 64) - 1), "016x")
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{thresh(w)}'" for s, w in _MIX_WEIGHTS.items())
+    return f"""
+SELECT * FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) <
+      CASE source {cases} ELSE '{thresh(_MIX_DEFAULT)}' END
+"""
+
+
+OP_QUERIES["op_mixture_docs"] = q_mixture_docs
+OP_ORACLES["op_mixture_docs"] = _sql_mixture()

@@ -932,3 +932,40 @@ def readability_op(text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return fn
+
+
+def mixture_sample(ds, group_col: str, key_col: str,
+                   weights: dict[str, float], default: float = 0.0):
+    """Source-weighted corpus mixing — the data-mixing primitive of
+    large-scale training pipelines (per-domain sampling rates à la
+    The Pile / Gopher mixture tables): document ``d`` from source ``s``
+    is kept iff the first 64 bits of ``md5(key)`` < weights[s]·2^64, so
+    each source is downsampled to its target rate DETERMINISTICALLY
+    (re-runs, retries and the SQL mirror pick the identical subset;
+    sources absent from ``weights`` get ``default``). Embarrassingly
+    parallel — a pure per-batch filter, no exchange; changing one
+    source's weight only changes that source's kept set (hashes are
+    per-document, not renormalized)."""
+    import hashlib
+
+    for s, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"mixture weight for {s!r} not in [0, 1]: {w}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default weight not in [0, 1]: {default}")
+
+    def thresh(w: float) -> str:
+        return format(min(int(w * (1 << 64)), (1 << 64) - 1), "016x")
+
+    cuts = {s: thresh(w) for s, w in weights.items()}
+    dflt = thresh(default)
+
+    def keep(t: pa.Table) -> pa.Table:
+        src = t[group_col].to_numpy(zero_copy_only=False)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        h = np.array([hashlib.md5(str(k).encode()).hexdigest()[:16]
+                      for k in keys], dtype=object)
+        lim = np.array([cuts.get(s, dflt) for s in src], dtype=object)
+        return t.filter(pa.array(h < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
