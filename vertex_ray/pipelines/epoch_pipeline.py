@@ -285,12 +285,20 @@ def run_pipeline_epochs(
     return manifests
 
 
-def read_epochs_stage(out_dir: str, stage: str, tier: str | None = None) -> "rd.Dataset":
-    """Read one stage across all committed epochs as a single Dataset."""
+def read_epochs_stage(out_dir: str, stage: str, tier: str | None = None,
+                      metric: str | None = None) -> "rd.Dataset":
+    """Read one stage across all committed epochs as a single Dataset;
+    tier / metric-name filters push down to the parquet scan."""
     files: list[str] = []
     for edir in epoch_dirs(out_dir):
         files.extend(stage_files(posixpath.join(edir, stage)))
     kwargs = {"override_num_blocks": _target_blocks()}
+    expr = None
     if tier is not None:
-        kwargs["filter"] = pc.field("tier") == tier
+        expr = pc.field("tier") == tier
+    if metric is not None:
+        e = pc.field("name") == metric
+        expr = e if expr is None else expr & e
+    if expr is not None:
+        kwargs["filter"] = expr
     return rd.read_parquet(files, **kwargs)

@@ -219,13 +219,22 @@ def pipeline_paths(out_dir: str) -> dict[str, str]:
     }
 
 
-def read_stage(out_dir: str, stage: str, tier: str | None = None) -> "rd.Dataset":
-    """Read a committed stage; optional tier filter is pushed down to the
-    parquet scan (row-group pruning + late materialization)."""
+def read_stage(out_dir: str, stage: str, tier: str | None = None,
+               metric: str | None = None) -> "rd.Dataset":
+    """Read a committed stage; optional tier / metric-name filters are
+    pushed down to the parquet scan (row-group pruning + late
+    materialization — non-matching rows never load their heavy
+    ``val_blocks`` payload column)."""
     path = pipeline_paths(out_dir)[stage]
     kwargs = {"override_num_blocks": _target_blocks()}
+    expr = None
     if tier is not None:
-        kwargs["filter"] = pc.field("tier") == tier
+        expr = pc.field("tier") == tier
+    if metric is not None:
+        e = pc.field("name") == metric
+        expr = e if expr is None else expr & e
+    if expr is not None:
+        kwargs["filter"] = expr
     return rd.read_parquet(stage_files(path), **kwargs)
 
 

@@ -37,22 +37,23 @@ _SCALAR_COLS = ["series_key", "window_start", "sum", "count", "min",
 
 
 def _read_blocks(out_dir: str, tier: str | None, layout: str,
-                 conv_id: str | None = None):
+                 conv_id: str | None = None, metric: str | None = None):
     if conv_id is not None:
-        return _read_blocks_point(out_dir, tier, layout, conv_id)
+        return _read_blocks_point(out_dir, tier, layout, conv_id,
+                                  metric=metric)
     if layout == "oneshot":
         from vertex_ray.pipelines.rollup_pipeline import read_stage
 
-        return read_stage(out_dir, "blocks", tier)
+        return read_stage(out_dir, "blocks", tier, metric=metric)
     if layout == "epochs":
         from vertex_ray.pipelines.epoch_pipeline import read_epochs_stage
 
-        return read_epochs_stage(out_dir, "blocks", tier)
+        return read_epochs_stage(out_dir, "blocks", tier, metric=metric)
     raise ValueError(f"unknown store layout: {layout!r}")
 
 
 def _read_blocks_point(out_dir: str, tier: str | None, layout: str,
-                       conv_id: str):
+                       conv_id: str, metric: str | None = None):
     """Point-read fast path: the store is hash-partitioned by
     conversation (``bucket = blake2b64(conv_id) % n_buckets``, one
     ``part-<bucket>.parquet`` per bucket — the same sharding a real
@@ -88,7 +89,7 @@ def _read_blocks_point(out_dir: str, tier: str | None, layout: str,
             # compacted stage committed by write_stage) — the bucket of
             # this conv can't be mapped to a file; full scan is the only
             # correct read
-            return _read_blocks(out_dir, tier, layout)
+            return _read_blocks(out_dir, tier, layout, metric=metric)
         b = h % int(nb)
         fname = f"part-{b:05d}.parquet"
         if fname in m["files"]:
@@ -97,10 +98,16 @@ def _read_blocks_point(out_dir: str, tier: str | None, layout: str,
         # the conversation's bucket never materialized (tiny store with
         # more buckets than conversations) — fall back to the full scan;
         # the caller's conv filter drops everything downstream
-        return _read_blocks(out_dir, tier, layout)
+        return _read_blocks(out_dir, tier, layout, metric=metric)
     kwargs = {}
+    expr = None
     if tier is not None:
-        kwargs["filter"] = pc.field("tier") == tier
+        expr = pc.field("tier") == tier
+    if metric is not None:
+        e = pc.field("name") == metric
+        expr = e if expr is None else expr & e
+    if expr is not None:
+        kwargs["filter"] = expr
     return rd.read_parquet(files, **kwargs)
 
 
@@ -164,7 +171,8 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
             m = pc.and_(m, block_keep_mask(t, stones, tier))
         return t.filter(m)
 
-    sel = _read_blocks(out_dir, tier, layout, conv_id=conv_id).map_batches(
+    sel = _read_blocks(out_dir, tier, layout, conv_id=conv_id,
+                       metric=metric).map_batches(
         prune, batch_format="pyarrow")
 
     def shape(t: pa.Table) -> pa.Table:
@@ -233,7 +241,7 @@ def series_metadata(out_dir: str, tier: str, metric: str | None = None,
     touches only the block index columns of the parquet footers."""
     from vertex_ray.stages.promql import _add_series_bucket
 
-    ds = _read_blocks(out_dir, tier, layout)
+    ds = _read_blocks(out_dir, tier, layout, metric=metric)
 
     def prune(t: pa.Table) -> pa.Table:
         m = pa.array(np.ones(len(t), dtype=bool))
@@ -277,7 +285,7 @@ def label_values(out_dir: str, tier: str, label: str,
     one tiny exchange."""
     from vertex_ray.stages.promql import extract_label
 
-    ds = _read_blocks(out_dir, tier, layout)
+    ds = _read_blocks(out_dir, tier, layout, metric=metric)
 
     def prune(t: pa.Table) -> pa.Table:
         if metric is not None:
@@ -330,7 +338,7 @@ def tsdb_status(out_dir: str, tier: str, metric: str | None = None,
     exchanges: (name, series) partials per batch, then per-name totals."""
     from vertex_ray.stages.promql import _add_series_bucket
 
-    ds = _read_blocks(out_dir, tier, layout)
+    ds = _read_blocks(out_dir, tier, layout, metric=metric)
 
     def per_series(t: pa.Table) -> pa.Table:
         if metric is not None:
@@ -385,7 +393,7 @@ def label_cardinality(out_dir: str, tier: str, labels: list[str],
     series count explodes (which label blew up?)."""
     from vertex_ray.stages.promql import extract_label
 
-    ds = _read_blocks(out_dir, tier, layout)
+    ds = _read_blocks(out_dir, tier, layout, metric=metric)
 
     def partial(t: pa.Table) -> pa.Table:
         if metric is not None:
