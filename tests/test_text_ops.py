@@ -892,3 +892,45 @@ def test_mixture_sample(ray_session):
                           {"a": 1.0}).count() == 0
     with pytest.raises(ValueError, match="not in"):
         mixture_sample(rd.from_arrow(t2), "source", "doc_id", {"a": 1.5})
+
+
+def test_mixture_sample_fuzz_vs_duckdb(ray_session):
+    """mixture_sample's per-source hash predicate == the SQL CASE mirror
+    on random (source, doc_id) tables."""
+    import duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vertex_ray.stages.text import mixture_sample
+
+    def thresh(w):
+        return format(min(int(w * (1 << 64)), (1 << 64) - 1), "016x")
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 10**6),
+                              st.sampled_from(["a", "b", "c", "zz"])),
+                    min_size=1, max_size=200, unique_by=lambda x: x[0]),
+           st.floats(0, 1), st.floats(0, 1))
+    def run(rows, wa, wb):
+        import ray.data as rd
+
+        t = pa.table({
+            "doc_id": [r[0] for r in rows],
+            "source": [r[1] for r in rows],
+        })
+        got = sorted(mixture_sample(rd.from_arrow(t), "source", "doc_id",
+                                    {"a": wa, "b": wb}, default=0.3)
+                     .to_pandas().get("doc_id", pd.Series(dtype=np.int64)))
+        con = duckdb.connect()
+        con.register("d", t.to_pandas())
+        ref = sorted(con.execute(f"""
+            SELECT doc_id FROM d
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) <
+                  CASE source WHEN 'a' THEN '{thresh(wa)}'
+                              WHEN 'b' THEN '{thresh(wb)}'
+                              ELSE '{thresh(0.3)}' END
+        """).df()["doc_id"])
+        assert got == ref
+
+    run()
