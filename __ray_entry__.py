@@ -797,6 +797,39 @@ def _q_point_read_1h(sf_dir: str):
                        columns=["series_key", "window_start", "count"])
 
 
+def _q_stitched_rate(sf_dir: str):
+    """Per-second turn rate over the stitched cross-resolution vector:
+    each row normalizes its count by ITS OWN tier's window length
+    (count/86400 on the 1d history leg, count/3600 on the 1h tail leg),
+    so a single dashboard panel reads a consistent turns/sec series
+    across the resolution boundary — one vectorized division per batch
+    on top of the stitched read."""
+    import pyarrow.compute as pc
+
+    from vertex_ray.pipelines.rollup_pipeline import transcripts_end_ts
+    from vertex_ray.read import query_range_stitched
+    from vertex_ray.schema import TIER_SECONDS
+
+    out = _ensure_pipeline(sf_dir)
+    boundary = (transcripts_end_ts(ensure_transcripts(sf_dir))
+                // 86400 * 86400)
+    v = query_range_stitched(
+        out, "1d", "1h", boundary, metric="turns_total",
+        columns=["series_key", "window_start", "count"])
+    secs = dict(TIER_SECONDS)
+
+    def rate(t):
+        import numpy as np
+        import pyarrow as _pa
+
+        div = np.array([secs[x] for x in t["tier"].to_pylist()],
+                       dtype=np.float64)
+        r = t["count"].to_pandas().to_numpy().astype(np.float64) / div
+        return t.append_column("rate", _pa.array(r, type=_pa.float64()))
+
+    return v.map_batches(rate, batch_format="pyarrow")
+
+
 def _q_limitk_1h(sf_dir: str):
     """PromQL ``limitk(3, turns_total)``: a deterministic 3-series
     sample — smallest md5(series_key) digests, so the SQL mirror's
@@ -1857,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "limitk_3_1h_turns": _q_limitk_1h,
         "trending_tools_1h": _q_trending_tools_1h,
         "point_read_1h_turns": _q_point_read_1h,
+        "stitched_rate_1d_1h": _q_stitched_rate,
         "resample_4h_gauge_last": _q_resample_4h_gauge,
         "first_over_1h_turns": _q_first_over_1h,
         "dom_profile_1d_turns": _q_dom_profile_1d,
@@ -2288,6 +2322,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
+            """,
+        "stitched_rate_1d_1h": f"""
+            WITH b AS (
+              SELECT (max({_w(86400)}) // 86400) * 86400 AS boundary
+              FROM {_SQL_TRANSCRIPTS}
+            ),
+            g1d AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(86400)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            g1h AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT g.series_key, g.window_start, g.count, '1d' AS tier,
+                   CAST(g.count AS DOUBLE) / 86400.0 AS rate
+            FROM g1d g, b WHERE g.window_start < b.boundary
+            UNION ALL
+            SELECT g.series_key, g.window_start, g.count, '1h' AS tier,
+                   CAST(g.count AS DOUBLE) / 3600.0 AS rate
+            FROM g1h g, b WHERE g.window_start >= b.boundary
             """,
         "point_read_1h_turns": f"""
             SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
