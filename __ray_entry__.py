@@ -680,6 +680,19 @@ def _q_hourly_profile_turns(sf_dir: str):
                      ["role", "hour", "day_of_week"], ["count"])
 
 
+def _q_stddev_without_role_1h(sf_dir: str):
+    """PromQL ``stddev without(role) (turns_total)``: population stddev
+    across a conversation's role series — exact int64 (sum, sum²,
+    count) partials, the variance evaluated once at finalize in a fixed
+    IEEE order mirrored by the SQL, so merge order can't perturb the
+    value (stages/promql.aggregate_without agg="stddev")."""
+    from vertex_ray.stages.promql import aggregate_without
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    return aggregate_without(ds, ["role"], "count", agg="stddev")
+
+
 def _q_avg_without_role_1h(sf_dir: str):
     """PromQL ``avg without(role) (turns_total)`` at 1h: the mean hourly
     turn count across a conversation's role series — exact int64
@@ -1886,6 +1899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sqrt_scaled_1h_turns": _q_sqrt_scaled_1h,
         "sum_without_role_1h_turns": _q_sum_without_role_1h,
         "avg_without_role_1h_turns": _q_avg_without_role_1h,
+        "stddev_without_role_1h_turns": _q_stddev_without_role_1h,
         "resample_4h_1h_turns": _q_resample_4h_turns,
         "limitk_3_1h_turns": _q_limitk_1h,
         "trending_tools_1h": _q_trending_tools_1h,
@@ -2407,6 +2421,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(arg_max(turn_idx, ts) AS DOUBLE) AS last
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
+            """,
+        "stddev_without_role_1h_turns": f"""
+            WITH g AS (
+              SELECT conv_id, role, {_w(3600)} AS window_start,
+                     count(*) AS c
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2, 3
+            )
+            SELECT 'turns_total{{conv_id=' || conv_id || '}}'
+                     AS series_key,
+                   window_start,
+                   sqrt(CAST(count(*) * sum(c*c) - sum(c) * sum(c)
+                             AS DOUBLE)
+                        / (count(*) * count(*))) AS count
+            FROM g GROUP BY 1, 2
             """,
         "avg_without_role_1h_turns": f"""
             WITH g AS (

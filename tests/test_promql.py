@@ -1316,3 +1316,26 @@ def test_dashboard_composition_smoke(ray_session):
                          tier_seconds=4 * 86400).to_pandas()
     assert len(alerts) > 0
     assert set(alerts.state.unique()) <= {"inactive", "pending", "firing"}
+
+
+def test_aggregate_without_stddev(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import aggregate_without
+
+    out = (aggregate_without(rd.from_arrow(_tier_table()), ["role"],
+                             "count", agg="stddev")
+           .to_pandas().sort_values(["series_key", "window_start"])
+           .reset_index(drop=True))
+    # single-member groups -> population stddev 0
+    one = out[out.series_key == "turns_total{conv_id=c3}"]
+    assert (one["count"] == 0.0).all()
+    # two-member group {2, 3} at window 60: mean 2.5, var 0.25
+    t = pa.table({
+        "series_key": ["m{c=x,role=a}", "m{c=x,role=b}"],
+        "window_start": np.array([60, 60], dtype=np.int64),
+        "count": np.array([2, 3], dtype=np.int64),
+    })
+    got = aggregate_without(rd.from_arrow(t), ["role"], "count",
+                            agg="stddev").to_pandas()
+    assert got["count"].tolist() == [0.5]

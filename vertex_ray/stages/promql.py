@@ -235,35 +235,53 @@ def aggregate_without(ds, drop_labels: list[str], value_col: str,
     promql function composes on it). Combiner pattern: per-batch
     partials before the one exchange (sum/count merge by summing int64
     partials; min/max are order-free; ``avg`` carries exact int64
-    (sum, count) partials and divides ONCE at finalize, so the result
-    is bit-identical under any merge order — it therefore requires an
-    integer value column, like over_time)."""
-    if agg not in ("sum", "count", "min", "max", "avg"):
+    (sum, count) partials and divides ONCE at finalize; ``stddev``
+    (population, the PromQL convention) carries exact int64
+    (sum, sum-of-squares, count) partials and evaluates
+    ``sqrt((n·Σv² − (Σv)²) / n²)`` in one fixed order at finalize — so
+    both are bit-identical under any merge order, and both therefore
+    require an integer value column, like over_time)."""
+    if agg not in ("sum", "count", "min", "max", "avg", "stddev"):
         raise ValueError(f"unsupported aggregate_without agg: {agg}")
     out = out_col or value_col
     keys = [key_col, window_col]
 
     def prep(t: pa.Table) -> pa.Table:
-        if agg == "avg" and not pa.types.is_integer(
+        if agg in ("avg", "stddev") and not pa.types.is_integer(
                 t.schema.field(value_col).type):
-            raise TypeError("aggregate_without avg needs an integer "
+            raise TypeError(f"aggregate_without {agg} needs an integer "
                             "column for exact partial sums")
         t = strip_labels(t, drop_labels, key_col=key_col)
         df = t.select(keys + [value_col]).to_pandas()
-        gb = df.groupby(keys, sort=False)[value_col]
-        if agg == "avg":
-            g = gb.agg(__p="sum", __c="count").reset_index()
+        if agg == "stddev":
+            df["__v2"] = df[value_col].to_numpy(np.int64) ** 2
+            g = (df.groupby(keys, sort=False)
+                 .agg(__p=(value_col, "sum"), __s2=("__v2", "sum"),
+                      __c=(value_col, "count")).reset_index())
         else:
-            g = (gb.size().rename("__p") if agg == "count"
-                 else getattr(gb, agg)().rename("__p")).reset_index()
+            gb = df.groupby(keys, sort=False)[value_col]
+            if agg == "avg":
+                g = gb.agg(__p="sum", __c="count").reset_index()
+            else:
+                g = (gb.size().rename("__p") if agg == "count"
+                     else getattr(gb, agg)().rename("__p")).reset_index()
         b = (pd.util.hash_pandas_object(g[keys], index=False)
              .to_numpy() % np.uint64(n_buckets)).astype(np.int64)
         g["__bucket"] = b
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    merge_op = "sum" if agg in ("sum", "count", "avg") else agg
+    merge_op = "sum" if agg in ("sum", "count", "avg", "stddev") else agg
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        if agg == "stddev":
+            r = (g.groupby(keys, sort=False)[["__p", "__s2", "__c"]]
+                 .sum().reset_index())
+            n = r["__c"].to_numpy(np.int64)
+            s = r["__p"].to_numpy(np.int64)
+            s2 = r["__s2"].to_numpy(np.int64)
+            r[out] = np.sqrt((n * s2 - s * s).astype(np.float64)
+                             / (n * n))
+            return r[keys + [out]]
         if agg == "avg":
             r = (g.groupby(keys, sort=False)[["__p", "__c"]]
                  .sum().reset_index())
