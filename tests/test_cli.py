@@ -178,3 +178,30 @@ def test_delete_and_clean_tombstones_cli(ray_session, tmp_path, capsys):
                  "--metric", "turns_total", "--match", r"role=user\}",
                  "--limit", "1"]) == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == 2
+
+
+def test_snapshot_cli(ray_session, tmp_path, capsys):
+    """snapshot hardlinks committed stages + manifests + tombstones; the
+    snapshot answers queries identically to the live store."""
+    from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+    from vertex_ray.synth import ensure_transcripts
+
+    trans = ensure_transcripts("/root/testdata/sf0.001")
+    store = str(tmp_path / "tiers")
+    snap = str(tmp_path / "snap")
+    run_pipeline(trans, store, n_buckets=8)
+    assert main(["delete", store, "--metric", "turns_total",
+                 "--match", r"role=tool\}"]) == 0
+    capsys.readouterr()
+    assert main(["snapshot", store, snap]) == 0
+    out = capsys.readouterr().out
+    assert "stages" in out
+
+    live = main(["query", "range", store, "--tier", "1h",
+                 "--metric", "turns_total"])
+    a = capsys.readouterr().out
+    assert live == 0
+    assert main(["query", "range", snap, "--tier", "1h",
+                 "--metric", "turns_total"]) == 0
+    b = capsys.readouterr().out
+    assert a == b and len(a.strip().splitlines()) > 1

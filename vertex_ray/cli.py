@@ -232,6 +232,55 @@ def cmd_clean_tombstones(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Consistent store snapshot (the /api/v1/admin/tsdb/snapshot
+    analogue): copy every COMMITTED stage (data files named in the
+    manifest + the manifest itself + tombstones) to dst — hardlinks on
+    a local filesystem (Prometheus-style zero-copy snapshots; committed
+    files are never rewritten in place, so links are safe), byte copies
+    elsewhere. Uncommitted stages (no manifest) are skipped, so a
+    snapshot taken mid-run is still a consistent view of committed
+    work."""
+    import os as _os
+    import shutil as _shutil
+
+    from vertex_ray.state.checkpoint import read_manifest
+    from vertex_ray.state.tombstones import TOMBSTONE_FILE
+
+    def link_or_copy(src, dst):
+        try:
+            _os.link(src, dst)
+        except OSError:
+            _shutil.copy2(src, dst)
+
+    n_stages = n_files = 0
+    for entry in sorted(_os.listdir(args.store)):
+        roots = []
+        sub = _os.path.join(args.store, entry)
+        if entry.startswith("epoch-") and _os.path.isdir(sub):
+            roots = [(_os.path.join(entry, d), _os.path.join(sub, d))
+                     for d in sorted(_os.listdir(sub))]
+        elif _os.path.isdir(sub):
+            roots = [(entry, sub)]
+        for rel, root in roots:
+            try:
+                m = read_manifest(root)
+            except FileNotFoundError:
+                continue  # uncommitted stage
+            out = _os.path.join(args.dst, rel)
+            _os.makedirs(out, exist_ok=True)
+            for fname in list(m["files"]) + ["manifest.json"]:
+                link_or_copy(_os.path.join(root, fname),
+                             _os.path.join(out, fname))
+                n_files += 1
+            n_stages += 1
+    stones = _os.path.join(args.store, TOMBSTONE_FILE)
+    if _os.path.exists(stones):
+        _shutil.copy2(stones, _os.path.join(args.dst, TOMBSTONE_FILE))
+    print(f"snapshot: {n_stages} stages, {n_files} files -> {args.dst}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vertex_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -324,6 +373,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--tiers", default=None,
                     help="comma-separated tier names (default: all)")
     sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("snapshot",
+                        help="hardlink-copy every committed stage to a "
+                             "snapshot dir (consistent backup)")
+    sp.add_argument("store")
+    sp.add_argument("dst")
+    sp.set_defaults(fn=cmd_snapshot)
 
     sp = sub.add_parser("clean-tombstones",
                         help="forget applied stones (run after the "
