@@ -343,6 +343,19 @@ def run_corpus() -> dict:
                            min_overlap=5).count()
     timings["decontaminate"] = round(time.time() - t0, 3)
 
+    # quality scoring: Gopher rule set + Flesch readability over every
+    # stitched conversation (stateless vectorized batch ops)
+    from vertex_ray.stages.text import gopher_rules_op, readability_op
+
+    t0 = time.time()
+    corpus.map_batches(gopher_rules_op("doc", "conv_id"),
+                       batch_format="pyarrow").count()
+    timings["gopher_rules"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    corpus.map_batches(readability_op("doc", "conv_id"),
+                       batch_format="pyarrow").count()
+    timings["readability"] = round(time.time() - t0, 3)
+
     total = sum(timings.values())
     out = {
         "metric": "corpus_ops_seconds",
