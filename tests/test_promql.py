@@ -1339,3 +1339,57 @@ def test_aggregate_without_stddev(ray_session):
     got = aggregate_without(rd.from_arrow(t), ["role"], "count",
                             agg="stddev").to_pandas()
     assert got["count"].tolist() == [0.5]
+
+
+def test_resample_windows_fuzz(ray_session):
+    """resample_windows == a single-partition pandas brute force on
+    random inputs (random keys, windows, duplicate windows across
+    batches, negative values), for every supported op — regardless of
+    how Ray splits the input into blocks."""
+    import ray.data as rd
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vertex_ray.stages.promql import resample_windows
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(0, 40),          # tier window index
+                  st.integers(-1000, 1000)),
+        min_size=1, max_size=120), st.integers(2, 5))
+    def run(rows, step_mult):
+        tier_s = 60
+        step = tier_s * step_mult
+        df = pd.DataFrame(rows, columns=["series_key", "wi", "v"])
+        # one row per (key, window): aggregate duplicates first (tier
+        # rows are unique per series-window by construction)
+        df = (df.groupby(["series_key", "wi"], as_index=False)["v"]
+              .sum())
+        df["window_start"] = df["wi"] * tier_s
+        df["v"] = df["v"].astype(np.int64)
+        t = pa.table({
+            "series_key": df["series_key"],
+            "window_start": df["window_start"].astype(np.int64),
+            "v": df["v"],
+        })
+        ds = rd.from_arrow(t).repartition(4)
+        for op in ["sum", "min", "max", "last"]:
+            got = (resample_windows(ds, step, tier_s, {"v": op})
+                   .to_pandas()
+                   .sort_values(["series_key", "window_start"])
+                   .reset_index(drop=True))
+            ref = df.copy()
+            ref["window_start"] = ref["window_start"] // step * step
+            ref = ref.sort_values("wi", kind="stable")
+            agg = {"sum": "sum", "min": "min", "max": "max",
+                   "last": "last"}[op]
+            ref = (ref.groupby(["series_key", "window_start"],
+                               as_index=False)["v"].agg(agg)
+                   .sort_values(["series_key", "window_start"])
+                   .reset_index(drop=True))
+            np.testing.assert_array_equal(
+                got["v"].to_numpy(), ref["v"].to_numpy(), err_msg=op)
+
+    run()
