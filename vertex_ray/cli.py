@@ -199,6 +199,12 @@ def cmd_query(args) -> int:
         ds = label_values(args.store, tier, args.label,
                           metric=args.metric, layout=args.layout)
     df = ds.to_pandas()
+    # Ray streaming execution does not preserve block order, so the raw
+    # result order varies run-to-run; sort on every column for a stable,
+    # diffable CSV. Results are query-sized — a driver-side sort is fine.
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort",
+                            ignore_index=True)
     if args.limit:
         df = df.head(args.limit)
     print(df.to_csv(index=False), end="")
