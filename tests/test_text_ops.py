@@ -83,6 +83,37 @@ def test_simhash_hamming():
     assert hamming64(a, a) == 0
 
 
+def test_md5_hash64_matches_duckdb():
+    """The md5 audit family must equal DuckDB's md5_number_lower exactly
+    (low 8 digest bytes, little-endian) — the whole point of offering it."""
+    import duckdb
+    import numpy as np
+
+    from vertex_ray.stages.dedup_near import _md5_hash64
+
+    toks = np.array(["hello", "world", "hello", "", "Ünïcode"], dtype=object)
+    ours = _md5_hash64(toks)
+    for t, h in zip(toks, ours):
+        (ref,) = duckdb.sql(
+            "select md5_number_lower(?)", params=[str(t)]
+        ).fetchone()
+        assert int(h) == int(ref), t
+
+
+def test_simhash_hash_families_agree_on_structure():
+    """Same doc, either family: 64-bit value; identical docs collide,
+    near docs stay near under both families."""
+    from vertex_ray.stages.dedup_near import simhash64_batch
+
+    a = "the quick brown fox jumps over the lazy dog " * 4
+    b = "the quick brown fox jumps over the lazy cat " * 4
+    c = "zx qv wt yu io pl mn bv cx za " * 4
+    for fam in ("sip", "md5"):
+        ha, hb, hc, ha2 = simhash64_batch([a, b, c, a], hash_family=fam)
+        assert ha == ha2
+        assert hamming64(ha, hb) < hamming64(ha, hc)
+
+
 def test_registry_functions():
     from vertex_ray.functions.registry import FUNCTIONS, apply
 

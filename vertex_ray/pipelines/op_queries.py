@@ -566,6 +566,69 @@ def q_simhash_pairs_docs(sf_dir: str):
     return simhash_near_pairs(_docs(sf_dir), "text", "doc_id", max_hamming=6)
 
 
+def q_simhash_md5_docs(sf_dir: str):
+    """The SimHash values themselves under the md5 token-hash family —
+    hash-checked against a DuckDB mirror that recomputes every bit vote
+    in SQL (``md5_number_lower`` == our little-endian low-8-digest-bytes
+    hash). Validates the whole SimHash construction, not just plumbing."""
+    from vertex_ray.stages.dedup_near import simhash_op
+
+    return _docs(sf_dir).map_batches(
+        simhash_op("text", "doc_id", hash_family="md5"), batch_format="pyarrow"
+    )
+
+
+def q_simhash_pairs_md5_docs(sf_dir: str):
+    """SimHash near-pairs at the blocking-exact distance (max_hamming=3,
+    4 × 16-bit pigeonhole chunks ⇒ recall is guaranteed complete), md5
+    hash family — so a brute-force all-pairs SQL mirror must return the
+    IDENTICAL pair set. The sip-family query above stays rows-only."""
+    from vertex_ray.stages.dedup_near import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(sf_dir), "text", "doc_id", max_hamming=3,
+                              hash_family="md5")
+
+
+# Recomputes SimHash bit-for-bit in SQL: tokens = \S+ runs of lower(text),
+# token hash = md5_number_lower (== _md5_hash64), per-bit ±1 vote, bit set
+# iff vote > 0; the uint64 is assembled in HUGEINT then two's-complemented
+# to the engine's int64 view. Token-less docs hash to 0 via the LEFT JOIN.
+_SQL_SIMHASH_MD5 = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, md5_number_lower(tok)::UBIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc_id, bits.b AS bit,
+             SUM(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+      GROUP BY doc_id, bits.b
+    ),
+    sims AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << bit::INT)
+                 ELSE 0::HUGEINT END) AS u
+      FROM votes GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           (COALESCE(s.u, 0) - CASE WHEN COALESCE(s.u, 0)
+                >= 9223372036854775808 THEN 18446744073709551616
+                ELSE 0 END)::BIGINT AS simhash
+    FROM documents d LEFT JOIN sims s USING (doc_id)
+"""
+
+SQL_SIMHASH_MD5_DOCS = _SQL_SIMHASH_MD5
+
+SQL_SIMHASH_PAIRS_MD5_DOCS = f"""
+    WITH sim AS ({_SQL_SIMHASH_MD5})
+    SELECT s1.doc_id AS a, s2.doc_id AS b,
+           bit_count(xor(s1.simhash, s2.simhash))::BIGINT AS hamming
+    FROM sim s1 JOIN sim s2 ON s1.doc_id < s2.doc_id
+    WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+"""
+
+
 def q_ngram_jaccard_docs(sf_dir: str):
     from vertex_ray.stages.dedup_near import ngram_jaccard_pairs
 
@@ -2241,6 +2304,8 @@ OP_QUERIES = {
     "op_fingerprint_md5_docs": q_fingerprint_md5_docs,
     "op_minhash_pairs_docs": q_minhash_pairs_docs,
     "op_simhash_pairs_docs": q_simhash_pairs_docs,
+    "op_simhash_md5_docs": q_simhash_md5_docs,
+    "op_simhash_pairs_md5_docs": q_simhash_pairs_md5_docs,
     "op_ngram_jaccard_docs": q_ngram_jaccard_docs,
     "op_ngram_overlap_docs": q_ngram_overlap_docs,
     "op_dedup_clusters_docs": q_dedup_clusters_docs,
@@ -2345,6 +2410,8 @@ OP_ORACLES = {
     "op_chunk_docs": SQL_CHUNK_DOCS,
     "op_epoch_shuffle_docs": SQL_EPOCH_SHUFFLE_DOCS,
     "op_fingerprint_md5_docs": SQL_FINGERPRINT_MD5_DOCS,
+    "op_simhash_md5_docs": SQL_SIMHASH_MD5_DOCS,
+    "op_simhash_pairs_md5_docs": SQL_SIMHASH_PAIRS_MD5_DOCS,
     "op_codec_jsonl_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_csv_events": SQL_CODEC_JSONL_EVENTS,
     "op_codec_logfmt_events": SQL_CODEC_JSONL_EVENTS,

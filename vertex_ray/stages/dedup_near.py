@@ -359,11 +359,39 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
 # ---------------------------------------------------------------------------
 
 
-def simhash64_batch(texts) -> np.ndarray:
+def _md5_hash64(strs: np.ndarray) -> np.ndarray:
+    """Audit-family 64-bit token hash: the LOW 8 md5 digest bytes,
+    little-endian — bit-for-bit DuckDB's ``md5_number_lower``, so any SQL
+    engine can recompute the hash (and therefore the whole SimHash) for
+    auditing. One C md5 call per DISTINCT string in the batch (factorize
+    first); slower than the siphash default, used by the SQL-oracled
+    variants."""
+    import hashlib
+
+    codes, uniq = pd.factorize(strs, use_na_sentinel=False)
+    vals = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(s).encode("utf-8")).digest()[8:], "little")
+            for s in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return vals[codes]
+
+
+_TOKEN_HASHERS = {"sip": _hash_strings, "md5": _md5_hash64}
+
+
+def simhash64_batch(texts, hash_family: str = "sip") -> np.ndarray:
     """64-bit SimHash (weighted bit-vote over token features) for a whole
     batch: ONE vectorized hash over all tokens, bit expansion to an
     (n_tokens × 64) ±1 matrix, per-doc vote via segmented
-    ``np.add.reduceat``."""
+    ``np.add.reduceat``.
+
+    ``hash_family``: "sip" (default, fastest) or "md5" (SQL-recomputable,
+    see :func:`_md5_hash64`) — the digest family is a deployment config
+    knob, same contract either way."""
     tok_lists = [_SHINGLE_RE.findall((s or "").lower()) for s in texts]
     counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(texts))
     out = np.zeros(len(texts), dtype=np.uint64)
@@ -375,7 +403,7 @@ def simhash64_batch(texts) -> np.ndarray:
     for lst in tok_lists:
         flat[pos : pos + len(lst)] = lst
         pos += len(lst)
-    h = _hash_strings(flat)
+    h = _TOKEN_HASHERS[hash_family](flat)
     shifts = np.arange(64, dtype=np.uint64)
     signs = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2) - 1
     nz = counts > 0
@@ -392,10 +420,10 @@ def simhash64(text: str) -> int:
     return int(simhash64_batch([text])[0])
 
 
-def simhash_op(text_col: str, id_col: str):
+def simhash_op(text_col: str, id_col: str, hash_family: str = "sip"):
     def fn(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_numpy(zero_copy_only=False)
-        hs = simhash64_batch(texts)
+        hs = simhash64_batch(texts, hash_family=hash_family)
         return pa.table(
             {
                 id_col: t[id_col],
@@ -414,7 +442,7 @@ def hamming64(a: int, b: int) -> int:
 
 
 def simhash_near_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
-                       max_bucket: int = 4000):
+                       max_bucket: int = 4000, hash_family: str = "sip"):
     """Near-dup pairs by SimHash: block on (max_hamming + 1) bit chunks —
     by pigeonhole, a pair within hamming distance ≤ max_hamming of 64 bits
     must share at least one chunk exactly — groupby chunk value, verify
@@ -429,7 +457,8 @@ def simhash_near_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
     starts_bits[1:] = np.cumsum(widths[:-1]).astype(np.uint64)
     masks = ((np.uint64(1) << widths.astype(np.uint64)) - np.uint64(1))
 
-    sim = ds.map_batches(simhash_op(text_col, id_col), batch_format="pyarrow")
+    sim = ds.map_batches(simhash_op(text_col, id_col, hash_family=hash_family),
+                         batch_format="pyarrow")
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
