@@ -965,3 +965,74 @@ def test_mixture_sample_fuzz_vs_duckdb(ray_session):
         assert got == ref
 
     run()
+
+
+def test_dsir_affinity_matches_brute_force(ray_session):
+    """dsir_affinity vs a row-at-a-time reference: integer stats exact,
+    float log-ratio score bit-equal (same occurrence-order summation),
+    invariant to the dataset's partitioning."""
+    import hashlib
+
+    import ray.data as rd
+
+    from vertex_ray.stages.text import dsir_affinity
+
+    B = 64
+    docs = [
+        ("a tgt", "common words appear here and there"),
+        ("b raw", "completely different vocabulary set"),
+        ("c tgt", "common words appear again and again"),
+        ("d raw", ""),
+        ("e raw", "one"),
+        ("f tgt", "common words " * 20),
+    ]
+    rows = [{"doc_id": i, "text": t, "source": "tgt" if "tgt" in k else "raw"}
+            for i, (k, t) in enumerate(docs)]
+
+    def grams(text):
+        toks = text.lower().split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int.from_bytes(hashlib.md5(g.encode()).digest()[8:],
+                              "little") % B
+
+    tprof, rprof = [0] * B, [0] * B
+    for r in rows:
+        for g in grams(r["text"]):
+            rprof[bucket(g)] += 1
+            if r["source"] == "tgt":
+                tprof[bucket(g)] += 1
+    T, R = sum(tprof), sum(rprof)
+    expect = {}
+    for r in rows:
+        bks = [bucket(g) for g in grams(r["text"])]
+        # engine contract: per-bucket weight = np.log on the dense profile
+        # vectors (np.log's SIMD path differs from math.log by 1 ulp on
+        # some inputs, so the weight kernel is part of the contract);
+        # per-doc score = strictly sequential left-to-right accumulation
+        # in occurrence order (np.bincount weights == this plain loop)
+        wvec = (np.log((np.array(tprof) + 1.0) / (T + B))
+                - np.log((np.array(rprof) + 1.0) / (R + B)))
+        sc = 0.0
+        for b in bks:
+            sc += float(wvec[b])
+        expect[r["doc_id"]] = (len(bks), sum(tprof[b] for b in bks),
+                               sum(rprof[b] for b in bks), sc)
+
+    for nblocks in (1, 3):
+        ds = rd.from_items(rows, override_num_blocks=nblocks)
+        out = dsir_affinity(ds, "text", "doc_id", target_col="source",
+                            target_value="tgt", n_buckets=B).to_pandas()
+        assert len(out) == len(rows)
+        for _, row in out.iterrows():
+            n, th, rh, sc = expect[row["doc_id"]]
+            assert (row["n_grams"], row["t_hits"], row["r_hits"]) == (n, th, rh)
+            assert row["dsir_score"] == sc, row["doc_id"]
+    # target docs must outrank raw docs on the score
+    byid = {r["doc_id"]: r["source"] for r in rows}
+    scored = {row["doc_id"]: row["dsir_score"] for _, row in out.iterrows()
+              if expect[row["doc_id"]][0] > 0}
+    tgt_scores = [s for d, s in scored.items() if byid[d] == "tgt"]
+    raw_scores = [s for d, s in scored.items() if byid[d] == "raw"]
+    assert min(tgt_scores) > max(raw_scores)

@@ -365,6 +365,16 @@ def _t_mixture(cfg, ds):
                           default=cfg.get("default", 0.0))
 
 
+def _t_dsir(cfg, ds):
+    from vertex_ray.stages.text import dsir_affinity
+
+    return dsir_affinity(ds, cfg.get("text_col", "text"),
+                         cfg.get("id_col", "doc_id"),
+                         target_col=cfg.get("target_col", "source"),
+                         target_value=cfg["target_value"],
+                         n_buckets=cfg.get("n_buckets", 1 << 14))
+
+
 def _t_boilerplate(cfg, ds):
     from vertex_ray.stages.text import remove_boilerplate_lines
 
@@ -578,6 +588,7 @@ STEP_TYPES: dict[str, Callable] = {
     "gopher": _t_gopher,
     "boilerplate": _t_boilerplate,
     "mixture": _t_mixture,
+    "dsir": _t_dsir,
     "aggregate_without": _t_aggregate_without,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,

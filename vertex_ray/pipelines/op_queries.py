@@ -2623,3 +2623,70 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) <
 
 OP_QUERIES["op_mixture_docs"] = q_mixture_docs
 OP_ORACLES["op_mixture_docs"] = _sql_mixture()
+
+
+def q_dsir_docs(sf_dir: str):
+    """DSIR-style target-domain affinity (arXiv:2302.03169): hashed
+    unigram+bigram profiles of the src0 slice vs the raw corpus; the
+    oracle checks the integer sufficient statistics exactly (the float
+    log-ratio score derives from them and stays engine-side, covered by
+    a pytest brute-force test)."""
+    from vertex_ray.stages.text import dsir_affinity
+
+    out = dsir_affinity(_docs(sf_dir), "text", "doc_id",
+                        target_col="source", target_value="src0",
+                        n_buckets=1 << 14)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_grams", "t_hits", "r_hits"]),
+        batch_format="pyarrow")
+
+
+# Recomputes the hashed-gram profiles and per-doc integer statistics in
+# SQL: tokens = \S+ runs of lower(text); grams = every token plus every
+# adjacent pair joined by one space; bucket = md5_number_lower(gram) %
+# 16384 (== stages.text._doc_gram_buckets); profiles count gram
+# OCCURRENCES over the src0 slice / the whole corpus.
+SQL_DSIR_DOCS = """
+    WITH tl AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '\\S+') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, source, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS ord
+      FROM tl
+    ),
+    grams AS (
+      SELECT doc_id, source, tok AS gram FROM flat
+      UNION ALL
+      SELECT a.doc_id, a.source, a.tok || ' ' || b.tok
+      FROM flat a JOIN flat b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    ),
+    bk AS (
+      SELECT doc_id, source,
+             (md5_number_lower(gram) % 16384)::BIGINT AS bucket
+      FROM grams
+    ),
+    tprof AS (SELECT bucket, COUNT(*)::BIGINT AS t FROM bk
+              WHERE source = 'src0' GROUP BY bucket),
+    rprof AS (SELECT bucket, COUNT(*)::BIGINT AS r FROM bk GROUP BY bucket),
+    per AS (
+      SELECT bk.doc_id,
+             COUNT(*)::BIGINT AS n_grams,
+             SUM(COALESCE(tp.t, 0))::BIGINT AS t_hits,
+             SUM(rp.r)::BIGINT AS r_hits
+      FROM bk
+      LEFT JOIN tprof tp USING (bucket)
+      JOIN rprof rp USING (bucket)
+      GROUP BY bk.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_grams, 0) AS n_grams,
+           COALESCE(per.t_hits, 0) AS t_hits,
+           COALESCE(per.r_hits, 0) AS r_hits
+    FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+OP_QUERIES["op_dsir_docs"] = q_dsir_docs
+OP_ORACLES["op_dsir_docs"] = SQL_DSIR_DOCS

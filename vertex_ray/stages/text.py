@@ -969,3 +969,124 @@ def mixture_sample(ds, group_col: str, key_col: str,
         return t.filter(pa.array(h < lim))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _doc_gram_buckets(t: pa.Table, text_col: str, id_col: str,
+                      n_buckets: int) -> tuple:
+    """Per-batch hashed-gram buckets: (doc_row_index, bucket) for every
+    unigram AND adjacent bigram occurrence (DSIR's feature space,
+    arXiv:2302.03169 §3), hashed with the md5 audit family
+    (``dedup_near._md5_hash64`` == DuckDB ``md5_number_lower``) so a SQL
+    engine can recompute every bucket. Returns (doc_of, buckets) numpy
+    arrays in document-occurrence order."""
+    from vertex_ray.stages.dedup_near import _md5_hash64
+
+    lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    off = lists.offsets.to_numpy().astype(np.int64)
+    doc_of = np.repeat(np.arange(len(t)), np.diff(off))
+    toks = flat.to_numpy(zero_copy_only=False)
+    keep = toks != ""
+    toks, doc_of = toks[keep], doc_of[keep]
+    if len(toks) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    grams = [toks]
+    gdoc = [doc_of]
+    if len(toks) >= 2:
+        same = doc_of[:-1] == doc_of[1:]
+        if same.any():
+            grams.append(np.char.add(np.char.add(
+                toks[:-1].astype(str), " "), toks[1:].astype(str))[same])
+            gdoc.append(doc_of[:-1][same])
+    allg = np.concatenate([g.astype(object) for g in grams])
+    alld = np.concatenate(gdoc)
+    order = np.argsort(alld, kind="stable")
+    buckets = (_md5_hash64(allg[order]) % np.uint64(n_buckets)).astype(np.int64)
+    return alld[order], buckets
+
+
+def dsir_affinity(ds, text_col: str, id_col: str, *, target_col: str,
+                  target_value, n_buckets: int = 1 << 14):
+    """DSIR-style data selection scoring (Xie et al., NeurIPS'23,
+    arXiv:2302.03169): estimate how target-domain-like each document is
+    from hashed n-gram (unigram + bigram) profiles.
+
+    Pass 1 builds two bucket-count profiles — the TARGET slice
+    (``target_col == target_value``) and the full RAW corpus — with
+    per-batch ``bincount`` combiners and ONE tiny ``groupby(bucket)``
+    exchange each; a profile is a dense int64 vector of ``n_buckets``
+    (independent of corpus size), broadcast once via ``ray.put``.
+    Pass 2 scores every document batch locally (NO exchange): integer
+    sufficient statistics
+
+      ``n_grams``  — hashed-gram occurrences in the doc,
+      ``t_hits``   — Σ over the doc's grams of the TARGET bucket count,
+      ``r_hits``   — Σ over the doc's grams of the RAW bucket count,
+
+    all exact int64 (hash-checkable against a SQL mirror), plus the DSIR
+    importance log-ratio ``score = Σ_g ln((t[b_g]+1)/(T+B) · (R+B)/(r[b_g]+1))``
+    — summed per document strictly left-to-right in occurrence order
+    (``np.bincount`` weights), so it is bit-deterministic across runs and
+    partitionings and equals a plain Python accumulation loop (floats
+    stay out of the SQL oracle, which checks the integer statistics).
+
+    Scale shape: two streaming scans + one batch-local scoring pass;
+    shuffle volume is bounded by ``n_buckets`` × batches; the broadcast
+    is one ``n_buckets`` int64 vector per profile."""
+    import ray
+
+    def profile(dataset) -> np.ndarray:
+        def partial(t: pa.Table) -> pa.Table:
+            _, bk = _doc_gram_buckets(t, text_col, id_col, n_buckets)
+            cnt = np.bincount(bk, minlength=n_buckets).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"bucket": pa.array(nz, pa.int64()),
+                             "cnt": pa.array(cnt[nz])})
+
+        rows = (dataset.map_batches(partial, batch_format="pyarrow")
+                .groupby("bucket").sum("cnt").take_all())
+        out = np.zeros(n_buckets, dtype=np.int64)
+        for r in rows:
+            out[r["bucket"]] = r["sum(cnt)"]
+        return out
+
+    tprof = profile(ds.filter(
+        expr=f"{target_col} == {target_value!r}" if isinstance(target_value, str)
+        else f"{target_col} == {target_value}"))
+    rprof = profile(ds)
+    T, R, B = int(tprof.sum()), int(rprof.sum()), n_buckets
+    logw = (np.log((tprof + 1.0) / (T + B)) - np.log((rprof + 1.0) / (R + B)))
+    tref, rref, wref = ray.put(tprof), ray.put(rprof), ray.put(logw)
+
+    def score(t: pa.Table) -> pa.Table:
+        tp, rp, w = ray.get(tref), ray.get(rref), ray.get(wref)
+        doc_of, bk = _doc_gram_buckets(t, text_col, id_col, n_buckets)
+        n = len(t)
+        n_grams = np.bincount(doc_of, minlength=n).astype(np.int64)
+        t_hits = np.zeros(n, dtype=np.int64)
+        r_hits = np.zeros(n, dtype=np.int64)
+        sc = np.zeros(n, dtype=np.float64)
+        if len(bk):
+            # doc_of is sorted (occurrence order): int64 segment sums are
+            # exact under any order; the FLOAT score uses bincount's
+            # strictly sequential accumulation in occurrence order — a
+            # specifiable contract (equals a plain left-to-right loop)
+            nz = n_grams > 0
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(n_grams, out=off[1:])
+            starts = off[:-1][nz]
+            t_hits[nz] = np.add.reduceat(tp[bk], starts)
+            r_hits[nz] = np.add.reduceat(rp[bk], starts)
+            sc = np.bincount(doc_of, weights=w[bk], minlength=n)
+        return pa.table({
+            id_col: t[id_col],
+            "n_grams": pa.array(n_grams),
+            "t_hits": pa.array(t_hits),
+            "r_hits": pa.array(r_hits),
+            "dsir_score": pa.array(sc),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
