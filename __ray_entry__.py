@@ -1320,9 +1320,11 @@ def _q_tier_splice_turns(sf_dir: str):
 def _q_lttb_1m_turns(sf_dir: str):
     """Dashboard-render downsampling: LTTB (largest-triangle-three-
     buckets) of each 1m counter series to 20 points — endpoints exact,
-    spikes preserved (stages/promql.lttb_downsample). Rows-only: LTTB is
-    an algorithmic selection with no SQL analogue; the selection
-    invariants are pinned in tests/test_promql.py."""
+    spikes preserved (stages/promql.lttb_downsample). Hash-checked
+    against an unrolled chained-CTE SQL mirror (_sql_lttb_1m_turns):
+    integer-exact bucket edges, IEEE-identical triangle areas, earliest-
+    window tie-break; selection invariants also pinned in
+    tests/test_promql.py."""
     from vertex_ray.stages.promql import lttb_downsample
 
     ds = _metric_tier(sf_dir, "1m", "turns_total",
@@ -1982,6 +1984,89 @@ def _sql_turns() -> str:
     """
 
 
+def _sql_lttb_1m_turns(n_out: int = 20) -> str:
+    """SQL mirror of stages/promql.lttb_downsample over the 1m turns
+    tier, generated as ``n_out - 2`` CHAINED CTEs (one per interior
+    bucket — the selection is sequential, each bucket's pick depends on
+    the previous kept point, so the unrolled chain IS the recurrence).
+    Exactness: bucket edges are round-half-even on exact integers (the
+    engine uses the identical integer arithmetic); centroids are
+    exact-int sums / count (one float rounding each side); the triangle
+    area uses the same IEEE expression tree; argmax ties break to the
+    earliest window (QUALIFY ... ORDER BY area DESC, rn)."""
+    nb = n_out - 2
+    parts = [f"""
+    WITH g AS (
+      SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'
+               AS series_key,
+             {_w(60)} AS window_start, count(*) AS count
+      FROM {_SQL_TRANSCRIPTS} GROUP BY 1, 2
+    ),
+    r AS MATERIALIZED (
+      SELECT series_key, window_start, count,
+             CAST(window_start AS DOUBLE) AS x, CAST(count AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY series_key
+                                ORDER BY window_start) - 1 AS rn,
+             count(*) OVER (PARTITION BY series_key) AS n
+      FROM g
+    ),
+    edges AS (
+      SELECT series_key, n, j,
+             1 + (j*(n-2)) // {nb}
+               + CASE WHEN 2*((j*(n-2)) % {nb}) > {nb} THEN 1
+                      WHEN 2*((j*(n-2)) % {nb}) = {nb}
+                           AND ((j*(n-2)) // {nb}) % 2 = 1 THEN 1
+                      ELSE 0 END AS erel
+      FROM (SELECT DISTINCT series_key, n FROM r WHERE n > {n_out}),
+           (SELECT unnest(range({n_out - 1})) AS j)
+    ),
+    bspan AS MATERIALIZED (
+      SELECT e1.series_key, e1.j AS bi, e1.erel AS lo, e2.erel AS hi,
+             e2.erel AS nlo,
+             CASE WHEN e1.j = {nb - 1} THEN e1.n ELSE e3.erel END AS nhi
+      FROM edges e1
+      JOIN edges e2 ON e2.series_key = e1.series_key AND e2.j = e1.j + 1
+      LEFT JOIN edges e3 ON e3.series_key = e1.series_key AND e3.j = e1.j + 2
+      WHERE e1.j < {nb}
+    ),
+    cent AS MATERIALIZED (
+      SELECT b.series_key, b.bi,
+             CAST(sum(p.window_start) AS DOUBLE) / count(*) AS cx,
+             CAST(sum(p.count) AS DOUBLE) / count(*) AS cy
+      FROM bspan b JOIN r p ON p.series_key = b.series_key
+                   AND p.rn >= b.nlo AND p.rn < b.nhi
+      GROUP BY 1, 2
+    ),
+    k0 AS MATERIALIZED (SELECT series_key, rn, x, y FROM r WHERE rn = 0 AND n > {n_out})"""]
+    for i in range(1, nb + 1):
+        parts.append(f""",
+    k{i} AS MATERIALIZED (
+      SELECT p.series_key, p.rn, p.x, p.y
+      FROM k{i - 1} k
+      JOIN bspan b ON b.series_key = k.series_key AND b.bi = {i - 1}
+      JOIN cent c ON c.series_key = b.series_key AND c.bi = {i - 1}
+      JOIN r p ON p.series_key = b.series_key
+              AND p.rn >= b.lo AND p.rn < b.hi
+      QUALIFY row_number() OVER (PARTITION BY p.series_key
+        ORDER BY abs((k.x - c.cx)*(p.y - k.y) - (k.x - p.x)*(c.cy - k.y))
+                 DESC, p.rn) = 1
+    )""")
+    kept_union = "\n      UNION ALL ".join(
+        f"SELECT series_key, rn FROM k{i}" for i in range(nb + 1))
+    parts.append(f""",
+    kept AS (
+      {kept_union}
+      UNION ALL
+      SELECT series_key, n - 1 AS rn FROM r WHERE rn = 0 AND n > {n_out}
+    )
+    SELECT p.series_key, p.window_start, p.count
+    FROM kept JOIN r p ON p.series_key = kept.series_key AND p.rn = kept.rn
+    UNION ALL
+    SELECT series_key, window_start, count FROM r WHERE n <= {n_out}
+    """)
+    return "".join(parts)
+
+
 def _q_compact_1m_latency(sf_dir: str):
     """TSDB-style compaction of the epoch store's blocks (one block per
     series × tier instead of one per epoch — stages/compact), then decode:
@@ -2023,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
     _ensure_oracle_transcripts()
     sqls = {
         **OP_ORACLES,
+        "lttb_1m_turns": _sql_lttb_1m_turns(),
         "holt_winters_1h_turns": f"""
             WITH RECURSIVE g AS (
               SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role || '}}'

@@ -685,9 +685,15 @@ def lttb_downsample(ds, key_col: str, order_col: str, value_col: str,
             if n <= n_out:
                 keep_idx.append(np.arange(s, e))
                 continue
-            # bucket boundaries over the interior points
-            edges = s + 1 + np.round(
-                np.linspace(0, n - 2, n_out - 1)).astype(np.int64)
+            # bucket boundaries over the interior points: edge[j] =
+            # round-half-even(j·(n-2) / (n_out-2)) in EXACT integer
+            # arithmetic (no float linspace — its rounding is not
+            # reproducible across numpy versions or by a SQL mirror)
+            j = np.arange(n_out - 1, dtype=np.int64)
+            q, rem = np.divmod(j * (n - 2), n_out - 2)
+            up = (2 * rem > n_out - 2) | (
+                (2 * rem == n_out - 2) & (q % 2 == 1))
+            edges = s + 1 + q + up
             kept = [s]
             for bi in range(n_out - 2):
                 lo, hi = edges[bi], edges[bi + 1]
