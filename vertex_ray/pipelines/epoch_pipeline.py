@@ -230,13 +230,14 @@ def run_one_epoch(
 
 
 def epoch_dirs(out_dir: str) -> list[str]:
-    return [
-        posixpath.join(out_dir, d)
-        for d in sorted(
-            fsio.listdir(out_dir), key=lambda d: int(d.split("-", 1)[1])
-        )
-        if d.startswith("epoch-")
-    ] if fsio.exists(out_dir) else []
+    # filter BEFORE sorting: the store root also holds non-epoch entries
+    # (tombstones.json after a delete, future sidecars) that must not
+    # reach the epoch-number sort key
+    if not fsio.exists(out_dir):
+        return []
+    epochs = [d for d in fsio.listdir(out_dir) if d.startswith("epoch-")]
+    return [posixpath.join(out_dir, d)
+            for d in sorted(epochs, key=lambda d: int(d.split("-", 1)[1]))]
 
 
 def run_pipeline_epochs(
