@@ -129,3 +129,33 @@ def test_exact_quantiles_empty_and_null(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"value": [np.nan, np.nan]}))
     out = exact_quantiles(ds, "value", [0.5])
     assert np.isnan(out["value"].iloc[0])
+
+
+def test_hll_md5_matches_sql_raw_regime(ray_session):
+    """50k distinct values puts the estimator in the RAW harmonic-mean
+    regime (past linear counting); the DuckDB mirror must still match the
+    rounded estimate bit-for-bit — this pins the exact-integer harmonic
+    sum and the fixed-order float expression."""
+    import duckdb
+    import ray.data as rd
+
+    from vertex_ray.pipelines.op_queries import SQL_HLL_MD5_DISTINCT_EVENTS
+    from vertex_ray.stages.sketch import hll_distinct
+
+    n = 50_000
+    rows = pa.table({
+        "event_type": pa.array(["big"] * n),
+        "user_id": pa.array(np.arange(n, dtype=np.int64) * 7 + 13),
+    })
+    out = hll_distinct(rd.from_arrow(rows), "event_type", "user_id",
+                       hash_family="md5").to_pandas()
+    est = int(out["approx_distinct"].iloc[0])
+    # sanity: inside the ~1.6% standard-error envelope (allow 4 sigma)
+    assert abs(est - n) < 4 * 1.04 / (1 << 6) * n
+
+    con = duckdb.connect()
+    con.register("events_arrow", rows)
+    sql = SQL_HLL_MD5_DISTINCT_EVENTS.replace("FROM events",
+                                              "FROM events_arrow")
+    ref = con.sql(sql).df()
+    assert int(ref["approx_distinct"].iloc[0]) == est

@@ -2690,3 +2690,71 @@ SQL_DSIR_DOCS = """
 
 OP_QUERIES["op_dsir_docs"] = q_dsir_docs
 OP_ORACLES["op_dsir_docs"] = SQL_DSIR_DOCS
+
+
+def q_hll_md5_distinct_events(sf_dir: str):
+    """HLL distinct-users per event_type under the md5 audit hash family
+    — the WHOLE estimator is recomputed by the SQL mirror: registers from
+    md5_number_lower bits, the harmonic sum as exact HUGEINT dyadics, the
+    fixed-order raw-estimate expression, the linear-counting branch
+    (libm ln both sides), round-half-even. The sip-family query stays
+    rows-only (accuracy pinned in tests/test_sketch.py)."""
+    from vertex_ray.stages.sketch import hll_distinct
+
+    return hll_distinct(_ev(sf_dir), "event_type", "user_id",
+                        hash_family="md5")
+
+
+# Recomputes stages/sketch.hll_distinct (p=12: m=4096, width=52) exactly:
+# idx = top 12 hash bits; rho = 53 - bit_count(bit-smeared low 52 bits)
+# (== 1-based first-1 position from the top of the 52-bit field, 53 when
+# zero); Σ 2^-reg is computed as Σ 2^(53-reg) in EXACT HUGEINT arithmetic
+# with absent registers contributing 2^53 each; one float conversion +
+# the same left-to-right IEEE expression as the engine. The large-range
+# correction branch (raw > 2^64/30) is unreachable at any test SF and is
+# omitted here.
+SQL_HLL_MD5_DISTINCT_EVENTS = """
+    WITH b AS (
+      SELECT event_type,
+             CAST(md5_number_lower(CAST(user_id AS VARCHAR)) >> 52
+                  AS BIGINT) AS idx,
+             CAST(md5_number_lower(CAST(user_id AS VARCHAR))
+                  & ((1::UBIGINT << 52) - 1) AS BIGINT) AS rem
+      FROM events
+    ),
+    r1 AS (SELECT event_type, idx, rem | (rem >> 1) AS x FROM b),
+    r2 AS (SELECT event_type, idx, x | (x >> 2) AS x FROM r1),
+    r3 AS (SELECT event_type, idx, x | (x >> 4) AS x FROM r2),
+    r4 AS (SELECT event_type, idx, x | (x >> 8) AS x FROM r3),
+    r5 AS (SELECT event_type, idx, x | (x >> 16) AS x FROM r4),
+    r6 AS (SELECT event_type, idx, x | (x >> 32) AS x FROM r5),
+    regs AS (
+      SELECT event_type, idx, MAX(53 - bit_count(x)) AS r
+      FROM r6 GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             SUM(1::HUGEINT << (53 - r)) AS s_present,
+             COUNT(*) AS n_present
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type,
+             4096 - n_present AS zeros,
+             (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 4096))
+               * 4096 * 4096 * 9007199254740992.0
+               / CAST(s_present
+                      + (4096 - n_present) * (1::HUGEINT << 53)
+                      AS DOUBLE) AS e
+      FROM agg
+    )
+    SELECT event_type,
+           CAST(round_even(
+             CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+                  THEN 4096 * ln(CAST(4096 AS DOUBLE) / zeros)
+                  ELSE e END, 0) AS BIGINT) AS approx_distinct
+    FROM est
+"""
+
+OP_QUERIES["op_hll_md5_distinct_events"] = q_hll_md5_distinct_events
+OP_ORACLES["op_hll_md5_distinct_events"] = SQL_HLL_MD5_DISTINCT_EVENTS

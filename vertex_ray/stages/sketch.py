@@ -44,8 +44,13 @@ def _clz_rho(rem: np.ndarray, width: int) -> np.ndarray:
     return (width - h).astype(np.int64)  # all-zero -> width + 1
 
 
-def hll_partial_op(group_col: str, value_col: str, p: int = 12):
-    """map_batches fn: per-batch (group, register, rho-max) partials."""
+def hll_partial_op(group_col: str, value_col: str, p: int = 12,
+                   hash_family: str = "sip"):
+    """map_batches fn: per-batch (group, register, rho-max) partials.
+
+    ``hash_family``: "sip" (pandas siphash, fastest) or "md5" (values
+    rendered with ``str()`` then hashed like DuckDB ``md5_number_lower``
+    — a SQL engine can recompute every register, see dedup_near)."""
     if not 11 <= p <= 16:
         # width = 64 - p must stay <= 53 so float64 log2 in _clz_rho is
         # exact on the register remainder; >16 wastes shuffle rows
@@ -56,7 +61,13 @@ def hll_partial_op(group_col: str, value_col: str, p: int = 12):
     def fn(t: pa.Table) -> pa.Table:
         vals = t[value_col].to_numpy(zero_copy_only=False)
         grp = t[group_col].to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(np.ascontiguousarray(vals)).astype(np.uint64)
+        if hash_family == "md5":
+            from vertex_ray.stages.dedup_near import _md5_hash64
+
+            h = _md5_hash64(np.asarray(vals, dtype=object))
+        else:
+            h = pd.util.hash_array(
+                np.ascontiguousarray(vals)).astype(np.uint64)
         idx = (h >> np.uint64(width)).astype(np.int64)
         rho = _clz_rho(h, width)
         df = pd.DataFrame({"g": grp, "idx": idx, "rho": rho})
@@ -70,29 +81,46 @@ def hll_partial_op(group_col: str, value_col: str, p: int = 12):
     return fn
 
 
-def hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
+def hll_distinct(ds, group_col: str, value_col: str, p: int = 12,
+                 hash_family: str = "sip"):
     """Approximate distinct ``value_col`` per ``group_col`` →
     (group, approx_distinct:int64). Standard error ≈ 1.04/sqrt(2^p)
     (~1.6% at the default p=12); small ranges use linear counting and are
-    near-exact."""
+    near-exact.
+
+    Every step of the estimator is specified exactly so a SQL engine can
+    recompute it bit-for-bit (with ``hash_family="md5"``): the harmonic
+    sum Σ 2^-reg is EXACT integer arithmetic (terms are dyadic — scaled
+    by 2^(width+1) they are ints; a float sum would be order-dependent),
+    converted to float once; the raw-estimate expression and the
+    linear-counting branch use fixed left-to-right IEEE evaluation
+    (``math.log`` == libm == DuckDB ``ln``); the final integer is
+    round-half-even (DuckDB ``round_even``)."""
+    import math
+
     m = 1 << p
+    width = 64 - p
     alpha = _alpha(m)
 
     def estimate(g: pd.DataFrame) -> pd.DataFrame:
         name = g[group_col].iloc[0]
         regs = np.zeros(m, dtype=np.int64)
         np.maximum.at(regs, g["idx"].to_numpy(), g["rho"].to_numpy())
-        e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-        zeros = int(np.count_nonzero(regs == 0))
+        cnt = np.bincount(regs, minlength=width + 2)
+        s_scaled = sum(int(c) << (width + 1 - v)
+                       for v, c in enumerate(cnt.tolist()) if c)
+        e = alpha * m * m * 2.0 ** (width + 1) / float(s_scaled)
+        zeros = int(cnt[0])
         if e <= 2.5 * m and zeros:
-            e = m * np.log(m / zeros)  # linear counting
+            e = m * math.log(m / zeros)  # linear counting
         elif e > (1 << 64) / 30.0:
-            e = -(2.0**64) * np.log1p(-e / 2.0**64)
+            e = -(2.0**64) * math.log1p(-e / 2.0**64)
         return pd.DataFrame(
             {group_col: [name], "approx_distinct": [np.int64(round(e))]})
 
     return (
-        ds.map_batches(hll_partial_op(group_col, value_col, p),
+        ds.map_batches(hll_partial_op(group_col, value_col, p,
+                                      hash_family=hash_family),
                        batch_format="pyarrow")
         .groupby(group_col)
         .map_groups(estimate, batch_format="pandas")
