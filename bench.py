@@ -356,6 +356,25 @@ def run_corpus() -> dict:
                        batch_format="pyarrow").count()
     timings["readability"] = round(time.time() - t0, 3)
 
+    # DSIR target-affinity scoring (two profile passes + batch-local
+    # scoring; sip hash family — the scale path)
+    from vertex_ray.stages.text import dsir_affinity
+
+    def add_domain(t):
+        import pandas as _pd
+
+        h = _pd.util.hash_array(
+            t["conv_id"].to_numpy(zero_copy_only=False)) % np.uint64(10)
+        dom = np.where(h == 0, "tgt", "raw")
+        return t.append_column(
+            "domain", pa.array(dom.astype(object), type=pa.string()))
+
+    t0 = time.time()
+    dsir_affinity(corpus.map_batches(add_domain, batch_format="pyarrow"),
+                  "doc", "conv_id", target_col="domain",
+                  target_value="tgt").count()
+    timings["dsir_affinity"] = round(time.time() - t0, 3)
+
     total = sum(timings.values())
     out = {
         "metric": "corpus_ops_seconds",

@@ -1023,16 +1023,23 @@ def test_dsir_affinity_matches_brute_force(ray_session):
     for nblocks in (1, 3):
         ds = rd.from_items(rows, override_num_blocks=nblocks)
         out = dsir_affinity(ds, "text", "doc_id", target_col="source",
-                            target_value="tgt", n_buckets=B).to_pandas()
+                            target_value="tgt", n_buckets=B,
+                            hash_family="md5").to_pandas()
         assert len(out) == len(rows)
         for _, row in out.iterrows():
             n, th, rh, sc = expect[row["doc_id"]]
             assert (row["n_grams"], row["t_hits"], row["r_hits"]) == (n, th, rh)
             assert row["dsir_score"] == sc, row["doc_id"]
-    # target docs must outrank raw docs on the score
+    # target docs must outrank raw docs on the score — under BOTH hash
+    # families (sip is the fast default at scale, md5 the audit family)
     byid = {r["doc_id"]: r["source"] for r in rows}
-    scored = {row["doc_id"]: row["dsir_score"] for _, row in out.iterrows()
-              if expect[row["doc_id"]][0] > 0}
-    tgt_scores = [s for d, s in scored.items() if byid[d] == "tgt"]
-    raw_scores = [s for d, s in scored.items() if byid[d] == "raw"]
-    assert min(tgt_scores) > max(raw_scores)
+    sip = dsir_affinity(rd.from_items(rows), "text", "doc_id",
+                        target_col="source", target_value="tgt",
+                        n_buckets=B).to_pandas()
+    for frame in (out, sip):
+        scored = {row["doc_id"]: row["dsir_score"]
+                  for _, row in frame.iterrows()
+                  if len(grams(rows[int(row["doc_id"])]["text"])) > 0}
+        tgt_scores = [s for d, s in scored.items() if byid[d] == "tgt"]
+        raw_scores = [s for d, s in scored.items() if byid[d] == "raw"]
+        assert min(tgt_scores) > max(raw_scores)

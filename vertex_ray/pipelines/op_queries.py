@@ -2635,7 +2635,7 @@ def q_dsir_docs(sf_dir: str):
 
     out = dsir_affinity(_docs(sf_dir), "text", "doc_id",
                         target_col="source", target_value="src0",
-                        n_buckets=1 << 14)
+                        n_buckets=1 << 14, hash_family="md5")
     return out.map_batches(
         lambda t: t.select(["doc_id", "n_grams", "t_hits", "r_hits"]),
         batch_format="pyarrow")

@@ -972,14 +972,19 @@ def mixture_sample(ds, group_col: str, key_col: str,
 
 
 def _doc_gram_buckets(t: pa.Table, text_col: str, id_col: str,
-                      n_buckets: int) -> tuple:
+                      n_buckets: int, hash_family: str = "sip") -> tuple:
     """Per-batch hashed-gram buckets: (doc_row_index, bucket) for every
     unigram AND adjacent bigram occurrence (DSIR's feature space,
-    arXiv:2302.03169 §3), hashed with the md5 audit family
-    (``dedup_near._md5_hash64`` == DuckDB ``md5_number_lower``) so a SQL
-    engine can recompute every bucket. Returns (doc_of, buckets) numpy
-    arrays in document-occurrence order."""
-    from vertex_ray.stages.dedup_near import _md5_hash64
+    arXiv:2302.03169 §3). ``hash_family``: "sip" (pandas siphash — the
+    fast default at scale) or "md5" (``dedup_near._md5_hash64`` ==
+    DuckDB ``md5_number_lower``, so a SQL engine can recompute every
+    bucket — the audit family the oracled query uses). Returns
+    (doc_of, buckets) numpy arrays in document-occurrence order."""
+    from vertex_ray.stages.dedup_near import (
+        _GRAM_MIX,
+        _md5_hash64,
+        _hash_strings,
+    )
 
     lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
     if isinstance(lists, pa.ChunkedArray):
@@ -993,32 +998,47 @@ def _doc_gram_buckets(t: pa.Table, text_col: str, id_col: str,
     if len(toks) == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z
-    grams = [toks]
-    gdoc = [doc_of]
-    if len(toks) >= 2:
-        same = doc_of[:-1] == doc_of[1:]
+    same = (doc_of[:-1] == doc_of[1:]) if len(toks) >= 2 else np.zeros(
+        0, dtype=bool)
+    if hash_family == "md5":
+        # audit family: grams are literal "<tok> <tok>" strings so DuckDB
+        # md5_number_lower can recompute every bucket
+        grams = [toks.astype(object)]
+        gdoc = [doc_of]
         if same.any():
             grams.append(np.char.add(np.char.add(
-                toks[:-1].astype(str), " "), toks[1:].astype(str))[same])
+                toks[:-1].astype(str), " "), toks[1:].astype(str))[same]
+                .astype(object))
             gdoc.append(doc_of[:-1][same])
-    allg = np.concatenate([g.astype(object) for g in grams])
-    alld = np.concatenate(gdoc)
+        allh = _md5_hash64(np.concatenate(grams))
+        alld = np.concatenate(gdoc)
+    else:
+        # fast family: hash each token ONCE, bigram hash combined
+        # arithmetically from the two token hashes (dedup_near's gram-mix
+        # convention) — no gram strings are ever materialized
+        th = _hash_strings(toks)
+        with np.errstate(over="ignore"):
+            bg = (th[:-1] * _GRAM_MIX[0]) ^ (th[1:] * _GRAM_MIX[1])
+        allh = np.concatenate([th, bg[same]])
+        alld = np.concatenate([doc_of, doc_of[:-1][same]])
     order = np.argsort(alld, kind="stable")
-    buckets = (_md5_hash64(allg[order]) % np.uint64(n_buckets)).astype(np.int64)
+    buckets = (allh[order] % np.uint64(n_buckets)).astype(np.int64)
     return alld[order], buckets
 
 
 def dsir_affinity(ds, text_col: str, id_col: str, *, target_col: str,
-                  target_value, n_buckets: int = 1 << 14):
+                  target_value, n_buckets: int = 1 << 14,
+                  hash_family: str = "sip"):
     """DSIR-style data selection scoring (Xie et al., NeurIPS'23,
     arXiv:2302.03169): estimate how target-domain-like each document is
     from hashed n-gram (unigram + bigram) profiles.
 
-    Pass 1 builds two bucket-count profiles — the TARGET slice
-    (``target_col == target_value``) and the full RAW corpus — with
-    per-batch ``bincount`` combiners and ONE tiny ``groupby(bucket)``
-    exchange each; a profile is a dense int64 vector of ``n_buckets``
-    (independent of corpus size), broadcast once via ``ray.put``.
+    Pass 1 builds BOTH bucket-count profiles — the TARGET slice
+    (``target_col == target_value``) and the full RAW corpus — in one
+    scan: per-batch ``bincount`` combiners emit (bucket, raw, tgt) rows,
+    merged by ONE tiny ``groupby(bucket)`` exchange; each profile is a
+    dense int64 vector of ``n_buckets`` (independent of corpus size),
+    broadcast once via ``ray.put``.
     Pass 2 scores every document batch locally (NO exchange): integer
     sufficient statistics
 
@@ -1033,37 +1053,40 @@ def dsir_affinity(ds, text_col: str, id_col: str, *, target_col: str,
     partitionings and equals a plain Python accumulation loop (floats
     stay out of the SQL oracle, which checks the integer statistics).
 
-    Scale shape: two streaming scans + one batch-local scoring pass;
+    Scale shape: ONE profile scan + one batch-local scoring pass;
     shuffle volume is bounded by ``n_buckets`` × batches; the broadcast
     is one ``n_buckets`` int64 vector per profile."""
     import ray
 
-    def profile(dataset) -> np.ndarray:
-        def partial(t: pa.Table) -> pa.Table:
-            _, bk = _doc_gram_buckets(t, text_col, id_col, n_buckets)
-            cnt = np.bincount(bk, minlength=n_buckets).astype(np.int64)
-            nz = np.flatnonzero(cnt)
-            return pa.table({"bucket": pa.array(nz, pa.int64()),
-                             "cnt": pa.array(cnt[nz])})
+    def partial(t: pa.Table) -> pa.Table:
+        doc_of, bk = _doc_gram_buckets(t, text_col, id_col, n_buckets,
+                                       hash_family=hash_family)
+        is_tgt = np.asarray(
+            pc.equal(t[target_col], target_value).to_numpy(
+                zero_copy_only=False), dtype=bool)
+        raw = np.bincount(bk, minlength=n_buckets).astype(np.int64)
+        tgt = np.bincount(bk[is_tgt[doc_of]],
+                          minlength=n_buckets).astype(np.int64)
+        nz = np.flatnonzero(raw)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "raw": pa.array(raw[nz]),
+                         "tgt": pa.array(tgt[nz])})
 
-        rows = (dataset.map_batches(partial, batch_format="pyarrow")
-                .groupby("bucket").sum("cnt").take_all())
-        out = np.zeros(n_buckets, dtype=np.int64)
-        for r in rows:
-            out[r["bucket"]] = r["sum(cnt)"]
-        return out
-
-    tprof = profile(ds.filter(
-        expr=f"{target_col} == {target_value!r}" if isinstance(target_value, str)
-        else f"{target_col} == {target_value}"))
-    rprof = profile(ds)
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").sum(["raw", "tgt"]).take_all())
+    tprof = np.zeros(n_buckets, dtype=np.int64)
+    rprof = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        rprof[r["bucket"]] = r["sum(raw)"]
+        tprof[r["bucket"]] = r["sum(tgt)"]
     T, R, B = int(tprof.sum()), int(rprof.sum()), n_buckets
     logw = (np.log((tprof + 1.0) / (T + B)) - np.log((rprof + 1.0) / (R + B)))
     tref, rref, wref = ray.put(tprof), ray.put(rprof), ray.put(logw)
 
     def score(t: pa.Table) -> pa.Table:
         tp, rp, w = ray.get(tref), ray.get(rref), ray.get(wref)
-        doc_of, bk = _doc_gram_buckets(t, text_col, id_col, n_buckets)
+        doc_of, bk = _doc_gram_buckets(t, text_col, id_col, n_buckets,
+                                       hash_family=hash_family)
         n = len(t)
         n_grams = np.bincount(doc_of, minlength=n).astype(np.int64)
         t_hits = np.zeros(n, dtype=np.int64)
