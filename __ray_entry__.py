@@ -1420,6 +1420,40 @@ def _q_record_rule_role_turns(sf_dir: str):
     return dec.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_rule_group_peak_role(sf_dir: str):
+    """Rule GROUP with sequential evaluation (Prometheus recording-rule
+    group semantics): rule 1 records ``sum by (role)(turns_total)``; rule
+    2 aggregates rule 1's OUTPUT vector — ``max without(role)`` of the
+    derived gauge — into a second materialized metric. Returns rule 2's
+    blocks decoded: one series, the per-window max across roles, after a
+    Gorilla round-trip (stages/record.rule_group)."""
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.record import rule_group
+
+    ds = _metric_tier(sf_dir, "1h", "turns_total",
+                      ["series_key", "window_start", "count"])
+    out = rule_group(
+        ds,
+        [
+            {"record": "role_turns_total", "label": "role", "agg": "sum"},
+            {"record": "peak_role_turns", "source": "role_turns_total",
+             "without": ["role"], "agg": "max"},
+        ],
+        tier="1h", value_col="count")
+    dec = decode_tier_blocks(out["peak_role_turns"])
+
+    def shape(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "series_key": t["series_key"],
+            "window_start": t["window_start"],
+            "peak": t["last"],
+        })
+
+    return dec.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_count_over_time_1h(sf_dir: str):
     """PromQL ``count_over_time(turns_total[4 windows])``: per-series
     sample count in the ROWS frame (stages/promql.over_time)."""
@@ -1956,6 +1990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_series_1h_turns": _q_topk_series_1h,
         "bottomk_series_1h_turns": _q_bottomk_series_1h,
         "record_rule_role_turns_1h": _q_record_rule_role_turns,
+        "rule_group_peak_role_1h": _q_rule_group_peak_role,
         "count_over_time_1h_turns": _q_count_over_time_1h,
         "quantile_over_time_1h_latency": _q_quantile_over_time_1h_latency,
         "stddev_by_role_1h_turns": _q_stddev_by_role_1h,
@@ -3046,6 +3081,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS DOUBLE) AS turns
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2
+            """,
+        "rule_group_peak_role_1h": f"""
+            WITH r1 AS (
+              SELECT role, {_w(3600)} AS window_start,
+                     count(*) AS v
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT 'peak_role_turns' AS series_key, window_start,
+                   CAST(max(v) AS DOUBLE) AS peak
+            FROM r1 GROUP BY 2
             """,
         "bottomk_series_1h_turns": f"""
             WITH g AS (

@@ -1393,3 +1393,85 @@ def test_resample_windows_fuzz(ray_session):
                 got["v"].to_numpy(), ref["v"].to_numpy(), err_msg=op)
 
     run()
+
+
+def test_rule_group_chained_and_alert(ray_session):
+    """A rule GROUP evaluates in order: rule 2 aggregates rule 1's output
+    vector (Prometheus sequential-evaluation semantics), and the alert
+    rule classifies rule 1's vector; both record outputs decode from
+    Gorilla blocks to the exact aggregate values."""
+    import ray.data as rd
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.record import rule_group
+
+    out = rule_group(
+        rd.from_arrow(_tier_table()),
+        [
+            {"record": "role_turns", "label": "role", "agg": "sum"},
+            # chained: max across roles of the DERIVED vector (float
+            # values -> order-free aggs only)
+            {"record": "peak_role_turns", "source": "role_turns",
+             "without": ["role"], "agg": "max"},
+            {"alert": "busy_role", "source": "role_turns",
+             "threshold": 6.0, "for": 2},
+        ],
+        tier="1h", value_col="count", tier_seconds=60, n_buckets=4)
+    assert set(out) == {"role_turns", "peak_role_turns", "busy_role"}
+
+    r1 = (decode_tier_blocks(out["role_turns"]).to_pandas()
+          .sort_values(["series_key", "window_start"])
+          .reset_index(drop=True))
+    got1 = {(r.series_key, int(r.window_start)): r.last
+            for r in r1.itertuples()}
+    assert got1 == {
+        ("role_turns{role=assistant}", 60): 5.0,
+        ("role_turns{role=assistant}", 120): 11.0,
+        ("role_turns{role=user}", 60): 5.0,
+        ("role_turns{role=user}", 120): 7.0,
+        ("role_turns{role=user}", 180): 13.0,
+    }
+
+    r2 = (decode_tier_blocks(out["peak_role_turns"]).to_pandas()
+          .sort_values("window_start").reset_index(drop=True))
+    assert r2["series_key"].unique().tolist() == ["peak_role_turns"]
+    got2 = dict(zip(r2["window_start"].astype(int), r2["last"]))
+    assert got2 == {60: 5.0, 120: 11.0, 180: 13.0}
+
+    al = (out["busy_role"].to_pandas()
+          .sort_values(["series_key", "window_start"])
+          .reset_index(drop=True))
+    a = al[al.series_key == "role_turns{role=assistant}"]
+    assert a["state"].tolist() == ["inactive", "pending"]
+    u = al[al.series_key == "role_turns{role=user}"]
+    assert u["state"].tolist() == ["inactive", "pending", "firing"]
+    assert u["run"].tolist() == [0, 1, 2]
+
+
+def test_rule_group_source_order_enforced(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.record import rule_group
+
+    with pytest.raises(ValueError, match="not evaluated yet"):
+        rule_group(rd.from_arrow(_tier_table()),
+                   [{"record": "a", "source": "missing", "label": "role"}],
+                   tier="1h")
+
+
+def test_label_aggregate_count_accepts_floats(ray_session):
+    """count is dtype-independent (non-null tally), so it must accept the
+    float vectors chained rules derive."""
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import label_aggregate
+
+    t = pa.table({
+        "series_key": ["m{a=x}", "m{a=x}", "m{a=y}"],
+        "window_start": [60, 60, 60],
+        "v": [1.5, 2.5, 9.0],
+    })
+    out = (label_aggregate(rd.from_arrow(t), "a", "v", agg="count",
+                           out_col="n")
+           .to_pandas().sort_values("a").reset_index(drop=True))
+    assert out["n"].tolist() == [2, 1]

@@ -117,9 +117,10 @@ def label_aggregate(ds, label: str, value_col: str,
     def partial(t: pa.Table) -> pa.Table:
         t = extract_label(t, label, key_col=key_col, out_col="__lbl")
         v = t[value_col].to_numpy(zero_copy_only=False)
-        # group ignores values entirely (constant 1), so it must accept
-        # the float vectors other operators derive — no dtype guard
-        if (not emit_one and agg in ("sum", "count", "avg", "stddev")
+        # group/count ignore value magnitudes (membership / non-null
+        # tally), so they must accept the float vectors other operators
+        # derive — no dtype guard
+        if (not emit_one and agg in ("sum", "avg", "stddev")
                 and v.dtype.kind not in "iu"):
             raise TypeError(
                 f"label_aggregate {agg} needs an integer column for exact "

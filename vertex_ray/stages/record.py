@@ -24,30 +24,19 @@ import pyarrow as pa
 from vertex_ray.schema import BUCKET_COLS, KIND_GAUGE
 
 
-def record_rule(tier_ds, *, label: str, value_col: str, new_metric: str,
-                tier: str, agg: str = "sum", n_buckets: int = 32):
-    """Evaluate ``<agg> by (label) (metric)`` over tier rows and encode the
-    result as Gorilla block rows for a NEW gauge metric named
-    ``new_metric`` with series key ``new_metric{label=<value>}``.
-
-    Returns a Dataset of block rows (flagship block-store schema, with a
-    ``tier`` column) — write it with ``write_parquet`` next to / into a
-    block store, read it back with ``decode_tier_blocks``.
-    """
+def vector_blocks(vec_ds, *, new_metric: str, tier: str,
+                  n_buckets: int = 32):
+    """Encode an evaluated VECTOR — rows of ``(series_key,
+    window_start:int64, value:float64)`` — as Gorilla block rows for a
+    gauge metric named ``new_metric`` (flagship block-store schema with
+    a ``tier`` column): one groupby(bucket) exchange over
+    label-cardinality rows, sort+pack per series, actor-pool encode."""
     from vertex_ray.stages.encode import GorillaEncode
     from vertex_ray.stages.fill import pack_series
-    from vertex_ray.stages.promql import label_aggregate
-
-    derived = label_aggregate(tier_ds, label, value_col, out_col="__v",
-                              agg=agg)
 
     def to_agg_rows(t: pa.Table) -> pa.Table:
-        lbl = t[label].to_numpy(zero_copy_only=False)
-        v = t["__v"].to_numpy(zero_copy_only=False).astype(np.float64)
-        # one rendered key per row; rows here are (label value, window)
-        # aggregates — label-cardinality work, not input-row work
-        keys = np.array(
-            [f"{new_metric}{{{label}={x}}}" for x in lbl], dtype=object)
+        keys = t["series_key"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
         bucket = (pd.util.hash_array(keys)
                   % np.uint64(n_buckets)).astype(np.int32)
         cols = {
@@ -78,8 +67,131 @@ def record_rule(tier_ds, *, label: str, value_col: str, new_metric: str,
             "tier", pa.array(np.full(packed.num_rows, tier, dtype=object),
                              type=pa.string()))
 
-    rows = derived.map_batches(to_agg_rows, batch_format="pyarrow")
+    rows = vec_ds.map_batches(to_agg_rows, batch_format="pyarrow")
     packed = rows.groupby("bucket").map_groups(sort_pack,
                                                batch_format="pandas")
     return packed.map_batches(GorillaEncode, batch_format="pyarrow",
                               concurrency=(1, 4))
+
+
+def _render_by_keys(new_metric: str, label: str):
+    """(label, window_start, value) → vector normal form with rendered
+    series keys ``new_metric{label=<value>}``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        lbl = t[label].to_numpy(zero_copy_only=False)
+        keys = np.array(
+            [f"{new_metric}{{{label}={x}}}" for x in lbl], dtype=object)
+        return pa.table({
+            "series_key": pa.array(keys, type=pa.string()),
+            "window_start": t["window_start"],
+            "value": pa.array(
+                t["value"].to_numpy(zero_copy_only=False)
+                .astype(np.float64)),
+        })
+
+    return fn
+
+
+def record_rule(tier_ds, *, label: str, value_col: str, new_metric: str,
+                tier: str, agg: str = "sum", n_buckets: int = 32):
+    """Evaluate ``<agg> by (label) (metric)`` over tier rows and encode the
+    result as Gorilla block rows for a NEW gauge metric named
+    ``new_metric`` with series key ``new_metric{label=<value>}``.
+
+    Returns a Dataset of block rows (flagship block-store schema, with a
+    ``tier`` column) — write it with ``write_parquet`` next to / into a
+    block store, read it back with ``decode_tier_blocks``.
+    """
+    from vertex_ray.stages.promql import label_aggregate
+
+    derived = label_aggregate(tier_ds, label, value_col, out_col="value",
+                              agg=agg)
+    vec = derived.map_batches(_render_by_keys(new_metric, label),
+                              batch_format="pyarrow")
+    return vector_blocks(vec, new_metric=new_metric, tier=tier,
+                         n_buckets=n_buckets)
+
+
+def rule_group(tier_ds, rules, *, tier: str, value_col: str = "count",
+               tier_seconds: int = 3600, n_buckets: int = 32):
+    """Prometheus rule-GROUP semantics: rules evaluate IN ORDER, and a
+    later rule may reference an earlier record rule's output vector by
+    name via ``source`` — the reason Prometheus evaluates a group
+    sequentially (prometheus docs, recording_rules.md). The reference
+    ships alerts (src/sinks/alertmanager); the rule engine deciding them
+    lives here on the store's read side.
+
+    ``rules``: ordered list of dicts —
+      record by-label:  ``{"record": name, "label": l, "agg": a
+                           [, "source": earlier]}``
+      record without(): ``{"record": name, "without": [labels], "agg": a
+                           [, "source": earlier]}``
+      alert:            ``{"alert": name, "source": earlier,
+                           "threshold": x, "for": n}``
+    A rule without ``source`` evaluates over the input tier rows
+    (``value_col``); with ``source`` it evaluates over that record
+    rule's vector (float values — chained aggregates are restricted to
+    the order-free min/max/count/group; sum/avg/stddev need the integer
+    input column, so put them first in the chain).
+
+    Each record vector is MATERIALIZED once and reused by downstream
+    rules — bounded by series cardinality × windows, never input rows.
+    Returns ``{rule name: Dataset}`` — block rows (store schema) for
+    record rules, alert-state rows for alerts."""
+    import pyarrow.compute as pc
+
+    from vertex_ray.stages.promql import (
+        aggregate_without,
+        alert_state,
+        label_aggregate,
+    )
+
+    vectors: dict = {}
+    out: dict = {}
+    for rule in rules:
+        src_name = rule.get("source")
+        if src_name is not None and src_name not in vectors:
+            raise ValueError(f"rule source {src_name!r} not evaluated yet "
+                             "(rules run in order)")
+        if "record" in rule:
+            name = rule["record"]
+            base = vectors[src_name] if src_name else tier_ds
+            vcol = "value" if src_name else value_col
+            agg = rule.get("agg", "sum")
+            if "without" in rule:
+                vec = aggregate_without(base, rule["without"], vcol,
+                                        out_col="value", agg=agg)
+                rename = name
+
+                def fix(t: pa.Table, rename=rename) -> pa.Table:
+                    keys = pc.replace_substring_regex(
+                        t["series_key"], r"^[^{]*", rename)
+                    keys = pc.replace_substring_regex(keys, r"\{\}$", "")
+                    return pa.table({
+                        "series_key": keys,
+                        "window_start": t["window_start"],
+                        "value": pa.array(
+                            t["value"].to_numpy(zero_copy_only=False)
+                            .astype(np.float64)),
+                    })
+
+                vec = vec.map_batches(fix, batch_format="pyarrow")
+            else:
+                lbl = rule["label"]
+                vec = label_aggregate(base, lbl, vcol, out_col="value",
+                                      agg=agg)
+                vec = vec.map_batches(_render_by_keys(name, lbl),
+                                      batch_format="pyarrow")
+            vec = vec.materialize()
+            vectors[name] = vec
+            out[name] = vector_blocks(vec, new_metric=name, tier=tier,
+                                      n_buckets=n_buckets)
+        elif "alert" in rule:
+            base = vectors[rule["source"]]
+            out[rule["alert"]] = alert_state(
+                base, "series_key", "window_start", "value",
+                rule["threshold"], rule["for"], tier_seconds)
+        else:
+            raise ValueError(f"rule needs 'record' or 'alert': {rule}")
+    return out
