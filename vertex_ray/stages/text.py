@@ -992,17 +992,17 @@ def _doc_gram_buckets(t: pa.Table, text_col: str, id_col: str,
     flat = lists.flatten()
     off = lists.offsets.to_numpy().astype(np.int64)
     doc_of = np.repeat(np.arange(len(t)), np.diff(off))
-    toks = flat.to_numpy(zero_copy_only=False)
-    keep = toks != ""
-    toks, doc_of = toks[keep], doc_of[keep]
-    if len(toks) == 0:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z
-    same = (doc_of[:-1] == doc_of[1:]) if len(toks) >= 2 else np.zeros(
-        0, dtype=bool)
     if hash_family == "md5":
         # audit family: grams are literal "<tok> <tok>" strings so DuckDB
         # md5_number_lower can recompute every bucket
+        toks = flat.to_numpy(zero_copy_only=False)
+        keep = toks != ""
+        toks, doc_of = toks[keep], doc_of[keep]
+        if len(toks) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        same = (doc_of[:-1] == doc_of[1:]) if len(toks) >= 2 else np.zeros(
+            0, dtype=bool)
         grams = [toks.astype(object)]
         gdoc = [doc_of]
         if same.any():
@@ -1013,16 +1013,39 @@ def _doc_gram_buckets(t: pa.Table, text_col: str, id_col: str,
         allh = _md5_hash64(np.concatenate(grams))
         alld = np.concatenate(gdoc)
     else:
-        # fast family: hash each token ONCE, bigram hash combined
-        # arithmetically from the two token hashes (dedup_near's gram-mix
-        # convention) — no gram strings are ever materialized
-        th = _hash_strings(toks)
+        # fast family: dictionary-encode the flattened tokens so the
+        # (python-object) string materialization and the siphash both
+        # touch only DISTINCT tokens — occurrence-level work is all
+        # int32 code gathers. Same values as hashing every occurrence
+        # (hash is per token value), ~3x on repetitive corpora.
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        dv = denc.dictionary
+        empty = np.flatnonzero(
+            pc.equal(dv, "").to_numpy(zero_copy_only=False))
+        keep = (codes != empty[0]) if len(empty) else slice(None)
+        codes, doc_of = codes[keep], doc_of[keep]
+        if len(codes) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        same = (doc_of[:-1] == doc_of[1:]) if len(codes) >= 2 else \
+            np.zeros(0, dtype=bool)
+        hd = _hash_strings(dv.to_numpy(zero_copy_only=False))
+        th = hd[codes]
+        # bigram hash combined arithmetically from the two token hashes
+        # (dedup_near's gram-mix convention) — no gram strings are ever
+        # materialized
         with np.errstate(over="ignore"):
             bg = (th[:-1] * _GRAM_MIX[0]) ^ (th[1:] * _GRAM_MIX[1])
         allh = np.concatenate([th, bg[same]])
         alld = np.concatenate([doc_of, doc_of[:-1][same]])
     order = np.argsort(alld, kind="stable")
-    buckets = (allh[order] % np.uint64(n_buckets)).astype(np.int64)
+    if n_buckets & (n_buckets - 1) == 0:
+        # power-of-two bucket count: AND is the same value as % but
+        # skips the uint64 division (the hottest single op at 12M grams)
+        buckets = (allh[order] & np.uint64(n_buckets - 1)).astype(np.int64)
+    else:
+        buckets = (allh[order] % np.uint64(n_buckets)).astype(np.int64)
     return alld[order], buckets
 
 
