@@ -1043,3 +1043,29 @@ def test_dsir_affinity_matches_brute_force(ray_session):
         tgt_scores = [s for d, s in scored.items() if byid[d] == "tgt"]
         raw_scores = [s for d, s in scored.items() if byid[d] == "raw"]
         assert min(tgt_scores) > max(raw_scores)
+
+
+def test_pii_redact_op():
+    from vertex_ray.stages.text import pii_redact_op
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "mail bob.smith+x@corp.example.org or alice@ex.io",
+            "ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0.0.1 "
+            "call 555-123-4567 or 555.123.4567",
+            "clean text 1234 with no pii at all 12.5",
+            "edge: 999.999.999.999 and 123-45-678 (not an ssn)",
+        ],
+    })
+    out = pii_redact_op()(t).to_pylist()
+    assert out[0]["n_email"] == 2 and out[0]["n_pii"] == 2
+    assert out[0]["redacted"] == "mail <EMAIL> or <EMAIL>"
+    r1 = out[1]
+    assert (r1["n_ssn"], r1["n_cc"], r1["n_ip"], r1["n_phone"]) == (1, 1, 1, 2)
+    assert r1["redacted"] == ("ssn <SSN> card <CC> ip <IP> "
+                              "call <PHONE> or <PHONE>")
+    assert out[2]["n_pii"] == 0 and out[2]["redacted"] == t["text"][2].as_py()
+    # dotted quad out of range still matches the ipv4 SHAPE (documented:
+    # shape-based, like most corpus scrubbers); 3-2-3 digits is not an SSN
+    assert out[3]["n_ip"] == 1 and out[3]["n_ssn"] == 0

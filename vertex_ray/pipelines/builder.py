@@ -357,6 +357,15 @@ def _t_gopher(cfg, ds):
         batch_format="pyarrow")
 
 
+def _t_pii_redact(cfg, ds):
+    from vertex_ray.stages.text import pii_redact_op
+
+    return ds.map_batches(
+        pii_redact_op(cfg.get("text_col", "text"),
+                      cfg.get("id_col", "doc_id")),
+        batch_format="pyarrow")
+
+
 def _t_mixture(cfg, ds):
     from vertex_ray.stages.text import mixture_sample
 
@@ -586,6 +595,7 @@ STEP_TYPES: dict[str, Callable] = {
     "limitk": _t_limitk,
     "resample": _t_resample,
     "gopher": _t_gopher,
+    "pii_redact": _t_pii_redact,
     "boilerplate": _t_boilerplate,
     "mixture": _t_mixture,
     "dsir": _t_dsir,

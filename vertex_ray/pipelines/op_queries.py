@@ -2758,3 +2758,80 @@ SQL_HLL_MD5_DISTINCT_EVENTS = """
 
 OP_QUERIES["op_hll_md5_distinct_events"] = q_hll_md5_distinct_events
 OP_ORACLES["op_hll_md5_distinct_events"] = SQL_HLL_MD5_DISTINCT_EVENTS
+
+
+def q_pii_redact_docs(sf_dir: str):
+    """PII scrub pass over documents (stages/text.pii_redact_op): the
+    synthetic corpus carries no real PII, so a deterministic per-doc PII
+    suffix (email, phone, IP, SSN, card — all derived from doc_id) is
+    appended on BOTH the Ray and SQL sides first; the op must find and
+    mask exactly those, with bit-identical redacted text and counts."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vertex_ray.stages.text import pii_redact_op
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        i3 = (ids % 900 + 100).astype(str)
+        i4 = (ids % 9000 + 1000).astype(str)
+        aug = np.array([
+            f"{x} contact user{d}@example.com call 555-{a}-{b} "
+            f"from 10.{d % 200}.3.{d % 250} ssn 123-45-{b} "
+            f"card 4111 1111 1111 1111"
+            for x, d, a, b in zip(txt, ids, i3, i4)], dtype=object)
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(aug, type=pa.string())})
+
+    return (_docs(sf_dir)
+            .map_batches(augment, batch_format="pyarrow")
+            .map_batches(pii_redact_op("text", "doc_id"),
+                         batch_format="pyarrow"))
+
+
+# the nested-CTE chain mirrors pii_redact_op exactly: each stage counts
+# its pattern on the PREVIOUS stage's masked text, then masks it
+SQL_PII_REDACT_DOCS = r"""
+WITH s0 AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com call 555-'
+              || (doc_id % 900 + 100) || '-' || (doc_id % 9000 + 1000)
+              || ' from 10.' || (doc_id % 200) || '.3.' || (doc_id % 250)
+              || ' ssn 123-45-' || (doc_id % 9000 + 1000)
+              || ' card 4111 1111 1111 1111' AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM s0
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+         regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ssn,
+         len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS n_cc,
+         regexp_replace(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CC>', 'g') AS t
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_email, n_ssn, n_cc,
+         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s3
+), s5 AS (
+  SELECT doc_id, n_email, n_ssn, n_cc, n_ip,
+         len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+         regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t
+  FROM s4
+)
+SELECT doc_id, n_email, n_ssn, n_cc, n_ip, n_phone,
+       n_email + n_ssn + n_cc + n_ip + n_phone AS n_pii,
+       t AS redacted
+FROM s5
+"""
+
+OP_QUERIES["op_pii_redact_docs"] = q_pii_redact_docs
+OP_ORACLES["op_pii_redact_docs"] = SQL_PII_REDACT_DOCS

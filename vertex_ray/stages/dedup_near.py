@@ -95,8 +95,13 @@ def _gram_hashes(texts, k: int):
     ne_cum = np.zeros(len(nonempty) + 1, dtype=np.int64)
     np.cumsum(nonempty, out=ne_cum[1:])
     new_off = ne_cum[off]
-    toks = flat.to_numpy(zero_copy_only=False)[nonempty]
-    h = _hash_strings(toks)
+    # dictionary-encode so the python-object string materialization and
+    # the siphash touch only DISTINCT tokens (hash is per token value, so
+    # the gram hashes are unchanged); occurrences are int32 code gathers
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    hd = _hash_strings(denc.dictionary.to_numpy(zero_copy_only=False))
+    h = hd[codes[nonempty]]
     counts = np.diff(new_off)
     total = len(h)
     doc_of = np.repeat(np.arange(n), counts)
@@ -153,11 +158,19 @@ def minhash_signatures_batch(
     offsets = np.zeros(len(texts) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     starts = offsets[:-1][nz]
+    # ONE reused (perm_chunk × total) buffer with in-place ops: fresh
+    # ~100MB temporaries per chunk caused allocator page-fault storms
+    # that dwarfed the arithmetic (same hazard as the round-1 malloc
+    # finding); values are unchanged
+    buf = np.empty((perm_chunk, len(h)), dtype=np.uint64)
+    M = np.uint64(_MERSENNE)
     for c0 in range(0, num_perm, perm_chunk):
-        ac = a[c0 : c0 + perm_chunk, None]
-        bc = b[c0 : c0 + perm_chunk, None]
-        vals = (ac * h[None, :] + bc) % np.uint64(_MERSENNE)
-        sigs[nz, c0 : c0 + perm_chunk] = np.minimum.reduceat(vals, starts, axis=1).T
+        rows = min(perm_chunk, num_perm - c0)
+        v = buf[:rows]
+        np.multiply(a[c0 : c0 + rows, None], h[None, :], out=v)
+        v += b[c0 : c0 + rows, None]
+        v %= M
+        sigs[nz, c0 : c0 + rows] = np.minimum.reduceat(v, starts, axis=1).T
     return sigs
 
 
@@ -339,9 +352,32 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
         b = t["b"].to_numpy(zero_copy_only=False)
         ta = t[text_col].to_numpy(zero_copy_only=False)
         tb = t[f"{text_col}_b"].to_numpy(zero_copy_only=False)
-        jac = np.fromiter(
-            (jaccard(x, y, k) for x, y in zip(ta, tb)), dtype=np.float64, count=len(a)
-        )
+        n = len(a)
+        # exact jaccard over HASHED k-gram sets: each UNIQUE doc in the
+        # batch is shingled once via the vectorized _gram_hashes (grams
+        # come back deduped and sorted per doc), then each pair is one
+        # C-speed sorted intersect — the per-pair python `jaccard()`
+        # (set-of-strings per doc PER PAIR) dominated wall time on long
+        # docs. Distinct gram strings map to distinct 64-bit hashes
+        # w.h.p., so the value equals string-set jaccard (and the SQL
+        # mirror) up to a ~n²/2⁶⁴ collision probability.
+        ids = np.concatenate([a, b])
+        texts = np.concatenate([ta, tb])
+        uids, first = np.unique(ids, return_index=True)
+        inv = np.searchsorted(uids, ids)
+        h, counts = _gram_hashes(texts[first], k)
+        off = np.zeros(len(uids) + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        ia, ib = inv[:n], inv[n:]
+        jac = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            x, y = ia[i], ib[i]
+            hx = h[off[x]: off[x + 1]]
+            hy = h[off[y]: off[y + 1]]
+            m = np.intersect1d(hx, hy, assume_unique=True).size
+            denom = len(hx) + len(hy) - m
+            # both-empty docs are identical by convention (jaccard())
+            jac[i] = 1.0 if denom == 0 else m / denom
         keep = jac >= verify_threshold
         return pa.table(
             {

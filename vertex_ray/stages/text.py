@@ -1136,3 +1136,51 @@ def dsir_affinity(ds, text_col: str, id_col: str, *, target_col: str,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# PII scrub patterns, applied IN ORDER (each regex sees the text with all
+# earlier categories already masked — so counts are well-defined and the
+# SQL mirror can recompute them with the same nesting). RE2-only syntax
+# (no lookaround/backrefs) so pyarrow (RE2) and the DuckDB oracle (RE2)
+# match byte-for-byte. Ordering: emails first (their local parts contain
+# digits), SSN before phone (3-2-4 vs 3-3-4 never collide, but masking
+# early keeps later patterns from seeing partial digit runs), IPs before
+# phones (dotted quads vs dotted 3-3-4).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("cc", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CC>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact_op(text_col: str = "text", id_col: str = "doc_id"):
+    """PII redaction over a document column — the training-data scrub
+    pass (emails, SSNs, credit cards, IPv4s, phone numbers → typed mask
+    tokens), plus exact per-category match counts. The reference ships
+    the single-value ``redact`` VTL function
+    (lib/vtl/src/compiler/function/redact.rs); this is the corpus-scale
+    columnar form: every pattern is ONE vectorized RE2 pass
+    (``count_substring_regex`` + ``replace_substring_regex``) over the
+    whole batch — no per-row Python. Counts are non-overlapping
+    leftmost matches, identical to DuckDB ``len(regexp_extract_all)``,
+    so the whole op is hash-checkable against a SQL mirror."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cur = t[text_col]
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        cols: dict = {id_col: t[id_col]}
+        total = np.zeros(len(t), dtype=np.int64)
+        for name, pat, mask in PII_PATTERNS:
+            c = pc.count_substring_regex(cur, pat)
+            cn = c.to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[f"n_{name}"] = pa.array(cn, type=pa.int64())
+            total += cn
+            cur = pc.replace_substring_regex(cur, pat, mask)
+        cols["n_pii"] = pa.array(total, type=pa.int64())
+        cols["redacted"] = cur
+        return pa.table(cols)
+
+    return fn
