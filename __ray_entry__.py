@@ -330,6 +330,26 @@ def _q_read_api_range(sf_dir: str):
                        columns=["series_key", "window_start", "count"])
 
 
+def _q_read_api_range_offset(sf_dir: str):
+    """PromQL ``offset`` threaded through the read verb
+    (read.query_range(offset=…)): the query frame [t0+24h, t0+30h] with
+    ``offset=86400`` evaluates over [t0, t0+6h] and re-stamps every
+    window_start forward one day — yesterday's user-turn counts carrying
+    today's timestamps, ready for day-over-day ``binary_op`` without a
+    second read."""
+    from vertex_ray.read import query_range
+
+    out = _ensure_pipeline(sf_dir)
+    cols = ["series_key", "window_start", "count"]
+    probe = query_range(out, "1h", metric="turns_total",
+                        key_regex=r"role=user\}", columns=cols)
+    t0 = probe.min("window_start")
+    return query_range(out, "1h", metric="turns_total",
+                       key_regex=r"role=user\}",
+                       start=t0 + 86400, end=t0 + 86400 + 21600,
+                       columns=cols, offset=86400)
+
+
 def _q_read_api_instant(sf_dir: str):
     """The query façade (vertex_ray/read.instant_query): PromQL instant
     vector over the 1h turns_total tier — newest real sample per
@@ -1914,6 +1934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_build_samples": _q_build_samples,
         "select_series_1m_latency": _q_select_series,
         "read_api_range_1h_turns": _q_read_api_range,
+        "read_api_range_offset_1h_turns": _q_read_api_range_offset,
         "burn_rate_1m_latency": _q_burn_rate_1m_latency,
         "quantile_by_role_1h_turns": _q_quantile_by_role_1h,
         "stream_encode_roundtrip_1m_turns": _q_stream_encode_roundtrip,
@@ -2351,6 +2372,19 @@ def oracle_sql() -> dict[str, str]:
             ),
             t0 AS (SELECT min(window_start) AS t0 FROM g)
             SELECT series_key, window_start, count
+            FROM g, t0 WHERE window_start <= t0 + 21600
+            """,
+        "read_api_range_offset_1h_turns": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(3600)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS} WHERE role = 'user'
+              GROUP BY 1, 2
+            ),
+            t0 AS (SELECT min(window_start) AS t0 FROM g)
+            SELECT series_key, window_start + 86400 AS window_start, count
             FROM g, t0 WHERE window_start <= t0 + 21600
             """,
         "delete_series_1h_turns": f"""

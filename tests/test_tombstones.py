@@ -259,3 +259,34 @@ def test_federated_replica_dedupe(store):
                             dedupe=True, columns=COLS, tombstones=False)
           .to_pandas().sort_values(COLS).reset_index(drop=True))
     pd.testing.assert_frame_equal(ha, single)
+
+
+def test_query_range_offset_modifier(store):
+    """PromQL offset: the shifted read returns exactly the unshifted
+    values from `offset` seconds earlier, re-stamped into the query
+    frame; instant_query threads it through."""
+    from vertex_ray.read import instant_query, query_range
+
+    base = _read(store)
+    w = sorted(base["window_start"].unique())
+    assert len(w) >= 3
+    start, end = int(w[1]), int(w[-1])
+    off = int(w[1] - w[0])
+
+    got = query_range(store, "1h", metric="turns_total", columns=COLS,
+                      start=start, end=end, offset=off).to_pandas()
+    got = got.sort_values(COLS, kind="stable").reset_index(drop=True)
+    ref = base[(base.window_start >= start - off)
+               & (base.window_start <= end - off)].copy()
+    ref["window_start"] += off
+    ref = ref.sort_values(COLS, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+
+    inst = instant_query(store, "1h", at=end, lookback=3600,
+                         metric="turns_total", columns=COLS,
+                         offset=off).to_pandas()
+    inst = inst.sort_values(COLS, kind="stable").reset_index(drop=True)
+    iref = base[base.window_start == end - off].copy()
+    iref["window_start"] += off
+    iref = iref.sort_values(COLS, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(inst, iref)

@@ -186,12 +186,12 @@ def cmd_query(args) -> int:
         ds = query_range(args.store, tier, metric=args.metric,
                          key_regex=args.match, start=args.start,
                          end=args.end, layout=args.layout,
-                         conv_id=args.conv)
+                         conv_id=args.conv, offset=args.offset)
     elif args.verb == "instant":
         ds = instant_query(args.store, tier, at=args.at,
                            lookback=args.lookback, metric=args.metric,
                            key_regex=args.match, layout=args.layout,
-                           conv_id=args.conv)
+                           conv_id=args.conv, offset=args.offset)
     elif args.verb == "series":
         ds = series_metadata(args.store, tier, metric=args.metric,
                              key_regex=args.match, layout=args.layout)
@@ -358,6 +358,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--at", type=int, default=0,
                     help="instant evaluation time (epoch s)")
     sp.add_argument("--lookback", type=int, default=300)
+    sp.add_argument("--offset", type=int, default=0,
+                    help="PromQL offset modifier (seconds into the past; "
+                         "results re-stamped into the query frame)")
     sp.add_argument("--label", default="role",
                     help="label for the labels verb")
     sp.add_argument("--limit", type=int, default=0)

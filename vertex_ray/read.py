@@ -117,7 +117,8 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
                 columns: list[str] | None = None,
                 tombstones: bool | list = True,
                 layout: str = "oneshot",
-                conv_id: str | None = None):
+                conv_id: str | None = None,
+                offset: int = 0):
     """Tier rows from the committed block store for one range query.
 
     ``metric`` (exact name) and ``key_regex`` (RE2 over series_key) prune
@@ -137,7 +138,13 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
     ``layout``: "oneshot" (default) reads ``out_dir/blocks``;
     "epochs" reads the time-chunked epoch store
     (``out_dir/epoch-*/blocks``, pipelines/epoch_pipeline) — the same
-    verbs work unchanged over a continuously-ingesting deployment."""
+    verbs work unchanged over a continuously-ingesting deployment.
+
+    ``offset``: the PromQL ``offset`` modifier in seconds — evaluate the
+    whole query shifted ``offset`` into the past, then re-stamp the
+    returned ``window_start`` forward into the caller's frame (so
+    ``offset=86400`` under a start/end range yields yesterday's values
+    carrying today's timestamps, ready for day-over-day ``binary_op``)."""
     from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
     from vertex_ray.state.tombstones import (
         block_keep_mask,
@@ -147,6 +154,9 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
 
     import re as _re
 
+    if offset:
+        start = None if start is None else start - offset
+        end = None if end is None else end - offset
     cols = columns or _SCALAR_COLS
     stones = (load_tombstones(out_dir) if tombstones is True
               else list(tombstones or []))
@@ -190,6 +200,10 @@ def query_range(out_dir: str, tier: str, metric: str | None = None,
         if "count" in cols:
             i = t.schema.get_field_index("count")
             t = t.set_column(i, "count", pc.cast(t["count"], pa.int64()))
+        if offset and "window_start" in cols:
+            i = t.schema.get_field_index("window_start")
+            t = t.set_column(i, "window_start",
+                             pc.add(t["window_start"], offset))
         return t
 
     return decode_tier_blocks(sel).map_batches(shape, batch_format="pyarrow")
@@ -199,19 +213,22 @@ def instant_query(out_dir: str, tier: str, at: int, lookback: int,
                   metric: str | None = None, key_regex: str | None = None,
                   columns: list[str] | None = None, n_buckets: int = 64,
                   tombstones: bool | list = True,
-                  layout: str = "oneshot", conv_id: str | None = None):
+                  layout: str = "oneshot", conv_id: str | None = None,
+                  offset: int = 0):
     """PromQL instant vector at evaluation time ``at``: per series, the
     newest real sample with ``at - lookback < window_start <= at``;
     series with none are absent. One hash-bucketed exchange over the
     already-pruned range read (the range covers only the lookback;
-    ``conv_id`` takes the hash-bucket point-read fast path)."""
+    ``conv_id`` takes the hash-bucket point-read fast path). ``offset``
+    is the PromQL offset modifier: evaluate at ``at - offset``, re-stamp
+    results into the caller's frame (query_range does both)."""
     from vertex_ray.stages.promql import _add_series_bucket
 
     cols = columns or _SCALAR_COLS
     rng = query_range(out_dir, tier, metric=metric, key_regex=key_regex,
                       start=at - lookback + 1, end=at, columns=cols,
                       tombstones=tombstones, layout=layout,
-                      conv_id=conv_id)
+                      conv_id=conv_id, offset=offset)
 
     def newest(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["series_key", "window_start"], kind="stable")
