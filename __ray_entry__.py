@@ -350,6 +350,57 @@ def _q_read_api_range_offset(sf_dir: str):
                        columns=cols, offset=86400)
 
 
+def _q_promql_expr_sum_by_role(sf_dir: str):
+    """The PromQL TEXT front-end (vertex_ray/promql_lang — the read-side
+    analogue of the reference's VTL expression language,
+    /root/reference lib/vtl/src/compiler/): parse + lower
+    ``sum by (role) (increase(turns_total[1h]))`` onto the existing
+    stages (pruned tier read → label_aggregate combiner exchange)."""
+    from vertex_ray.promql_lang import eval_promql
+
+    out = _ensure_pipeline(sf_dir)
+    return eval_promql(out, "sum by (role) (increase(turns_total[1h]))")
+
+
+def _q_promql_expr_user_share(sf_dir: str):
+    """PromQL text front-end, vector matching: the user-role share of
+    each conversation's hourly turns —
+    ``increase(turns_total{role="user"}[1h]) / on(conv_id)
+    sum by (conv_id) (increase(turns_total[1h]))``. The left leg's
+    equality matcher is pushed into the block scan as a key regex; the
+    division is ONE hash-join exchange (stages/promql.binary_op)."""
+    from vertex_ray.promql_lang import eval_promql
+
+    out = _ensure_pipeline(sf_dir)
+    return eval_promql(
+        out,
+        'increase(turns_total{role="user"}[1h]) / on(conv_id) '
+        "sum by (conv_id) (increase(turns_total[1h]))")
+
+
+def _q_promql_expr_peak_subquery(sf_dir: str):
+    """PromQL text front-end, subquery composition:
+    ``max_over_time(increase(turns_total[5m])[1h:5m])`` — the inner
+    expression evaluates on the 5m tier, the outer trailing 12-window
+    max lowers onto stages/promql.over_time."""
+    from vertex_ray.promql_lang import eval_promql
+
+    out = _ensure_pipeline(sf_dir)
+    return eval_promql(
+        out, "max_over_time(increase(turns_total[5m])[1h:5m])")
+
+
+def _q_promql_expr_hot_convs_bool(sf_dir: str):
+    """PromQL text front-end, comparison with the ``bool`` modifier:
+    ``sum by (conv_id) (increase(turns_total[1h])) > bool 60`` — a 0/1
+    breach vector per (conversation, hour)."""
+    from vertex_ray.promql_lang import eval_promql
+
+    out = _ensure_pipeline(sf_dir)
+    return eval_promql(
+        out, "sum by (conv_id) (increase(turns_total[1h])) > bool 60")
+
+
 def _q_read_api_instant(sf_dir: str):
     """The query façade (vertex_ray/read.instant_query): PromQL instant
     vector over the 1h turns_total tier — newest real sample per
@@ -1935,6 +1986,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_series_1m_latency": _q_select_series,
         "read_api_range_1h_turns": _q_read_api_range,
         "read_api_range_offset_1h_turns": _q_read_api_range_offset,
+        "promql_expr_sum_by_role_1h": _q_promql_expr_sum_by_role,
+        "promql_expr_user_share_1h": _q_promql_expr_user_share,
+        "promql_expr_peak_subquery_1h": _q_promql_expr_peak_subquery,
+        "promql_expr_hot_convs_bool_1h": _q_promql_expr_hot_convs_bool,
         "burn_rate_1m_latency": _q_burn_rate_1m_latency,
         "quantile_by_role_1h_turns": _q_quantile_by_role_1h,
         "stream_encode_roundtrip_1m_turns": _q_stream_encode_roundtrip,
@@ -2386,6 +2441,52 @@ def oracle_sql() -> dict[str, str]:
             t0 AS (SELECT min(window_start) AS t0 FROM g)
             SELECT series_key, window_start + 86400 AS window_start, count
             FROM g, t0 WHERE window_start <= t0 + 21600
+            """,
+        "promql_expr_sum_by_role_1h": f"""
+            SELECT role, {_w(3600)} AS window_start,
+                   CAST(count(*) AS BIGINT) AS value
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2
+            """,
+        "promql_expr_user_share_1h": f"""
+            WITH g AS (
+              SELECT conv_id, {_w(3600)} AS window_start,
+                     count(*) AS c,
+                     sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS u
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT conv_id, window_start,
+                   CAST(u AS DOUBLE) / CAST(c AS DOUBLE) AS value
+            FROM g WHERE u > 0
+            """,
+        "promql_expr_peak_subquery_1h": f"""
+            WITH g AS (
+              SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                       || '}}' AS series_key,
+                     {_w(300)} AS window_start,
+                     count(*) AS count
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT series_key, window_start,
+                   CAST(max(count) OVER (
+                     PARTITION BY series_key ORDER BY window_start
+                     ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     AS value
+            FROM g
+            """,
+        "promql_expr_hot_convs_bool_1h": f"""
+            WITH g AS (
+              SELECT conv_id, {_w(3600)} AS window_start,
+                     count(*) AS c
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            )
+            SELECT conv_id, window_start,
+                   CASE WHEN CAST(c AS DOUBLE) > 60.0
+                        THEN 1.0 ELSE 0.0 END AS value
+            FROM g
             """,
         "delete_series_1h_turns": f"""
             WITH g AS (

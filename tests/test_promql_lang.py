@@ -1,0 +1,254 @@
+"""PromQL text front-end (vertex_ray/promql_lang): parser unit tests +
+evaluator-lowering tests against brute-force pandas over the same
+store read. The stage functions themselves are covered by
+tests/test_promql.py; here we verify the TEXT expression lowers onto
+them correctly (tier choice, matcher pushdown+filter, vector matching,
+grouping, subqueries, offset)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vertex_ray.promql_lang import (
+    Agg,
+    Bin,
+    Call,
+    Num,
+    Sel,
+    Subquery,
+    eval_promql,
+    parse,
+)
+from vertex_ray.synth import ensure_transcripts
+
+COLS = ["series_key", "window_start", "count"]
+
+
+# --------------------------------------------------------------------------
+# parser
+# --------------------------------------------------------------------------
+
+
+def test_parse_selector_matchers_range_offset():
+    e = parse('turns_total{role="user", conv_id=~"c.*"}[5m] offset 1h')
+    assert isinstance(e, Sel)
+    assert e.name == "turns_total"
+    assert e.matchers == [("role", "=", "user"), ("conv_id", "=~", "c.*")]
+    assert e.range_s == 300
+    assert e.offset_s == 3600
+
+
+def test_parse_compound_duration_and_subquery():
+    e = parse("max_over_time(increase(m[5m])[1h30m:5m])")
+    assert isinstance(e, Call) and e.func == "max_over_time"
+    sq = e.args[0]
+    assert isinstance(sq, Subquery)
+    assert sq.range_s == 5400 and sq.step_s == 300
+    assert isinstance(sq.expr, Call) and sq.expr.func == "increase"
+
+
+def test_parse_agg_forms():
+    e = parse("sum by (role) (increase(turns_total[1h]))")
+    assert isinstance(e, Agg) and e.op == "sum" and e.by == ["role"]
+    e2 = parse("quantile by (role) (0.9, m)")
+    assert e2.op == "quantile" and e2.param == 0.9
+    e3 = parse("avg without (conv_id, role) (m)")
+    assert e3.without == ["conv_id", "role"]
+    # trailing grouping form
+    e4 = parse("sum(m) by (role)")
+    assert e4.by == ["role"]
+    e5 = parse('count_values("turns", m)')
+    assert e5.op == "count_values" and e5.param == "turns"
+
+
+def test_parse_binary_precedence_and_matching():
+    e = parse("a + b * c")
+    assert isinstance(e, Bin) and e.op == "add"
+    assert isinstance(e.rhs, Bin) and e.rhs.op == "mul"
+    e2 = parse("a / on(conv_id) group_left b")
+    assert e2.op == "div" and e2.on == ["conv_id"] and e2.group_left == []
+    e3 = parse("a > bool 5")
+    assert e3.op == "gt" and e3.bool_mode and isinstance(e3.rhs, Num)
+    e4 = parse("a and on(role) b or c")
+    assert e4.op == "or" and e4.lhs.op == "and" and e4.lhs.on == ["role"]
+    e5 = parse("-2 * m")
+    assert isinstance(e5.lhs, Num) and e5.lhs.v == -2.0
+
+
+def test_parse_errors():
+    for bad in ("m[", "m{role=user}", "sum by role (m)",
+                "topk(m)", "m )"):
+        with pytest.raises((SyntaxError, ValueError)):
+            parse(bad)
+
+
+# --------------------------------------------------------------------------
+# evaluator (real store at sf0.001)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def store(ray_session, tmp_path_factory):
+    trans = ensure_transcripts(0.001, base="/tmp/vertex_ray_testdata")
+    out = str(tmp_path_factory.mktemp("tiers_promql_lang"))
+    from vertex_ray.pipelines.rollup_pipeline import run_pipeline
+
+    run_pipeline(trans, out, n_buckets=4)
+    return out
+
+
+def _base(store, tier="1h", metric="turns_total", **kw):
+    from vertex_ray.read import query_range
+
+    return (query_range(store, tier, metric=metric, columns=COLS, **kw)
+            .to_pandas())
+
+
+def _run(store, expr, **kw):
+    df = eval_promql(store, expr, **kw).to_pandas()
+    return df.sort_values(list(df.columns), kind="stable") \
+        .reset_index(drop=True)
+
+
+def test_eval_rate_tier_read(store):
+    got = _run(store, 'rate(turns_total{role="user"}[1h])')
+    base = _base(store)
+    base = base[base.series_key.str.contains(r"role=user\}")]
+    exp = pd.DataFrame({
+        "series_key": base.series_key,
+        "window_start": base.window_start,
+        "value": base["count"].astype(np.float64) / 3600.0,
+    }).sort_values(["series_key", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_eval_increase_multiwindow_frame(store):
+    # [2h] -> 1h tier, trailing 2-window moving sum per series
+    got = _run(store, "increase(turns_total[2h])")
+    base = _base(store).sort_values(["series_key", "window_start"])
+    r = (base.groupby("series_key", sort=False)["count"]
+         .rolling(2, min_periods=1).sum().reset_index(level=0))
+    exp = pd.DataFrame({
+        "series_key": r.series_key,
+        "window_start": base.window_start,
+        "value": r["count"].astype(np.float64),
+    }).sort_values(["series_key", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_eval_sum_by_label(store):
+    got = _run(store, "sum by (role) (increase(turns_total[1h]))")
+    base = _base(store)
+    base["role"] = base.series_key.str.extract(r"role=([^,}]*)")
+    exp = (base.groupby(["role", "window_start"])["count"].sum()
+           .reset_index().rename(columns={"count": "value"})
+           .sort_values(["role", "window_start"]).reset_index(drop=True))
+    exp = exp[["role", "window_start", "value"]]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_eval_regex_matcher_and_negation(store):
+    got = _run(store, 'increase(turns_total{role=~"us.*"}[1h])')
+    ref = _run(store, 'increase(turns_total{role="user"}[1h])')
+    pd.testing.assert_frame_equal(got, ref)
+    got_ne = _run(store, 'increase(turns_total{role!="user"}[1h])')
+    base = _base(store)
+    assert len(got_ne) == (~base.series_key.str.contains(
+        r"role=user\}")).sum()
+
+
+def test_eval_binary_ratio_on_conv(store):
+    got = _run(store, 'increase(turns_total{role="user"}[1h]) '
+                      "/ on(conv_id) "
+                      "sum by (conv_id) (increase(turns_total[1h]))")
+    base = _base(store)
+    base["conv_id"] = base.series_key.str.extract(r"conv_id=([^,}]*)")
+    tot = base.groupby(["conv_id", "window_start"])["count"].sum()
+    user = base[base.series_key.str.contains(r"role=user\}")]
+    exp = pd.DataFrame({
+        "conv_id": user.conv_id,
+        "window_start": user.window_start,
+        "value": user["count"].to_numpy(np.float64)
+        / tot.loc[list(zip(user.conv_id, user.window_start))]
+        .to_numpy(np.float64),
+    }).sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_eval_comparison_filter_and_bool(store):
+    expr = "sum by (role) (increase(turns_total[1h]))"
+    full = _run(store, expr)
+    kept = _run(store, f"{expr} > 50")
+    assert (kept["value"] > 50).all()
+    assert len(kept) == (full["value"] > 50).sum()
+    flags = _run(store, f"{expr} > bool 50")
+    assert set(flags["value"]) <= {0.0, 1.0}
+    assert flags["value"].sum() == len(kept)
+
+
+def test_eval_subquery_peak(store):
+    got = _run(store, "max_over_time(increase(turns_total[5m])[1h:5m])")
+    base = _base(store, tier="5m").sort_values(
+        ["series_key", "window_start"])
+    r = (base.groupby("series_key", sort=False)["count"]
+         .rolling(12, min_periods=1).max().reset_index(level=0))
+    exp = pd.DataFrame({
+        "series_key": r.series_key,
+        "window_start": base.window_start,
+        "value": r["count"].astype(np.float64),
+    }).sort_values(["series_key", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_eval_topk_and_scalar_arith(store):
+    got = _run(store, "topk(3, sum by (role) (increase(turns_total[1h]))) "
+                      "* 2")
+    full = _run(store, "sum by (role) (increase(turns_total[1h]))")
+    exp_rows = (full.sort_values(["value", "role"],
+                                 ascending=[False, True], kind="stable")
+                .groupby("window_start", sort=False).head(3))
+    assert len(got) == len(exp_rows)
+    merged = got.merge(full, on=["role", "window_start"],
+                       suffixes=("", "_full"))
+    assert np.allclose(merged["value"], 2.0 * merged["value_full"])
+
+
+def test_eval_offset_restamp(store):
+    base = _base(store)
+    got = _run(store, "increase(turns_total[1h] offset 1h)")
+    exp = base.copy()
+    exp["window_start"] += 3600
+    exp = (exp.rename(columns={"count": "value"})
+           [["series_key", "window_start", "value"]]
+           .sort_values(["series_key", "window_start"])
+           .reset_index(drop=True))
+    got["value"] = got["value"].astype(np.int64)
+    exp["value"] = exp["value"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_eval_set_op_unless(store):
+    hot = "sum by (conv_id) (increase(turns_total[1h])) > 60"
+    all_ = "sum by (conv_id) (increase(turns_total[1h]))"
+    got = _run(store, f"{all_} unless ({hot})")
+    full = _run(store, all_)
+    kept = _run(store, hot)
+    assert len(got) == len(full) - len(kept)
+    assert (got["value"] <= 60).all()
+
+
+def test_eval_hour_and_clamp(store):
+    got = _run(store, "clamp_max(hour(sum by (role) "
+                      "(increase(turns_total[1h]))), 12)")
+    assert got["value"].between(0, 12).all()
+
+
+def test_eval_errors(store):
+    with pytest.raises(ValueError):
+        eval_promql(store, "turns_total[1h]")  # bare range selector
+    with pytest.raises(ValueError):
+        eval_promql(store, "increase(turns_total[90s])")  # no tier fits
+    with pytest.raises(ValueError):
+        # different steps on the two sides of a binary op
+        eval_promql(store, "increase(turns_total[1h]) "
+                           "/ on(conv_id) increase(turns_total[5m])")

@@ -182,7 +182,13 @@ def cmd_query(args) -> int:
     )
 
     tier = args.tier or pick_tier(args.step)
-    if args.verb == "range":
+    if args.verb == "promql":
+        from vertex_ray.promql_lang import eval_promql
+
+        ds = eval_promql(args.store, args.expr, value_col=args.value_col,
+                         step=tier, start=args.start or None,
+                         end=args.end or None, layout=args.layout)
+    elif args.verb == "range":
         ds = query_range(args.store, tier, metric=args.metric,
                          key_regex=args.match, start=args.start,
                          end=args.end, layout=args.layout,
@@ -341,8 +347,15 @@ def main(argv: list[str] | None = None) -> int:
                         help="read the block store (range/instant/"
                              "series/labels)")
     sp.add_argument("verb", choices=["range", "instant", "series",
-                                     "labels"])
+                                     "labels", "promql"])
     sp.add_argument("store")
+    sp.add_argument("expr", nargs="?", default=None,
+                    help="PromQL expression (promql verb): parsed by "
+                         "vertex_ray/promql_lang and lowered onto the "
+                         "distributed read stages")
+    sp.add_argument("--value-col", default="count",
+                    help="tier column selectors read (promql verb): "
+                         "count/sum/min/max/last")
     sp.add_argument("--tier", default=None,
                     help="explicit tier; default picks from --step")
     sp.add_argument("--step", type=int, default=60,

@@ -1,0 +1,911 @@
+"""PromQL expression front-end over the committed tier store.
+
+The reference's user-facing language is VTL — a compiled expression
+language wired into filter/route/rewrite (/root/reference
+lib/vtl/src/compiler/, 16k LoC, 74 stdlib functions). This engine's
+read-side analogue is PromQL over the tier store: every PromQL
+operation already exists as a distributed stage function
+(stages/promql.*) or a pruned store read (vertex_ray/read). This
+module is the missing TEXT front-end: a lexer + recursive-descent
+parser producing a small AST, and an evaluator that LOWERS each node
+onto those existing stages. The parser owns zero execution logic, so
+every construct inherits the scale shape of the stage it lowers to —
+pruned block reads before decode, per-batch combiner partials before
+the one hash exchange, broadcast-free vector matching via hash joins.
+
+Grammar (the subset the stage library implements):
+
+    expr      := or_expr
+    or_expr   := and_expr ("or" and_expr)*
+    and_expr  := cmp_expr (("and" | "unless") cmp_expr)*
+    cmp_expr  := add_expr ((">" ">=" "<" "<=" "==" "!=") ["bool"]
+                           add_expr)?
+    add_expr  := mul_expr (("+" | "-") mul_expr)*
+    mul_expr  := unary (("*" | "/") unary)*
+    unary     := "-" unary | postfix
+    postfix   := atom ["[" DUR ":" DUR "]"] ["offset" DUR]
+    atom      := NUMBER | "(" expr ")" | agg | call | selector
+    agg       := AGGOP [grouping] "(" [NUMBER ","] expr ")" [grouping]
+    grouping  := ("by" | "without") "(" label ("," label)* ")"
+    call      := FUNC "(" arg ("," arg)* ")"
+    selector  := NAME ["{" matcher ("," matcher)* "}"]
+                 ["[" DUR "]"] ["offset" DUR]
+    matcher   := LABEL ("=" | "!=" | "=~" | "!~") STRING
+
+Binary vector matching: ``left <op> on(l1, l2) [group_left(c1, ...)]
+right``.
+
+Time model — how [range] maps onto the tier store: tiers hold
+per-window DELTAS (the MetricNormalize absolute→incremental contract,
+/root/reference lib/framework/src/sink/buffer/metrics.rs:110-146) at
+widths 1m/5m/1h/1d. A range selector ``m[W]`` evaluates on the widest
+tier whose width divides W, with a trailing frame of W/width windows
+(ROWS semantics, clipped at series start — over_time's contract); so
+``increase(m[1h])`` is exactly the 1h tier's stored delta, and
+``increase(m[30m])`` is a 6-window moving sum over the 5m tier. A bare
+selector evaluates at ``step`` (the /api/v1/query_range step → tier).
+Operands of a binary/set op must share a step; mixed-resolution
+expressions go through read.query_range_stitched instead.
+
+Exactness contract (inherited from the stages): selectors read the
+integer ``count`` column by default, so sums/averages/stddevs merge as
+exact int64 partials and the single float evaluation at the end is
+bit-identical to the DuckDB mirrors — the same convention every
+structured query in __ray_entry__ follows.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Num:
+    v: float
+
+
+@dataclass
+class Sel:
+    name: str
+    matchers: list = field(default_factory=list)  # (label, op, value)
+    range_s: int | None = None
+    offset_s: int = 0
+
+
+@dataclass
+class Subquery:
+    expr: object
+    range_s: int
+    step_s: int
+
+
+@dataclass
+class Call:
+    func: str
+    args: list
+
+
+@dataclass
+class Agg:
+    op: str
+    expr: object
+    param: float | str | None = None
+    by: list | None = None
+    without: list | None = None
+
+
+@dataclass
+class Bin:
+    op: str
+    lhs: object
+    rhs: object
+    on: list | None = None
+    group_left: list | None = None
+    bool_mode: bool = False
+
+
+AGG_OPS = {"sum", "min", "max", "avg", "count", "stddev", "group",
+           "quantile", "topk", "bottomk", "count_values"}
+
+RANGE_FUNCS = {
+    "rate", "increase", "delta", "irate", "idelta", "resets", "changes",
+    "deriv", "predict_linear", "holt_winters",
+    "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
+    "count_over_time", "stddev_over_time", "stdvar_over_time",
+    "quantile_over_time", "last_over_time", "first_over_time",
+    "mad_over_time",
+}
+INSTANT_FUNCS = {
+    "abs", "ceil", "floor", "round", "sqrt", "sgn",
+    "clamp", "clamp_min", "clamp_max", "sort", "sort_desc",
+    "label_replace", "label_join",
+    "minute", "hour", "day_of_week", "day_of_month", "month", "year",
+    "days_in_month",
+}
+
+# --------------------------------------------------------------------------
+# Lexer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""(?P<WS>\s+)
+      | (?P<DUR>\d+(?:[smhdw])(?:\d+(?:[smhdw]))*)(?!\w)
+      | (?P<NUM>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\.\d+)
+      | (?P<ID>[a-zA-Z_][a-zA-Z0-9_:]*)
+      | (?P<STR>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+      | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%(){}\[\],:=<>])
+    """,
+    re.X,
+)
+
+_DUR_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def _parse_duration(s: str) -> int:
+    total = 0
+    for n, u in re.findall(r"(\d+)([smhdw])", s):
+        total += int(n) * _DUR_UNITS[u]
+    return total
+
+
+def _lex(src: str) -> list[tuple[str, str]]:
+    toks, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise SyntaxError(f"promql: bad character {src[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind != "WS":
+            toks.append((kind, m.group()))
+    toks.append(("EOF", ""))
+    return toks
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _lex(src)
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val: str):
+        k, v = self.next()
+        if v != val:
+            raise SyntaxError(f"promql: expected {val!r}, got {v!r}")
+        return v
+
+    def at(self, val: str) -> bool:
+        return self.peek()[1] == val
+
+    # ---- precedence climbing -------------------------------------------
+    def parse(self):
+        e = self.or_expr()
+        if self.peek()[0] != "EOF":
+            raise SyntaxError(f"promql: trailing input at {self.peek()[1]!r}")
+        return e
+
+    def or_expr(self):
+        e = self.and_expr()
+        while self.at("or"):
+            self.next()
+            on, gl = self._matching()
+            e = Bin("or", e, self.and_expr(), on=on, group_left=gl)
+        return e
+
+    def and_expr(self):
+        e = self.cmp_expr()
+        while self.peek()[1] in ("and", "unless"):
+            op = self.next()[1]
+            on, gl = self._matching()
+            e = Bin(op, e, self.cmp_expr(), on=on, group_left=gl)
+        return e
+
+    _CMP = {">": "gt", ">=": "ge", "<": "lt", "<=": "le",
+            "==": "eq", "!=": "ne"}
+
+    def cmp_expr(self):
+        e = self.add_expr()
+        if self.peek()[1] in self._CMP:
+            op = self._CMP[self.next()[1]]
+            bool_mode = False
+            if self.at("bool"):
+                self.next()
+                bool_mode = True
+            on, gl = self._matching()
+            e = Bin(op, e, self.add_expr(), on=on, group_left=gl,
+                    bool_mode=bool_mode)
+        return e
+
+    def add_expr(self):
+        e = self.mul_expr()
+        while self.peek()[1] in ("+", "-"):
+            op = {"+": "add", "-": "sub"}[self.next()[1]]
+            on, gl = self._matching()
+            e = Bin(op, e, self.mul_expr(), on=on, group_left=gl)
+        return e
+
+    def mul_expr(self):
+        e = self.unary()
+        while self.peek()[1] in ("*", "/"):
+            op = {"*": "mul", "/": "div"}[self.next()[1]]
+            on, gl = self._matching()
+            e = Bin(op, e, self.unary(), on=on, group_left=gl)
+        return e
+
+    def _matching(self):
+        on = gl = None
+        if self.at("on"):
+            self.next()
+            on = self._label_list()
+        if self.at("group_left"):
+            self.next()
+            gl = self._label_list() if self.at("(") else []
+        return on, gl
+
+    def unary(self):
+        if self.at("-"):
+            self.next()
+            inner = self.unary()
+            if isinstance(inner, Num):
+                return Num(-inner.v)
+            return Bin("mul", inner, Num(-1.0))
+        return self.postfix()
+
+    def postfix(self):
+        e = self.atom()
+        if self.at("["):
+            self.next()
+            k, v = self.next()
+            if k != "DUR":
+                raise SyntaxError(f"promql: expected duration, got {v!r}")
+            w = _parse_duration(v)
+            if self.at(":"):
+                self.next()
+                k2, v2 = self.next()
+                if k2 != "DUR":
+                    raise SyntaxError(
+                        f"promql: expected subquery step, got {v2!r}")
+                self.expect("]")
+                e = Subquery(e, w, _parse_duration(v2))
+            else:
+                self.expect("]")
+                if not isinstance(e, Sel) or e.range_s is not None:
+                    raise SyntaxError(
+                        "promql: [range] only on a selector (use [W:S] "
+                        "for subqueries)")
+                e.range_s = w
+        if self.at("offset"):
+            self.next()
+            k, v = self.next()
+            if k != "DUR":
+                raise SyntaxError(f"promql: expected offset duration, "
+                                  f"got {v!r}")
+            if not isinstance(e, Sel):
+                raise SyntaxError("promql: offset only on a selector")
+            e.offset_s = _parse_duration(v)
+        return e
+
+    def atom(self):
+        k, v = self.peek()
+        if k == "NUM":
+            self.next()
+            return Num(float(v))
+        if v == "(":
+            self.next()
+            e = self.or_expr()
+            self.expect(")")
+            return e
+        if k != "ID":
+            raise SyntaxError(f"promql: unexpected {v!r}")
+        if v in AGG_OPS and self.peek(1)[1] in ("(", "by", "without"):
+            return self._agg()
+        if self.peek(1)[1] == "(" and v in RANGE_FUNCS | INSTANT_FUNCS:
+            return self._call()
+        return self._selector()
+
+    def _label_list(self):
+        self.expect("(")
+        labels = []
+        while not self.at(")"):
+            k, v = self.next()
+            if k != "ID":
+                raise SyntaxError(f"promql: expected label, got {v!r}")
+            labels.append(v)
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        return labels
+
+    def _agg(self):
+        op = self.next()[1]
+        by = without = None
+        if self.at("by"):
+            self.next()
+            by = self._label_list()
+        elif self.at("without"):
+            self.next()
+            without = self._label_list()
+        self.expect("(")
+        param = None
+        if op in ("quantile", "topk", "bottomk", "count_values"):
+            k, v = self.next()
+            if op == "count_values":
+                if k != "STR":
+                    raise SyntaxError("promql: count_values needs a "
+                                      "label string param")
+                param = v[1:-1]
+            else:
+                if k != "NUM":
+                    raise SyntaxError(f"promql: {op} needs a numeric param")
+                param = float(v)
+            self.expect(",")
+        e = self.or_expr()
+        self.expect(")")
+        if by is None and without is None:
+            if self.at("by"):
+                self.next()
+                by = self._label_list()
+            elif self.at("without"):
+                self.next()
+                without = self._label_list()
+        return Agg(op, e, param=param, by=by, without=without)
+
+    def _call(self):
+        func = self.next()[1]
+        self.expect("(")
+        args = []
+        while not self.at(")"):
+            if self.peek()[0] == "STR":
+                args.append(self.next()[1][1:-1])
+            else:
+                args.append(self.or_expr())
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        return Call(func, args)
+
+    def _selector(self):
+        name = self.next()[1]
+        matchers = []
+        if self.at("{"):
+            self.next()
+            while not self.at("}"):
+                lk, lv = self.next()
+                if lk != "ID":
+                    raise SyntaxError(f"promql: expected label, got {lv!r}")
+                op = self.next()[1]
+                if op not in ("=", "!=", "=~", "!~"):
+                    raise SyntaxError(f"promql: bad matcher op {op!r}")
+                sk, sv = self.next()
+                if sk != "STR":
+                    raise SyntaxError(f"promql: matcher value must be a "
+                                      f"string, got {sv!r}")
+                matchers.append((lv, op, sv[1:-1]))
+                if self.at(","):
+                    self.next()
+            self.expect("}")
+        return Sel(name, matchers)
+
+
+def parse(src: str):
+    """Parse a PromQL expression into this module's AST."""
+    return _Parser(src).parse()
+
+
+# --------------------------------------------------------------------------
+# Evaluator
+# --------------------------------------------------------------------------
+
+_TIERS = [("1d", 86400), ("1h", 3600), ("5m", 300), ("1m", 60)]
+
+
+def _pick_tier(range_s: int) -> tuple[str, int, int]:
+    """Widest tier whose width divides the selector range → (tier name,
+    width, trailing-frame window count)."""
+    for name, w in _TIERS:
+        if range_s >= w and range_s % w == 0:
+            return name, w, range_s // w
+    raise ValueError(f"promql: no tier divides range {range_s}s "
+                     f"(tiers: {[w for _, w in _TIERS]})")
+
+
+@dataclass
+class _Vector:
+    """An instant vector mid-evaluation: a Dataset whose schema is
+    id_cols + [window_start, value]."""
+    ds: object
+    id_cols: list[str]
+    step_s: int
+
+
+class _Ctx:
+    def __init__(self, store: str, value_col: str, step_s: int,
+                 start: int | None, end: int | None, layout: str,
+                 n_buckets: int):
+        self.store = store
+        self.value_col = value_col
+        self.step_s = step_s
+        self.start = start
+        self.end = end
+        self.layout = layout
+        self.n_buckets = n_buckets
+
+
+def _reshape(ds, id_cols: list[str], src: str):
+    """Project to id_cols + window_start + value (renaming src→value)."""
+    cols = id_cols + ["window_start"]
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.select(cols + [src]).rename_columns(cols + ["value"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _matcher_filter(matchers):
+    from vertex_ray.stages.promql import extract_label
+
+    def fn(t: pa.Table) -> pa.Table:
+        for lbl, op, val in matchers:
+            col = pc.fill_null(
+                extract_label(t, lbl, out_col="__m")["__m"], "")
+            if op == "=":
+                m = pc.equal(col, val)
+            elif op == "!=":
+                m = pc.not_equal(col, val)
+            else:
+                m = pc.match_substring_regex(col, f"^(?:{val})$")
+                if op == "!~":
+                    m = pc.invert(m)
+            t = t.filter(m)
+        return t
+
+    return fn
+
+
+def _eval_selector(sel: Sel, ctx: _Ctx, tier_w: int | None = None
+                   ) -> tuple[_Vector, int]:
+    """Read the selector's tier rows → (vector, trailing-frame n)."""
+    from vertex_ray.read import query_range
+
+    if tier_w is not None:
+        tier = next(nm for nm, w in _TIERS if w == tier_w)
+        w, n = tier_w, 1
+    elif sel.range_s is not None:
+        tier, w, n = _pick_tier(sel.range_s)
+    else:
+        tier, w, n = _pick_tier(ctx.step_s)
+        if w != ctx.step_s:
+            raise ValueError(f"promql: step {ctx.step_s}s is not a tier")
+    # prune the block scan with the first equality matcher; every
+    # matcher (incl. this one) is re-applied exactly post-decode
+    push = None
+    for lbl, op, val in sel.matchers:
+        if op == "=":
+            push = rf"[{{,]{re.escape(lbl)}={re.escape(val)}[,}}]"
+            break
+    ds = query_range(ctx.store, tier, metric=sel.name, key_regex=push,
+                     columns=["series_key", "window_start", ctx.value_col],
+                     start=ctx.start, end=ctx.end, layout=ctx.layout,
+                     offset=sel.offset_s)
+    if sel.matchers:
+        ds = ds.map_batches(_matcher_filter(sel.matchers),
+                            batch_format="pyarrow")
+    ds = _reshape(ds, ["series_key"], ctx.value_col)
+    return _Vector(ds, ["series_key"], w), n
+
+
+def _need_vector(x, what: str) -> _Vector:
+    if not isinstance(x, _Vector):
+        raise ValueError(f"promql: {what} needs a vector operand")
+    return x
+
+
+def _range_arg(node, ctx: _Ctx) -> tuple[_Vector, int]:
+    """Evaluate a range-function argument: a range selector (tier read)
+    or a subquery (inner expr at its own step, outer frame n = W/S)."""
+    if isinstance(node, Sel):
+        if node.range_s is None:
+            raise ValueError("promql: range function needs m[W]")
+        return _eval_selector(node, ctx)
+    if isinstance(node, Subquery):
+        inner = _need_vector(_eval(node.expr, ctx), "subquery")
+        if inner.step_s != node.step_s:
+            raise ValueError(
+                f"promql: subquery step {node.step_s}s != inner "
+                f"expression step {inner.step_s}s")
+        if node.range_s % node.step_s:
+            raise ValueError("promql: subquery range must be a multiple "
+                             "of its step")
+        return inner, node.range_s // node.step_s
+    raise ValueError("promql: range function needs m[W] or (expr)[W:S]")
+
+
+def _key_col(v: _Vector) -> str:
+    if len(v.id_cols) != 1:
+        raise ValueError(f"promql: per-series function needs a single "
+                         f"identity column, got {v.id_cols}")
+    return v.id_cols[0]
+
+
+def _scalar_arith(v: _Vector, s: float, op: str, reverse: bool) -> _Vector:
+    ops = {"add": pc.add, "sub": pc.subtract, "mul": pc.multiply,
+           "div": pc.divide}
+    cmps = {"gt": pc.greater, "ge": pc.greater_equal, "lt": pc.less,
+            "le": pc.less_equal, "eq": pc.equal, "ne": pc.not_equal}
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["value"], pa.float64())
+        a, b = (s, x) if reverse else (x, s)
+        i = t.schema.get_field_index("value")
+        return t.set_column(i, "value", ops[op](a, b))
+
+    def cmp_fn(bool_mode):
+        def fn(t: pa.Table) -> pa.Table:
+            x = pc.cast(t["value"], pa.float64())
+            a, b = (s, x) if reverse else (x, s)
+            m = cmps[op](a, b)
+            if bool_mode:
+                i = t.schema.get_field_index("value")
+                return t.set_column(i, "value",
+                                    pc.cast(m, pa.float64()))
+            return t.filter(m)
+        return fn
+
+    if op in ops:
+        return _Vector(v.ds.map_batches(fn, batch_format="pyarrow"),
+                       v.id_cols, v.step_s)
+    return op, cmp_fn  # handled by caller (needs bool_mode)
+
+
+def _materialize_labels(v: _Vector, labels: list[str]) -> _Vector:
+    """Ensure every label in ``labels`` exists as a column (extracted
+    from series_key when missing)."""
+    from vertex_ray.stages.promql import extract_label
+
+    missing = [l for l in labels if l not in v.id_cols
+               and l != "window_start"]
+    if not missing:
+        return v
+    if "series_key" not in v.id_cols:
+        raise ValueError(f"promql: labels {missing} not available on "
+                         f"vector with identity {v.id_cols}")
+
+    def fn(t: pa.Table) -> pa.Table:
+        for l in missing:
+            t = extract_label(t, l, out_col=l)
+        return t
+
+    return _Vector(v.ds.map_batches(fn, batch_format="pyarrow"),
+                   v.id_cols + missing, v.step_s)
+
+
+def _eval_bin(node: Bin, ctx: _Ctx):
+    from vertex_ray.stages.promql import binary_op, set_op
+
+    lhs = _eval(node.lhs, ctx)
+    rhs = _eval(node.rhs, ctx)
+    if isinstance(lhs, float) and isinstance(rhs, float):
+        ops = {"add": lambda a, b: a + b, "sub": lambda a, b: a - b,
+               "mul": lambda a, b: a * b, "div": lambda a, b: a / b}
+        if node.op not in ops:
+            raise ValueError(f"promql: scalar {node.op} unsupported")
+        return ops[node.op](lhs, rhs)
+
+    # vector <op> scalar / scalar <op> vector
+    if isinstance(lhs, float) or isinstance(rhs, float):
+        v = lhs if isinstance(lhs, _Vector) else rhs
+        s = rhs if isinstance(rhs, float) else lhs
+        reverse = isinstance(lhs, float)
+        r = _scalar_arith(v, s, node.op, reverse)
+        if isinstance(r, _Vector):
+            return r
+        _, cmp_fn = r
+        return _Vector(v.ds.map_batches(cmp_fn(node.bool_mode),
+                                        batch_format="pyarrow"),
+                       v.id_cols, v.step_s)
+
+    l, r = lhs, rhs
+    if l.step_s != r.step_s:
+        raise ValueError(f"promql: binary operands at different steps "
+                         f"({l.step_s}s vs {r.step_s}s) — align tiers or "
+                         f"use read.query_range_stitched")
+    if node.op in ("and", "or", "unless"):
+        on = node.on or sorted(set(l.id_cols) & set(r.id_cols))
+        if not on:
+            raise ValueError("promql: set op needs on(...) or shared "
+                             "identity columns")
+        l = _materialize_labels(l, on)
+        r = _materialize_labels(r, on)
+        if node.op == "or" and set(l.ds.schema().names) != \
+                set(r.ds.schema().names):
+            raise ValueError("promql: 'or' operands must share a schema")
+        out = set_op(l.ds, r.ds, on + ["window_start"], op=node.op,
+                     n_buckets=ctx.n_buckets)
+        return _Vector(out, l.id_cols, l.step_s)
+
+    on = node.on
+    if on is None:
+        if l.id_cols != r.id_cols:
+            raise ValueError("promql: vector match needs on(...) when "
+                             "identities differ")
+        on = l.id_cols
+    l = _materialize_labels(l, on)
+    r = _materialize_labels(r, on)
+    carry = node.group_left or []
+
+    # distinct value-column names through the join
+    rds = r.ds.map_batches(
+        lambda t: t.rename_columns(
+            [c if c != "value" else "__rv" for c in t.schema.names]),
+        batch_format="pyarrow")
+    out = binary_op(l.ds, rds, on + ["window_start"], "value", "__rv",
+                    op=node.op, out_col="__out", n_buckets=ctx.n_buckets,
+                    carry_left=carry, bool_mode=node.bool_mode)
+    id_cols = on + [c for c in carry if c not in on]
+    cmp_filter = node.op in ("gt", "ge", "lt", "le", "eq", "ne") \
+        and not node.bool_mode
+    src = "value" if cmp_filter else "__out"
+    return _Vector(_reshape(out, id_cols, src), id_cols, l.step_s)
+
+
+def _eval_agg(node: Agg, ctx: _Ctx) -> _Vector:
+    from vertex_ray.stages.ops import topk_per_group
+    from vertex_ray.stages.promql import (
+        aggregate_without,
+        count_values,
+        label_aggregate,
+    )
+
+    v = _need_vector(_eval(node.expr, ctx), f"{node.op}()")
+
+    if node.op in ("topk", "bottomk"):
+        if node.by or node.without:
+            raise ValueError("promql: topk/bottomk grouping unsupported — "
+                             "aggregate first, then rank")
+        key = _key_col(v)
+        out = topk_per_group(v.ds, "window_start", "value",
+                             int(node.param), key, keep_cols=[key],
+                             ascending=node.op == "bottomk")
+        return _Vector(_reshape(out, [key], "value"), [key], v.step_s)
+
+    if node.op == "count_values":
+        if node.by or node.without:
+            raise ValueError("promql: count_values grouping unsupported")
+        lbl = str(node.param)
+        out = count_values(v.ds, "value", out_col="__n",
+                           n_buckets=ctx.n_buckets)
+        out = out.map_batches(
+            lambda t: t.select(["value", "window_start", "__n"])
+            .rename_columns([lbl, "window_start", "value"]),
+            batch_format="pyarrow")
+        return _Vector(out, [lbl], v.step_s)
+
+    if node.without is not None:
+        if node.op in ("quantile", "group"):
+            raise ValueError(f"promql: {node.op} without() unsupported")
+        out = aggregate_without(v.ds, node.without, "value",
+                                agg=node.op, n_buckets=ctx.n_buckets)
+        return _Vector(out, ["series_key"], v.step_s)
+
+    by = node.by or []
+    if len(by) != 1:
+        raise ValueError("promql: aggregation needs exactly one by(label) "
+                         "(or use without(...) to keep series identity)")
+    q = 0.5 if node.param is None else float(node.param)
+    out = label_aggregate(v.ds, by[0], "value", out_col="value",
+                          agg=node.op, q=q)
+    return _Vector(out, [by[0]], v.step_s)
+
+
+def _to_float(v: _Vector) -> _Vector:
+    def fn(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("value")
+        return t.set_column(i, "value", pc.cast(t["value"], pa.float64()))
+
+    return _Vector(v.ds.map_batches(fn, batch_format="pyarrow"),
+                   v.id_cols, v.step_s)
+
+
+def _eval_call(node: Call, ctx: _Ctx):
+    from vertex_ray.stages import promql as P
+    from vertex_ray.stages.windows import series_delta
+
+    f = node.func
+
+    if f in ("minute", "hour", "day_of_week", "day_of_month", "month",
+             "year", "days_in_month"):
+        v = _need_vector(_eval(node.args[0], ctx), f)
+
+        def fn(t: pa.Table) -> pa.Table:
+            t = P.window_time(t, part=f, out_col="__t")
+            i = t.schema.get_field_index("value")
+            t = t.set_column(i, "value",
+                             pc.cast(t["__t"], pa.float64()))
+            return t.drop_columns(["__t"])
+
+        return _Vector(v.ds.map_batches(fn, batch_format="pyarrow"),
+                       v.id_cols, v.step_s)
+
+    if f in ("abs", "ceil", "floor", "round", "sqrt", "sgn"):
+        v = _need_vector(_eval(node.args[0], ctx), f)
+        out = P.math_op(v.ds, "value", f, out_col="__v")
+        return _Vector(_reshape(out, v.id_cols, "__v"), v.id_cols, v.step_s)
+
+    if f in ("clamp", "clamp_min", "clamp_max"):
+        v = _need_vector(_eval(node.args[0], ctx), f)
+        bounds = [_eval(a, ctx) for a in node.args[1:]]
+        lo = hi = None
+        if f == "clamp":
+            lo, hi = bounds
+        elif f == "clamp_min":
+            lo = bounds[0]
+        else:
+            hi = bounds[0]
+        v = _to_float(v)
+        return _Vector(P.clamp(v.ds, "value", lo=lo, hi=hi),
+                       v.id_cols, v.step_s)
+
+    if f in ("sort", "sort_desc"):
+        v = _need_vector(_eval(node.args[0], ctx), f)
+        return _Vector(v.ds.sort("value", descending=f == "sort_desc"),
+                       v.id_cols, v.step_s)
+
+    if f == "label_replace":
+        v = _need_vector(_eval(node.args[0], ctx), f)
+        dst, repl, src, regex = node.args[1:5]
+        return _Vector(P.label_replace(v.ds, dst, repl, src, regex),
+                       v.id_cols, v.step_s)
+
+    if f == "label_join":
+        v = _need_vector(_eval(node.args[0], ctx), f)
+        dst, sep, *srcs = node.args[1:]
+        return _Vector(P.label_join(v.ds, dst, sep, list(srcs)),
+                       v.id_cols, v.step_s)
+
+    # ---- range functions -------------------------------------------------
+    if f in ("rate", "increase"):
+        v, n = _range_arg(node.args[0], ctx)
+        key = _key_col(v)
+        range_s = n * v.step_s
+        if n > 1:
+            out = P.over_time(v.ds, key, "window_start", "value", n,
+                              agg="sum", out_col="value",
+                              n_buckets=ctx.n_buckets)
+            v = _Vector(out, v.id_cols, v.step_s)
+        if f == "rate":
+            return _scalar_arith(v, float(range_s), "div", False)
+        return v
+
+    if f == "delta":
+        v, n = _range_arg(node.args[0], ctx)
+        if n != 1:
+            raise ValueError("promql: delta range must equal a tier width "
+                             "(gauge tiers store last-per-window)")
+        key = _key_col(v)
+        out = series_delta(v.ds, key, "window_start", "value",
+                           n_buckets=ctx.n_buckets)
+        return _Vector(_reshape(out, [key], "delta"), [key], v.step_s)
+
+    if f in ("irate", "idelta"):
+        v, _ = _range_arg(node.args[0], ctx)
+        key = _key_col(v)
+        out = P.irate_idelta(v.ds, key, "window_start", "value",
+                             n_buckets=ctx.n_buckets)
+        return _Vector(_reshape(out, [key], f), [key], v.step_s)
+
+    if f in ("resets", "changes"):
+        v, n = _range_arg(node.args[0], ctx)
+        key = _key_col(v)
+        out = P.resets_changes(v.ds, key, "window_start", "value", n,
+                               n_buckets=ctx.n_buckets)
+        return _Vector(_reshape(out, [key], f), [key], v.step_s)
+
+    if f == "deriv":
+        v, n = _range_arg(node.args[0], ctx)
+        key = _key_col(v)
+        out = P.deriv(v.ds, key, "window_start", "value", n,
+                      tier_seconds=v.step_s, out_col="__v",
+                      n_buckets=ctx.n_buckets)
+        return _Vector(_reshape(out, [key], "__v"), [key], v.step_s)
+
+    if f == "predict_linear":
+        v, n = _range_arg(node.args[0], ctx)
+        horizon = _eval(node.args[1], ctx)
+        if not isinstance(horizon, float) or horizon % v.step_s:
+            raise ValueError("promql: predict_linear horizon must be a "
+                             "whole number of tier windows")
+        key = _key_col(v)
+        out = P.predict_linear(v.ds, key, "window_start", "value", n,
+                               steps_ahead=int(horizon // v.step_s),
+                               tier_seconds=v.step_s, out_col="__v",
+                               n_buckets=ctx.n_buckets)
+        return _Vector(_reshape(out, [key], "__v"), [key], v.step_s)
+
+    if f == "holt_winters":
+        v, _ = _range_arg(node.args[0], ctx)
+        sf = _eval(node.args[1], ctx)
+        tf = _eval(node.args[2], ctx)
+        key = _key_col(v)
+        out = P.holt_winters(v.ds, key, "window_start", "value",
+                             sf=sf, tf=tf, out_col="__v",
+                             n_buckets=ctx.n_buckets)
+        return _Vector(_reshape(out, [key], "__v"), [key], v.step_s)
+
+    m = re.fullmatch(r"(avg|sum|min|max|count|stddev|stdvar|quantile|"
+                     r"last|first|mad)_over_time", f)
+    if m:
+        agg = m.group(1)
+        arg_ix = 1 if agg == "quantile" else 0
+        v, n = _range_arg(node.args[arg_ix], ctx)
+        q = _eval(node.args[0], ctx) if agg == "quantile" else 0.5
+        key = _key_col(v)
+        out = P.over_time(v.ds, key, "window_start", "value", n, agg=agg,
+                          out_col="__v", q=q, n_buckets=ctx.n_buckets)
+        return _Vector(_reshape(out, [key], "__v"), [key], v.step_s)
+
+    raise ValueError(f"promql: unsupported function {f!r}")
+
+
+def _eval(node, ctx: _Ctx):
+    if isinstance(node, Num):
+        return node.v
+    if isinstance(node, Sel):
+        if node.range_s is not None:
+            raise ValueError("promql: a bare range selector is not an "
+                             "instant vector — wrap it in a range function")
+        v, _ = _eval_selector(node, ctx)
+        return v
+    if isinstance(node, Subquery):
+        raise ValueError("promql: a bare subquery is not an instant "
+                         "vector — wrap it in a *_over_time function")
+    if isinstance(node, Call):
+        return _eval_call(node, ctx)
+    if isinstance(node, Agg):
+        return _eval_agg(node, ctx)
+    if isinstance(node, Bin):
+        return _eval_bin(node, ctx)
+    raise TypeError(f"promql: unknown node {node!r}")
+
+
+def eval_promql(store: str, expr: str, value_col: str = "count",
+                step: str | int = "1h", start: int | None = None,
+                end: int | None = None, layout: str = "oneshot",
+                n_buckets: int = 64):
+    """Evaluate a PromQL expression against a committed tier store.
+
+    Returns a ray.data.Dataset with columns ``id_cols... window_start
+    value`` where id_cols is ``series_key`` (or the by()-labels /
+    on()-match labels after aggregation / vector matching).
+
+    ``value_col`` names the tier column a selector reads (``count`` —
+    the exact-int64 default every structured query uses — or ``sum``/
+    ``min``/``max``/``last``); ``step`` sets the evaluation tier for
+    bare selectors (/api/v1/query_range's step parameter)."""
+    step_s = step if isinstance(step, int) else \
+        dict(_TIERS)[step] if step in dict(_TIERS) else _parse_duration(step)
+    ctx = _Ctx(store, value_col, step_s, start, end, layout, n_buckets)
+    out = _eval(parse(expr), ctx)
+    if not isinstance(out, _Vector):
+        raise ValueError("promql: expression is a scalar, not a vector")
+    return out.ds
