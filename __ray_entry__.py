@@ -401,6 +401,28 @@ def _q_promql_expr_hot_convs_bool(sf_dir: str):
         out, "sum by (conv_id) (increase(turns_total[1h])) > bool 60")
 
 
+def _q_promql_rules_group(sf_dir: str):
+    """Prometheus rules.yml with PromQL TEXT expressions
+    (stages/record.rule_group_promql): a record rule materializes
+    ``role:turns:sum1h = sum by (role) (increase(turns_total[1h]))`` as
+    a named vector, and the group's alert rule then SELECTS that vector
+    by name — ``max_over_time(role:turns:sum1h[3h]) > 2500 FOR 2`` —
+    exactly Prometheus's sequential rule-group evaluation. Returns the
+    alert-state vector (inactive/pending/firing per role per hour)."""
+    from vertex_ray.stages.record import rule_group_promql
+
+    out = _ensure_pipeline(sf_dir)
+    rules = [
+        {"record": "role:turns:sum1h",
+         "expr": "sum by (role) (increase(turns_total[1h]))"},
+        {"alert": "RoleTurnsSustainedHigh",
+         "expr": "max_over_time(role:turns:sum1h[3h])",
+         "threshold": 2500.0, "for": 2},
+    ]
+    res = rule_group_promql(out, rules, tier="1h")
+    return res["RoleTurnsSustainedHigh"]
+
+
 def _q_read_api_instant(sf_dir: str):
     """The query façade (vertex_ray/read.instant_query): PromQL instant
     vector over the 1h turns_total tier — newest real sample per
@@ -1990,6 +2012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promql_expr_user_share_1h": _q_promql_expr_user_share,
         "promql_expr_peak_subquery_1h": _q_promql_expr_peak_subquery,
         "promql_expr_hot_convs_bool_1h": _q_promql_expr_hot_convs_bool,
+        "promql_rules_group_1h": _q_promql_rules_group,
         "burn_rate_1m_latency": _q_burn_rate_1m_latency,
         "quantile_by_role_1h_turns": _q_quantile_by_role_1h,
         "stream_encode_roundtrip_1m_turns": _q_stream_encode_roundtrip,
@@ -2487,6 +2510,55 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN CAST(c AS DOUBLE) > 60.0
                         THEN 1.0 ELSE 0.0 END AS value
             FROM g
+            """,
+        "promql_rules_group_1h": f"""
+            WITH g AS (
+              SELECT role, {_w(3600)} AS ws, count(*) AS c
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            v AS (
+              SELECT 'role:turns:sum1h{{role=' || role || '}}'
+                       AS series_key,
+                     ws AS window_start,
+                     CAST(max(c) OVER (
+                       PARTITION BY role ORDER BY ws
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       AS value
+              FROM g
+            ),
+            d AS (
+              SELECT series_key, window_start, value,
+                     CASE WHEN value > 2500.0 THEN 1 ELSE 0 END AS cond,
+                     lag(window_start) OVER w AS pw,
+                     lag(CASE WHEN value > 2500.0 THEN 1 ELSE 0 END)
+                       OVER w AS pcond
+              FROM v
+              WINDOW w AS (PARTITION BY series_key ORDER BY window_start)
+            ),
+            s AS (
+              SELECT *, CASE WHEN cond = 1 AND NOT
+                               (coalesce(pcond, 0) = 1
+                                AND window_start - pw = 3600)
+                             THEN 1 ELSE 0 END AS strt
+              FROM d
+            ),
+            r AS (
+              SELECT *, sum(strt) OVER (PARTITION BY series_key
+                                        ORDER BY window_start) AS grp
+              FROM s
+            )
+            SELECT series_key, window_start, value,
+                   CAST(CASE WHEN cond = 1 THEN
+                          row_number() OVER (PARTITION BY series_key, grp
+                                             ORDER BY window_start)
+                        ELSE 0 END AS BIGINT) AS run,
+                   CASE WHEN cond = 0 THEN 'inactive'
+                        WHEN row_number() OVER (PARTITION BY series_key, grp
+                                                ORDER BY window_start) >= 2
+                          THEN 'firing'
+                        ELSE 'pending' END AS state
+            FROM r
             """,
         "delete_series_1h_turns": f"""
             WITH g AS (

@@ -243,6 +243,40 @@ def test_eval_hour_and_clamp(store):
     assert got["value"].between(0, 12).all()
 
 
+def test_rule_group_promql_chaining(store):
+    """Record rule materializes a named vector; the alert rule selects
+    it BY NAME (Prometheus sequential group evaluation); record blocks
+    decode back to the exact aggregate."""
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.record import rule_group_promql
+
+    rules = [
+        {"record": "role:turns:sum1h",
+         "expr": "sum by (role) (increase(turns_total[1h]))"},
+        {"alert": "High",
+         "expr": "max_over_time(role:turns:sum1h[3h])",
+         "threshold": 120.0, "for": 2},
+    ]
+    res = rule_group_promql(store, rules, tier="1h")
+
+    # record blocks round-trip to the plain aggregate
+    dec = decode_tier_blocks(res["role:turns:sum1h"]).to_pandas()
+    ref = _run(store, "sum by (role) (increase(turns_total[1h]))")
+    dec["role"] = dec.series_key.str.extract(r"role=([^,}]*)")
+    dec = (dec[["role", "window_start", "last"]]
+           .sort_values(["role", "window_start"]).reset_index(drop=True))
+    assert np.array_equal(dec["last"].to_numpy(),
+                          ref["value"].to_numpy(np.float64))
+
+    # alert: run counts consecutive breaches, firing at >= for
+    al = res["High"].to_pandas().sort_values(
+        ["series_key", "window_start"]).reset_index(drop=True)
+    assert set(al["state"]) <= {"inactive", "pending", "firing"}
+    assert ((al["state"] == "firing") == (al["run"] >= 2)).all()
+    breach = al["value"] > 120.0
+    assert ((al["run"] > 0) == breach).all()
+
+
 def test_eval_errors(store):
     with pytest.raises(ValueError):
         eval_promql(store, "turns_total[1h]")  # bare range selector

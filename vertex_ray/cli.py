@@ -217,6 +217,44 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_rules(args) -> int:
+    """Evaluate a Prometheus-style rule group (PromQL text expressions,
+    stages/record.rule_group_promql) against a block store: record rules
+    are written as Gorilla block rows into ``--out`` (one committed
+    stage per rule, readable by every query verb); alert rules print
+    their state vectors as CSV."""
+    import os as _os
+
+    import yaml
+
+    _ray_up()
+    from vertex_ray.stages.record import rule_group_promql
+    from vertex_ray.state.checkpoint import write_stage
+
+    with open(args.rules) as f:
+        doc = yaml.safe_load(f)
+    rules = doc["rules"] if isinstance(doc, dict) else doc
+    res = rule_group_promql(args.store, rules, tier=args.tier,
+                            value_col=args.value_col, layout=args.layout)
+    alerts = {r["alert"] for r in rules if "alert" in r}
+    for name, ds in res.items():
+        if name in alerts:
+            df = ds.to_pandas()
+            if len(df.columns):
+                df = df.sort_values(by=list(df.columns), kind="mergesort",
+                                    ignore_index=True)
+            print(f"# alert: {name}")
+            print(df.to_csv(index=False), end="")
+        elif args.out:
+            m = write_stage(ds, _os.path.join(args.out, f"record-{name}"),
+                            {"rule": name, "tier": args.tier})
+            print(f"# record: {name} -> {m['rows']} block rows")
+        else:
+            print(f"# record: {name} ({ds.count()} block rows; pass "
+                  "--out to persist)")
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Record a series-delete tombstone (the /api/v1/admin/tsdb/
     delete_series analogue): reads hide the selection immediately; the
@@ -382,6 +420,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="store layout: one-shot blocks dir or the "
                          "time-chunked epoch store")
     sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("rules",
+                        help="evaluate a PromQL rule group (records + "
+                             "alerts) over a block store")
+    sp.add_argument("store")
+    sp.add_argument("rules", help="YAML/JSON rule list: "
+                                  "[{record|alert, expr, ...}]")
+    sp.add_argument("--tier", default="1h")
+    sp.add_argument("--value-col", default="count")
+    sp.add_argument("--out", default=None,
+                    help="directory for record-rule block stages")
+    sp.add_argument("--layout", choices=["oneshot", "epochs"],
+                    default="oneshot")
+    sp.set_defaults(fn=cmd_rules)
 
     sp = sub.add_parser("delete",
                         help="record a series-delete tombstone "

@@ -442,7 +442,7 @@ class _Vector:
 class _Ctx:
     def __init__(self, store: str, value_col: str, step_s: int,
                  start: int | None, end: int | None, layout: str,
-                 n_buckets: int):
+                 n_buckets: int, vectors: dict | None = None):
         self.store = store
         self.value_col = value_col
         self.step_s = step_s
@@ -450,6 +450,10 @@ class _Ctx:
         self.end = end
         self.layout = layout
         self.n_buckets = n_buckets
+        # Prometheus rule-group chaining: name -> (rendered Dataset with
+        # series_key/window_start/value, step_s). Selectors resolve here
+        # FIRST, then fall back to the block store.
+        self.vectors = vectors or {}
 
 
 def _reshape(ds, id_cols: list[str], src: str):
@@ -487,6 +491,31 @@ def _eval_selector(sel: Sel, ctx: _Ctx, tier_w: int | None = None
                    ) -> tuple[_Vector, int]:
     """Read the selector's tier rows → (vector, trailing-frame n)."""
     from vertex_ray.read import query_range
+
+    if sel.name in ctx.vectors:
+        ds0, vstep = ctx.vectors[sel.name]
+        if sel.range_s is not None:
+            if sel.range_s % vstep:
+                raise ValueError(
+                    f"promql: range {sel.range_s}s not a multiple of "
+                    f"rule vector {sel.name!r}'s step {vstep}s")
+            n = sel.range_s // vstep
+        else:
+            n = 1
+        ds = ds0
+        if sel.offset_s:
+            off = sel.offset_s
+
+            def restamp(t: pa.Table) -> pa.Table:
+                i = t.schema.get_field_index("window_start")
+                return t.set_column(i, "window_start",
+                                    pc.add(t["window_start"], off))
+
+            ds = ds.map_batches(restamp, batch_format="pyarrow")
+        if sel.matchers:
+            ds = ds.map_batches(_matcher_filter(sel.matchers),
+                                batch_format="pyarrow")
+        return _Vector(ds, ["series_key"], vstep), n
 
     if tier_w is not None:
         tier = next(nm for nm, w in _TIERS if w == tier_w)
@@ -888,10 +917,43 @@ def _eval(node, ctx: _Ctx):
     raise TypeError(f"promql: unknown node {node!r}")
 
 
+def render_series(ds, id_cols: list[str], name: str):
+    """Render an evaluation result (id_cols + window_start + value) into
+    a canonical series-keyed vector ``name{l1=v1,...}`` (labels sorted by
+    name — the engine's series-identity convention, mirroring the
+    reference's sorted-Tags contract, /root/reference
+    lib/event/src/tags/mod.rs:36-44) with a float64 value. This is the
+    shape recording rules store and downstream rules select on."""
+    labels = sorted(c for c in id_cols if c != "series_key")
+
+    def fn(t: pa.Table) -> pa.Table:
+        if labels:
+            k = pa.array([name + "{"] * len(t), type=pa.string())
+            for i, l in enumerate(labels):
+                sep = "" if i == 0 else ","
+                k = pc.binary_join_element_wise(
+                    k, pa.array([f"{sep}{l}="] * len(t)),
+                    pc.cast(t[l], pa.string()), "")
+            k = pc.binary_join_element_wise(
+                k, pa.array(["}"] * len(t)), "")
+        else:
+            # already series-keyed: re-name the metric part only
+            k = pc.replace_substring_regex(
+                t["series_key"], r"^[^{]*", name)
+        return pa.table({
+            "series_key": k,
+            "window_start": t["window_start"],
+            "value": pc.cast(t["value"], pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def eval_promql(store: str, expr: str, value_col: str = "count",
                 step: str | int = "1h", start: int | None = None,
                 end: int | None = None, layout: str = "oneshot",
-                n_buckets: int = 64):
+                n_buckets: int = 64, vectors: dict | None = None,
+                _want_ids: bool = False):
     """Evaluate a PromQL expression against a committed tier store.
 
     Returns a ray.data.Dataset with columns ``id_cols... window_start
@@ -901,11 +963,18 @@ def eval_promql(store: str, expr: str, value_col: str = "count",
     ``value_col`` names the tier column a selector reads (``count`` —
     the exact-int64 default every structured query uses — or ``sum``/
     ``min``/``max``/``last``); ``step`` sets the evaluation tier for
-    bare selectors (/api/v1/query_range's step parameter)."""
+    bare selectors (/api/v1/query_range's step parameter).
+
+    ``vectors``: rule-group chaining — ``{name: (Dataset, step_s)}`` of
+    previously-recorded vectors (series_key/window_start/value schema);
+    selectors resolve here before the store."""
     step_s = step if isinstance(step, int) else \
         dict(_TIERS)[step] if step in dict(_TIERS) else _parse_duration(step)
-    ctx = _Ctx(store, value_col, step_s, start, end, layout, n_buckets)
+    ctx = _Ctx(store, value_col, step_s, start, end, layout, n_buckets,
+               vectors=vectors)
     out = _eval(parse(expr), ctx)
     if not isinstance(out, _Vector):
         raise ValueError("promql: expression is a scalar, not a vector")
+    if _want_ids:
+        return out.ds, out.id_cols, out.step_s
     return out.ds

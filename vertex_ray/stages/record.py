@@ -195,3 +195,61 @@ def rule_group(tier_ds, rules, *, tier: str, value_col: str = "count",
         else:
             raise ValueError(f"rule needs 'record' or 'alert': {rule}")
     return out
+
+
+def rule_group_promql(store: str, rules, *, tier: str = "1h",
+                      value_col: str = "count", n_buckets: int = 32,
+                      layout: str = "oneshot"):
+    """Prometheus ``rules.yml`` with PromQL TEXT expressions: each rule's
+    ``expr`` is parsed and lowered by vertex_ray/promql_lang against the
+    block store, and — rule-group semantics — each record rule's result
+    is rendered to a canonical series-keyed vector that LATER rules in
+    the group can select by name (``expr: "avg_over_time(
+    role:turns:sum1h[6h])"``), exactly how Prometheus evaluates a group
+    sequentially so recorded vectors feed downstream rules and alerts.
+
+    ``rules``: ordered list of dicts —
+      record: ``{"record": name, "expr": promql}``
+      alert:  ``{"alert": name, "expr": promql, "threshold": x,
+                 "for": n}`` — inactive/pending/firing per series from
+                ``n`` consecutive breaching windows (stages/promql
+                .alert_state over the expression's vector).
+
+    Returns ``{rule name: Dataset}`` — block rows (flagship store
+    schema, Gorilla-encoded gauge vectors, ``vector_blocks``) for record
+    rules; alert-state rows for alerts. Record vectors are materialized
+    ONCE and reused — bounded by series cardinality × windows."""
+    from vertex_ray.promql_lang import eval_promql, render_series
+
+    vectors: dict = {}
+    out: dict = {}
+    for rule in rules:
+        is_record = "record" in rule
+        name = rule["record"] if is_record else rule["alert"]
+        ds, id_cols, step_s = eval_promql(
+            store, rule["expr"], value_col=value_col, step=tier,
+            layout=layout, n_buckets=n_buckets, vectors=vectors,
+            _want_ids=True)
+        if is_record or id_cols != ["series_key"]:
+            # record rules take the rule name as their metric name;
+            # alerts keep the expression's own series identity (the
+            # alert name is the output's key in the returned dict,
+            # Prometheus's alertname label) — unless the expression
+            # ends label-grouped, in which case the labels render
+            # under the alert name to regain a series key.
+            vec = render_series(ds, id_cols,
+                                name if is_record else rule["alert"])
+        else:
+            vec = ds
+        if is_record:
+            vec = vec.materialize()
+            vectors[name] = (vec, step_s)
+            out[name] = vector_blocks(vec, new_metric=name, tier=tier,
+                                      n_buckets=n_buckets)
+        else:
+            from vertex_ray.stages.promql import alert_state
+
+            out[name] = alert_state(
+                vec, "series_key", "window_start", "value",
+                rule["threshold"], rule["for"], step_s)
+    return out
