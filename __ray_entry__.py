@@ -401,6 +401,20 @@ def _q_promql_expr_hot_convs_bool(sf_dir: str):
         out, "sum by (conv_id) (increase(turns_total[1h])) > bool 60")
 
 
+def _q_promql_expr_hist_p99(sf_dir: str):
+    """PromQL text front-end over the HISTOGRAM kind:
+    ``histogram_quantile(0.99, inter_turn_latency_seconds[1m])`` — the
+    cumulative b00..bNN bucket columns ride the pruned block read and
+    the Prometheus interpolation runs per batch
+    (stages/quantile.histogram_quantile_batch); identical formula text
+    generates the SQL mirror."""
+    from vertex_ray.promql_lang import eval_promql
+
+    out = _ensure_pipeline(sf_dir)
+    return eval_promql(
+        out, "histogram_quantile(0.99, inter_turn_latency_seconds[1m])")
+
+
 def _q_promql_rules_group(sf_dir: str):
     """Prometheus rules.yml with PromQL TEXT expressions
     (stages/record.rule_group_promql): a record rule materializes
@@ -2013,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promql_expr_peak_subquery_1h": _q_promql_expr_peak_subquery,
         "promql_expr_hot_convs_bool_1h": _q_promql_expr_hot_convs_bool,
         "promql_rules_group_1h": _q_promql_rules_group,
+        "promql_expr_hist_p99_1m": _q_promql_expr_hist_p99,
         "burn_rate_1m_latency": _q_burn_rate_1m_latency,
         "quantile_by_role_1h_turns": _q_quantile_by_role_1h,
         "stream_encode_roundtrip_1m_turns": _q_stream_encode_roundtrip,
@@ -3533,6 +3548,19 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT series_key, window_start,
            {histogram_quantile_sql(0.99)} AS p99
+    FROM h
+    """
+    sqls["promql_expr_hist_p99_1m"] = f"""{_LAT_CTE}
+    , h AS (
+      SELECT 'inter_turn_latency_seconds{{conv_id=' || conv_id || '}}' AS series_key,
+             {_w(60)} AS window_start,
+             count(*) AS count,
+             {_BUCKET_SQL_COLS}
+      FROM lat WHERE lat IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT series_key, window_start,
+           {histogram_quantile_sql(0.99)} AS value
     FROM h
     """
 

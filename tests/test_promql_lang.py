@@ -243,6 +243,38 @@ def test_eval_hour_and_clamp(store):
     assert got["value"].between(0, 12).all()
 
 
+def test_eval_histogram_quantile_and_fraction(store):
+    from vertex_ray.read import query_range
+    from vertex_ray.schema import BUCKET_COLS
+    from vertex_ray.stages.quantile import (
+        histogram_fraction_batch,
+        histogram_quantile_batch,
+    )
+
+    got = _run(store, "histogram_quantile(0.9, "
+                      "inter_turn_latency_seconds[1h])")
+    cols = ["series_key", "window_start", "count"] + list(BUCKET_COLS)
+    raw = query_range(store, "1h", metric="inter_turn_latency_seconds",
+                      columns=cols).take_all()
+    import pyarrow as pa
+
+    t = pa.Table.from_pylist(raw)
+    ref = histogram_quantile_batch(t, 0.9, out_col="value").to_pandas()
+    ref = (ref[["series_key", "window_start", "value"]]
+           .sort_values(["series_key", "window_start"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref)
+
+    fr = _run(store, "histogram_fraction(0.3, 2.5, "
+                     "inter_turn_latency_seconds[1h])")
+    reff = histogram_fraction_batch(t, 0.3, 2.5, out_col="value") \
+        .to_pandas()
+    reff = (reff[["series_key", "window_start", "value"]]
+            .sort_values(["series_key", "window_start"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(fr, reff)
+
+
 def test_rule_group_promql_chaining(store):
     """Record rule materializes a named vector; the alert rule selects
     it BY NAME (Prometheus sequential group evaluation); record blocks

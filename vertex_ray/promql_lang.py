@@ -122,7 +122,7 @@ RANGE_FUNCS = {
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "stddev_over_time", "stdvar_over_time",
     "quantile_over_time", "last_over_time", "first_over_time",
-    "mad_over_time",
+    "mad_over_time", "histogram_quantile", "histogram_fraction",
 }
 INSTANT_FUNCS = {
     "abs", "ceil", "floor", "round", "sqrt", "sgn",
@@ -880,6 +880,48 @@ def _eval_call(node: Call, ctx: _Ctx):
                              sf=sf, tf=tf, out_col="__v",
                              n_buckets=ctx.n_buckets)
         return _Vector(_reshape(out, [key], "__v"), [key], v.step_s)
+
+    if f in ("histogram_quantile", "histogram_fraction"):
+        from vertex_ray.read import query_range
+        from vertex_ray.schema import BUCKET_COLS
+        from vertex_ray.stages.quantile import (
+            histogram_fraction_batch,
+            histogram_quantile_batch,
+        )
+
+        sel = node.args[-1]
+        params = [_eval(a, ctx) for a in node.args[:-1]]
+        if not isinstance(sel, Sel) or sel.range_s is None:
+            raise ValueError(f"promql: {f} needs a histogram range "
+                             "selector m[W]")
+        tier, w, n = _pick_tier(sel.range_s)
+        if n != 1:
+            raise ValueError(f"promql: {f} range must equal a tier width "
+                             "(cumulative bucket vectors live per tier "
+                             "window)")
+        push = None
+        for lbl, op, val in sel.matchers:
+            if op == "=":
+                push = rf"[{{,]{re.escape(lbl)}={re.escape(val)}[,}}]"
+                break
+        cols = ["series_key", "window_start", "count"] + list(BUCKET_COLS)
+        ds = query_range(ctx.store, tier, metric=sel.name, key_regex=push,
+                         columns=cols, start=ctx.start, end=ctx.end,
+                         layout=ctx.layout, offset=sel.offset_s)
+        if sel.matchers:
+            ds = ds.map_batches(_matcher_filter(sel.matchers),
+                                batch_format="pyarrow")
+
+        def shape(t: pa.Table) -> pa.Table:
+            if f == "histogram_quantile":
+                t = histogram_quantile_batch(t, params[0], out_col="value")
+            else:
+                t = histogram_fraction_batch(t, params[0], params[1],
+                                             out_col="value")
+            return t.select(["series_key", "window_start", "value"])
+
+        return _Vector(ds.map_batches(shape, batch_format="pyarrow"),
+                       ["series_key"], w)
 
     m = re.fullmatch(r"(avg|sum|min|max|count|stddev|stdvar|quantile|"
                      r"last|first|mad)_over_time", f)
