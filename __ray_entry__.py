@@ -415,6 +415,19 @@ def _q_promql_expr_hist_p99(sf_dir: str):
         out, "histogram_quantile(0.99, inter_turn_latency_seconds[1m])")
 
 
+def _q_promql_expr_multi_by(sf_dir: str):
+    """PromQL text front-end, multi-label grouping:
+    ``sum by (conv_id, role) (increase(turns_total[1h]))`` — lowered by
+    rewriting each sample's identity to a canonical key of ONLY the
+    by-labels, one aggregate_without combiner exchange, labels split
+    back into columns."""
+    from vertex_ray.promql_lang import eval_promql
+
+    out = _ensure_pipeline(sf_dir)
+    return eval_promql(
+        out, "sum by (conv_id, role) (increase(turns_total[1h]))")
+
+
 def _q_promql_rules_group(sf_dir: str):
     """Prometheus rules.yml with PromQL TEXT expressions
     (stages/record.rule_group_promql): a record rule materializes
@@ -2028,6 +2041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promql_expr_hot_convs_bool_1h": _q_promql_expr_hot_convs_bool,
         "promql_rules_group_1h": _q_promql_rules_group,
         "promql_expr_hist_p99_1m": _q_promql_expr_hist_p99,
+        "promql_expr_multi_by_1h": _q_promql_expr_multi_by,
         "burn_rate_1m_latency": _q_burn_rate_1m_latency,
         "quantile_by_role_1h_turns": _q_quantile_by_role_1h,
         "stream_encode_roundtrip_1m_turns": _q_stream_encode_roundtrip,
@@ -2525,6 +2539,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN CAST(c AS DOUBLE) > 60.0
                         THEN 1.0 ELSE 0.0 END AS value
             FROM g
+            """,
+        "promql_expr_multi_by_1h": f"""
+            SELECT conv_id, role, {_w(3600)} AS window_start,
+                   CAST(count(*) AS BIGINT) AS value
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2, 3
             """,
         "promql_rules_group_1h": f"""
             WITH g AS (

@@ -243,6 +243,26 @@ def test_eval_hour_and_clamp(store):
     assert got["value"].between(0, 12).all()
 
 
+def test_eval_multi_label_by(store):
+    got = _run(store, "sum by (conv_id, role) "
+                      "(increase(turns_total[1h]))")
+    base = _base(store)
+    base["conv_id"] = base.series_key.str.extract(r"conv_id=([^,}]*)")
+    base["role"] = base.series_key.str.extract(r"role=([^,}]*)")
+    exp = (base.groupby(["conv_id", "role", "window_start"])["count"]
+           .sum().reset_index().rename(columns={"count": "value"})
+           .sort_values(["conv_id", "role", "window_start"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # avg across the two roles of each conversation-hour
+    got2 = _run(store, "avg by (conv_id) (increase(turns_total[1h]))")
+    exp2 = (base.groupby(["conv_id", "window_start"])["count"].mean()
+            .reset_index().rename(columns={"count": "value"})
+            .sort_values(["conv_id", "window_start"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
+
+
 def test_eval_histogram_quantile_and_fraction(store):
     from vertex_ray.read import query_range
     from vertex_ray.schema import BUCKET_COLS

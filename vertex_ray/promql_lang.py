@@ -738,13 +738,50 @@ def _eval_agg(node: Agg, ctx: _Ctx) -> _Vector:
         return _Vector(out, ["series_key"], v.step_s)
 
     by = node.by or []
-    if len(by) != 1:
-        raise ValueError("promql: aggregation needs exactly one by(label) "
-                         "(or use without(...) to keep series identity)")
-    q = 0.5 if node.param is None else float(node.param)
-    out = label_aggregate(v.ds, by[0], "value", out_col="value",
-                          agg=node.op, q=q)
-    return _Vector(out, [by[0]], v.step_s)
+    if not by:
+        raise ValueError("promql: aggregation needs by(...) or "
+                         "without(...)")
+    if len(by) == 1:
+        q = 0.5 if node.param is None else float(node.param)
+        out = label_aggregate(v.ds, by[0], "value", out_col="value",
+                              agg=node.op, q=q)
+        return _Vector(out, [by[0]], v.step_s)
+
+    # multi-label by(a, b, ...): rewrite each sample's identity to a
+    # canonical key holding ONLY the by-labels (sorted — the engine's
+    # series-identity convention), then aggregate_without([]) collapses
+    # the series sharing a rewritten key with the usual exact-int64
+    # combiner exchange; the labels split back into columns afterwards.
+    if node.op in ("quantile", "group"):
+        raise ValueError(f"promql: {node.op} supports a single by(label)")
+    from vertex_ray.stages.promql import extract_label
+
+    vm = _materialize_labels(v, by)
+    labels = sorted(by)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        k = pa.array(["by{"] * len(t), type=pa.string())
+        for i, l in enumerate(labels):
+            sep = "" if i == 0 else ","
+            k = pc.binary_join_element_wise(
+                k, pa.array([f"{sep}{l}="] * len(t)),
+                pc.fill_null(pc.cast(t[l], pa.string()), ""), "")
+        k = pc.binary_join_element_wise(k, pa.array(["}"] * len(t)), "")
+        return pa.table({"series_key": k,
+                         "window_start": t["window_start"],
+                         "value": t["value"]})
+
+    rds = vm.ds.map_batches(rebuild, batch_format="pyarrow")
+    out = aggregate_without(rds, [], "value", agg=node.op,
+                            n_buckets=ctx.n_buckets)
+
+    def split(t: pa.Table) -> pa.Table:
+        for l in by:
+            t = extract_label(t, l, out_col=l)
+        return t.select(list(by) + ["window_start", "value"])
+
+    return _Vector(out.map_batches(split, batch_format="pyarrow"),
+                   list(by), v.step_s)
 
 
 def _to_float(v: _Vector) -> _Vector:
