@@ -243,6 +243,20 @@ def test_eval_hour_and_clamp(store):
     assert got["value"].between(0, 12).all()
 
 
+def test_eval_absent_over_time(store):
+    base = _base(store)
+    conv = base.series_key.str.extract(r"conv_id=([^,}]*)")[0].iloc[0]
+    lo, hi = int(base.window_start.min()), int(base.window_start.max())
+    got = _run(store, "absent_over_time(turns_total{conv_id=\""
+                      + conv + "\"}[1h])", start=lo, end=hi)
+    present = set(base.loc[base.series_key.str.contains(
+        f"conv_id={conv},"), "window_start"])
+    grid = set(range(lo, hi + 1, 3600))
+    assert len(got) > 0
+    assert set(got["window_start"]) == grid - present
+    assert (got["value"] == 1).all()
+
+
 def test_eval_multi_label_by(store):
     got = _run(store, "sum by (conv_id, role) "
                       "(increase(turns_total[1h]))")

@@ -123,6 +123,7 @@ RANGE_FUNCS = {
     "count_over_time", "stddev_over_time", "stdvar_over_time",
     "quantile_over_time", "last_over_time", "first_over_time",
     "mad_over_time", "histogram_quantile", "histogram_fraction",
+    "absent_over_time",
 }
 INSTANT_FUNCS = {
     "abs", "ceil", "floor", "round", "sqrt", "sgn",
@@ -917,6 +918,13 @@ def _eval_call(node: Call, ctx: _Ctx):
                              sf=sf, tf=tf, out_col="__v",
                              n_buckets=ctx.n_buckets)
         return _Vector(_reshape(out, [key], "__v"), [key], v.step_s)
+
+    if f == "absent_over_time":
+        v, _ = _range_arg(node.args[0], ctx)
+        out = P.absent_over_time(v.ds, "window_start", v.step_s,
+                                 start=ctx.start, end=ctx.end,
+                                 out_col="value")
+        return _Vector(out, [], v.step_s)
 
     if f in ("histogram_quantile", "histogram_fraction"):
         from vertex_ray.read import query_range
