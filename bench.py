@@ -207,6 +207,13 @@ def run_reads() -> dict:
     leg("resample_4h_read", lambda: resample_windows(
         query_range(out, "1h", metric="turns_total", columns=cols),
         4 * 3600, 3600, {"count": "sum"}))
+    # the PromQL text front-end end-to-end: parse + lower + run an
+    # aggregation over the same store (should cost ~ the structured
+    # label_aggregate read it lowers to)
+    from vertex_ray.promql_lang import eval_promql
+
+    leg("promql_sum_by_role_1h", lambda: eval_promql(
+        out, "sum by (role) (increase(turns_total[1h]))"))
 
     result = {
         "metric": "read_path_seconds",

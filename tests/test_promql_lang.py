@@ -257,6 +257,22 @@ def test_eval_absent_over_time(store):
     assert (got["value"] == 1).all()
 
 
+def test_eval_gauge_col_override(store):
+    """__col__ pseudo-matcher reads a different tier column: gauge
+    delta through the parser equals the structured series_delta."""
+    from vertex_ray.read import query_range
+    from vertex_ray.stages.windows import series_delta
+
+    got = _run(store, 'delta(conv_turn_idx{__col__="last"}[1m])')
+    gauge = query_range(store, "1m", metric="conv_turn_idx",
+                        columns=["series_key", "window_start", "last"])
+    ref = (series_delta(gauge, "series_key", "window_start", "last")
+           .to_pandas().rename(columns={"delta": "value"})
+           .sort_values(["series_key", "window_start"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref)
+
+
 def test_eval_multi_label_by(store):
     got = _run(store, "sum by (conv_id, role) "
                       "(increase(turns_total[1h]))")

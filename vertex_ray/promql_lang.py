@@ -493,6 +493,21 @@ def _eval_selector(sel: Sel, ctx: _Ctx, tier_w: int | None = None
     """Read the selector's tier rows → (vector, trailing-frame n)."""
     from vertex_ray.read import query_range
 
+    # the reserved __col__ pseudo-matcher overrides the tier column this
+    # selector reads (count/sum/min/max/last) — e.g. gauge metrics read
+    # their last-write column: ``conv_turn_idx{__col__="last"}``. Rule
+    # vectors carry a single "value" column, so it is ignored there.
+    vcol = ctx.value_col
+    matchers = []
+    for m in sel.matchers:
+        if m[0] == "__col__":
+            if m[1] != "=":
+                raise ValueError("promql: __col__ takes an equality "
+                                 "matcher")
+            vcol = m[2]
+        else:
+            matchers.append(m)
+
     if sel.name in ctx.vectors:
         ds0, vstep = ctx.vectors[sel.name]
         if sel.range_s is not None:
@@ -513,8 +528,8 @@ def _eval_selector(sel: Sel, ctx: _Ctx, tier_w: int | None = None
                                     pc.add(t["window_start"], off))
 
             ds = ds.map_batches(restamp, batch_format="pyarrow")
-        if sel.matchers:
-            ds = ds.map_batches(_matcher_filter(sel.matchers),
+        if matchers:
+            ds = ds.map_batches(_matcher_filter(matchers),
                                 batch_format="pyarrow")
         return _Vector(ds, ["series_key"], vstep), n
 
@@ -530,18 +545,18 @@ def _eval_selector(sel: Sel, ctx: _Ctx, tier_w: int | None = None
     # prune the block scan with the first equality matcher; every
     # matcher (incl. this one) is re-applied exactly post-decode
     push = None
-    for lbl, op, val in sel.matchers:
+    for lbl, op, val in matchers:
         if op == "=":
             push = rf"[{{,]{re.escape(lbl)}={re.escape(val)}[,}}]"
             break
     ds = query_range(ctx.store, tier, metric=sel.name, key_regex=push,
-                     columns=["series_key", "window_start", ctx.value_col],
+                     columns=["series_key", "window_start", vcol],
                      start=ctx.start, end=ctx.end, layout=ctx.layout,
                      offset=sel.offset_s)
-    if sel.matchers:
-        ds = ds.map_batches(_matcher_filter(sel.matchers),
+    if matchers:
+        ds = ds.map_batches(_matcher_filter(matchers),
                             batch_format="pyarrow")
-    ds = _reshape(ds, ["series_key"], ctx.value_col)
+    ds = _reshape(ds, ["series_key"], vcol)
     return _Vector(ds, ["series_key"], w), n
 
 
