@@ -1069,3 +1069,34 @@ def test_pii_redact_op():
     # dotted quad out of range still matches the ipv4 SHAPE (documented:
     # shape-based, like most corpus scrubbers); 3-2-3 digits is not an SSN
     assert out[3]["n_ip"] == 1 and out[3]["n_ssn"] == 0
+
+
+def test_length_fit_residuals(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.text import length_fit_residuals
+
+    rng = np.random.default_rng(7)
+    # y ~ 5x + 40 with noise; two planted outliers far off the line
+    x_words = rng.integers(5, 200, size=300)
+    texts = [" ".join(["word"] * int(k)) for k in x_words]
+    n_chars = (5 * x_words + 40 + rng.integers(-8, 9, size=300)).astype(int)
+    n_chars[7] += 10_000
+    n_chars[123] -= 2_500
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(300), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "n_chars": pa.array(n_chars, type=pa.int64()),
+    }))
+    out = (length_fit_residuals(ds, k_sigma=3.0).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # fit matches numpy lstsq closely
+    A = np.stack([np.ones_like(x_words), x_words], axis=1).astype(float)
+    coef, *_ = np.linalg.lstsq(A, n_chars.astype(float), rcond=None)
+    fitted_resid = n_chars - (coef[0] + coef[1] * x_words)
+    assert np.allclose(out["residual"], fitted_resid, atol=1e-6)
+    # planted outliers flagged; flag rule is exactly |r| > 3 sigma
+    assert bool(out.loc[7, "outlier"]) and bool(out.loc[123, "outlier"])
+    s = np.sqrt((fitted_resid ** 2).mean() - fitted_resid.mean() ** 2)
+    assert (out["outlier"].to_numpy()
+            == (np.abs(out["residual"].to_numpy()) > 3.0 * s)).all()

@@ -468,6 +468,65 @@ FROM documents
 """
 
 
+def q_length_fit_docs(sf_dir: str):
+    """Distributed exact least squares (chars vs whitespace tokens) +
+    residual outlier flags (stages/text.length_fit_residuals): the fit
+    scalars come from bignum-exact global integer sums and fixed-order
+    float expressions, so per-doc residuals and flags hash-match the
+    SQL mirror running the same expression text."""
+    from vertex_ray.stages.text import length_fit_residuals
+
+    return length_fit_residuals(_docs(sf_dir), k_sigma=3.0)
+
+
+SQL_LENGTH_FIT_DOCS = r"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS x,
+         n_chars AS y
+  FROM documents
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy
+  FROM f
+),
+p AS (
+  SELECT n, sx, sy,
+         n * sxx - sx * sx AS vx,
+         n * syy - sy * sy AS vy,
+         n * sxy - sx * sy AS c
+  FROM s
+),
+q AS (
+  SELECT CAST(c AS DOUBLE) / CAST(vx AS DOUBLE) AS b,
+         n, sx, sy, vx, vy, c
+  FROM p
+),
+r AS (
+  SELECT b,
+         (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a,
+         sqrt((CAST(vy AS DOUBLE)
+               - CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                 / CAST(vx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd
+  FROM q
+)
+SELECT f.doc_id,
+       CAST(f.x AS BIGINT) AS n_tokens,
+       f.y AS n_chars,
+       CAST(f.y AS DOUBLE) - (r.a + r.b * CAST(f.x AS DOUBLE)) AS residual,
+       abs(CAST(f.y AS DOUBLE) - (r.a + r.b * CAST(f.x AS DOUBLE)))
+         > 3.0 * r.sd AS outlier
+FROM f, r
+"""
+
+
 def q_quality_docs(sf_dir: str):
     from vertex_ray.stages.text import quality_score_op
 
@@ -2297,6 +2356,7 @@ OP_QUERIES = {
     "op_enrich_customers": q_enrich_customers,
     "op_lineitem_agg": q_lineitem_agg,
     "op_tokens_docs": q_tokens_docs,
+    "op_length_fit_docs": q_length_fit_docs,
     "op_unigram_score_docs": q_unigram_score_docs,
     "op_quality_docs": q_quality_docs,
     "op_langid_docs": q_langid_docs,
@@ -2380,6 +2440,7 @@ OP_ORACLES = {
     "op_enrich_customers": SQL_ENRICH_CUSTOMERS,
     "op_lineitem_agg": SQL_LINEITEM_AGG,
     "op_tokens_docs": SQL_TOKENS_DOCS,
+    "op_length_fit_docs": SQL_LENGTH_FIT_DOCS,
     "op_unigram_score_docs": SQL_UNIGRAM_SCORE_DOCS,
     "op_quality_docs": SQL_QUALITY_DOCS,
     "op_langid_docs": _sql_langid(),

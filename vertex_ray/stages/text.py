@@ -1184,3 +1184,83 @@ def pii_redact_op(text_col: str = "text", id_col: str = "doc_id"):
         return pa.table(cols)
 
     return fn
+
+
+def length_fit_residuals(ds, *, text_col: str = "text",
+                         id_col: str = "doc_id", y_col: str = "n_chars",
+                         k_sigma: float = 3.0):
+    """Distributed EXACT least squares over the corpus + residual
+    outlier flags — the "quality calibration" curation pass: fit the
+    global chars-per-token line (natural text is tightly linear in
+    whitespace tokens) and flag documents whose residual exceeds
+    ``k_sigma`` global standard deviations — code dumps, tables and
+    degenerate generations sit far off the line.
+
+    Scale shape (the canonical two-pass broadcast pattern):
+
+    1. pass 1 — each batch reduces itself to SIX integer sufficient
+       statistics ``(n, Σx, Σy, Σxy, Σx², Σy²)`` (exact int64 within a
+       batch); one tiny collect (one row per batch) and a Python
+       arbitrary-precision total on the driver, so the global sums are
+       EXACT at any corpus size (DuckDB's mirror sums to HUGEINT — also
+       exact);
+    2. the closed-form slope / intercept / residual variance are each
+       ONE fixed-order float expression over those exact integers
+       (``b = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)``;
+       ``s² = (Vy − C²/Vx)/n²`` from the integer moment numerators), so
+       engine and SQL mirror produce bit-identical doubles;
+    3. pass 2 — a stateless per-batch map appends
+       ``residual = y − (a + b·x)`` and ``outlier = |residual| > k·s``;
+       the fit scalars ride the closure (broadcast once, never
+       per-batch state).
+
+    The reference has no regression anywhere — this is the engine-side
+    analogue of the scoring passes large-corpus pipelines run between
+    vertex-style transport steps (same two-pass shape as
+    unigram_freq_score)."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = token_count(t[text_col].to_numpy(zero_copy_only=False))
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        xi = x.astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(xi)], type=pa.int64()),
+            "sx": pa.array([int(xi.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxy": pa.array([int((xi * y).sum())], type=pa.int64()),
+            "sxx": pa.array([int((xi * xi).sum())], type=pa.int64()),
+            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sy = sum(int(r["sy"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    syy = sum(int(r["syy"]) for r in parts)
+    # exact integer moment numerators (Python bignum — overflow-free)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    c = n * sxy - sx * sy
+    # fixed-order float expressions — the SQL mirror runs the same text
+    b = float(c) / float(vx)
+    a = (float(sy) - b * float(sx)) / float(n)
+    s2 = (float(vy) - float(c) * float(c) / float(vx)) / (float(n) * float(n))
+    s = math.sqrt(s2)
+
+    def flag(t: pa.Table) -> pa.Table:
+        x = token_count(t[text_col].to_numpy(zero_copy_only=False))
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        xf = x.astype(np.float64)
+        resid = y - (a + b * xf)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(x.astype(np.int64)),
+            y_col: t[y_col],
+            "residual": pa.array(resid),
+            "outlier": pa.array(np.abs(resid) > k_sigma * s),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
