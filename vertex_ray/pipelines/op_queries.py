@@ -479,6 +479,67 @@ def q_length_fit_docs(sf_dir: str):
     return length_fit_residuals(_docs(sf_dir), k_sigma=3.0)
 
 
+def q_length_fit_by_lang_docs(sf_dir: str):
+    """Per-GROUP exact least squares (one chars-vs-tokens line per
+    language): partials carry one row per (group, batch); the driver
+    keeps one bignum accumulator per group — bounded by group
+    cardinality — and pass 2 looks up each row's fit scalars from the
+    broadcast table (stages/text.length_fit_residuals(group_col=…))."""
+    from vertex_ray.stages.text import length_fit_residuals
+
+    return length_fit_residuals(_docs(sf_dir), k_sigma=3.0,
+                                group_col="lang")
+
+
+SQL_LENGTH_FIT_BY_LANG_DOCS = r"""
+WITH f AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '\S+')) AS x,
+         n_chars AS y
+  FROM documents
+),
+s AS (
+  SELECT lang,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy
+  FROM f GROUP BY lang
+),
+p AS (
+  SELECT lang, n, sx, sy,
+         n * sxx - sx * sx AS vx,
+         n * syy - sy * sy AS vy,
+         n * sxy - sx * sy AS c
+  FROM s
+),
+q AS (
+  SELECT lang, n, sx, sy, vx, vy, c,
+         CAST(c AS DOUBLE) / CAST(vx AS DOUBLE) AS b
+  FROM p
+),
+r AS (
+  SELECT lang, b,
+         (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a,
+         sqrt((CAST(vy AS DOUBLE)
+               - CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                 / CAST(vx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd
+  FROM q
+)
+SELECT f.doc_id, f.lang,
+       CAST(f.x AS BIGINT) AS n_tokens,
+       f.y AS n_chars,
+       CAST(f.y AS DOUBLE) - (r.a + r.b * CAST(f.x AS DOUBLE)) AS residual,
+       abs(CAST(f.y AS DOUBLE) - (r.a + r.b * CAST(f.x AS DOUBLE)))
+         > 3.0 * r.sd AS outlier
+FROM f JOIN r USING (lang)
+"""
+
+
 SQL_LENGTH_FIT_DOCS = r"""
 WITH f AS (
   SELECT doc_id,
@@ -2357,6 +2418,7 @@ OP_QUERIES = {
     "op_lineitem_agg": q_lineitem_agg,
     "op_tokens_docs": q_tokens_docs,
     "op_length_fit_docs": q_length_fit_docs,
+    "op_length_fit_by_lang_docs": q_length_fit_by_lang_docs,
     "op_unigram_score_docs": q_unigram_score_docs,
     "op_quality_docs": q_quality_docs,
     "op_langid_docs": q_langid_docs,
@@ -2441,6 +2503,7 @@ OP_ORACLES = {
     "op_lineitem_agg": SQL_LINEITEM_AGG,
     "op_tokens_docs": SQL_TOKENS_DOCS,
     "op_length_fit_docs": SQL_LENGTH_FIT_DOCS,
+    "op_length_fit_by_lang_docs": SQL_LENGTH_FIT_BY_LANG_DOCS,
     "op_unigram_score_docs": SQL_UNIGRAM_SCORE_DOCS,
     "op_quality_docs": SQL_QUALITY_DOCS,
     "op_langid_docs": _sql_langid(),

@@ -1188,7 +1188,8 @@ def pii_redact_op(text_col: str = "text", id_col: str = "doc_id"):
 
 def length_fit_residuals(ds, *, text_col: str = "text",
                          id_col: str = "doc_id", y_col: str = "n_chars",
-                         k_sigma: float = 3.0):
+                         k_sigma: float = 3.0,
+                         group_col: str | None = None):
     """Distributed EXACT least squares over the corpus + residual
     outlier flags — the "quality calibration" curation pass: fit the
     global chars-per-token line (natural text is tightly linear in
@@ -1214,53 +1215,77 @@ def length_fit_residuals(ds, *, text_col: str = "text",
        the fit scalars ride the closure (broadcast once, never
        per-batch state).
 
+    ``group_col`` fits a SEPARATE line per group (per language / per
+    source — chars-per-token differs across languages): the partial
+    batches carry one row per (group, batch), the driver total is one
+    bignum accumulator per group (bounded by group cardinality, never
+    data volume), and pass 2 looks each row's scalars up from the
+    broadcast per-group fit table.
+
     The reference has no regression anywhere — this is the engine-side
     analogue of the scoring passes large-corpus pipelines run between
     vertex-style transport steps (same two-pass shape as
     unigram_freq_score)."""
     import math
 
+    stats = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+
     def partial(t: pa.Table) -> pa.Table:
         x = token_count(t[text_col].to_numpy(zero_copy_only=False))
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         xi = x.astype(np.int64)
-        return pa.table({
-            "n": pa.array([len(xi)], type=pa.int64()),
-            "sx": pa.array([int(xi.sum())], type=pa.int64()),
-            "sy": pa.array([int(y.sum())], type=pa.int64()),
-            "sxy": pa.array([int((xi * y).sum())], type=pa.int64()),
-            "sxx": pa.array([int((xi * xi).sum())], type=pa.int64()),
-            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+        df = pd.DataFrame({
+            "__g": (t[group_col].to_numpy(zero_copy_only=False)
+                    if group_col else np.zeros(len(xi), dtype=np.int64)),
+            "n": np.ones(len(xi), dtype=np.int64),
+            "sx": xi, "sy": y, "sxy": xi * y, "sxx": xi * xi,
+            "syy": y * y,
         })
+        g = df.groupby("__g", sort=False)[stats].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    n = sum(int(r["n"]) for r in parts)
-    sx = sum(int(r["sx"]) for r in parts)
-    sy = sum(int(r["sy"]) for r in parts)
-    sxy = sum(int(r["sxy"]) for r in parts)
-    sxx = sum(int(r["sxx"]) for r in parts)
-    syy = sum(int(r["syy"]) for r in parts)
-    # exact integer moment numerators (Python bignum — overflow-free)
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    c = n * sxy - sx * sy
-    # fixed-order float expressions — the SQL mirror runs the same text
-    b = float(c) / float(vx)
-    a = (float(sy) - b * float(sx)) / float(n)
-    s2 = (float(vy) - float(c) * float(c) / float(vx)) / (float(n) * float(n))
-    s = math.sqrt(s2)
+    acc: dict = {}
+    for r in parts:
+        a6 = acc.setdefault(r["__g"], [0, 0, 0, 0, 0, 0])
+        for i, k in enumerate(stats):
+            a6[i] += int(r[k])  # Python bignum — overflow-free
+
+    def fit(a6):
+        n, sx, sy, sxy, sxx, syy = a6
+        # exact integer moment numerators (bignum)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        c = n * sxy - sx * sy
+        # fixed-order float expressions — the SQL mirror runs the
+        # same text
+        b = float(c) / float(vx)
+        a = (float(sy) - b * float(sx)) / float(n)
+        s2 = (float(vy) - float(c) * float(c) / float(vx)) \
+            / (float(n) * float(n))
+        return a, b, math.sqrt(s2)
+
+    fits = {g: fit(a6) for g, a6 in acc.items()}
 
     def flag(t: pa.Table) -> pa.Table:
         x = token_count(t[text_col].to_numpy(zero_copy_only=False))
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
         xf = x.astype(np.float64)
+        if group_col:
+            gs = t[group_col].to_numpy(zero_copy_only=False)
+            a = np.array([fits[g][0] for g in gs])
+            b = np.array([fits[g][1] for g in gs])
+            s = np.array([fits[g][2] for g in gs])
+        else:
+            a, b, s = fits[0]
         resid = y - (a + b * xf)
-        return pa.table({
-            id_col: t[id_col],
-            "n_tokens": pa.array(x.astype(np.int64)),
-            y_col: t[y_col],
-            "residual": pa.array(resid),
-            "outlier": pa.array(np.abs(resid) > k_sigma * s),
-        })
+        cols = {id_col: t[id_col]}
+        if group_col:
+            cols[group_col] = t[group_col]
+        cols["n_tokens"] = pa.array(x.astype(np.int64))
+        cols[y_col] = t[y_col]
+        cols["residual"] = pa.array(resid)
+        cols["outlier"] = pa.array(np.abs(resid) > k_sigma * s)
+        return pa.table(cols)
 
     return ds.map_batches(flag, batch_format="pyarrow")
