@@ -131,3 +131,51 @@ def test_semantic_dedup_keeps_far_from_centroid(ray_session):
     # the distinct member of the cluster and all of cluster B survive
     assert bool(out.loc[2, "keep"])
     assert out.loc[3:, "keep"].all()
+
+
+def test_linear_probe_separable(ray_session):
+    """Exact recovery on linearly separable clusters; distributed fit
+    matches the single-machine normal-equations solve closely."""
+    import ray.data as rd
+
+    from vertex_ray.stages.cluster import (
+        linear_probe_fit,
+        linear_probe_score,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(4) * 10.0  # 4 well-separated classes in 4-d
+    y = rng.integers(0, 4, size=400)
+    X = centers[y] + rng.normal(0, 0.3, size=(400, 4))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), type=pa.int64()),
+        "embedding": pa.array(list(X.astype(np.float32))),
+        "label": pa.array(y, type=pa.int32()),
+    })).repartition(7)
+
+    W, classes = linear_probe_fit(ds, "embedding", "label", n_classes=4)
+    out = linear_probe_score(ds, W, "embedding", "vec_id",
+                             label_col="label").to_pandas()
+    assert out["correct"].all()
+
+    # reference solve on the same (float32-cast) data
+    Xd = X.astype(np.float32).astype(np.float64)
+    Y = np.eye(4)[y]
+    Wref = np.linalg.solve(Xd.T @ Xd + 1e-3 * np.eye(4), Xd.T @ Y)
+    assert np.allclose(W, Wref, atol=1e-8)
+
+
+def test_linear_probe_real_embeddings_above_chance(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.cluster import (
+        linear_probe_fit,
+        linear_probe_score,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    W, _ = linear_probe_fit(ds, "embedding", "label", n_classes=10)
+    out = linear_probe_score(ds, W, "embedding", "vec_id",
+                             label_col="label").to_pandas()
+    acc = out["correct"].mean()
+    assert acc > 0.3  # 10 classes -> chance is 0.1

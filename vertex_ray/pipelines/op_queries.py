@@ -479,6 +479,24 @@ def q_length_fit_docs(sf_dir: str):
     return length_fit_residuals(_docs(sf_dir), k_sigma=3.0)
 
 
+def q_linear_probe_embeddings(sf_dir: str):
+    """Distributed linear probe on the embeddings table
+    (stages/cluster.linear_probe_fit/score): one-vs-rest ridge from
+    per-batch XᵀX/XᵀY partials (O(d²) exchange per batch, row-count
+    independent), one driver solve, broadcast scoring pass. Rows-only
+    (float partials merge in block order — see the fit docstring);
+    property-tested in tests/test_cluster.py instead."""
+    from vertex_ray.stages.cluster import (
+        linear_probe_fit,
+        linear_probe_score,
+    )
+
+    ds = _emb(sf_dir)
+    W, _ = linear_probe_fit(ds, "embedding", "label", n_classes=10)
+    return linear_probe_score(ds, W, "embedding", "vec_id",
+                              label_col="label")
+
+
 def q_length_fit_by_lang_docs(sf_dir: str):
     """Per-GROUP exact least squares (one chars-vs-tokens line per
     language): partials carry one row per (group, batch); the driver
@@ -2419,6 +2437,7 @@ OP_QUERIES = {
     "op_tokens_docs": q_tokens_docs,
     "op_length_fit_docs": q_length_fit_docs,
     "op_length_fit_by_lang_docs": q_length_fit_by_lang_docs,
+    "op_linear_probe_embeddings": q_linear_probe_embeddings,
     "op_unigram_score_docs": q_unigram_score_docs,
     "op_quality_docs": q_quality_docs,
     "op_langid_docs": q_langid_docs,

@@ -142,3 +142,85 @@ def pca_project(ds, mean: np.ndarray, comps: np.ndarray,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def linear_probe_fit(ds, vec_col: str, label_col: str, *,
+                     n_classes: int | None = None, l2: float = 1e-3):
+    """Distributed closed-form LINEAR PROBE over an embedding column —
+    the standard "are these embeddings any good / train a quality
+    classifier" read of a training-data pipeline: one-vs-rest ridge
+    regression to one-hot class targets, solved from the normal
+    equations.
+
+    Scale shape (same combiner pattern as pca_fit): one streaming pass
+    accumulates per-batch ``XᵀX`` (d×d) and ``XᵀY`` (d×k) partials —
+    the exchange carries O(d² + d·k) floats PER BATCH, independent of
+    row count — merged associatively on the driver, then ONE d×d solve
+    gives the weight matrix ``W = (XᵀX + λI)⁻¹ XᵀY`` to broadcast.
+
+    No SQL oracle by design: the float partial sums merge in block
+    order, so low bits differ run-to-run (unlike the engine's
+    integer-sufficient-statistic ops); the op is property-tested
+    instead (exact recovery on separable data; accuracy far above
+    chance on the synthetic embeddings).
+
+    Returns ``(W[d, k], classes[k])``.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        yl = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = int(n_classes) if n_classes else int(yl.max()) + 1
+        Y = np.zeros((len(x), k))
+        Y[np.arange(len(x)), yl] = 1.0
+        return pa.table({
+            "k": pa.array([k]),
+            "xtx": pa.array([(x.T @ x).tobytes()], type=pa.binary()),
+            "xty": pa.array([(x.T @ Y).tobytes()], type=pa.binary()),
+        })
+
+    xtx_tot, xty_tot, k_max = None, None, 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for k, xb, yb in zip(b["k"].to_pylist(), b["xtx"].to_pylist(),
+                             b["xty"].to_pylist()):
+            xtx = np.frombuffer(xb, np.float64)
+            d = int(round(len(xtx) ** 0.5))
+            xtx = xtx.reshape(d, d)
+            xty = np.frombuffer(yb, np.float64).reshape(d, k)
+            if xty_tot is not None and k != xty_tot.shape[1]:
+                # pad to the wider class count (a batch may not see
+                # every class; fixed n_classes avoids this path)
+                kk = max(k, xty_tot.shape[1])
+                xty = np.pad(xty, ((0, 0), (0, kk - k)))
+                xty_tot = np.pad(
+                    xty_tot, ((0, 0), (0, kk - xty_tot.shape[1])))
+            k_max = max(k_max, k)
+            xtx_tot = xtx if xtx_tot is None else xtx_tot + xtx
+            xty_tot = xty if xty_tot is None else xty_tot + xty
+    if xtx_tot is None:
+        raise ValueError("linear_probe_fit on an empty dataset")
+    d = xtx_tot.shape[0]
+    W = np.linalg.solve(xtx_tot + l2 * np.eye(d), xty_tot)
+    return W, np.arange(k_max)
+
+
+def linear_probe_score(ds, W: np.ndarray, vec_col: str, id_col: str,
+                       label_col: str | None = None):
+    """Score every vector with a broadcast probe weight matrix — a
+    stateless per-batch matmul appending ``predicted`` (argmax class,
+    first-class tie-break) and, when ``label_col`` is given,
+    ``correct``. The d×k matrix rides the task closure (broadcast once,
+    like the ANN query matrix)."""
+    def fn(t: pa.Table) -> pa.Table:
+        x = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        logits = x @ W
+        pred = logits.argmax(axis=1).astype(np.int64)
+        cols = {id_col: t[id_col]}
+        if label_col is not None:
+            yl = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[label_col] = t[label_col]
+            cols["correct"] = pa.array(pred == yl)
+        cols["predicted"] = pa.array(pred)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
