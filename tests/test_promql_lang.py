@@ -257,6 +257,32 @@ def test_eval_absent_over_time(store):
     assert (got["value"] == 1).all()
 
 
+def test_eval_topk_by_label(store):
+    """topk by (role): rank within each (role, window) group."""
+    got = _run(store, "topk by (role) (1, increase(turns_total[1h]))")
+    base = _base(store)
+    base["role"] = base.series_key.str.extract(r"role=([^,}]*)")
+    exp = (base.sort_values(["count", "series_key"],
+                            ascending=[False, True], kind="stable")
+           .groupby(["role", "window_start"], sort=False).head(1))
+    assert len(got) == len(exp)
+    m = got.merge(exp, on=["series_key", "window_start"])
+    assert len(m) == len(got)
+    assert (m["value"].to_numpy() == m["count"].to_numpy()).all()
+
+
+def test_eval_federated_store_list(store):
+    """A list of stores reads the federated fleet; the same store twice
+    (no dedupe) doubles every sample."""
+    one = _run(store, "sum by (role) (increase(turns_total[1h]))")
+    two = eval_promql([store, store],
+                      "sum by (role) (increase(turns_total[1h]))") \
+        .to_pandas().sort_values(["role", "window_start"]) \
+        .reset_index(drop=True)
+    assert len(two) == len(one)
+    assert (two["value"].to_numpy() == 2 * one["value"].to_numpy()).all()
+
+
 def test_eval_gauge_col_override(store):
     """__col__ pseudo-matcher reads a different tier column: gauge
     delta through the parser equals the structured series_delta."""

@@ -467,6 +467,18 @@ def _reshape(ds, id_cols: list[str], src: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _qr(ctx: "_Ctx", tier: str, **kw):
+    """Store read — one block store, or a FEDERATED FLEET when the
+    evaluation context's store is a list of shard stores (each shard
+    prunes independently; union adds no exchange —
+    read.query_range_multi)."""
+    from vertex_ray.read import query_range, query_range_multi
+
+    if isinstance(ctx.store, (list, tuple)):
+        return query_range_multi(list(ctx.store), tier, **kw)
+    return query_range(ctx.store, tier, **kw)
+
+
 def _matcher_filter(matchers):
     from vertex_ray.stages.promql import extract_label
 
@@ -491,8 +503,6 @@ def _matcher_filter(matchers):
 def _eval_selector(sel: Sel, ctx: _Ctx, tier_w: int | None = None
                    ) -> tuple[_Vector, int]:
     """Read the selector's tier rows → (vector, trailing-frame n)."""
-    from vertex_ray.read import query_range
-
     # the reserved __col__ pseudo-matcher overrides the tier column this
     # selector reads (count/sum/min/max/last) — e.g. gauge metrics read
     # their last-write column: ``conv_turn_idx{__col__="last"}``. Rule
@@ -549,10 +559,10 @@ def _eval_selector(sel: Sel, ctx: _Ctx, tier_w: int | None = None
         if op == "=":
             push = rf"[{{,]{re.escape(lbl)}={re.escape(val)}[,}}]"
             break
-    ds = query_range(ctx.store, tier, metric=sel.name, key_regex=push,
-                     columns=["series_key", "window_start", vcol],
-                     start=ctx.start, end=ctx.end, layout=ctx.layout,
-                     offset=sel.offset_s)
+    ds = _qr(ctx, tier, metric=sel.name, key_regex=push,
+             columns=["series_key", "window_start", vcol],
+             start=ctx.start, end=ctx.end, layout=ctx.layout,
+             offset=sel.offset_s)
     if matchers:
         ds = ds.map_batches(_matcher_filter(matchers),
                             batch_format="pyarrow")
@@ -725,10 +735,29 @@ def _eval_agg(node: Agg, ctx: _Ctx) -> _Vector:
     v = _need_vector(_eval(node.expr, ctx), f"{node.op}()")
 
     if node.op in ("topk", "bottomk"):
-        if node.by or node.without:
-            raise ValueError("promql: topk/bottomk grouping unsupported — "
-                             "aggregate first, then rank")
+        if node.without:
+            raise ValueError("promql: topk/bottomk without() unsupported")
         key = _key_col(v)
+        if node.by:
+            # topk by (labels): rank within each (labels, window) group
+            # — one composite group key, same block-local-trim combiner
+            vm = _materialize_labels(v, node.by)
+            labels = sorted(node.by)
+
+            def grp(t: pa.Table) -> pa.Table:
+                k = pc.cast(t["window_start"], pa.string())
+                for l in labels:
+                    k = pc.binary_join_element_wise(
+                        k, pc.fill_null(pc.cast(t[l], pa.string()), ""),
+                        "\x1f")
+                return t.append_column("__grp", k)
+
+            gds = vm.ds.map_batches(grp, batch_format="pyarrow")
+            out = topk_per_group(gds, "__grp", "value", int(node.param),
+                                 key,
+                                 keep_cols=[key, "window_start"],
+                                 ascending=node.op == "bottomk")
+            return _Vector(_reshape(out, [key], "value"), [key], v.step_s)
         out = topk_per_group(v.ds, "window_start", "value",
                              int(node.param), key, keep_cols=[key],
                              ascending=node.op == "bottomk")
@@ -942,7 +971,6 @@ def _eval_call(node: Call, ctx: _Ctx):
         return _Vector(out, [], v.step_s)
 
     if f in ("histogram_quantile", "histogram_fraction"):
-        from vertex_ray.read import query_range
         from vertex_ray.schema import BUCKET_COLS
         from vertex_ray.stages.quantile import (
             histogram_fraction_batch,
@@ -965,9 +993,9 @@ def _eval_call(node: Call, ctx: _Ctx):
                 push = rf"[{{,]{re.escape(lbl)}={re.escape(val)}[,}}]"
                 break
         cols = ["series_key", "window_start", "count"] + list(BUCKET_COLS)
-        ds = query_range(ctx.store, tier, metric=sel.name, key_regex=push,
-                         columns=cols, start=ctx.start, end=ctx.end,
-                         layout=ctx.layout, offset=sel.offset_s)
+        ds = _qr(ctx, tier, metric=sel.name, key_regex=push,
+                 columns=cols, start=ctx.start, end=ctx.end,
+                 layout=ctx.layout, offset=sel.offset_s)
         if sel.matchers:
             ds = ds.map_batches(_matcher_filter(sel.matchers),
                                 batch_format="pyarrow")
@@ -1051,7 +1079,7 @@ def render_series(ds, id_cols: list[str], name: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def eval_promql(store: str, expr: str, value_col: str = "count",
+def eval_promql(store, expr: str, value_col: str = "count",
                 step: str | int = "1h", start: int | None = None,
                 end: int | None = None, layout: str = "oneshot",
                 n_buckets: int = 64, vectors: dict | None = None,
@@ -1066,6 +1094,10 @@ def eval_promql(store: str, expr: str, value_col: str = "count",
     the exact-int64 default every structured query uses — or ``sum``/
     ``min``/``max``/``last``); ``step`` sets the evaluation tier for
     bare selectors (/api/v1/query_range's step parameter).
+
+    ``store`` may also be a LIST of shard store dirs — selectors then
+    read the federated fleet via read.query_range_multi (per-shard
+    pruning, zero-exchange union).
 
     ``vectors``: rule-group chaining — ``{name: (Dataset, step_s)}`` of
     previously-recorded vectors (series_key/window_start/value schema);
