@@ -497,6 +497,40 @@ def q_linear_probe_embeddings(sf_dir: str):
                               label_col="label")
 
 
+def q_bpe_pair_counts_docs(sf_dir: str):
+    """The distributed core of BPE tokenizer training (one merge step =
+    most frequent adjacent pair, arXiv:1508.07909): corpus-wide adjacent
+    whitespace-token pair counts with an exact deterministic top-k
+    (stages/text.adjacent_pair_counts — combiner exchange bounded by
+    pair vocabulary, tie order cnt desc / a / b on both sides)."""
+    from vertex_ray.stages.text import adjacent_pair_counts
+
+    return adjacent_pair_counts(_docs(sf_dir), "text", k=50)
+
+
+SQL_BPE_PAIR_COUNTS_DOCS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS i
+  FROM t
+),
+p AS (
+  SELECT tok AS a,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b
+  FROM e
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+FROM p WHERE b IS NOT NULL
+GROUP BY 1, 2
+ORDER BY cnt DESC, a, b
+LIMIT 50
+"""
+
+
 def q_length_fit_by_lang_docs(sf_dir: str):
     """Per-GROUP exact least squares (one chars-vs-tokens line per
     language): partials carry one row per (group, batch); the driver
@@ -2438,6 +2472,7 @@ OP_QUERIES = {
     "op_length_fit_docs": q_length_fit_docs,
     "op_length_fit_by_lang_docs": q_length_fit_by_lang_docs,
     "op_linear_probe_embeddings": q_linear_probe_embeddings,
+    "op_bpe_pair_counts_docs": q_bpe_pair_counts_docs,
     "op_unigram_score_docs": q_unigram_score_docs,
     "op_quality_docs": q_quality_docs,
     "op_langid_docs": q_langid_docs,
@@ -2523,6 +2558,7 @@ OP_ORACLES = {
     "op_tokens_docs": SQL_TOKENS_DOCS,
     "op_length_fit_docs": SQL_LENGTH_FIT_DOCS,
     "op_length_fit_by_lang_docs": SQL_LENGTH_FIT_BY_LANG_DOCS,
+    "op_bpe_pair_counts_docs": SQL_BPE_PAIR_COUNTS_DOCS,
     "op_unigram_score_docs": SQL_UNIGRAM_SCORE_DOCS,
     "op_quality_docs": SQL_QUALITY_DOCS,
     "op_langid_docs": _sql_langid(),

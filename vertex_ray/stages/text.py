@@ -1289,3 +1289,51 @@ def length_fit_residuals(ds, *, text_col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def adjacent_pair_counts(ds, text_col: str, k: int = 100):
+    """Corpus-wide adjacent-token-pair frequencies with an exact global
+    top-k — the distributed core of BPE tokenizer training (each merge
+    step of Sennrich et al.'s algorithm is exactly "find the most
+    frequent adjacent pair"; arXiv:1508.07909). Whitespace tokens,
+    pairs within a document only (never across documents).
+
+    Scale shape (combiner pattern, same as token_counts): each batch
+    explodes to its own (a, b) pair counts with one vectorized split +
+    boundary mask + value_counts — the ONE ``groupby(pair)`` exchange
+    carries per-batch DISTINCT pairs, bounded by pair vocabulary, never
+    corpus length; int64 partial counts merge exactly. The final global
+    top-k is a Dataset sort + limit over pair-vocabulary rows with a
+    deterministic tie order (cnt desc, a asc, b asc) — identical to the
+    SQL mirror's ORDER BY."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(t[text_col])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        # mask out the last token of each document (no cross-doc pair)
+        ends = np.cumsum(lens) - 1  # flat index of each doc's last token
+        keep = np.ones(n - 1, dtype=bool)
+        keep[ends[ends < n - 1]] = False
+        a = flat[:-1][keep]
+        b = flat[1:][keep]
+        df = pd.DataFrame({"a": a, "b": b})
+        g = df.groupby(["a", "b"], sort=False).size().rename("cnt") \
+            .reset_index()
+        g = g[(g["a"] != "") & (g["b"] != "")]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .sum("cnt")
+        .map_batches(lambda t: t.rename_columns(["a", "b", "cnt"]),
+                     batch_format="pyarrow")
+    )
+    return counts.sort(["cnt", "a", "b"],
+                       descending=[True, False, False]).limit(k)
