@@ -429,3 +429,30 @@ def test_point_read_falls_back_on_compacted_store(ray_session,
            .sort_values(cols).reset_index(drop=True))
     assert len(point) > 0
     pd.testing.assert_frame_equal(point, rex)
+
+
+def test_promql_parser_over_epoch_store(ray_session, micro_transcripts,
+                                        tmp_path):
+    """The PromQL text front-end reads the time-chunked epoch store
+    unchanged: eval_promql(layout="epochs") equals the same aggregation
+    built from the plain layout read."""
+    import pandas as pd
+
+    from vertex_ray.pipelines.epoch_pipeline import run_pipeline_epochs
+    from vertex_ray.promql_lang import eval_promql
+    from vertex_ray.read import query_range
+
+    out = os.path.join(str(tmp_path), "epochs_pql")
+    run_pipeline_epochs(micro_transcripts, out, epoch_seconds=3600,
+                        n_buckets=4, tiers=TIERS_SMALL)
+    got = (eval_promql(out, "sum by (role) (increase(turns_total[1m]))",
+                       layout="epochs").to_pandas()
+           .sort_values(["role", "window_start"]).reset_index(drop=True))
+    base = query_range(out, "1m", metric="turns_total",
+                       columns=["series_key", "window_start", "count"],
+                       layout="epochs").to_pandas()
+    base["role"] = base.series_key.str.extract(r"role=([^,}]*)")
+    want = (base.groupby(["role", "window_start"])["count"].sum()
+            .reset_index().rename(columns={"count": "value"})
+            .sort_values(["role", "window_start"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
