@@ -1100,3 +1100,80 @@ def test_length_fit_residuals(ray_session):
     s = np.sqrt((fitted_resid ** 2).mean() - fitted_resid.mean() ** 2)
     assert (out["outlier"].to_numpy()
             == (np.abs(out["residual"].to_numpy()) > 3.0 * s)).all()
+
+
+def test_bpe_train_reference(ray_session):
+    """Matches a direct single-machine BPE on the same corpus (Sennrich
+    et al. alg.) — same merges in the same order."""
+    import ray.data as rd
+
+    from vertex_ray.stages.text import bpe_train
+
+    corpus = ["low low low low low",
+              "lower lower",
+              "newest newest newest newest newest newest",
+              "widest widest widest"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(corpus, type=pa.string()),
+    }))
+    merges, vsize = bpe_train(ds, "text", n_merges=10)
+
+    # reference implementation
+    from collections import Counter
+
+    vocab = Counter()
+    for line in corpus:
+        for w in line.split():
+            vocab[tuple(w) + ("</w>",)] += 1
+    words = list(vocab.items())
+    ref = []
+    for _ in range(10):
+        pairs = Counter()
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref.append(best)
+        a, b = best
+        nw = []
+        for syms, freq in words:
+            ns, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            nw.append((tuple(ns), freq))
+        words = nw
+    assert merges == ref
+    assert vsize > 0
+
+
+def test_bpe_apply_roundtrip(ray_session):
+    """Encoding is lossless: subwords of each word concatenate back to
+    the word + </w>; frequent words collapse to fewer symbols."""
+    import ray.data as rd
+
+    from vertex_ray.stages.text import BpeApply, bpe_train
+
+    corpus = ["the quick brown fox the the the",
+              "the lazy dog the quick quick"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2), type=pa.int64()),
+        "text": pa.array(corpus, type=pa.string()),
+    }))
+    merges, _ = bpe_train(ds, "text", n_merges=8)
+    out = (ds.map_batches(BpeApply, fn_constructor_kwargs={"merges": merges},
+                          batch_format="pyarrow", concurrency=(1, 2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for row, line in zip(out.itertuples(), corpus):
+        rebuilt = row.subwords.replace(" ", "").replace("</w>", " ").strip()
+        assert rebuilt == " ".join(line.split())
+        assert row.n_subwords <= sum(len(w) + 1 for w in line.split())
+    # "the" appears 8x -> should have merged to a single symbol
+    assert "the</w>" in out.loc[0, "subwords"].split()

@@ -531,6 +531,40 @@ LIMIT 50
 """
 
 
+def q_bpe_train_docs(sf_dir: str):
+    """BPE tokenizer training over the corpus (stages/text.bpe_train):
+    ONE distributed vocab reduction, then the deterministic merge loop
+    on the bounded (word, freq) table — the subword-nmt shape. Returns
+    the ordered merge table. Rows-only: the merge loop is iterative
+    (no SQL form); determinism is covered by the reference-equality
+    test in tests/test_text_ops.py."""
+    import pyarrow as _pa
+
+    from vertex_ray.stages.text import bpe_train
+
+    merges, _ = bpe_train(_docs(sf_dir), "text", n_merges=50)
+    import ray.data as rd
+
+    return rd.from_arrow(_pa.table({
+        "rank": _pa.array(range(len(merges)), type=_pa.int64()),
+        "a": _pa.array([m[0] for m in merges], type=_pa.string()),
+        "b": _pa.array([m[1] for m in merges], type=_pa.string()),
+    }))
+
+
+def q_bpe_encode_docs(sf_dir: str):
+    """Apply a corpus-trained BPE merge table to every document with the
+    actor-pool encoder (stages/text.BpeApply — merge ranks compiled once
+    per actor, per-word encodings memoized in actor state). Rows-only;
+    the lossless round-trip property is tested."""
+    from vertex_ray.stages.text import BpeApply, bpe_train
+
+    ds = _docs(sf_dir)
+    merges, _ = bpe_train(ds, "text", n_merges=50)
+    return ds.map_batches(BpeApply, fn_constructor_kwargs={"merges": merges},
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+
 def q_length_fit_by_lang_docs(sf_dir: str):
     """Per-GROUP exact least squares (one chars-vs-tokens line per
     language): partials carry one row per (group, batch); the driver
@@ -2473,6 +2507,8 @@ OP_QUERIES = {
     "op_length_fit_by_lang_docs": q_length_fit_by_lang_docs,
     "op_linear_probe_embeddings": q_linear_probe_embeddings,
     "op_bpe_pair_counts_docs": q_bpe_pair_counts_docs,
+    "op_bpe_train_docs": q_bpe_train_docs,
+    "op_bpe_encode_docs": q_bpe_encode_docs,
     "op_unigram_score_docs": q_unigram_score_docs,
     "op_quality_docs": q_quality_docs,
     "op_langid_docs": q_langid_docs,

@@ -1337,3 +1337,108 @@ def adjacent_pair_counts(ds, text_col: str, k: int = 100):
     )
     return counts.sort(["cnt", "a", "b"],
                        descending=[True, False, False]).limit(k)
+
+
+def bpe_train(ds, text_col: str, n_merges: int = 100):
+    """Byte-pair-encoding tokenizer TRAINING over the corpus (Sennrich
+    et al., arXiv:1508.07909 — the standard subword-nmt shape):
+
+    1. ONE distributed pass reduces the corpus to the word-frequency
+       vocabulary (``token_counts`` — combiner exchange bounded by
+       vocabulary size, never corpus length). This is the only stage
+       that touches raw text; BPE's merge statistics are a pure
+       function of (word, freq).
+    2. The merge loop runs on the bounded vocab: each iteration counts
+       adjacent symbol pairs weighted by word frequency and merges the
+       most frequent pair everywhere. Deterministic tie order
+       (count desc, then lexicographic pair) → the same corpus always
+       yields the same merge table, on any cluster shape.
+
+    Words are split to characters with a ``</w>`` end-of-word marker.
+    Returns ``(merges, vocab_size)`` where ``merges`` is an ordered
+    list of (a, b) symbol pairs — feed to :func:`bpe_apply_op`."""
+    from collections import Counter
+
+    vocab_rows = token_counts(ds, text_col).take_all()
+    # symbol-tuple representation of each distinct word
+    words = [(tuple(r["token"]) + ("</w>",), int(r["cnt"]))
+             for r in vocab_rows]
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        # deterministic: highest count, then lexicographically smallest
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        out = []
+        for syms, freq in words:
+            if a not in syms:
+                out.append((syms, freq))
+                continue
+            ns, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == a
+                        and syms[i + 1] == b):
+                    ns.append(ab)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            out.append((tuple(ns), freq))
+        words = out
+    vocab = {s for syms, _ in words for s in syms}
+    return merges, len(vocab)
+
+
+class BpeApply:
+    """Actor-pool subword encoder: the broadcast merge table is compiled
+    to ranks ONCE per actor (``__init__``), and per-word encodings are
+    memoized in actor state across batches — the canonical stateful
+    map_batches stage (geoip pattern, SURVEY §2.1 #10). Appends
+    ``n_subwords`` and the space-joined ``subwords`` encoding."""
+
+    def __init__(self, merges: list[tuple[str, str]],
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.rank = {pair: i for i, pair in enumerate(merges)}
+        self.cache: dict = {}
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _encode_word(self, w: str) -> list:
+        hit = self.cache.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w) + ["</w>"]
+        while len(syms) > 1:
+            ranked = [(self.rank.get((syms[i], syms[i + 1])), i)
+                      for i in range(len(syms) - 1)]
+            ranked = [(r, i) for r, i in ranked if r is not None]
+            if not ranked:
+                break
+            _, i = min(ranked)
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        self.cache[w] = syms
+        return syms
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_numpy(zero_copy_only=False)
+        n_sub = np.empty(len(texts), dtype=np.int64)
+        joined = []
+        for j, txt in enumerate(texts):
+            subs: list = []
+            for w in (txt or "").split():
+                subs.extend(self._encode_word(w))
+            n_sub[j] = len(subs)
+            joined.append(" ".join(subs))
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "n_subwords": pa.array(n_sub),
+            "subwords": pa.array(joined, type=pa.string()),
+        })
