@@ -1177,3 +1177,28 @@ def test_bpe_apply_roundtrip(ray_session):
         assert row.n_subwords <= sum(len(w) + 1 for w in line.split())
     # "the" appears 8x -> should have merged to a single symbol
     assert "the</w>" in out.loc[0, "subwords"].split()
+
+
+def test_winnow_fingerprints_guarantee():
+    """Winnowing theorem: documents sharing a run of w+k-1 tokens share
+    at least one fingerprint; disjoint docs share none (whp)."""
+    from vertex_ray.stages.dedup_near import winnow_fingerprints_op
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": [
+            "xx yy " + shared + " zz ww",
+            "qq rr ss " + shared + " tt",
+            "uu vv totally different tokens here none shared at all",
+        ],
+    })
+    out = winnow_fingerprints_op(k=3, w=4)(t).to_pandas()
+    fp = {d: set(g["fingerprint"]) for d, g in out.groupby("doc_id")}
+    assert fp[1] & fp[2]
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+    # short doc (< w grams) still emits its clipped-window min
+    t2 = pa.table({"doc_id": pa.array([9], type=pa.int64()),
+                   "text": ["one two three four"]})  # 2 grams < w
+    out2 = winnow_fingerprints_op(k=3, w=4)(t2).to_pandas()
+    assert len(out2) == 1

@@ -531,6 +531,58 @@ LIMIT 50
 """
 
 
+def q_winnow_fingerprints_docs(sf_dir: str):
+    """Winnowing fingerprints under the md5 audit family
+    (stages/dedup_near.winnow_fingerprints_op, Schleimer et al. SIGMOD
+    2003): distinct window-min k-gram hashes per document — the whole
+    construction (token grams, md5_number_lower, window minima) is
+    recomputed by the SQL mirror, so the fingerprint VALUES hash-match
+    bit-for-bit."""
+    from vertex_ray.stages.dedup_near import winnow_fingerprints_op
+
+    return _docs(sf_dir).map_batches(
+        winnow_fingerprints_op("text", "doc_id", k=3, w=4,
+                               hash_family="md5"),
+        batch_format="pyarrow")
+
+
+SQL_WINNOW_FINGERPRINTS_DOCS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS i
+  FROM t
+),
+g AS (
+  SELECT doc_id, i,
+         tok || ' ' || lead(tok, 1) OVER win
+             || ' ' || lead(tok, 2) OVER win AS gram
+  FROM e
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+),
+h AS (
+  SELECT doc_id, i, md5_number_lower(gram)::UBIGINT AS h
+  FROM g WHERE gram IS NOT NULL
+),
+m AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM h
+)
+SELECT DISTINCT doc_id,
+       (wm - CASE WHEN wm >= 9223372036854775808
+                  THEN 18446744073709551616 ELSE 0 END)::BIGINT
+         AS fingerprint
+FROM m WHERE j >= least(4, ng)
+"""
+
+
 def q_bpe_train_docs(sf_dir: str):
     """BPE tokenizer training over the corpus (stages/text.bpe_train):
     ONE distributed vocab reduction, then the deterministic merge loop
@@ -2508,6 +2560,7 @@ OP_QUERIES = {
     "op_linear_probe_embeddings": q_linear_probe_embeddings,
     "op_bpe_pair_counts_docs": q_bpe_pair_counts_docs,
     "op_bpe_train_docs": q_bpe_train_docs,
+    "op_winnow_fingerprints_docs": q_winnow_fingerprints_docs,
     "op_bpe_encode_docs": q_bpe_encode_docs,
     "op_unigram_score_docs": q_unigram_score_docs,
     "op_quality_docs": q_quality_docs,
@@ -2595,6 +2648,7 @@ OP_ORACLES = {
     "op_length_fit_docs": SQL_LENGTH_FIT_DOCS,
     "op_length_fit_by_lang_docs": SQL_LENGTH_FIT_BY_LANG_DOCS,
     "op_bpe_pair_counts_docs": SQL_BPE_PAIR_COUNTS_DOCS,
+    "op_winnow_fingerprints_docs": SQL_WINNOW_FINGERPRINTS_DOCS,
     "op_unigram_score_docs": SQL_UNIGRAM_SCORE_DOCS,
     "op_quality_docs": SQL_QUALITY_DOCS,
     "op_langid_docs": _sql_langid(),

@@ -20,6 +20,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _SHINGLE_RE = re.compile(r"\S+")
 
@@ -935,3 +936,82 @@ def span_dedup(ds, text_col: str, id_col: str, *, k: int = 8,
         .groupby("__bucket")
         .map_groups(first, batch_format="pandas")
     )
+
+
+def winnow_fingerprints_op(text_col: str = "text", id_col: str = "doc_id",
+                           *, k: int = 3, w: int = 4,
+                           hash_family: str = "sip"):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm, the standard
+    code/near-dup fingerprint of training-data curation): hash every
+    k-token gram, slide a window of ``w`` gram hashes, select each
+    window's MINIMUM; the document's fingerprint set is the distinct
+    selected values. Guarantees any shared run of w+k-1 tokens between
+    two documents produces at least one shared fingerprint (the
+    winnowing theorem), at ~2/(w+1) sampling density.
+
+    Per-batch and per-document only — no exchange; join the output on
+    ``fingerprint`` for candidate pairs. Fully vectorized: one Arrow
+    split + element-wise join builds every gram in the batch, one
+    strided uint64 window-min selects fingerprints (NEVER through
+    float — pandas rolling would round 64-bit hashes through float64).
+    Documents with fewer than ``w`` grams contribute the min over all
+    their grams (one clipped window); docs with no complete gram emit
+    nothing. ``hash_family="md5"`` makes the whole construction
+    SQL-recomputable (``md5_number_lower``, see _md5_hash64); the
+    distinct-VALUE output is tie-rule-free, so both sides agree without
+    modeling the paper's rightmost-tie position rule."""
+    hasher = _TOKEN_HASHERS[hash_family]
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], type=t.schema.field(id_col).type),
+            "fingerprint": pa.array([], type=pa.int64()),
+        })
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(t[text_col]))
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        keep = flat != ""
+        flat, doc_of = flat[keep], doc_of[keep]
+        n = len(flat)
+        if n < k:
+            return empty
+        # every k-gram in the batch via one element-wise join of the k
+        # shifted token columns; a gram is real iff it stays in one doc
+        arrs = [pa.array(flat[i:n - k + 1 + i]) for i in range(k)]
+        gram = pc.binary_join_element_wise(*arrs, " ")
+        gdoc = doc_of[:n - k + 1]
+        valid = gdoc == doc_of[k - 1:]
+        gh = hasher(gram.to_numpy(zero_copy_only=False))[valid]
+        gdoc = gdoc[valid]
+        m = len(gh)
+        if m == 0:
+            return empty
+        out_doc = []
+        out_fp = []
+        if m >= w:
+            sw = np.lib.stride_tricks.sliding_window_view(gh, w)
+            wmin = sw.min(axis=1)  # exact uint64 min
+            wvalid = gdoc[:m - w + 1] == gdoc[w - 1:]
+            out_doc.append(gdoc[:m - w + 1][wvalid])
+            out_fp.append(wmin[wvalid])
+        # docs with 1..w-1 grams: one clipped window (min of all grams)
+        seg_new = np.ones(m, dtype=bool)
+        seg_new[1:] = gdoc[1:] != gdoc[:-1]
+        starts = np.flatnonzero(seg_new)
+        seg_len = np.diff(np.append(starts, m))
+        short = seg_len < w
+        if short.any():
+            out_doc.append(gdoc[starts][short])
+            out_fp.append(np.minimum.reduceat(gh, starts)[short])
+        dd = np.concatenate(out_doc)
+        ff = np.concatenate(out_fp)
+        df = pd.DataFrame({"__d": dd, "fp": ff.view(np.int64)})
+        df = df.drop_duplicates()
+        ids = t[id_col].take(pa.array(df["__d"].to_numpy()))
+        return pa.table({id_col: ids,
+                         "fingerprint": pa.array(df["fp"].to_numpy())})
+
+    return fn
