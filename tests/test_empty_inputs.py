@@ -33,6 +33,8 @@ EXPECTED_RAISE = {
     "op_left_join_orders", "op_minhash_pairs_docs", "op_tfidf_docs",
     "op_bigram_score_docs", "op_range_join_events", "pipeline_curate_docs",
     "op_skew_join_events",
+    "op_length_fit_docs", "op_length_fit_by_lang_docs",  # fit on empty
+    "op_linear_probe_embeddings",                        # probe fit on empty
 }
 
 

@@ -1265,6 +1265,8 @@ def length_fit_residuals(ds, *, text_col: str = "text",
             / (float(n) * float(n))
         return a, b, math.sqrt(s2)
 
+    if not acc:
+        raise ValueError("length_fit_residuals on an empty dataset")
     fits = {g: fit(a6) for g, a6 in acc.items()}
 
     def flag(t: pa.Table) -> pa.Table:
