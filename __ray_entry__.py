@@ -428,6 +428,25 @@ def _q_promql_expr_multi_by(sf_dir: str):
         out, "sum by (conv_id, role) (increase(turns_total[1h]))")
 
 
+def _q_promql_expr_ignoring_ratio(sf_dir: str):
+    """PromQL text front-end, ``ignoring(...)`` vector matching:
+    ``increase(turns_total{role="user"}[1h]) / ignoring(role)
+    increase(turns_total{role="assistant"}[1h])`` — the per-conversation
+    user/assistant hourly turn ratio. ``ignoring`` matches on the
+    COMPLEMENT label set; the lowering strips the ignored pairs (and the
+    metric name) from the composite series key with the same vectorized
+    RE2 transform behind ``without(...)``, so the match is still ONE
+    hash-join exchange (promql_lang._ignoring_key → stages/promql
+    binary_op). Result identity is the stripped key ``{conv_id=…}``."""
+    from vertex_ray.promql_lang import eval_promql
+
+    out = _ensure_pipeline(sf_dir)
+    return eval_promql(
+        out,
+        'increase(turns_total{role="user"}[1h]) / ignoring(role) '
+        'increase(turns_total{role="assistant"}[1h])')
+
+
 def _q_promql_rules_group(sf_dir: str):
     """Prometheus rules.yml with PromQL TEXT expressions
     (stages/record.rule_group_promql): a record rule materializes
@@ -2042,6 +2061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promql_rules_group_1h": _q_promql_rules_group,
         "promql_expr_hist_p99_1m": _q_promql_expr_hist_p99,
         "promql_expr_multi_by_1h": _q_promql_expr_multi_by,
+        "promql_expr_ignoring_ratio_1h": _q_promql_expr_ignoring_ratio,
         "burn_rate_1m_latency": _q_burn_rate_1m_latency,
         "quantile_by_role_1h_turns": _q_quantile_by_role_1h,
         "stream_encode_roundtrip_1m_turns": _q_stream_encode_roundtrip,
@@ -2545,6 +2565,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS value
             FROM {_SQL_TRANSCRIPTS}
             GROUP BY 1, 2, 3
+            """,
+        "promql_expr_ignoring_ratio_1h": f"""
+            WITH u AS (
+              SELECT conv_id, {_w(3600)} AS window_start, count(*) AS c
+              FROM {_SQL_TRANSCRIPTS} WHERE role = 'user'
+              GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT conv_id, {_w(3600)} AS window_start, count(*) AS c
+              FROM {_SQL_TRANSCRIPTS} WHERE role = 'assistant'
+              GROUP BY 1, 2
+            )
+            SELECT '{{conv_id=' || u.conv_id || '}}' AS series_key,
+                   u.window_start,
+                   CAST(u.c AS DOUBLE) / CAST(a.c AS DOUBLE) AS value
+            FROM u JOIN a USING (conv_id, window_start)
             """,
         "promql_rules_group_1h": f"""
             WITH g AS (

@@ -73,6 +73,10 @@ def test_parse_binary_precedence_and_matching():
     assert e4.op == "or" and e4.lhs.op == "and" and e4.lhs.on == ["role"]
     e5 = parse("-2 * m")
     assert isinstance(e5.lhs, Num) and e5.lhs.v == -2.0
+    e6 = parse("a / ignoring(role) b")
+    assert e6.op == "div" and e6.ignoring == ["role"] and e6.on is None
+    e7 = parse("a and ignoring(role, tool) b")
+    assert e7.ignoring == ["role", "tool"]
 
 
 def test_parse_errors():
@@ -235,6 +239,42 @@ def test_eval_set_op_unless(store):
     kept = _run(store, hot)
     assert len(got) == len(full) - len(kept)
     assert (got["value"] <= 60).all()
+
+
+def test_eval_ignoring_ratio(store):
+    # ignoring(role): match user vs assistant series on the complement
+    # key {conv_id=…}; result identity is the stripped key
+    got = _run(store, 'increase(turns_total{role="user"}[1h]) '
+                      "/ ignoring(role) "
+                      'increase(turns_total{role="assistant"}[1h])')
+    base = _base(store)
+    base["conv_id"] = base.series_key.str.extract(r"conv_id=([^,}]*)")
+    u = base[base.series_key.str.contains(r"role=user\}")]
+    a = base[base.series_key.str.contains(r"role=assistant\}")]
+    m = u.merge(a, on=["conv_id", "window_start"], suffixes=("_u", "_a"))
+    exp = pd.DataFrame({
+        "series_key": "{conv_id=" + m.conv_id + "}",
+        "window_start": m.window_start,
+        "value": m.count_u.to_numpy(np.float64)
+        / m.count_a.to_numpy(np.float64),
+    }).sort_values(["series_key", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_eval_ignoring_set_op(store):
+    # and ignoring(role): left samples (FULL original labels) whose
+    # complement key has a user-series match
+    got = _run(store, 'increase(turns_total{role="assistant"}[1h]) '
+                      "and ignoring(role) "
+                      'increase(turns_total{role="user"}[1h])')
+    assert got.series_key.str.contains(r"role=assistant\}").all()
+    base = _base(store)
+    base["conv_id"] = base.series_key.str.extract(r"conv_id=([^,}]*)")
+    u = base[base.series_key.str.contains(r"role=user\}")]
+    a = base[base.series_key.str.contains(r"role=assistant\}")]
+    keys = set(zip(u.conv_id, u.window_start))
+    exp_n = sum((c, w) in keys for c, w in zip(a.conv_id, a.window_start))
+    assert len(got) == exp_n
 
 
 def test_eval_hour_and_clamp(store):

@@ -33,7 +33,9 @@ Grammar (the subset the stage library implements):
     matcher   := LABEL ("=" | "!=" | "=~" | "!~") STRING
 
 Binary vector matching: ``left <op> on(l1, l2) [group_left(c1, ...)]
-right``.
+right`` or ``left <op> ignoring(l1, l2) right`` (ignoring matches on
+the complement label set — lowered as a strip of the ignored pairs
+from the composite series key, metric name dropped).
 
 Time model — how [range] maps onto the tier store: tiers hold
 per-window DELTAS (the MetricNormalize absolute→incremental contract,
@@ -109,6 +111,7 @@ class Bin:
     lhs: object
     rhs: object
     on: list | None = None
+    ignoring: list | None = None
     group_left: list | None = None
     bool_mode: bool = False
 
@@ -210,16 +213,18 @@ class _Parser:
         e = self.and_expr()
         while self.at("or"):
             self.next()
-            on, gl = self._matching()
-            e = Bin("or", e, self.and_expr(), on=on, group_left=gl)
+            on, ig, gl = self._matching()
+            e = Bin("or", e, self.and_expr(), on=on, ignoring=ig,
+                    group_left=gl)
         return e
 
     def and_expr(self):
         e = self.cmp_expr()
         while self.peek()[1] in ("and", "unless"):
             op = self.next()[1]
-            on, gl = self._matching()
-            e = Bin(op, e, self.cmp_expr(), on=on, group_left=gl)
+            on, ig, gl = self._matching()
+            e = Bin(op, e, self.cmp_expr(), on=on, ignoring=ig,
+                    group_left=gl)
         return e
 
     _CMP = {">": "gt", ">=": "ge", "<": "lt", "<=": "le",
@@ -233,36 +238,41 @@ class _Parser:
             if self.at("bool"):
                 self.next()
                 bool_mode = True
-            on, gl = self._matching()
-            e = Bin(op, e, self.add_expr(), on=on, group_left=gl,
-                    bool_mode=bool_mode)
+            on, ig, gl = self._matching()
+            e = Bin(op, e, self.add_expr(), on=on, ignoring=ig,
+                    group_left=gl, bool_mode=bool_mode)
         return e
 
     def add_expr(self):
         e = self.mul_expr()
         while self.peek()[1] in ("+", "-"):
             op = {"+": "add", "-": "sub"}[self.next()[1]]
-            on, gl = self._matching()
-            e = Bin(op, e, self.mul_expr(), on=on, group_left=gl)
+            on, ig, gl = self._matching()
+            e = Bin(op, e, self.mul_expr(), on=on, ignoring=ig,
+                    group_left=gl)
         return e
 
     def mul_expr(self):
         e = self.unary()
         while self.peek()[1] in ("*", "/"):
             op = {"*": "mul", "/": "div"}[self.next()[1]]
-            on, gl = self._matching()
-            e = Bin(op, e, self.unary(), on=on, group_left=gl)
+            on, ig, gl = self._matching()
+            e = Bin(op, e, self.unary(), on=on, ignoring=ig,
+                    group_left=gl)
         return e
 
     def _matching(self):
-        on = gl = None
+        on = ig = gl = None
         if self.at("on"):
             self.next()
             on = self._label_list()
+        elif self.at("ignoring"):
+            self.next()
+            ig = self._label_list()
         if self.at("group_left"):
             self.next()
             gl = self._label_list() if self.at("(") else []
-        return on, gl
+        return on, ig, gl
 
     def unary(self):
         if self.at("-"):
@@ -655,6 +665,39 @@ def _materialize_labels(v: _Vector, labels: list[str]) -> _Vector:
                    v.id_cols + missing, v.step_s)
 
 
+def _ignoring_key(v: _Vector, labels: list[str],
+                  out_col: str = "series_key") -> _Vector:
+    """Lower ``ignoring(labels)`` matching: the match key is the series
+    key with the metric NAME dropped and every ignored ``label=value``
+    pair stripped (stages/promql.strip_labels — the same vectorized RE2
+    transform behind ``without(...)``), e.g.
+    ``turns_total{conv_id=c1,role=user}`` ignoring(role) →
+    ``{conv_id=c1}``. Prometheus matches on the complement label set
+    with the name excluded; on this engine's composite keys that
+    complement IS the stripped key, so the lowering adds no new
+    execution shape — the join downstream is the same one exchange."""
+    from vertex_ray.stages.promql import strip_labels
+
+    if "series_key" not in v.id_cols:
+        raise ValueError(
+            f"promql: ignoring(...) needs a series_key identity, got "
+            f"{v.id_cols}")
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = pc.replace_substring_regex(
+            pc.cast(t["series_key"], pa.string()), r"^[^{]*", "")
+        if out_col in t.schema.names:
+            t = t.set_column(t.schema.get_field_index(out_col),
+                             out_col, k)
+        else:
+            t = t.append_column(out_col, k)
+        return strip_labels(t, labels, key_col=out_col)
+
+    ids = v.id_cols if out_col in v.id_cols else v.id_cols + [out_col]
+    return _Vector(v.ds.map_batches(fn, batch_format="pyarrow"),
+                   ids, v.step_s)
+
+
 def _eval_bin(node: Bin, ctx: _Ctx):
     from vertex_ray.stages.promql import binary_op, set_op
 
@@ -686,6 +729,18 @@ def _eval_bin(node: Bin, ctx: _Ctx):
                          f"({l.step_s}s vs {r.step_s}s) — align tiers or "
                          f"use read.query_range_stitched")
     if node.op in ("and", "or", "unless"):
+        if node.ignoring is not None:
+            # match on the complement key, keep the LEFT's full labels
+            # (set ops select left samples — identity must survive)
+            li = _ignoring_key(l, node.ignoring, out_col="__ik")
+            ri = _ignoring_key(r, node.ignoring, out_col="__ik")
+            out = set_op(li.ds, ri.ds, ["__ik", "window_start"],
+                         op=node.op, n_buckets=ctx.n_buckets)
+            out = out.map_batches(
+                lambda t: t.select(
+                    [c for c in t.schema.names if c != "__ik"]),
+                batch_format="pyarrow")
+            return _Vector(out, l.id_cols, l.step_s)
         on = node.on or sorted(set(l.id_cols) & set(r.id_cols))
         if not on:
             raise ValueError("promql: set op needs on(...) or shared "
@@ -700,6 +755,12 @@ def _eval_bin(node: Bin, ctx: _Ctx):
         return _Vector(out, l.id_cols, l.step_s)
 
     on = node.on
+    if node.ignoring is not None:
+        # rewrite both identities to the complement key — the result
+        # identity of ignoring-matched arithmetic IS that stripped key
+        l = _ignoring_key(l, node.ignoring)
+        r = _ignoring_key(r, node.ignoring)
+        on = ["series_key"]
     if on is None:
         if l.id_cols != r.id_cols:
             raise ValueError("promql: vector match needs on(...) when "
