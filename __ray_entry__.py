@@ -447,6 +447,44 @@ def _q_promql_expr_ignoring_ratio(sf_dir: str):
         'increase(turns_total{role="assistant"}[1h])')
 
 
+def _q_promql_expr_at_baseline(sf_dir: str):
+    """PromQL ``@`` modifier (fixed-instant evaluation):
+    ``sum by (role) (increase(turns_total[1h])) / on(role)
+    sum by (role) (increase(turns_total[1h] @ 1767441600))`` — every
+    hour's per-role turn volume normalized by the volume in a FIXED
+    baseline hour (2026-01-03T12:00Z). The pinned selector lowers to a
+    start/end BLOCK-PRUNED read of exactly one window (the pin's
+    trailing frame), and the pinned vector is window-free in matching:
+    the join runs on the labels alone, the live side's window_start
+    survives — one hash exchange, baseline read cost independent of
+    store width (promql_lang Sel.at_s → _eval_bin win_free)."""
+    from vertex_ray.promql_lang import eval_promql
+
+    out = _ensure_pipeline(sf_dir)
+    return eval_promql(
+        out,
+        "sum by (role) (increase(turns_total[1h])) / on(role) "
+        "sum by (role) (increase(turns_total[1h] @ 1767441600))")
+
+
+def _q_promql_expr_group_right(sf_dir: str):
+    """PromQL ``group_right`` many-to-one matching with the MANY side on
+    the right: ``sum by (role) (increase(turns_total[1h])) / on(role)
+    group_right(series_key) increase(turns_total[1h])`` — each series'
+    hourly inverse share of its role's total. Lowered by swapping the
+    join sides (binary_op's first argument must be the many side so the
+    carried ``series_key`` rides the join) and swapping the operands
+    back inside the finish kernel (stages/promql.binary_op
+    swap_operands) — still ONE hash-join exchange."""
+    from vertex_ray.promql_lang import eval_promql
+
+    out = _ensure_pipeline(sf_dir)
+    return eval_promql(
+        out,
+        "sum by (role) (increase(turns_total[1h])) / on(role) "
+        "group_right(series_key) increase(turns_total[1h])")
+
+
 def _q_promql_rules_group(sf_dir: str):
     """Prometheus rules.yml with PromQL TEXT expressions
     (stages/record.rule_group_promql): a record rule materializes
@@ -2062,6 +2100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promql_expr_hist_p99_1m": _q_promql_expr_hist_p99,
         "promql_expr_multi_by_1h": _q_promql_expr_multi_by,
         "promql_expr_ignoring_ratio_1h": _q_promql_expr_ignoring_ratio,
+        "promql_expr_at_baseline_1h": _q_promql_expr_at_baseline,
+        "promql_expr_group_right_1h": _q_promql_expr_group_right,
         "burn_rate_1m_latency": _q_burn_rate_1m_latency,
         "quantile_by_role_1h_turns": _q_quantile_by_role_1h,
         "stream_encode_roundtrip_1m_turns": _q_stream_encode_roundtrip,
@@ -2581,6 +2621,40 @@ def oracle_sql() -> dict[str, str]:
                    u.window_start,
                    CAST(u.c AS DOUBLE) / CAST(a.c AS DOUBLE) AS value
             FROM u JOIN a USING (conv_id, window_start)
+            """,
+        "promql_expr_at_baseline_1h": f"""
+            WITH cur AS (
+              SELECT role, {_w(3600)} AS window_start, count(*) AS c
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT role, count(*) AS c
+              FROM {_SQL_TRANSCRIPTS}
+              WHERE {_w(3600)} = 1767441600
+              GROUP BY 1
+            )
+            SELECT cur.role, cur.window_start,
+                   CAST(cur.c AS DOUBLE) / CAST(base.c AS DOUBLE) AS value
+            FROM cur JOIN base USING (role)
+            """,
+        "promql_expr_group_right_1h": f"""
+            WITH per_series AS (
+              SELECT conv_id, role, {_w(3600)} AS window_start,
+                     count(*) AS c
+              FROM {_SQL_TRANSCRIPTS}
+              GROUP BY 1, 2, 3
+            ),
+            tot AS (
+              SELECT role, window_start, SUM(c) AS t
+              FROM per_series GROUP BY 1, 2
+            )
+            SELECT p.role,
+                   'turns_total{{conv_id=' || p.conv_id || ',role=' ||
+                     p.role || '}}' AS series_key,
+                   p.window_start,
+                   CAST(t.t AS DOUBLE) / CAST(p.c AS DOUBLE) AS value
+            FROM per_series p JOIN tot t USING (role, window_start)
             """,
         "promql_rules_group_1h": f"""
             WITH g AS (

@@ -77,6 +77,12 @@ def test_parse_binary_precedence_and_matching():
     assert e6.op == "div" and e6.ignoring == ["role"] and e6.on is None
     e7 = parse("a and ignoring(role, tool) b")
     assert e7.ignoring == ["role", "tool"]
+    e8 = parse("a / on(role) group_right(series_key) b")
+    assert e8.group_right == ["series_key"] and e8.group_left is None
+    e9 = parse("increase(m[1h] @ 1767441600)")
+    assert e9.args[0].at_s == 1767441600
+    e10 = parse("m[1h] @ 1767441600 offset 2h")
+    assert e10.at_s == 1767441600 and e10.offset_s == 7200
 
 
 def test_parse_errors():
@@ -275,6 +281,79 @@ def test_eval_ignoring_set_op(store):
     keys = set(zip(u.conv_id, u.window_start))
     exp_n = sum((c, w) in keys for c, w in zip(a.conv_id, a.window_start))
     assert len(got) == exp_n
+
+
+_T_PIN = 1767441600  # 2026-01-03T12:00:00Z — inside every sf's range
+
+
+def test_eval_at_pinned_baseline_ratio(store):
+    # @ pins the rhs at one instant; matching becomes window-free and
+    # the left side's window_start survives on every row
+    got = _run(store, "increase(turns_total[1h]) / on(series_key) "
+                      f"increase(turns_total[1h] @ {_T_PIN})")
+    base = _base(store)
+    pin = base[base.window_start == _T_PIN][["series_key", "count"]]
+    m = base.merge(pin, on="series_key", suffixes=("", "_pin"))
+    exp = pd.DataFrame({
+        "series_key": m.series_key,
+        "window_start": m.window_start,
+        "value": m["count"].to_numpy(np.float64)
+        / m["count_pin"].to_numpy(np.float64),
+    }).sort_values(["series_key", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_eval_at_pinned_left_and_agg(store):
+    # pinned LEFT operand (swapped join sides) + aggregation over a
+    # pinned vector keeps the pin
+    got = _run(store, "sum by (role) (increase(turns_total[1h] "
+                      f"@ {_T_PIN})) / on(role) "
+                      "sum by (role) (increase(turns_total[1h]))")
+    base = _base(store)
+    base["role"] = base.series_key.str.extract(r"role=([^,}]*)")
+    cur = base.groupby(["role", "window_start"], as_index=False)["count"] \
+        .sum()
+    pin = cur[cur.window_start == _T_PIN][["role", "count"]]
+    m = cur.merge(pin, on="role", suffixes=("", "_pin"))
+    exp = pd.DataFrame({
+        "role": m.role,
+        "window_start": m.window_start,
+        "value": m["count_pin"].to_numpy(np.float64)
+        / m["count"].to_numpy(np.float64),
+    }).sort_values(["role", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_eval_group_right(store):
+    # one-side (role totals) op many-side (per-series) with the
+    # series_key carried from the RIGHT vector
+    got = _run(store, "sum by (role) (increase(turns_total[1h])) "
+                      "/ on(role) group_right(series_key) "
+                      "increase(turns_total[1h])")
+    base = _base(store)
+    base["role"] = base.series_key.str.extract(r"role=([^,}]*)")
+    tot = base.groupby(["role", "window_start"], as_index=False)["count"] \
+        .sum().rename(columns={"count": "tot"})
+    m = base.merge(tot, on=["role", "window_start"])
+    exp = pd.DataFrame({
+        "role": m.role,
+        "series_key": m.series_key,
+        "window_start": m.window_start,
+        "value": m["tot"].to_numpy(np.float64)
+        / m["count"].to_numpy(np.float64),
+    }).sort_values(["role", "series_key", "window_start"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_eval_timestamp_and_present(store):
+    got = _run(store, "timestamp(sum by (role) "
+                      "(increase(turns_total[1h])))")
+    assert (got["value"] == got["window_start"].astype(np.float64)).all()
+    pres = _run(store, "present_over_time(turns_total[1h])")
+    base = _base(store)
+    assert (pres["value"] == 1.0).all()
+    assert len(pres) == len(base)
 
 
 def test_eval_hour_and_clamp(store):

@@ -23,19 +23,30 @@ Grammar (the subset the stage library implements):
     add_expr  := mul_expr (("+" | "-") mul_expr)*
     mul_expr  := unary (("*" | "/") unary)*
     unary     := "-" unary | postfix
-    postfix   := atom ["[" DUR ":" DUR "]"] ["offset" DUR]
+    postfix   := atom ["[" DUR ":" DUR "]"] ("offset" DUR | "@" NUM)*
     atom      := NUMBER | "(" expr ")" | agg | call | selector
     agg       := AGGOP [grouping] "(" [NUMBER ","] expr ")" [grouping]
     grouping  := ("by" | "without") "(" label ("," label)* ")"
     call      := FUNC "(" arg ("," arg)* ")"
     selector  := NAME ["{" matcher ("," matcher)* "}"]
-                 ["[" DUR "]"] ["offset" DUR]
+                 ["[" DUR "]"] ("offset" DUR | "@" NUM)*
     matcher   := LABEL ("=" | "!=" | "=~" | "!~") STRING
 
-Binary vector matching: ``left <op> on(l1, l2) [group_left(c1, ...)]
-right`` or ``left <op> ignoring(l1, l2) right`` (ignoring matches on
-the complement label set — lowered as a strip of the ignored pairs
-from the composite series key, metric name dropped).
+Binary vector matching: ``left <op> on(l1, l2) [group_left(c1, ...) |
+group_right(c1, ...)] right`` or ``left <op> ignoring(l1, l2) right``
+(ignoring matches on the complement label set — lowered as a strip of
+the ignored pairs from the composite series key, metric name dropped).
+``group_right`` mirrors ``group_left`` with the MANY side on the right
+— lowered by swapping the join sides and the operands back inside the
+kernel, so the carried columns come from the right vector.
+
+The ``@`` modifier (``m[1h] @ 1767441600``) pins a selector's
+evaluation at a fixed instant: the read prunes blocks to exactly the
+pinned trailing frame, and the resulting vector is window-FREE in
+vector matching — ``increase(m[1h]) / on(series_key)
+increase(m[1h] @ T)`` joins on the labels alone and every output row
+keeps the live side's window_start (the "compare now to a fixed
+baseline" panel, Prometheus's @-modifier semantics in a range query).
 
 Time model — how [range] maps onto the tier store: tiers hold
 per-window DELTAS (the MetricNormalize absolute→incremental contract,
@@ -81,6 +92,7 @@ class Sel:
     matchers: list = field(default_factory=list)  # (label, op, value)
     range_s: int | None = None
     offset_s: int = 0
+    at_s: int | None = None  # @ modifier: fixed evaluation timestamp
 
 
 @dataclass
@@ -113,6 +125,7 @@ class Bin:
     on: list | None = None
     ignoring: list | None = None
     group_left: list | None = None
+    group_right: list | None = None
     bool_mode: bool = False
 
 
@@ -126,10 +139,10 @@ RANGE_FUNCS = {
     "count_over_time", "stddev_over_time", "stdvar_over_time",
     "quantile_over_time", "last_over_time", "first_over_time",
     "mad_over_time", "histogram_quantile", "histogram_fraction",
-    "absent_over_time",
+    "absent_over_time", "present_over_time",
 }
 INSTANT_FUNCS = {
-    "abs", "ceil", "floor", "round", "sqrt", "sgn",
+    "abs", "ceil", "floor", "round", "sqrt", "sgn", "timestamp",
     "clamp", "clamp_min", "clamp_max", "sort", "sort_desc",
     "label_replace", "label_join",
     "minute", "hour", "day_of_week", "day_of_month", "month", "year",
@@ -146,7 +159,7 @@ _TOKEN_RE = re.compile(
       | (?P<NUM>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\.\d+)
       | (?P<ID>[a-zA-Z_][a-zA-Z0-9_:]*)
       | (?P<STR>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-      | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%(){}\[\],:=<>])
+      | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%(){}\[\],:=<>@])
     """,
     re.X,
 )
@@ -213,18 +226,18 @@ class _Parser:
         e = self.and_expr()
         while self.at("or"):
             self.next()
-            on, ig, gl = self._matching()
+            on, ig, gl, gr = self._matching()
             e = Bin("or", e, self.and_expr(), on=on, ignoring=ig,
-                    group_left=gl)
+                    group_left=gl, group_right=gr)
         return e
 
     def and_expr(self):
         e = self.cmp_expr()
         while self.peek()[1] in ("and", "unless"):
             op = self.next()[1]
-            on, ig, gl = self._matching()
+            on, ig, gl, gr = self._matching()
             e = Bin(op, e, self.cmp_expr(), on=on, ignoring=ig,
-                    group_left=gl)
+                    group_left=gl, group_right=gr)
         return e
 
     _CMP = {">": "gt", ">=": "ge", "<": "lt", "<=": "le",
@@ -238,31 +251,31 @@ class _Parser:
             if self.at("bool"):
                 self.next()
                 bool_mode = True
-            on, ig, gl = self._matching()
+            on, ig, gl, gr = self._matching()
             e = Bin(op, e, self.add_expr(), on=on, ignoring=ig,
-                    group_left=gl, bool_mode=bool_mode)
+                    group_left=gl, group_right=gr, bool_mode=bool_mode)
         return e
 
     def add_expr(self):
         e = self.mul_expr()
         while self.peek()[1] in ("+", "-"):
             op = {"+": "add", "-": "sub"}[self.next()[1]]
-            on, ig, gl = self._matching()
+            on, ig, gl, gr = self._matching()
             e = Bin(op, e, self.mul_expr(), on=on, ignoring=ig,
-                    group_left=gl)
+                    group_left=gl, group_right=gr)
         return e
 
     def mul_expr(self):
         e = self.unary()
         while self.peek()[1] in ("*", "/"):
             op = {"*": "mul", "/": "div"}[self.next()[1]]
-            on, ig, gl = self._matching()
+            on, ig, gl, gr = self._matching()
             e = Bin(op, e, self.unary(), on=on, ignoring=ig,
-                    group_left=gl)
+                    group_left=gl, group_right=gr)
         return e
 
     def _matching(self):
-        on = ig = gl = None
+        on = ig = gl = gr = None
         if self.at("on"):
             self.next()
             on = self._label_list()
@@ -272,7 +285,10 @@ class _Parser:
         if self.at("group_left"):
             self.next()
             gl = self._label_list() if self.at("(") else []
-        return on, ig, gl
+        elif self.at("group_right"):
+            self.next()
+            gr = self._label_list() if self.at("(") else []
+        return on, ig, gl, gr
 
     def unary(self):
         if self.at("-"):
@@ -306,15 +322,21 @@ class _Parser:
                         "promql: [range] only on a selector (use [W:S] "
                         "for subqueries)")
                 e.range_s = w
-        if self.at("offset"):
-            self.next()
+        while self.peek()[1] in ("offset", "@"):
+            mod = self.next()[1]
             k, v = self.next()
-            if k != "DUR":
-                raise SyntaxError(f"promql: expected offset duration, "
-                                  f"got {v!r}")
             if not isinstance(e, Sel):
-                raise SyntaxError("promql: offset only on a selector")
-            e.offset_s = _parse_duration(v)
+                raise SyntaxError(f"promql: {mod} only on a selector")
+            if mod == "offset":
+                if k != "DUR":
+                    raise SyntaxError(f"promql: expected offset duration, "
+                                      f"got {v!r}")
+                e.offset_s = _parse_duration(v)
+            else:  # @ modifier: fixed evaluation timestamp (epoch seconds)
+                if k != "NUM":
+                    raise SyntaxError(f"promql: expected @ timestamp, "
+                                      f"got {v!r}")
+                e.at_s = int(float(v))
         return e
 
     def atom(self):
@@ -444,10 +466,15 @@ def _pick_tier(range_s: int) -> tuple[str, int, int]:
 @dataclass
 class _Vector:
     """An instant vector mid-evaluation: a Dataset whose schema is
-    id_cols + [window_start, value]."""
+    id_cols + [window_start, value]. ``pinned`` is the window_start a
+    selector's ``@`` modifier fixed evaluation at — a pinned vector is
+    window-FREE in vector matching (it represents one instant, so a
+    binary/set op joins on the labels alone and the unpinned side's
+    window_start survives)."""
     ds: object
     id_cols: list[str]
     step_s: int
+    pinned: int | None = None
 
 
 class _Ctx:
@@ -529,6 +556,9 @@ def _eval_selector(sel: Sel, ctx: _Ctx, tier_w: int | None = None
             matchers.append(m)
 
     if sel.name in ctx.vectors:
+        if sel.at_s is not None:
+            raise ValueError("promql: @ modifier on a rule vector is "
+                             "unsupported — pin the underlying selector")
         ds0, vstep = ctx.vectors[sel.name]
         if sel.range_s is not None:
             if sel.range_s % vstep:
@@ -569,15 +599,24 @@ def _eval_selector(sel: Sel, ctx: _Ctx, tier_w: int | None = None
         if op == "=":
             push = rf"[{{,]{re.escape(lbl)}={re.escape(val)}[,}}]"
             break
+    start, end, offset, pinned = ctx.start, ctx.end, sel.offset_s, None
+    if sel.at_s is not None:
+        # @ modifier: pin evaluation at the window containing at_s
+        # (after offset — ``m @ T offset 1h`` evaluates at T-1h). The
+        # pin becomes a start/end BLOCK-PRUNED read of exactly the
+        # trailing frame, so a pinned baseline costs one frame of
+        # blocks no matter how wide the store is.
+        pinned = ((sel.at_s - sel.offset_s) // w) * w
+        start, end, offset = pinned - (n - 1) * w, pinned, 0
     ds = _qr(ctx, tier, metric=sel.name, key_regex=push,
              columns=["series_key", "window_start", vcol],
-             start=ctx.start, end=ctx.end, layout=ctx.layout,
-             offset=sel.offset_s)
+             start=start, end=end, layout=ctx.layout,
+             offset=offset)
     if matchers:
         ds = ds.map_batches(_matcher_filter(matchers),
                             batch_format="pyarrow")
     ds = _reshape(ds, ["series_key"], vcol)
-    return _Vector(ds, ["series_key"], w), n
+    return _Vector(ds, ["series_key"], w, pinned=pinned), n
 
 
 def _need_vector(x, what: str) -> _Vector:
@@ -586,12 +625,16 @@ def _need_vector(x, what: str) -> _Vector:
     return x
 
 
-def _range_arg(node, ctx: _Ctx) -> tuple[_Vector, int]:
+def _range_arg(node, ctx: _Ctx, allow_pin: bool = False
+               ) -> tuple[_Vector, int]:
     """Evaluate a range-function argument: a range selector (tier read)
     or a subquery (inner expr at its own step, outer frame n = W/S)."""
     if isinstance(node, Sel):
         if node.range_s is None:
             raise ValueError("promql: range function needs m[W]")
+        if node.at_s is not None and not allow_pin:
+            raise ValueError("promql: @ modifier is supported under "
+                             "rate/increase and the *_over_time family")
         return _eval_selector(node, ctx)
     if isinstance(node, Subquery):
         inner = _need_vector(_eval(node.expr, ctx), "subquery")
@@ -639,8 +682,21 @@ def _scalar_arith(v: _Vector, s: float, op: str, reverse: bool) -> _Vector:
 
     if op in ops:
         return _Vector(v.ds.map_batches(fn, batch_format="pyarrow"),
-                       v.id_cols, v.step_s)
+                       v.id_cols, v.step_s, pinned=v.pinned)
     return op, cmp_fn  # handled by caller (needs bool_mode)
+
+
+def _pin(v: _Vector, pinned: int | None) -> _Vector:
+    """Restrict a range-function result to the pinned window (the @
+    modifier's evaluation instant). The windowed aggregation upstream
+    consumed the whole trailing frame; only the frame ENDING at the pin
+    is the @-expression's value."""
+    if pinned is None:
+        return v
+    out = v.ds.map_batches(
+        lambda t: t.filter(pc.equal(t["window_start"], pinned)),
+        batch_format="pyarrow")
+    return _Vector(out, v.id_cols, v.step_s, pinned=pinned)
 
 
 def _materialize_labels(v: _Vector, labels: list[str]) -> _Vector:
@@ -721,26 +777,36 @@ def _eval_bin(node: Bin, ctx: _Ctx):
         _, cmp_fn = r
         return _Vector(v.ds.map_batches(cmp_fn(node.bool_mode),
                                         batch_format="pyarrow"),
-                       v.id_cols, v.step_s)
+                       v.id_cols, v.step_s, pinned=v.pinned)
 
     l, r = lhs, rhs
     if l.step_s != r.step_s:
         raise ValueError(f"promql: binary operands at different steps "
                          f"({l.step_s}s vs {r.step_s}s) — align tiers or "
                          f"use read.query_range_stitched")
+    # a pinned (@-modified) operand is window-free in matching: it is
+    # one instant, so the join key drops window_start and the unpinned
+    # side's window survives on every output row
+    win_free = l.pinned is not None or r.pinned is not None
+
     if node.op in ("and", "or", "unless"):
+        if node.op == "or" and win_free:
+            raise ValueError("promql: 'or' with a pinned (@) operand is "
+                             "unsupported — operands are not the same "
+                             "vector space")
+        wcols = [] if win_free else ["window_start"]
         if node.ignoring is not None:
             # match on the complement key, keep the LEFT's full labels
             # (set ops select left samples — identity must survive)
             li = _ignoring_key(l, node.ignoring, out_col="__ik")
             ri = _ignoring_key(r, node.ignoring, out_col="__ik")
-            out = set_op(li.ds, ri.ds, ["__ik", "window_start"],
+            out = set_op(li.ds, ri.ds, ["__ik"] + wcols,
                          op=node.op, n_buckets=ctx.n_buckets)
             out = out.map_batches(
                 lambda t: t.select(
                     [c for c in t.schema.names if c != "__ik"]),
                 batch_format="pyarrow")
-            return _Vector(out, l.id_cols, l.step_s)
+            return _Vector(out, l.id_cols, l.step_s, pinned=l.pinned)
         on = node.on or sorted(set(l.id_cols) & set(r.id_cols))
         if not on:
             raise ValueError("promql: set op needs on(...) or shared "
@@ -750,9 +816,9 @@ def _eval_bin(node: Bin, ctx: _Ctx):
         if node.op == "or" and set(l.ds.schema().names) != \
                 set(r.ds.schema().names):
             raise ValueError("promql: 'or' operands must share a schema")
-        out = set_op(l.ds, r.ds, on + ["window_start"], op=node.op,
+        out = set_op(l.ds, r.ds, on + wcols, op=node.op,
                      n_buckets=ctx.n_buckets)
-        return _Vector(out, l.id_cols, l.step_s)
+        return _Vector(out, l.id_cols, l.step_s, pinned=l.pinned)
 
     on = node.on
     if node.ignoring is not None:
@@ -768,21 +834,56 @@ def _eval_bin(node: Bin, ctx: _Ctx):
         on = l.id_cols
     l = _materialize_labels(l, on)
     r = _materialize_labels(r, on)
+    cmp_op = node.op in ("gt", "ge", "lt", "le", "eq", "ne")
+    keys = on if win_free else on + ["window_start"]
+    out_pin = l.pinned if (l.pinned is not None and r.pinned is not None) \
+        else None
+
+    if node.group_right is not None or (l.pinned is not None
+                                        and r.pinned is None):
+        # the MANY side is the RIGHT vector (group_right), or the LEFT
+        # operand is the pinned instant (unique per match key) — either
+        # way binary_op's first argument must be the many side: swap
+        # the datasets and have the finish kernel swap operands back
+        # (same one-exchange join, operand order preserved exactly).
+        if cmp_op and not node.bool_mode:
+            raise ValueError("promql: comparison filter semantics keep "
+                             "the left sample — use `bool` with "
+                             "group_right / a pinned left operand")
+        carry = node.group_right or []
+        carry_all = (["window_start"] if win_free else []) + \
+            [c for c in carry if c not in keys]
+        lds = l.ds.map_batches(
+            lambda t: t.rename_columns(
+                [c if c != "value" else "__lv" for c in t.schema.names]),
+            batch_format="pyarrow")
+        out = binary_op(r.ds, lds, keys, "value", "__lv",
+                        op=node.op, out_col="__out",
+                        n_buckets=ctx.n_buckets, carry_left=carry_all,
+                        bool_mode=node.bool_mode, swap_operands=True)
+        id_cols = on + [c for c in carry if c not in on]
+        return _Vector(_reshape(out, id_cols, "__out"), id_cols,
+                       r.step_s if r.pinned is None else l.step_s,
+                       pinned=out_pin)
+
     carry = node.group_left or []
+    carry_all = (["window_start"] if win_free else []) + \
+        [c for c in carry if c not in keys]
 
     # distinct value-column names through the join
     rds = r.ds.map_batches(
         lambda t: t.rename_columns(
             [c if c != "value" else "__rv" for c in t.schema.names]),
         batch_format="pyarrow")
-    out = binary_op(l.ds, rds, on + ["window_start"], "value", "__rv",
+    out = binary_op(l.ds, rds, keys, "value", "__rv",
                     op=node.op, out_col="__out", n_buckets=ctx.n_buckets,
-                    carry_left=carry, bool_mode=node.bool_mode)
+                    carry_left=carry_all, bool_mode=node.bool_mode)
     id_cols = on + [c for c in carry if c not in on]
-    cmp_filter = node.op in ("gt", "ge", "lt", "le", "eq", "ne") \
-        and not node.bool_mode
+    cmp_filter = cmp_op and not node.bool_mode
     src = "value" if cmp_filter else "__out"
-    return _Vector(_reshape(out, id_cols, src), id_cols, l.step_s)
+    return _Vector(_reshape(out, id_cols, src), id_cols,
+                   l.step_s if l.pinned is None else r.step_s,
+                   pinned=out_pin)
 
 
 def _eval_agg(node: Agg, ctx: _Ctx) -> _Vector:
@@ -818,11 +919,13 @@ def _eval_agg(node: Agg, ctx: _Ctx) -> _Vector:
                                  key,
                                  keep_cols=[key, "window_start"],
                                  ascending=node.op == "bottomk")
-            return _Vector(_reshape(out, [key], "value"), [key], v.step_s)
+            return _Vector(_reshape(out, [key], "value"), [key],
+                           v.step_s, pinned=v.pinned)
         out = topk_per_group(v.ds, "window_start", "value",
                              int(node.param), key, keep_cols=[key],
                              ascending=node.op == "bottomk")
-        return _Vector(_reshape(out, [key], "value"), [key], v.step_s)
+        return _Vector(_reshape(out, [key], "value"), [key], v.step_s,
+                       pinned=v.pinned)
 
     if node.op == "count_values":
         if node.by or node.without:
@@ -834,14 +937,14 @@ def _eval_agg(node: Agg, ctx: _Ctx) -> _Vector:
             lambda t: t.select(["value", "window_start", "__n"])
             .rename_columns([lbl, "window_start", "value"]),
             batch_format="pyarrow")
-        return _Vector(out, [lbl], v.step_s)
+        return _Vector(out, [lbl], v.step_s, pinned=v.pinned)
 
     if node.without is not None:
         if node.op in ("quantile", "group"):
             raise ValueError(f"promql: {node.op} without() unsupported")
         out = aggregate_without(v.ds, node.without, "value",
                                 agg=node.op, n_buckets=ctx.n_buckets)
-        return _Vector(out, ["series_key"], v.step_s)
+        return _Vector(out, ["series_key"], v.step_s, pinned=v.pinned)
 
     by = node.by or []
     if not by:
@@ -851,7 +954,7 @@ def _eval_agg(node: Agg, ctx: _Ctx) -> _Vector:
         q = 0.5 if node.param is None else float(node.param)
         out = label_aggregate(v.ds, by[0], "value", out_col="value",
                               agg=node.op, q=q)
-        return _Vector(out, [by[0]], v.step_s)
+        return _Vector(out, [by[0]], v.step_s, pinned=v.pinned)
 
     # multi-label by(a, b, ...): rewrite each sample's identity to a
     # canonical key holding ONLY the by-labels (sorted — the engine's
@@ -887,7 +990,7 @@ def _eval_agg(node: Agg, ctx: _Ctx) -> _Vector:
         return t.select(list(by) + ["window_start", "value"])
 
     return _Vector(out.map_batches(split, batch_format="pyarrow"),
-                   list(by), v.step_s)
+                   list(by), v.step_s, pinned=v.pinned)
 
 
 def _to_float(v: _Vector) -> _Vector:
@@ -896,7 +999,7 @@ def _to_float(v: _Vector) -> _Vector:
         return t.set_column(i, "value", pc.cast(t["value"], pa.float64()))
 
     return _Vector(v.ds.map_batches(fn, batch_format="pyarrow"),
-                   v.id_cols, v.step_s)
+                   v.id_cols, v.step_s, pinned=v.pinned)
 
 
 def _eval_call(node: Call, ctx: _Ctx):
@@ -917,12 +1020,25 @@ def _eval_call(node: Call, ctx: _Ctx):
             return t.drop_columns(["__t"])
 
         return _Vector(v.ds.map_batches(fn, batch_format="pyarrow"),
-                       v.id_cols, v.step_s)
+                       v.id_cols, v.step_s, pinned=v.pinned)
+
+    if f == "timestamp":
+        # value := the sample's timestamp (window_start, epoch seconds)
+        v = _need_vector(_eval(node.args[0], ctx), f)
+
+        def ts_fn(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("value")
+            return t.set_column(
+                i, "value", pc.cast(t["window_start"], pa.float64()))
+
+        return _Vector(v.ds.map_batches(ts_fn, batch_format="pyarrow"),
+                       v.id_cols, v.step_s, pinned=v.pinned)
 
     if f in ("abs", "ceil", "floor", "round", "sqrt", "sgn"):
         v = _need_vector(_eval(node.args[0], ctx), f)
         out = P.math_op(v.ds, "value", f, out_col="__v")
-        return _Vector(_reshape(out, v.id_cols, "__v"), v.id_cols, v.step_s)
+        return _Vector(_reshape(out, v.id_cols, "__v"), v.id_cols,
+                       v.step_s, pinned=v.pinned)
 
     if f in ("clamp", "clamp_min", "clamp_max"):
         v = _need_vector(_eval(node.args[0], ctx), f)
@@ -936,35 +1052,36 @@ def _eval_call(node: Call, ctx: _Ctx):
             hi = bounds[0]
         v = _to_float(v)
         return _Vector(P.clamp(v.ds, "value", lo=lo, hi=hi),
-                       v.id_cols, v.step_s)
+                       v.id_cols, v.step_s, pinned=v.pinned)
 
     if f in ("sort", "sort_desc"):
         v = _need_vector(_eval(node.args[0], ctx), f)
         return _Vector(v.ds.sort("value", descending=f == "sort_desc"),
-                       v.id_cols, v.step_s)
+                       v.id_cols, v.step_s, pinned=v.pinned)
 
     if f == "label_replace":
         v = _need_vector(_eval(node.args[0], ctx), f)
         dst, repl, src, regex = node.args[1:5]
         return _Vector(P.label_replace(v.ds, dst, repl, src, regex),
-                       v.id_cols, v.step_s)
+                       v.id_cols, v.step_s, pinned=v.pinned)
 
     if f == "label_join":
         v = _need_vector(_eval(node.args[0], ctx), f)
         dst, sep, *srcs = node.args[1:]
         return _Vector(P.label_join(v.ds, dst, sep, list(srcs)),
-                       v.id_cols, v.step_s)
+                       v.id_cols, v.step_s, pinned=v.pinned)
 
     # ---- range functions -------------------------------------------------
     if f in ("rate", "increase"):
-        v, n = _range_arg(node.args[0], ctx)
+        v, n = _range_arg(node.args[0], ctx, allow_pin=True)
         key = _key_col(v)
         range_s = n * v.step_s
         if n > 1:
             out = P.over_time(v.ds, key, "window_start", "value", n,
                               agg="sum", out_col="value",
                               n_buckets=ctx.n_buckets)
-            v = _Vector(out, v.id_cols, v.step_s)
+            v = _Vector(out, v.id_cols, v.step_s, pinned=v.pinned)
+        v = _pin(v, v.pinned)
         if f == "rate":
             return _scalar_arith(v, float(range_s), "div", False)
         return v
@@ -1073,16 +1190,33 @@ def _eval_call(node: Call, ctx: _Ctx):
                        ["series_key"], w)
 
     m = re.fullmatch(r"(avg|sum|min|max|count|stddev|stdvar|quantile|"
-                     r"last|first|mad)_over_time", f)
+                     r"last|first|mad|present)_over_time", f)
     if m:
         agg = m.group(1)
+        present = agg == "present"
+        if present:
+            # present_over_time: 1 for every series window whose
+            # trailing frame holds ≥1 sample — under the engine's ROWS
+            # frame contract that is count_over_time's support set
+            agg = "count"
         arg_ix = 1 if agg == "quantile" else 0
-        v, n = _range_arg(node.args[arg_ix], ctx)
+        v, n = _range_arg(node.args[arg_ix], ctx, allow_pin=True)
         q = _eval(node.args[0], ctx) if agg == "quantile" else 0.5
         key = _key_col(v)
         out = P.over_time(v.ds, key, "window_start", "value", n, agg=agg,
                           out_col="__v", q=q, n_buckets=ctx.n_buckets)
-        return _Vector(_reshape(out, [key], "__v"), [key], v.step_s)
+        res = _Vector(_reshape(out, [key], "__v"), [key], v.step_s,
+                      pinned=v.pinned)
+        res = _pin(res, res.pinned)
+        if present:
+            def one(t: pa.Table) -> pa.Table:
+                i = t.schema.get_field_index("value")
+                return t.set_column(
+                    i, "value",
+                    pa.array(np.ones(len(t)), type=pa.float64()))
+            res = _Vector(res.ds.map_batches(one, batch_format="pyarrow"),
+                          res.id_cols, res.step_s, pinned=res.pinned)
+        return res
 
     raise ValueError(f"promql: unsupported function {f!r}")
 

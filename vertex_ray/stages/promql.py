@@ -340,7 +340,7 @@ def binary_op(left, right, on_cols: list[str], left_val: str,
               right_val: str, op: str = "div",
               out_col: str = "value", n_buckets: int = 64,
               sep: str = "\x1f", carry_left: list[str] | None = None,
-              bool_mode: bool = False):
+              bool_mode: bool = False, swap_operands: bool = False):
     """PromQL binary operation with vector matching —
     ``left <op> on(on_cols) right`` (e.g. an error-rate or per-turn ratio
     panel: ``tool_invocations_total / on(conv_id) turns_total``).
@@ -400,6 +400,13 @@ def binary_op(left, right, on_cols: list[str], left_val: str,
     def finish(t: pa.Table) -> pa.Table:
         lv = pc.cast(t[left_val], pa.float64())
         rv = pc.cast(t[right_val], pa.float64())
+        if swap_operands:
+            # PromQL group_right lowering: the MANY side must be this
+            # function's first argument (carry_left rides on it), but
+            # the expression's operand order is the reverse — compute
+            # op(rv, lv) so ``one_side <op> group_right many_side``
+            # keeps its written order.
+            lv, rv = rv, lv
         keep_cols = on_cols + carry + [left_val, right_val]
         if op in cmps:
             m = cmps[op](lv, rv)
