@@ -1045,6 +1045,92 @@ def test_dsir_affinity_matches_brute_force(ray_session):
         assert min(tgt_scores) > max(raw_scores)
 
 
+def test_bigram_lm_perplexity_matches_brute_force(ray_session):
+    """bigram_lm_perplexity vs a row-at-a-time reference: integer stats
+    exact, float log-prob sum bit-equal (same occurrence-order
+    summation), invariant to partitioning; gibberish scores above fluent
+    text under both hash families; <2-token docs get NaN."""
+    import hashlib
+    import math
+
+    import ray.data as rd
+
+    from vertex_ray.stages.text import bigram_lm_perplexity
+
+    B = 64
+    rows = [
+        {"doc_id": 0, "source": "clean",
+         "text": "the cat sat on the mat and the cat ran"},
+        {"doc_id": 1, "source": "clean",
+         "text": "the cat ran on the mat"},
+        {"doc_id": 2, "source": "raw", "text": "the cat sat on the mat"},
+        {"doc_id": 3, "source": "raw", "text": "zqx jjk vvw plmt qwrtz"},
+        {"doc_id": 4, "source": "raw", "text": "one"},
+        {"doc_id": 5, "source": "raw", "text": ""},
+    ]
+
+    def bucket(g):
+        return int.from_bytes(hashlib.md5(g.encode()).digest()[8:],
+                              "little") % B
+
+    C1, C2 = [0] * B, [0] * B
+    for r in rows:
+        if r["source"] != "clean":
+            continue
+        toks = r["text"].lower().split()
+        for tk in toks:
+            C1[bucket(tk)] += 1
+        for a, b in zip(toks, toks[1:]):
+            C2[bucket(f"{a} {b}")] += 1
+
+    expect = {}
+    for r in rows:
+        toks = r["text"].lower().split()
+        pairs = list(zip(toks, toks[1:]))
+        uh = sum(C1[bucket(a)] for a, _ in pairs)
+        bh = sum(C2[bucket(f"{a} {b}")] for a, b in pairs)
+        # engine contract: np.log on the float expression, summed
+        # strictly left-to-right in occurrence order
+        s = 0.0
+        for a, b in pairs:
+            s += float(np.log((C2[bucket(f'{a} {b}')] + 1.0)
+                              / (C1[bucket(a)] + float(B))))
+        expect[r["doc_id"]] = (len(toks), len(pairs), uh, bh, s)
+
+    for nblocks in (1, 3):
+        ds = rd.from_items(rows, override_num_blocks=nblocks)
+        out = bigram_lm_perplexity(
+            ds, "text", "doc_id", train_col="source",
+            train_value="clean", n_buckets=B,
+            hash_family="md5").to_pandas()
+        assert len(out) == len(rows)
+        for _, row in out.iterrows():
+            nt, nb, uh, bh, s = expect[row["doc_id"]]
+            assert (row["n_tokens"], row["n_bigrams"],
+                    row["uni_hits"], row["big_hits"]) == (nt, nb, uh, bh)
+            assert row["logprob_sum"] == s, row["doc_id"]
+            if nb == 0:
+                assert math.isnan(row["perplexity"])
+            else:
+                assert row["perplexity"] == \
+                    float(np.exp(np.float64(-s) / nb))
+    # gibberish must score above in-domain text under BOTH families
+    sip = bigram_lm_perplexity(
+        rd.from_items(rows), "text", "doc_id", train_col="source",
+        train_value="clean", n_buckets=B).to_pandas()
+    for frame in (out, sip):
+        ppl = {row["doc_id"]: row["perplexity"]
+               for _, row in frame.iterrows()}
+        assert ppl[3] > max(ppl[0], ppl[1], ppl[2])
+    # empty input
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "source": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert bigram_lm_perplexity(
+        empty, "text", "doc_id", n_buckets=B).count() == 0
+
+
 def test_pii_redact_op():
     from vertex_ray.stages.text import pii_redact_op
 

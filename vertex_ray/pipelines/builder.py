@@ -384,6 +384,16 @@ def _t_dsir(cfg, ds):
                          n_buckets=cfg.get("n_buckets", 1 << 14))
 
 
+def _t_lm_perplexity(cfg, ds):
+    from vertex_ray.stages.text import bigram_lm_perplexity
+
+    return bigram_lm_perplexity(
+        ds, cfg.get("text_col", "text"), cfg.get("id_col", "doc_id"),
+        train_col=cfg.get("train_col"),
+        train_value=cfg.get("train_value"),
+        n_buckets=cfg.get("n_buckets", 1 << 14))
+
+
 def _t_boilerplate(cfg, ds):
     from vertex_ray.stages.text import remove_boilerplate_lines
 
@@ -599,6 +609,7 @@ STEP_TYPES: dict[str, Callable] = {
     "boilerplate": _t_boilerplate,
     "mixture": _t_mixture,
     "dsir": _t_dsir,
+    "lm_perplexity": _t_lm_perplexity,
     "aggregate_without": _t_aggregate_without,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,

@@ -2961,6 +2961,87 @@ OP_QUERIES["op_dsir_docs"] = q_dsir_docs
 OP_ORACLES["op_dsir_docs"] = SQL_DSIR_DOCS
 
 
+def q_lm_perplexity_docs(sf_dir: str):
+    """CCNet-style bigram-LM perplexity scoring (arXiv:1911.00359 §3.3):
+    an add-one-smoothed bigram LM over hashed token buckets is trained
+    on the src0 slice in one bincount-combiner scan, broadcast once, and
+    every document is scored batch-locally. The oracle recomputes the
+    integer sufficient statistics exactly under the md5 audit family
+    (the float perplexity derives from them in occurrence order, covered
+    bit-for-bit by tests/test_text_ops.py)."""
+    from vertex_ray.stages.text import bigram_lm_perplexity
+
+    out = bigram_lm_perplexity(_docs(sf_dir), "text", "doc_id",
+                               train_col="source", train_value="src0",
+                               n_buckets=1 << 14, hash_family="md5")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "n_bigrams",
+                            "uni_hits", "big_hits"]),
+        batch_format="pyarrow")
+
+
+# Recomputes the bigram LM's hashed profiles and per-doc integer
+# statistics in SQL: tokens = \S+ runs of lower(text); the model's
+# unigram profile counts CONTEXT tokens of the src0 slice, the bigram
+# profile counts its adjacent pairs joined by one space; bucket =
+# md5_number_lower(gram) % 16384 (== stages.text._doc_lm_buckets md5
+# family); per doc, uni_hits/big_hits sum the train counts of each
+# bigram position's context/pair bucket.
+SQL_LM_PERPLEXITY_DOCS = """
+    WITH tl AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '\\S+') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, source, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS ord
+      FROM tl
+    ),
+    bg AS (
+      SELECT a.doc_id, a.source,
+             (md5_number_lower(a.tok) % 16384)::BIGINT AS prev_bk,
+             (md5_number_lower(a.tok || ' ' || b.tok) % 16384)::BIGINT
+               AS big_bk
+      FROM flat a JOIN flat b
+        ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    ),
+    uprof AS (
+      SELECT (md5_number_lower(tok) % 16384)::BIGINT AS bucket,
+             COUNT(*)::BIGINT AS c
+      FROM flat WHERE source = 'src0' GROUP BY 1
+    ),
+    bprof AS (
+      SELECT big_bk AS bucket, COUNT(*)::BIGINT AS c
+      FROM bg WHERE source = 'src0' GROUP BY 1
+    ),
+    ntok AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM tl
+    ),
+    per AS (
+      SELECT bg.doc_id,
+             COUNT(*)::BIGINT AS n_bigrams,
+             SUM(COALESCE(up.c, 0))::BIGINT AS uni_hits,
+             SUM(COALESCE(bp.c, 0))::BIGINT AS big_hits
+      FROM bg
+      LEFT JOIN uprof up ON up.bucket = bg.prev_bk
+      LEFT JOIN bprof bp ON bp.bucket = bg.big_bk
+      GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(nt.n_tokens, 0) AS n_tokens,
+           COALESCE(per.n_bigrams, 0) AS n_bigrams,
+           COALESCE(per.uni_hits, 0) AS uni_hits,
+           COALESCE(per.big_hits, 0) AS big_hits
+    FROM documents d
+    LEFT JOIN ntok nt USING (doc_id)
+    LEFT JOIN per USING (doc_id)
+"""
+
+OP_QUERIES["op_lm_perplexity_docs"] = q_lm_perplexity_docs
+OP_ORACLES["op_lm_perplexity_docs"] = SQL_LM_PERPLEXITY_DOCS
+
+
 def q_hll_md5_distinct_events(sf_dir: str):
     """HLL distinct-users per event_type under the md5 audit hash family
     — the WHOLE estimator is recomputed by the SQL mirror: registers from

@@ -1138,6 +1138,186 @@ def dsir_affinity(ds, text_col: str, id_col: str, *, target_col: str,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def _doc_lm_buckets(t: pa.Table, text_col: str, n_buckets: int,
+                    hash_family: str = "sip") -> tuple:
+    """Per-batch ALIGNED unigram/bigram buckets for the bigram LM:
+    returns ``(doc_of, uni_bk, bdoc, prev_bk, big_bk)`` — one row per
+    token occurrence (document order) and one row per adjacent
+    same-document token pair, where ``prev_bk`` is the LEFT token's
+    unigram bucket (the conditional's context) and ``big_bk`` the pair's
+    bucket. Tokenization and both hash families match
+    ``_doc_gram_buckets`` exactly (md5 = DuckDB ``md5_number_lower`` so
+    a SQL engine can recompute every bucket; sip = the fast
+    dictionary-encoded family for scale)."""
+    from vertex_ray.stages.dedup_near import (
+        _GRAM_MIX,
+        _hash_strings,
+        _md5_hash64,
+    )
+
+    lists = pc.split_pattern_regex(pc.utf8_lower(t[text_col]), r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    off = lists.offsets.to_numpy().astype(np.int64)
+    doc_of = np.repeat(np.arange(len(t)), np.diff(off))
+    z = np.zeros(0, dtype=np.int64)
+    if hash_family == "md5":
+        toks = flat.to_numpy(zero_copy_only=False)
+        keep = toks != ""
+        toks, doc_of = toks[keep], doc_of[keep]
+        if len(toks) == 0:
+            return z, z, z, z, z
+        th = _md5_hash64(toks.astype(object))
+        same = (doc_of[:-1] == doc_of[1:]) if len(toks) >= 2 else \
+            np.zeros(0, dtype=bool)
+        if same.any():
+            grams = np.char.add(np.char.add(
+                toks[:-1].astype(str), " "), toks[1:].astype(str))[same] \
+                .astype(object)
+            bh = _md5_hash64(grams)
+        else:
+            bh = np.zeros(0, dtype=np.uint64)
+        bdoc = doc_of[:-1][same]
+        prev_h = th[:-1][same]
+    else:
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        dv = denc.dictionary
+        empty = np.flatnonzero(
+            pc.equal(dv, "").to_numpy(zero_copy_only=False))
+        keep = (codes != empty[0]) if len(empty) else slice(None)
+        codes, doc_of = codes[keep], doc_of[keep]
+        if len(codes) == 0:
+            return z, z, z, z, z
+        hd = _hash_strings(dv.to_numpy(zero_copy_only=False))
+        th = hd[codes]
+        same = (doc_of[:-1] == doc_of[1:]) if len(codes) >= 2 else \
+            np.zeros(0, dtype=bool)
+        with np.errstate(over="ignore"):
+            bh = ((th[:-1] * _GRAM_MIX[0]) ^ (th[1:] * _GRAM_MIX[1]))[same]
+        bdoc = doc_of[:-1][same]
+        prev_h = th[:-1][same]
+
+    if n_buckets & (n_buckets - 1) == 0:
+        mask = np.uint64(n_buckets - 1)
+
+        def bk(h):
+            return (h & mask).astype(np.int64)
+    else:
+        m = np.uint64(n_buckets)
+
+        def bk(h):
+            return (h % m).astype(np.int64)
+
+    return doc_of, bk(th), bdoc, bk(prev_h), bk(bh)
+
+
+def bigram_lm_perplexity(ds, text_col: str, id_col: str, *,
+                         train_col: str | None = None,
+                         train_value=None, n_buckets: int = 1 << 14,
+                         hash_family: str = "sip"):
+    """CCNet-style language-model perplexity quality scoring (Wenzek et
+    al., LREC 2020, arXiv:1911.00359 §3.3): score every document by its
+    perplexity under an n-gram LM trained on a reference slice — low
+    perplexity ≈ fluent/clean text, high perplexity ≈ gibberish,
+    boilerplate, OCR noise. CCNet uses a KenLM 5-gram model trained on
+    Wikipedia; this engine's columnar analogue is an add-one-smoothed
+    BIGRAM model over hashed token buckets (the DSIR feature space),
+    trained on the ``train_col == train_value`` slice (or the whole
+    corpus when ``train_col`` is None — self-perplexity, the outlier
+    flag):
+
+      ``P(w_i | w_{i-1}) = (C2[b(w_{i-1} w_i)] + 1) / (C1[b(w_{i-1})] + B)``
+      ``cross_entropy = -(1/n_bigrams) Σ_i ln P(w_i | w_{i-1})``
+      ``perplexity = exp(cross_entropy)``
+
+    Scale shape (same as ``dsir_affinity``): pass 1 builds both count
+    profiles with per-batch ``bincount`` combiners and ONE tiny
+    ``groupby(bucket)`` exchange (≤ ``n_buckets`` rows per batch, output
+    two dense int64 vectors independent of corpus size, broadcast once
+    via ``ray.put``); pass 2 scores every batch locally with NO
+    exchange. Integer sufficient statistics — ``n_tokens``,
+    ``n_bigrams``, ``uni_hits`` (Σ context-bucket train counts),
+    ``big_hits`` (Σ bigram-bucket train counts) — are exact int64 and
+    SQL-recomputable under the md5 family; the float ``logprob_sum`` is
+    summed per document strictly in occurrence order (``np.bincount``
+    weights — equals a left-to-right Python loop bit-for-bit), so
+    ``cross_entropy``/``perplexity`` are bit-deterministic across runs
+    and partitionings. Documents with no bigram (<2 tokens) get NaN
+    perplexity (CCNet leaves them unscored).
+
+    The reference has no corpus scorer; its closest shape is the
+    two-phase aggregate-state pattern of metricalize
+    (/root/reference src/transforms/metricalize.rs:220-283) — global
+    state built once, then applied per batch."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        doc_of, uni, bdoc, prev, big = _doc_lm_buckets(
+            t, text_col, n_buckets, hash_family=hash_family)
+        if train_col is not None:
+            tr = np.asarray(pc.equal(t[train_col], train_value)
+                            .to_numpy(zero_copy_only=False), dtype=bool)
+            uni = uni[tr[doc_of]]
+            big = big[tr[bdoc]]
+        u = np.bincount(uni, minlength=n_buckets).astype(np.int64)
+        b = np.bincount(big, minlength=n_buckets).astype(np.int64)
+        nz = np.flatnonzero(u + b)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "uni": pa.array(u[nz]),
+                         "big": pa.array(b[nz])})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").sum(["uni", "big"]).take_all())
+    uprof = np.zeros(n_buckets, dtype=np.int64)
+    bprof = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        uprof[r["bucket"]] = r["sum(uni)"]
+        bprof[r["bucket"]] = r["sum(big)"]
+    uref, bref = ray.put(uprof), ray.put(bprof)
+    B = float(n_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        up, bp = ray.get(uref), ray.get(bref)
+        doc_of, _uni, bdoc, prev, big = _doc_lm_buckets(
+            t, text_col, n_buckets, hash_family=hash_family)
+        n = len(t)
+        n_tokens = np.bincount(doc_of, minlength=n).astype(np.int64)
+        n_bigrams = np.bincount(bdoc, minlength=n).astype(np.int64)
+        uni_hits = np.zeros(n, dtype=np.int64)
+        big_hits = np.zeros(n, dtype=np.int64)
+        lsum = np.zeros(n, dtype=np.float64)
+        if len(bdoc):
+            # bdoc is sorted (document-occurrence order): int64 segment
+            # sums are order-free; the float log-prob sum uses
+            # bincount's strictly sequential in-order accumulation
+            nz = n_bigrams > 0
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(n_bigrams, out=off[1:])
+            starts = off[:-1][nz]
+            uni_hits[nz] = np.add.reduceat(up[prev], starts)
+            big_hits[nz] = np.add.reduceat(bp[big], starts)
+            logp = np.log((bp[big] + 1.0) / (up[prev] + B))
+            lsum = np.bincount(bdoc, weights=logp, minlength=n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ce = np.where(n_bigrams > 0,
+                          -lsum / np.maximum(n_bigrams, 1), np.nan)
+            ppl = np.exp(ce)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(n_tokens),
+            "n_bigrams": pa.array(n_bigrams),
+            "uni_hits": pa.array(uni_hits),
+            "big_hits": pa.array(big_hits),
+            "logprob_sum": pa.array(lsum),
+            "cross_entropy": pa.array(ce),
+            "perplexity": pa.array(ppl),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # PII scrub patterns, applied IN ORDER (each regex sees the text with all
 # earlier categories already masked — so counts are well-defined and the
 # SQL mirror can recompute them with the same nesting). RE2-only syntax
