@@ -382,6 +382,16 @@ def run_corpus() -> dict:
                   target_value="tgt").count()
     timings["dsir_affinity"] = round(time.time() - t0, 3)
 
+    # CCNet-style bigram-LM perplexity (one profile pass + batch-local
+    # scoring; LM trained on the same tgt slice, sip family)
+    from vertex_ray.stages.text import bigram_lm_perplexity
+
+    t0 = time.time()
+    bigram_lm_perplexity(
+        corpus.map_batches(add_domain, batch_format="pyarrow"),
+        "doc", "conv_id", train_col="domain", train_value="tgt").count()
+    timings["lm_perplexity"] = round(time.time() - t0, 3)
+
     total = sum(timings.values())
     out = {
         "metric": "corpus_ops_seconds",

@@ -356,6 +356,31 @@ def test_eval_timestamp_and_present(store):
     assert len(pres) == len(base)
 
 
+def test_explain_plan_notes(store):
+    # explain runs the REAL lowering lazily and reports scans/exchanges
+    from vertex_ray.promql_lang import explain_promql
+
+    plan = explain_promql(
+        store, 'sum by (role) (increase(turns_total{role="user"}[2h]))')
+    assert "scan 1h tier: metric=turns_total col=count" in plan
+    assert "key-pushdown=" in plan and "role=user" in plan
+    assert "over_time sum n=2 — one bucket exchange" in plan
+    assert "agg sum by(role)" in plan
+    assert "output: vector identity=['role'] step=3600s" in plan
+
+    plan2 = explain_promql(
+        store, "increase(turns_total[1h]) / on(series_key) "
+               f"increase(turns_total[1h] @ {_T_PIN})")
+    assert f"PINNED@{_T_PIN}" in plan2
+    assert "range=[" in plan2  # pinned frame became a block-pruned read
+    assert "(window-free: pinned operand)" in plan2
+    assert "one hash-join exchange" in plan2
+
+    # the plan is a description, not an execution: the store is listed
+    # but no block payload was decoded (explain returns a string)
+    assert isinstance(plan, str) and plan.startswith("expr:")
+
+
 def test_eval_hour_and_clamp(store):
     got = _run(store, "clamp_max(hour(sum by (role) "
                       "(increase(turns_total[1h]))), 12)")

@@ -183,8 +183,14 @@ def cmd_query(args) -> int:
 
     tier = args.tier or pick_tier(args.step)
     if args.verb == "promql":
-        from vertex_ray.promql_lang import eval_promql
+        from vertex_ray.promql_lang import eval_promql, explain_promql
 
+        if args.explain:
+            print(explain_promql(
+                args.store, args.expr, value_col=args.value_col,
+                step=tier, start=args.start or None,
+                end=args.end or None, layout=args.layout))
+            return 0
         ds = eval_promql(args.store, args.expr, value_col=args.value_col,
                          step=tier, start=args.start or None,
                          end=args.end or None, layout=args.layout)
@@ -394,6 +400,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--value-col", default="count",
                     help="tier column selectors read (promql verb): "
                          "count/sum/min/max/last")
+    sp.add_argument("--explain", action="store_true",
+                    help="print the lowering plan (tier scans, pushdown, "
+                         "exchanges) instead of executing (promql verb)")
     sp.add_argument("--tier", default=None,
                     help="explicit tier; default picks from --step")
     sp.add_argument("--step", type=int, default=60,

@@ -492,6 +492,10 @@ class _Ctx:
         # series_key/window_start/value, step_s). Selectors resolve here
         # FIRST, then fall back to the block store.
         self.vectors = vectors or {}
+        # EXPLAIN notes appended during lowering (explain_promql) — the
+        # evaluator is lazy (it only builds the Dataset graph), so these
+        # describe the REAL plan, not a simulation.
+        self.plan: list[str] = []
 
 
 def _reshape(ds, id_cols: list[str], src: str):
@@ -556,6 +560,8 @@ def _eval_selector(sel: Sel, ctx: _Ctx, tier_w: int | None = None
             matchers.append(m)
 
     if sel.name in ctx.vectors:
+        ctx.plan.append(f"select rule vector {sel.name!r} (in-memory, "
+                        f"no store read)")
         if sel.at_s is not None:
             raise ValueError("promql: @ modifier on a rule vector is "
                              "unsupported — pin the underlying selector")
@@ -608,6 +614,16 @@ def _eval_selector(sel: Sel, ctx: _Ctx, tier_w: int | None = None
         # blocks no matter how wide the store is.
         pinned = ((sel.at_s - sel.offset_s) // w) * w
         start, end, offset = pinned - (n - 1) * w, pinned, 0
+    note = (f"scan {tier} tier: metric={sel.name} col={vcol}"
+            + (f" key-pushdown={push!r}" if push else "")
+            + (f" +{len(matchers)} matcher(s) post-decode" if matchers
+               else "")
+            + (f" range=[{start},{end}] (block-pruned)"
+               if start is not None or end is not None else "")
+            + (f" offset={offset}s" if offset else "")
+            + (f" PINNED@{pinned}" if pinned is not None else "")
+            + f" -> decode; trailing frame n={n}")
+    ctx.plan.append(note)
     ds = _qr(ctx, tier, metric=sel.name, key_regex=push,
              columns=["series_key", "window_start", vcol],
              start=start, end=end, layout=ctx.layout,
@@ -768,6 +784,7 @@ def _eval_bin(node: Bin, ctx: _Ctx):
 
     # vector <op> scalar / scalar <op> vector
     if isinstance(lhs, float) or isinstance(rhs, float):
+        ctx.plan.append(f"scalar {node.op} (batch-local)")
         v = lhs if isinstance(lhs, _Vector) else rhs
         s = rhs if isinstance(rhs, float) else lhs
         reverse = isinstance(lhs, float)
@@ -800,6 +817,8 @@ def _eval_bin(node: Bin, ctx: _Ctx):
             # (set ops select left samples — identity must survive)
             li = _ignoring_key(l, node.ignoring, out_col="__ik")
             ri = _ignoring_key(r, node.ignoring, out_col="__ik")
+            ctx.plan.append(f"set {node.op} ignoring{tuple(node.ignoring)}"
+                            f" — complement-key strip + join exchange")
             out = set_op(li.ds, ri.ds, ["__ik"] + wcols,
                          op=node.op, n_buckets=ctx.n_buckets)
             out = out.map_batches(
@@ -816,6 +835,9 @@ def _eval_bin(node: Bin, ctx: _Ctx):
         if node.op == "or" and set(l.ds.schema().names) != \
                 set(r.ds.schema().names):
             raise ValueError("promql: 'or' operands must share a schema")
+        ctx.plan.append(f"set {node.op} on {on + wcols} — "
+                        f"{'semi' if node.op == 'and' else 'anti' if node.op == 'unless' else 'anti+union'}"
+                        f"-join exchange ({ctx.n_buckets} buckets)")
         out = set_op(l.ds, r.ds, on + wcols, op=node.op,
                      n_buckets=ctx.n_buckets)
         return _Vector(out, l.id_cols, l.step_s, pinned=l.pinned)
@@ -857,6 +879,11 @@ def _eval_bin(node: Bin, ctx: _Ctx):
             lambda t: t.rename_columns(
                 [c if c != "value" else "__lv" for c in t.schema.names]),
             batch_format="pyarrow")
+        ctx.plan.append(
+            f"match {node.op} on={on} keys={keys} carry={carry} "
+            f"(sides swapped: many side is RIGHT"
+            + (", left pinned" if l.pinned is not None else "")
+            + f") — one hash-join exchange ({ctx.n_buckets} buckets)")
         out = binary_op(r.ds, lds, keys, "value", "__lv",
                         op=node.op, out_col="__out",
                         n_buckets=ctx.n_buckets, carry_left=carry_all,
@@ -875,6 +902,10 @@ def _eval_bin(node: Bin, ctx: _Ctx):
         lambda t: t.rename_columns(
             [c if c != "value" else "__rv" for c in t.schema.names]),
         batch_format="pyarrow")
+    ctx.plan.append(
+        f"match {node.op} on={on} keys={keys} carry={carry}"
+        + (" (window-free: pinned operand)" if win_free else "")
+        + f" — one hash-join exchange ({ctx.n_buckets} buckets)")
     out = binary_op(l.ds, rds, keys, "value", "__rv",
                     op=node.op, out_col="__out", n_buckets=ctx.n_buckets,
                     carry_left=carry_all, bool_mode=node.bool_mode)
@@ -899,6 +930,9 @@ def _eval_agg(node: Agg, ctx: _Ctx) -> _Vector:
     if node.op in ("topk", "bottomk"):
         if node.without:
             raise ValueError("promql: topk/bottomk without() unsupported")
+        ctx.plan.append(f"{node.op} k={int(node.param)}"
+                        + (f" by{tuple(node.by)}" if node.by else "")
+                        + " — block-local trim combiner + one exchange")
         key = _key_col(v)
         if node.by:
             # topk by (labels): rank within each (labels, window) group
@@ -942,6 +976,9 @@ def _eval_agg(node: Agg, ctx: _Ctx) -> _Vector:
     if node.without is not None:
         if node.op in ("quantile", "group"):
             raise ValueError(f"promql: {node.op} without() unsupported")
+        ctx.plan.append(f"agg {node.op} without({node.without}) — "
+                        f"key strip + combiner partials + one bucket "
+                        f"exchange")
         out = aggregate_without(v.ds, node.without, "value",
                                 agg=node.op, n_buckets=ctx.n_buckets)
         return _Vector(out, ["series_key"], v.step_s, pinned=v.pinned)
@@ -952,6 +989,8 @@ def _eval_agg(node: Agg, ctx: _Ctx) -> _Vector:
                          "without(...)")
     if len(by) == 1:
         q = 0.5 if node.param is None else float(node.param)
+        ctx.plan.append(f"agg {node.op} by({by[0]}) — combiner "
+                        f"partials + one bucket exchange")
         out = label_aggregate(v.ds, by[0], "value", out_col="value",
                               agg=node.op, q=q)
         return _Vector(out, [by[0]], v.step_s, pinned=v.pinned)
@@ -980,6 +1019,8 @@ def _eval_agg(node: Agg, ctx: _Ctx) -> _Vector:
                          "window_start": t["window_start"],
                          "value": t["value"]})
 
+    ctx.plan.append(f"agg {node.op} by{tuple(labels)} — identity "
+                    f"rewrite to by-labels key + one bucket exchange")
     rds = vm.ds.map_batches(rebuild, batch_format="pyarrow")
     out = aggregate_without(rds, [], "value", agg=node.op,
                             n_buckets=ctx.n_buckets)
@@ -1077,12 +1118,17 @@ def _eval_call(node: Call, ctx: _Ctx):
         key = _key_col(v)
         range_s = n * v.step_s
         if n > 1:
+            ctx.plan.append(f"over_time sum n={n} — one bucket exchange")
             out = P.over_time(v.ds, key, "window_start", "value", n,
                               agg="sum", out_col="value",
                               n_buckets=ctx.n_buckets)
             v = _Vector(out, v.id_cols, v.step_s, pinned=v.pinned)
+        if v.pinned is not None:
+            ctx.plan.append(f"pin filter: keep window {v.pinned}")
         v = _pin(v, v.pinned)
         if f == "rate":
+            ctx.plan.append(f"scalar div by {float(range_s)}s "
+                            f"(batch-local)")
             return _scalar_arith(v, float(range_s), "div", False)
         return v
 
@@ -1203,10 +1249,13 @@ def _eval_call(node: Call, ctx: _Ctx):
         v, n = _range_arg(node.args[arg_ix], ctx, allow_pin=True)
         q = _eval(node.args[0], ctx) if agg == "quantile" else 0.5
         key = _key_col(v)
+        ctx.plan.append(f"over_time {agg} n={n} — one bucket exchange")
         out = P.over_time(v.ds, key, "window_start", "value", n, agg=agg,
                           out_col="__v", q=q, n_buckets=ctx.n_buckets)
         res = _Vector(_reshape(out, [key], "__v"), [key], v.step_s,
                       pinned=v.pinned)
+        if res.pinned is not None:
+            ctx.plan.append(f"pin filter: keep window {res.pinned}")
         res = _pin(res, res.pinned)
         if present:
             def one(t: pa.Table) -> pa.Table:
@@ -1307,3 +1356,37 @@ def eval_promql(store, expr: str, value_col: str = "count",
     if _want_ids:
         return out.ds, out.id_cols, out.step_s
     return out.ds
+
+
+def explain_promql(store, expr: str, **kw) -> str:
+    """EXPLAIN for a PromQL expression: run the REAL lowering (the
+    evaluator is lazy — it builds the Dataset graph without executing a
+    single block) and render the plan notes it emitted — which tier each
+    selector scans, what got pushed into the block scan (metric / key
+    regex / start-end pruning / pinned frames), and every exchange
+    (combiner aggregations, over_time frames, hash-join vector matches)
+    with its shape. The analogue of the reference's dry-build
+    diagnostics (`vertex validate`, src/validate.rs:18-21) and VTL
+    compile output, on the read side. Same keyword surface as
+    ``eval_promql``."""
+    kw.pop("_want_ids", None)
+    step = kw.pop("step", "1h")
+    step_s = step if isinstance(step, int) else \
+        dict(_TIERS)[step] if step in dict(_TIERS) else _parse_duration(step)
+    ctx = _Ctx(store, kw.pop("value_col", "count"), step_s,
+               kw.pop("start", None), kw.pop("end", None),
+               kw.pop("layout", "oneshot"), kw.pop("n_buckets", 64),
+               vectors=kw.pop("vectors", None))
+    if kw:
+        raise TypeError(f"explain_promql: unknown kwargs {sorted(kw)}")
+    out = _eval(parse(expr), ctx)
+    lines = [f"expr: {expr}"]
+    lines += [f"  {i}. {s}" for i, s in enumerate(ctx.plan, 1)]
+    if isinstance(out, _Vector):
+        tail = f"output: vector identity={out.id_cols} step={out.step_s}s"
+        if out.pinned is not None:
+            tail += f" pinned@{out.pinned}"
+    else:
+        tail = f"output: scalar {out}"
+    lines.append(tail)
+    return "\n".join(lines)
