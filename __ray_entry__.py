@@ -1351,6 +1351,21 @@ def _q_alert_state_1m_latency(sf_dir: str):
                        threshold=30.0, for_windows=3, tier_seconds=60)
 
 
+def _q_alert_keepfiring_1m_latency(sf_dir: str):
+    """Alerting rule with Prometheus's ``keep_firing_for`` flap damper:
+    ``max_latency > 30s FOR 3 windows, keep_firing_for 5 windows`` —
+    once fired, the state is HELD at firing while the gap to the last
+    firing evaluation is ≤ 5 windows, even though the condition no
+    longer holds (stages/promql.alert_state keep_firing_windows)."""
+    from vertex_ray.stages.promql import alert_state
+
+    ds = _metric_tier(sf_dir, "1m", "inter_turn_latency_seconds",
+                      ["series_key", "window_start", "max"])
+    return alert_state(ds, "series_key", "window_start", "max",
+                       threshold=30.0, for_windows=3, tier_seconds=60,
+                       keep_firing_windows=5)
+
+
 def _q_label_replace_clamp_1h(sf_dir: str):
     """PromQL ``clamp(label_replace(turns_total, "conv_prefix", "$1",
     "conv_id", "conv(\\d{4})\\d*"), 1, 5)`` over the 1h counter tier:
@@ -2158,6 +2173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stddev_over_1h_turns": _q_stddev_over_1h_turns,
         "label_replace_clamp_1h_turns": _q_label_replace_clamp_1h,
         "alert_state_1m_latency": _q_alert_state_1m_latency,
+        "alert_keepfiring_1m_latency": _q_alert_keepfiring_1m_latency,
         "holt_winters_1h_turns": _q_holt_winters_1h_turns,
         "backfill_1m_turns": _q_backfill_1m_turns,
         "agg_by_role_1h_turns": _q_agg_by_role_1h,
@@ -3222,6 +3238,52 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'firing'
                         ELSE 'pending' END AS state
             FROM r
+            """,
+        "alert_keepfiring_1m_latency": f"""
+            WITH g AS ({_sql_lat(60)}),
+            d AS (
+              SELECT series_key, window_start, max,
+                     CASE WHEN max > 30 THEN 1 ELSE 0 END AS cond,
+                     lag(window_start) OVER w AS pw,
+                     lag(CASE WHEN max > 30 THEN 1 ELSE 0 END) OVER w AS pcond
+              FROM g
+              WINDOW w AS (PARTITION BY series_key ORDER BY window_start)
+            ),
+            s AS (
+              SELECT *, CASE WHEN cond = 1 AND NOT
+                               (coalesce(pcond, 0) = 1
+                                AND window_start - pw = 60)
+                             THEN 1 ELSE 0 END AS strt
+              FROM d
+            ),
+            r AS (
+              SELECT *, sum(strt) OVER (PARTITION BY series_key
+                                        ORDER BY window_start) AS grp
+              FROM s
+            ),
+            f AS (
+              SELECT series_key, window_start, max, cond,
+                     CAST(CASE WHEN cond = 1 THEN
+                            row_number() OVER (PARTITION BY series_key, grp
+                                               ORDER BY window_start)
+                          ELSE 0 END AS BIGINT) AS run
+              FROM r
+            ),
+            a AS (
+              SELECT *,
+                     max(CASE WHEN run >= 3 THEN window_start END)
+                       OVER (PARTITION BY series_key
+                             ORDER BY window_start) AS anchor
+              FROM f
+            )
+            SELECT series_key, window_start, max, run,
+                   CASE WHEN run >= 3 THEN 'firing'
+                        WHEN anchor IS NOT NULL
+                             AND window_start - anchor <= 300
+                          THEN 'firing'
+                        WHEN cond = 0 THEN 'inactive'
+                        ELSE 'pending' END AS state
+            FROM a
             """,
         "series_churn_1h_turns": f"""
             WITH g AS (

@@ -638,6 +638,34 @@ def test_alert_state(ray_session):
         "inactive", "pending", "pending", "firing", "pending", "inactive"]
 
 
+def test_alert_state_keep_firing(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.promql import alert_state
+
+    t = pa.table({
+        "k": ["s"] * 7 + ["q"] * 3,
+        "w": [0, 60, 120, 180, 240, 300, 420,   0, 60, 120],
+        "v": [9.0, 9.0, 9.0, 2.0, 9.0, 2.0, 2.0,   9.0, 9.0, 2.0],
+    })
+    out = (alert_state(rd.from_arrow(t), "k", "w", "v",
+                       threshold=5.0, for_windows=3, tier_seconds=60,
+                       keep_firing_windows=2)
+           .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
+    s = out[out.k == "s"]
+    # fires at w=120 (run 3); w=180 condition drops but is held
+    # (within 2 windows of the last firing eval); w=240 re-breaches →
+    # run restarts at 1 but the hold still covers it (240-120=120 ≤ 2w);
+    # w=300 is held-expired? 300-120=180 > 120 → inactive; w=420 idem
+    assert s["run"].tolist() == [1, 2, 3, 0, 1, 0, 0]
+    assert s["state"].tolist() == [
+        "pending", "pending", "firing", "firing", "firing",
+        "inactive", "inactive"]
+    # q never reaches for_windows → keep_firing never engages
+    q = out[out.k == "q"]
+    assert q["state"].tolist() == ["pending", "pending", "inactive"]
+
+
 def test_burn_rate(ray_session):
     import ray.data as rd
 

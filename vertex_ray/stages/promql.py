@@ -1086,7 +1086,7 @@ def clamp(ds, value_col: str, lo: float | None = None,
 
 def alert_state(ds, key_col: str, order_col: str, value_col: str,
                 threshold: float, for_windows: int, tier_seconds: int,
-                n_buckets: int = 64):
+                n_buckets: int = 64, keep_firing_windows: int = 0):
     """Prometheus-style alerting rule evaluation over tier rows —
     ``expr > threshold FOR <for_windows> windows`` (the evaluation side
     of the reference's alert delivery sink,
@@ -1104,7 +1104,15 @@ def alert_state(ds, key_col: str, order_col: str, value_col: str,
     Also emits ``run`` (consecutive breach count, int64) so downstream
     routing can dedup/throttle notifications. Vectorized run-length via
     the start-marker + cummax trick — no per-series loop; one
-    hash-bucketed exchange (same kernel shape as over_time)."""
+    hash-bucketed exchange (same kernel shape as over_time).
+
+    ``keep_firing_windows`` is Prometheus's ``keep_firing_for`` (the
+    flap damper, prometheus 2.42 rules surface): once an alert has
+    FIRED, samples within that many windows after the LAST firing
+    evaluation stay ``firing`` even though the condition no longer
+    holds (their ``run`` is 0 — the breach run restarts from scratch;
+    only the reported state is held)."""
+    keep_s = keep_firing_windows * tier_seconds
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, order_col], kind="stable")
@@ -1121,8 +1129,17 @@ def alert_state(ds, key_col: str, order_col: str, value_col: str,
         idx = np.arange(m)
         last_start = np.maximum.accumulate(np.where(start, idx, -1))
         run = np.where(cond, idx - last_start + 1, 0).astype(np.int64)
+        firing = run >= for_windows
         state = np.where(run == 0, "inactive",
-                         np.where(run >= for_windows, "firing", "pending"))
+                         np.where(firing, "firing", "pending"))
+        if keep_s and m:
+            # keep_firing_for: per series, hold "firing" while the gap
+            # to the last BASE-firing window is within the keep horizon
+            # (pandas per-group cummax — vectorized, order-safe)
+            anchor = pd.Series(np.where(firing, w, np.int64(-1))) \
+                .groupby(pd.Series(k)).cummax().to_numpy()
+            held = (~firing) & (anchor >= 0) & (w - anchor <= keep_s)
+            state = np.where(held, "firing", state)
         outdf = g[[key_col, order_col, value_col]].copy()
         outdf["run"] = run
         outdf["state"] = state

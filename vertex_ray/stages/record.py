@@ -191,7 +191,8 @@ def rule_group(tier_ds, rules, *, tier: str, value_col: str = "count",
             base = vectors[rule["source"]]
             out[rule["alert"]] = alert_state(
                 base, "series_key", "window_start", "value",
-                rule["threshold"], rule["for"], tier_seconds)
+                rule["threshold"], rule["for"], tier_seconds,
+                keep_firing_windows=rule.get("keep_firing_for", 0))
         else:
             raise ValueError(f"rule needs 'record' or 'alert': {rule}")
     return out
@@ -211,9 +212,12 @@ def rule_group_promql(store: str, rules, *, tier: str = "1h",
     ``rules``: ordered list of dicts —
       record: ``{"record": name, "expr": promql}``
       alert:  ``{"alert": name, "expr": promql, "threshold": x,
-                 "for": n}`` — inactive/pending/firing per series from
-                ``n`` consecutive breaching windows (stages/promql
-                .alert_state over the expression's vector).
+                 "for": n[, "keep_firing_for": m]}`` —
+                inactive/pending/firing per series from ``n``
+                consecutive breaching windows (stages/promql
+                .alert_state over the expression's vector);
+                ``keep_firing_for`` holds "firing" for ``m`` windows
+                after the last firing evaluation (the flap damper).
 
     Returns ``{rule name: Dataset}`` — block rows (flagship store
     schema, Gorilla-encoded gauge vectors, ``vector_blocks``) for record
@@ -251,5 +255,6 @@ def rule_group_promql(store: str, rules, *, tier: str = "1h",
 
             out[name] = alert_state(
                 vec, "series_key", "window_start", "value",
-                rule["threshold"], rule["for"], step_s)
+                rule["threshold"], rule["for"], step_s,
+                keep_firing_windows=rule.get("keep_firing_for", 0))
     return out
