@@ -271,6 +271,61 @@ def _q_stream_encode_roundtrip(sf_dir: str):
     return rd.from_arrow(blocks).map_batches(decode, batch_format="pyarrow")
 
 
+def _q_stream_encode_ooo(sf_dir: str):
+    """Out-of-order streaming ingest (the Prometheus 2.39
+    out_of_order_time_window analogue): the 1m turns tier is delivered
+    with every 7th point HELD BACK and re-delivered after newer windows
+    have advanced each series' head. With an OOO horizon enabled, the
+    encoder diverts those genuinely-late points into per-series OOO
+    buffers (duplicates vs the horizon memory drop), flushed as their
+    own blocks — so the decoded union is bit-identical to the tier even
+    though ingest was disordered (stages/stream_encode
+    StreamGorillaEncoder ooo_window_s)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vertex_ray.gorilla import decode_timestamps, decode_values
+    from vertex_ray.stages.stream_encode import stream_encode
+
+    tier = _metric_tier(sf_dir, "1m", "turns_total",
+                        ["series_key", "window_start", "count"])
+    t = pa.concat_tables(
+        tier.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = pa.table({
+        "series_key": t["series_key"],
+        "window_start": t["window_start"],
+        "value": pc.cast(t["count"], pa.float64()),
+    }).sort_by([("window_start", "ascending")])
+    late_mask = np.arange(t.num_rows) % 7 == 3
+    main = t.filter(pa.array(~late_mask))
+    late = t.filter(pa.array(late_mask))
+    cuts = [0, main.num_rows // 2, main.num_rows]
+    batches = [main.slice(a, b - a) for a, b in zip(cuts, cuts[1:])
+               if b > a] + [late]
+    # horizon spans the whole stream: every held-back point qualifies
+    blocks = stream_encode(batches, n_actors=4, max_points=240,
+                           ooo_window_s=1 << 40)
+
+    def decode(bt: pa.Table) -> pa.Table:
+        keys, ws, vals = [], [], []
+        for r in bt.to_pylist():
+            n = r["n_points"]
+            keys.extend([r["series_key"]] * n)
+            ws.append(decode_timestamps(r["ts_block"], n))
+            vals.append(decode_values(r["val_block"], n))
+        return pa.table({
+            "series_key": pa.array(keys, type=pa.string()),
+            "window_start": pa.array(np.concatenate(ws) if ws else
+                                     np.zeros(0, np.int64)),
+            "value": pa.array(np.concatenate(vals) if vals else
+                              np.zeros(0, np.float64)),
+        })
+
+    return rd.from_arrow(blocks).map_batches(decode, batch_format="pyarrow")
+
+
 def _q_quantile_by_role_1h(sf_dir: str):
     """PromQL ``quantile by (role) (0.9, increase(turns_total[1h]))``:
     the p90 of per-series 1h turn counts across each role's series —
@@ -2120,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burn_rate_1m_latency": _q_burn_rate_1m_latency,
         "quantile_by_role_1h_turns": _q_quantile_by_role_1h,
         "stream_encode_roundtrip_1m_turns": _q_stream_encode_roundtrip,
+        "stream_encode_ooo_1m_turns": _q_stream_encode_ooo,
         "count_values_1h_turns": _q_count_values_1h_turns,
         "read_api_instant_1h_turns": _q_read_api_instant,
         "delete_series_1h_turns": _q_delete_series_1h_turns,
@@ -3329,6 +3385,14 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m_turns_salted": _sql_turns(),
         "backfill_1m_turns": _sql_turns(),
         "stream_encode_roundtrip_1m_turns": f"""
+            SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                     || '}}' AS series_key,
+                   {_w(60)} AS window_start,
+                   CAST(count(*) AS DOUBLE) AS value
+            FROM {_SQL_TRANSCRIPTS}
+            GROUP BY 1, 2
+            """,
+        "stream_encode_ooo_1m_turns": f"""
             SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
                      || '}}' AS series_key,
                    {_w(60)} AS window_start,

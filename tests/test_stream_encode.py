@@ -179,3 +179,52 @@ def test_replay_guard_effectively_once():
     e.append(dup)
     got = _decode_all(e.flush())
     assert got["a"] == ([0, 60], [1.0, 2.0])
+
+
+def test_ooo_window_ingests_late_points():
+    """Out-of-order ingest (the Prometheus out_of_order_time_window
+    analogue): a genuinely-late point within the horizon lands in the
+    OOO buffer and flushes as its own block; redelivered duplicates and
+    too-old points still drop; the store invariant (one row per series
+    window) holds across the union of in-order and OOO blocks."""
+    enc = StreamGorillaEncoder(max_points=4, ooo_window_s=180)
+    enc.append(_mk(["a"] * 3, [0, 60, 120], [1, 2, 3]))
+    # 60 is a redelivery (already ingested) -> drop;
+    # 30 is genuinely late, within 180s of head (120) -> OOO buffer;
+    # -120 is older than the horizon -> drop
+    enc.append(_mk(["a"] * 3, [60, 30, -120], [2, 9, 7]))
+    # late point arriving together with new in-order points
+    out = enc.append(_mk(["a"] * 3, [180, 90, 240], [4, 8, 5]))
+    got = _decode_all(pa.concat_tables(
+        [t for t in [out, enc.flush()] if t.num_rows]))
+    # in-order stream: 0,60,120,180,240; OOO block: 30,90. OOO blocks
+    # overlap the in-order blocks in TIME (disjoint windows, that's the
+    # invariant) — compare the sorted union of points.
+    pts = sorted(zip(*got["a"]))
+    assert pts == [(0, 1.0), (30, 9.0), (60, 2.0), (90, 8.0),
+                   (120, 3.0), (180, 4.0), (240, 5.0)]
+
+
+def test_ooo_duplicate_guards():
+    enc = StreamGorillaEncoder(max_points=8, ooo_window_s=600)
+    enc.append(_mk(["a"] * 3, [0, 60, 120], [1, 2, 3]))
+    # same late ts delivered twice in one batch and again in another:
+    # ingested once
+    enc.append(_mk(["a"] * 2, [30, 30], [9, 9]))
+    enc.append(_mk(["a"], [30], [9]))
+    first = enc.flush()
+    got = _decode_all(first)
+    assert sorted(zip(*got["a"])) == \
+        [(0, 1.0), (30, 9.0), (60, 2.0), (120, 3.0)]
+    # redelivering the late batch AFTER flush: the horizon memory still
+    # rejects it (no duplicate block)
+    enc.append(_mk(["a"], [30], [9]))
+    assert enc.flush().num_rows == 0
+
+
+def test_ooo_disabled_is_unchanged():
+    # default (ooo_window_s=0): late points drop exactly as before
+    enc = StreamGorillaEncoder(max_points=8)
+    enc.append(_mk(["a"] * 2, [0, 60], [1, 2]))
+    enc.append(_mk(["a"], [30], [9]))
+    assert _decode_all(enc.flush())["a"] == ([0, 60], [1.0, 2.0])

@@ -59,10 +59,26 @@ class StreamGorillaEncoder:
     retried/re-delivered micro-batch's points at or below it are
     silently dropped, so a replayed stream encodes byte-identically to
     the clean stream — no source coordination needed because exactly one
-    actor owns each series."""
+    actor owns each series.
 
-    def __init__(self, max_points: int = 256):
+    Out-of-order ingest (``ooo_window_s`` > 0 — the Prometheus 2.39
+    ``out_of_order_time_window`` analogue): a point at or below the
+    high-water mark is no longer unconditionally dropped. If its
+    timestamp lies within ``ooo_window_s`` of the series head AND was
+    never ingested (the actor remembers every accepted timestamp inside
+    the horizon — bounded by horizon/tier-width values per series), it
+    is a GENUINELY LATE sample and lands in a per-series OOO buffer,
+    emitted as its own block rows at flush. Because duplicates are
+    rejected against that memory, the store invariant "each (series,
+    tier, window) appears exactly once" holds with no downstream dedup —
+    reads, compaction and retention apply to OOO blocks unchanged.
+    Redelivered replays (same ts, already ingested) still drop silently;
+    points older than the horizon still drop (too-old, as in
+    Prometheus)."""
+
+    def __init__(self, max_points: int = 256, ooo_window_s: int = 0):
         self.max_points = int(max_points)
+        self.ooo_window_s = int(ooo_window_s)
         self._ts: dict[str, list[np.ndarray]] = {}
         self._val: dict[str, list[np.ndarray]] = {}
         # per-series high-water mark (last accepted timestamp): an
@@ -71,6 +87,11 @@ class StreamGorillaEncoder:
         # ingest effectively-once without any coordination (the actor is
         # the single owner of its series, so the hwm is authoritative)
         self._hwm: dict[str, int] = {}
+        # OOO state (only populated when ooo_window_s > 0): accepted
+        # timestamps within the horizon (sorted), and the late buffer
+        self._recent: dict[str, np.ndarray] = {}
+        self._ooo_ts: dict[str, list[np.ndarray]] = {}
+        self._ooo_val: dict[str, list[np.ndarray]] = {}
 
     def _close(self, key: str, ts: np.ndarray, val: np.ndarray) -> dict:
         return {
@@ -81,6 +102,36 @@ class StreamGorillaEncoder:
             "ts_block": encode_timestamps(ts),
             "val_block": encode_values(val),
         }
+
+    def _ingest_ooo(self, key: str, accepted_ts: np.ndarray,
+                    rej_ts: np.ndarray, rej_val: np.ndarray) -> None:
+        """Fold a segment's accepted timestamps into the horizon memory
+        and divert genuinely-late rejected points into the OOO buffer
+        (duplicates — redelivery — and too-old points drop)."""
+        hwm = self._hwm.get(key)
+        if hwm is None:
+            return  # nothing ingested yet — nothing can be "late"
+        horizon = hwm - self.ooo_window_s
+        recent = self._recent.get(key, np.zeros(0, dtype=np.int64))
+        recent = recent[recent > horizon]
+        if len(accepted_ts):
+            recent = np.concatenate(
+                [recent, accepted_ts[accepted_ts > horizon]])
+        self._recent[key] = recent
+        if not len(rej_ts):
+            return
+        # late candidates: inside the horizon, never ingested, not
+        # already buffered, first occurrence within this segment
+        cand = (rej_ts > horizon) & (rej_ts <= hwm) \
+            & ~np.isin(rej_ts, recent)
+        if self._ooo_ts.get(key):
+            cand &= ~np.isin(rej_ts, np.concatenate(self._ooo_ts[key]))
+        if not cand.any():
+            return
+        lt, lv = rej_ts[cand], rej_val[cand]
+        _, first = np.unique(lt, return_index=True)
+        self._ooo_ts.setdefault(key, []).append(lt[np.sort(first)])
+        self._ooo_val.setdefault(key, []).append(lv[np.sort(first)])
 
     def append(self, t: pa.Table, key_col: str = "series_key",
                ts_col: str = "window_start",
@@ -107,11 +158,15 @@ class StreamGorillaEncoder:
             prev = np.maximum.accumulate(
                 np.r_[np.int64(floor), seg_ts[:-1]])
             keep = seg_ts > prev
+            rej_ts, rej_val = seg_ts[~keep], seg_val[~keep]
             if not keep.all():
                 seg_ts, seg_val = seg_ts[keep], seg_val[keep]
+            if len(seg_ts):
+                self._hwm[key] = int(seg_ts[-1])
+            if self.ooo_window_s:
+                self._ingest_ooo(key, seg_ts, rej_ts, rej_val)
             if not len(seg_ts):
                 continue
-            self._hwm[key] = int(seg_ts[-1])
             self._ts.setdefault(key, []).append(seg_ts)
             self._val.setdefault(key, []).append(seg_val)
             buffered = sum(len(x) for x in self._ts[key])
@@ -140,6 +195,24 @@ class StreamGorillaEncoder:
                                       np.concatenate(self._val[key])))
         self._ts.clear()
         self._val.clear()
+        # OOO buffers: sort each series' late points by time and close
+        # them as their own block rows (windows are disjoint from every
+        # in-order block BY CONSTRUCTION — the duplicate guard — so the
+        # store layout stays one row per (series, tier, window)). The
+        # flushed timestamps stay in the horizon memory so a redelivered
+        # late batch after flush still drops.
+        for key in sorted(self._ooo_ts):
+            parts = self._ooo_ts[key]
+            if not parts or not sum(len(x) for x in parts):
+                continue
+            ots = np.concatenate(parts)
+            ovl = np.concatenate(self._ooo_val[key])
+            order = np.argsort(ots, kind="stable")
+            closed.append(self._close(key, ots[order], ovl[order]))
+            rec = self._recent.get(key, np.zeros(0, dtype=np.int64))
+            self._recent[key] = np.concatenate([rec, ots])
+        self._ooo_ts.clear()
+        self._ooo_val.clear()
         if not closed:
             return _EMPTY
         return pa.Table.from_pylist(closed, schema=_EMPTY.schema)
@@ -147,7 +220,7 @@ class StreamGorillaEncoder:
 
 def stream_encode(batches, n_actors: int = 4, max_points: int = 256,
                   key_col: str = "series_key", ts_col: str = "window_start",
-                  val_col: str = "value") -> pa.Table:
+                  val_col: str = "value", ooo_window_s: int = 0) -> pa.Table:
     """Drive an actor pool of StreamGorillaEncoders over an iterable of
     time-ordered micro-batches (pa.Table each). Rows are routed by
     series-key hash so ONE actor owns each series across all
@@ -156,7 +229,8 @@ def stream_encode(batches, n_actors: int = 4, max_points: int = 256,
     import ray
 
     Actor = ray.remote(StreamGorillaEncoder)
-    pool = [Actor.remote(max_points=max_points) for _ in range(n_actors)]
+    pool = [Actor.remote(max_points=max_points, ooo_window_s=ooo_window_s)
+            for _ in range(n_actors)]
     out_refs = []
     for t in batches:
         k = t[key_col].to_numpy(zero_copy_only=False)
