@@ -85,6 +85,93 @@ def test_parse_binary_precedence_and_matching():
     assert e10.at_s == 1767441600 and e10.offset_s == 7200
 
 
+def test_parse_fuzz_roundtrip():
+    """Property: rendering a random AST back to text and re-parsing
+    reproduces the AST — the parser/precedence rules are total over the
+    grammar (seeded, deterministic)."""
+    import random
+
+    rng = random.Random(1234)
+    names = ["m", "turns_total", "up", "a_b:c"]
+    labels = ["role", "conv_id", "tool"]
+
+    def render(node, depth):
+        # returns (text, must_parenthesize_in_binary)
+        if isinstance(node, Num):
+            return repr(node.v), False
+        if isinstance(node, Sel):
+            s = node.name
+            if node.matchers:
+                s += "{" + ",".join(f'{l}{op}"{v}"'
+                                    for l, op, v in node.matchers) + "}"
+            if node.range_s:
+                s += f"[{node.range_s}s]"
+            if node.offset_s:
+                s += f" offset {node.offset_s}s"
+            if node.at_s is not None:
+                s += f" @ {node.at_s}"
+            return s, False
+        if isinstance(node, Call):
+            return (f"{node.func}(" +
+                    ", ".join(render(a, depth + 1)[0]
+                              for a in node.args) + ")"), False
+        if isinstance(node, Agg):
+            g = ""
+            if node.by is not None:
+                g = f" by ({', '.join(node.by)}) "
+            elif node.without is not None:
+                g = f" without ({', '.join(node.without)}) "
+            p = "" if node.param is None else f"{node.param}, "
+            return f"{node.op}{g}({p}{render(node.expr, depth + 1)[0]})", \
+                False
+        if isinstance(node, Bin):
+            sym = {"add": "+", "sub": "-", "mul": "*", "div": "/",
+                   "gt": ">", "lt": "<", "and": "and", "or": "or",
+                   "unless": "unless"}[node.op]
+            mod = ""
+            if node.on is not None:
+                mod = f" on ({', '.join(node.on)})"
+            elif node.ignoring is not None:
+                mod = f" ignoring ({', '.join(node.ignoring)})"
+            if node.group_left is not None:
+                mod += " group_left" + (
+                    f" ({', '.join(node.group_left)})"
+                    if node.group_left else "")
+            lt, _ = render(node.lhs, depth + 1)
+            rt, _ = render(node.rhs, depth + 1)
+            return f"({lt}) {sym}{mod} ({rt})", True
+        raise AssertionError(node)
+
+    def gen(depth):
+        kinds = ["num", "sel", "call", "agg"] + \
+            (["bin"] if depth < 3 else [])
+        k = rng.choice(kinds)
+        if k == "num":
+            return Num(float(rng.randint(0, 99)))
+        if k == "sel":
+            ms = [(rng.choice(labels), rng.choice(["=", "!=", "=~"]),
+                   "x1") for _ in range(rng.randint(0, 2))]
+            return Sel(rng.choice(names), ms,
+                       range_s=rng.choice([None, 60, 3600]),
+                       offset_s=rng.choice([0, 3600]),
+                       at_s=rng.choice([None, 1767441600]))
+        if k == "call":
+            inner = Sel(rng.choice(names), [], range_s=3600)
+            return Call(rng.choice(["rate", "increase",
+                                    "avg_over_time"]), [inner])
+        if k == "agg":
+            return Agg(rng.choice(["sum", "max", "avg"]), gen(depth + 1),
+                       by=[rng.choice(labels)])
+        return Bin(rng.choice(["add", "mul", "div", "and", "or"]),
+                   gen(depth + 1), gen(depth + 1),
+                   on=rng.choice([None, ["role"]]))
+
+    for _ in range(300):
+        ast = gen(0)
+        text, _ = render(ast, 0)
+        assert parse(text) == ast, text
+
+
 def test_parse_errors():
     for bad in ("m[", "m{role=user}", "sum by role (m)",
                 "topk(m)", "m )"):
