@@ -50,9 +50,16 @@ _OPS = {
 
 
 def _predicate(spec):
-    """["col", op, literal] → batch predicate; or a callable passes through."""
+    """["col", op, literal] → batch predicate; a STRING compiles through
+    the text expression language (functions/exprlang — the VTL-condition
+    analogue, e.g. ``"value > 50 && contains(event_type, 'err')"``); a
+    callable passes through."""
     if callable(spec):
         return spec
+    if isinstance(spec, str):
+        from vertex_ray.functions.exprlang import compile_predicate
+
+        return compile_predicate(spec)
     col, op, lit = spec
     return lambda t: _OPS[op](t[col], lit)
 
@@ -384,6 +391,37 @@ def _t_dsir(cfg, ds):
                          n_buckets=cfg.get("n_buckets", 1 << 14))
 
 
+def _t_eval(cfg, ds):
+    """The rewrite-transform analogue (/root/reference
+    src/transforms/rewrite.rs:72-135 runs a VTL script per event): SET
+    derived columns from text expressions (functions/exprlang, compiled
+    once, vectorized per batch; later expressions see earlier results)
+    and DROP columns — ``{"type": "eval", "set": {"flag": "value > 50"},
+    "drop": ["tmp"]}``."""
+    import pyarrow as pa
+
+    from vertex_ray.functions.exprlang import compile_expr
+
+    sets = [(name, compile_expr(src))
+            for name, src in dict(cfg.get("set", {})).items()]
+    drops = list(cfg.get("drop", []))
+
+    def fn(t: pa.Table) -> pa.Table:
+        for name, f in sets:
+            v = f(t)
+            if not hasattr(v, "type"):  # scalar result → broadcast
+                v = pa.array([v] * len(t))
+            if name in t.schema.names:
+                t = t.set_column(t.schema.get_field_index(name), name, v)
+            else:
+                t = t.append_column(name, v)
+        if drops:
+            t = t.drop_columns([c for c in drops if c in t.schema.names])
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _t_lm_perplexity(cfg, ds):
     from vertex_ray.stages.text import bigram_lm_perplexity
 
@@ -610,6 +648,7 @@ STEP_TYPES: dict[str, Callable] = {
     "mixture": _t_mixture,
     "dsir": _t_dsir,
     "lm_perplexity": _t_lm_perplexity,
+    "eval": _t_eval,
     "aggregate_without": _t_aggregate_without,
     "resets_changes": _t_resets_changes,
     "lttb": _t_lttb,

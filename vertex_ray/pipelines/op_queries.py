@@ -3042,6 +3042,40 @@ OP_QUERIES["op_lm_perplexity_docs"] = q_lm_perplexity_docs
 OP_ORACLES["op_lm_perplexity_docs"] = SQL_LM_PERPLEXITY_DOCS
 
 
+def q_eval_expr_events(sf_dir: str):
+    """Text expression language (functions/exprlang — the VTL-script
+    analogue, /root/reference src/transforms/rewrite.rs:72-135 +
+    lib/vtl/): a builder ``eval`` step SETs three derived columns from
+    expression strings compiled once into pyarrow kernels — a Kleene
+    boolean predicate, float arithmetic, and registry-function string
+    work — all vectorized per batch, value-hash-identical to the SQL
+    spelling of the same expressions."""
+    from vertex_ray.pipelines.builder import STEP_TYPES
+
+    cfg = {"set": {
+        "flag": 'value > 50.0 && contains(event_type, "c")',
+        "score": "floor(value * 2.0 + 1.0)",
+        "tag": 'uppercase(event_type) + "-ev"',
+    }}
+    out = STEP_TYPES["eval"](cfg, _ev(sf_dir))
+    return out.map_batches(
+        lambda t: t.select(["event_id", "event_type", "value",
+                            "flag", "score", "tag"]),
+        batch_format="pyarrow")
+
+
+SQL_EVAL_EXPR_EVENTS = """
+    SELECT event_id, event_type, value,
+           (value > 50.0 AND contains(event_type, 'c')) AS flag,
+           floor(value * 2.0 + 1.0) AS score,
+           upper(event_type) || '-ev' AS tag
+    FROM events
+"""
+
+OP_QUERIES["op_eval_expr_events"] = q_eval_expr_events
+OP_ORACLES["op_eval_expr_events"] = SQL_EVAL_EXPR_EVENTS
+
+
 def q_hll_md5_distinct_events(sf_dir: str):
     """HLL distinct-users per event_type under the md5 audit hash family
     — the WHOLE estimator is recomputed by the SQL mirror: registers from
