@@ -261,6 +261,32 @@ def cmd_rules(args) -> int:
     return 0
 
 
+def cmd_scrape(args) -> int:
+    """Ingest Prometheus exposition text files into a committed block
+    store — the reference's primary path (prometheus_scrape →
+    MetricNormalize → rollup → store) as one CLI verb
+    (pipelines/scrape_pipeline.scrape_counters_to_store). The resulting
+    store answers every query verb (``query range/instant/promql``)."""
+    import os as _os
+
+    _ray_up()
+    from vertex_ray.pipelines.scrape_pipeline import (
+        scrape_counters_to_store,
+    )
+    from vertex_ray.sources.codecs import read_lines
+    from vertex_ray.state.checkpoint import write_stage
+
+    blocks = scrape_counters_to_store(
+        read_lines(args.path), metric=args.metric,
+        window_s=args.window, tier=args.tier, n_buckets=args.buckets)
+    m = write_stage(blocks, _os.path.join(args.out, "blocks"),
+                    {"scrape": args.path, "metric": args.metric,
+                     "tier": args.tier, "window_s": args.window,
+                     "n_buckets": args.buckets})
+    print(f"blocks: {m['rows']} rows committed to {args.out}/blocks")
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Record a series-delete tombstone (the /api/v1/admin/tsdb/
     delete_series analogue): reads hide the selection immediately; the
@@ -443,6 +469,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--layout", choices=["oneshot", "epochs"],
                     default="oneshot")
     sp.set_defaults(fn=cmd_rules)
+
+    sp = sub.add_parser("scrape",
+                        help="ingest Prometheus exposition text files "
+                             "into a committed block store")
+    sp.add_argument("path", help="exposition text file(s)/glob "
+                                 "(newline-framed)")
+    sp.add_argument("out", help="store directory to commit blocks into")
+    sp.add_argument("--metric", required=True,
+                    help="counter family to ingest")
+    sp.add_argument("--window", type=int, default=60,
+                    help="rollup window seconds")
+    sp.add_argument("--tier", default="1m")
+    sp.add_argument("--buckets", type=int, default=32)
+    sp.set_defaults(fn=cmd_scrape)
 
     sp = sub.add_parser("delete",
                         help="record a series-delete tombstone "

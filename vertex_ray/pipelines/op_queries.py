@@ -3219,3 +3219,67 @@ FROM s5
 
 OP_QUERIES["op_pii_redact_docs"] = q_pii_redact_docs
 OP_ORACLES["op_pii_redact_docs"] = SQL_PII_REDACT_DOCS
+
+
+def q_scrape_counters_events(sf_dir: str):
+    """Scrape-to-store pipeline end-to-end (the reference's PRIMARY
+    metrics path: prometheus_scrape parse, /root/reference
+    lib/prometheus/src/text.rs:12 → MetricNormalize absolute→incremental,
+    lib/framework/src/sink/buffer/metrics.rs:100-146 → windowed rollup →
+    store): the events table is rendered as Prometheus exposition text
+    (one cumulative counter sample per event, cumulative value = per-type
+    arrival rank mod 1000 so mid-stream counter RESETS occur), fed
+    through pipelines/scrape_pipeline.scrape_counters_to_store (vectorized
+    parse → ONE series exchange fusing the normalize contract with the
+    per-window delta sum → Gorilla block encode), and the committed
+    blocks are DECODED back. All deltas are small integers so the decoded
+    windowed sums are value-hash-identical to the SQL telescoping mirror."""
+    import pandas as pd
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_counters_to_store
+
+    def to_lines(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic scrape fixture: arrival order = (ts, event_id),
+        # cumulative counter = rank % 1000 (forces resets every 1000)
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        cum = np.arange(1, len(g) + 1, dtype=np.int64) % 1000
+        ts_ms = g["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        job = g["event_type"].iloc[0]
+        text = ('events_total{job="' + job + '"} '
+                + pd.Series(cum).astype(str) + " "
+                + pd.Series(ts_ms).astype(str))
+        return pd.DataFrame({"text": text.to_numpy()})
+
+    lines = _ev(sf_dir).groupby("event_type").map_groups(
+        to_lines, batch_format="pandas")
+    blocks = scrape_counters_to_store(lines, metric="events_total",
+                                      window_s=60, tier="1m", n_buckets=8)
+    return decode_tier_blocks(blocks).map_batches(
+        lambda t: t.select(["series_key", "window_start", "last"]),
+        batch_format="pyarrow")
+
+
+SQL_SCRAPE_COUNTERS_EVENTS = """
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms,
+         (row_number() OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id)) % 1000 AS cum
+  FROM events
+), d AS (
+  SELECT event_type, ts_ms, cum,
+         lag(cum) OVER (PARTITION BY event_type
+                        ORDER BY ts_ms, cum) AS prev
+  FROM s
+)
+SELECT 'events_total{job=' || event_type || '}' AS series_key,
+       (ts_ms // 60000) * 60 AS window_start,
+       CAST(SUM(CASE WHEN cum >= prev THEN cum - prev ELSE cum END)
+            AS DOUBLE) AS last
+FROM d
+WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+OP_QUERIES["scrape_counters_1m_events"] = q_scrape_counters_events
+OP_ORACLES["scrape_counters_1m_events"] = SQL_SCRAPE_COUNTERS_EVENTS
