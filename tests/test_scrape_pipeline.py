@@ -68,3 +68,84 @@ def test_scrape_ms_tie_determinism(ray_session):
     got = _decoded(scrape_counters_to_store(_lines(rows), metric="c_total",
                                             n_buckets=2))
     assert got == {("c_total{job=t}", 0): 8.0}  # (4-1) + (9-4)
+
+
+def test_scrape_gauge_window_last(ray_session):
+    # gauge merge = replace: last sample in each window wins; a single
+    # sample DOES emit (no first-drop rule for gauges)
+    rows = [
+        'temp{host="x"} 1.5 0',
+        'temp{host="x"} 2.5 30000',   # same window: replaced below? no — 2.5 is last of w0
+        'temp{host="x"} -4.0 61000',
+        'temp{host="y"} 9.0 5000',
+    ]
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+
+    got = _decoded(scrape_to_store(_lines(rows), metric="temp",
+                                   kind="gauge", n_buckets=2))
+    assert got == {
+        ("temp{host=x}", 0): 2.5,
+        ("temp{host=x}", 60): -4.0,
+        ("temp{host=y}", 0): 9.0,
+    }
+
+
+def _hist_lines(job, ts_ms, count, total, cum):
+    from vertex_ray.schema import DEFAULT_BUCKETS
+
+    ls = [f'rt_count{{job="{job}"}} {count} {ts_ms}',
+          f'rt_sum{{job="{job}"}} {total} {ts_ms}']
+    for u, c in zip(DEFAULT_BUCKETS, cum):
+        ls.append(f'rt_bucket{{job="{job}",le="{u}"}} {c} {ts_ms}')
+    ls.append(f'rt_bucket{{job="{job}",le="+Inf"}} {count} {ts_ms}')
+    return ls
+
+
+def test_scrape_histogram_deltas_and_reset(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+    from vertex_ray.schema import DEFAULT_BUCKETS_ARR
+
+    def cum(*obs):
+        o = np.asarray(obs, dtype=np.float64)
+        return [(o[:, None] <= DEFAULT_BUCKETS_ARR).sum(0)[i]
+                for i in range(len(DEFAULT_BUCKETS_ARR))]
+
+    # scrape 0: count=2 sum=0.3 obs {0.1, 0.2}; scrape 1 (w0): +1 obs 5.0
+    # scrape 2 (w60): counter RESET — fresh process, obs {0.01}
+    rows = (_hist_lines("a", 0, 2, 0.3, cum(0.1, 0.2))
+            + _hist_lines("a", 30000, 3, 5.3, cum(0.1, 0.2, 5.0))
+            + _hist_lines("a", 61000, 1, 0.01, cum(0.01)))
+    blocks = scrape_to_store(_lines(rows), metric="rt", kind="histogram",
+                             n_buckets=2)
+    df = decode_tier_blocks(blocks).to_pandas()
+    df = df.set_index("window_start")
+    # first scrape drops; w0 delta = scrape1 - scrape0; w60 = reset row
+    assert df.loc[0, "count"] == 1 and df.loc[60, "count"] == 1
+    assert df.loc[0, "sum"] == 5.0 and df.loc[60, "sum"] == 0.01
+    # obs 5.0 lands in the le=5.0 and le=10.0 cumulative buckets
+    assert df.loc[0, "b09"] == 1 and df.loc[0, "b10"] == 1
+    assert df.loc[0, "b08"] == 0
+    # reset row: cumulative vector of the fresh process (obs 0.01 ≤ all)
+    assert df.loc[60, "b01"] == 1 and df.loc[60, "b10"] == 1
+    assert df.loc[60, "b00"] == 0
+    assert (df["kind"] == 2).all()
+
+
+def test_scrape_histogram_rejects_foreign_layout(ray_session):
+    import pytest
+
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+
+    rows = [
+        'rt_count{job="a"} 1 0', 'rt_sum{job="a"} 1.0 0',
+        'rt_bucket{job="a",le="7.5"} 1 0',
+        'rt_count{job="a"} 2 60000', 'rt_sum{job="a"} 2.0 60000',
+        'rt_bucket{job="a",le="7.5"} 2 60000',
+    ]
+    with pytest.raises(Exception, match="store layout"):
+        scrape_to_store(_lines(rows), metric="rt", kind="histogram",
+                        n_buckets=2).materialize()

@@ -270,19 +270,17 @@ def cmd_scrape(args) -> int:
     import os as _os
 
     _ray_up()
-    from vertex_ray.pipelines.scrape_pipeline import (
-        scrape_counters_to_store,
-    )
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
     from vertex_ray.sources.codecs import read_lines
     from vertex_ray.state.checkpoint import write_stage
 
-    blocks = scrape_counters_to_store(
-        read_lines(args.path), metric=args.metric,
+    blocks = scrape_to_store(
+        read_lines(args.path), metric=args.metric, kind=args.kind,
         window_s=args.window, tier=args.tier, n_buckets=args.buckets)
     m = write_stage(blocks, _os.path.join(args.out, "blocks"),
                     {"scrape": args.path, "metric": args.metric,
-                     "tier": args.tier, "window_s": args.window,
-                     "n_buckets": args.buckets})
+                     "kind": args.kind, "tier": args.tier,
+                     "window_s": args.window, "n_buckets": args.buckets})
     print(f"blocks: {m['rows']} rows committed to {args.out}/blocks")
     return 0
 
@@ -477,7 +475,10 @@ def main(argv: list[str] | None = None) -> int:
                                  "(newline-framed)")
     sp.add_argument("out", help="store directory to commit blocks into")
     sp.add_argument("--metric", required=True,
-                    help="counter family to ingest")
+                    help="metric family to ingest")
+    sp.add_argument("--kind", default="counter",
+                    choices=["counter", "gauge", "histogram"],
+                    help="family kind (suffix routing for histograms)")
     sp.add_argument("--window", type=int, default=60,
                     help="rollup window seconds")
     sp.add_argument("--tier", default="1m")

@@ -3283,3 +3283,161 @@ GROUP BY 1, 2
 
 OP_QUERIES["scrape_counters_1m_events"] = q_scrape_counters_events
 OP_ORACLES["scrape_counters_1m_events"] = SQL_SCRAPE_COUNTERS_EVENTS
+
+
+def q_scrape_gauge_events(sf_dir: str):
+    """Gauge scrape ingest: every event rendered as a gauge exposition
+    sample (value = events.value verbatim — Python float repr
+    round-trips bit-for-bit through parse), then
+    ``scrape_to_store(kind='gauge')`` applies the MetricValue::Gauge
+    replace-merge per window (/root/reference
+    lib/event/src/metric/mod.rs:47-49): last sample in (ts_ms, value)
+    order wins. Decoded ``last`` is hash-identical to the SQL
+    row_number mirror."""
+    import pandas as pd
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        job = pd.Series(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        ts_ms = t["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        text = ('events_gauge{job="' + job + '"} '
+                + pd.Series(t["value"].to_numpy()).astype(str) + " "
+                + pd.Series(ts_ms).astype(str))
+        return pa.table({"text": pa.array(text.to_numpy(),
+                                          type=pa.string())})
+
+    lines = _ev(sf_dir).map_batches(to_lines, batch_format="pyarrow")
+    blocks = scrape_to_store(lines, metric="events_gauge", kind="gauge",
+                             window_s=60, tier="1m", n_buckets=8)
+    return decode_tier_blocks(blocks).map_batches(
+        lambda t: t.select(["series_key", "window_start", "last"]),
+        batch_format="pyarrow")
+
+
+SQL_SCRAPE_GAUGE_EVENTS = """
+WITH s AS (
+  SELECT 'events_gauge{job=' || event_type || '}' AS series_key,
+         epoch_ms(ts) AS ts_ms, value,
+         (epoch_ms(ts) // 60000) * 60 AS window_start
+  FROM events
+), r AS (
+  SELECT series_key, window_start, value,
+         row_number() OVER (PARTITION BY series_key, window_start
+                            ORDER BY ts_ms DESC, value DESC) AS rn
+  FROM s
+)
+SELECT series_key, window_start, value AS last FROM r WHERE rn = 1
+"""
+
+OP_QUERIES["scrape_gauge_1m_events"] = q_scrape_gauge_events
+OP_ORACLES["scrape_gauge_1m_events"] = SQL_SCRAPE_GAUGE_EVENTS
+
+
+def q_scrape_hist_events(sf_dir: str):
+    """Histogram scrape ingest end-to-end: each event_type becomes a
+    scraped histogram series — per event (ordered by ts, event_id) the
+    fixture emits the full cumulative exposition family (``_count`` /
+    ``_sum`` / 11 ``_bucket{le=}`` lines + ``+Inf``) with a counter
+    RESET every 500 scrapes (cumulatives restart), observation =
+    ``(event_id % 5) * 2.5`` so every float is exact.
+    ``scrape_to_store(kind='histogram')`` suffix-routes the family
+    (/root/reference lib/prometheus/src/lib.rs:166-255), normalizes the
+    cumulative streams JOINTLY on count resets, and window-sums the
+    deltas into KIND_HISTOGRAM store rows; the decoded count/sum/bucket
+    columns are hash-identical to the SQL telescoping mirror."""
+    import pandas as pd
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+    from vertex_ray.schema import BUCKET_COLS, DEFAULT_BUCKETS
+
+    def to_lines(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        n = len(g)
+        r = np.arange(1, n + 1, dtype=np.int64)
+        ts_ms = (g["ts"].to_numpy().astype("datetime64[ms]")
+                 .astype(np.int64) + r)
+        ep = (r - 1) // 500
+        obs = (g["event_id"].to_numpy() % 5).astype(np.float64) * 2.5
+        d = pd.DataFrame({"ep": ep, "obs": obs})
+        ccount = (d.groupby("ep").cumcount() + 1).to_numpy()
+        csum = d.groupby("ep")["obs"].cumsum().to_numpy()
+        job = g["event_type"].iloc[0]
+        ts_s = pd.Series(ts_ms).astype(str)
+        parts = [
+            ('evhist_count{job="' + job + '"} '
+             + pd.Series(ccount).astype(str) + " " + ts_s),
+            ('evhist_sum{job="' + job + '"} '
+             + pd.Series(csum).astype(str) + " " + ts_s),
+        ]
+        for u in DEFAULT_BUCKETS:
+            d["ind"] = (obs <= u).astype(np.int64)
+            cb = d.groupby("ep")["ind"].cumsum().to_numpy()
+            parts.append(('evhist_bucket{job="' + job + '",le="' + str(u)
+                          + '"} ' + pd.Series(cb).astype(str) + " " + ts_s))
+        parts.append(('evhist_bucket{job="' + job + '",le="+Inf"} '
+                      + pd.Series(ccount).astype(str) + " " + ts_s))
+        return pd.DataFrame({"text": pd.concat(parts).to_numpy()})
+
+    lines = _ev(sf_dir).groupby("event_type").map_groups(
+        to_lines, batch_format="pandas")
+    blocks = scrape_to_store(lines, metric="evhist", kind="histogram",
+                             window_s=60, tier="1m", n_buckets=8)
+    cols = ["series_key", "window_start", "count", "sum"] + list(BUCKET_COLS)
+    return decode_tier_blocks(blocks).map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow")
+
+
+def _sql_scrape_hist_events() -> str:
+    from vertex_ray.schema import BUCKET_COLS, DEFAULT_BUCKETS
+
+    cum_cols = ",\n         ".join(
+        f"SUM(CASE WHEN obs <= {u!r} THEN 1 ELSE 0 END) OVER cw AS c_{b}"
+        for b, u in zip(BUCKET_COLS, DEFAULT_BUCKETS))
+    lag_cols = ",\n         ".join(
+        f"lag(c_{b}) OVER w AS p_{b}" for b in BUCKET_COLS)
+    delta_sums = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN c_count < p_count THEN c_{b} "
+        f"ELSE c_{b} - p_{b} END) AS BIGINT) AS {b}"
+        for b in BUCKET_COLS)
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS r,
+         (event_id % 5) * 2.5 AS obs
+  FROM events
+), c AS (
+  SELECT event_type, ts_ms + r AS ts_ms, r,
+         row_number() OVER cw AS c_count,
+         SUM(obs) OVER cw AS c_sum,
+         {cum_cols}
+  FROM e
+  WINDOW cw AS (PARTITION BY event_type, (r - 1) // 500 ORDER BY r)
+), d AS (
+  SELECT event_type, ts_ms, c_count, c_sum,
+         {", ".join(f"c_{b}" for b in BUCKET_COLS)},
+         lag(c_count) OVER w AS p_count,
+         lag(c_sum) OVER w AS p_sum,
+         {lag_cols}
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY r)
+)
+SELECT 'evhist{{job=' || event_type || '}}' AS series_key,
+       (ts_ms // 60000) * 60 AS window_start,
+       CAST(SUM(CASE WHEN c_count < p_count THEN c_count
+                ELSE c_count - p_count END) AS BIGINT) AS count,
+       CAST(SUM(CASE WHEN c_count < p_count THEN c_sum
+                ELSE c_sum - p_sum END) AS DOUBLE) AS sum,
+       {delta_sums}
+FROM d
+WHERE p_count IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+OP_QUERIES["scrape_hist_1m_events"] = q_scrape_hist_events
+OP_ORACLES["scrape_hist_1m_events"] = _sql_scrape_hist_events()

@@ -31,8 +31,6 @@ def vector_blocks(vec_ds, *, new_metric: str, tier: str,
     gauge metric named ``new_metric`` (flagship block-store schema with
     a ``tier`` column): one groupby(bucket) exchange over
     label-cardinality rows, sort+pack per series, actor-pool encode."""
-    from vertex_ray.stages.encode import GorillaEncode
-    from vertex_ray.stages.fill import pack_series
 
     def to_agg_rows(t: pa.Table) -> pa.Table:
         keys = t["series_key"].to_numpy(zero_copy_only=False)
@@ -60,6 +58,19 @@ def vector_blocks(vec_ds, *, new_metric: str, tier: str,
             cols[b] = pa.array(np.zeros(len(v)))
         return pa.table(cols)
 
+    rows = vec_ds.map_batches(to_agg_rows, batch_format="pyarrow")
+    return agg_rows_to_blocks(rows, tier=tier)
+
+
+def agg_rows_to_blocks(rows_ds, *, tier: str):
+    """Agg-shaped rows (bucket/series_key/name/kind/window_start + scalar
+    and bucket columns + filled/stale) → Gorilla block rows: ONE
+    groupby(bucket) exchange, sort + pack per series, actor-pool encode.
+    The shared tail of every store-writing path (recording rules, scrape
+    ingest)."""
+    from vertex_ray.stages.encode import GorillaEncode
+    from vertex_ray.stages.fill import pack_series
+
     def sort_pack(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["series_key", "window_start"], kind="stable")
         packed = pack_series(g)
@@ -67,9 +78,8 @@ def vector_blocks(vec_ds, *, new_metric: str, tier: str,
             "tier", pa.array(np.full(packed.num_rows, tier, dtype=object),
                              type=pa.string()))
 
-    rows = vec_ds.map_batches(to_agg_rows, batch_format="pyarrow")
-    packed = rows.groupby("bucket").map_groups(sort_pack,
-                                               batch_format="pandas")
+    packed = rows_ds.groupby("bucket").map_groups(sort_pack,
+                                                  batch_format="pandas")
     return packed.map_batches(GorillaEncode, batch_format="pyarrow",
                               concurrency=(1, 4))
 
