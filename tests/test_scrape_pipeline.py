@@ -149,3 +149,31 @@ def test_scrape_histogram_rejects_foreign_layout(ray_session):
     with pytest.raises(Exception, match="store layout"):
         scrape_to_store(_lines(rows), metric="rt", kind="histogram",
                         n_buckets=2).materialize()
+
+
+def test_scrape_payload_mixed_kinds(ray_session):
+    # kinds derived from # TYPE lines; summary family skipped; untyped
+    # name falls back to gauge
+    rows = [
+        '# TYPE requests_total counter',
+        '# TYPE temp gauge',
+        '# TYPE lat summary',
+        'requests_total{job="a"} 10 0',
+        'requests_total{job="a"} 13 10000',
+        'requests_total{job="a"} 20 70000',
+        'temp{host="x"} 1.5 0',
+        'temp{host="x"} -4.0 61000',
+        'lat{quantile="0.5"} 9.9 0',        # summary: skipped
+        'lat_sum 1.0 0', 'lat_count 3 0',   # summary components: skipped
+        'freeform 7.25 5000',               # untyped -> gauge
+    ]
+    from vertex_ray.pipelines.scrape_pipeline import scrape_payload_to_store
+
+    got = _decoded(scrape_payload_to_store(_lines(rows), n_buckets=4))
+    assert got == {
+        ("requests_total{job=a}", 0): 3.0,
+        ("requests_total{job=a}", 60): 7.0,
+        ("temp{host=x}", 0): 1.5,
+        ("temp{host=x}", 60): -4.0,
+        ("freeform{}", 0): 7.25,
+    }

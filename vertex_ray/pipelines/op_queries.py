@@ -3221,6 +3221,72 @@ OP_QUERIES["op_pii_redact_docs"] = q_pii_redact_docs
 OP_ORACLES["op_pii_redact_docs"] = SQL_PII_REDACT_DOCS
 
 
+def _scrape_counter_lines(g):
+    """Deterministic scrape fixture: arrival order = (ts, event_id),
+    cumulative counter = rank % 1000 (forces resets every 1000)."""
+    import pandas as pd
+
+    g = g.sort_values(["ts", "event_id"], kind="stable")
+    cum = np.arange(1, len(g) + 1, dtype=np.int64) % 1000
+    ts_ms = g["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+    job = g["event_type"].iloc[0]
+    text = ('events_total{job="' + job + '"} '
+            + pd.Series(cum).astype(str) + " "
+            + pd.Series(ts_ms).astype(str))
+    return pd.DataFrame({"text": text.to_numpy()})
+
+
+def _scrape_gauge_lines(t: pa.Table) -> pa.Table:
+    """Every event as a gauge exposition sample (value verbatim — Python
+    float repr round-trips bit-for-bit through parse)."""
+    import pandas as pd
+
+    job = pd.Series(t["event_type"].to_numpy(zero_copy_only=False),
+                    dtype=object)
+    ts_ms = t["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+    text = ('events_gauge{job="' + job + '"} '
+            + pd.Series(t["value"].to_numpy()).astype(str) + " "
+            + pd.Series(ts_ms).astype(str))
+    return pa.table({"text": pa.array(text.to_numpy(), type=pa.string())})
+
+
+def _scrape_hist_lines(g):
+    """Per event (ordered by ts, event_id) the full cumulative histogram
+    exposition family (_count/_sum/11 _bucket{le=} + +Inf) with a counter
+    RESET every 500 scrapes; observation = (event_id % 5) * 2.5 (exact
+    floats); ts_ms = epoch_ms + rank (strictly increasing per series)."""
+    import pandas as pd
+
+    from vertex_ray.schema import DEFAULT_BUCKETS
+
+    g = g.sort_values(["ts", "event_id"], kind="stable")
+    n = len(g)
+    r = np.arange(1, n + 1, dtype=np.int64)
+    ts_ms = (g["ts"].to_numpy().astype("datetime64[ms]")
+             .astype(np.int64) + r)
+    ep = (r - 1) // 500
+    obs = (g["event_id"].to_numpy() % 5).astype(np.float64) * 2.5
+    d = pd.DataFrame({"ep": ep, "obs": obs})
+    ccount = (d.groupby("ep").cumcount() + 1).to_numpy()
+    csum = d.groupby("ep")["obs"].cumsum().to_numpy()
+    job = g["event_type"].iloc[0]
+    ts_s = pd.Series(ts_ms).astype(str)
+    parts = [
+        ('evhist_count{job="' + job + '"} '
+         + pd.Series(ccount).astype(str) + " " + ts_s),
+        ('evhist_sum{job="' + job + '"} '
+         + pd.Series(csum).astype(str) + " " + ts_s),
+    ]
+    for u in DEFAULT_BUCKETS:
+        d["ind"] = (obs <= u).astype(np.int64)
+        cb = d.groupby("ep")["ind"].cumsum().to_numpy()
+        parts.append(('evhist_bucket{job="' + job + '",le="' + str(u)
+                      + '"} ' + pd.Series(cb).astype(str) + " " + ts_s))
+    parts.append(('evhist_bucket{job="' + job + '",le="+Inf"} '
+                  + pd.Series(ccount).astype(str) + " " + ts_s))
+    return pd.DataFrame({"text": pd.concat(parts).to_numpy()})
+
+
 def q_scrape_counters_events(sf_dir: str):
     """Scrape-to-store pipeline end-to-end (the reference's PRIMARY
     metrics path: prometheus_scrape parse, /root/reference
@@ -3234,25 +3300,11 @@ def q_scrape_counters_events(sf_dir: str):
     per-window delta sum → Gorilla block encode), and the committed
     blocks are DECODED back. All deltas are small integers so the decoded
     windowed sums are value-hash-identical to the SQL telescoping mirror."""
-    import pandas as pd
-
     from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
     from vertex_ray.pipelines.scrape_pipeline import scrape_counters_to_store
 
-    def to_lines(g: pd.DataFrame) -> pd.DataFrame:
-        # deterministic scrape fixture: arrival order = (ts, event_id),
-        # cumulative counter = rank % 1000 (forces resets every 1000)
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        cum = np.arange(1, len(g) + 1, dtype=np.int64) % 1000
-        ts_ms = g["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
-        job = g["event_type"].iloc[0]
-        text = ('events_total{job="' + job + '"} '
-                + pd.Series(cum).astype(str) + " "
-                + pd.Series(ts_ms).astype(str))
-        return pd.DataFrame({"text": text.to_numpy()})
-
     lines = _ev(sf_dir).groupby("event_type").map_groups(
-        to_lines, batch_format="pandas")
+        _scrape_counter_lines, batch_format="pandas")
     blocks = scrape_counters_to_store(lines, metric="events_total",
                                       window_s=60, tier="1m", n_buckets=8)
     return decode_tier_blocks(blocks).map_batches(
@@ -3294,22 +3346,11 @@ def q_scrape_gauge_events(sf_dir: str):
     lib/event/src/metric/mod.rs:47-49): last sample in (ts_ms, value)
     order wins. Decoded ``last`` is hash-identical to the SQL
     row_number mirror."""
-    import pandas as pd
-
     from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
     from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
 
-    def to_lines(t: pa.Table) -> pa.Table:
-        job = pd.Series(t["event_type"].to_numpy(zero_copy_only=False),
-                        dtype=object)
-        ts_ms = t["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
-        text = ('events_gauge{job="' + job + '"} '
-                + pd.Series(t["value"].to_numpy()).astype(str) + " "
-                + pd.Series(ts_ms).astype(str))
-        return pa.table({"text": pa.array(text.to_numpy(),
-                                          type=pa.string())})
-
-    lines = _ev(sf_dir).map_batches(to_lines, batch_format="pyarrow")
+    lines = _ev(sf_dir).map_batches(_scrape_gauge_lines,
+                                    batch_format="pyarrow")
     blocks = scrape_to_store(lines, metric="events_gauge", kind="gauge",
                              window_s=60, tier="1m", n_buckets=8)
     return decode_tier_blocks(blocks).map_batches(
@@ -3348,42 +3389,12 @@ def q_scrape_hist_events(sf_dir: str):
     cumulative streams JOINTLY on count resets, and window-sums the
     deltas into KIND_HISTOGRAM store rows; the decoded count/sum/bucket
     columns are hash-identical to the SQL telescoping mirror."""
-    import pandas as pd
-
     from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
     from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
-    from vertex_ray.schema import BUCKET_COLS, DEFAULT_BUCKETS
-
-    def to_lines(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        n = len(g)
-        r = np.arange(1, n + 1, dtype=np.int64)
-        ts_ms = (g["ts"].to_numpy().astype("datetime64[ms]")
-                 .astype(np.int64) + r)
-        ep = (r - 1) // 500
-        obs = (g["event_id"].to_numpy() % 5).astype(np.float64) * 2.5
-        d = pd.DataFrame({"ep": ep, "obs": obs})
-        ccount = (d.groupby("ep").cumcount() + 1).to_numpy()
-        csum = d.groupby("ep")["obs"].cumsum().to_numpy()
-        job = g["event_type"].iloc[0]
-        ts_s = pd.Series(ts_ms).astype(str)
-        parts = [
-            ('evhist_count{job="' + job + '"} '
-             + pd.Series(ccount).astype(str) + " " + ts_s),
-            ('evhist_sum{job="' + job + '"} '
-             + pd.Series(csum).astype(str) + " " + ts_s),
-        ]
-        for u in DEFAULT_BUCKETS:
-            d["ind"] = (obs <= u).astype(np.int64)
-            cb = d.groupby("ep")["ind"].cumsum().to_numpy()
-            parts.append(('evhist_bucket{job="' + job + '",le="' + str(u)
-                          + '"} ' + pd.Series(cb).astype(str) + " " + ts_s))
-        parts.append(('evhist_bucket{job="' + job + '",le="+Inf"} '
-                      + pd.Series(ccount).astype(str) + " " + ts_s))
-        return pd.DataFrame({"text": pd.concat(parts).to_numpy()})
+    from vertex_ray.schema import BUCKET_COLS
 
     lines = _ev(sf_dir).groupby("event_type").map_groups(
-        to_lines, batch_format="pandas")
+        _scrape_hist_lines, batch_format="pandas")
     blocks = scrape_to_store(lines, metric="evhist", kind="histogram",
                              window_s=60, tier="1m", n_buckets=8)
     cols = ["series_key", "window_start", "count", "sum"] + list(BUCKET_COLS)
@@ -3441,3 +3452,67 @@ GROUP BY 1, 2
 
 OP_QUERIES["scrape_hist_1m_events"] = q_scrape_hist_events
 OP_ORACLES["scrape_hist_1m_events"] = _sql_scrape_hist_events()
+
+
+def q_scrape_payload_events(sf_dir: str):
+    """Whole-payload scrape ingest: ONE exposition stream carrying a
+    counter family, a gauge family, a histogram family (the three
+    fixtures above), their ``# TYPE`` lines AND a summary family (which
+    the store skips — no quantile streams) is ingested in one pass by
+    ``scrape_payload_to_store`` (kinds derived from the TYPE lines,
+    suffix routing per family, ONE series exchange dispatching the
+    per-kind normalize contract, one encode). The decoded store is
+    hash-identical to the UNION ALL of the three per-kind SQL mirrors."""
+    import ray.data as rd
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_payload_to_store
+    from vertex_ray.schema import BUCKET_COLS
+
+    ev = _ev(sf_dir)
+    meta = rd.from_arrow(pa.table({"text": pa.array([
+        "# TYPE events_total counter",
+        "# TYPE events_gauge gauge",
+        "# TYPE evhist histogram",
+        "# TYPE lat summary",
+        'lat{quantile="0.5",job="x"} 1.0 0',
+        'lat_sum{job="x"} 2.0 0',
+        'lat_count{job="x"} 3 0',
+    ], type=pa.string())}))
+    lines = (ev.groupby("event_type")
+             .map_groups(_scrape_counter_lines, batch_format="pandas")
+             .union(ev.map_batches(_scrape_gauge_lines,
+                                   batch_format="pyarrow"),
+                    ev.groupby("event_type")
+                    .map_groups(_scrape_hist_lines, batch_format="pandas"),
+                    meta))
+    blocks = scrape_payload_to_store(lines, window_s=60, tier="1m",
+                                     n_buckets=8)
+    cols = (["series_key", "window_start", "sum", "count", "last"]
+            + list(BUCKET_COLS))
+    return decode_tier_blocks(blocks).map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow")
+
+
+def _sql_scrape_payload_events() -> str:
+    from vertex_ray.schema import BUCKET_COLS
+
+    b0 = ", ".join(f"CAST(0 AS BIGINT) AS {b}" for b in BUCKET_COLS)
+    bsel = ", ".join(BUCKET_COLS)
+    return f"""
+SELECT series_key, window_start, last AS sum, CAST(1 AS BIGINT) AS count,
+       last, {b0}
+FROM ({SQL_SCRAPE_COUNTERS_EVENTS})
+UNION ALL
+SELECT series_key, window_start, last AS sum, CAST(1 AS BIGINT) AS count,
+       last, {b0}
+FROM ({SQL_SCRAPE_GAUGE_EVENTS})
+UNION ALL
+SELECT series_key, window_start, sum, count, CAST(0.0 AS DOUBLE) AS last,
+       {bsel}
+FROM ({_sql_scrape_hist_events()})
+"""
+
+
+OP_QUERIES["scrape_payload_1m_events"] = q_scrape_payload_events
+OP_ORACLES["scrape_payload_1m_events"] = _sql_scrape_payload_events()
