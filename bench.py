@@ -409,8 +409,119 @@ def run_corpus() -> dict:
     return out
 
 
+def run_scrape() -> dict:
+    """Exposition-text ingest throughput — the reference's primary data
+    path (prometheus_scrape → normalize → rollup → store) at wire scale,
+    comparable to its lading regression targets (500 Mb/s tcp / 400 MiB/s
+    http passthrough, BASELINE.md). Fixture: every transcript turn
+    rendered as a cumulative counter sample (one exposition line per
+    turn, ~10M lines / ~75 bytes each at sf0.1), built once and cached;
+    the timed legs run the FULL scrape pipeline (vectorized parse → one
+    bucket exchange running the segmented normalize+rollup kernels →
+    Gorilla encode) for the counter and gauge kinds."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+    from vertex_ray.synth import ensure_transcripts, sf_of_dir
+
+    sf = sf_of_dir(sf_dir)
+    trans = ensure_transcripts(sf_dir)
+    fix = f"/tmp/vertex_ray_bench/scrape_sf{sf:g}"
+    meta_path = fix + ".meta.json"
+    if not os.path.exists(meta_path):
+        shutil.rmtree(fix, ignore_errors=True)
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        def to_lines(t: pa.Table) -> pa.Table:
+            conv = pd.Series(t["conv_id"].to_numpy(zero_copy_only=False),
+                             dtype=object)
+            role = pd.Series(t["role"].to_numpy(zero_copy_only=False),
+                             dtype=object)
+            cum = pd.Series(t["turn_idx"].to_numpy(
+                zero_copy_only=False)).astype(str)
+            ts_ms = pd.Series(t["ts"].to_numpy()
+                              .astype("datetime64[ms]")
+                              .astype(np.int64)).astype(str)
+            text = ('turns_total{conv="' + conv + '",role="' + role
+                    + '"} ' + cum + " " + ts_ms)
+            return pa.table({"text": pa.array(text.to_numpy(),
+                                              type=pa.string())})
+
+        ds = rd.read_parquet(trans,
+                             columns=["conv_id", "role", "turn_idx", "ts"])
+        ds.map_batches(to_lines,
+                       batch_format="pyarrow").write_parquet(fix)
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(fix, format="parquet").to_table()
+        total = int(sum(len(x) + 1 for x in
+                        tbl["text"].to_pylist()[:100000]))
+        n = tbl.num_rows
+        # extrapolating byte count from a 100k sample is fine for MB/s
+        # reporting; exact per-line lengths barely vary
+        total = int(total / min(100000, n) * n) if n else 0
+        with open(meta_path, "w") as f:
+            json.dump({"n_lines": n, "bytes": total}, f)
+    meta = json.load(open(meta_path))
+
+    # warm page cache + worker pool
+    import pyarrow.dataset as pads
+
+    pads.dataset(fix, format="parquet").to_table()
+    rd.read_parquet(fix).map_batches(lambda t: t.slice(0, 1),
+                                     batch_format="pyarrow").count()
+
+    timings: dict[str, float] = {}
+    legs_all: dict[str, list] = {}
+    blocks: dict[str, int] = {}
+    # best-of-2: the first leg on this shared VM routinely pays cold
+    # page-cache/object-store warmup (see BASELINE.md variance notes)
+    for kind in ("counter", "gauge"):
+        legs = []
+        for _ in range(2):
+            t0 = time.time()
+            blocks[kind] = int(scrape_to_store(
+                rd.read_parquet(fix), metric="turns_total", kind=kind,
+                n_buckets=8 * num_cpus).count())
+            legs.append(round(time.time() - t0, 3))
+        timings[kind] = min(legs)
+        legs_all[kind] = legs
+
+    mb = meta["bytes"] / 1e6
+    out = {
+        "metric": "scrape_ingest_mb_per_sec",
+        "value": round(mb / timings["counter"], 1),
+        "unit": "MB/s",
+        "queries": timings,
+        "samples_per_sec": round(meta["n_lines"] / timings["counter"], 1),
+        "n_lines": meta["n_lines"],
+        "payload_mb": round(mb, 1),
+        "block_rows": blocks,
+        "all_runs_sec": legs_all,
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     res = (run_scaling() if "--scaling" in sys.argv else
        run_corpus() if "--corpus" in sys.argv else
-       run_reads() if "--reads" in sys.argv else run_bench())
+       run_reads() if "--reads" in sys.argv else
+       run_scrape() if "--scrape" in sys.argv else run_bench())
     print(json.dumps(res))

@@ -89,72 +89,102 @@ def _empty_agg_frame() -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
-def _vec_agg_frame(key: str, ws: np.ndarray, v: np.ndarray,
-                   n_buckets: int) -> pd.DataFrame:
-    """(window_start, value) vector of ONE series → agg-shaped rows
-    (KIND_GAUGE convention: the value lands in every scalar column)."""
+def _vec_agg_frame_multi(keys: np.ndarray, ws: np.ndarray, v: np.ndarray,
+                         n_buckets: int) -> pd.DataFrame:
+    """(series_key, window_start, value) vector rows (MANY series) →
+    agg-shaped rows (KIND_GAUGE convention: the value lands in every
+    scalar column). Fully vectorized across series."""
     n = len(ws)
     if n == 0:
         return _empty_agg_frame()
-    name = key.split("{", 1)[0]
-    out = {"bucket": np.full(n, np.int32(
-        pd.util.hash_array(np.array([key], dtype=object))[0]
-        % np.uint64(n_buckets))),
-        "series_key": np.full(n, key, dtype=object),
-        "name": np.full(n, name, dtype=object),
-        "kind": np.full(n, KIND_GAUGE, dtype=np.uint8),
-        "window_start": ws.astype(np.int64),
-        "sum": v, "count": np.ones(n), "min": v, "max": v, "last": v,
-        "filled": np.zeros(n, bool), "stale": np.zeros(n, bool)}
+    name = pd.Series(keys, dtype=object).str.split(
+        "{", n=1).str[0].to_numpy()
+    bucket = (pd.util.hash_array(keys)
+              % np.uint64(n_buckets)).astype(np.int32)
+    out = {"bucket": bucket,
+           "series_key": keys,
+           "name": name,
+           "kind": np.full(n, KIND_GAUGE, dtype=np.uint8),
+           "window_start": ws.astype(np.int64),
+           "sum": v, "count": np.ones(n), "min": v, "max": v, "last": v,
+           "filled": np.zeros(n, bool), "stale": np.zeros(n, bool)}
     for b in BUCKET_COLS:
         out[b] = np.zeros(n)
     return pd.DataFrame(out)
 
 
 # ---------------------------------------------------------------------------
-# Per-kind normalize + rollup group bodies (one series in hand)
+# Per-kind normalize + rollup kernels. Each takes a bucket's worth of
+# rows (MANY series of one kind) sorted internally and works with
+# segmented numpy operations — no per-series Python loop on the counter
+# and gauge hot paths (the flagship kernel.py pattern).
 # ---------------------------------------------------------------------------
 
 
-def _counter_frame(g: pd.DataFrame, window_s: int,
-                   n_buckets: int) -> pd.DataFrame:
-    # normalize contract (stages/normalize.absolute_to_incremental):
-    # sort, diff, decrease = reset, first observation emits nothing.
-    # The cumulative value is the tie-breaker — it encodes arrival
-    # order exactly (non-decreasing along the true order), so ms-
-    # resolution timestamp ties stay deterministic.
-    g = g.sort_values(["ts_ms", "value"], kind="stable")
+def _sorted_series_cols(g: pd.DataFrame):
+    """(codes, uniq, ts_ms, value) of the bucket sorted by (series,
+    ts_ms, value): integer-coded lexsort — object-string multi-key sorts
+    are the classic hotspot the flagship kernel avoids the same way."""
+    k = g["series_key"].to_numpy(dtype=object)
+    codes, uniq = pd.factorize(k)
+    ts = g["ts_ms"].to_numpy(dtype=np.int64)
     v = g["value"].to_numpy(dtype=np.float64)
-    if len(v) < 2:
+    order = np.lexsort((v, ts, codes))
+    return codes[order], uniq, ts[order], v[order]
+
+
+def _counter_bucket(g: pd.DataFrame, window_s: int,
+                    n_buckets: int) -> pd.DataFrame:
+    # normalize contract (stages/normalize.absolute_to_incremental):
+    # sort, diff within series segments, decrease = reset, first
+    # observation of each series emits nothing. The cumulative value is
+    # the tie-breaker — it encodes arrival order exactly (non-decreasing
+    # along the true order), so ms-resolution ties stay deterministic.
+    if len(g) == 0:
         return _empty_agg_frame()
-    prev, cur = v[:-1], v[1:]
-    delta = np.where(cur >= prev, cur - prev, cur)
-    ws = (g["ts_ms"].to_numpy(dtype=np.int64)[1:]
-          // (window_s * 1000)) * window_s
-    out = (pd.DataFrame({"window_start": ws, "value": delta})
-           .groupby("window_start", as_index=False)["value"].sum())
-    return _vec_agg_frame(g["series_key"].iloc[0],
-                          out["window_start"].to_numpy(),
-                          out["value"].to_numpy(), n_buckets)
+    c, uniq, ts, v = _sorted_series_cols(g)
+    new = np.concatenate([[True], c[1:] != c[:-1]])
+    prev = np.empty_like(v)
+    prev[1:] = v[:-1]
+    prev[0] = 0.0
+    delta = np.where(v >= prev, v - prev, v)
+    ws = (ts // (window_s * 1000)) * window_s
+    keep = ~new
+    out = (pd.DataFrame({"c": c[keep], "w": ws[keep], "v": delta[keep]})
+           .groupby(["c", "w"], as_index=False, sort=False)["v"].sum())
+    return _vec_agg_frame_multi(uniq[out["c"].to_numpy()],
+                                out["w"].to_numpy(),
+                                out["v"].to_numpy(), n_buckets)
 
 
-def _gauge_frame(g: pd.DataFrame, window_s: int,
+def _gauge_bucket(g: pd.DataFrame, window_s: int,
+                  n_buckets: int) -> pd.DataFrame:
+    # gauge merge = replace: last sample per (series, window) in
+    # (ts_ms, value) order (value breaks ms-resolution ties)
+    if len(g) == 0:
+        return _empty_agg_frame()
+    c, uniq, ts, v = _sorted_series_cols(g)
+    ws = (ts // (window_s * 1000)) * window_s
+    out = (pd.DataFrame({"c": c, "w": ws, "v": v})
+           .groupby(["c", "w"], as_index=False, sort=False)["v"].last())
+    return _vec_agg_frame_multi(uniq[out["c"].to_numpy()],
+                                out["w"].to_numpy(),
+                                out["v"].to_numpy(), n_buckets)
+
+
+def _hist_bucket(g: pd.DataFrame, window_s: int,
                  n_buckets: int) -> pd.DataFrame:
-    # gauge merge = replace: last sample per window in (ts_ms, value)
-    # order (value breaks ms-resolution ties deterministically)
-    g = g.sort_values(["ts_ms", "value"], kind="stable")
-    ws = (g["ts_ms"].to_numpy(dtype=np.int64)
-          // (window_s * 1000)) * window_s
-    out = (pd.DataFrame({"window_start": ws,
-                         "value": g["value"].to_numpy()})
-           .groupby("window_start", as_index=False)["value"].last())
-    return _vec_agg_frame(g["series_key"].iloc[0],
-                          out["window_start"].to_numpy(),
-                          out["value"].to_numpy(), n_buckets)
+    # histogram families are O(instrumented metrics): a per-series pass
+    # within the bucket is fine (the wide pivot dominates anyway)
+    frames = [_hist_series_frame(s, window_s, n_buckets)
+              for _, s in g.groupby("series_key", sort=False)]
+    frames = [f for f in frames if len(f)]
+    return (pd.concat(frames, ignore_index=True) if frames
+            else _empty_agg_frame())
 
 
-def _hist_frame(g: pd.DataFrame, window_s: int,
-                n_buckets: int) -> pd.DataFrame:
+def _hist_series_frame(g: pd.DataFrame, window_s: int,
+                       n_buckets: int) -> pd.DataFrame:
     key = g["series_key"].iloc[0]
     cnt = g[g["role"] == "count"].groupby("ts_ms")["value"].last()
     sm = g[g["role"] == "sum"].groupby("ts_ms")["value"].last()
@@ -197,8 +227,8 @@ def _hist_frame(g: pd.DataFrame, window_s: int,
     return out[_agg_columns()]
 
 
-_KIND_FRAME = {KIND_SUM: _counter_frame, KIND_GAUGE: _gauge_frame,
-               KIND_HISTOGRAM: _hist_frame}
+_KIND_BUCKET = {KIND_SUM: _counter_bucket, KIND_GAUGE: _gauge_bucket,
+                KIND_HISTOGRAM: _hist_bucket}
 
 
 # ---------------------------------------------------------------------------
@@ -268,11 +298,14 @@ def _collect_type_map(lines_ds) -> dict:
 def _scrape_routed(lines_ds, *, kinds: dict, window_s: int, tier: str,
                    n_buckets: int, untyped_fallback: bool = False,
                    fallback_skip: set | None = None):
-    """Shared engine: parse → route families per ``kinds`` → one
-    groupby(series_key) whose body dispatches on the series' kind →
-    agg rows → blocks."""
+    """Shared engine: parse → route families per ``kinds`` → ONE
+    groupby(bucket) exchange whose body runs the per-kind normalize +
+    rollup kernels vectorized across the bucket's series AND packs +
+    encodes the result (normalize output is already bucket-partitioned,
+    so no second exchange)."""
     from vertex_ray.sources.prometheus_text import decode_prometheus_samples
-    from vertex_ray.stages.record import agg_rows_to_blocks
+    from vertex_ray.stages.encode import GorillaEncode
+    from vertex_ray.stages.fill import pack_series
 
     hist_names = {m for m, k in kinds.items() if k == "histogram"}
 
@@ -308,7 +341,10 @@ def _scrape_routed(lines_ds, *, kinds: dict, window_s: int, tier: str,
         s = s.filter(pa.array(keep))
         key = (pd.Series(family[keep], dtype=object) + "{"
                + _strip_quote_tags(s) + "}")
+        bucket = (pd.util.hash_array(key.to_numpy())
+                  % np.uint64(n_buckets)).astype(np.int32)
         return pa.table({
+            "bucket": pa.array(bucket, type=pa.int32()),
             "series_key": pa.array(key.to_numpy(), type=pa.string()),
             "kind": pa.array(code.to_numpy()[keep].astype(np.uint8)),
             "role": pa.array(role[keep], type=pa.string()),
@@ -317,10 +353,25 @@ def _scrape_routed(lines_ds, *, kinds: dict, window_s: int, tier: str,
             "value": s["value"],
         })
 
-    def normalize_rollup(g: pd.DataFrame) -> pd.DataFrame:
-        return _KIND_FRAME[int(g["kind"].iloc[0])](g, window_s, n_buckets)
+    def normalize_pack_encode(g: pd.DataFrame) -> pa.Table:
+        frames = [_KIND_BUCKET[int(code)](sub, window_s, n_buckets)
+                  for code, sub in g.groupby("kind", sort=True)]
+        frames = [f for f in frames if len(f)]
+        rows = (pd.concat(frames, ignore_index=True) if frames
+                else _empty_agg_frame())
+        # contiguous-per-series order for pack_series via integer codes
+        # (cross-series order is irrelevant — one block row per series)
+        codes, _ = pd.factorize(rows["series_key"].to_numpy(dtype=object))
+        rows = rows.iloc[np.lexsort((rows["window_start"].to_numpy(),
+                                     codes))]
+        packed = pack_series(rows)
+        packed = packed.append_column(
+            "tier", pa.array(np.full(packed.num_rows, tier, dtype=object),
+                             type=pa.string()))
+        # encode fused into the group task (the flagship
+        # fused_bucket_group pattern) — no separate actor-pool stage
+        return GorillaEncode()(packed)
 
-    rows = (lines_ds.map_batches(parse, batch_format="pyarrow")
-            .groupby("series_key")
-            .map_groups(normalize_rollup, batch_format="pandas"))
-    return agg_rows_to_blocks(rows, tier=tier)
+    return (lines_ds.map_batches(parse, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(normalize_pack_encode, batch_format="pandas"))
