@@ -13,11 +13,11 @@ def _lines(rows):
     return rd.from_arrow(pa.table({"text": rows}))
 
 
-def _decoded(blocks):
+def _decoded(blocks, col="sum"):
     from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
 
     df = decode_tier_blocks(blocks).to_pandas()
-    return {(r.series_key, int(r.window_start)): float(r.last)
+    return {(r.series_key, int(r.window_start)): float(getattr(r, col))
             for r in df.itertuples()}
 
 
@@ -82,7 +82,7 @@ def test_scrape_gauge_window_last(ray_session):
     from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
 
     got = _decoded(scrape_to_store(_lines(rows), metric="temp",
-                                   kind="gauge", n_buckets=2))
+                                   kind="gauge", n_buckets=2), col="last")
     assert got == {
         ("temp{host=x}", 0): 2.5,
         ("temp{host=x}", 60): -4.0,
@@ -170,6 +170,8 @@ def test_scrape_payload_mixed_kinds(ray_session):
     from vertex_ray.pipelines.scrape_pipeline import scrape_payload_to_store
 
     got = _decoded(scrape_payload_to_store(_lines(rows), n_buckets=4))
+    # counters: windowed delta sums land in ``sum``; gauges mirror the
+    # value into every scalar column so ``sum`` reads them too
     assert got == {
         ("requests_total{job=a}", 0): 3.0,
         ("requests_total{job=a}", 60): 7.0,
@@ -177,3 +179,43 @@ def test_scrape_payload_mixed_kinds(ray_session):
         ("temp{host=x}", 60): -4.0,
         ("freeform{}", 0): 7.25,
     }
+
+
+def test_scrape_gauge_fill_locf_and_stale(ray_session):
+    # exporter-TTL model on ingest: series stops at w0; with horizon 120s
+    # (2 windows) and fill_until 300s → LOCF fills at w60/w120, one stale
+    # marker at w180, nothing after
+    import numpy as np
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+    from vertex_ray.schema import STALE_NAN_BITS
+
+    rows = ['temp{host="x"} 2.5 0']
+    blocks = scrape_to_store(_lines(rows), metric="temp", kind="gauge",
+                             n_buckets=2, fill_until_s=300,
+                             staleness_s=120)
+    df = decode_tier_blocks(blocks).to_pandas().set_index("window_start")
+    assert sorted(df.index) == [0, 60, 120, 180]
+    assert not df.loc[0, "filled"] and not df.loc[0, "stale"]
+    assert df.loc[60, "filled"] and df.loc[60, "last"] == 2.5
+    assert df.loc[120, "filled"] and df.loc[120, "last"] == 2.5
+    assert df.loc[180, "stale"]
+    bits = np.float64(df.loc[180, "last"]).view(np.uint64)
+    assert bits == STALE_NAN_BITS  # exact Prometheus stale payload
+
+
+def test_scrape_counter_fill_zero_increment(ray_session):
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+
+    rows = ['c_total{j="a"} 1 0', 'c_total{j="a"} 4 30000']
+    blocks = scrape_to_store(_lines(rows), metric="c_total",
+                             kind="counter", n_buckets=2,
+                             fill_until_s=240, staleness_s=60)
+    df = decode_tier_blocks(blocks).to_pandas().set_index("window_start")
+    # real delta at w0; one zero-increment LOCF fill at w60; stale at w120
+    assert df.loc[0, "sum"] == 3.0 and not df.loc[0, "filled"]
+    assert df.loc[60, "filled"] and df.loc[60, "sum"] == 0.0
+    assert df.loc[120, "stale"]
+    assert sorted(df.index) == [0, 60, 120]

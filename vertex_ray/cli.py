@@ -276,7 +276,8 @@ def cmd_scrape(args) -> int:
 
     blocks = scrape_to_store(
         read_lines(args.path), metric=args.metric, kind=args.kind,
-        window_s=args.window, tier=args.tier, n_buckets=args.buckets)
+        window_s=args.window, tier=args.tier, n_buckets=args.buckets,
+        fill_until_s=args.fill_until, staleness_s=args.staleness)
     m = write_stage(blocks, _os.path.join(args.out, "blocks"),
                     {"scrape": args.path, "metric": args.metric,
                      "kind": args.kind, "tier": args.tier,
@@ -483,6 +484,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="rollup window seconds")
     sp.add_argument("--tier", default="1m")
     sp.add_argument("--buckets", type=int, default=32)
+    sp.add_argument("--fill-until", type=int, default=None,
+                    dest="fill_until", metavar="EPOCH_S",
+                    help="apply exporter-TTL staleness up to this time "
+                         "(LOCF fills + one stale marker per expired "
+                         "series)")
+    sp.add_argument("--staleness", type=int, default=300,
+                    help="staleness horizon seconds (default 300, the "
+                         "exporter TTL default)")
     sp.set_defaults(fn=cmd_scrape)
 
     sp = sub.add_parser("delete",

@@ -3308,7 +3308,7 @@ def q_scrape_counters_events(sf_dir: str):
     blocks = scrape_counters_to_store(lines, metric="events_total",
                                       window_s=60, tier="1m", n_buckets=8)
     return decode_tier_blocks(blocks).map_batches(
-        lambda t: t.select(["series_key", "window_start", "last"]),
+        lambda t: t.select(["series_key", "window_start", "sum", "count"]),
         batch_format="pyarrow")
 
 
@@ -3327,7 +3327,8 @@ WITH s AS (
 SELECT 'events_total{job=' || event_type || '}' AS series_key,
        (ts_ms // 60000) * 60 AS window_start,
        CAST(SUM(CASE WHEN cum >= prev THEN cum - prev ELSE cum END)
-            AS DOUBLE) AS last
+            AS DOUBLE) AS sum,
+       CAST(count(*) AS BIGINT) AS count
 FROM d
 WHERE prev IS NOT NULL
 GROUP BY 1, 2
@@ -3488,7 +3489,7 @@ def q_scrape_payload_events(sf_dir: str):
                     meta))
     blocks = scrape_payload_to_store(lines, window_s=60, tier="1m",
                                      n_buckets=8)
-    cols = (["series_key", "window_start", "sum", "count", "last"]
+    cols = (["series_key", "window_start", "sum", "count"]
             + list(BUCKET_COLS))
     return decode_tier_blocks(blocks).map_batches(
         lambda t: t.select(cols), batch_format="pyarrow")
@@ -3500,19 +3501,92 @@ def _sql_scrape_payload_events() -> str:
     b0 = ", ".join(f"CAST(0 AS BIGINT) AS {b}" for b in BUCKET_COLS)
     bsel = ", ".join(BUCKET_COLS)
     return f"""
-SELECT series_key, window_start, last AS sum, CAST(1 AS BIGINT) AS count,
-       last, {b0}
+SELECT series_key, window_start, sum, count, {b0}
 FROM ({SQL_SCRAPE_COUNTERS_EVENTS})
 UNION ALL
 SELECT series_key, window_start, last AS sum, CAST(1 AS BIGINT) AS count,
-       last, {b0}
+       {b0}
 FROM ({SQL_SCRAPE_GAUGE_EVENTS})
 UNION ALL
-SELECT series_key, window_start, sum, count, CAST(0.0 AS DOUBLE) AS last,
-       {bsel}
+SELECT series_key, window_start, sum, count, {bsel}
 FROM ({_sql_scrape_hist_events()})
 """
 
 
 OP_QUERIES["scrape_payload_1m_events"] = q_scrape_payload_events
 OP_ORACLES["scrape_payload_1m_events"] = _sql_scrape_payload_events()
+
+
+def q_scrape_gauge_locf_events(sf_dir: str):
+    """Exporter-TTL staleness fused into scrape ingest: the gauge fixture
+    is ingested with ``fill_until_s`` = the table's global end, so every
+    gap after a series' last observation emits LOCF rows for the 5-window
+    staleness horizon (src/sinks/prometheus_exporter.rs:59-61) and then
+    exactly ONE stale marker (the Prometheus stale NaN payload, surfaced
+    as NULL for the SQL-comparable view). Decoded rows are hash-identical
+    to the generate-k mirror."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+
+    ts_tbl = pads.dataset(f"{sf_dir}/events.parquet").to_table(
+        columns=["ts"])
+    end_s = int(pc.max(ts_tbl["ts"]).cast(pa.int64()).as_py() // 1_000_000)
+    lines = _ev(sf_dir).map_batches(_scrape_gauge_lines,
+                                    batch_format="pyarrow")
+    blocks = scrape_to_store(lines, metric="events_gauge", kind="gauge",
+                             window_s=60, tier="1m", n_buckets=8,
+                             fill_until_s=end_s, staleness_s=300)
+
+    def shape(t: pa.Table) -> pa.Table:
+        null_f = pa.scalar(None, pa.float64())
+        return pa.table({
+            "series_key": t["series_key"],
+            "window_start": t["window_start"],
+            "last": pc.if_else(t["stale"], null_f, t["last"]),
+            "filled": t["filled"],
+            "stale": t["stale"],
+        })
+
+    return decode_tier_blocks(blocks).map_batches(shape,
+                                                  batch_format="pyarrow")
+
+
+SQL_SCRAPE_GAUGE_LOCF_EVENTS = """
+WITH s AS (
+  SELECT 'events_gauge{job=' || event_type || '}' AS series_key,
+         epoch_ms(ts) AS ts_ms, value,
+         (epoch_ms(ts) // 60000) * 60 AS ws
+  FROM events
+), g AS (
+  SELECT series_key, ws, value,
+         row_number() OVER (PARTITION BY series_key, ws
+                            ORDER BY ts_ms DESC, value DESC) AS rn
+  FROM s
+), v AS (
+  SELECT series_key, ws, value FROM g WHERE rn = 1
+), seq AS (
+  SELECT *, lead(ws) OVER (PARTITION BY series_key ORDER BY ws) AS next_w
+  FROM v
+), bound AS (
+  SELECT (max(epoch_ms(ts)) // 60000) * 60 AS global_end FROM events
+)
+SELECT series_key, ws AS window_start, value AS last,
+       FALSE AS filled, FALSE AS stale
+FROM seq
+UNION ALL
+SELECT series_key, ws + 60 * k AS window_start, value AS last,
+       TRUE AS filled, FALSE AS stale
+FROM seq CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS k), bound
+WHERE ws + 60 * k < coalesce(next_w, global_end + 60)
+UNION ALL
+SELECT series_key, ws + 360 AS window_start, NULL AS last,
+       FALSE AS filled, TRUE AS stale
+FROM seq, bound
+WHERE ws + 360 < coalesce(next_w, global_end + 60)
+"""
+
+OP_QUERIES["scrape_gauge_locf_1m_events"] = q_scrape_gauge_locf_events
+OP_ORACLES["scrape_gauge_locf_1m_events"] = SQL_SCRAPE_GAUGE_LOCF_EVENTS

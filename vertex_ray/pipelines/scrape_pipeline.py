@@ -71,7 +71,8 @@ def _strip_quote_tags(s: pa.Table) -> pd.Series:
 
 def _agg_columns() -> list[str]:
     return (["bucket", "series_key", "name", "kind", "window_start",
-             "sum", "count", "min", "max", "last", "filled", "stale"]
+             "sum", "count", "min", "max", "last", "last_ts",
+             "filled", "stale"]
             + list(BUCKET_COLS))
 
 
@@ -83,17 +84,19 @@ def _empty_agg_frame() -> pd.DataFrame:
             "window_start": np.zeros(0, np.int64),
             "sum": np.zeros(0), "count": np.zeros(0),
             "min": np.zeros(0), "max": np.zeros(0), "last": np.zeros(0),
+            "last_ts": np.zeros(0, np.int64),
             "filled": np.zeros(0, bool), "stale": np.zeros(0, bool)}
     for b in BUCKET_COLS:
         cols[b] = np.zeros(0)
     return pd.DataFrame(cols)
 
 
-def _vec_agg_frame_multi(keys: np.ndarray, ws: np.ndarray, v: np.ndarray,
-                         n_buckets: int) -> pd.DataFrame:
-    """(series_key, window_start, value) vector rows (MANY series) →
-    agg-shaped rows (KIND_GAUGE convention: the value lands in every
-    scalar column). Fully vectorized across series."""
+def _agg_frame_from(keys: np.ndarray, ws: np.ndarray, n_buckets: int,
+                    kind_code: int, last_ts: np.ndarray,
+                    scalars: dict) -> pd.DataFrame:
+    """Windowed rows (MANY series) → agg-shaped rows with the given kind
+    and scalar columns (sum/count/min/max/last). Fully vectorized across
+    series."""
     n = len(ws)
     if n == 0:
         return _empty_agg_frame()
@@ -104,10 +107,13 @@ def _vec_agg_frame_multi(keys: np.ndarray, ws: np.ndarray, v: np.ndarray,
     out = {"bucket": bucket,
            "series_key": keys,
            "name": name,
-           "kind": np.full(n, KIND_GAUGE, dtype=np.uint8),
-           "window_start": ws.astype(np.int64),
-           "sum": v, "count": np.ones(n), "min": v, "max": v, "last": v,
-           "filled": np.zeros(n, bool), "stale": np.zeros(n, bool)}
+           "kind": np.full(n, kind_code, dtype=np.uint8),
+           "window_start": ws.astype(np.int64)}
+    for c in ("sum", "count", "min", "max", "last"):
+        out[c] = np.asarray(scalars[c], dtype=np.float64)
+    out["last_ts"] = last_ts.astype(np.int64)
+    out["filled"] = np.zeros(n, bool)
+    out["stale"] = np.zeros(n, bool)
     for b in BUCKET_COLS:
         out[b] = np.zeros(n)
     return pd.DataFrame(out)
@@ -150,11 +156,16 @@ def _counter_bucket(g: pd.DataFrame, window_s: int,
     delta = np.where(v >= prev, v - prev, v)
     ws = (ts // (window_s * 1000)) * window_s
     keep = ~new
-    out = (pd.DataFrame({"c": c[keep], "w": ws[keep], "v": delta[keep]})
-           .groupby(["c", "w"], as_index=False, sort=False)["v"].sum())
-    return _vec_agg_frame_multi(uniq[out["c"].to_numpy()],
-                                out["w"].to_numpy(),
-                                out["v"].to_numpy(), n_buckets)
+    out = (pd.DataFrame({"c": c[keep], "w": ws[keep], "v": delta[keep],
+                         "t": ts[keep] * 1000})
+           .groupby(["c", "w"], as_index=False, sort=False)
+           .agg(s=("v", "sum"), n=("v", "size"), mn=("v", "min"),
+                mx=("v", "max"), lv=("v", "last"), t=("t", "last")))
+    return _agg_frame_from(
+        uniq[out["c"].to_numpy()], out["w"].to_numpy(), n_buckets,
+        KIND_SUM, out["t"].to_numpy(),
+        {"sum": out["s"], "count": out["n"], "min": out["mn"],
+         "max": out["mx"], "last": out["lv"]})
 
 
 def _gauge_bucket(g: pd.DataFrame, window_s: int,
@@ -165,11 +176,15 @@ def _gauge_bucket(g: pd.DataFrame, window_s: int,
         return _empty_agg_frame()
     c, uniq, ts, v = _sorted_series_cols(g)
     ws = (ts // (window_s * 1000)) * window_s
-    out = (pd.DataFrame({"c": c, "w": ws, "v": v})
-           .groupby(["c", "w"], as_index=False, sort=False)["v"].last())
-    return _vec_agg_frame_multi(uniq[out["c"].to_numpy()],
-                                out["w"].to_numpy(),
-                                out["v"].to_numpy(), n_buckets)
+    out = (pd.DataFrame({"c": c, "w": ws, "v": v, "t": ts * 1000})
+           .groupby(["c", "w"], as_index=False, sort=False)
+           .agg({"v": "last", "t": "last"}))
+    v = out["v"].to_numpy()
+    return _agg_frame_from(
+        uniq[out["c"].to_numpy()], out["w"].to_numpy(), n_buckets,
+        KIND_GAUGE, out["t"].to_numpy(),
+        {"sum": v, "count": np.ones(len(v)), "min": v, "max": v,
+         "last": v})
 
 
 def _hist_bucket(g: pd.DataFrame, window_s: int,
@@ -212,7 +227,10 @@ def _hist_series_frame(g: pd.DataFrame, window_s: int,
     ts = cnt.index.to_numpy(np.int64)[1:]
     out = pd.DataFrame(delta, columns=["count", "sum"] + list(BUCKET_COLS))
     out["window_start"] = (ts // (window_s * 1000)) * window_s
-    out = out.groupby("window_start", as_index=False).sum()
+    out["last_ts"] = ts * 1000
+    agg = {col: "sum" for col in ["count", "sum"] + list(BUCKET_COLS)}
+    agg["last_ts"] = "max"
+    out = out.groupby("window_start", as_index=False).agg(agg)
     n = len(out)
     out.insert(0, "series_key", key)
     out.insert(0, "bucket", np.int32(
@@ -238,15 +256,25 @@ _KIND_BUCKET = {KIND_SUM: _counter_bucket, KIND_GAUGE: _gauge_bucket,
 
 def scrape_to_store(lines_ds, *, metric: str, kind: str = "counter",
                     window_s: int = 60, tier: str = "1m",
-                    n_buckets: int = 32):
+                    n_buckets: int = 32, fill_until_s: int | None = None,
+                    staleness_s: int = 300):
     """Exposition-text lines Dataset → Gorilla block rows for ONE metric
     family of the given kind (``counter`` / ``gauge`` / ``histogram``;
-    see module docstring for the per-kind normalize contracts)."""
+    see module docstring for the per-kind normalize contracts).
+
+    ``fill_until_s``: when set (epoch seconds — typically the scrape
+    time), apply the exporter-TTL staleness model to the ingested store
+    (stages/fill, src/sinks/prometheus_exporter.rs:59-61): gaps after a
+    series' last observation emit LOCF rows for ``staleness_s`` worth of
+    windows, then ONE stale marker (the Prometheus stale NaN payload),
+    then nothing."""
     if kind not in _KIND_CODE:
         raise ValueError(f"unsupported scrape kind: {kind!r}")
     return _scrape_routed(lines_ds, kinds={metric: kind},
                           window_s=window_s, tier=tier,
-                          n_buckets=n_buckets)
+                          n_buckets=n_buckets,
+                          fill_until_s=fill_until_s,
+                          staleness_s=staleness_s)
 
 
 def scrape_counters_to_store(lines_ds, *, metric: str, window_s: int = 60,
@@ -259,7 +287,9 @@ def scrape_counters_to_store(lines_ds, *, metric: str, window_s: int = 60,
 
 def scrape_payload_to_store(lines_ds, *, kinds: dict | None = None,
                             window_s: int = 60, tier: str = "1m",
-                            n_buckets: int = 32):
+                            n_buckets: int = 32,
+                            fill_until_s: int | None = None,
+                            staleness_s: int = 300):
     """Whole-payload ingest: EVERY typed family in the exposition text in
     one pass — one parse, one series exchange, one encode.
 
@@ -279,7 +309,9 @@ def scrape_payload_to_store(lines_ds, *, kinds: dict | None = None,
     return _scrape_routed(lines_ds, kinds=kinds, window_s=window_s,
                           tier=tier, n_buckets=n_buckets,
                           untyped_fallback=True,
-                          fallback_skip=summary_fams)
+                          fallback_skip=summary_fams,
+                          fill_until_s=fill_until_s,
+                          staleness_s=staleness_s)
 
 
 def _collect_type_map(lines_ds) -> dict:
@@ -297,7 +329,9 @@ def _collect_type_map(lines_ds) -> dict:
 
 def _scrape_routed(lines_ds, *, kinds: dict, window_s: int, tier: str,
                    n_buckets: int, untyped_fallback: bool = False,
-                   fallback_skip: set | None = None):
+                   fallback_skip: set | None = None,
+                   fill_until_s: int | None = None,
+                   staleness_s: int = 300):
     """Shared engine: parse → route families per ``kinds`` → ONE
     groupby(bucket) exchange whose body runs the per-kind normalize +
     rollup kernels vectorized across the bucket's series AND packs +
@@ -359,11 +393,24 @@ def _scrape_routed(lines_ds, *, kinds: dict, window_s: int, tier: str,
         frames = [f for f in frames if len(f)]
         rows = (pd.concat(frames, ignore_index=True) if frames
                 else _empty_agg_frame())
-        # contiguous-per-series order for pack_series via integer codes
-        # (cross-series order is irrelevant — one block row per series)
-        codes, _ = pd.factorize(rows["series_key"].to_numpy(dtype=object))
-        rows = rows.iloc[np.lexsort((rows["window_start"].to_numpy(),
-                                     codes))]
+        if fill_until_s is not None:
+            # exporter-TTL staleness (LOCF fills + one stale marker per
+            # expired series), fused in the same bucket task; output is
+            # already per-series sorted
+            from vertex_ray.stages.fill import fill_bucket_df
+
+            rows = fill_bucket_df(
+                rows, window_s,
+                global_end_window=fill_until_s // window_s * window_s,
+                horizon_seconds=staleness_s)
+        else:
+            # contiguous-per-series order for pack_series via integer
+            # codes (cross-series order is irrelevant — one block row
+            # per series)
+            codes, _ = pd.factorize(
+                rows["series_key"].to_numpy(dtype=object))
+            rows = rows.iloc[np.lexsort((rows["window_start"].to_numpy(),
+                                         codes))]
         packed = pack_series(rows)
         packed = packed.append_column(
             "tier", pa.array(np.full(packed.num_rows, tier, dtype=object),
