@@ -168,6 +168,20 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_cascade(args) -> int:
+    """Materialize coarser tiers for a committed block store at rest
+    (stages/cascade): reads the source tier, merges 5m/1h/1d continuous
+    aggregates per FIXTURES §F4, commits src tier + new tiers at dst."""
+    _ray_up()
+    from vertex_ray.stages.cascade import cascade_store
+
+    m = cascade_store(args.src, args.dst, tiers=tuple(args.tiers),
+                      source_tier=args.source_tier)
+    print(f"blocks: {m['rows']} rows ({args.source_tier} + "
+          f"{', '.join(args.tiers)}) committed to {args.dst}/blocks")
+    return 0
+
+
 def cmd_query(args) -> int:
     """Query the committed block store from the command line — the
     exporter-API verbs (range / instant / series / labels) over a store
@@ -468,6 +482,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--layout", choices=["oneshot", "epochs"],
                     default="oneshot")
     sp.set_defaults(fn=cmd_rules)
+
+    sp = sub.add_parser("cascade",
+                        help="materialize coarser tiers for a committed "
+                             "block store (continuous aggregates at rest)")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp.add_argument("--tiers", nargs="+", default=["5m", "1h", "1d"])
+    sp.add_argument("--source-tier", default="1m", dest="source_tier")
+    sp.set_defaults(fn=cmd_cascade)
 
     sp = sub.add_parser("scrape",
                         help="ingest Prometheus exposition text files "

@@ -3590,3 +3590,74 @@ WHERE ws + 360 < coalesce(next_w, global_end + 60)
 
 OP_QUERIES["scrape_gauge_locf_1m_events"] = q_scrape_gauge_locf_events
 OP_ORACLES["scrape_gauge_locf_1m_events"] = SQL_SCRAPE_GAUGE_LOCF_EVENTS
+
+
+def q_scrape_cascade_events(sf_dir: str):
+    """Store-level tier cascade (stages/cascade): the counter scrape
+    fixture is ingested at 1m, committed, then rolled up AT REST to 1h —
+    sums/counts add, min/max fold, ``last`` by latest window — all in
+    ONE groupby(bucket) exchange over the block store (a series' whole
+    history is co-located by the bucket hash). The decoded 1h tier is
+    hash-identical to the SQL mirror that windows the telescoped deltas
+    at 3600 s directly."""
+    import os
+    import shutil
+
+    from vertex_ray.pipelines.rollup_pipeline import (
+        decode_tier_blocks,
+        read_stage,
+    )
+    from vertex_ray.pipelines.scrape_pipeline import scrape_counters_to_store
+    from vertex_ray.stages.cascade import cascade_store
+    from vertex_ray.state.checkpoint import write_stage
+
+    base = os.path.join("/tmp/vertex_ray_queries",
+                        f"scrape_casc_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    lines = _ev(sf_dir).groupby("event_type").map_groups(
+        _scrape_counter_lines, batch_format="pandas")
+    blocks = scrape_counters_to_store(lines, metric="events_total",
+                                      window_s=60, tier="1m", n_buckets=8)
+    write_stage(blocks, os.path.join(base, "src", "blocks"), {})
+    cascade_store(os.path.join(base, "src"), os.path.join(base, "dst"),
+                  tiers=("5m", "1h"))
+    cols = ["series_key", "window_start", "sum", "count", "min", "max",
+            "last"]
+    return decode_tier_blocks(
+        read_stage(os.path.join(base, "dst"), "blocks", "1h")).map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow")
+
+
+SQL_SCRAPE_CASCADE_EVENTS = """
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms,
+         (row_number() OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id)) % 1000 AS cum
+  FROM events
+), d AS (
+  SELECT event_type, ts_ms, cum,
+         lag(cum) OVER (PARTITION BY event_type
+                        ORDER BY ts_ms, cum) AS prev
+  FROM s
+), del AS (
+  SELECT event_type, ts_ms, cum,
+         CASE WHEN cum >= prev THEN cum - prev ELSE cum END AS delta,
+         (ts_ms // 3600000) * 3600 AS hw
+  FROM d WHERE prev IS NOT NULL
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, hw
+                               ORDER BY ts_ms DESC, cum DESC) AS rn
+  FROM del
+)
+SELECT 'events_total{job=' || event_type || '}' AS series_key,
+       hw AS window_start,
+       CAST(SUM(delta) AS DOUBLE) AS sum,
+       CAST(count(*) AS BIGINT) AS count,
+       CAST(MIN(delta) AS DOUBLE) AS min,
+       CAST(MAX(delta) AS DOUBLE) AS max,
+       CAST(MAX(CASE WHEN rn = 1 THEN delta END) AS DOUBLE) AS last
+FROM r GROUP BY 1, 2
+"""
+
+OP_QUERIES["scrape_cascade_1h_events"] = q_scrape_cascade_events
+OP_ORACLES["scrape_cascade_1h_events"] = SQL_SCRAPE_CASCADE_EVENTS
