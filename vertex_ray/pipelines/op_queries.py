@@ -3661,3 +3661,59 @@ FROM r GROUP BY 1, 2
 
 OP_QUERIES["scrape_cascade_1h_events"] = q_scrape_cascade_events
 OP_ORACLES["scrape_cascade_1h_events"] = SQL_SCRAPE_CASCADE_EVENTS
+
+
+def q_stream_scrape_events(sf_dir: str):
+    """STREAMING scrape ingest of the counter fixture: the exposition
+    lines are delivered as micro-batches to a stream_scrape actor pool
+    (per-series normalize reference + open-window + open-block state
+    held ACROSS batches — the reference's MetricNormalizer/metricalize
+    runtime shape), blocks decoded back. The decoded windowed delta sums
+    are hash-identical to the batch pipeline's SQL telescoping mirror —
+    stream == batch, bit for bit."""
+    from vertex_ray.gorilla import decode_timestamps, decode_values
+    from vertex_ray.stages.stream_scrape import stream_scrape
+
+    lines = _ev(sf_dir).groupby("event_type").map_groups(
+        _scrape_counter_lines, batch_format="pandas")
+    blocks = stream_scrape(
+        lines.iter_batches(batch_format="pyarrow", batch_size=65536),
+        metric="events_total", kind="counter", n_actors=4, max_points=512)
+    keys, ws, vs = [], [], []
+    for r in blocks.to_pylist():
+        n = r["n_points"]
+        keys.extend([r["series_key"]] * n)
+        ws.append(decode_timestamps(r["ts_block"], n))
+        vs.append(decode_values(r["val_block"], n))
+    return pa.table({
+        "series_key": pa.array(keys, type=pa.string()),
+        "window_start": pa.array(
+            np.concatenate(ws) if ws else np.zeros(0, np.int64)),
+        "sum": pa.array(
+            np.concatenate(vs) if vs else np.zeros(0, np.float64)),
+    })
+
+
+SQL_STREAM_SCRAPE_EVENTS = """
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms,
+         (row_number() OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id)) % 1000 AS cum
+  FROM events
+), d AS (
+  SELECT event_type, ts_ms, cum,
+         lag(cum) OVER (PARTITION BY event_type
+                        ORDER BY ts_ms, cum) AS prev
+  FROM s
+)
+SELECT 'events_total{job=' || event_type || '}' AS series_key,
+       (ts_ms // 60000) * 60 AS window_start,
+       CAST(SUM(CASE WHEN cum >= prev THEN cum - prev ELSE cum END)
+            AS DOUBLE) AS sum
+FROM d
+WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+OP_QUERIES["stream_scrape_1m_events"] = q_stream_scrape_events
+OP_ORACLES["stream_scrape_1m_events"] = SQL_STREAM_SCRAPE_EVENTS
