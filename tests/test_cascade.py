@@ -98,3 +98,35 @@ def test_cascade_histogram_bucket_adds(ray_session, tmp_path):
     # cumulative-le vector adds element-wise: obs 0.5 hits le>=0.5
     assert df.loc[0, "b06"] == 1 and df.loc[0, "b05"] == 0
     assert df.loc[300, "b09"] == 1  # obs 5.0 at le=5.0
+
+
+def test_scrape_cascade_promql_end_to_end(ray_session, tmp_path):
+    """Full loop: whole-payload scrape -> store-level cascade -> the
+    PromQL TEXT front-end reads the cascaded 1h tier."""
+    from vertex_ray.pipelines.scrape_pipeline import scrape_payload_to_store
+    from vertex_ray.promql_lang import eval_promql
+    from vertex_ray.stages.cascade import cascade_store
+    from vertex_ray.state.checkpoint import write_stage
+
+    rows = ["# TYPE http_total counter"]
+    for job, start in (("a", 10), ("b", 5)):
+        cum = start
+        for i in range(8):
+            cum += i + 1
+            rows.append(f'http_total{{job="{job}"}} {cum} {i * 600_000}')
+    src = str(tmp_path / "src")
+    write_stage(scrape_payload_to_store(_lines(rows), n_buckets=2),
+                f"{src}/blocks", {})
+    dst = str(tmp_path / "dst")
+    cascade_store(src, dst, tiers=("5m", "1h"))
+    # count = contributing samples per window (exact int64 — what the
+    # PromQL aggregate layer requires for mergeable sums): per job the
+    # first sample (ts 0) only sets the reference, hour 0 holds the
+    # deltas at ts 600..3000 s (5 samples), hour 3600 holds ts
+    # 3600 + 4200 s (2 samples)
+    df = eval_promql(dst, "sum by (job) (http_total)", value_col="count",
+                     step="1h").to_pandas()
+    a = df[df["job"] == "a"].set_index("window_start")["value"]
+    assert a.loc[0] == 5 and a.loc[3600] == 2
+    b = df[df["job"] == "b"].set_index("window_start")["value"]
+    assert b.loc[0] == 5 and b.loc[3600] == 2

@@ -284,16 +284,26 @@ def cmd_scrape(args) -> int:
     import os as _os
 
     _ray_up()
-    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+    from vertex_ray.pipelines.scrape_pipeline import (
+        scrape_payload_to_store,
+        scrape_to_store,
+    )
     from vertex_ray.sources.codecs import read_lines
     from vertex_ray.state.checkpoint import write_stage
 
-    blocks = scrape_to_store(
-        read_lines(args.path), metric=args.metric, kind=args.kind,
-        window_s=args.window, tier=args.tier, n_buckets=args.buckets,
-        fill_until_s=args.fill_until, staleness_s=args.staleness)
+    if args.metric:
+        blocks = scrape_to_store(
+            read_lines(args.path), metric=args.metric, kind=args.kind,
+            window_s=args.window, tier=args.tier, n_buckets=args.buckets,
+            fill_until_s=args.fill_until, staleness_s=args.staleness)
+    else:
+        # payload mode: every typed family, kinds from # TYPE lines
+        blocks = scrape_payload_to_store(
+            read_lines(args.path), window_s=args.window, tier=args.tier,
+            n_buckets=args.buckets, fill_until_s=args.fill_until,
+            staleness_s=args.staleness)
     m = write_stage(blocks, _os.path.join(args.out, "blocks"),
-                    {"scrape": args.path, "metric": args.metric,
+                    {"scrape": args.path, "metric": args.metric or "*",
                      "kind": args.kind, "tier": args.tier,
                      "window_s": args.window, "n_buckets": args.buckets})
     print(f"blocks: {m['rows']} rows committed to {args.out}/blocks")
@@ -498,8 +508,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("path", help="exposition text file(s)/glob "
                                  "(newline-framed)")
     sp.add_argument("out", help="store directory to commit blocks into")
-    sp.add_argument("--metric", required=True,
-                    help="metric family to ingest")
+    sp.add_argument("--metric", default=None,
+                    help="metric family to ingest (omit to ingest every "
+                         "typed family in the payload)")
     sp.add_argument("--kind", default="counter",
                     choices=["counter", "gauge", "histogram"],
                     help="family kind (suffix routing for histograms)")
