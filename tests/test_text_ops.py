@@ -1288,3 +1288,42 @@ def test_winnow_fingerprints_guarantee():
                    "text": ["one two three four"]})  # 2 grams < w
     out2 = winnow_fingerprints_op(k=3, w=4)(t2).to_pandas()
     assert len(out2) == 1
+
+
+def _entropy_text(n):
+    # deterministic full-entropy bytes (hash chain), latin-1 decoded
+    import hashlib
+
+    out, seed = b"", b"x"
+    while len(out) < n:
+        seed = hashlib.sha256(seed).digest()
+        out += seed
+    return out[:n].decode("latin-1")
+
+
+def test_compression_ratio_op():
+    import pyarrow as pa
+
+    from vertex_ray.stages.text import compression_ratio_op
+
+    docs = pa.table({
+        "doc_id": ["prose", "boiler", "junk", "empty"],
+        "text": [
+            "The quick brown fox jumps over the lazy dog and keeps "
+            "going through the meadow toward the river crossing.",
+            "spam spam spam " * 200,
+            _entropy_text(400),
+            "",
+        ],
+    })
+    out = compression_ratio_op()(docs).to_pandas().set_index("doc_id")
+    # boilerplate compresses far better than prose; junk worse
+    assert (out.loc["boiler", "compression_ratio"]
+            < out.loc["prose", "compression_ratio"]
+            < out.loc["junk", "compression_ratio"])
+    assert not out.loc["boiler", "keep"]       # below min_ratio
+    assert out.loc["prose", "keep"]
+    assert not out.loc["empty", "keep"]        # inf ratio
+    # determinism
+    out2 = compression_ratio_op()(docs).to_pandas().set_index("doc_id")
+    assert (out["n_compressed"] == out2["n_compressed"]).all()

@@ -364,6 +364,17 @@ def _t_gopher(cfg, ds):
         batch_format="pyarrow")
 
 
+def _t_compression_ratio(cfg, ds):
+    from vertex_ray.stages.text import compression_ratio_op
+
+    return ds.map_batches(
+        compression_ratio_op(cfg.get("text_col", "text"),
+                             cfg.get("id_col", "doc_id"),
+                             max_ratio=cfg.get("max_ratio", 0.98),
+                             min_ratio=cfg.get("min_ratio", 0.25)),
+        batch_format="pyarrow")
+
+
 def _t_pii_redact(cfg, ds):
     from vertex_ray.stages.text import pii_redact_op
 
@@ -643,6 +654,7 @@ STEP_TYPES: dict[str, Callable] = {
     "limitk": _t_limitk,
     "resample": _t_resample,
     "gopher": _t_gopher,
+    "compression_ratio": _t_compression_ratio,
     "pii_redact": _t_pii_redact,
     "boilerplate": _t_boilerplate,
     "mixture": _t_mixture,

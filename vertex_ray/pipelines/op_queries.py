@@ -3717,3 +3717,17 @@ GROUP BY 1, 2
 
 OP_QUERIES["stream_scrape_1m_events"] = q_stream_scrape_events
 OP_ORACLES["stream_scrape_1m_events"] = SQL_STREAM_SCRAPE_EVENTS
+
+
+def q_compression_docs(sf_dir: str):
+    """Compression-ratio quality signal (ratio = zlib(text)/len(text)):
+    boilerplate compresses far below prose, junk near 1 — the two-sided
+    corpus filter. zlib is not SQL-recomputable, so this stays rows-only
+    (determinism + ordering property-tested in tests/test_text_ops.py)."""
+    from vertex_ray.stages.text import compression_ratio_op
+
+    return _docs(sf_dir).map_batches(compression_ratio_op(),
+                                     batch_format="pyarrow")
+
+
+OP_QUERIES["op_compression_docs"] = q_compression_docs

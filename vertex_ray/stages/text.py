@@ -1624,3 +1624,39 @@ class BpeApply:
             "n_subwords": pa.array(n_sub),
             "subwords": pa.array(joined, type=pa.string()),
         })
+
+
+def compression_ratio_op(text_col: str = "text", id_col: str = "doc_id",
+                         max_ratio: float = 0.98, min_ratio: float = 0.25,
+                         level: int = 6):
+    """Compression-ratio quality signal: ``len(zlib(text)) / len(text)``
+    per document (C-speed per doc, deterministic for a fixed zlib
+    level). Highly repetitive boilerplate compresses far below normal
+    prose (low ratio); random/binary junk doesn't compress (ratio near
+    or above 1). ``keep`` flags documents inside [min_ratio, max_ratio]
+    — the two-sided filter corpus pipelines use for both failure modes.
+    Deterministic and library-stable in this container; checked by
+    bounds/monotonicity property tests (no SQL mirror — zlib is not
+    SQL-recomputable), rows-only in the driver gate."""
+    import zlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        raw = [(s or "").encode("utf-8") for s in texts]
+        n_bytes = np.fromiter((len(b) for b in raw), dtype=np.int64,
+                              count=len(raw))
+        n_comp = np.fromiter(
+            (len(zlib.compress(b, level)) for b in raw), dtype=np.int64,
+            count=len(raw))
+        ratio = np.where(n_bytes > 0, n_comp / np.maximum(n_bytes, 1),
+                         np.inf)
+        keep = (ratio >= min_ratio) & (ratio <= max_ratio)
+        return pa.table({
+            id_col: t[id_col],
+            "n_bytes": pa.array(n_bytes),
+            "n_compressed": pa.array(n_comp),
+            "compression_ratio": pa.array(ratio, type=pa.float64()),
+            "keep": pa.array(keep),
+        })
+
+    return fn
