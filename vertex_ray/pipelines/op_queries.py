@@ -3533,7 +3533,8 @@ def q_scrape_gauge_locf_events(sf_dir: str):
 
     ts_tbl = pads.dataset(f"{sf_dir}/events.parquet").to_table(
         columns=["ts"])
-    end_s = int(pc.max(ts_tbl["ts"]).cast(pa.int64()).as_py() // 1_000_000)
+    ts_max = pc.max(ts_tbl["ts"]).cast(pa.int64()).as_py()
+    end_s = int(ts_max // 1_000_000) if ts_max is not None else 0
     lines = _ev(sf_dir).map_batches(_scrape_gauge_lines,
                                     batch_format="pyarrow")
     blocks = scrape_to_store(lines, metric="events_gauge", kind="gauge",
@@ -3618,11 +3619,21 @@ def q_scrape_cascade_events(sf_dir: str):
         _scrape_counter_lines, batch_format="pandas")
     blocks = scrape_counters_to_store(lines, metric="events_total",
                                       window_s=60, tier="1m", n_buckets=8)
-    write_stage(blocks, os.path.join(base, "src", "blocks"), {})
-    cascade_store(os.path.join(base, "src"), os.path.join(base, "dst"),
-                  tiers=("5m", "1h"))
     cols = ["series_key", "window_start", "sum", "count", "min", "max",
             "last"]
+    m = write_stage(blocks, os.path.join(base, "src", "blocks"), {})
+    if m["rows"] == 0:
+        return pa.table({
+            "series_key": pa.array([], type=pa.string()),
+            "window_start": pa.array([], type=pa.int64()),
+            "sum": pa.array([], type=pa.float64()),
+            "count": pa.array([], type=pa.int64()),
+            "min": pa.array([], type=pa.float64()),
+            "max": pa.array([], type=pa.float64()),
+            "last": pa.array([], type=pa.float64()),
+        })
+    cascade_store(os.path.join(base, "src"), os.path.join(base, "dst"),
+                  tiers=("5m", "1h"))
     return decode_tier_blocks(
         read_stage(os.path.join(base, "dst"), "blocks", "1h")).map_batches(
         lambda t: t.select(cols), batch_format="pyarrow")

@@ -151,6 +151,10 @@ def write_stage(ds, final_path: str, lineage: dict | None = None) -> dict:
         fsio.rmtree(tmp)
     t0 = time.time()
     ds.write_parquet(tmp)
+    # an EMPTY dataset writes zero files and never creates the dir —
+    # the stage must still commit (manifest with rows=0), e.g. a scrape
+    # of a payload with no matching family
+    fsio.makedirs(tmp)
     lineage = dict(lineage or {})
     lineage["wall_seconds"] = round(time.time() - t0, 3)
     return finalize_stage(tmp, final_path, lineage)
