@@ -10,18 +10,22 @@ into typed families (lib/prometheus/src/lib.rs:82-255),
 (lib/framework/src/sink/buffer/metrics.rs:100-146), and the exporter
 sink holds per-series aggregates (src/sinks/prometheus_exporter.rs).
 
-Shape: a vectorized line parse per batch (sources/prometheus_text),
-then ONE ``groupby(series_key)`` exchange whose group body applies the
-per-kind normalize contract fused with the per-window rollup (the whole
-series is already in hand, so the rollup costs no second exchange),
-then the shared agg-rows → blocks tail (one more bucket exchange +
-actor-pool Gorilla encode, stages/record.agg_rows_to_blocks).
+Shape: a vectorized line parse per batch (sources/prometheus_text; RE2
+line split + per-UNIQUE-label canonicalization), then ONE
+``groupby(bucket)`` exchange whose group body runs the per-kind
+normalize + rollup kernels VECTORIZED across the bucket's series
+(integer-lexsort segments — no per-series Python loop on the
+counter/gauge hot paths), packs, and Gorilla-encodes in the same task
+(the flagship fused_bucket_group pattern) — read → parse → one
+exchange → block rows.
 
 Kind semantics (MetricValue::merge, lib/event/src/metric/mod.rs:42-64):
 
 - counter: sorted diff; a DECREASE is a counter reset and the new value
   is the delta; the series' FIRST observation only sets the reference
-  and emits nothing (stages/normalize semantics); window = delta sum.
+  and emits nothing (stages/normalize semantics). Store rows are
+  KIND_SUM with sum = windowed delta sum, count = contributing samples,
+  min/max/last = min/max/last delta.
 - gauge: replace-merge — last observation per window wins.
 - histogram: ``_bucket{le=}`` / ``_sum`` / ``_count`` suffix routing;
   all cumulative streams normalize JOINTLY on count resets (the
