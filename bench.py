@@ -467,10 +467,13 @@ def run_scrape() -> dict:
                        batch_format="pyarrow").write_parquet(fix)
         import pyarrow.dataset as pads
 
-        tbl = pads.dataset(fix, format="parquet").to_table()
-        total = int(sum(len(x) + 1 for x in
-                        tbl["text"].to_pylist()[:100000]))
+        tbl = pads.dataset(fix, format="parquet").to_table(columns=["text"])
         n = tbl.num_rows
+        import pyarrow.compute as _pc
+
+        sample = tbl["text"].slice(0, 100000)
+        total = int(_pc.sum(_pc.utf8_length(sample)).as_py() or 0) \
+            + len(sample)
         # extrapolating byte count from a 100k sample is fine for MB/s
         # reporting; exact per-line lengths barely vary
         total = int(total / min(100000, n) * n) if n else 0

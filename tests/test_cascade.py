@@ -130,3 +130,14 @@ def test_scrape_cascade_promql_end_to_end(ray_session, tmp_path):
     assert a.loc[0] == 5 and a.loc[3600] == 2
     b = df[df["job"] == "b"].set_index("window_start")["value"]
     assert b.loc[0] == 5 and b.loc[3600] == 2
+
+
+def test_cascade_rejects_source_or_finer_tier(ray_session, tmp_path):
+    import pytest
+
+    from vertex_ray.stages.cascade import cascade_blocks
+
+    with pytest.raises(ValueError, match="strictly coarser"):
+        cascade_blocks(None, tiers=("1m", "5m"), source_tier="1m")
+    with pytest.raises(ValueError, match="strictly coarser"):
+        cascade_blocks(None, tiers=("5m",), source_tier="1h")

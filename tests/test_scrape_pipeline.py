@@ -219,3 +219,32 @@ def test_scrape_counter_fill_zero_increment(ray_session):
     assert df.loc[60, "filled"] and df.loc[60, "sum"] == 0.0
     assert df.loc[120, "stale"]
     assert sorted(df.index) == [0, 60, 120]
+
+
+def test_scrape_missing_timestamps_require_scrape_time(ray_session):
+    import pytest
+
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+
+    rows = ['up{job="a"} 1', 'up{job="a"} 1 60000']  # first has no ts
+    with pytest.raises(Exception, match="scrape time|without timestamps"):
+        scrape_to_store(_lines(rows), metric="up", kind="gauge",
+                        n_buckets=2).materialize()
+    # with the scrape-time rule applied they land in real windows
+    got = _decoded(scrape_to_store(_lines(rows), metric="up", kind="gauge",
+                                   n_buckets=2, default_ts_ms=120_000),
+                   col="last")
+    assert got == {("up{job=a}", 60): 1.0, ("up{job=a}", 120): 1.0}
+
+
+def test_scrape_gauge_nan_sample_replaces(ray_session):
+    import numpy as np
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+
+    # replace-merge: the LAST sample of the window wins even when NaN
+    rows = ['t{h="x"} 1.5 0', 't{h="x"} NaN 30000']
+    df = decode_tier_blocks(scrape_to_store(
+        _lines(rows), metric="t", kind="gauge", n_buckets=2)).to_pandas()
+    assert len(df) == 1 and np.isnan(df["last"].iloc[0])

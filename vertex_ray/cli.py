@@ -293,18 +293,27 @@ def cmd_scrape(args) -> int:
 
     if args.metric:
         blocks = scrape_to_store(
-            read_lines(args.path), metric=args.metric, kind=args.kind,
+            read_lines(args.path), metric=args.metric,
+            kind=args.kind or "counter",
             window_s=args.window, tier=args.tier, n_buckets=args.buckets,
-            fill_until_s=args.fill_until, staleness_s=args.staleness)
+            fill_until_s=args.fill_until, staleness_s=args.staleness,
+            default_ts_ms=args.scrape_time)
+        kind = args.kind or "counter"
     else:
+        if args.kind:
+            print("--kind applies to single-family mode only; payload "
+                  "mode types every family from its # TYPE line",
+                  file=sys.stderr)
+            return 2
         # payload mode: every typed family, kinds from # TYPE lines
         blocks = scrape_payload_to_store(
             read_lines(args.path), window_s=args.window, tier=args.tier,
             n_buckets=args.buckets, fill_until_s=args.fill_until,
-            staleness_s=args.staleness)
+            staleness_s=args.staleness, default_ts_ms=args.scrape_time)
+        kind = "per-family (# TYPE)"
     m = write_stage(blocks, _os.path.join(args.out, "blocks"),
                     {"scrape": args.path, "metric": args.metric or "*",
-                     "kind": args.kind, "tier": args.tier,
+                     "kind": kind, "tier": args.tier,
                      "window_s": args.window, "n_buckets": args.buckets})
     print(f"blocks: {m['rows']} rows committed to {args.out}/blocks")
     return 0
@@ -511,9 +520,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--metric", default=None,
                     help="metric family to ingest (omit to ingest every "
                          "typed family in the payload)")
-    sp.add_argument("--kind", default="counter",
+    sp.add_argument("--kind", default=None,
                     choices=["counter", "gauge", "histogram"],
-                    help="family kind (suffix routing for histograms)")
+                    help="family kind (single-family mode; default "
+                         "counter). Payload mode types per # TYPE line")
+    sp.add_argument("--scrape-time", type=int, default=None,
+                    dest="scrape_time", metavar="EPOCH_MS",
+                    help="timestamp assigned to samples without one "
+                         "(the Prometheus scrape-time rule)")
     sp.add_argument("--window", type=int, default=60,
                     help="rollup window seconds")
     sp.add_argument("--tier", default="1m")

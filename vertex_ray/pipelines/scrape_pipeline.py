@@ -81,18 +81,9 @@ def _agg_columns() -> list[str]:
 
 
 def _empty_agg_frame() -> pd.DataFrame:
-    cols = {"bucket": np.zeros(0, np.int32),
-            "series_key": np.zeros(0, object),
-            "name": np.zeros(0, object),
-            "kind": np.zeros(0, np.uint8),
-            "window_start": np.zeros(0, np.int64),
-            "sum": np.zeros(0), "count": np.zeros(0),
-            "min": np.zeros(0), "max": np.zeros(0), "last": np.zeros(0),
-            "last_ts": np.zeros(0, np.int64),
-            "filled": np.zeros(0, bool), "stale": np.zeros(0, bool)}
-    for b in BUCKET_COLS:
-        cols[b] = np.zeros(0)
-    return pd.DataFrame(cols)
+    from vertex_ray.stages.fill import empty_fill_df
+
+    return empty_fill_df()
 
 
 def _agg_frame_from(keys: np.ndarray, ws: np.ndarray, n_buckets: int,
@@ -160,35 +151,44 @@ def _counter_bucket(g: pd.DataFrame, window_s: int,
     delta = np.where(v >= prev, v - prev, v)
     ws = (ts // (window_s * 1000)) * window_s
     keep = ~new
-    out = (pd.DataFrame({"c": c[keep], "w": ws[keep], "v": delta[keep],
-                         "t": ts[keep] * 1000})
-           .groupby(["c", "w"], as_index=False, sort=False)
-           .agg(s=("v", "sum"), n=("v", "size"), mn=("v", "min"),
-                mx=("v", "max"), lv=("v", "last"), t=("t", "last")))
+    c, ws, delta, ts = c[keep], ws[keep], delta[keep], ts[keep]
+    if len(c) == 0:
+        return _empty_agg_frame()
+    # per-(series, window) partials via reduceat segments — positional
+    # (NOT pandas groupby agg, whose min/max/last silently skip NaN: a
+    # NaN-valued sample must poison its window, not vanish)
+    b, eb = _segment_bounds(c, ws)
     return _agg_frame_from(
-        uniq[out["c"].to_numpy()], out["w"].to_numpy(), n_buckets,
-        KIND_SUM, out["t"].to_numpy(),
-        {"sum": out["s"], "count": out["n"], "min": out["mn"],
-         "max": out["mx"], "last": out["lv"]})
+        uniq[c[b]], ws[b], n_buckets, KIND_SUM, ts[eb - 1] * 1000,
+        {"sum": np.add.reduceat(delta, b),
+         "count": (eb - b),
+         "min": np.minimum.reduceat(delta, b),
+         "max": np.maximum.reduceat(delta, b),
+         "last": delta[eb - 1]})
+
+
+def _segment_bounds(c: np.ndarray, ws: np.ndarray):
+    newg = np.concatenate([[True], (c[1:] != c[:-1]) | (ws[1:] != ws[:-1])])
+    b = np.flatnonzero(newg)
+    eb = np.concatenate([b[1:], [len(ws)]])
+    return b, eb
 
 
 def _gauge_bucket(g: pd.DataFrame, window_s: int,
                   n_buckets: int) -> pd.DataFrame:
     # gauge merge = replace: last sample per (series, window) in
-    # (ts_ms, value) order (value breaks ms-resolution ties)
+    # (ts_ms, value) order (value breaks ms-resolution ties; a NaN
+    # sample replaces like any other value — positional last, no skipna)
     if len(g) == 0:
         return _empty_agg_frame()
     c, uniq, ts, v = _sorted_series_cols(g)
     ws = (ts // (window_s * 1000)) * window_s
-    out = (pd.DataFrame({"c": c, "w": ws, "v": v, "t": ts * 1000})
-           .groupby(["c", "w"], as_index=False, sort=False)
-           .agg({"v": "last", "t": "last"}))
-    v = out["v"].to_numpy()
+    b, eb = _segment_bounds(c, ws)
+    last = v[eb - 1]
     return _agg_frame_from(
-        uniq[out["c"].to_numpy()], out["w"].to_numpy(), n_buckets,
-        KIND_GAUGE, out["t"].to_numpy(),
-        {"sum": v, "count": np.ones(len(v)), "min": v, "max": v,
-         "last": v})
+        uniq[c[b]], ws[b], n_buckets, KIND_GAUGE, ts[eb - 1] * 1000,
+        {"sum": last, "count": np.ones(len(b)), "min": last, "max": last,
+         "last": last})
 
 
 def _hist_bucket(g: pd.DataFrame, window_s: int,
@@ -261,7 +261,8 @@ _KIND_BUCKET = {KIND_SUM: _counter_bucket, KIND_GAUGE: _gauge_bucket,
 def scrape_to_store(lines_ds, *, metric: str, kind: str = "counter",
                     window_s: int = 60, tier: str = "1m",
                     n_buckets: int = 32, fill_until_s: int | None = None,
-                    staleness_s: int = 300):
+                    staleness_s: int = 300,
+                    default_ts_ms: int | None = None):
     """Exposition-text lines Dataset → Gorilla block rows for ONE metric
     family of the given kind (``counter`` / ``gauge`` / ``histogram``;
     see module docstring for the per-kind normalize contracts).
@@ -278,7 +279,8 @@ def scrape_to_store(lines_ds, *, metric: str, kind: str = "counter",
                           window_s=window_s, tier=tier,
                           n_buckets=n_buckets,
                           fill_until_s=fill_until_s,
-                          staleness_s=staleness_s)
+                          staleness_s=staleness_s,
+                          default_ts_ms=default_ts_ms)
 
 
 def scrape_counters_to_store(lines_ds, *, metric: str, window_s: int = 60,
@@ -293,7 +295,8 @@ def scrape_payload_to_store(lines_ds, *, kinds: dict | None = None,
                             window_s: int = 60, tier: str = "1m",
                             n_buckets: int = 32,
                             fill_until_s: int | None = None,
-                            staleness_s: int = 300):
+                            staleness_s: int = 300,
+                            default_ts_ms: int | None = None):
     """Whole-payload ingest: EVERY typed family in the exposition text in
     one pass — one parse, one series exchange, one encode.
 
@@ -315,7 +318,8 @@ def scrape_payload_to_store(lines_ds, *, kinds: dict | None = None,
                           untyped_fallback=True,
                           fallback_skip=summary_fams,
                           fill_until_s=fill_until_s,
-                          staleness_s=staleness_s)
+                          staleness_s=staleness_s,
+                          default_ts_ms=default_ts_ms)
 
 
 def _collect_type_map(lines_ds) -> dict:
@@ -335,7 +339,8 @@ def _scrape_routed(lines_ds, *, kinds: dict, window_s: int, tier: str,
                    n_buckets: int, untyped_fallback: bool = False,
                    fallback_skip: set | None = None,
                    fill_until_s: int | None = None,
-                   staleness_s: int = 300):
+                   staleness_s: int = 300,
+                   default_ts_ms: int | None = None):
     """Shared engine: parse → route families per ``kinds`` → ONE
     groupby(bucket) exchange whose body runs the per-kind normalize +
     rollup kernels vectorized across the bucket's series AND packs +
@@ -392,7 +397,21 @@ def _scrape_routed(lines_ds, *, kinds: dict, window_s: int, tier: str,
             # configured (~20% less shuffle volume on counter streams)
             cols["role"] = pa.array(role[keep], type=pa.string())
             cols["le"] = s["le"]
-        cols["ts_ms"] = s["ts_ms"]
+        ts = s["ts_ms"]
+        # samples without timestamps (the COMMON exposition form —
+        # parse_samples marks them ts_ms = -1): Prometheus assigns the
+        # scrape time; require the caller to provide it rather than
+        # silently collapsing everything into window -60
+        miss = pa.compute.equal(ts, -1)
+        if pa.compute.any(miss).as_py():
+            if default_ts_ms is None:
+                raise ValueError(
+                    "exposition samples without timestamps: pass "
+                    "default_ts_ms (the scrape time) so they get a "
+                    "window, per the Prometheus scrape-time rule")
+            ts = pa.compute.if_else(
+                miss, pa.scalar(int(default_ts_ms), pa.int64()), ts)
+        cols["ts_ms"] = ts
         cols["value"] = s["value"]
         return pa.table(cols)
 

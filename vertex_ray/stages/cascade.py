@@ -39,14 +39,21 @@ def cascade_blocks(blocks_ds, *, tiers=("5m", "1h", "1d"),
                    tier_seconds: dict | None = None):
     """Source-tier block rows → block rows for every tier in ``tiers``
     (ascending window sizes), one groupby(bucket) exchange total."""
-    from vertex_ray.stages.encode import GorillaEncode, decode_blocks_batch
-    from vertex_ray.stages.fill import pack_series
+    from vertex_ray.stages.encode import decode_blocks_batch
     from vertex_ray.stages.rollup import merge_agg
 
     secs = dict(tier_seconds or TIER_SECONDS)
     order = [(t, secs[t]) for t in tiers]
-    if any(b[1] % a[1] for a, b in zip(order, order[1:])):
-        raise ValueError(f"tiers must be integer multiples: {order}")
+    chain = [(source_tier, secs[source_tier])] + order
+    # every target must be strictly coarser than — and an integer
+    # multiple of — the tier it merges from, INCLUDING the source
+    # (cascading "1m" from a 1m source would silently double the tier)
+    bad = [b for a, b in zip(chain, chain[1:])
+           if b[1] <= a[1] or b[1] % a[1]]
+    if bad:
+        raise ValueError(
+            f"tiers must be strictly coarser integer multiples of "
+            f"{source_tier} in ascending order: {chain}")
 
     def body(g: pa.Table) -> pa.Table:
         flat = decode_blocks_batch(g).to_pandas()
@@ -55,7 +62,7 @@ def cascade_blocks(blocks_ds, *, tiers=("5m", "1h", "1d"),
             # markers never feed coarser tiers (FIXTURES §F5)
             flat = flat[~(flat["filled"] | flat["stale"])]
         if len(flat) == 0:
-            return _encode_tier(_empty_rows(), order[0][0], g)
+            return _encode_tier(None, order[0][0])
         flat = flat.copy()
         flat["bucket"] = np.int32(g["bucket"][0].as_py())
         flat["last_ts"] = flat["window_start"].to_numpy() * US_PER_SECOND
@@ -63,19 +70,19 @@ def cascade_blocks(blocks_ds, *, tiers=("5m", "1h", "1d"),
         cur = flat
         for tier_name, tier_s in order:
             cur = merge_agg(cur, tier_s)
-            out.append(_encode_tier(cur, tier_name, g))
+            out.append(_encode_tier(cur, tier_name))
         return pa.concat_tables(out)
 
     return blocks_ds.groupby("bucket").map_groups(body,
                                                   batch_format="pyarrow")
 
 
-def _encode_tier(rows, tier_name: str, g: pa.Table) -> pa.Table:
+def _encode_tier(rows, tier_name: str) -> pa.Table:
     from vertex_ray.stages.encode import GorillaEncode
-    from vertex_ray.stages.fill import pack_series
+    from vertex_ray.stages.fill import empty_fill_df, pack_series
 
     if rows is None or len(rows) == 0:
-        empty = pack_series(_empty_rows()).append_column(
+        empty = pack_series(empty_fill_df()).append_column(
             "tier", pa.array([], type=pa.string()))
         return GorillaEncode()(empty)
     rows = rows.copy()
@@ -88,23 +95,6 @@ def _encode_tier(rows, tier_name: str, g: pa.Table) -> pa.Table:
         "tier", pa.array(np.full(packed.num_rows, tier_name, dtype=object),
                          type=pa.string()))
     return GorillaEncode()(packed)
-
-
-def _empty_rows() -> pd.DataFrame:
-    from vertex_ray.schema import BUCKET_COLS
-
-    cols = {"bucket": np.zeros(0, np.int32),
-            "series_key": np.zeros(0, object),
-            "name": np.zeros(0, object),
-            "kind": np.zeros(0, np.uint8),
-            "window_start": np.zeros(0, np.int64),
-            "sum": np.zeros(0), "count": np.zeros(0, np.int64),
-            "min": np.zeros(0), "max": np.zeros(0), "last": np.zeros(0),
-            "last_ts": np.zeros(0, np.int64),
-            "filled": np.zeros(0, bool), "stale": np.zeros(0, bool)}
-    for b in BUCKET_COLS:
-        cols[b] = np.zeros(0, np.int64)
-    return pd.DataFrame(cols)
 
 
 def cascade_store(src_dir: str, dst_dir: str, *, tiers=("5m", "1h", "1d"),

@@ -43,6 +43,17 @@ from vertex_ray.stages.rollup import AGG_COLS
 FILL_COLS = AGG_COLS + ["filled", "stale"]
 
 
+def empty_fill_df() -> pd.DataFrame:
+    """Typed empty agg+fill frame (FILL_COLS) — the ONE canonical empty
+    for group bodies that feed pack_series (scrape ingest, cascade)."""
+    from vertex_ray.stages.rollup import empty_agg_df
+
+    df = empty_agg_df()
+    df["filled"] = pd.Series(dtype=bool)
+    df["stale"] = pd.Series(dtype=bool)
+    return df[FILL_COLS]
+
+
 def fill_bucket_df(
     df: pd.DataFrame,
     window_seconds: int,

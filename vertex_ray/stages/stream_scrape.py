@@ -175,7 +175,8 @@ class StreamScrapeNormalizer:
 
 def stream_scrape(batches, *, metric: str, kind: str = "counter",
                   window_s: int = 60, n_actors: int = 4,
-                  max_points: int = 256) -> pa.Table:
+                  max_points: int = 256,
+                  default_ts_ms: int | None = None) -> pa.Table:
     """Drive a pool of StreamScrapeNormalizers over an iterable of
     exposition-LINE micro-batches (pa.Table with a ``text`` column).
     Each batch is parsed vectorized on the driver loop, then samples are
@@ -196,6 +197,17 @@ def stream_scrape(batches, *, metric: str, kind: str = "counter",
         s = s.filter(m)
         if s.num_rows == 0:
             continue
+        miss = pa.compute.equal(s["ts_ms"], -1)
+        if pa.compute.any(miss).as_py():
+            if default_ts_ms is None:
+                raise ValueError(
+                    "exposition samples without timestamps: pass "
+                    "default_ts_ms (the scrape time)")
+            s = s.set_column(
+                s.schema.get_field_index("ts_ms"), "ts_ms",
+                pa.compute.if_else(
+                    miss, pa.scalar(int(default_ts_ms), pa.int64()),
+                    s["ts_ms"]))
         tags = pd.Series(s["tags"].to_numpy(zero_copy_only=False),
                          dtype=object).str.replace('"', "", regex=False)
         key = (metric + "{" + tags + "}").to_numpy()
