@@ -291,6 +291,32 @@ def cmd_scrape(args) -> int:
     from vertex_ray.sources.codecs import read_lines
     from vertex_ray.state.checkpoint import write_stage
 
+    if args.append or args.finalize:
+        # incremental mode: append one epoch (or finalize open windows)
+        # to an epoch-layout store with carried normalize state
+        from vertex_ray.pipelines.scrape_incremental import (
+            scrape_append,
+            scrape_finalize,
+        )
+
+        if not args.metric:
+            print("incremental mode needs --metric (counter|gauge "
+                  "families)", file=sys.stderr)
+            return 2
+        kinds = {args.metric: args.kind or "counter"}
+        if args.finalize:
+            m = scrape_finalize(args.out, kinds=kinds,
+                                window_s=args.window, tier=args.tier,
+                                n_buckets=args.buckets)
+        else:
+            m = scrape_append(read_lines(args.path), args.out,
+                              kinds=kinds, window_s=args.window,
+                              tier=args.tier, n_buckets=args.buckets,
+                              default_ts_ms=args.scrape_time)
+        print(f"blocks: {m['blocks']['rows']} rows appended to "
+              f"{args.out} (epoch layout)")
+        return 0
+
     if args.metric:
         blocks = scrape_to_store(
             read_lines(args.path), metric=args.metric,
@@ -528,6 +554,12 @@ def main(argv: list[str] | None = None) -> int:
                     dest="scrape_time", metavar="EPOCH_MS",
                     help="timestamp assigned to samples without one "
                          "(the Prometheus scrape-time rule)")
+    sp.add_argument("--append", action="store_true",
+                    help="incremental mode: append one epoch with "
+                         "carried per-series normalize state")
+    sp.add_argument("--finalize", action="store_true",
+                    help="incremental mode: emit every open window as "
+                         "a final epoch (PATH is ignored)")
     sp.add_argument("--window", type=int, default=60,
                     help="rollup window seconds")
     sp.add_argument("--tier", default="1m")

@@ -3742,3 +3742,55 @@ def q_compression_docs(sf_dir: str):
 
 
 OP_QUERIES["op_compression_docs"] = q_compression_docs
+
+
+def q_scrape_incremental_events(sf_dir: str):
+    """INCREMENTAL scrape ingest: the counter fixture is split into 3
+    per-series time chunks and appended as three runs + a finalize
+    (pipelines/scrape_incremental) — per-series normalize reference and
+    OPEN-WINDOW partials persist between runs as a carried state stage
+    (the epoch pipeline's side-written per-bucket parts), so the union
+    of all epochs' blocks keeps the one-row-per-(series, window)
+    invariant and is hash-identical to the batch pipeline's SQL
+    telescoping mirror — incremental == one-shot, bit for bit."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_incremental import (
+        read_scrape_epochs,
+        scrape_append,
+        scrape_finalize,
+    )
+
+    def to_lines_runs(g):
+        import pandas as pd
+
+        out = _scrape_counter_lines(g)
+        n = len(out)
+        out["run"] = (np.arange(n) * 3) // max(n, 1)
+        return out
+
+    base = os.path.join(
+        "/tmp/vertex_ray_queries",
+        f"scrape_inc_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    lines = _ev(sf_dir).groupby("event_type").map_groups(
+        to_lines_runs, batch_format="pandas")
+    for r in range(3):
+        run = lines.map_batches(
+            lambda t, r=r: t.filter(pc.equal(t["run"], r)).select(["text"]),
+            batch_format="pyarrow")
+        scrape_append(run, base, kinds={"events_total": "counter"},
+                      window_s=60, tier="1m", n_buckets=8)
+    scrape_finalize(base, kinds={"events_total": "counter"}, window_s=60,
+                    tier="1m", n_buckets=8)
+    return decode_tier_blocks(read_scrape_epochs(base)).map_batches(
+        lambda t: t.select(["series_key", "window_start", "sum", "count"]),
+        batch_format="pyarrow")
+
+
+OP_QUERIES["scrape_incremental_1m_events"] = q_scrape_incremental_events
+OP_ORACLES["scrape_incremental_1m_events"] = SQL_SCRAPE_COUNTERS_EVENTS

@@ -335,20 +335,14 @@ def _collect_type_map(lines_ds) -> dict:
     return extract_type_map(pd.Series(rows, dtype=object))
 
 
-def _scrape_routed(lines_ds, *, kinds: dict, window_s: int, tier: str,
-                   n_buckets: int, untyped_fallback: bool = False,
-                   fallback_skip: set | None = None,
-                   fill_until_s: int | None = None,
-                   staleness_s: int = 300,
-                   default_ts_ms: int | None = None):
-    """Shared engine: parse → route families per ``kinds`` → ONE
-    groupby(bucket) exchange whose body runs the per-kind normalize +
-    rollup kernels vectorized across the bucket's series AND packs +
-    encodes the result (normalize output is already bucket-partitioned,
-    so no second exchange)."""
+def _scrape_parse_ds(lines_ds, *, kinds: dict, n_buckets: int,
+                     default_ts_ms: int | None = None,
+                     untyped_fallback: bool = False,
+                     fallback_skip: set | None = None):
+    """Exposition lines Dataset → routed flat samples with bucket +
+    series_key + kind (the shared parse stage of the one-shot and
+    incremental scrape pipelines)."""
     from vertex_ray.sources.prometheus_text import decode_prometheus_samples
-    from vertex_ray.stages.encode import GorillaEncode
-    from vertex_ray.stages.fill import pack_series
 
     hist_names = {m for m, k in kinds.items() if k == "histogram"}
 
@@ -415,6 +409,29 @@ def _scrape_routed(lines_ds, *, kinds: dict, window_s: int, tier: str,
         cols["value"] = s["value"]
         return pa.table(cols)
 
+    return lines_ds.map_batches(parse, batch_format="pyarrow")
+
+
+def _scrape_routed(lines_ds, *, kinds: dict, window_s: int, tier: str,
+                   n_buckets: int, untyped_fallback: bool = False,
+                   fallback_skip: set | None = None,
+                   fill_until_s: int | None = None,
+                   staleness_s: int = 300,
+                   default_ts_ms: int | None = None):
+    """Shared engine: parse → route families per ``kinds`` → ONE
+    groupby(bucket) exchange whose body runs the per-kind normalize +
+    rollup kernels vectorized across the bucket's series AND packs +
+    encodes the result (normalize output is already bucket-partitioned,
+    so no second exchange)."""
+    from vertex_ray.sources.prometheus_text import decode_prometheus_samples
+    from vertex_ray.stages.encode import GorillaEncode
+    from vertex_ray.stages.fill import pack_series
+
+    parsed = _scrape_parse_ds(lines_ds, kinds=kinds, n_buckets=n_buckets,
+                              default_ts_ms=default_ts_ms,
+                              untyped_fallback=untyped_fallback,
+                              fallback_skip=fallback_skip)
+
     def normalize_pack_encode(g: pd.DataFrame) -> pa.Table:
         frames = [_KIND_BUCKET[int(code)](sub, window_s, n_buckets)
                   for code, sub in g.groupby("kind", sort=True)]
@@ -447,6 +464,5 @@ def _scrape_routed(lines_ds, *, kinds: dict, window_s: int, tier: str,
         # fused_bucket_group pattern) — no separate actor-pool stage
         return GorillaEncode()(packed)
 
-    return (lines_ds.map_batches(parse, batch_format="pyarrow")
-            .groupby("bucket")
+    return (parsed.groupby("bucket")
             .map_groups(normalize_pack_encode, batch_format="pandas"))
