@@ -293,3 +293,55 @@ def test_builder_session_b_steps(ray_session):
     assert set(g.columns) >= {"doc_id", "gopher_pass", "n_words"}
     bp = STEP_TYPES["boilerplate"]({"max_doc_freq": 1}, docs).to_pandas()
     assert len(bp) == 2
+
+
+def test_multiplier_expands_template_per_value(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vertex_ray.pipelines.builder import build, validate
+
+    for t, vals in (("alpha", [1, 2, 60]), ("beta", [5, 70])):
+        pq.write_table(pa.table({"value": pa.array(vals,
+                                                   type=pa.float64())}),
+                       str(tmp_path / f"{t}.parquet"))
+    cfg = {
+        "multipliers": {
+            "per_table": {
+                "var": "t",
+                "values": {"glob": str(tmp_path / "*.parquet")},
+                "template": {
+                    "sources": {
+                        "src_${t}": {"type": "parquet",
+                                     "path": str(tmp_path) +
+                                     "/${t}.parquet"},
+                    },
+                    "transforms": {
+                        "big_${t}": {"type": "filter",
+                                     "inputs": ["src_${t}"],
+                                     "where": "value > 10.0"},
+                    },
+                },
+            },
+        },
+    }
+    assert validate(cfg) == []
+    built = build(cfg)
+    assert built["big_alpha"].count() == 1   # 60
+    assert built["big_beta"].count() == 1    # 70
+
+
+def test_multiplier_duplicate_name_is_error():
+    from vertex_ray.pipelines.builder import validate
+
+    cfg = {
+        "sources": {"src_a": {"type": "parquet", "path": "/x.parquet"}},
+        "multipliers": {
+            "m": {"var": "t", "values": ["a"],
+                  "template": {"sources": {
+                      "src_${t}": {"type": "parquet",
+                                   "path": "/${t}.parquet"}}}},
+        },
+    }
+    errs = validate(cfg)
+    assert errs and "already defined" in errs[0]

@@ -678,9 +678,74 @@ STEP_TYPES: dict[str, Callable] = {
 }
 
 
+def expand_multipliers(config: dict) -> dict:
+    """Config-level fan-out — the reference's ``multiplier`` source
+    (/root/reference src/sources/multiplier/mod.rs:30-37: a component
+    TEMPLATE interpolated once per discovered endpoint). A top-level
+    ``multipliers`` section instantiates its template per value:
+
+        multipliers:
+          per_table:
+            var: t
+            values: ["events", "orders"]      # or {"glob": "/d/*.parquet"}
+            template:
+              sources:
+                "src_${t}": {type: parquet, path: "/d/${t}.parquet"}
+
+    ``values`` may be a literal list or ``{"glob": pattern}`` (the
+    observer-discovery analogue: each match contributes its basename
+    sans extension). ``${var}`` interpolates in component NAMES, string
+    values, and strings inside lists. Returns a new config with the
+    instantiated components merged in; duplicate component names are a
+    validation-style error."""
+    muls = config.get("multipliers")
+    if not muls:
+        return config
+    import copy
+    import glob as _glob
+    import os as _os
+
+    out = {k: dict(v) for k, v in config.items() if k != "multipliers"}
+
+    def interp(obj, var, val):
+        token = "${" + var + "}"
+        if isinstance(obj, str):
+            return obj.replace(token, val)
+        if isinstance(obj, list):
+            return [interp(x, var, val) for x in obj]
+        if isinstance(obj, dict):
+            return {interp(k, var, val): interp(v, var, val)
+                    for k, v in obj.items()}
+        return obj
+
+    for mname, m in muls.items():
+        var = m.get("var", "value")
+        vals = m.get("values", [])
+        if isinstance(vals, dict) and "glob" in vals:
+            vals = sorted(
+                _os.path.splitext(_os.path.basename(p))[0]
+                for p in _glob.glob(vals["glob"]))
+        tmpl = m.get("template", {})
+        for val in vals:
+            inst = interp(copy.deepcopy(tmpl), var, str(val))
+            for section, comps in inst.items():
+                dst = out.setdefault(section, {})
+                for cname, cfg in comps.items():
+                    if cname in dst:
+                        raise ValueError(
+                            f"multiplier {mname}: component {cname!r} "
+                            f"already defined (value {val!r})")
+                    dst[cname] = cfg
+    return out
+
+
 def validate(config: dict) -> list[str]:
     """Dry-build diagnostics (the `vertex validate` analogue): unknown
     types, missing inputs, cycles, sink fan-in. Empty list = valid."""
+    try:
+        config = expand_multipliers(config)
+    except ValueError as e:
+        return [str(e)]
     errors = []
     sources = config.get("sources", {})
     transforms = config.get("transforms", {})
@@ -726,6 +791,7 @@ def build(config: dict) -> dict:
     errs = validate(config)
     if errs:
         raise ValueError("invalid pipeline config: " + "; ".join(errs))
+    config = expand_multipliers(config)
     built: dict = {}
     for name, cfg in config.get("sources", {}).items():
         built[name] = STEP_TYPES[cfg["type"]](cfg)
