@@ -124,3 +124,66 @@ def test_incremental_carry_through_idle_run(ray_session, tmp_path):
                     n_buckets=2)
     assert _decoded(store, "g", "last") == {("g{h=x}", 0): 7.0}
     assert _decoded(store, "other", "last") == {("other{h=y}", 0): 1.0}
+
+
+def test_incremental_histogram_across_runs(ray_session, tmp_path):
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_incremental import (
+        read_scrape_epochs,
+        scrape_append,
+        scrape_finalize,
+    )
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+    from vertex_ray.schema import DEFAULT_BUCKETS
+
+    def fam(ts_ms, count, total, cum):
+        ls = [f'rt_count{{j="a"}} {count} {ts_ms}',
+              f'rt_sum{{j="a"}} {total} {ts_ms}']
+        for u, c in zip(DEFAULT_BUCKETS, cum):
+            ls.append(f'rt_bucket{{j="a",le="{u}"}} {c} {ts_ms}')
+        return ls
+
+    def cum(*obs):
+        o = np.asarray(obs, dtype=np.float64)
+        return [int((o <= u).sum()) for u in DEFAULT_BUCKETS]
+
+    runs = [
+        fam(0, 2, 0.75, cum(0.25, 0.5)),
+        fam(30000, 3, 5.75, cum(0.25, 0.5, 5.0)),   # same window
+        fam(61000, 1, 0.01, cum(0.01)),             # reset, new window
+        fam(130000, 2, 0.02, cum(0.01, 0.01)),
+    ]
+    # batch reference over the whole stream
+    all_rows = [r for run in runs for r in run]
+    want = decode_tier_blocks(scrape_to_store(
+        _lines(all_rows), metric="rt", kind="histogram",
+        n_buckets=2)).to_pandas()
+    want = want.sort_values("window_start").reset_index(drop=True)
+
+    store = str(tmp_path / "inc")
+    for run in runs:
+        scrape_append(_lines(run), store, kinds={"rt": "histogram"},
+                      n_buckets=2)
+    scrape_finalize(store, kinds={"rt": "histogram"}, n_buckets=2)
+    got = decode_tier_blocks(read_scrape_epochs(store)).to_pandas()
+    got = got.sort_values("window_start").reset_index(drop=True)
+    cols = ["series_key", "window_start", "count", "sum"] + [
+        f"b{i:02d}" for i in range(11)]
+    assert got[cols].equals(want[cols])
+
+
+def test_incremental_append_after_finalize_rejected(ray_session, tmp_path):
+    import pytest
+
+    from vertex_ray.pipelines.scrape_incremental import (
+        scrape_append,
+        scrape_finalize,
+    )
+
+    store = str(tmp_path / "inc")
+    scrape_append(_lines(['g{h="x"} 1.0 0']), store, kinds={"g": "gauge"},
+                  n_buckets=2)
+    scrape_finalize(store, kinds={"g": "gauge"}, n_buckets=2)
+    with pytest.raises(ValueError, match="finalized"):
+        scrape_append(_lines(['g{h="x"} 2.0 60000']), store,
+                      kinds={"g": "gauge"}, n_buckets=2)

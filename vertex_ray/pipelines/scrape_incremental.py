@@ -1,25 +1,28 @@
 """Incremental scrape ingest: successive scrape runs append epoch
 increments to ONE store, carrying per-series normalize state between
 runs — the resumable form of pipelines/scrape_pipeline, mirroring the
-flagship's epoch pipeline (pipelines/epoch_pipeline) exactly:
+flagship's epoch pipeline (pipelines/epoch_pipeline):
 
 - each run commits ``epoch-<seq>/{agg,blocks,state}`` stages; blocks
   and state are side-written per bucket (atomic rename, idempotent —
   a retried/killed run reuses finished buckets);
 - the carried state is the reference's ``MetricNormalizer`` memory
   (/root/reference lib/framework/src/sink/buffer/metrics.rs:100-146)
-  persisted: per series the last accepted timestamp, the last
-  cumulative value (counters seed their diff from it, so the first
-  sample of run N+1 EMITS a delta instead of re-setting the
-  reference), and the still-OPEN window's partial aggregate — a window
-  only emits when a later window for that series arrives (or at
+  persisted in its RAWEST form: each series' LAST raw scrape instant
+  (one sample row for counters/gauges, the full 13-row family for
+  histograms). Prepending those rows to the next run's samples makes
+  the unchanged batch kernels reproduce seeding exactly — the
+  first-sample/first-instant drop consumes the carried reference, so
+  run N+1's first real sample EMITS a delta; no per-kind seeding code;
+- the still-OPEN window's partial aggregate rides along as agg-shaped
+  rows folded back in with the FIXTURES §F4 merge — a window only
+  emits when a later window for that series arrives (or at
   ``scrape_finalize``), so the store keeps its one-row-per-(series,
   window) invariant across arbitrary run boundaries;
 - samples at or before a series' last accepted timestamp are dropped
   (at-least-once replay absorb, same rule as the streaming encoder).
 
-Counter and gauge families (histograms roll up via the one-shot batch
-path — their 13-stream open-window state is not carried yet).
+All three kinds (counter / gauge / histogram) carry state.
 
 The resulting store is the epoch layout: query it with
 ``read_epochs_stage`` / the read façade's ``layout="epochs"``, compact
@@ -35,7 +38,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from vertex_ray.schema import KIND_GAUGE, KIND_SUM
 from vertex_ray.state import fsio
 from vertex_ray.state.checkpoint import finalize_stage, write_stage
 
@@ -43,70 +45,30 @@ __all__ = ["scrape_append", "scrape_finalize", "read_scrape_epochs"]
 
 _SENTINEL_KIND = 255
 
-STATE_SCHEMA = pa.schema([
-    pa.field("series_key", pa.string()),
-    pa.field("kind", pa.uint8()),
-    pa.field("last_ts_ms", pa.int64()),
-    pa.field("last_cum", pa.float64()),
-    pa.field("open_w", pa.int64()),        # -1 = no open window
-    pa.field("open_sum", pa.float64()),
-    pa.field("open_count", pa.float64()),
-    pa.field("open_min", pa.float64()),
-    pa.field("open_max", pa.float64()),
-    pa.field("open_last", pa.float64()),
-    pa.field("open_last_ts", pa.int64()),  # epoch us
-])
 
-
-def _empty_state() -> pa.Table:
-    return STATE_SCHEMA.empty_table()
-
-
-def _sentinels(n_buckets: int) -> pa.Table:
+def _sentinels(n_buckets: int, with_hist: bool) -> pa.Table:
     """One synthetic row per bucket so EVERY bucket's group body runs —
     buckets whose series got no new samples must still carry their
     state forward (the flagship epoch pipeline's sentinel trick)."""
-    return pa.table({
+    cols = {
         "bucket": pa.array(np.arange(n_buckets, dtype=np.int32)),
         "series_key": pa.array([""] * n_buckets, type=pa.string()),
         "kind": pa.array(np.full(n_buckets, _SENTINEL_KIND, np.uint8)),
-        "ts_ms": pa.array(np.zeros(n_buckets, np.int64)),
-        "value": pa.array(np.zeros(n_buckets, np.float64)),
-    })
-
-
-def _state_to_open_rows(st: pd.DataFrame,
-                        n_buckets: int) -> pd.DataFrame:
-    """Carried open-window partials → agg-shaped rows for merge_agg."""
-    from vertex_ray.pipelines.scrape_pipeline import (
-        _agg_frame_from,
-        _empty_agg_frame,
-    )
-
-    st = st[st["open_w"] >= 0]
-    if len(st) == 0:
-        return _empty_agg_frame()
-    frames = []
-    for kc in (KIND_SUM, KIND_GAUGE):
-        sub = st[st["kind"] == kc]
-        if len(sub) == 0:
-            continue
-        frames.append(_agg_frame_from(
-            sub["series_key"].to_numpy(dtype=object),
-            sub["open_w"].to_numpy(np.int64), n_buckets, kc,
-            sub["open_last_ts"].to_numpy(np.int64),
-            {"sum": sub["open_sum"], "count": sub["open_count"],
-             "min": sub["open_min"], "max": sub["open_max"],
-             "last": sub["open_last"]}))
-    return (pd.concat(frames, ignore_index=True) if frames
-            else _empty_agg_frame())
+    }
+    if with_hist:
+        cols["role"] = pa.array([""] * n_buckets, type=pa.string())
+        cols["le"] = pa.array(np.full(n_buckets, np.nan),
+                              type=pa.float64())
+    cols["ts_ms"] = pa.array(np.zeros(n_buckets, np.int64))
+    cols["value"] = pa.array(np.zeros(n_buckets, np.float64))
+    return pa.table(cols)
 
 
 def _bucket_body(g: pa.Table, *, window_s: int, tier: str, n_buckets: int,
                  state_in_dir: str | None, state_parts_dir: str,
                  blocks_parts_dir: str, emit_all: bool) -> pa.Table:
-    """One bucket × one run: seed from carried state, run the batch
-    normalize kernels, merge carried open partials, split open vs
+    """One bucket × one run: prepend carried reference rows, run the
+    batch normalize kernels, fold carried open partials, split open vs
     emitted, side-write blocks + next state, return emitted agg rows."""
     from vertex_ray.stages.encode import GorillaEncode
     from vertex_ray.stages.fill import pack_series
@@ -114,6 +76,7 @@ def _bucket_body(g: pa.Table, *, window_s: int, tier: str, n_buckets: int,
 
     from vertex_ray.pipelines.scrape_pipeline import (
         _KIND_BUCKET,
+        _agg_columns,
         _empty_agg_frame,
     )
 
@@ -121,45 +84,39 @@ def _bucket_body(g: pa.Table, *, window_s: int, tier: str, n_buckets: int,
     kinds_col = g["kind"].to_numpy(zero_copy_only=False)
     data = g.filter(pa.array(kinds_col != _SENTINEL_KIND)).to_pandas()
 
-    st = None
+    refs = open_rows = None
     if state_in_dir is not None:
-        p = posixpath.join(state_in_dir, f"part-{bucket_id:05d}.parquet")
+        p = posixpath.join(state_in_dir, f"refs-{bucket_id:05d}.parquet")
         if fsio.exists(p):
-            st = fsio.read_parquet(p).to_pandas()
-    if st is None:
-        st = _empty_state().to_pandas()
+            refs = fsio.read_parquet(p).to_pandas()
+        p = posixpath.join(state_in_dir, f"open-{bucket_id:05d}.parquet")
+        if fsio.exists(p):
+            open_rows = fsio.read_parquet(p).to_pandas()
+    if refs is None:
+        refs = data.iloc[0:0]
+    if open_rows is None:
+        open_rows = _empty_agg_frame()
 
     # replay absorb: drop samples at or before the series' last accepted
-    # timestamp (vectorized map through the carried state)
-    if len(data) and len(st):
-        last = data["series_key"].map(
-            dict(zip(st["series_key"], st["last_ts_ms"])))
-        keep = last.isna().to_numpy() | (
-            data["ts_ms"].to_numpy() > last.fillna(-1).to_numpy())
-        data = data[keep]
+    # timestamp (the carried reference rows ARE that timestamp)
+    if len(data) and len(refs):
+        last = refs.groupby("series_key")["ts_ms"].max()
+        lm = data["series_key"].map(last)
+        data = data[lm.isna().to_numpy()
+                    | (data["ts_ms"].to_numpy()
+                       > lm.fillna(-1).to_numpy())]
 
-    # counter seeding: a synthetic reference sample (last_ts, last_cum)
-    # per carried counter series — the kernel's first-sample drop then
-    # reproduces "diff from the carried reference" exactly
-    ctr_state = st[st["kind"] == KIND_SUM]
-    if len(ctr_state):
-        synth = pd.DataFrame({
-            "bucket": np.int32(bucket_id),
-            "series_key": ctr_state["series_key"].to_numpy(dtype=object),
-            "kind": np.uint8(KIND_SUM),
-            "ts_ms": ctr_state["last_ts_ms"].to_numpy(np.int64),
-            "value": ctr_state["last_cum"].to_numpy(np.float64),
-        })
-        data = pd.concat([synth, data], ignore_index=True)
+    # carried reference rows replay as each series' FIRST instant — the
+    # kernels' first-sample/first-instant drop consumes them, so diffs
+    # seed from the carried values with zero per-kind seeding code
+    combined = (pd.concat([refs, data], ignore_index=True)
+                if len(refs) else data)
 
-    frames = []
-    for code, sub in data.groupby("kind", sort=True):
-        frames.append(_KIND_BUCKET[int(code)](sub, window_s, n_buckets))
-    new_rows = (pd.concat([f for f in frames if len(f)],
-                          ignore_index=True)
-                if any(len(f) for f in frames) else _empty_agg_frame())
-    # fold the carried open partials (merge contract of FIXTURES §F4)
-    open_rows = _state_to_open_rows(st, n_buckets)
+    frames = [f for _, sub in combined.groupby("kind", sort=True)
+              for f in [_KIND_BUCKET[int(sub["kind"].iloc[0])](
+                  sub, window_s, n_buckets)] if len(f)]
+    new_rows = (pd.concat(frames, ignore_index=True) if frames
+                else _empty_agg_frame())
     all_rows = pd.concat([open_rows, new_rows], ignore_index=True)
     if len(all_rows):
         all_rows = merge_agg(all_rows, window_s)
@@ -176,8 +133,12 @@ def _bucket_body(g: pa.Table, *, window_s: int, tier: str, n_buckets: int,
         opens = all_rows.iloc[0:0]
         emit = all_rows
 
-    # next state: normalize references advance with the new samples
-    new_state = _next_state(st, data, opens)
+    # next references: every row of each series' latest instant
+    if len(combined):
+        mxts = combined.groupby("series_key")["ts_ms"].transform("max")
+        new_refs = combined[combined["ts_ms"].to_numpy() == mxts.to_numpy()]
+    else:
+        new_refs = combined
 
     if len(emit):
         codes, _ = pd.factorize(emit["series_key"].to_numpy(dtype=object))
@@ -192,60 +153,16 @@ def _bucket_body(g: pa.Table, *, window_s: int, tier: str, n_buckets: int,
         if not fsio.exists(final):
             fsio.write_parquet_atomic(GorillaEncode()(packed), final,
                                       str(os.getpid()))
-    sfinal = posixpath.join(state_parts_dir, f"part-{bucket_id:05d}.parquet")
-    if not fsio.exists(sfinal):
-        fsio.write_parquet_atomic(new_state, sfinal, str(os.getpid()))
-
-    from vertex_ray.pipelines.scrape_pipeline import _agg_columns
+    for name, frame in (("refs", new_refs), ("open", opens)):
+        f = posixpath.join(state_parts_dir,
+                           f"{name}-{bucket_id:05d}.parquet")
+        if not fsio.exists(f):
+            fsio.write_parquet_atomic(
+                pa.Table.from_pandas(frame, preserve_index=False), f,
+                str(os.getpid()))
 
     out = emit[[c for c in _agg_columns() if c in emit.columns]]
     return pa.Table.from_pandas(out, preserve_index=False)
-
-
-def _next_state(st: pd.DataFrame, data: pd.DataFrame,
-                opens: pd.DataFrame) -> pa.Table:
-    """Carried state ∪ this run's observations → next state table.
-
-    ``data`` includes the synthetic counter reference rows — harmless:
-    their (ts, value) equal the carried reference, and real samples
-    sort after them."""
-    if len(data):
-        d = data.sort_values(["series_key", "ts_ms", "value"],
-                             kind="stable")
-        refs = d.groupby("series_key", sort=False).agg(
-            last_ts_ms=("ts_ms", "last"), last_cum=("value", "last"),
-            kind=("kind", "last")).reset_index()
-    else:
-        refs = pd.DataFrame({"series_key": [], "last_ts_ms": [],
-                             "last_cum": [], "kind": []})
-    carried = st[~st["series_key"].isin(set(refs["series_key"]))]
-    refs = pd.concat([refs, carried[["series_key", "last_ts_ms",
-                                     "last_cum", "kind"]]],
-                     ignore_index=True)
-    om = opens.set_index("series_key") if len(opens) else None
-    key = refs["series_key"].to_numpy(dtype=object)
-
-    def col(name, default, dtype):
-        if om is None or name not in om.columns:
-            return np.full(len(refs), default, dtype=dtype)
-        s = om[name].reindex(refs["series_key"])
-        return s.fillna(default).to_numpy().astype(dtype)
-
-    return pa.table({
-        "series_key": pa.array(key, type=pa.string()),
-        "kind": pa.array(refs["kind"].to_numpy().astype(np.uint8)),
-        "last_ts_ms": pa.array(
-            refs["last_ts_ms"].to_numpy().astype(np.int64)),
-        "last_cum": pa.array(
-            refs["last_cum"].to_numpy().astype(np.float64)),
-        "open_w": pa.array(col("window_start", -1, np.int64)),
-        "open_sum": pa.array(col("sum", np.nan, np.float64)),
-        "open_count": pa.array(col("count", 0, np.float64)),
-        "open_min": pa.array(col("min", np.nan, np.float64)),
-        "open_max": pa.array(col("max", np.nan, np.float64)),
-        "open_last": pa.array(col("last", np.nan, np.float64)),
-        "open_last_ts": pa.array(col("last_ts", 0, np.int64)),
-    })
 
 
 def _epoch_seq_dirs(out_dir: str) -> list[str]:
@@ -261,18 +178,43 @@ def scrape_append(lines_ds, out_dir: str, *, kinds: dict,
                   _emit_all: bool = False) -> dict:
     """Append one scrape run to the incremental store at ``out_dir``.
 
-    ``kinds`` maps family name → ``counter|gauge`` (histograms: batch
-    path only). Returns the committed stage manifests for this epoch."""
+    ``kinds`` maps family name → ``counter|gauge|histogram`` and must
+    stay identical across a store's runs (validated against the
+    previous epoch's lineage). Returns this epoch's stage manifests."""
     import functools
 
-    from vertex_ray.pipelines.epoch_pipeline import _prepare_parts_dir
-    from vertex_ray.pipelines.scrape_pipeline import _scrape_parse_ds
+    import ray.data as rd
 
-    bad = {m: k for m, k in kinds.items() if k not in ("counter", "gauge")}
+    from vertex_ray.pipelines.epoch_pipeline import _prepare_parts_dir
+    from vertex_ray.pipelines.scrape_pipeline import (
+        _KIND_CODE,
+        _scrape_parse_ds,
+    )
+
+    bad = {m: k for m, k in kinds.items() if k not in _KIND_CODE}
     if bad:
-        raise ValueError(f"incremental scrape supports counter|gauge "
-                         f"families, got {bad}")
+        raise ValueError(f"unknown family kinds: {bad}")
     prev = _epoch_seq_dirs(out_dir)
+    if prev:
+        from vertex_ray.state.checkpoint import read_manifest
+
+        plin = read_manifest(posixpath.join(prev[-1], "state"))["lineage"]
+        if plin.get("finalize"):
+            raise ValueError(
+                "store is finalized (every open window emitted) — "
+                "appending after scrape_finalize would re-emit windows")
+        # new families may join mid-stream; an EXISTING family must not
+        # change kind (its carried reference rows assume the old one)
+        changed = {m: (k0, kinds[m])
+                   for m, k0 in (plin.get("kinds") or {}).items()
+                   if m in kinds and kinds[m] != k0}
+        if changed:
+            raise ValueError(
+                f"family kind changed across runs: {changed}")
+        if (plin.get("window_s"), plin.get("n_buckets")) != (window_s,
+                                                             n_buckets):
+            raise ValueError("window_s/n_buckets must stay identical "
+                             "across a store's runs")
     seq = len(prev)
     state_in = posixpath.join(prev[-1], "state") if prev else None
     edir = posixpath.join(out_dir, f"epoch-{seq}")
@@ -287,9 +229,8 @@ def scrape_append(lines_ds, out_dir: str, *, kinds: dict,
 
     parsed = _scrape_parse_ds(lines_ds, kinds=kinds, n_buckets=n_buckets,
                               default_ts_ms=default_ts_ms)
-    import ray.data as rd
-
-    parsed = parsed.union(rd.from_arrow(_sentinels(n_buckets)))
+    with_hist = any(k == "histogram" for k in kinds.values())
+    parsed = parsed.union(rd.from_arrow(_sentinels(n_buckets, with_hist)))
     agg_ds = parsed.groupby("bucket").map_groups(
         functools.partial(
             _bucket_body, window_s=window_s, tier=tier,
