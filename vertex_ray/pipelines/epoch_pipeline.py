@@ -293,6 +293,11 @@ def read_epochs_stage(out_dir: str, stage: str, tier: str | None = None,
     files: list[str] = []
     for edir in epoch_dirs(out_dir):
         files.extend(stage_files(posixpath.join(edir, stage)))
+    if not files:
+        # every committed epoch was empty (e.g. ingest of an empty source)
+        from vertex_ray.schema import BLOCK_SCHEMA
+
+        return rd.from_arrow(BLOCK_SCHEMA.empty_table())
     kwargs = {"override_num_blocks": _target_blocks()}
     expr = None
     if tier is not None:
