@@ -965,12 +965,14 @@ def _q_dom_profile_1d(sf_dir: str):
                       ["series_key", "window_start", "count"])
 
     def prep(t):
-        for part in ("year", "month", "day_of_month"):
+        for part in ("year", "month", "day_of_month", "day_of_year"):
             t = window_time(t, "window_start", part)
-        return t.select(["year", "month", "day_of_month", "count"])
+        return t.select(["year", "month", "day_of_month", "day_of_year",
+                         "count"])
 
     return group_sum(ds.map_batches(prep, batch_format="pyarrow"),
-                     ["year", "month", "day_of_month"], ["count"])
+                     ["year", "month", "day_of_month", "day_of_year"],
+                     ["count"])
 
 
 def _q_stitched_1d_1h(sf_dir: str):
@@ -3030,8 +3032,11 @@ def oracle_sql() -> dict[str, str]:
               CAST(date_part('day',
                    make_timestamp(window_start * 1000000)) AS BIGINT)
                 AS day_of_month,
+              CAST(date_part('doy',
+                   make_timestamp(window_start * 1000000)) AS BIGINT)
+                AS day_of_year,
               CAST(sum(count) AS BIGINT) AS count
-            FROM g GROUP BY 1, 2, 3
+            FROM g GROUP BY 1, 2, 3, 4
             """,
         "stitched_1d_1h_turns": f"""
             WITH b AS (

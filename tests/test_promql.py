@@ -1147,7 +1147,7 @@ def test_window_time_calendar_parts_fuzz():
     ref = pd.to_datetime(ws, unit="s", utc=True)
     for part, attr in [("minute", "minute"), ("hour", "hour"),
                        ("day_of_month", "day"), ("month", "month"),
-                       ("year", "year"),
+                       ("year", "year"), ("day_of_year", "dayofyear"),
                        ("days_in_month", "days_in_month")]:
         got = window_time(t, part=part)[part].to_numpy()
         np.testing.assert_array_equal(

@@ -145,8 +145,8 @@ INSTANT_FUNCS = {
     "abs", "ceil", "floor", "round", "sqrt", "sgn", "timestamp",
     "clamp", "clamp_min", "clamp_max", "sort", "sort_desc",
     "label_replace", "label_join",
-    "minute", "hour", "day_of_week", "day_of_month", "month", "year",
-    "days_in_month",
+    "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+    "month", "year", "days_in_month",
 }
 
 # --------------------------------------------------------------------------
@@ -1049,8 +1049,8 @@ def _eval_call(node: Call, ctx: _Ctx):
 
     f = node.func
 
-    if f in ("minute", "hour", "day_of_week", "day_of_month", "month",
-             "year", "days_in_month"):
+    if f in ("minute", "hour", "day_of_week", "day_of_month",
+             "day_of_year", "month", "year", "days_in_month"):
         v = _need_vector(_eval(node.args[0], ctx), f)
 
         def fn(t: pa.Table) -> pa.Table:

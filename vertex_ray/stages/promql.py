@@ -1280,8 +1280,9 @@ def window_time(t: pa.Table, window_col: str = "window_start",
                 part: str = "hour", out_col: str | None = None) -> pa.Table:
     """PromQL time functions over the evaluation window — the full set:
     ``minute()`` / ``hour()`` (UTC), ``day_of_week()`` (0-6, 0 = Sunday,
-    the Prometheus convention), ``day_of_month()``, ``month()``,
-    ``year()`` and ``days_in_month()``. minute/hour/day_of_week are pure
+    the Prometheus convention), ``day_of_month()``, ``day_of_year()``,
+    ``month()``, ``year()`` and ``days_in_month()``.
+    minute/hour/day_of_week are pure
     modular arithmetic on epoch seconds; the calendar parts use the
     public-domain civil-from-days algorithm (Howard Hinnant,
     "chrono-compatible low-level date algorithms") — exact integer
@@ -1296,7 +1297,8 @@ def window_time(t: pa.Table, window_col: str = "window_start",
         v = (ws % 86400) // 3600
     elif part == "day_of_week":
         v = (days + 4) % 7
-    elif part in ("day_of_month", "month", "year", "days_in_month"):
+    elif part in ("day_of_month", "month", "year", "days_in_month",
+                  "day_of_year"):
         # civil_from_days: numpy // and % are floor/Euclidean for int64,
         # matching the algorithm's requirements for pre-1970 windows too
         z = days + 719468
@@ -1314,6 +1316,11 @@ def window_time(t: pa.Table, window_col: str = "window_start",
             v = m
         elif part == "year":
             v = y
+        elif part == "day_of_year":
+            leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+            cum = np.array([0, 31, 59, 90, 120, 151, 181, 212, 243, 273,
+                            304, 334], dtype=np.int64)[m - 1]
+            v = cum + d + ((m > 2) & leap)
         else:
             leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
             dim = np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
