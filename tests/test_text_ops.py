@@ -1157,6 +1157,42 @@ def test_pii_redact_op():
     assert out[3]["n_ip"] == 1 and out[3]["n_ssn"] == 0
 
 
+def test_url_domain_op():
+    from vertex_ray.stages.text import url_domain_op
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "see https://a.example.org/d/1 and http://b.net/x?q=2",
+            "no urls here",
+            "bare host https://cdn7.example.net then text",
+            "port/path https://h.io:8443/p stops at whitespace",
+        ],
+    })
+    out = url_domain_op()(t).to_pylist()
+    assert [r["n_urls"] for r in out] == [2, 0, 1, 1]
+    assert [r["domain"] for r in out] == [
+        "a.example.org", None, "cdn7.example.net", "h.io"]
+
+
+def test_domain_freq_blocklist(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.text import domain_freq
+
+    t = pa.table({
+        "doc_id": list(range(6)),
+        "text": [
+            "x https://a.org/1", "y https://a.org/2", "z https://b.org/3",
+            "w https://bad.org/4", "no url", "v https://b.org/5 https://a.org/6",
+        ],
+    })
+    out = domain_freq(rd.from_arrow(t), blocked=frozenset({"bad.org"}))
+    rows = {r["domain"]: (r["n_docs"], r["n_urls"])
+            for r in out.take_all()}
+    assert rows == {"a.org": (2, 2), "b.org": (2, 3)}
+
+
 def test_length_fit_residuals(ray_session):
     import ray.data as rd
 

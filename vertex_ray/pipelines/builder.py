@@ -375,6 +375,24 @@ def _t_compression_ratio(cfg, ds):
         batch_format="pyarrow")
 
 
+def _t_url_domains(cfg, ds):
+    from vertex_ray.stages.text import url_domain_op
+
+    return ds.map_batches(
+        url_domain_op(cfg.get("text_col", "text"),
+                      cfg.get("id_col", "doc_id")),
+        batch_format="pyarrow")
+
+
+def _t_domain_freq(cfg, ds):
+    from vertex_ray.stages.text import domain_freq
+
+    blocked = cfg.get("blocked")
+    return domain_freq(ds, cfg.get("text_col", "text"),
+                       cfg.get("id_col", "doc_id"),
+                       blocked=frozenset(blocked) if blocked else None)
+
+
 def _t_pii_redact(cfg, ds):
     from vertex_ray.stages.text import pii_redact_op
 
@@ -656,6 +674,8 @@ STEP_TYPES: dict[str, Callable] = {
     "gopher": _t_gopher,
     "compression_ratio": _t_compression_ratio,
     "pii_redact": _t_pii_redact,
+    "url_domains": _t_url_domains,
+    "domain_freq": _t_domain_freq,
     "boilerplate": _t_boilerplate,
     "mixture": _t_mixture,
     "dsir": _t_dsir,

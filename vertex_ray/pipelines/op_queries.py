@@ -3221,6 +3221,99 @@ OP_QUERIES["op_pii_redact_docs"] = q_pii_redact_docs
 OP_ORACLES["op_pii_redact_docs"] = SQL_PII_REDACT_DOCS
 
 
+def _augment_urls(t: "pa.Table") -> "pa.Table":
+    """Deterministic URL fixture (the synthetic corpus carries no URLs):
+    doc_id % 3 != 0 → one per-source URL; doc_id % 5 == 0 → one extra
+    CDN URL (so doc_id % 15 == 0 docs have ONLY the CDN one and the
+    first-match domain branch flips); doc_id % 15 ∈ {3, 6, 9, 12}·…
+    with neither → n_urls = 0 / domain NULL."""
+    import pyarrow as pa
+
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    txt = t["text"].to_numpy(zero_copy_only=False)
+    src = t["source"].to_numpy(zero_copy_only=False)
+    aug = np.array([
+        f"{x}"
+        + (f" see https://{s}.example.org/d/{d} ok" if d % 3 else "")
+        + (f" https://cdn{d % 4}.example.net/x" if d % 5 == 0 else "")
+        for x, d, s in zip(txt, ids, src)], dtype=object)
+    return pa.table({"doc_id": t["doc_id"],
+                     "text": pa.array(aug, type=pa.string())})
+
+
+_SQL_URL_AUG = r"""
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN ' see https://' || source || '.example.org/d/'
+                      || doc_id || ' ok' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' https://cdn' || (doc_id % 4) || '.example.net/x'
+                 ELSE '' END AS t
+  FROM documents
+"""
+
+
+def q_url_domains_docs(sf_dir: str):
+    """Per-doc URL / first-domain extraction (stages/text.url_domain_op)
+    over the deterministically URL-augmented corpus — n_urls counts,
+    nullable first-match domain, bit-identical to the RE2 SQL mirror."""
+    from vertex_ray.stages.text import url_domain_op
+
+    return (_docs(sf_dir)
+            .map_batches(_augment_urls, batch_format="pyarrow")
+            .map_batches(url_domain_op("text", "doc_id"),
+                         batch_format="pyarrow"))
+
+
+SQL_URL_DOMAINS_DOCS = rf"""
+WITH s0 AS ({_SQL_URL_AUG})
+SELECT doc_id,
+       len(regexp_extract_all(t, 'https?://[^\s"<>]+')) AS n_urls,
+       nullif(regexp_extract(t, 'https?://([^\s"<>/:]+)', 1), '')
+         AS domain
+FROM s0
+"""
+
+OP_QUERIES["op_url_domains_docs"] = q_url_domains_docs
+OP_ORACLES["op_url_domains_docs"] = SQL_URL_DOMAINS_DOCS
+
+
+def q_domain_freq_docs(sf_dir: str):
+    """Corpus domain-frequency table with a broadcast blocklist
+    (stages/text.domain_freq): docs keyed by the host of their first
+    URL, two domains blocked batch-locally before the ONE combiner
+    exchange — the per-domain statistics that feed mixture weights /
+    blocklist curation (C4, RefinedWeb)."""
+    from vertex_ray.stages.text import domain_freq
+
+    ds = _docs(sf_dir).map_batches(_augment_urls, batch_format="pyarrow")
+    return domain_freq(ds, "text", "doc_id",
+                       blocked=frozenset({"cdn1.example.net",
+                                          "src2.example.org"}))
+
+
+SQL_DOMAIN_FREQ_DOCS = rf"""
+WITH s0 AS ({_SQL_URL_AUG}),
+d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, 'https?://[^\s"<>]+')) AS n_urls,
+         nullif(regexp_extract(t, 'https?://([^\s"<>/:]+)', 1), '')
+           AS domain
+  FROM s0
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_urls) AS BIGINT) AS n_urls
+FROM d
+WHERE domain IS NOT NULL
+  AND domain NOT IN ('cdn1.example.net', 'src2.example.org')
+GROUP BY domain
+"""
+
+OP_QUERIES["op_domain_freq_docs"] = q_domain_freq_docs
+OP_ORACLES["op_domain_freq_docs"] = SQL_DOMAIN_FREQ_DOCS
+
+
 def _scrape_counter_lines(g):
     """Deterministic scrape fixture: arrival order = (ts, event_id),
     cumulative counter = rank % 1000 (forces resets every 1000)."""

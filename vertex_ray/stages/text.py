@@ -1366,6 +1366,60 @@ def pii_redact_op(text_col: str = "text", id_col: str = "doc_id"):
     return fn
 
 
+URL_RE = r'https?://[^\s"<>]+'
+DOMAIN_RE = r'https?://(?P<domain>[^\s"<>/:]+)'
+
+
+def url_domain_op(text_col: str = "text", id_col: str = "doc_id"):
+    """URL / domain extraction over a document column — the first step
+    of domain-level corpus curation (per-domain mixture weights,
+    domain blocklists à la RefinedWeb/C4). Per doc: ``n_urls`` =
+    non-overlapping URL matches, ``domain`` = host of the FIRST URL
+    (null when the doc has none). Both are single vectorized RE2 passes
+    (``count_substring_regex`` / ``extract_regex``), and DuckDB's
+    regexp functions run the same RE2 syntax, so the whole op is
+    hash-checkable against a SQL mirror (``len(regexp_extract_all)`` +
+    ``nullif(regexp_extract(..., 1), '')``)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n = pc.cast(pc.count_substring_regex(txt, URL_RE), pa.int64())
+        dom = pc.struct_field(pc.extract_regex(txt, DOMAIN_RE), "domain")
+        return pa.table({id_col: t[id_col], "n_urls": n, "domain": dom})
+
+    return fn
+
+
+def domain_freq(ds, text_col: str = "text", id_col: str = "doc_id",
+                blocked: frozenset | None = None):
+    """Corpus-level domain frequency table: (domain, n_docs, n_urls),
+    docs bucketed by the host of their first URL; URL-less docs and
+    ``blocked`` domains dropped. The blocklist is a broadcast set
+    applied batch-locally BEFORE the exchange; shuffle volume is the
+    per-batch distinct-domain count (combiner pattern via group_sum),
+    never the corpus."""
+    from vertex_ray.stages.promql import group_sum
+
+    blocked_arr = pa.array(sorted(blocked), type=pa.string()) \
+        if blocked else None
+    ex = url_domain_op(text_col, id_col)
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = ex(t)
+        d = d.filter(pc.is_valid(d["domain"]))
+        if blocked_arr is not None and len(blocked_arr):
+            d = d.filter(pc.invert(pc.is_in(d["domain"],
+                                            value_set=blocked_arr)))
+        return pa.table({"domain": d["domain"],
+                         "n_docs": pa.array(np.ones(len(d), np.int64)),
+                         "n_urls": d["n_urls"]})
+
+    return group_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                     ["domain"], ["n_docs", "n_urls"])
+
+
 def length_fit_residuals(ds, *, text_col: str = "text",
                          id_col: str = "doc_id", y_col: str = "n_chars",
                          k_sigma: float = 3.0,
