@@ -55,6 +55,37 @@ def test_throttle_quota(events_ds):
     assert set(out["event_id"]) == set(expect["event_id"])
 
 
+def test_throttle_gcra(ray_session):
+    """Mirrors the reference gcra-crate test (rate_limiter.rs tests:
+    LIMIT=3 / WINDOW=1s): a burst of 3 conforms, the 4th is denied,
+    and after one full window another conforms. Plus the property that
+    distinguishes GCRA from the per-window quota: a steady stream at
+    exactly the emission interval all conforms across window edges."""
+    import ray.data as rd
+
+    from vertex_ray.stages.ops import throttle_gcra
+
+    base = 1_700_000_000_000_000  # epoch us
+    rows = [
+        # key a: 4 back-to-back at t=0, one more after window
+        ("a", 0, 0), ("a", 0, 1), ("a", 0, 2), ("a", 0, 3),
+        ("a", 1_000_000, 4),
+        # key b: one event every T = window/3 — all conform forever
+        *[("b", i * 333_334, 10 + i) for i in range(7)],
+    ]
+    t = pa.table({
+        "k": [r[0] for r in rows],
+        "ts": pa.array([base + r[1] for r in rows],
+                       type=pa.timestamp("us")),
+        "eid": [r[2] for r in rows],
+    })
+    out = throttle_gcra(rd.from_arrow(t), "k", "ts", 1, 3, "eid") \
+        .to_pandas().sort_values("eid")
+    got = dict(zip(out["eid"], out["allowed"]))
+    assert [got[i] for i in range(5)] == [True, True, True, False, True]
+    assert all(got[10 + i] for i in range(7))
+
+
 def test_cardinality_budget(events_ds):
     from vertex_ray.stages.cardinality import allowed_values, enforce_limit
 

@@ -134,6 +134,23 @@ def _t_throttle(cfg, ds):
     )
 
 
+def _t_throttle_gcra(cfg, ds):
+    from vertex_ray.stages.ops import throttle_gcra
+
+    out = throttle_gcra(
+        ds, cfg["key_col"], cfg["ts_col"], cfg["window_seconds"],
+        cfg["threshold"], cfg["tie_col"],
+    )
+    if cfg.get("drop", True):  # the reference drops non-conforming events
+        import pyarrow.compute as _pc
+
+        out = out.map_batches(
+            lambda t: t.filter(_pc.equal(t["allowed"], True)).drop_columns(
+                ["allowed"]),
+            batch_format="pyarrow")
+    return out
+
+
 def _t_metricalize(cfg, ds):
     from vertex_ray.stages.metricalize import metricalize
 
@@ -636,6 +653,7 @@ STEP_TYPES: dict[str, Callable] = {
     "relabel": _t_relabel,
     "dedup": _t_dedup,
     "throttle": _t_throttle,
+    "throttle_gcra": _t_throttle_gcra,
     "metricalize": _t_metricalize,
     "summarize": _t_summarize,
     "route": _t_route,

@@ -287,6 +287,40 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_throttle_gcra_events(sf_dir: str):
+    """True GCRA throttle (stages/ops.throttle_gcra — the reference's
+    gcra-crate algorithm in event time): continuous rate enforcement
+    per user, integer-µs arithmetic, bit-identical to a recursive-CTE
+    SQL mirror of the same recurrence."""
+    from vertex_ray.stages.ops import throttle_gcra
+
+    out = throttle_gcra(_ev(sf_dir), "user_id", "ts", 600, 2, "event_id")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "allowed"]),
+        batch_format="pyarrow")
+
+
+SQL_THROTTLE_GCRA_EVENTS = """
+WITH RECURSIVE e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), g AS (
+  SELECT user_id, event_id, t, rn, TRUE AS allowed,
+         t + 300000000 AS tat
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_id, e.t, e.rn,
+         e.t + 300000000 >= g.tat AS allowed,
+         CASE WHEN e.t + 300000000 >= g.tat
+              THEN GREATEST(e.t, g.tat) + 300000000
+              ELSE g.tat END AS tat
+  FROM g JOIN e ON e.user_id = g.user_id AND e.rn = g.rn + 1
+)
+SELECT event_id, user_id, allowed FROM g
+"""
+
 # --- metricalize (generic log table) ---------------------------------------
 
 
@@ -2738,6 +2772,9 @@ SELECT doc_id, span_idx, span FROM (
   FROM spans
 ) WHERE rn = 1
 """
+
+OP_QUERIES["op_throttle_gcra_events"] = q_throttle_gcra_events
+OP_ORACLES["op_throttle_gcra_events"] = SQL_THROTTLE_GCRA_EVENTS
 
 OP_QUERIES["op_span_dedup_docs"] = q_span_dedup_docs
 OP_ORACLES["op_span_dedup_docs"] = SQL_SPAN_DEDUP_DOCS

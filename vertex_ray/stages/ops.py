@@ -262,6 +262,76 @@ def throttle_quota(
     )
 
 
+def throttle_gcra(
+    ds,
+    key_col: str,
+    ts_col: str,
+    window_seconds: int,
+    threshold: int,
+    tie_col: str,
+    n_buckets: int = 256,
+):
+    """The reference's ACTUAL throttle algorithm — GCRA (generic cell
+    rate, the ``gcra`` crate behind
+    /root/reference/src/transforms/throttle/rate_limiter.rs:19-56) — in
+    event time: per key, emission interval T = window/threshold; an
+    event at t conforms iff ``t + window - T >= tat`` and on acceptance
+    ``tat = max(t, tat) + T``. Unlike the per-window quota
+    (throttle_quota), GCRA enforces the rate CONTINUOUSLY: a burst of
+    ``threshold`` passes anywhere, then one more every T — no
+    window-boundary reset burst.
+
+    The recurrence is sequential per key, so keys are hash-bucketed into
+    ONE exchange and each bucket task runs the scan vectorized ACROSS
+    its keys (loop over per-key rank, numpy over all keys at that rank —
+    the holt_winters lockstep pattern), never a Python loop over rows.
+    All arithmetic is integer microseconds, so a recursive-CTE SQL
+    mirror reproduces it bit-for-bit. Emits the input rows plus an
+    ``allowed`` flag (the reference drops non-conforming events; filter
+    on the flag for that behavior)."""
+    import pandas as pd
+
+    W = window_seconds * 1_000_000
+    T = W // threshold
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        bucket = (pd.util.hash_array(keys) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return t.append_column("__bucket", pa.array(bucket))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col],
+                          kind="stable").reset_index(drop=True)
+        t_us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys = g[key_col].to_numpy()
+        n = len(g)
+        # segment offsets per key (rows are key-sorted)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, n))
+        tat = np.full(len(starts), -(2**62), dtype=np.int64)
+        allowed = np.zeros(n, dtype=bool)
+        for r in range(int(counts.max()) if n else 0):
+            live = counts > r
+            idx = starts[live] + r
+            t = t_us[idx]
+            acc = t + (W - T) >= tat[live]
+            nt = np.maximum(t, tat[live]) + T
+            tat[live] = np.where(acc, nt, tat[live])
+            allowed[idx] = acc
+        out = g.drop(columns=["__bucket"])
+        out["allowed"] = allowed
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
 def stratified_sample(ds, group_col: str, id_col: str, n_per_group: int,
                       n_buckets: int = 64):
     """Deterministic stratified downsample: keep the ``n_per_group`` rows
