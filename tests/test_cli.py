@@ -82,6 +82,21 @@ def test_fn_eval(capsys):
     assert main(["fn", "no_such_fn", "x"]) == 1
 
 
+def test_eval_expr(tmp_path, capsys):
+    # literal-only expression — one value
+    assert main(["eval", 'uppercase("hi") + format(" {}!", 42)']) == 0
+    assert json.loads(capsys.readouterr().out) == "HI 42!"
+    # columns from a parquet table
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"v": [1, 60, 3]}), str(p))
+    assert main(["eval", "v * 10 > 100", "--table", str(p)]) == 0
+    out = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert out == [False, True, False]
+    # diagnostics exit non-zero
+    assert main(["eval", "no_such_fn(1)"]) == 1
+    assert main(["eval", "v + 1"]) == 1  # unknown column, runtime error
+
+
 def test_retention_cli(ray_session, tmp_path, capsys):
     from vertex_ray.pipelines.rollup_pipeline import run_pipeline
     from vertex_ray.synth import ensure_transcripts

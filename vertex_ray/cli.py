@@ -4,7 +4,8 @@ CLI surface (SURVEY.md §3.1/§3.2):
     python -m vertex_ray validate <config.{json,yaml}>   # `vertex validate`
     python -m vertex_ray run      <config.{json,yaml}>   # `vertex -c config`
     python -m vertex_ray top      <out_dir>              # `vertex top`
-    python -m vertex_ray fn       <name> <value> [args…]  # `vertex vtl` one-shot
+    python -m vertex_ray fn       <name> <value> [args…]  # one stdlib function
+    python -m vertex_ray eval     <expr> [--table t.parquet]  # `vertex vtl`
     python -m vertex_ray rollup   <transcripts> <out_dir> [--epoch SECONDS]
 
 `validate` is a dry build (src/validate.rs behavior: report every
@@ -12,8 +13,9 @@ diagnostic, exit non-zero on any). `run` builds the component graph and
 executes the sinks. `top` prints the per-stage counters table
 (src/top.rs / internal_metrics analogue) from committed stage manifests
 only. `fn` evaluates one registry function (the VTL stdlib surface)
-against literal values — the stdlib REPL without the expression
-language, which SURVEY §2.5 deliberately does not rebuild.
+against literal values; `eval` runs a full exprlang expression
+(functions/exprlang — the VTL expression-language analogue) either
+standalone or with a parquet table's columns as the namespace.
 
 This module OWNS the Ray session (guarded init): the library itself
 never calls ray.init().
@@ -74,6 +76,40 @@ def cmd_top(args) -> int:
 
     t = pipeline_counters(args.out_dir)
     print(t.to_pandas().to_string(index=False))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """`vertex vtl` analogue with the full expression language: evaluate
+    an exprlang expression either against a parquet table (columns are
+    the namespace; prints the first --limit result rows) or standalone
+    (literal expression, one value). Errors print the compiler/runtime
+    diagnostic and exit non-zero, like the reference REPL."""
+    import pyarrow as pa
+
+    from vertex_ray.functions.exprlang import compile_expr
+
+    try:
+        fn = compile_expr(args.expr)
+    except SyntaxError as ex:
+        print(f"error: {ex}", file=sys.stderr)
+        return 1
+    if args.table:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(args.table)
+        t = t.slice(0, args.limit)
+    else:
+        t = pa.table({"_": pa.array([0])})
+    try:
+        out = fn(t)
+    except Exception as ex:  # runtime diagnostic, not a stack trace
+        print(f"error: {type(ex).__name__}: {ex}", file=sys.stderr)
+        return 1
+    vals = (out.to_pylist() if isinstance(out, (pa.Array, pa.ChunkedArray))
+            else [out])
+    for v in vals[: args.limit]:
+        print(json.dumps(v, default=str))
     return 0
 
 
@@ -436,6 +472,13 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("top", help="per-stage counters from manifests")
     sp.add_argument("out_dir")
     sp.set_defaults(fn=cmd_top)
+
+    sp = sub.add_parser("eval",
+                        help="evaluate an expression (vtl REPL analogue)")
+    sp.add_argument("expr")
+    sp.add_argument("--table", help="parquet file providing the columns")
+    sp.add_argument("--limit", type=int, default=10)
+    sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("fn", help="evaluate one stdlib function")
     sp.add_argument("name")

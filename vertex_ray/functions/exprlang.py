@@ -100,7 +100,29 @@ def _is_str(x) -> bool:
                               or pa.types.is_large_string(t))
 
 
+def _kb(x):
+    # Kleene kernels lack a (bool, null) kernel for plain-Python
+    # operands — type the null literal as boolean
+    return pa.scalar(None, pa.bool_()) if x is None else x
+
+
+# functions whose first parameter is a plain-Python scalar by contract
+_SCALAR_FIRST = {"format", "now", "get_env", "get_hostname"}
+
+
+def _call(name, fn, args):
+    # literal-only subtrees reach registry functions as plain Python
+    # scalars; the registry's contract is Array-first, so lift the
+    # first argument to a 1-element array (it broadcasts downstream)
+    if args and name not in _SCALAR_FIRST and not any(
+            isinstance(a, (pa.Array, pa.ChunkedArray)) for a in args):
+        args = [pa.array([args[0]])] + list(args[1:])
+    return _unwrap(fn(*args))
+
+
 def _add(a, b):
+    if a is None or b is None:
+        return None
     if _is_str(a) or _is_str(b):
         n = None
         for x in (a, b):
@@ -148,7 +170,7 @@ class _Parser:
             self.next()
             r = self.and_()
             e = (lambda a, b: lambda t: _unwrap(
-                pc.or_kleene(a(t), b(t))))(e, r)
+                pc.or_kleene(_kb(a(t)), _kb(b(t)))))(e, r)
         return e
 
     def and_(self):
@@ -157,7 +179,7 @@ class _Parser:
             self.next()
             r = self.not_()
             e = (lambda a, b: lambda t: _unwrap(
-                pc.and_kleene(a(t), b(t))))(e, r)
+                pc.and_kleene(_kb(a(t)), _kb(b(t)))))(e, r)
         return e
 
     def not_(self):
@@ -233,8 +255,8 @@ class _Parser:
                 if self.at(","):
                     self.next()
             self.expect(")")
-            return (lambda f, ags: lambda t: _unwrap(
-                f(*[a(t) for a in ags])))(fn, args)
+            return (lambda nm, f, ags: lambda t: _call(
+                nm, f, [a(t) for a in ags]))(v, fn, args)
         name = v
 
         def col(t):

@@ -248,7 +248,13 @@ def format_str(fmt: str, *cols) -> pa.Array:
     parts = fmt.split("{}")
     if len(parts) != len(cols) + 1:
         raise ValueError(f"format: {len(parts) - 1} placeholders, {len(cols)} columns")
-    n = len(cols[0]) if cols else 1
+    # scalar args (literals in an expression) broadcast to the batch width
+    def _is_col(c):
+        return isinstance(c, (pa.Array, pa.ChunkedArray)) or (
+            hasattr(c, "__len__") and not isinstance(c, (str, bytes)))
+
+    n = max((len(c) for c in cols if _is_col(c)), default=1)
+    cols = [c if _is_col(c) else pa.array([c] * n) for c in cols]
     acc = pd.Series([parts[0]] * n)
     for seg, col in zip(parts[1:], cols):
         cs = pd.Series(np.asarray(pc.cast(col, pa.string()).to_numpy(zero_copy_only=False)))
