@@ -159,3 +159,73 @@ def test_hll_md5_matches_sql_raw_regime(ray_session):
                                               "FROM events_arrow")
     ref = con.sql(sql).df()
     assert int(ref["approx_distinct"].iloc[0]) == est
+
+
+def test_kll_rank_error_and_determinism():
+    from vertex_ray.stages.sketch import KllSketch
+
+    rng = np.random.default_rng(3)
+    for dist in ("normal", "lognormal"):
+        x = getattr(rng, dist)(size=200_000)
+        sk = KllSketch(200)
+        for chunk in np.array_split(x, 40):
+            sk.update(chunk)
+        xs = np.sort(x)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            v = sk.quantile(q)
+            true_rank = np.searchsorted(xs, v, side="right")
+            # empirical bound for the deterministic variant; the classic
+            # randomized 1-sigma bound is ~2.3/k = 1.15% — allow 2%
+            assert abs(true_rank - q * len(x)) / len(x) < 0.02, (dist, q)
+        # memory is O(k log(n/k)), nowhere near n
+        assert sk._size() < 1000
+    # bit-deterministic across identical runs
+    a, b = KllSketch(64), KllSketch(64)
+    x = rng.normal(size=50_000)
+    for chunk in np.array_split(x, 7):
+        a.update(chunk)
+        b.update(chunk)
+    assert all((u == v).all() for u, v in zip(a.levels, b.levels))
+
+
+def test_kll_merge_matches_single_sketch_error():
+    from vertex_ray.stages.sketch import KllSketch
+
+    rng = np.random.default_rng(11)
+    x = rng.exponential(size=120_000)
+    parts = np.array_split(x, 13)
+    merged = None
+    for p in parts:
+        s = KllSketch(128).update(p)
+        merged = s if merged is None else merged.merge(s)
+    assert merged.n == len(x)
+    xs = np.sort(x)
+    for q in (0.05, 0.5, 0.95, 0.99):
+        v = merged.quantile(q)
+        tr = np.searchsorted(xs, v, side="right")
+        assert abs(tr - q * len(x)) / len(x) < 0.03, q
+    # dump/load round-trip preserves the estimate
+    items, lvls, n = merged.dump()
+    re = KllSketch.load(items, lvls, n, 128)
+    assert re.quantile(0.5) == merged.quantile(0.5)
+
+
+def test_kll_quantiles_distributed(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.sketch import kll_quantiles
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    t = pa.table({
+        "g": pa.array(np.where(np.arange(n) % 3 == 0, "a", "b")),
+        "v": pa.array(rng.normal(size=n)),
+    })
+    out = kll_quantiles(rd.from_arrow(t).repartition(8), "v",
+                        [0.1, 0.5, 0.9], k=200, group_col="g").to_pandas()
+    assert len(out) == 6
+    df = t.to_pandas()
+    for _, row in out.iterrows():
+        grp = df[df["g"] == row["g"]]["v"].to_numpy()
+        tr = np.searchsorted(np.sort(grp), row["value"], side="right")
+        assert abs(tr - row["q"] * len(grp)) / len(grp) < 0.03

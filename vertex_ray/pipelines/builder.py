@@ -392,6 +392,14 @@ def _t_compression_ratio(cfg, ds):
         batch_format="pyarrow")
 
 
+def _t_kll_quantiles(cfg, ds):
+    from vertex_ray.stages.sketch import kll_quantiles
+
+    return kll_quantiles(ds, cfg["value_col"], cfg["qs"],
+                         k=cfg.get("k", 200),
+                         group_col=cfg.get("group_col"))
+
+
 def _t_url_domains(cfg, ds):
     from vertex_ray.stages.text import url_domain_op
 
@@ -688,6 +696,7 @@ STEP_TYPES: dict[str, Callable] = {
     "hist_fraction": _t_hist_fraction,
     "limit_ratio": _t_limit_ratio,
     "limitk": _t_limitk,
+    "kll_quantiles": _t_kll_quantiles,
     "resample": _t_resample,
     "gopher": _t_gopher,
     "compression_ratio": _t_compression_ratio,

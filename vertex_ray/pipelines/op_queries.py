@@ -2773,6 +2773,20 @@ SELECT doc_id, span_idx, span FROM (
 ) WHERE rn = 1
 """
 
+def q_kll_quantiles_events(sf_dir: str):
+    """One-pass mergeable quantile sketch (stages/sketch.KllSketch, KLL
+    FOCS'16): per-event-type p10/p50/p90/p99 of value from per-batch
+    partials + ONE tiny exchange. Approximate by construction (rank
+    error ~2.3/k, property-tested in tests/test_sketch.py) so rows-only
+    here — the exact counterpart is stages/quantile (SQL-oracled)."""
+    from vertex_ray.stages.sketch import kll_quantiles
+
+    return kll_quantiles(_ev(sf_dir), "value", [0.1, 0.5, 0.9, 0.99],
+                         k=200, group_col="event_type")
+
+
+OP_QUERIES["op_kll_quantiles_events"] = q_kll_quantiles_events
+
 OP_QUERIES["op_throttle_gcra_events"] = q_throttle_gcra_events
 OP_ORACLES["op_throttle_gcra_events"] = SQL_THROTTLE_GCRA_EVENTS
 

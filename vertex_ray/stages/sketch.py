@@ -19,7 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["hll_partial_op", "hll_distinct", "heavy_hitters"]
+__all__ = ["hll_partial_op", "hll_distinct", "heavy_hitters",
+           "KllSketch", "kll_partial_op", "kll_quantiles"]
 
 
 def _alpha(m: int) -> float:
@@ -171,4 +172,200 @@ def heavy_hitters(ds, col: str, k: int, top: int | None = None):
         .map_groups(merge, batch_format="pandas")
         .sort(["approx_count", "value"], descending=[True, False])
         .limit(top if top is not None else k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin-Lang-Liberty, FOCS 2016) — deterministic form
+# ---------------------------------------------------------------------------
+
+
+class KllSketch:
+    """Mergeable one-pass quantile sketch (KLL, arXiv:1603.05346) — the
+    single-scan complement to the exact distributed quantile
+    (stages/quantile.py, which needs a radix-selection pass per cut).
+    Level ``l`` holds items of weight ``2^l``; a level over capacity is
+    sorted and every other item promoted (weights double), the rest
+    discarded. Capacities decay geometrically (``k·(2/3)^depth``, floor
+    8), so memory is O(k·log(n/k)) regardless of n.
+
+    This implementation derandomizes the compaction coin with a per-level
+    alternating parity counter: the sketch is BIT-DETERMINISTIC for a
+    given update/merge order (reproducible runs, testable), and the
+    classic randomized rank guarantee (~2.3/k at one sigma) becomes an
+    empirical bound pinned by the property tests. Merge = concatenate
+    levels + recompress, so per-batch partials reduce in any tree shape.
+    """
+
+    __slots__ = ("k", "n", "levels", "parity")
+
+    def __init__(self, k: int = 200):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self.n = 0
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.parity: list[int] = [0]
+
+    def _cap(self, level: int) -> int:
+        depth = len(self.levels) - 1 - level
+        return max(8, int(self.k * (2.0 / 3.0) ** depth))
+
+    def _total_cap(self) -> int:
+        return sum(self._cap(l) for l in range(len(self.levels)))
+
+    def _size(self) -> int:
+        return sum(len(v) for v in self.levels)
+
+    def _compress(self) -> None:
+        while self._size() > self._total_cap():
+            for l in range(len(self.levels)):
+                if len(self.levels[l]) > self._cap(l):
+                    break
+            else:
+                l = 0
+            v = np.sort(self.levels[l])
+            keep = np.empty(0, np.float64)
+            if len(v) % 2:
+                # unpaired item stays at its level
+                keep, v = v[-1:], v[:-1]
+            off = self.parity[l] & 1
+            self.parity[l] += 1
+            promoted = v[off::2]
+            self.levels[l] = keep
+            if l + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+                self.parity.append(0)
+            self.levels[l + 1] = np.concatenate(
+                [self.levels[l + 1], promoted])
+
+    def update(self, values) -> "KllSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            self.levels[0] = np.concatenate([self.levels[0], v])
+            self.n += len(v)
+            self._compress()
+        return self
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        if other.k != self.k:
+            raise ValueError("cannot merge sketches with different k")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+            self.parity.append(0)
+        for l, v in enumerate(other.levels):
+            if len(v):
+                self.levels[l] = np.concatenate([self.levels[l], v])
+            self.parity[l] += other.parity[l] if l < len(other.parity) else 0
+        self.n += other.n
+        self._compress()
+        return self
+
+    def _weighted(self):
+        vals = np.concatenate([v for v in self.levels if len(v)]) \
+            if self._size() else np.empty(0, np.float64)
+        wts = np.concatenate(
+            [np.full(len(v), 1 << l, np.int64)
+             for l, v in enumerate(self.levels) if len(v)]) \
+            if self._size() else np.empty(0, np.int64)
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+    def quantile(self, q: float) -> float:
+        """Smallest stored value whose cumulative weight reaches q·n
+        (rank-select; q in [0, 1])."""
+        vals, wts = self._weighted()
+        if not len(vals):
+            return float("nan")
+        cum = np.cumsum(wts)
+        target = q * self.n
+        i = int(np.searchsorted(cum, target, side="left"))
+        return float(vals[min(i, len(vals) - 1)])
+
+    def rank(self, x: float) -> int:
+        """Estimated number of items <= x."""
+        vals, wts = self._weighted()
+        return int(wts[: np.searchsorted(vals, x, side="right")].sum())
+
+    # --- flat (items, levels) serialization for Arrow exchange rows -----
+    def dump(self):
+        items = np.concatenate([v for v in self.levels if len(v)]) \
+            if self._size() else np.empty(0, np.float64)
+        lvls = np.concatenate(
+            [np.full(len(v), l, np.int32)
+             for l, v in enumerate(self.levels) if len(v)]) \
+            if self._size() else np.empty(0, np.int32)
+        return items, lvls, self.n
+
+    @classmethod
+    def load(cls, items, lvls, n, k: int = 200) -> "KllSketch":
+        sk = cls(k)
+        lvls = np.asarray(lvls, np.int32)
+        items = np.asarray(items, np.float64)
+        top = int(lvls.max()) if len(lvls) else 0
+        sk.levels = [items[lvls == l] for l in range(top + 1)]
+        sk.parity = [0] * (top + 1)
+        sk.n = int(n)
+        return sk
+
+
+def kll_partial_op(value_col: str, k: int = 200,
+                   group_col: str | None = None):
+    """map_batches fn: per-batch KLL partial → ONE row per group with the
+    sketch's flat (items, levels) arrays — O(k·log) values leave a batch
+    regardless of its size."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        if group_col is None:
+            groups = {None: np.arange(len(t))}
+        else:
+            s = pd.Series(t[group_col].to_numpy(zero_copy_only=False))
+            groups = {g: idx.to_numpy()
+                      for g, idx in s.groupby(s, sort=False).groups.items()}
+        rows = {"__g": [], "items": [], "lvls": [], "n": []}
+        for g, idx in groups.items():
+            sk = KllSketch(k).update(np.asarray(vals, np.float64)[idx])
+            items, lvls, n = sk.dump()
+            rows["__g"].append("" if g is None else g)
+            rows["items"].append(items)
+            rows["lvls"].append(lvls)
+            rows["n"].append(n)
+        return pa.table({
+            "__g": pa.array(rows["__g"]),
+            "items": pa.array(rows["items"],
+                              type=pa.list_(pa.float64())),
+            "lvls": pa.array(rows["lvls"], type=pa.list_(pa.int32())),
+            "n": pa.array(rows["n"], type=pa.int64()),
+        })
+
+    return fn
+
+
+def kll_quantiles(ds, value_col: str, qs, k: int = 200,
+                  group_col: str | None = None):
+    """One-pass approximate quantiles over a Dataset: per-batch KLL
+    partials (combiner pattern), ONE tiny exchange of O(blocks·k·log)
+    values, merge + rank-select per group. Returns rows
+    (group?, q, value). Empirical rank error ~2.3/k of n (see
+    tests/test_sketch.py); for bit-exact quantiles use
+    stages/quantile.py at the cost of one extra pass per cut."""
+    qs = [float(q) for q in qs]
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        sk = None
+        for _, row in g.iterrows():
+            part = KllSketch.load(row["items"], row["lvls"], row["n"], k)
+            sk = part if sk is None else sk.merge(part)
+        out = {"q": qs, "value": [sk.quantile(q) for q in qs]}
+        if group_col is not None:
+            out = {group_col: [g["__g"].iloc[0]] * len(qs), **out}
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(kll_partial_op(value_col, k, group_col),
+                       batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(finalize, batch_format="pandas")
     )
