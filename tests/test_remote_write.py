@@ -1,0 +1,68 @@
+"""Prometheus remote-write wire format (sources/remote_write) — golden
+bytes, round-trip, and label-set canonicalization. Mirrors the gate the
+reference's sink protocol implies (prometheus_remote_write.rs:152-181:
+WriteRequest protobuf; snappy framing gated on lib availability)."""
+
+import numpy as np
+import pyarrow as pa
+
+from vertex_ray.sources.remote_write import (
+    decode_write_request,
+    encode_write_request,
+    remote_write_encode_op,
+    split_series_key,
+)
+
+
+def test_golden_bytes_single_sample():
+    # one series, one label, one sample — stable proto3 wire bytes
+    # (field order follows schema numbering; upb serializes in order)
+    data = encode_write_request(
+        ["turns_total"], [1700000000000], [1.5])
+    assert data.hex() == (
+        "0a2b0a170a085f5f6e616d655f5f120b7475726e735f746f74616c"
+        "121009000000000000f83f1080d095ffbc31")
+
+
+def test_roundtrip_multi_series_sorted_and_exact():
+    keys = ["m{a=1,b=x}", "m{a=2}", "m{a=1,b=x}", "plain"]
+    ts = [2000, 1000, 1000, 3000]
+    vals = [0.1, -2.5, float(2**53 + 1), 0.0]
+    payload = encode_write_request(keys, ts, vals)
+    out = decode_write_request(payload).to_pandas()
+    # deterministic (series, ts) order; float64 values bit-exact
+    assert out["series_key"].tolist() == [
+        "m{a=1,b=x}", "m{a=1,b=x}", "m{a=2}", "plain"]
+    assert out["ts_ms"].tolist() == [1000, 2000, 1000, 3000]
+    assert out["value"].tolist() == [float(2**53 + 1), 0.1, -2.5, 0.0]
+
+
+def test_split_series_key():
+    assert split_series_key("n{k=v,z=9}") == ("n", [("k", "v"), ("z", "9")])
+    assert split_series_key("bare") == ("bare", [])
+
+
+def test_encode_op_batch_shape():
+    t = pa.table({
+        "series_key": ["a{x=1}", "a{x=1}", "b"],
+        "ts_ms": pa.array([1, 2, 1], type=pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0]),
+    })
+    out = remote_write_encode_op()(t)
+    assert out.num_rows == 1
+    assert out["codec"][0].as_py() in ("raw", "snappy")
+    assert out["n_series"][0].as_py() == 2
+    assert out["n_samples"][0].as_py() == 3
+    dec = decode_write_request(out["payload"][0].as_py(),
+                               out["codec"][0].as_py())
+    assert dec.num_rows == 3
+
+
+def test_nan_payload_survives():
+    # Prometheus stale-marker NaN payload must round-trip bit-for-bit
+    stale = np.frombuffer(
+        np.uint64(0x7FF0000000000002).tobytes(), dtype=np.float64)[0]
+    payload = encode_write_request(["s"], [0], [stale])
+    v = decode_write_request(payload)["value"][0].as_py()
+    assert np.frombuffer(np.float64(v).tobytes(),
+                         dtype=np.uint64)[0] == 0x7FF0000000000002

@@ -2773,6 +2773,64 @@ SELECT doc_id, span_idx, span FROM (
 ) WHERE rn = 1
 """
 
+def q_remote_write_roundtrip_events(sf_dir: str):
+    """Prometheus remote-write WIRE round trip
+    (sources/remote_write: the reference sink's protobuf WriteRequest,
+    prometheus_remote_write.rs:152-181): 1m event counts per type →
+    canonical series rows → one WriteRequest payload per batch →
+    decode → rows. The oracle recomputes the pre-wire rows in SQL, so a
+    hash match proves the encoder/decoder preserve every (labelset,
+    timestamp, value) exactly — same gate shape as the RFC 6587 syslog
+    round trip."""
+    import pyarrow as pa
+
+    from vertex_ray.sources.remote_write import (
+        decode_write_request,
+        remote_write_encode_op,
+    )
+    from vertex_ray.stages.promql import group_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        w = ts // 60_000_000 * 60
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        key = np.array(["events_total{event_type=" + e + "}" for e in et],
+                       dtype=object)
+        return pa.table({
+            "series_key": pa.array(key, type=pa.string()),
+            "ts_ms": pa.array(w * 1000, type=pa.int64()),
+            "n": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    rows = group_sum(_ev(sf_dir).map_batches(prep, batch_format="pyarrow"),
+                     ["series_key", "ts_ms"], ["n"])
+
+    def to_value(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "series_key": t["series_key"],
+            "ts_ms": t["ts_ms"],
+            "value": t["n"].cast(pa.float64()),
+        })
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        enc = remote_write_encode_op()(t)
+        return decode_write_request(enc["payload"][0].as_py(),
+                                    enc["codec"][0].as_py())
+
+    return (rows.map_batches(to_value, batch_format="pyarrow")
+                .map_batches(roundtrip, batch_format="pyarrow"))
+
+
+SQL_REMOTE_WRITE_ROUNDTRIP_EVENTS = """
+SELECT 'events_total{event_type=' || event_type || '}' AS series_key,
+       (epoch_us(ts) // 60000000) * 60000 AS ts_ms,
+       CAST(count(*) AS DOUBLE) AS value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_kll_quantiles_events(sf_dir: str):
     """One-pass mergeable quantile sketch (stages/sketch.KllSketch, KLL
     FOCS'16): per-event-type p10/p50/p90/p99 of value from per-batch
@@ -2786,6 +2844,9 @@ def q_kll_quantiles_events(sf_dir: str):
 
 
 OP_QUERIES["op_kll_quantiles_events"] = q_kll_quantiles_events
+
+OP_QUERIES["op_remote_write_events"] = q_remote_write_roundtrip_events
+OP_ORACLES["op_remote_write_events"] = SQL_REMOTE_WRITE_ROUNDTRIP_EVENTS
 
 OP_QUERIES["op_throttle_gcra_events"] = q_throttle_gcra_events
 OP_ORACLES["op_throttle_gcra_events"] = SQL_THROTTLE_GCRA_EVENTS

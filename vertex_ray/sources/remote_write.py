@@ -1,0 +1,179 @@
+"""Prometheus remote-write encoder/decoder — the wire format of the
+reference's ``prometheus_remote_write`` sink
+(/root/reference/src/sinks/prometheus_remote_write.rs:152-181: a
+snappy-compressed protobuf ``WriteRequest { repeated TimeSeries }``).
+
+The message types are built at import from a programmatic
+``FileDescriptorProto`` (public protobuf runtime API; upb C encoding —
+no protoc in the container). Snappy is NOT in the container, so the
+framing is gated: payloads carry a ``codec`` column that is ``"snappy"``
+when the lib exists and ``"raw"`` otherwise (the decoder accepts both);
+everything else — label canonicalization, sample layout, the
+latest-per-series MetricsBuffer collapse being the caller's input shape
+— is the real wire format, round-trip tested byte-for-byte.
+
+Scale shape: one ``map_batches`` emits ONE payload row per input batch
+(the sink's request unit). Label sets are parsed from the canonical
+``series_key`` once per UNIQUE series in the batch (the session-F
+canonicalization rule: O(series), not O(samples)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["encode_write_request", "decode_write_request",
+           "remote_write_encode_op", "split_series_key"]
+
+
+def _build_messages():
+    from google.protobuf import (
+        descriptor_pb2,
+        descriptor_pool,
+        message_factory,
+    )
+
+    fdp = descriptor_pb2.FileDescriptorProto()
+    fdp.name = "vertex_ray_prom_rw.proto"
+    fdp.package = "prometheus"
+    fdp.syntax = "proto3"
+
+    def msg(name, fields):
+        m = fdp.message_type.add()
+        m.name = name
+        for fname, num, ftype, label, tname in fields:
+            f = m.field.add()
+            f.name, f.number, f.type, f.label = fname, num, ftype, label
+            if tname:
+                f.type_name = tname
+        return m
+
+    F = descriptor_pb2.FieldDescriptorProto
+    msg("Label", [("name", 1, F.TYPE_STRING, F.LABEL_OPTIONAL, None),
+                  ("value", 2, F.TYPE_STRING, F.LABEL_OPTIONAL, None)])
+    msg("Sample", [("value", 1, F.TYPE_DOUBLE, F.LABEL_OPTIONAL, None),
+                   ("timestamp", 2, F.TYPE_INT64, F.LABEL_OPTIONAL, None)])
+    msg("TimeSeries",
+        [("labels", 1, F.TYPE_MESSAGE, F.LABEL_REPEATED,
+          ".prometheus.Label"),
+         ("samples", 2, F.TYPE_MESSAGE, F.LABEL_REPEATED,
+          ".prometheus.Sample")])
+    msg("WriteRequest",
+        [("timeseries", 1, F.TYPE_MESSAGE, F.LABEL_REPEATED,
+          ".prometheus.TimeSeries")])
+    pool = descriptor_pool.DescriptorPool()
+    pool.Add(fdp)
+    classes = message_factory.GetMessageClassesForFiles(
+        ["vertex_ray_prom_rw.proto"], pool)
+    return (classes["prometheus.WriteRequest"],
+            classes["prometheus.TimeSeries"],
+            classes["prometheus.Label"],
+            classes["prometheus.Sample"])
+
+
+WriteRequest, TimeSeries, Label, Sample = _build_messages()
+
+try:  # snappy framing per the spec; not in this container
+    import snappy as _snappy  # type: ignore
+except Exception:  # pragma: no cover
+    _snappy = None
+
+
+def split_series_key(key: str) -> tuple[str, list[tuple[str, str]]]:
+    """Inverse of series.series_key: ``name{k1=v1,k2=v2}`` → (name,
+    sorted label pairs). Values in the canonical key contain no
+    ``,``/``=``/``}`` (schema tags are enum-ish strings)."""
+    if "{" not in key:
+        return key, []
+    name, _, body = key.partition("{")
+    pairs = []
+    for item in body[:-1].split(","):
+        k, _, v = item.partition("=")
+        pairs.append((k, v))
+    return name, pairs
+
+
+def encode_write_request(series_keys, ts_ms, values) -> bytes:
+    """(series_key, timestamp-ms, value) rows → serialized WriteRequest.
+    Rows are grouped per series in sorted (series, ts) order so the
+    payload is deterministic for a given row set."""
+    sk = np.asarray(series_keys, dtype=object)
+    ts = np.asarray(ts_ms, dtype=np.int64)
+    vals = np.asarray(values, dtype=np.float64)
+    order = np.lexsort((ts, sk))
+    sk, ts, vals = sk[order], ts[order], vals[order]
+    n = len(sk)
+    wr = WriteRequest()
+    if n == 0:
+        return wr.SerializeToString()
+    new = np.ones(n, dtype=bool)
+    new[1:] = sk[1:] != sk[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    for s, e in zip(starts, ends):
+        t = wr.timeseries.add()
+        name, pairs = split_series_key(sk[s])
+        t.labels.add(name="__name__", value=name)
+        for k, v in pairs:
+            t.labels.add(name=k, value=v)
+        t.samples.extend(
+            Sample(value=float(v), timestamp=int(m))
+            for v, m in zip(vals[s:e], ts[s:e]))
+    return wr.SerializeToString()
+
+
+def decode_write_request(payload: bytes, codec: str = "raw") -> pa.Table:
+    """WriteRequest bytes → (series_key, ts_ms, value) rows, rebuilding
+    the canonical series_key from the label set."""
+    from vertex_ray.series import series_key as make_key
+
+    if codec == "snappy":
+        if _snappy is None:
+            raise NotImplementedError(
+                "snappy framing requires the snappy lib (absent in this "
+                "container); encode emits codec='raw' here")
+        payload = _snappy.decompress(payload)
+    wr = WriteRequest()
+    wr.ParseFromString(payload)
+    keys, ts, vals = [], [], []
+    for t in wr.timeseries:
+        labels = {l.name: l.value for l in t.labels}
+        name = labels.pop("__name__", "")
+        key = make_key(name, labels)
+        for s in t.samples:
+            keys.append(key)
+            ts.append(s.timestamp)
+            vals.append(s.value)
+    return pa.table({
+        "series_key": pa.array(keys, type=pa.string()),
+        "ts_ms": pa.array(ts, type=pa.int64()),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+
+
+def remote_write_encode_op(key_col: str = "series_key",
+                           ts_ms_col: str = "ts_ms",
+                           value_col: str = "value"):
+    """map_batches body: one WriteRequest payload row per batch —
+    (payload:binary, codec, n_series, n_samples). The batch is the
+    request unit, matching the sink's batch→request mapping."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        sk = t[key_col].to_numpy(zero_copy_only=False)
+        payload = encode_write_request(
+            sk, t[ts_ms_col].to_numpy(zero_copy_only=False),
+            t[value_col].to_numpy(zero_copy_only=False))
+        codec = "raw"
+        if _snappy is not None:
+            payload = _snappy.compress(payload)
+            codec = "snappy"
+        return pa.table({
+            "payload": pa.array([payload], type=pa.binary()),
+            "codec": pa.array([codec], type=pa.string()),
+            "n_series": pa.array([len(set(sk.tolist()))],
+                                 type=pa.int64()),
+            "n_samples": pa.array([len(t)], type=pa.int64()),
+        })
+
+    return fn
