@@ -208,6 +208,33 @@ def _q_select_series(sf_dir: str):
     return decode_tier_blocks(sel).map_batches(shape, batch_format="pyarrow")
 
 
+def _q_remote_read_1m_turns(sf_dir: str):
+    """The ``/api/v1/read`` remote-read protocol end-to-end over the
+    committed store (sources/remote_write.remote_read): a protobuf
+    ReadRequest (``__name__="turns_total"``, ``role="user"``, full time
+    range) is answered from the 1m tier — name + first-equality-matcher
+    pushed into the block scan, matchers re-applied post-decode, the
+    response serialized in the remote-WRITE TimeSeries wire shape and
+    decoded back to rows. Hash-identical to the SQL mirror, so the
+    protocol pair (encode request → prune → decode blocks → encode
+    response → decode response) preserves every sample bit-for-bit."""
+    from vertex_ray.sources.remote_write import (
+        decode_read_response,
+        encode_read_request,
+        remote_read,
+    )
+
+    out = _ensure_pipeline(sf_dir)
+    req = encode_read_request([{
+        "start_ms": 0, "end_ms": 4_000_000_000_000,
+        "matchers": [("__name__", "=", "turns_total"),
+                     ("role", "=", "user")],
+    }])
+    resp = remote_read(out, req, tier="1m", value_col="count")
+    t = decode_read_response(resp)
+    return t.select(["series_key", "ts_ms", "value"])
+
+
 def _q_count_values_1h_turns(sf_dir: str):
     """PromQL ``count_values("count", increase(turns_total[1h]))``: per
     1h window, how many series reported each distinct turn count — the
@@ -2162,6 +2189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_conv_stitch": _q_conv_stitch,
         "pipeline_build_samples": _q_build_samples,
         "select_series_1m_latency": _q_select_series,
+        "remote_read_1m_turns": _q_remote_read_1m_turns,
         "read_api_range_1h_turns": _q_read_api_range,
         "read_api_range_offset_1h_turns": _q_read_api_range_offset,
         "promql_expr_sum_by_role_1h": _q_promql_expr_sum_by_role,
@@ -3449,6 +3477,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE window_start
               BETWEEN (SELECT min(window_start) FROM roll)
                   AND (SELECT min(window_start) FROM roll) + 3600
+            """,
+        "remote_read_1m_turns": f"""
+            SELECT 'turns_total{{conv_id=' || conv_id || ',role=' || role
+                     || '}}' AS series_key,
+                   ({_w(60)}) * 1000 AS ts_ms,
+                   CAST(count(*) AS DOUBLE) AS value
+            FROM {_SQL_TRANSCRIPTS}
+            WHERE role = 'user'
+            GROUP BY 1, 2
             """,
         "gorilla_roundtrip_1m_latency": _sql_lat(60),
         "zscore_1h_turns": f"""

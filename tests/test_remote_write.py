@@ -66,3 +66,47 @@ def test_nan_payload_survives():
     v = decode_write_request(payload)["value"][0].as_py()
     assert np.frombuffer(np.float64(v).tobytes(),
                          dtype=np.uint64)[0] == 0x7FF0000000000002
+
+
+def test_read_request_roundtrip():
+    from vertex_ray.sources.remote_write import (
+        ReadRequest,
+        encode_read_request,
+    )
+
+    req = encode_read_request([{
+        "start_ms": 1000, "end_ms": 2000,
+        "matchers": [("__name__", "=", "m"), ("role", "=~", "u.*"),
+                     ("tool", "!=", "x"), ("conv_id", "!~", "c[0-9]+")],
+    }])
+    rr = ReadRequest()
+    rr.ParseFromString(req)
+    q = rr.queries[0]
+    assert (q.start_timestamp_ms, q.end_timestamp_ms) == (1000, 2000)
+    got = [(m.name, int(m.type), m.value) for m in q.matchers]
+    assert got == [("__name__", 0, "m"), ("role", 2, "u.*"),
+                   ("tool", 1, "x"), ("conv_id", 3, "c[0-9]+")]
+
+
+def test_decode_read_response_shape():
+    from vertex_ray.sources.remote_write import (
+        QueryResult,
+        ReadResponse,
+        WriteRequest,
+        decode_read_response,
+        encode_write_request,
+    )
+
+    wr = WriteRequest()
+    wr.ParseFromString(encode_write_request(
+        ["m{a=1}", "m{a=2}"], [1000, 2000], [1.0, 2.0]))
+    resp = ReadResponse()
+    qr = resp.results.add()
+    qr.timeseries.extend(wr.timeseries)
+    out = decode_read_response(resp.SerializeToString()).to_pylist()
+    assert out == [
+        {"query_idx": 0, "series_key": "m{a=1}", "ts_ms": 1000,
+         "value": 1.0},
+        {"query_idx": 0, "series_key": "m{a=2}", "ts_ms": 2000,
+         "value": 2.0},
+    ]

@@ -24,7 +24,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["encode_write_request", "decode_write_request",
-           "remote_write_encode_op", "split_series_key"]
+           "remote_write_encode_op", "split_series_key",
+           "encode_read_request", "remote_read", "decode_read_response"]
 
 
 def _build_messages():
@@ -62,17 +63,46 @@ def _build_messages():
     msg("WriteRequest",
         [("timeseries", 1, F.TYPE_MESSAGE, F.LABEL_REPEATED,
           ".prometheus.TimeSeries")])
+    # remote READ side (api/v1/read): Query with label matchers
+    lm = msg("LabelMatcher",
+             [("type", 1, F.TYPE_ENUM, F.LABEL_OPTIONAL,
+               ".prometheus.LabelMatcher.Type"),
+              ("name", 2, F.TYPE_STRING, F.LABEL_OPTIONAL, None),
+              ("value", 3, F.TYPE_STRING, F.LABEL_OPTIONAL, None)])
+    en = lm.enum_type.add()
+    en.name = "Type"
+    for i, nm in enumerate(("EQ", "NEQ", "RE", "NRE")):
+        v = en.value.add()
+        v.name, v.number = nm, i
+    msg("Query",
+        [("start_timestamp_ms", 1, F.TYPE_INT64, F.LABEL_OPTIONAL, None),
+         ("end_timestamp_ms", 2, F.TYPE_INT64, F.LABEL_OPTIONAL, None),
+         ("matchers", 3, F.TYPE_MESSAGE, F.LABEL_REPEATED,
+          ".prometheus.LabelMatcher")])
+    msg("ReadRequest",
+        [("queries", 1, F.TYPE_MESSAGE, F.LABEL_REPEATED,
+          ".prometheus.Query")])
+    msg("QueryResult",
+        [("timeseries", 1, F.TYPE_MESSAGE, F.LABEL_REPEATED,
+          ".prometheus.TimeSeries")])
+    msg("ReadResponse",
+        [("results", 1, F.TYPE_MESSAGE, F.LABEL_REPEATED,
+          ".prometheus.QueryResult")])
     pool = descriptor_pool.DescriptorPool()
     pool.Add(fdp)
     classes = message_factory.GetMessageClassesForFiles(
         ["vertex_ray_prom_rw.proto"], pool)
-    return (classes["prometheus.WriteRequest"],
-            classes["prometheus.TimeSeries"],
-            classes["prometheus.Label"],
-            classes["prometheus.Sample"])
+    return tuple(classes[f"prometheus.{n}"]
+                 for n in ("WriteRequest", "TimeSeries", "Label", "Sample",
+                           "LabelMatcher", "Query", "ReadRequest",
+                           "QueryResult", "ReadResponse"))
 
 
-WriteRequest, TimeSeries, Label, Sample = _build_messages()
+(WriteRequest, TimeSeries, Label, Sample, LabelMatcher, Query,
+ ReadRequest, QueryResult, ReadResponse) = _build_messages()
+
+_MATCH_OPS = {"=": 0, "!=": 1, "=~": 2, "!~": 3}
+_OP_NAMES = {v: k for k, v in _MATCH_OPS.items()}
 
 try:  # snappy framing per the spec; not in this container
     import snappy as _snappy  # type: ignore
@@ -146,6 +176,106 @@ def decode_write_request(payload: bytes, codec: str = "raw") -> pa.Table:
             ts.append(s.timestamp)
             vals.append(s.value)
     return pa.table({
+        "series_key": pa.array(keys, type=pa.string()),
+        "ts_ms": pa.array(ts, type=pa.int64()),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+
+
+def encode_read_request(queries: list[dict]) -> bytes:
+    """[{start_ms, end_ms, matchers: [(label, op, value)]}] →
+    serialized ReadRequest (op in = != =~ !~)."""
+    rr = ReadRequest()
+    for q in queries:
+        pq = rr.queries.add()
+        pq.start_timestamp_ms = int(q["start_ms"])
+        pq.end_timestamp_ms = int(q["end_ms"])
+        for lbl, op, val in q["matchers"]:
+            pq.matchers.add(type=_MATCH_OPS[op], name=lbl, value=val)
+    return rr.SerializeToString()
+
+
+def remote_read(out_dir: str, request: bytes, *, tier: str,
+                value_col: str = "sum", layout: str = "oneshot") -> bytes:
+    """The ``/api/v1/read`` analogue over the committed block store:
+    decode a ReadRequest, answer each Query from the tier store, return
+    a serialized ReadResponse (one QueryResult per Query, TimeSeries in
+    the write-path wire shape).
+
+    Matcher lowering mirrors the PromQL front-end's selector rule
+    (promql_lang._eval_selector): ``__name__=`` prunes the block scan by
+    metric name, the first other equality matcher becomes a series_key
+    regex push-down, and EVERY matcher is re-applied exactly post-decode
+    (stages/promql.extract_label) — so decode work tracks the selection,
+    not the store. ``value_col`` picks the tier column serving as the
+    sample value (aggregate tiers store count/sum/min/max/last)."""
+    import re as _re
+
+    from vertex_ray.promql_lang import _matcher_filter
+    from vertex_ray.read import query_range
+
+    req = ReadRequest()
+    req.ParseFromString(request)
+    resp = ReadResponse()
+    for q in req.queries:
+        matchers = [(m.name, _OP_NAMES[int(m.type)], m.value)
+                    for m in q.matchers]
+        metric = None
+        rest = []
+        for lbl, op, val in matchers:
+            if lbl == "__name__" and op == "=" and metric is None:
+                metric = val
+            else:
+                rest.append((lbl, op, val))
+        push = None
+        for lbl, op, val in rest:
+            if op == "=":
+                push = (rf"[{{,]{_re.escape(lbl)}={_re.escape(val)}"
+                        rf"[,}}]")
+                break
+        ds = query_range(
+            out_dir, tier, metric=metric, key_regex=push,
+            start=int(q.start_timestamp_ms) // 1000,
+            end=int(q.end_timestamp_ms) // 1000,
+            columns=["series_key", "window_start", value_col],
+            layout=layout)
+        if rest:
+            ds = ds.map_batches(_matcher_filter(rest),
+                                batch_format="pyarrow")
+        # a response is one serialized message — materializing the
+        # (pruned) selection is inherent to the protocol, like the
+        # other read verbs' result sets
+        df = ds.to_pandas()
+        payload = encode_write_request(
+            df["series_key"].to_numpy(),
+            df["window_start"].to_numpy(dtype=np.int64) * 1000,
+            df[value_col].to_numpy(dtype=np.float64))
+        wr = WriteRequest()
+        wr.ParseFromString(payload)
+        qr = resp.results.add()
+        qr.timeseries.extend(wr.timeseries)
+    return resp.SerializeToString()
+
+
+def decode_read_response(payload: bytes) -> pa.Table:
+    """ReadResponse bytes → (query_idx, series_key, ts_ms, value) rows."""
+    from vertex_ray.series import series_key as make_key
+
+    resp = ReadResponse()
+    resp.ParseFromString(payload)
+    qi, keys, ts, vals = [], [], [], []
+    for i, qr in enumerate(resp.results):
+        for t in qr.timeseries:
+            labels = {l.name: l.value for l in t.labels}
+            name = labels.pop("__name__", "")
+            key = make_key(name, labels)
+            for s in t.samples:
+                qi.append(i)
+                keys.append(key)
+                ts.append(s.timestamp)
+                vals.append(s.value)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
         "series_key": pa.array(keys, type=pa.string()),
         "ts_ms": pa.array(ts, type=pa.int64()),
         "value": pa.array(vals, type=pa.float64()),
