@@ -152,8 +152,10 @@ def test_scrape_histogram_rejects_foreign_layout(ray_session):
 
 
 def test_scrape_payload_mixed_kinds(ray_session):
-    # kinds derived from # TYPE lines; summary family skipped; untyped
-    # name falls back to gauge
+    # kinds derived from # TYPE lines; summary quantile streams land as
+    # KIND_SUMMARY series (quantile label back in the key), its
+    # cumulative _sum/_count as counter series; untyped name falls back
+    # to gauge
     rows = [
         '# TYPE requests_total counter',
         '# TYPE temp gauge',
@@ -163,20 +165,25 @@ def test_scrape_payload_mixed_kinds(ray_session):
         'requests_total{job="a"} 20 70000',
         'temp{host="x"} 1.5 0',
         'temp{host="x"} -4.0 61000',
-        'lat{quantile="0.5"} 9.9 0',        # summary: skipped
-        'lat_sum 1.0 0', 'lat_count 3 0',   # summary components: skipped
+        'lat{quantile="0.5"} 9.9 0',
+        'lat_sum 1.0 0', 'lat_count 3 0',
+        'lat_sum 2.5 61000', 'lat_count 5 61000',
         'freeform 7.25 5000',               # untyped -> gauge
     ]
     from vertex_ray.pipelines.scrape_pipeline import scrape_payload_to_store
 
     got = _decoded(scrape_payload_to_store(_lines(rows), n_buckets=4))
-    # counters: windowed delta sums land in ``sum``; gauges mirror the
-    # value into every scalar column so ``sum`` reads them too
+    # counters: windowed delta sums land in ``sum``; gauges and summary
+    # quantile streams mirror the value into every scalar column so
+    # ``sum`` reads them too; _sum/_count first observations emit nothing
     assert got == {
         ("requests_total{job=a}", 0): 3.0,
         ("requests_total{job=a}", 60): 7.0,
         ("temp{host=x}", 0): 1.5,
         ("temp{host=x}", 60): -4.0,
+        ("lat{quantile=0.5}", 0): 9.9,
+        ("lat_sum{}", 60): 1.5,
+        ("lat_count{}", 60): 2.0,
         ("freeform{}", 0): 7.25,
     }
 
@@ -248,3 +255,53 @@ def test_scrape_gauge_nan_sample_replaces(ray_session):
     df = decode_tier_blocks(scrape_to_store(
         _lines(rows), metric="t", kind="gauge", n_buckets=2)).to_pandas()
     assert len(df) == 1 and np.isnan(df["last"].iloc[0])
+
+
+def test_scrape_summary_first_wins_and_explosion(ray_session):
+    """Summary family: quantile streams are their own KIND_SUMMARY series
+    under the NO-OP merge (FIRST per window, ties broken by value asc),
+    the quantile label merged back into the canonical sorted key;
+    _sum/_count route to counter series (first observation emits
+    nothing)."""
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+    from vertex_ray.schema import KIND_SUM, KIND_SUMMARY
+
+    rows = [
+        # window 0: two samples — first (t=1000) wins; window 60: one
+        's{job="a",quantile="0.5"} 7.0 1000',
+        's{job="a",quantile="0.5"} 9.0 30000',
+        's{job="a",quantile="0.5"} 4.0 61000',
+        # same-ts tie in window 0 for q0.9: smaller value wins
+        's{job="a",quantile="0.9"} 5.0 2000',
+        's{job="a",quantile="0.9"} 3.0 2000',
+        # cumulative _sum/_count: first sample sets the reference
+        's_sum{job="a"} 10.0 1000',
+        's_sum{job="a"} 25.0 61000',
+        's_count{job="a"} 4 1000',
+        's_count{job="a"} 9 61000',
+    ]
+    df = decode_tier_blocks(scrape_to_store(
+        _lines(rows), metric="s", kind="summary",
+        n_buckets=2)).to_pandas()
+    by = {(r.series_key, int(r.window_start)): r for r in df.itertuples()}
+    q5_0 = by[("s{job=a,quantile=0.5}", 0)]
+    assert q5_0.last == 7.0 and q5_0.kind == KIND_SUMMARY
+    assert by[("s{job=a,quantile=0.5}", 60)].last == 4.0
+    assert by[("s{job=a,quantile=0.9}", 0)].last == 3.0
+    sm = by[("s_sum{job=a}", 60)]
+    assert sm.sum == 15.0 and sm.kind == KIND_SUM
+    assert by[("s_count{job=a}", 60)].sum == 5.0
+    # first observations emitted nothing in window 0
+    assert ("s_sum{job=a}", 0) not in by
+    assert ("s_count{job=a}", 0) not in by
+
+
+def test_scrape_incremental_rejects_summary(ray_session, tmp_path):
+    import pytest
+
+    from vertex_ray.pipelines.scrape_incremental import scrape_append
+
+    with pytest.raises(ValueError, match="one-shot"):
+        scrape_append(_lines(['s{q="0.5"} 1 0']), str(tmp_path / "st"),
+                      kinds={"s": "summary"})

@@ -3583,6 +3583,109 @@ OP_QUERIES["scrape_gauge_1m_events"] = q_scrape_gauge_events
 OP_ORACLES["scrape_gauge_1m_events"] = SQL_SCRAPE_GAUGE_EVENTS
 
 
+
+def _scrape_summary_lines(g):
+    """Per event (ordered by ts, event_id) a summary exposition family:
+    two pre-computed quantile streams (values derived from the arrival
+    rank — exact quarters/halves) plus cumulative monotonic _sum/_count
+    (sum = rank/2, count = rank)."""
+    import pandas as pd
+
+    g = g.sort_values(["ts", "event_id"], kind="stable")
+    n = len(g)
+    rank = np.arange(1, n + 1, dtype=np.int64)
+    ts = pd.Series(g["ts"].to_numpy().astype("datetime64[ms]")
+                   .astype(np.int64)).astype(str)
+    et = g["event_type"].iloc[0]
+    base = f'events_summary{{job="{et}"'
+    q5 = pd.Series((rank % 97) * 0.25).astype(str)
+    q9 = pd.Series((rank % 89) * 0.5).astype(str)
+    csum = pd.Series(rank * 0.5).astype(str)
+    ccnt = pd.Series(rank).astype(str)
+    lines = pd.concat([
+        base + ',quantile="0.5"} ' + q5 + " " + ts,
+        base + ',quantile="0.9"} ' + q9 + " " + ts,
+        f'events_summary_sum{{job="{et}"}} ' + csum + " " + ts,
+        f'events_summary_count{{job="{et}"}} ' + ccnt + " " + ts,
+    ], ignore_index=True)
+    return pd.DataFrame({"text": lines})
+
+
+def q_scrape_summary_events(sf_dir: str):
+    """Summary-family scrape ingest end-to-end (the 4th MetricValue
+    kind, whose merge is a NO-OP — metric/mod.rs:33-39): each
+    event_type exposes two {quantile=} streams plus cumulative
+    _sum/_count. Quantile streams land as KIND_SUMMARY series under the
+    first-per-window rule; _sum/_count route to their own counter
+    series (normalize drops each series' first observation). Decoded
+    values are hash-identical to the SQL mirror (first-row selection +
+    telescoping deltas)."""
+    import pyarrow as pa
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+    from vertex_ray.schema import KIND_SUMMARY
+
+    lines = _ev(sf_dir).groupby("event_type").map_groups(
+        _scrape_summary_lines, batch_format="pandas")
+    blocks = scrape_to_store(lines, metric="events_summary",
+                             kind="summary", window_s=60, tier="1m",
+                             n_buckets=8)
+
+    def shape(t: pa.Table) -> pa.Table:
+        k = t["kind"].to_numpy()
+        val = np.where(k == KIND_SUMMARY, t["last"].to_numpy(),
+                       t["sum"].to_numpy())
+        return pa.table({"series_key": t["series_key"],
+                         "window_start": t["window_start"],
+                         "value": pa.array(val, type=pa.float64())})
+
+    return decode_tier_blocks(blocks).map_batches(
+        shape, batch_format="pyarrow")
+
+
+SQL_SCRAPE_SUMMARY_EVENTS = """
+WITH s AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms,
+         (epoch_ms(ts) // 60000) * 60 AS window_start,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rank
+  FROM events
+), qs AS (
+  SELECT event_type, ts_ms, window_start, '0.5' AS q,
+         (rank % 97) * 0.25 AS val FROM s
+  UNION ALL
+  SELECT event_type, ts_ms, window_start, '0.9',
+         (rank % 89) * 0.5 FROM s
+), qr AS (
+  SELECT 'events_summary{job=' || event_type || ',quantile=' || q || '}'
+           AS series_key,
+         window_start, val,
+         row_number() OVER (PARTITION BY event_type, q, window_start
+                            ORDER BY ts_ms, val) AS rn
+  FROM qs
+), d AS (
+  SELECT 'events_summary_sum{job=' || event_type || '}' AS series_key,
+         window_start,
+         (rank - lag(rank) OVER (PARTITION BY event_type
+                                 ORDER BY ts_ms, rank)) * 0.5 AS delta
+  FROM s
+  UNION ALL
+  SELECT 'events_summary_count{job=' || event_type || '}', window_start,
+         CAST(rank - lag(rank) OVER (PARTITION BY event_type
+                                     ORDER BY ts_ms, rank) AS DOUBLE)
+  FROM s
+)
+SELECT series_key, window_start, val AS value FROM qr WHERE rn = 1
+UNION ALL
+SELECT series_key, window_start, SUM(delta) AS value
+FROM d WHERE delta IS NOT NULL GROUP BY 1, 2
+"""
+
+OP_QUERIES["scrape_summary_1m_events"] = q_scrape_summary_events
+OP_ORACLES["scrape_summary_1m_events"] = SQL_SCRAPE_SUMMARY_EVENTS
+
+
 def q_scrape_hist_events(sf_dir: str):
     """Histogram scrape ingest end-to-end: each event_type becomes a
     scraped histogram series — per event (ordered by ts, event_id) the
@@ -3663,12 +3766,13 @@ OP_ORACLES["scrape_hist_1m_events"] = _sql_scrape_hist_events()
 def q_scrape_payload_events(sf_dir: str):
     """Whole-payload scrape ingest: ONE exposition stream carrying a
     counter family, a gauge family, a histogram family (the three
-    fixtures above), their ``# TYPE`` lines AND a summary family (which
-    the store skips — no quantile streams) is ingested in one pass by
+    fixtures above), their ``# TYPE`` lines AND a summary family (its
+    quantile stream lands as a KIND_SUMMARY series, its single-sample
+    _sum/_count emit nothing) is ingested in one pass by
     ``scrape_payload_to_store`` (kinds derived from the TYPE lines,
     suffix routing per family, ONE series exchange dispatching the
     per-kind normalize contract, one encode). The decoded store is
-    hash-identical to the UNION ALL of the three per-kind SQL mirrors."""
+    hash-identical to the UNION ALL of the per-kind SQL mirrors."""
     import ray.data as rd
 
     from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
@@ -3715,6 +3819,13 @@ FROM ({SQL_SCRAPE_GAUGE_EVENTS})
 UNION ALL
 SELECT series_key, window_start, sum, count, {bsel}
 FROM ({_sql_scrape_hist_events()})
+UNION ALL
+-- the payload's one-sample summary family: its quantile stream ingests
+-- as a KIND_SUMMARY row (first-per-window; value mirrored into every
+-- scalar column), its single-sample _sum/_count emit nothing
+SELECT 'lat{{job=x,quantile=0.5}}' AS series_key,
+       CAST(0 AS BIGINT) AS window_start, 1.0 AS sum,
+       CAST(1 AS BIGINT) AS count, {b0}
 """
 
 

@@ -194,6 +194,11 @@ def scrape_append(lines_ds, out_dir: str, *, kinds: dict,
     bad = {m: k for m, k in kinds.items() if k not in _KIND_CODE}
     if bad:
         raise ValueError(f"unknown family kinds: {bad}")
+    if any(k == "summary" for k in kinds.values()):
+        # the no-op first-wins merge needs the open window's FIRST value
+        # carried across runs; that carry is not implemented — one-shot
+        # scrape (scrape_pipeline) ingests summaries
+        raise ValueError("summary families are one-shot scrape only")
     prev = _epoch_seq_dirs(out_dir)
     if prev:
         from vertex_ray.state.checkpoint import read_manifest

@@ -27,6 +27,11 @@ Kind semantics (MetricValue::merge, lib/event/src/metric/mod.rs:42-64):
   KIND_SUM with sum = windowed delta sum, count = contributing samples,
   min/max/last = min/max/last delta.
 - gauge: replace-merge — last observation per window wins.
+- summary: merge is a NO-OP (metric/mod.rs:33-39) — FIRST observation
+  per window wins for each ``{quantile=}`` stream (each its own
+  KIND_SUMMARY series); the family's cumulative ``_sum``/``_count``
+  route to their own counter series (the rendering explosion,
+  metric/mod.rs:175-235).
 - histogram: ``_bucket{le=}`` / ``_sum`` / ``_count`` suffix routing;
   all cumulative streams normalize JOINTLY on count resets (the
   Prometheus rate() rule); window = per-stream delta sums landing as
@@ -49,6 +54,7 @@ import pandas as pd
 import pyarrow as pa
 
 from vertex_ray.schema import (
+    KIND_SUMMARY,
     BUCKET_COLS,
     DEFAULT_BUCKETS_ARR,
     KIND_GAUGE,
@@ -63,7 +69,8 @@ __all__ = [
 ]
 
 _KIND_CODE = {"counter": KIND_SUM, "gauge": KIND_GAUGE,
-              "untyped": KIND_GAUGE, "histogram": KIND_HISTOGRAM}
+              "untyped": KIND_GAUGE, "histogram": KIND_HISTOGRAM,
+              "summary": KIND_SUMMARY}
 
 
 def _strip_quote_tags(s: pa.Table) -> pd.Series:
@@ -191,6 +198,27 @@ def _gauge_bucket(g: pd.DataFrame, window_s: int,
          "last": last})
 
 
+def _summary_bucket(g: pd.DataFrame, window_s: int,
+                    n_buckets: int) -> pd.DataFrame:
+    # summary merge is a NO-OP (MetricValue::merge keeps the first
+    # accumulated state, lib/event/src/metric/mod.rs:33-39): the FIRST
+    # sample per (series, window) in (ts_ms, value) order wins — the
+    # exact dual of the gauge kernel's last. Quantile streams arrive as
+    # their own series (the {quantile=...} label is part of the
+    # canonical key); the family's _sum/_count route to counter series
+    # in the parse stage.
+    if len(g) == 0:
+        return _empty_agg_frame()
+    c, uniq, ts, v = _sorted_series_cols(g)
+    ws = (ts // (window_s * 1000)) * window_s
+    b, eb = _segment_bounds(c, ws)
+    first = v[b]
+    return _agg_frame_from(
+        uniq[c[b]], ws[b], n_buckets, KIND_SUMMARY, ts[b] * 1000,
+        {"sum": first, "count": np.ones(len(b)), "min": first,
+         "max": first, "last": first})
+
+
 def _hist_bucket(g: pd.DataFrame, window_s: int,
                  n_buckets: int) -> pd.DataFrame:
     # histogram families are O(instrumented metrics): a per-series pass
@@ -250,7 +278,8 @@ def _hist_series_frame(g: pd.DataFrame, window_s: int,
 
 
 _KIND_BUCKET = {KIND_SUM: _counter_bucket, KIND_GAUGE: _gauge_bucket,
-                KIND_HISTOGRAM: _hist_bucket}
+                KIND_HISTOGRAM: _hist_bucket,
+                KIND_SUMMARY: _summary_bucket}
 
 
 # ---------------------------------------------------------------------------
@@ -264,8 +293,9 @@ def scrape_to_store(lines_ds, *, metric: str, kind: str = "counter",
                     staleness_s: int = 300,
                     default_ts_ms: int | None = None):
     """Exposition-text lines Dataset → Gorilla block rows for ONE metric
-    family of the given kind (``counter`` / ``gauge`` / ``histogram``;
-    see module docstring for the per-kind normalize contracts).
+    family of the given kind (``counter`` / ``gauge`` / ``histogram`` /
+    ``summary``; see module docstring for the per-kind normalize
+    contracts).
 
     ``fill_until_s``: when set (epoch seconds — typically the scrape
     time), apply the exporter-TTL staleness model to the ingested store
@@ -300,17 +330,18 @@ def scrape_payload_to_store(lines_ds, *, kinds: dict | None = None,
     """Whole-payload ingest: EVERY typed family in the exposition text in
     one pass — one parse, one series exchange, one encode.
 
-    ``kinds`` maps family name → ``counter|gauge|histogram``; when None
-    it is derived from the payload's ``# TYPE`` lines (a tiny filter +
-    collect — TYPE lines are O(families), not O(samples)). Names never
-    typed fall back to gauge (the reference's untyped fallback,
-    lib/prometheus/src/lib.rs); summary families are skipped (the store
-    has no quantile streams — summaries roll up from raw observations
-    via stages/summary instead)."""
+    ``kinds`` maps family name → ``counter|gauge|histogram|summary``;
+    when None it is derived from the payload's ``# TYPE`` lines (a tiny
+    filter + collect — TYPE lines are O(families), not O(samples)).
+    Names never typed fall back to gauge (the reference's untyped
+    fallback, lib/prometheus/src/lib.rs). Summary families ingest as
+    their Prometheus rendering explosion (metric/mod.rs:175-235):
+    quantile streams land as KIND_SUMMARY series under the no-op-merge
+    first-per-window rule, ``_sum``/``_count`` as counter series."""
     if kinds is None:
         kinds = _collect_type_map(lines_ds)
-    # summary families are skipped entirely (incl. their _sum/_count and
-    # bare quantile rows) — they must not hit the untyped fallback
+    # families of a kind this engine does not model are skipped entirely
+    # (incl. their suffix rows) — they must not hit the untyped fallback
     summary_fams = {m for m, k in kinds.items() if k not in _KIND_CODE}
     kinds = {m: k for m, k in kinds.items() if k in _KIND_CODE}
     return _scrape_routed(lines_ds, kinds=kinds, window_s=window_s,
@@ -345,6 +376,7 @@ def _scrape_parse_ds(lines_ds, *, kinds: dict, n_buckets: int,
     from vertex_ray.sources.prometheus_text import decode_prometheus_samples
 
     hist_names = {m for m, k in kinds.items() if k == "histogram"}
+    summary_names = {m for m, k in kinds.items() if k == "summary"}
 
     def parse(t: pa.Table) -> pa.Table:
         s = decode_prometheus_samples(t)
@@ -362,6 +394,16 @@ def _scrape_parse_ds(lines_ds, *, kinds: dict, n_buckets: int,
             family = np.where(hit, cand.to_numpy(), family)
             role = np.where(hit, r, role)
             code = code.where(~hit, KIND_HISTOGRAM)
+        # summary suffix routing: the family's cumulative _sum/_count
+        # become their OWN counter series (the Prometheus rendering
+        # explosion, metric/mod.rs:175-235 — quantile streams keep the
+        # bare name with the {quantile=} label and route via the typed
+        # map to the no-op-merge kernel)
+        for suffix in ("_sum", "_count"):
+            cand = pd.Series(name, dtype=object).str.removesuffix(suffix)
+            hit = (role == "") & cand.isin(summary_names).to_numpy()
+            role = np.where(hit, "value", role)
+            code = code.where(~hit, KIND_SUM)
         if untyped_fallback:
             # names never seen in # TYPE pass through as gauges (the
             # reference's untyped fallback) — except skipped families'
@@ -376,8 +418,40 @@ def _scrape_parse_ds(lines_ds, *, kinds: dict, n_buckets: int,
             code = code.where(~un, KIND_GAUGE)
         keep = role != ""
         s = s.filter(pa.array(keep))
-        key = (pd.Series(family[keep], dtype=object) + "{"
-               + _strip_quote_tags(s) + "}")
+        tags = _strip_quote_tags(s)
+        if summary_names:
+            # the parser routes the quantile label to its own column
+            # (Prometheus grouping); a summary quantile stream is its
+            # OWN series, so merge ``quantile=<q>`` back into the
+            # canonical sorted tag string — per UNIQUE (tags, q) pair
+            # (O(series), the established canonicalization rule), the
+            # numeric label value re-rendered by Python float repr
+            ck = code.to_numpy()[keep]
+            qv = s["quantile"].to_numpy(zero_copy_only=False)
+            qmask = (ck == KIND_SUMMARY) & ~np.isnan(qv)
+            if qmask.any():
+                # \x1f unit separator (pandas object-concat silently
+                # drops NUL bytes; \x1f survives and cannot appear in
+                # exposition label text)
+                comb = (tags[qmask] + "\x1f"
+                        + pd.Series(qv[qmask]).map(repr).to_numpy())
+                codes2, uniq2 = pd.factorize(comb)
+
+                def _ins(cq: str) -> str:
+                    tg, _, q = cq.partition("\x1f")
+                    pairs = tg.split(",") if tg else []
+                    i = 0
+                    while i < len(pairs) and pairs[i].split("=")[0] < \
+                            "quantile":
+                        i += 1
+                    pairs.insert(i, f"quantile={q}")
+                    return ",".join(pairs)
+
+                mapped = np.array([_ins(u) for u in uniq2], dtype=object)
+                tv = tags.to_numpy()
+                tv[np.flatnonzero(qmask)] = mapped[codes2]
+                tags = pd.Series(tv, dtype=object)
+        key = (pd.Series(family[keep], dtype=object) + "{" + tags + "}")
         bucket = (pd.util.hash_array(key.to_numpy())
                   % np.uint64(n_buckets)).astype(np.int32)
         cols = {
