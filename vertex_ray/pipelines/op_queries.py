@@ -3686,6 +3686,63 @@ OP_QUERIES["scrape_summary_1m_events"] = q_scrape_summary_events
 OP_ORACLES["scrape_summary_1m_events"] = SQL_SCRAPE_SUMMARY_EVENTS
 
 
+def q_scrape_summary_cascade_events(sf_dir: str):
+    """Store-level cascade of a SUMMARY store (stages/cascade over the
+    summary scrape ingest): quantile streams follow the NO-OP merge —
+    the 5m window keeps the FIRST accumulated 1m state
+    (metric/mod.rs:33-39) — while the family's _sum/_count counter
+    series merge additively. One bucket exchange, hash-identical to the
+    SQL mirror's first-fine-window selection + sums."""
+    import pyarrow as pa
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+    from vertex_ray.schema import KIND_SUMMARY
+    from vertex_ray.stages.cascade import cascade_blocks
+
+    lines = _ev(sf_dir).groupby("event_type").map_groups(
+        _scrape_summary_lines, batch_format="pandas")
+    blocks = scrape_to_store(lines, metric="events_summary",
+                             kind="summary", window_s=60, tier="1m",
+                             n_buckets=8)
+    five = cascade_blocks(blocks, tiers=("5m",), source_tier="1m")
+
+    def shape(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["tier"], "5m"))
+        k = t["kind"].to_numpy()
+        val = np.where(k == KIND_SUMMARY, t["last"].to_numpy(),
+                       t["sum"].to_numpy())
+        return pa.table({"series_key": t["series_key"],
+                         "window_start": t["window_start"],
+                         "value": pa.array(val, type=pa.float64())})
+
+    return decode_tier_blocks(five).map_batches(
+        shape, batch_format="pyarrow")
+
+
+SQL_SCRAPE_SUMMARY_CASCADE_EVENTS = f"""
+WITH m AS ({SQL_SCRAPE_SUMMARY_EVENTS}),
+q AS (
+  SELECT series_key, (window_start // 300) * 300 AS w, value,
+         row_number() OVER (PARTITION BY series_key,
+                            (window_start // 300) * 300
+                            ORDER BY window_start) AS rn
+  FROM m WHERE series_key LIKE '%quantile=%'
+)
+SELECT series_key, w AS window_start, value FROM q WHERE rn = 1
+UNION ALL
+SELECT series_key, (window_start // 300) * 300 AS window_start,
+       SUM(value) AS value
+FROM m WHERE series_key NOT LIKE '%quantile=%'
+GROUP BY 1, 2
+"""
+
+OP_QUERIES["scrape_summary_cascade_5m_events"] = \
+    q_scrape_summary_cascade_events
+OP_ORACLES["scrape_summary_cascade_5m_events"] = \
+    SQL_SCRAPE_SUMMARY_CASCADE_EVENTS
+
+
 def q_scrape_hist_events(sf_dir: str):
     """Histogram scrape ingest end-to-end: each event_type becomes a
     scraped histogram series — per event (ordered by ts, event_id) the

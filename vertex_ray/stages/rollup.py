@@ -121,10 +121,28 @@ def merge_agg(df: pd.DataFrame, window_seconds: int) -> pd.DataFrame:
     """Merge aggregate partials into (coarser) windows — the tier-merge
     contract of FIXTURES.md §F4: sums/counts add, min/max fold, last by
     latest last_ts, element-wise bucket adds. Used by both the salted
-    second phase (same window size) and the tier cascade (coarser)."""
+    second phase (same window size) and the tier cascade (coarser).
+
+    KIND_SUMMARY rows follow the NO-OP merge instead
+    (MetricValue::merge does nothing for Summary,
+    lib/event/src/metric/mod.rs:33-39): the coarser window keeps the
+    FIRST accumulated state — earliest last_ts, positionally (NaN-safe),
+    every column untouched."""
+    from vertex_ray.schema import KIND_SUMMARY
+
     df = df.copy()
     df["window_start"] = df["window_start"] // window_seconds * window_seconds
     df = df.sort_values("last_ts", kind="stable")
+    is_summary = df["kind"].to_numpy() == KIND_SUMMARY
+    if is_summary.any():
+        first = (df[is_summary]
+                 .drop_duplicates(["series_key", "window_start"],
+                                  keep="first"))
+        rest = df[~is_summary]
+        if not len(rest):
+            return first[AGG_COLS]
+        return pd.concat([merge_agg(rest, window_seconds),
+                          first[AGG_COLS]], ignore_index=True)
     g = df.groupby(["series_key", "window_start"], sort=False)
     out = g.agg(
         bucket=("bucket", "first"),
