@@ -102,3 +102,57 @@ def test_stream_counter_reset_and_stale_drop(ray_session):
     got = _decode_stream(n.flush())
     assert got == {("s", 0): 3.0, ("s", 60): 2.0}
     assert n.dropped_stale == 1
+
+
+def test_stream_scrape_summary_first_wins(ray_session):
+    """Streaming summary: FIRST per (series, window) wins across
+    micro-batch boundaries (no-op merge carried in the open-window
+    state); quantile label merged into the key."""
+    from vertex_ray.stages.stream_scrape import stream_scrape
+
+    def b(rows):
+        return pa.table({"text": pa.array(rows, type=pa.string())})
+
+    batches = [
+        b(['s{job="a",quantile="0.5"} 7.0 1000']),
+        b(['s{job="a",quantile="0.5"} 9.0 30000',   # same window: first kept
+           's{job="a",quantile="0.9"} 2.5 30000']),
+        b(['s{job="a",quantile="0.5"} 4.0 61000']),  # advance closes w0
+    ]
+    blocks = stream_scrape(batches, metric="s", kind="summary",
+                           window_s=60, n_actors=2)
+    by = _decode_stream(blocks)
+    assert by == {
+        ("s{job=a,quantile=0.5}", 0): 7.0,
+        ("s{job=a,quantile=0.5}", 60): 4.0,
+        ("s{job=a,quantile=0.9}", 0): 2.5,
+    }
+
+
+def test_stream_summary_equals_batch(ray_session):
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
+    from vertex_ray.stages.stream_scrape import stream_scrape
+
+    rows = []
+    rng = np.random.default_rng(13)
+    for job in ("a", "b"):
+        for q in ("0.5", "0.9"):
+            t = 0
+            for _ in range(40):
+                t += int(rng.integers(1000, 50_000))
+                val = round(float(rng.normal()), 3)
+                rows.append(f'lat{{job="{job}",quantile="{q}"}} {val} {t}')
+    rows.sort(key=lambda s: int(s.rsplit(" ", 1)[1]))
+
+    batch = scrape_to_store(
+        rd.from_arrow(pa.table({"text": rows})), metric="lat",
+        kind="summary", n_buckets=2)
+    bdf = decode_tier_blocks(batch).to_pandas()
+    want = {(r.series_key, int(r.window_start)): float(r.last)
+            for r in bdf.itertuples()}
+
+    got = _decode_stream(stream_scrape(
+        _lines_tables(rows, 4), metric="lat", kind="summary",
+        n_actors=2, max_points=8))
+    assert got == want

@@ -73,6 +73,35 @@ _KIND_CODE = {"counter": KIND_SUM, "gauge": KIND_GAUGE,
               "summary": KIND_SUMMARY}
 
 
+def merge_quantile_into_tags(tags: pd.Series, qv: np.ndarray,
+                             mask: np.ndarray) -> pd.Series:
+    """Merge ``quantile=<q>`` back into canonical sorted tag strings for
+    the masked rows — per UNIQUE (tags, q) pair (O(series), the
+    established canonicalization rule); the numeric label value
+    re-rendered by Python float repr."""
+    if not mask.any():
+        return tags
+    # \x1f unit separator (pandas object-concat silently drops NUL
+    # bytes; \x1f survives and cannot appear in exposition label text)
+    comb = (tags[mask] + "\x1f"
+            + pd.Series(qv[mask]).map(repr).to_numpy())
+    codes, uniq = pd.factorize(comb)
+
+    def _ins(cq: str) -> str:
+        tg, _, q = cq.partition("\x1f")
+        pairs = tg.split(",") if tg else []
+        i = 0
+        while i < len(pairs) and pairs[i].split("=")[0] < "quantile":
+            i += 1
+        pairs.insert(i, f"quantile={q}")
+        return ",".join(pairs)
+
+    mapped = np.array([_ins(u) for u in uniq], dtype=object)
+    tv = tags.to_numpy()
+    tv[np.flatnonzero(mask)] = mapped[codes]
+    return pd.Series(tv, dtype=object)
+
+
 def _strip_quote_tags(s: pa.Table) -> pd.Series:
     """Sample ``tags`` (canonical sorted ``k="v"`` join) → the store's
     ``k=v`` convention."""
@@ -428,29 +457,8 @@ def _scrape_parse_ds(lines_ds, *, kinds: dict, n_buckets: int,
             # numeric label value re-rendered by Python float repr
             ck = code.to_numpy()[keep]
             qv = s["quantile"].to_numpy(zero_copy_only=False)
-            qmask = (ck == KIND_SUMMARY) & ~np.isnan(qv)
-            if qmask.any():
-                # \x1f unit separator (pandas object-concat silently
-                # drops NUL bytes; \x1f survives and cannot appear in
-                # exposition label text)
-                comb = (tags[qmask] + "\x1f"
-                        + pd.Series(qv[qmask]).map(repr).to_numpy())
-                codes2, uniq2 = pd.factorize(comb)
-
-                def _ins(cq: str) -> str:
-                    tg, _, q = cq.partition("\x1f")
-                    pairs = tg.split(",") if tg else []
-                    i = 0
-                    while i < len(pairs) and pairs[i].split("=")[0] < \
-                            "quantile":
-                        i += 1
-                    pairs.insert(i, f"quantile={q}")
-                    return ",".join(pairs)
-
-                mapped = np.array([_ins(u) for u in uniq2], dtype=object)
-                tv = tags.to_numpy()
-                tv[np.flatnonzero(qmask)] = mapped[codes2]
-                tags = pd.Series(tv, dtype=object)
+            tags = merge_quantile_into_tags(
+                tags, qv, (ck == KIND_SUMMARY) & ~np.isnan(qv))
         key = (pd.Series(family[keep], dtype=object) + "{" + tags + "}")
         bucket = (pd.util.hash_array(key.to_numpy())
                   % np.uint64(n_buckets)).astype(np.int32)

@@ -48,14 +48,20 @@ class StreamScrapeNormalizer:
     rows into an internal StreamGorillaEncoder.
 
     Emitted value per kind: counter → windowed delta sum; gauge → last
-    observation of the window.
+    observation of the window; summary (the quantile streams — no-op
+    merge, metric/mod.rs:33-39) → FIRST observation of the window (ties
+    within a micro-batch broken by value asc; across micro-batches the
+    earlier batch wins, exact vs the batch kernel whenever per-series
+    timestamps are strictly increasing, the fixture norm). A summary
+    family's cumulative ``_sum``/``_count`` are their own counter
+    streams — ingest them with kind="counter" runs.
     """
 
     def __init__(self, kind: str = "counter", window_s: int = 60,
                  max_points: int = 256):
-        if kind not in ("counter", "gauge"):
-            raise ValueError(f"streaming scrape supports counter|gauge, "
-                             f"got {kind!r}")
+        if kind not in ("counter", "gauge", "summary"):
+            raise ValueError(f"streaming scrape supports counter|gauge|"
+                             f"summary, got {kind!r}")
         self.kind = kind
         self.window_s = int(window_s)
         # series → [last_ts_ms, last_cum, open_w, open_value, seeded]
@@ -114,14 +120,20 @@ class StreamScrapeNormalizer:
             eb = np.concatenate([b[1:], [len(ws)]])
             if self.kind == "counter":
                 pv = np.add.reduceat(vals, b)
+            elif self.kind == "summary":
+                pv = vals[b]
             else:
                 pv = vals[eb - 1]
             pw = ws[b]
-            # fold the carried open window into the first partial
+            # fold the carried open window into the first partial:
+            # counter adds, gauge keeps the new last, summary keeps the
+            # carried FIRST
             if st[2] is not None:
                 if pw[0] == st[2]:
-                    pv[0] = (st[3] + pv[0] if self.kind == "counter"
-                             else pv[0])
+                    if self.kind == "counter":
+                        pv[0] = st[3] + pv[0]
+                    elif self.kind == "summary":
+                        pv[0] = st[3]
                 elif pw[0] > st[2]:
                     out_keys.append(key)
                     out_w.append(st[2])
@@ -210,6 +222,15 @@ def stream_scrape(batches, *, metric: str, kind: str = "counter",
                     s["ts_ms"]))
         tags = pd.Series(s["tags"].to_numpy(zero_copy_only=False),
                          dtype=object).str.replace('"', "", regex=False)
+        if kind == "summary":
+            # each quantile stream is its own series — merge the label
+            # the parser routed to its own column back into the key
+            from vertex_ray.pipelines.scrape_pipeline import (
+                merge_quantile_into_tags,
+            )
+
+            qv = s["quantile"].to_numpy(zero_copy_only=False)
+            tags = merge_quantile_into_tags(tags, qv, ~np.isnan(qv))
         key = (metric + "{" + tags + "}").to_numpy()
         samples = pa.table({
             "series_key": pa.array(key, type=pa.string()),
