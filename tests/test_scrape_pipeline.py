@@ -297,11 +297,39 @@ def test_scrape_summary_first_wins_and_explosion(ray_session):
     assert ("s_count{job=a}", 0) not in by
 
 
-def test_scrape_incremental_rejects_summary(ray_session, tmp_path):
-    import pytest
+def test_scrape_incremental_summary_first_wins(ray_session, tmp_path):
+    """Summary across run boundaries: the open window's FIRST value is
+    carried (via the last_ts=first-instant convention + the §F4 no-op
+    merge), so incremental == one-shot even when a window spans runs."""
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_incremental import (
+        read_scrape_epochs,
+        scrape_append,
+        scrape_finalize,
+    )
+    from vertex_ray.pipelines.scrape_pipeline import scrape_to_store
 
-    from vertex_ray.pipelines.scrape_incremental import scrape_append
-
-    with pytest.raises(ValueError, match="one-shot"):
-        scrape_append(_lines(['s{q="0.5"} 1 0']), str(tmp_path / "st"),
-                      kinds={"s": "summary"})
+    rows = [
+        's{job="a",quantile="0.5"} 7.0 1000',
+        's{job="a",quantile="0.5"} 9.0 30000',   # same window, run 2
+        's{job="a",quantile="0.5"} 4.0 61000',   # next window, run 2
+        's{job="a",quantile="0.5"} 8.0 130000',  # run 3
+    ]
+    st = str(tmp_path / "st")
+    kinds = {"s": "summary"}
+    scrape_append(_lines(rows[:1]), st, kinds=kinds, n_buckets=2)
+    scrape_append(_lines(rows[1:3]), st, kinds=kinds, n_buckets=2)
+    scrape_append(_lines(rows[3:]), st, kinds=kinds, n_buckets=2)
+    scrape_finalize(st, kinds=kinds, n_buckets=2)
+    inc = decode_tier_blocks(read_scrape_epochs(st)).to_pandas()
+    got = {(r.series_key, int(r.window_start)): float(r.last)
+           for r in inc.itertuples()}
+    one = decode_tier_blocks(scrape_to_store(
+        _lines(rows), metric="s", kind="summary", n_buckets=2)).to_pandas()
+    want = {(r.series_key, int(r.window_start)): float(r.last)
+            for r in one.itertuples()}
+    assert got == want == {
+        ("s{job=a,quantile=0.5}", 0): 7.0,
+        ("s{job=a,quantile=0.5}", 60): 4.0,
+        ("s{job=a,quantile=0.5}", 120): 8.0,
+    }

@@ -4167,3 +4167,61 @@ def q_scrape_incremental_events(sf_dir: str):
 
 OP_QUERIES["scrape_incremental_1m_events"] = q_scrape_incremental_events
 OP_ORACLES["scrape_incremental_1m_events"] = SQL_SCRAPE_COUNTERS_EVENTS
+
+
+def q_scrape_incremental_summary_events(sf_dir: str):
+    """INCREMENTAL ingest of a SUMMARY family: the summary fixture split
+    into 3 per-series time chunks + finalize. First-wins holds across
+    run boundaries with no summary-specific carry code (the open
+    partial's last_ts is its first sample's instant, so the §F4 merge
+    prefers it) — hash-identical to the one-shot SQL mirror."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.pipelines.scrape_incremental import (
+        read_scrape_epochs,
+        scrape_append,
+        scrape_finalize,
+    )
+    from vertex_ray.schema import KIND_SUMMARY
+
+    def to_lines_runs(g):
+        out = _scrape_summary_lines(g)
+        n = len(out)
+        out["run"] = (np.arange(n) * 3) // max(n, 1)
+        return out
+
+    base = os.path.join(
+        "/tmp/vertex_ray_queries",
+        f"scrape_inc_summary_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    lines = _ev(sf_dir).groupby("event_type").map_groups(
+        to_lines_runs, batch_format="pandas")
+    kinds = {"events_summary": "summary"}
+    for r in range(3):
+        run = lines.map_batches(
+            lambda t, r=r: t.filter(pc.equal(t["run"], r)).select(["text"]),
+            batch_format="pyarrow")
+        scrape_append(run, base, kinds=kinds, window_s=60, tier="1m",
+                      n_buckets=8)
+    scrape_finalize(base, kinds=kinds, window_s=60, tier="1m", n_buckets=8)
+
+    def shape(t):
+        k = t["kind"].to_numpy()
+        val = np.where(k == KIND_SUMMARY, t["last"].to_numpy(),
+                       t["sum"].to_numpy())
+        return pa.table({"series_key": t["series_key"],
+                         "window_start": t["window_start"],
+                         "value": pa.array(val, type=pa.float64())})
+
+    return decode_tier_blocks(read_scrape_epochs(base)).map_batches(
+        shape, batch_format="pyarrow")
+
+
+OP_QUERIES["scrape_incremental_summary_1m_events"] = \
+    q_scrape_incremental_summary_events
+OP_ORACLES["scrape_incremental_summary_1m_events"] = \
+    SQL_SCRAPE_SUMMARY_EVENTS

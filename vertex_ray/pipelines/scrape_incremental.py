@@ -22,7 +22,12 @@ flagship's epoch pipeline (pipelines/epoch_pipeline):
 - samples at or before a series' last accepted timestamp are dropped
   (at-least-once replay absorb, same rule as the streaming encoder).
 
-All three kinds (counter / gauge / histogram) carry state.
+All four kinds carry state. Summary's no-op merge needs no extra
+machinery: a summary window row's ``last_ts`` is its FIRST sample's
+instant (stages/scrape_pipeline._summary_bucket), so the §F4 merge —
+summary keeps the earliest-``last_ts`` row — always prefers the carried
+open partial over the window re-derived from the replayed reference
+row, which is exactly first-wins across run boundaries.
 
 The resulting store is the epoch layout: query it with
 ``read_epochs_stage`` / the read façade's ``layout="epochs"``, compact
@@ -194,11 +199,6 @@ def scrape_append(lines_ds, out_dir: str, *, kinds: dict,
     bad = {m: k for m, k in kinds.items() if k not in _KIND_CODE}
     if bad:
         raise ValueError(f"unknown family kinds: {bad}")
-    if any(k == "summary" for k in kinds.values()):
-        # the no-op first-wins merge needs the open window's FIRST value
-        # carried across runs; that carry is not implemented — one-shot
-        # scrape (scrape_pipeline) ingests summaries
-        raise ValueError("summary families are one-shot scrape only")
     prev = _epoch_seq_dirs(out_dir)
     if prev:
         from vertex_ray.state.checkpoint import read_manifest
