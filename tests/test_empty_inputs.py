@@ -43,6 +43,13 @@ EXPECTED_NONEMPTY = {
     "op_exact_quantiles_events": 3,   # one NaN row per requested quantile,
                                       # mirroring SQL quantile_disc → NULL
     "op_multimodal_features": 100,    # input is self-synthesized media rows
+    "scrape_payload_1m_events": 1,    # the query unions a STATIC exposition
+                                      # payload (TYPE lines + a one-sample
+                                      # summary family) into the stream, so
+                                      # the store holds exactly 1 KIND_SUMMARY
+                                      # row even when the events table is
+                                      # empty; the DuckDB oracle emits the
+                                      # same static row unconditionally
 }
 
 
