@@ -1363,3 +1363,51 @@ def test_compression_ratio_op():
     # determinism
     out2 = compression_ratio_op()(docs).to_pandas().set_index("doc_id")
     assert (out["n_compressed"] == out2["n_compressed"]).all()
+
+
+def test_bpe_sequential_matches_rank_strategy(ray_session):
+    """The driver-visible SEQUENTIAL encoder (replay merges in rank
+    order, one greedy pass each — the SQL-mirrorable form) produces the
+    same encoding as the rank-priority encoder on the real corpus. The
+    two can differ only when a later merge re-forms a token string an
+    earlier merge consumes (two decompositions of the same string) —
+    pinned absent here."""
+    import ray.data as rd
+
+    from vertex_ray.stages.text import BpeApply, bpe_train
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    merges, _ = bpe_train(ds, "text", n_merges=24)
+    out = {}
+    for strat in ("rank", "sequential"):
+        out[strat] = (ds.map_batches(
+            BpeApply,
+            fn_constructor_kwargs={"merges": merges, "strategy": strat},
+            batch_format="pyarrow", concurrency=(1, 2))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["rank"]["subwords"].tolist() == \
+        out["sequential"]["subwords"].tolist()
+    assert out["rank"]["n_subwords"].tolist() == \
+        out["sequential"]["n_subwords"].tolist()
+
+
+def test_bpe_train_vocab_truncation_bounds_driver_state(ray_session):
+    """max_vocab bounds driver state: training on the top-V word table
+    still returns a deterministic merge list (and logs the truncation)."""
+    import ray.data as rd
+
+    from vertex_ray.stages.text import bpe_train
+
+    corpus = ["aa bb cc dd ee ff gg hh", "aa aa bb bb cc"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2), type=pa.int64()),
+        "text": pa.array(corpus, type=pa.string()),
+    }))
+    m_full, _ = bpe_train(ds, "text", n_merges=4)
+    m_trunc, _ = bpe_train(ds, "text", n_merges=4, max_vocab=3)
+    # truncation keeps the (cnt desc, token asc) top-3: aa, bb, cc
+    assert m_trunc and all(isinstance(a, str) and isinstance(b, str)
+                           for a, b in m_trunc)
+    # untruncated run equals the default path
+    assert m_full == bpe_train(ds, "text", n_merges=4, max_vocab=1 << 18)[0]

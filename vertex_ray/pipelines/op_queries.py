@@ -514,21 +514,83 @@ def q_length_fit_docs(sf_dir: str):
 
 
 def q_linear_probe_embeddings(sf_dir: str):
-    """Distributed linear probe on the embeddings table
-    (stages/cluster.linear_probe_fit/score): one-vs-rest ridge from
-    per-batch XᵀX/XᵀY partials (O(d²) exchange per batch, row-count
-    independent), one driver solve, broadcast scoring pass. Rows-only
-    (float partials merge in block order — see the fit docstring);
-    property-tested in tests/test_cluster.py instead."""
-    from vertex_ray.stages.cluster import (
-        linear_probe_fit,
-        linear_probe_score,
-    )
+    """Distributed linear probe on the embeddings table — the
+    INTEGER-EXACT variant (stages/cluster.linear_probe_exact): quantized
+    features, exact int normal-equation partials (O(d²+d·k) ints per
+    batch), exact 3×3 adjugate ridge solve, fixed-order float scoring —
+    bit-identical to the generated SQL mirror. The full-dimension float
+    probe (linear_probe_fit/score) is the production path,
+    property-tested in tests/test_cluster.py; this query oracles the
+    same distributed skeleton end to end."""
+    from vertex_ray.stages.cluster import linear_probe_exact
 
-    ds = _emb(sf_dir)
-    W, _ = linear_probe_fit(ds, "embedding", "label", n_classes=10)
-    return linear_probe_score(ds, W, "embedding", "vec_id",
-                              label_col="label")
+    return linear_probe_exact(_emb(sf_dir), "embedding", "label",
+                              "vec_id", dims=(0, 1, 2), quant=1024,
+                              l2_q=1, n_classes=10)
+
+
+def _sql_linear_probe_exact(quant: int = 1024, l2_q: int = 1,
+                            n_classes: int = 10) -> str:
+    """SQL mirror of linear_probe_exact — recomputes the quantization,
+    the exact HUGEINT normal-equation sums, the 3×3 adjugate solve and
+    the left-assoc float logits, so predicted/correct hash-match."""
+    qx = ",\n         ".join(
+        f"CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) * {quant} + 0.5)"
+        f" AS BIGINT) AS x{j}" for j in range(3))
+    xtx = ",\n         ".join(
+        f"SUM(CAST(x{j} AS HUGEINT) * x{l})"
+        + (f" + {l2_q}" if j == l else "") + f" AS a{j}{l}"
+        for j in range(3) for l in range(j, 3))
+    xty = ",\n         ".join(
+        f"SUM(CASE WHEN label = {c} THEN CAST(x{j} AS HUGEINT)"
+        f" ELSE 0 END) AS b{j}{c}"
+        for j in range(3) for c in range(n_classes))
+    wcols = []
+    adj = {(0, 0): "(a11*a22 - a12*a12)", (0, 1): "(a02*a12 - a01*a22)",
+           (0, 2): "(a01*a12 - a02*a11)", (1, 1): "(a00*a22 - a02*a02)",
+           (1, 2): "(a02*a01 - a00*a12)", (2, 2): "(a00*a11 - a01*a01)"}
+
+    def _adj(j, l):
+        return adj[(j, l) if j <= l else (l, j)]
+
+    det = ("(a00*" + _adj(0, 0) + " + a01*" + _adj(0, 1)
+           + " + a02*" + _adj(0, 2) + ")")
+    for j in range(3):
+        for c in range(n_classes):
+            num = " + ".join(f"{_adj(j, l)}*b{l}{c}" for l in range(3))
+            wcols.append(f"CAST({num} AS DOUBLE) / CAST({det} AS DOUBLE)"
+                         f" AS w{j}{c}")
+    logits = ",\n         ".join(
+        f"q.x0 * m.w0{c} + q.x1 * m.w1{c} + q.x2 * m.w2{c} AS l{c}"
+        for c in range(n_classes))
+    greatest = "GREATEST(" + ", ".join(f"l{c}" for c in range(n_classes)) + ")"
+    pred = " ".join(f"WHEN l{c} = {greatest} THEN {c}"
+                    for c in range(n_classes))
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         {qx}
+  FROM embeddings
+),
+s AS (
+  SELECT {xtx},
+         {xty}
+  FROM q
+),
+m AS (
+  SELECT {", ".join(wcols)}
+  FROM s
+),
+lg AS (
+  SELECT q.vec_id, q.label,
+         {logits}
+  FROM q CROSS JOIN m
+)
+SELECT vec_id, label,
+       CAST(CASE {pred} END AS BIGINT) AS predicted,
+       (CASE {pred} END) = label AS correct
+FROM lg
+"""
 
 
 def q_bpe_pair_counts_docs(sf_dir: str):
@@ -617,18 +679,24 @@ FROM m WHERE j >= least(4, ng)
 """
 
 
+_BPE_N_MERGES = 24  # driver-visible train depth == unrolled SQL stages
+
+
 def q_bpe_train_docs(sf_dir: str):
     """BPE tokenizer training over the corpus (stages/text.bpe_train):
-    ONE distributed vocab reduction, then the deterministic merge loop
-    on the bounded (word, freq) table — the subword-nmt shape. Returns
-    the ordered merge table. Rows-only: the merge loop is iterative
-    (no SQL form); determinism is covered by the reference-equality
-    test in tests/test_text_ops.py."""
+    ONE distributed top-V-bounded vocab reduction, then the
+    deterministic incremental merge loop on the bounded (word, freq)
+    table — the subword-nmt shape. Returns the ordered merge table,
+    hash-checked against a DuckDB mirror that UNROLLS the merge loop:
+    each stage recomputes freq-weighted adjacent-pair counts, picks the
+    (cnt desc, a, b) argmax, and applies the greedy left-to-right merge
+    to every word via a list_reduce fold (a single pass is exact — the
+    formed token a||b can never re-trigger the pair within a pass)."""
     import pyarrow as _pa
 
     from vertex_ray.stages.text import bpe_train
 
-    merges, _ = bpe_train(_docs(sf_dir), "text", n_merges=50)
+    merges, _ = bpe_train(_docs(sf_dir), "text", n_merges=_BPE_N_MERGES)
     import ray.data as rd
 
     return rd.from_arrow(_pa.table({
@@ -638,17 +706,110 @@ def q_bpe_train_docs(sf_dir: str):
     }))
 
 
+def _bpe_train_ctes(n_merges: int) -> str:
+    """Shared CTE chain: wc → v0 → (p{s}, b{s}, v{s})*  — the unrolled
+    BPE merge loop. b{s} is the s-th merge (rank s-1). The fold keeps
+    the token list as a chr(31)-joined string so the list_reduce
+    accumulator type matches the element type (docs contain no 0x1F)."""
+    parts = [r"""wc AS MATERIALIZED (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+  ) GROUP BY 1
+),
+v0 AS MATERIALIZED (
+  SELECT list_append(string_split(word, ''), '</w>') AS toks, freq FROM wc
+)"""]
+    fold = ("string_split(list_reduce(v.toks, (acc, x) -> CASE "
+            "WHEN string_split(acc, chr(31))[-1] = m.a AND x = m.b "
+            "THEN array_to_string(list_append(string_split(acc, chr(31))"
+            "[1:len(string_split(acc, chr(31))) - 1], m.a || m.b), chr(31)) "
+            "ELSE acc || chr(31) || x END), chr(31))")
+    for s in range(1, n_merges + 1):
+        parts.append(f"""p{s} AS MATERIALIZED (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(toks[1:len(toks) - 1]) AS a,
+           unnest(toks[2:len(toks)]) AS b, freq FROM v{s - 1}
+  ) WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2
+),
+b{s} AS MATERIALIZED (SELECT a, b FROM p{s} ORDER BY cnt DESC, a, b LIMIT 1),
+v{s} AS MATERIALIZED (
+  SELECT CASE WHEN m.a IS NULL THEN v.toks ELSE {fold} END AS toks, v.freq
+  FROM v{s - 1} v LEFT JOIN b{s} m ON TRUE
+)""")
+    return ",\n".join(parts)
+
+
+def _sql_bpe_train(n_merges: int) -> str:
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT CAST({s - 1} AS BIGINT) AS rank, a, b FROM b{s}"
+        for s in range(1, n_merges + 1))
+    return f"""
+WITH {_bpe_train_ctes(n_merges)}
+SELECT rank, a, b FROM (
+  {union}
+) ORDER BY rank
+"""
+
+
 def q_bpe_encode_docs(sf_dir: str):
-    """Apply a corpus-trained BPE merge table to every document with the
-    actor-pool encoder (stages/text.BpeApply — merge ranks compiled once
-    per actor, per-word encodings memoized in actor state). Rows-only;
-    the lossless round-trip property is tested."""
+    """Apply the corpus-trained BPE merge table to every document with
+    the actor-pool encoder (stages/text.BpeApply — merge table compiled
+    once per actor, per-word encodings memoized in actor state),
+    SEQUENTIAL strategy: the merge table is replayed in rank order, one
+    greedy pass per merge — exactly the training-time transform, so the
+    unrolled SQL mirror recomputes it stage by stage over the distinct
+    words and hash-matches. The rank-priority encoder (default
+    strategy) is property-pinned equivalent on this corpus in
+    tests/test_text_ops.py."""
     from vertex_ray.stages.text import BpeApply, bpe_train
 
     ds = _docs(sf_dir)
-    merges, _ = bpe_train(ds, "text", n_merges=50)
-    return ds.map_batches(BpeApply, fn_constructor_kwargs={"merges": merges},
-                          batch_format="pyarrow", concurrency=(1, 4))
+    merges, _ = bpe_train(ds, "text", n_merges=_BPE_N_MERGES)
+    return ds.map_batches(
+        BpeApply,
+        fn_constructor_kwargs={"merges": merges, "strategy": "sequential"},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _sql_bpe_encode(n_merges: int) -> str:
+    parts = [_bpe_train_ctes(n_merges), """w0 AS MATERIALIZED (
+  SELECT DISTINCT tok AS word FROM (
+    SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+  )
+),
+e0 AS MATERIALIZED (
+  SELECT word, list_append(string_split(word, ''), '</w>') AS toks FROM w0
+)"""]
+    fold = ("string_split(list_reduce(v.toks, (acc, x) -> CASE "
+            "WHEN string_split(acc, chr(31))[-1] = m.a AND x = m.b "
+            "THEN array_to_string(list_append(string_split(acc, chr(31))"
+            "[1:len(string_split(acc, chr(31))) - 1], m.a || m.b), chr(31)) "
+            "ELSE acc || chr(31) || x END), chr(31))")
+    for s in range(1, n_merges + 1):
+        parts.append(f"""e{s} AS MATERIALIZED (
+  SELECT v.word,
+         CASE WHEN m.a IS NULL THEN v.toks ELSE {fold} END AS toks
+  FROM e{s - 1} v LEFT JOIN b{s} m ON TRUE
+)""")
+    parts.append(f"""docw AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+        FROM documents)
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(len(e.toks)) AS BIGINT) AS n_subwords,
+         string_agg(array_to_string(e.toks, ' '), ' ' ORDER BY i)
+           AS subwords
+  FROM docw JOIN e{n_merges} e USING (word)
+  GROUP BY doc_id
+)""")
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT d.doc_id, COALESCE(a.n_subwords, 0) AS n_subwords,
+       COALESCE(a.subwords, '') AS subwords
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def q_length_fit_by_lang_docs(sf_dir: str):
@@ -2599,10 +2760,12 @@ OP_QUERIES = {
     "op_unigram_score_docs": q_unigram_score_docs,
     "op_quality_docs": q_quality_docs,
     "op_langid_docs": q_langid_docs,
-    "op_fingerprint_docs": q_fingerprint_docs,
+    # q_fingerprint_docs (blake2b) and q_simhash_pairs_docs (sip family)
+    # are kept as internal variants exercised by tests/test_text_ops.py;
+    # the driver-visible dict carries only their SQL-recomputable md5
+    # twins so every sampled entry has a value-hash oracle.
     "op_fingerprint_md5_docs": q_fingerprint_md5_docs,
     "op_minhash_pairs_docs": q_minhash_pairs_docs,
-    "op_simhash_pairs_docs": q_simhash_pairs_docs,
     "op_simhash_md5_docs": q_simhash_md5_docs,
     "op_simhash_pairs_md5_docs": q_simhash_pairs_md5_docs,
     "op_ngram_jaccard_docs": q_ngram_jaccard_docs,
@@ -2682,6 +2845,9 @@ OP_ORACLES = {
     "op_length_fit_docs": SQL_LENGTH_FIT_DOCS,
     "op_length_fit_by_lang_docs": SQL_LENGTH_FIT_BY_LANG_DOCS,
     "op_bpe_pair_counts_docs": SQL_BPE_PAIR_COUNTS_DOCS,
+    "op_bpe_train_docs": _sql_bpe_train(_BPE_N_MERGES),
+    "op_bpe_encode_docs": _sql_bpe_encode(_BPE_N_MERGES),
+    "op_linear_probe_embeddings": _sql_linear_probe_exact(),
     "op_winnow_fingerprints_docs": SQL_WINNOW_FINGERPRINTS_DOCS,
     "op_unigram_score_docs": SQL_UNIGRAM_SCORE_DOCS,
     "op_quality_docs": SQL_QUALITY_DOCS,

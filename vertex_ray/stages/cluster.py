@@ -224,3 +224,108 @@ def linear_probe_score(ds, W: np.ndarray, vec_col: str, id_col: str,
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def linear_probe_exact(ds, vec_col: str, label_col: str, id_col: str, *,
+                       dims: tuple = (0, 1, 2), quant: int = 256,
+                       l2_q: int = 1, n_classes: int = 10):
+    """INTEGER-EXACT linear probe — the SQL-oracled twin of
+    :func:`linear_probe_fit` + :func:`linear_probe_score`.
+
+    The full float probe's XᵀX partials merge in block order, so the
+    low mantissa bits are run-order dependent and no bit-exact SQL
+    mirror exists. This variant makes every step exact by construction:
+
+    1. The first ``len(dims)`` embedding coordinates are quantized to
+       integers with ``floor(x * quant + 0.5)`` (power-of-two scaling is
+       exact in float64, so DuckDB computes the identical integer).
+    2. The normal-equation partials ``XᵀX`` (d×d) and ``XᵀY`` (d×k,
+       one-hot targets) are EXACT int64 sums per batch — the combiner
+       exchange is O(d² + d·k) integers per batch, row-count
+       independent — merged as arbitrary-precision Python ints on the
+       driver (addition is order-free, unlike floats).
+    3. The d=3 ridge system ``(XᵀX + λI) W = XᵀY`` is solved in exact
+       integer arithmetic via the 3×3 adjugate: ``W = adj(A)·B / det``
+       with det > 0 (A is positive definite), so ``W[j][c] =
+       float(num) / float(det)`` is ONE fixed float expression both
+       sides compute identically.
+    4. Scoring is the fixed-order float expression
+       ``(x0q·W0c + x1q·W1c) + x2q·W2c`` (left-assoc, exactly DuckDB's
+       parse of ``a + b + c``), argmax with first-class tie-break.
+
+    Emits ``(id, label, predicted, correct)`` — bit-identical to the
+    generated SQL mirror. The full-dimension float probe remains the
+    production path (property-tested in tests/test_cluster.py); this is
+    the correctness-auditable distributed skeleton (same partial
+    exchange shape) at d=3."""
+    d = len(dims)
+    assert d == 3, "adjugate solve is written for d=3"
+    dim_idx = list(dims)
+    q = float(quant)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.stack(t[vec_col].to_numpy(zero_copy_only=False))[:, dim_idx]
+        xq = np.floor(x.astype(np.float64) * q + 0.5).astype(np.int64)
+        yl = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        xtx = xq.T @ xq                              # exact in int64
+        Y = np.zeros((len(xq), n_classes), np.int64)
+        Y[np.arange(len(xq)), yl] = 1
+        xty = xq.T @ Y                               # exact in int64
+        return pa.table({
+            "xtx": pa.array([xtx.tobytes()], type=pa.binary()),
+            "xty": pa.array([xty.tobytes()], type=pa.binary()),
+        })
+
+    A = [[0] * d for _ in range(d)]     # Python ints: exact, order-free
+    B = [[0] * n_classes for _ in range(d)]
+    seen = False
+    for blk in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for xb, yb in zip(blk["xtx"].to_pylist(), blk["xty"].to_pylist()):
+            seen = True
+            xtx = np.frombuffer(xb, np.int64).reshape(d, d)
+            xty = np.frombuffer(yb, np.int64).reshape(d, n_classes)
+            for j in range(d):
+                for l in range(d):
+                    A[j][l] += int(xtx[j, l])
+                for c in range(n_classes):
+                    B[j][c] += int(xty[j, c])
+    if not seen:
+        raise ValueError("linear_probe_exact on an empty dataset")
+    for j in range(d):
+        A[j][j] += int(l2_q)
+
+    # exact 3x3 adjugate + determinant (A symmetric positive definite)
+    a00, a01, a02 = A[0]
+    _, a11, a12 = A[1]
+    a22 = A[2][2]
+    adj = [[a11 * a22 - a12 * a12, a02 * a12 - a01 * a22,
+            a01 * a12 - a02 * a11],
+           [a02 * a12 - a01 * a22, a00 * a22 - a02 * a02,
+            a02 * a01 - a00 * a12],
+           [a01 * a12 - a02 * a11, a02 * a01 - a00 * a12,
+            a00 * a11 - a01 * a01]]
+    det = (a00 * adj[0][0] + a01 * adj[0][1] + a02 * adj[0][2])
+    detf = float(det)
+    W = [[float(sum(adj[j][l] * B[l][c] for l in range(d))) / detf
+          for c in range(n_classes)] for j in range(d)]
+
+    def score(t: pa.Table) -> pa.Table:
+        x = np.stack(t[vec_col].to_numpy(zero_copy_only=False))[:, dim_idx]
+        xq = np.floor(x.astype(np.float64) * q + 0.5)
+        logits = np.empty((len(xq), n_classes), np.float64)
+        for c in range(n_classes):
+            # fixed order: (x0*W0c + x1*W1c) + x2*W2c — DuckDB's
+            # left-assoc parse of the same expression
+            logits[:, c] = (xq[:, 0] * W[0][c] + xq[:, 1] * W[1][c]) \
+                + xq[:, 2] * W[2][c]
+        pred = logits.argmax(axis=1).astype(np.int64)  # first-max tie
+        yl = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            label_col: t[label_col],
+            "predicted": pa.array(pred),
+            "correct": pa.array(pred == yl),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

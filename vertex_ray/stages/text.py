@@ -1575,37 +1575,71 @@ def adjacent_pair_counts(ds, text_col: str, k: int = 100):
                        descending=[True, False, False]).limit(k)
 
 
-def bpe_train(ds, text_col: str, n_merges: int = 100):
+def _bpe_merge_word(syms: tuple, a: str, b: str, ab: str) -> tuple:
+    """One greedy left-to-right pass merging adjacent (a, b) → ab.
+
+    A single pass is exact: the formed token ``a+b`` can never equal
+    ``a`` (``b`` is non-empty), so a merge can never cascade into a new
+    ``(a, b)`` occurrence within the same pass."""
+    ns, i = [], 0
+    n = len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            ns.append(ab)
+            i += 2
+        else:
+            ns.append(syms[i])
+            i += 1
+    return tuple(ns)
+
+
+def bpe_train(ds, text_col: str, n_merges: int = 100,
+              max_vocab: int = 1 << 18):
     """Byte-pair-encoding tokenizer TRAINING over the corpus (Sennrich
     et al., arXiv:1508.07909 — the standard subword-nmt shape):
 
     1. ONE distributed pass reduces the corpus to the word-frequency
-       vocabulary (``token_counts`` — combiner exchange bounded by
-       vocabulary size, never corpus length). This is the only stage
-       that touches raw text; BPE's merge statistics are a pure
-       function of (word, freq).
-    2. The merge loop runs on the bounded vocab: each iteration counts
-       adjacent symbol pairs weighted by word frequency and merges the
-       most frequent pair everywhere. Deterministic tie order
-       (count desc, then lexicographic pair) → the same corpus always
-       yields the same merge table, on any cluster shape.
+       vocabulary, TOP-``max_vocab`` bounded (:func:`vocab_topk` —
+       combiner exchange bounded by vocabulary size, deterministic
+       cnt-desc/token-asc truncation order, LOGGED when it bites). This
+       is the only stage that touches raw text, and driver state is
+       bounded by ``max_vocab`` — never corpus length, never the
+       unbounded web-scale distinct-word tail.
+    2. The merge loop runs on the bounded vocab INCREMENTALLY: pair
+       counts are maintained under each merge (subtract the rewritten
+       word's old pairs, add its new ones), and a pair→word-ids index
+       means each merge touches only the words containing the merged
+       pair — the subword-nmt shape, not a full vocab rescan per merge.
+       Deterministic tie order (count desc, then lexicographic pair) →
+       the same corpus always yields the same merge table, on any
+       cluster shape.
 
     Words are split to characters with a ``</w>`` end-of-word marker.
     Returns ``(merges, vocab_size)`` where ``merges`` is an ordered
-    list of (a, b) symbol pairs — feed to :func:`bpe_apply_op`."""
-    from collections import Counter
+    list of (a, b) symbol pairs — feed to :class:`BpeApply`."""
+    import logging
+    from collections import Counter, defaultdict
 
-    vocab_rows = token_counts(ds, text_col).take_all()
+    vocab_rows = vocab_topk(ds, text_col, max_vocab).take_all()
+    if len(vocab_rows) >= max_vocab:
+        logging.getLogger(__name__).warning(
+            "bpe_train: vocabulary truncated to the top %d words "
+            "(cnt desc, token asc) — merge statistics ignore the "
+            "rarest-word tail", max_vocab)
     # symbol-tuple representation of each distinct word
-    words = [(tuple(r["token"]) + ("</w>",), int(r["cnt"]))
+    words = [[tuple(r["token"]) + ("</w>",), int(r["cnt"])]
              for r in vocab_rows]
+
+    pairs: Counter = Counter()
+    where: defaultdict = defaultdict(set)  # pair -> indices into words
+    for wi, (syms, freq) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pairs[p] += freq
+            where[p].add(wi)
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for syms, freq in words:
-            for i in range(len(syms) - 1):
-                pairs[(syms[i], syms[i + 1])] += freq
         if not pairs:
             break
         # deterministic: highest count, then lexicographically smallest
@@ -1613,22 +1647,20 @@ def bpe_train(ds, text_col: str, n_merges: int = 100):
         merges.append(best)
         a, b = best
         ab = a + b
-        out = []
-        for syms, freq in words:
-            if a not in syms:
-                out.append((syms, freq))
-                continue
-            ns, i = [], 0
-            while i < len(syms):
-                if (i < len(syms) - 1 and syms[i] == a
-                        and syms[i + 1] == b):
-                    ns.append(ab)
-                    i += 2
-                else:
-                    ns.append(syms[i])
-                    i += 1
-            out.append((tuple(ns), freq))
-        words = out
+        for wi in list(where.get(best, ())):
+            syms, freq = words[wi]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] -= freq
+                if pairs[p] <= 0:
+                    del pairs[p]
+                where[p].discard(wi)
+            ns = _bpe_merge_word(syms, a, b, ab)
+            words[wi][0] = ns
+            for i in range(len(ns) - 1):
+                p = (ns[i], ns[i + 1])
+                pairs[p] += freq
+                where[p].add(wi)
     vocab = {s for syms, _ in words for s in syms}
     return merges, len(vocab)
 
@@ -1641,8 +1673,11 @@ class BpeApply:
     ``n_subwords`` and the space-joined ``subwords`` encoding."""
 
     def __init__(self, merges: list[tuple[str, str]],
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 strategy: str = "rank"):
         self.rank = {pair: i for i, pair in enumerate(merges)}
+        self.merges = list(merges)
+        self.strategy = strategy
         self.cache: dict = {}
         self.text_col = text_col
         self.id_col = id_col
@@ -1652,6 +1687,23 @@ class BpeApply:
         if hit is not None:
             return hit
         syms = list(w) + ["</w>"]
+        if self.strategy == "sequential":
+            # Replay the learned merge table in rank order, one greedy
+            # left-to-right pass per merge — exactly the training-time
+            # transform (bpe_train's own rewrite), hence SQL-mirrorable
+            # stage by stage. Differs from rank-priority encoding only
+            # when a later merge re-forms a token an earlier merge
+            # consumes (same string from two decompositions) — a case
+            # tests/test_text_ops.py pins as absent on the corpus.
+            from vertex_ray.stages.text import _bpe_merge_word
+            t = tuple(syms)
+            for a, b in self.merges:
+                if len(t) < 2:
+                    break
+                t = _bpe_merge_word(t, a, b, a + b)
+            syms = list(t)
+            self.cache[w] = syms
+            return syms
         while len(syms) > 1:
             ranked = [(self.rank.get((syms[i], syms[i + 1])), i)
                       for i in range(len(syms) - 1)]
