@@ -2170,6 +2170,100 @@ def _lat_epochs_query(tier: str):
     return q
 
 
+# ---------------------------------------------------------------------------
+# trace/span queries — the third Events variant (lib/event/src/array.rs:10-17)
+# ---------------------------------------------------------------------------
+
+
+def _span_input(sf_dir: str):
+    import ray.data as rd
+
+    from vertex_ray.stages.trace import SPAN_PROJECT_COLUMNS
+
+    return rd.read_parquet(ensure_transcripts(sf_dir),
+                           columns=SPAN_PROJECT_COLUMNS)
+
+
+def _q_spans_from_turns(sf_dir: str):
+    """Transcript turns → span table (stages/trace.spans_from_transcripts):
+    conversation = trace, turn = span, parent = previous turn; ONE
+    conv-bucket exchange, segmented numpy assembly. Mirrors Span
+    (lib/event/src/trace/span.rs:199-230) field for field."""
+    from vertex_ray.stages.trace import spans_from_transcripts
+
+    return spans_from_transcripts(_span_input(sf_dir))
+
+
+def _q_trace_assemble_turns(sf_dir: str):
+    """Sessionize → trace assembly: one row per trace with span count,
+    tool-span count, start/end and duration (stages/trace.trace_assemble)."""
+    from vertex_ray.stages.trace import trace_assemble
+
+    return trace_assemble(_span_input(sf_dir))
+
+
+def _span_store(sf_dir: str, cascade: tuple = ()):
+    from vertex_ray.stages.trace import span_rollup_store
+
+    return span_rollup_store(_span_input(sf_dir), window_s=60, tier="1m",
+                             cascade=cascade)
+
+
+def _q_span_count_rollup_1m(sf_dir: str):
+    """Span-count rollup through the tier machinery INTO the Gorilla
+    store and back: spans → windowed per-series partials (combiner) →
+    series-bucket merge → pack → encode → decode."""
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+
+    ds = decode_tier_blocks(_span_store(sf_dir))
+    return ds.map_batches(
+        lambda t: _real_rows(t, "span_count_total").select(
+            ["series_key", "window_start", "sum", "count"]),
+        batch_format="pyarrow")
+
+
+def _q_span_duration_hist_1h(sf_dir: str):
+    """Span-duration histogram cascaded 1m → 1h (merge_agg coarser-tier
+    contract: element-wise cumulative-bucket adds,
+    MetricValue::Histogram merge, lib/event/src/metric/mod.rs:42-64),
+    decoded from the Gorilla store."""
+    import pyarrow.compute as pc
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+
+    ds = decode_tier_blocks(_span_store(sf_dir, cascade=(("1h", 3600),)))
+    cols = ["series_key", "window_start", "sum", "count"] + [
+        f"b{i:02d}" for i in range(len(DEFAULT_BUCKETS))]
+
+    def shape(t):
+        t = _real_rows(t, "span_duration_seconds")
+        t = t.filter(pc.equal(t["tier"], "1h"))
+        return t.select(cols)
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def _q_span_duration_p99_1h(sf_dir: str):
+    """trace-duration read: histogram_quantile(0.99) of span durations
+    per service-analogue (role) per 1h window, interpolated from the
+    cascaded cumulative bucket state (stages/quantile, the Prometheus
+    convention) — the span twin of rollup_1m_latency_p99."""
+    import pyarrow.compute as pc
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.quantile import histogram_quantile_batch
+
+    ds = decode_tier_blocks(_span_store(sf_dir, cascade=(("1h", 3600),)))
+
+    def shape(t):
+        t = _real_rows(t, "span_duration_seconds")
+        t = t.filter(pc.equal(t["tier"], "1h"))
+        t = histogram_quantile_batch(t, 0.99, out_col="p99")
+        return t.select(["series_key", "window_start", "p99"])
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from vertex_ray.pipelines.op_queries import OP_QUERIES
 
@@ -2291,6 +2385,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m_latency_epochs": _lat_epochs_query("1m"),
         "compact_1m_latency_epochs": _q_compact_1m_latency,
         "rollup_1d_latency_epochs": _lat_epochs_query("1d"),
+        "op_spans_from_turns": _q_spans_from_turns,
+        "op_trace_assemble_turns": _q_trace_assemble_turns,
+        "span_count_rollup_1m_turns": _q_span_count_rollup_1m,
+        "span_duration_hist_1h_turns": _q_span_duration_hist_1h,
+        "span_duration_p99_1h_turns": _q_span_duration_p99_1h,
     }
 
 
@@ -3834,6 +3933,80 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from vertex_ray.stages.quantile import histogram_quantile_sql
+
+    # --- trace/span mirrors (lib/event/src/trace/span.rs analogue) ---
+    sqls["op_spans_from_turns"] = f"""
+    SELECT conv_id AS trace_id,
+           CAST(turn_idx + 1 AS BIGINT) AS span_id,
+           CAST(turn_idx AS BIGINT) AS parent_span_id,
+           role AS name,
+           CASE role WHEN 'user' THEN 'client'
+                     WHEN 'assistant' THEN 'server'
+                     WHEN 'tool' THEN 'internal'
+                     ELSE 'unspecified' END AS kind,
+           tool,
+           epoch_us(ts) * 1000 AS start_ns,
+           COALESCE(lead(epoch_us(ts)) OVER w, epoch_us(ts)) * 1000
+             AS end_ns,
+           (COALESCE(lead(epoch_us(ts)) OVER w, epoch_us(ts))
+              - epoch_us(ts)) * 1000 AS duration_ns
+    FROM {_SQL_TRANSCRIPTS}
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    """
+    sqls["op_trace_assemble_turns"] = f"""
+    SELECT conv_id AS trace_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tool_spans,
+           min(epoch_us(ts)) * 1000 AS start_ns,
+           max(epoch_us(ts)) * 1000 AS end_ns,
+           (max(epoch_us(ts)) - min(epoch_us(ts))) * 1000 AS duration_ns
+    FROM {_SQL_TRANSCRIPTS}
+    GROUP BY 1
+    """
+    sqls["span_count_rollup_1m_turns"] = f"""
+    SELECT 'span_count_total{{role=' || role || '}}' AS series_key,
+           {_w(60)} AS window_start,
+           CAST(count(*) AS DOUBLE) AS sum,
+           count(*) AS count
+    FROM {_SQL_TRANSCRIPTS}
+    GROUP BY 1, 2
+    """
+    _SPAN_DUR_CTE = f"""
+    WITH dur AS (
+      SELECT role, epoch_us(ts) AS t_us,
+             CAST(COALESCE(lead(epoch_us(ts)) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx),
+                  epoch_us(ts)) - epoch_us(ts) AS DOUBLE) / 1000000.0
+               AS dur
+      FROM {_SQL_TRANSCRIPTS}
+    )
+    """
+    _SPAN_BUCKET_COLS = ", ".join(
+        f"CAST(SUM(CASE WHEN dur <= {u} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS b{i:02d}"
+        for i, u in enumerate(DEFAULT_BUCKETS))
+    sqls["span_duration_hist_1h_turns"] = f"""{_SPAN_DUR_CTE}
+    SELECT 'span_duration_seconds{{role=' || role || '}}' AS series_key,
+           (t_us // 3600000000) * 3600 AS window_start,
+           sum(dur) AS sum, count(*) AS count,
+           {_SPAN_BUCKET_COLS}
+    FROM dur
+    GROUP BY 1, 2
+    """
+    sqls["span_duration_p99_1h_turns"] = f"""{_SPAN_DUR_CTE}
+    , h AS (
+      SELECT 'span_duration_seconds{{role=' || role || '}}' AS series_key,
+             (t_us // 3600000000) * 3600 AS window_start,
+             count(*) AS count,
+             {_SPAN_BUCKET_COLS}
+      FROM dur
+      GROUP BY 1, 2
+    )
+    SELECT series_key, window_start,
+           {histogram_quantile_sql(0.99)} AS p99
+    FROM h
+    """
 
     sqls["rollup_1m_latency_p99"] = f"""{_LAT_CTE}
     , h AS (

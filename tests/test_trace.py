@@ -1,0 +1,105 @@
+"""Trace/span slice (stages/trace): span derivation, trace assembly,
+and the span-metric rollup through the tier cascade + Gorilla store."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from vertex_ray.stages.trace import (
+    SPAN_PROJECT_COLUMNS,
+    span_rollup_store,
+    spans_from_transcripts,
+    trace_assemble,
+)
+
+
+def _mini(ts_lists):
+    """Build a transcripts-shaped table; ts in epoch seconds."""
+    rows = []
+    for ci, tss in enumerate(ts_lists):
+        for ti, t in enumerate(tss):
+            role = ["user", "assistant", "tool"][ti % 3]
+            rows.append((f"conv{ci}", ti, role,
+                         "search" if role == "tool" else "", t))
+    conv, turn, role, tool, ts = zip(*rows)
+    return pa.table({
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(turn, pa.int32()),
+        "role": pa.array(role, pa.string()),
+        "tool": pa.array(tool, pa.string()),
+        "ts": pa.array(np.array(ts, np.int64) * 1_000_000,
+                       pa.timestamp("us")),
+    })
+
+
+def test_spans_basic(ray_session):
+    t = _mini([[0, 10, 25], [100, 160]])
+    df = (spans_from_transcripts(rd.from_arrow(t), n_buckets=4)
+          .to_pandas().sort_values(["trace_id", "span_id"])
+          .reset_index(drop=True))
+    assert len(df) == 5
+    c0 = df[df.trace_id == "conv0"]
+    # root convention: parent_span_id == 0, span_id never 0 (span.rs:141-155)
+    assert c0.parent_span_id.tolist() == [0, 1, 2]
+    assert c0.span_id.tolist() == [1, 2, 3]
+    assert c0.kind.tolist() == ["client", "server", "internal"]
+    # end = next turn's start; final span ends at its own start
+    assert c0.end_ns.tolist() == [10 * 10**9, 25 * 10**9, 25 * 10**9]
+    assert c0.duration_ns.tolist() == [10 * 10**9, 15 * 10**9, 0]
+    c1 = df[df.trace_id == "conv1"]
+    assert c1.duration_ns.tolist() == [60 * 10**9, 0]
+
+
+def test_spans_split_across_blocks(ray_session):
+    """Span assembly is exact even when a conversation's turns arrive in
+    separate input blocks (the bucket exchange re-co-locates them)."""
+    t = _mini([[0, 30, 90, 150]])
+    ds = rd.from_arrow(t).repartition(3)
+    df = (spans_from_transcripts(ds, n_buckets=2).to_pandas()
+          .sort_values("span_id").reset_index(drop=True))
+    assert df.duration_ns.tolist() == [30 * 10**9, 60 * 10**9,
+                                       60 * 10**9, 0]
+
+
+def test_trace_assemble(ray_session):
+    t = _mini([[0, 10, 25, 40], [100, 160]])
+    df = (trace_assemble(rd.from_arrow(t), n_buckets=4).to_pandas()
+          .sort_values("trace_id").reset_index(drop=True))
+    assert df.n_spans.tolist() == [4, 2]
+    assert df.n_tool_spans.tolist() == [1, 0]
+    assert df.duration_ns.tolist() == [40 * 10**9, 60 * 10**9]
+
+
+def test_span_rollup_store_roundtrip(ray_session):
+    """Counts and histogram buckets survive the partial-merge exchange,
+    the 1m→1h cascade and the Gorilla encode/decode bit-for-bit."""
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.schema import DEFAULT_BUCKETS
+
+    t = _mini([[0, 10, 25, 3600], [30, 90]])
+    blocks = span_rollup_store(rd.from_arrow(t), window_s=60, tier="1m",
+                               cascade=(("1h", 3600),), n_buckets=4)
+    dec = decode_tier_blocks(blocks).to_pandas()
+    cnt_1h = dec[(dec.tier == "1h")
+                 & (dec.series_key == "span_count_total{role=user}")]
+    # user spans at ts 0, 3600(conv0) and 30(conv1): windows 0 and 3600
+    assert sorted(cnt_1h.window_start.tolist()) == [0, 3600]
+    assert cnt_1h.sort_values("window_start")["count"].tolist() == [2, 1]
+    dur_1h = dec[(dec.tier == "1h")
+                 & (dec.series_key == "span_duration_seconds{role=user}")]
+    w0 = dur_1h[dur_1h.window_start == 0].iloc[0]
+    # durations in window 0 for user: 10s (conv0) and 60s (conv1)
+    assert w0["count"] == 2 and w0["sum"] == 70.0
+    le = [b for b in DEFAULT_BUCKETS if b >= 10]
+    assert w0[f"b{DEFAULT_BUCKETS.index(le[0]):02d}"] >= 1
+
+
+def test_spans_empty_input(ray_session):
+    t = _mini([[0]]).schema.empty_table()
+    assert spans_from_transcripts(rd.from_arrow(t), 2).count() == 0
+    assert trace_assemble(rd.from_arrow(t), 2).count() == 0
+
+
+def test_span_project_columns_cover_module():
+    assert SPAN_PROJECT_COLUMNS == ["conv_id", "turn_idx", "role",
+                                    "tool", "ts"]

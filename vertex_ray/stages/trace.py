@@ -1,0 +1,258 @@
+"""Trace/span events — the reference's third ``Events`` variant
+(``lib/event/src/array.rs:10-17``), previously the only variant with no
+analogue here.
+
+Reference model (``lib/event/src/trace/span.rs``): a ``Trace`` is a batch
+of ``Span { span_context { trace_id, span_id }, parent_span_id, name,
+kind, start_time, end_time, attributes, status }`` with ``SpanKind ∈
+{client, server, producer, consumer, internal, unspecified}``
+(span.rs:46-73, Display at :75-86), nanosecond ``start_time``/``end_time``
+(span.rs:199-230), ``parent_span_id == 0`` for roots and ``span_id == 0``
+invalid (span.rs:141-155).
+
+This module derives the span analogue deterministically from the
+transcript table — a conversation IS a trace, a turn IS a span:
+
+* ``trace_id``        = conv_id
+* ``span_id``         = turn_idx + 1  (unique within the trace, never 0)
+* ``parent_span_id``  = turn_idx      (0 for the root turn — the
+  reference's root convention)
+* ``name``            = role; ``kind`` = role mapped onto SpanKind
+  (user→client, assistant→server, tool→internal, else unspecified)
+* ``start_ns``        = turn timestamp; ``end_ns`` = next turn's start
+  within the conversation (the final span ends at its own start —
+  duration 0 by the end-of-trace convention)
+* ``tool``            = the span's one attribute (Attributes analogue)
+
+Scale shape: ONE hash-bucket exchange on conv_id (the same partitioning
+key the flagship cascade uses) puts every trace wholly inside one task;
+span assembly is a segmented numpy pass (lexsort + shifted compare),
+never per-row Python. Span-metric rollups use the combiner pattern:
+windowed per-(series, window) PARTIALS are computed inside the same
+conv-bucket task, so the second (series-bucket) exchange carries
+series × windows rows — bounded by role-cardinality × windows — never
+raw spans.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from vertex_ray.schema import KIND_HISTOGRAM, KIND_SUM
+from vertex_ray.series import bucket_of, series_key_arrays
+
+# SpanKind::Display rendering, span.rs:75-86
+SPAN_KIND_BY_ROLE = {
+    "user": "client",
+    "assistant": "server",
+    "tool": "internal",
+}
+
+SPAN_PROJECT_COLUMNS = ["conv_id", "turn_idx", "role", "tool", "ts"]
+
+
+def _bucket_stage(n_buckets: int):
+    def fn(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(bucket_of(conv, n_buckets), pa.int32()))
+
+    return fn
+
+
+def _sorted_arrays(g: pa.Table):
+    conv = g["conv_id"].to_numpy(zero_copy_only=False)
+    turn = g["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts_us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(conv.astype(object), return_inverse=True)
+    order = np.lexsort((turn, inv))
+    return conv[order], inv[order], turn[order], ts_us[order], order
+
+
+def spans_group(g: pa.Table) -> pa.Table:
+    """One bucket's transcripts → span rows (whole traces per task)."""
+    if g.num_rows == 0:
+        return _empty_spans()
+    conv_s, inv_s, turn_s, start_us, order = _sorted_arrays(g)
+    role_s = g["role"].to_numpy(zero_copy_only=False)[order]
+    tool_s = g["tool"].to_numpy(zero_copy_only=False)[order]
+    n = len(order)
+    end_us = np.empty(n, np.int64)
+    end_us[:-1] = start_us[1:]
+    end_us[-1] = start_us[-1]
+    seg_end = np.zeros(n, bool)
+    seg_end[:-1] = inv_s[1:] != inv_s[:-1]
+    seg_end[-1] = True
+    end_us[seg_end] = start_us[seg_end]
+    kind = (pd.Series(role_s, dtype=object).map(SPAN_KIND_BY_ROLE)
+            .fillna("unspecified").to_numpy(dtype=object))
+    return pa.table({
+        "trace_id": pa.array(conv_s, type=pa.string()),
+        "span_id": pa.array(turn_s + 1, type=pa.int64()),
+        "parent_span_id": pa.array(turn_s, type=pa.int64()),
+        "name": pa.array(role_s, type=pa.string()),
+        "kind": pa.array(kind, type=pa.string()),
+        "tool": pa.array(tool_s, type=pa.string()),
+        "start_ns": pa.array(start_us * 1000, type=pa.int64()),
+        "end_ns": pa.array(end_us * 1000, type=pa.int64()),
+        "duration_ns": pa.array((end_us - start_us) * 1000,
+                                type=pa.int64()),
+    })
+
+
+def _empty_spans() -> pa.Table:
+    return pa.table({
+        "trace_id": pa.array([], pa.string()),
+        "span_id": pa.array([], pa.int64()),
+        "parent_span_id": pa.array([], pa.int64()),
+        "name": pa.array([], pa.string()),
+        "kind": pa.array([], pa.string()),
+        "tool": pa.array([], pa.string()),
+        "start_ns": pa.array([], pa.int64()),
+        "end_ns": pa.array([], pa.int64()),
+        "duration_ns": pa.array([], pa.int64()),
+    })
+
+
+def spans_from_transcripts(ds, n_buckets: int = 32):
+    """Transcript turns → span table (one exchange, whole traces per
+    task)."""
+    return (ds.map_batches(_bucket_stage(n_buckets), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(spans_group, batch_format="pyarrow"))
+
+
+def trace_assemble_group(g: pa.Table) -> pa.Table:
+    """One bucket's transcripts → one row per trace (the sessionize →
+    trace-assembly step): span count, tool-span count, trace start/end
+    and duration."""
+    if g.num_rows == 0:
+        return pa.table({
+            "trace_id": pa.array([], pa.string()),
+            "n_spans": pa.array([], pa.int64()),
+            "n_tool_spans": pa.array([], pa.int64()),
+            "start_ns": pa.array([], pa.int64()),
+            "end_ns": pa.array([], pa.int64()),
+            "duration_ns": pa.array([], pa.int64()),
+        })
+    conv_s, inv_s, _, ts_us, order = _sorted_arrays(g)
+    role_s = g["role"].to_numpy(zero_copy_only=False)[order]
+    starts = np.flatnonzero(np.concatenate(
+        [[True], inv_s[1:] != inv_s[:-1]]))
+    counts = np.diff(np.concatenate([starts, [len(inv_s)]]))
+    t_min = np.minimum.reduceat(ts_us, starts)
+    t_max = np.maximum.reduceat(ts_us, starts)
+    is_tool = (role_s == "tool").astype(np.int64)
+    n_tool = np.add.reduceat(is_tool, starts)
+    return pa.table({
+        "trace_id": pa.array(conv_s[starts], type=pa.string()),
+        "n_spans": pa.array(counts.astype(np.int64)),
+        "n_tool_spans": pa.array(n_tool),
+        "start_ns": pa.array(t_min * 1000, type=pa.int64()),
+        "end_ns": pa.array(t_max * 1000, type=pa.int64()),
+        "duration_ns": pa.array((t_max - t_min) * 1000, type=pa.int64()),
+    })
+
+
+def trace_assemble(ds, n_buckets: int = 32):
+    """Transcript turns → per-trace summary rows (one exchange)."""
+    return (ds.map_batches(_bucket_stage(n_buckets), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(trace_assemble_group, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# span metrics through the tier cascade
+# ---------------------------------------------------------------------------
+
+
+def _span_partials_group(g: pa.Table, window_s: int,
+                         n_out_buckets: int) -> pa.Table:
+    """Conv-bucket body: spans → windowed per-(series, window) PARTIAL
+    agg rows for two metric families, re-bucketed by series hash for the
+    (tiny) merge exchange:
+
+    * ``span_count_total{role=<role>}``        — KIND_SUM, value 1
+    * ``span_duration_seconds{role=<role>}``   — KIND_HISTOGRAM over the
+      span duration in seconds (DEFAULT_BUCKETS ``le`` semantics,
+      MetricValue::Histogram merge contract,
+      lib/event/src/metric/mod.rs:42-64)
+    """
+    from vertex_ray.stages.rollup import window_agg_points
+
+    spans = spans_group(g)
+    n = spans.num_rows
+    if n == 0:
+        from vertex_ray.stages.rollup import empty_agg_df
+
+        return pa.Table.from_pandas(empty_agg_df(), preserve_index=False)
+    role = spans["name"].to_numpy(zero_copy_only=False)
+    start_ns = spans["start_ns"].to_numpy(zero_copy_only=False)
+    dur_s = spans["duration_ns"].to_numpy(
+        zero_copy_only=False).astype(np.float64) / 1e9
+    ts_us = start_ns // 1000
+    sk_cnt = series_key_arrays("span_count_total",
+                               role=role.astype(object))
+    sk_dur = series_key_arrays("span_duration_seconds",
+                               role=role.astype(object))
+    keys = np.concatenate([sk_cnt, sk_dur])
+    names = np.concatenate([np.full(n, "span_count_total", dtype=object),
+                            np.full(n, "span_duration_seconds",
+                                    dtype=object)])
+    kinds = np.concatenate([np.full(n, KIND_SUM, dtype=np.uint8),
+                            np.full(n, KIND_HISTOGRAM, dtype=np.uint8)])
+    ts2 = np.concatenate([ts_us, ts_us])
+    vals = np.concatenate([np.ones(n, np.float64), dur_s])
+    agg = window_agg_points(keys, names, kinds, ts2, vals, window_s, 0)
+    # re-bucket by SERIES for the merge exchange (partials from every
+    # conv bucket for the same series must co-locate)
+    agg["bucket"] = bucket_of(
+        agg["series_key"].to_numpy(dtype=object), n_out_buckets)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def span_rollup_store(ds, *, window_s: int = 60, tier: str = "1m",
+                      cascade: tuple = (), n_buckets: int = 32):
+    """Span metrics through the tier machinery into the Gorilla store:
+
+    conv-bucket exchange (whole traces per task) → windowed partials
+    (combiner: the series exchange carries series × windows rows, never
+    spans) → per-series-bucket ``merge_agg`` (same-window partial merge,
+    then each ``cascade`` (tier, seconds) via the standard coarser-tier
+    merge — FIXTURES §F4 contract) → pack + fused GorillaEncode (the
+    flagship fused_bucket_group pattern). Returns encoded block rows
+    (decode with ``decode_tier_blocks``)."""
+    from vertex_ray.stages.encode import GorillaEncode
+    from vertex_ray.stages.fill import pack_series
+    from vertex_ray.stages.rollup import merge_agg
+
+    partials = (
+        ds.map_batches(_bucket_stage(n_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: _span_partials_group(g, window_s, n_buckets),
+                    batch_format="pyarrow"))
+
+    def merge_pack_encode(g: pd.DataFrame) -> pa.Table:
+        parts = []
+        # base tier (same-window partial merge), then cascade each
+        # coarser tier from the previous tier's aggregates
+        prev = merge_agg(g, window_s)
+        tiers = [(tier, window_s)] + list(cascade)
+        for i, (tname, seconds) in enumerate(tiers):
+            if i > 0:
+                prev = merge_agg(prev, seconds)
+            out = prev.copy()
+            out["filled"] = np.zeros(len(out), bool)
+            out["stale"] = np.zeros(len(out), bool)
+            codes, _ = pd.factorize(out["series_key"].to_numpy(dtype=object))
+            out = out.iloc[np.lexsort((out["window_start"].to_numpy(),
+                                       codes))]
+            packed = pack_series(out)
+            parts.append(packed.append_column(
+                "tier", pa.array(np.full(packed.num_rows, tname,
+                                         dtype=object), type=pa.string())))
+        return GorillaEncode()(pa.concat_tables(parts))
+
+    return (partials.groupby("bucket")
+            .map_groups(merge_pack_encode, batch_format="pandas"))
