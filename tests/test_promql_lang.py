@@ -625,3 +625,13 @@ def test_eval_errors(store):
         # different steps on the two sides of a binary op
         eval_promql(store, "increase(turns_total[1h]) "
                            "/ on(conv_id) increase(turns_total[5m])")
+
+
+def test_selector_empty_string_matcher_matches_absent_label(store):
+    """Prometheus semantics: ``tool=""`` matches series that LACK the
+    tool label — the push-down must not prune them (they only carry
+    conv_id/role tags)."""
+    got = _run(store, 'sum by (role) (turns_total{tool=""})')
+    base = _run(store, "sum by (role) (turns_total)")
+    assert got["value"].tolist() == base["value"].tolist()
+    assert len(got)

@@ -110,3 +110,63 @@ def test_decode_read_response_shape():
         {"query_idx": 0, "series_key": "m{a=2}", "ts_ms": 2000,
          "value": 2.0},
     ]
+
+
+def test_name_matcher_filter_prefix_semantics():
+    """__name__ matchers act on the series_key NAME PREFIX (before '{'),
+    never via extract_label (where __name__ never appears)."""
+    import pyarrow as pa
+
+    from vertex_ray.sources.remote_write import _name_matcher_filter
+
+    t = pa.table({"series_key": [
+        "turns_total{role=user}", "turns_total{role=tool}",
+        "tool_invocations_total{tool=x}", "bare_metric"]})
+    got = _name_matcher_filter([("=~", "turns.*")])(t)["series_key"].to_pylist()
+    assert got == ["turns_total{role=user}", "turns_total{role=tool}"]
+    got = _name_matcher_filter([("!=", "bare_metric")])(t).num_rows
+    assert got == 3
+    got = _name_matcher_filter([("!~", ".*_total")])(t)["series_key"].to_pylist()
+    assert got == ["bare_metric"]
+    # second equality (beyond the pruning one) also lands here
+    got = _name_matcher_filter([("=", "bare_metric")])(t)["series_key"].to_pylist()
+    assert got == ["bare_metric"]
+
+
+def test_remote_read_name_regex_and_empty_label_matcher(ray_session):
+    """End-to-end over the committed sf0.001 store: a regex __name__
+    matcher selects series (previously silently empty), and a
+    ``label=""`` equality matches series LACKING the label (previously
+    pruned by the presence-requiring push-down)."""
+    import __ray_entry__ as e
+    from vertex_ray.sources.remote_write import (
+        decode_read_response,
+        encode_read_request,
+        remote_read,
+    )
+
+    out = e._ensure_pipeline("/root/testdata/sf0.001")
+    span = {"start_ms": 0, "end_ms": 4_000_000_000_000}
+    # regex __name__ matcher only
+    req = encode_read_request([
+        {**span, "matchers": [("__name__", "=~", "turns_.*")]}])
+    rows = decode_read_response(remote_read(out, req, tier="1m",
+                                            value_col="count"))
+    keys = set(rows["series_key"].to_pylist())
+    assert keys and all(k.startswith("turns_total{") for k in keys)
+    # tool="" must match turns_total series (which carry no tool label)
+    req = encode_read_request([
+        {**span, "matchers": [("__name__", "=", "turns_total"),
+                              ("tool", "=", "")]}])
+    rows2 = decode_read_response(remote_read(out, req, tier="1m",
+                                             value_col="count"))
+    assert rows2.num_rows == rows.num_rows
+    # negated __name__ regex excludes everything turns_*
+    req = encode_read_request([
+        {**span, "matchers": [("__name__", "!~", "turns_.*"),
+                              ("__name__", "=~", ".*latency.*")]}])
+    rows3 = decode_read_response(remote_read(out, req, tier="1m",
+                                             value_col="count"))
+    keys3 = set(rows3["series_key"].to_pylist())
+    assert keys3 and all(k.startswith("inter_turn_latency_seconds")
+                         for k in keys3)

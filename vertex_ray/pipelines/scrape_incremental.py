@@ -183,9 +183,11 @@ def scrape_append(lines_ds, out_dir: str, *, kinds: dict,
                   _emit_all: bool = False) -> dict:
     """Append one scrape run to the incremental store at ``out_dir``.
 
-    ``kinds`` maps family name → ``counter|gauge|histogram`` and must
-    stay identical across a store's runs (validated against the
-    previous epoch's lineage). Returns this epoch's stage manifests."""
+    ``kinds`` maps family name → ``counter|gauge|histogram|summary``
+    and must stay identical across a store's runs (validated against
+    the previous epoch's lineage). Summary families follow the
+    first-wins open-window carry (module docstring). Returns this
+    epoch's stage manifests."""
     import functools
 
     import ray.data as rd

@@ -83,8 +83,11 @@ def merge_quantile_into_tags(tags: pd.Series, qv: np.ndarray,
         return tags
     # \x1f unit separator (pandas object-concat silently drops NUL
     # bytes; \x1f survives and cannot appear in exposition label text)
+    # repr(float(x)), not repr(x): under NumPy >= 2.0 repr of an
+    # np.float64 element renders as 'np.float64(0.5)', which would leak
+    # into the canonical series key
     comb = (tags[mask] + "\x1f"
-            + pd.Series(qv[mask]).map(repr).to_numpy())
+            + pd.Series(qv[mask]).map(lambda x: repr(float(x))).to_numpy())
     codes, uniq = pd.factorize(comb)
 
     def _ins(cq: str) -> str:

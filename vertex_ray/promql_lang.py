@@ -599,10 +599,13 @@ def _eval_selector(sel: Sel, ctx: _Ctx, tier_w: int | None = None
         if w != ctx.step_s:
             raise ValueError(f"promql: step {ctx.step_s}s is not a tier")
     # prune the block scan with the first equality matcher; every
-    # matcher (incl. this one) is re-applied exactly post-decode
+    # matcher (incl. this one) is re-applied exactly post-decode.
+    # A Prometheus ``label=""`` equality must also match series that
+    # LACK the label, so the empty-string case cannot prune (the exact
+    # post-decode filter fill_null("")-matches those series).
     push = None
     for lbl, op, val in matchers:
-        if op == "=":
+        if op == "=" and val != "":
             push = rf"[{{,]{re.escape(lbl)}={re.escape(val)}[,}}]"
             break
     start, end, offset, pinned = ctx.start, ctx.end, sel.offset_s, None

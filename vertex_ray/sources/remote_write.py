@@ -195,6 +195,30 @@ def encode_read_request(queries: list[dict]) -> bytes:
     return rr.SerializeToString()
 
 
+def _name_matcher_filter(name_matchers):
+    """Apply ``__name__`` matchers to the series_key's NAME PREFIX (the
+    text before '{') — __name__ is not a rendered label, so routing it
+    through extract_label would silently match nothing."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        name = pc.replace_substring_regex(t["series_key"], r"\{.*$", "")
+        mask = None
+        for op, val in name_matchers:
+            if op == "=":
+                m = pc.equal(name, val)
+            elif op == "!=":
+                m = pc.not_equal(name, val)
+            else:
+                m = pc.match_substring_regex(name, f"^(?:{val})$")
+                if op == "!~":
+                    m = pc.invert(m)
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask) if mask is not None else t
+
+    return fn
+
+
 def remote_read(out_dir: str, request: bytes, *, tier: str,
                 value_col: str = "sum", layout: str = "oneshot") -> bytes:
     """The ``/api/v1/read`` analogue over the committed block store:
@@ -222,17 +246,35 @@ def remote_read(out_dir: str, request: bytes, *, tier: str,
                     for m in q.matchers]
         metric = None
         rest = []
+        name_res = []  # __name__ matchers beyond the pruning equality
         for lbl, op, val in matchers:
-            if lbl == "__name__" and op == "=" and metric is None:
-                metric = val
+            if lbl == "__name__":
+                # __name__ never appears as a label inside series_key —
+                # it IS the key's name prefix. The first equality prunes
+                # the scan; every other __name__ matcher (=~ != !~ or a
+                # second =) is applied to the name prefix post-decode.
+                if op == "=" and metric is None:
+                    metric = val
+                else:
+                    name_res.append((op, val))
             else:
                 rest.append((lbl, op, val))
         push = None
         for lbl, op, val in rest:
-            if op == "=":
+            # label="" must also match series LACKING the label — the
+            # presence-requiring push-down would prune those before the
+            # exact post-decode filter could readmit them
+            if op == "=" and val != "":
                 push = (rf"[{{,]{_re.escape(lbl)}={_re.escape(val)}"
                         rf"[,}}]")
                 break
+        if push is None and metric is None:
+            # no equality pruning at all: push a regex __name__ matcher
+            # into the scan (name prefix = series_key up to '{' or end)
+            for op, val in name_res:
+                if op == "=~":
+                    push = rf"^(?:{val})(?:\{{|$)"
+                    break
         ds = query_range(
             out_dir, tier, metric=metric, key_regex=push,
             start=int(q.start_timestamp_ms) // 1000,
@@ -241,6 +283,9 @@ def remote_read(out_dir: str, request: bytes, *, tier: str,
             layout=layout)
         if rest:
             ds = ds.map_batches(_matcher_filter(rest),
+                                batch_format="pyarrow")
+        if name_res:
+            ds = ds.map_batches(_name_matcher_filter(name_res),
                                 batch_format="pyarrow")
         # a response is one serialized message — materializing the
         # (pruned) selection is inherent to the protocol, like the
