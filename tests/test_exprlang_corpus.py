@@ -21,6 +21,8 @@ FIXTURE = pa.table({
     "x": pa.array([1, 5, 9], type=pa.int64()),
     "f": pa.array([0.5, 2.25, -3.0], type=pa.float64()),
     "s": pa.array(["alpha", "Bravo C", "delta-9"], type=pa.string()),
+    # nested document column for the paths corpus (lib/value/src/path)
+    "j": pa.array([{"a": {"b": [{"k": 1}, {"k": 2}], "c": "p"}}] * 3),
 })
 
 

@@ -50,7 +50,7 @@ _TOKEN_RE = re.compile(
       | (?P<NUM>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
       | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
       | (?P<STR>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-      | (?P<OP>\|\||&&|==|!=|>=|<=|[-+*/%()!,<>])
+      | (?P<OP>\|\||&&|==|!=|>=|<=|[-+*/%()!,<>.\[\]])
     """,
     re.X,
 )
@@ -222,6 +222,43 @@ class _Parser:
         return self.atom()
 
     def atom(self):
+        e = self._atom_base()
+        # nested-path postfix (lib/value/src/path analogue):
+        # ``doc.a.b[2]`` / ``parse_json(s).items[-1].id`` — compiled to
+        # ONE vectorized path_get over the base column per batch
+        if self.at(".") or self.at("["):
+            from vertex_ray.functions.path import path_get
+
+            steps = []
+            while self.at(".") or self.at("["):
+                if self.at("."):
+                    self.next()
+                    k, v = self.next()
+                    if k == "STR":
+                        steps.append(("field", _unquote(v)))
+                    elif k == "NAME":
+                        steps.append(("field", v))
+                    else:
+                        raise SyntaxError(
+                            f"expr: bad path segment {v!r}")
+                else:
+                    self.next()
+                    sign = 1
+                    if self.at("-"):
+                        self.next()
+                        sign = -1
+                    k, v = self.next()
+                    if k == "NUM" and "." not in v:
+                        steps.append(("index", sign * int(v)))
+                    elif k == "STR" and sign == 1:
+                        steps.append(("field", _unquote(v)))
+                    else:
+                        raise SyntaxError(f"expr: bad path index {v!r}")
+                    self.expect("]")
+            return (lambda b, st: lambda t: path_get(b(t), st))(e, steps)
+        return e
+
+    def _atom_base(self):
         k, v = self.next()
         if k == "NUM":
             lit = float(v) if any(c in v for c in ".eE") else int(v)

@@ -379,6 +379,18 @@ def levenshtein_to(arr, target: str) -> pa.Array:
     return pa.array(v[:, m])
 
 
+def _path_get_fn(arr, path):
+    from vertex_ray.functions.path import get_path
+
+    return get_path(arr, path)
+
+
+def _path_set_fn(arr, path, value):
+    from vertex_ray.functions.path import set_path
+
+    return set_path(arr, path, value)
+
+
 FUNCTIONS: dict = {
     # string case / shape (VTL: lowercase uppercase camelcase pascalcase
     # snakecase kebabcase trim truncate slice split join replace)
@@ -454,6 +466,10 @@ FUNCTIONS: dict = {
     "parse_url": parse_url,
     "parse_user_agent": parse_user_agent,
     "cidr_contains": cidr_contains,
+    # nested Value path get/set (lib/value/src/path analogue;
+    # functions/path.py — exprlang also exposes `.a.b[2]` postfix)
+    "get_path": _path_get_fn,
+    "set_path": _path_set_fn,
     # type predicates / introspection
     "typeof": typeof,
     "is_bool": lambda a: _is_type(a, pa.types.is_boolean),

@@ -1940,6 +1940,33 @@ FROM events GROUP BY 1
 """
 
 
+def q_path_json_events(sf_dir: str):
+    """Nested ``Value`` path addressing over a JSON document source
+    (lib/value/src/path analogue, functions/path.py): each event's
+    ``props`` JSON is wrapped in a two-level envelope, parsed to a
+    struct column, and addressed with the exprlang postfix path
+    ``.a.b[0].k`` — struct → struct → list-index → field, all
+    vectorized (one Arrow op per segment per batch, compiled once)."""
+    from vertex_ray.functions.exprlang import compile_expr
+
+    expr = compile_expr(
+        'parse_json(\'{"a":{"b":[\' + props + \']}}\').a.b[0].k')
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "k_val": pc.cast(expr(t), pa.int64())})
+
+    return _ev(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_PATH_JSON_EVENTS = r"""
+SELECT event_id,
+       CAST(json_extract('{"a":{"b":[' || props || ']}}',
+                         '$.a.b[0].k') AS BIGINT) AS k_val
+FROM events
+"""
+
+
 def q_parse_regex_docs(sf_dir: str):
     """parse_regex (named groups → columns) over documents.text: first
     word + doc length class, counted. The extract is ONE cython pass per
@@ -2811,6 +2838,7 @@ OP_QUERIES = {
     "op_normalize_inc_abs": q_normalize_inc_abs_events,
     "op_redact_docs": q_redact_docs,
     "op_parse_json_events": q_parse_json_events,
+    "op_path_json_events": q_path_json_events,
     "op_parse_regex_docs": q_parse_regex_docs,
     "op_asof_join_events": q_asof_join_events,
     "op_range_join_events": q_range_join_events,
@@ -2892,6 +2920,7 @@ OP_ORACLES = {
     "op_normalize_inc_abs": SQL_NORMALIZE_INC_ABS,
     "op_redact_docs": SQL_REDACT_DOCS,
     "op_parse_json_events": SQL_PARSE_JSON_EVENTS,
+    "op_path_json_events": SQL_PATH_JSON_EVENTS,
     "op_parse_regex_docs": SQL_PARSE_REGEX_DOCS,
     "op_asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "op_range_join_events": SQL_RANGE_JOIN_EVENTS,
