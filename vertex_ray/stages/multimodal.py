@@ -8,8 +8,11 @@ Two decode paths:
   frame-sample → feature-extract runs for REAL here: bytes → numpy →
   vectorized features (channel stats, rFFT band energies, sampled-frame
   luma). This is the path the synth tables and tests exercise end to end.
-- **Library formats (stub)** — PNG/WAV/MP4 would call PIL / librosa /
-  ffmpeg, none of which exist in this container; unknown payloads fall
+- **PNG (real)** — decoded by the pure numpy + stdlib-zlib codec in
+  stages/png_codec (8-bit gray/RGB/RGBA, filters 0-4, CRC-checked), so
+  one genuine library format is un-stubbed end to end.
+- **Other library formats (stub)** — WAV/MP4 would call librosa /
+  ffmpeg, which do not exist in this container; unknown payloads fall
   back to ``_decode_stub`` (deterministic digest feature) and are counted
   in the output's ``decoded`` flag so the substitution is visible, never
   silent.
@@ -46,19 +49,32 @@ FEATURE_DIM = 16
 def synth_media_table(n: int, seed: int = 21) -> pa.Table:
     """Deterministic media rows with REAL decodable RAWM payloads (actual
     pixel/sample data, not digest noise) for testing at any scale."""
+    from vertex_ray.stages.png_codec import encode_png
+
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[
         rng.integers(0, 3, size=n)
     ]
-    payloads = [media_codec.synth_rawm_payload(k, rng) for k in kinds]
+    payloads = []
+    mimes = []
+    for i, k in enumerate(kinds):
+        raw = media_codec.synth_rawm_payload(k, rng)
+        if k == "image" and i % 2 == 0:
+            # every other image row ships as a REAL PNG (library-format
+            # path, decoded by the pure-numpy stages/png_codec decoder)
+            _, rgb = media_codec.decode(raw)
+            payloads.append(encode_png(rgb))
+            mimes.append("image/png")
+        else:
+            payloads.append(raw)
+            mimes.append("application/x-rawm")
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
             "kind": pa.array(kinds, type=pa.string()),
             "payload": pa.array(payloads, type=pa.binary()),
-            "mime": pa.array(
-                np.full(n, "application/x-rawm", dtype=object), type=pa.string()
-            ),
+            "mime": pa.array(np.array(mimes, dtype=object),
+                             type=pa.string()),
             "width": pa.array(rng.integers(32, 512, size=n).astype(np.int32)),
             "height": pa.array(rng.integers(32, 512, size=n).astype(np.int32)),
             "duration_ms": pa.array(rng.integers(0, 60000, size=n).astype(np.int32)),
@@ -90,9 +106,21 @@ class MediaFeaturize:
         self.decoder_ready = True
 
     def _one(self, payload: bytes, kind: str) -> tuple[np.ndarray, bool]:
+        from vertex_ray.stages import png_codec
+
+        if payload[:8] == png_codec.PNG_MAGIC:
+            # REAL library-format decode (pure numpy + stdlib zlib —
+            # stages/png_codec), no PIL needed
+            try:
+                img = png_codec.decode_png(payload)
+            except ValueError:
+                return _decode_stub(payload, kind), False
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            return media_codec.image_features(img[:, :, :3]), True
         try:
             name, data = media_codec.decode(payload)
-        except ValueError:  # not RAWM → library format we cannot decode here
+        except ValueError:  # other library formats (WAV/MP4) stay stubbed
             return _decode_stub(payload, kind), False
         if name == "image":
             return media_codec.image_features(data), True
