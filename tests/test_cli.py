@@ -220,3 +220,16 @@ def test_snapshot_cli(ray_session, tmp_path, capsys):
                  "--metric", "turns_total"]) == 0
     b = capsys.readouterr().out
     assert a == b and len(a.strip().splitlines()) > 1
+
+
+def test_stats_verb_prints_live_operator_stats(ray_session, capsys):
+    """`stats` = the vertex-top live tap: executed-operator wall
+    times/rows from ds.stats() for the flagship pipeline."""
+    from vertex_ray.synth import ensure_transcripts
+
+    trans = ensure_transcripts("/root/testdata/sf0.001")
+    assert main(["stats", trans, "--buckets", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "Operator" in out            # ds.stats() per-operator blocks
+    assert "MapBatches" in out or "Map" in out
+    assert "TOTAL:" in out and "block rows" in out

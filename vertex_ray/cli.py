@@ -79,6 +79,40 @@ def cmd_top(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """LIVE per-stage execution stats — the ``vertex top`` live-tap
+    analogue (/root/reference src/top.rs:42-55, per-component live
+    throughput via src/extensions/remote_tap): run the flagship pipeline
+    expression end to end (read → project/bucket → fused
+    rollup+cascade+pack group → Gorilla encode) and print Ray Data's
+    executed-operator stats — per-operator wall time, rows in/out,
+    object-store memory, actor-pool utilization (``ds.stats()``) — plus
+    a one-line total. ``--out-dir`` appends the committed counters table
+    (the static half the ``top`` verb already shows)."""
+    _ray_up()
+    from vertex_ray.pipelines.rollup_pipeline import (
+        encode_blocks,
+        packed_dataset,
+        read_transcripts,
+        transcripts_end_ts,
+    )
+
+    end = transcripts_end_ts(args.transcripts)
+    blocks = encode_blocks(
+        packed_dataset(read_transcripts(args.transcripts), end,
+                       n_buckets=args.buckets))
+    mat = blocks.materialize()
+    print(mat.stats())
+    print(f"TOTAL: {mat.count()} block rows, "
+          f"{mat.size_bytes() / 1e6:.1f} MB materialized")
+    if args.out_dir:
+        from vertex_ray.state.checkpoint import pipeline_counters
+
+        print(pipeline_counters(args.out_dir).to_pandas()
+              .to_string(index=False))
+    return 0
+
+
 def cmd_eval(args) -> int:
     """`vertex vtl` analogue with the full expression language: evaluate
     an exprlang expression either against a parquet table (columns are
@@ -472,6 +506,15 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("top", help="per-stage counters from manifests")
     sp.add_argument("out_dir")
     sp.set_defaults(fn=cmd_top)
+
+    sp = sub.add_parser(
+        "stats", help="live per-stage execution stats (ds.stats()) for "
+                      "the flagship pipeline — the `vertex top` live tap")
+    sp.add_argument("transcripts")
+    sp.add_argument("--buckets", type=int, default=8)
+    sp.add_argument("--out-dir", default=None,
+                    help="also print this store's committed counters")
+    sp.set_defaults(fn=cmd_stats)
 
     sp = sub.add_parser("eval",
                         help="evaluate an expression (vtl REPL analogue)")
