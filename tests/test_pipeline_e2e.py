@@ -44,9 +44,13 @@ def oracle_points(trans_dir):
 
 
 def read_agg(out, tier):
+    from vertex_ray.pipelines.rollup_pipeline import undict_table
+
     t = (
-        pads.dataset(stage_files(os.path.join(out, "agg")))
-        .to_table(filter=pc.field("tier") == tier)
+        undict_table(
+            pads.dataset(stage_files(os.path.join(out, "agg")))
+            .to_table(filter=pc.field("tier") == tier)
+        )
         .to_pandas()
     )
     return t

@@ -87,24 +87,34 @@ def pack_bits(codes: np.ndarray, lengths: np.ndarray) -> bytes:
     lengths = lengths[keep]
     if len(codes) == 0:
         return b""
-    starts = np.cumsum(lengths) - lengths  # absolute start bit per field
-    total_bits = int(starts[-1] + lengths[-1])
-    grid = np.zeros(total_bits, dtype=np.uint8)
-    # iterate lanes over fields sorted by length descending so each lane
-    # is a contiguous prefix slice (no boolean re-mask per lane)
-    order = np.argsort(-lengths, kind="stable")
-    codes = codes[order]
-    lengths = lengths[order]
-    starts = starts[order]
-    max_len = int(lengths[0])
-    # actives[j] = number of fields with length > j
-    actives = np.searchsorted(-lengths, -np.arange(max_len + 1), side="left")
-    for j in range(max_len):
-        a = int(actives[j])
-        grid[starts[:a] + j] = (
-            (codes[:a] >> (lengths[:a] - 1 - j).astype(np.uint64)) & np.uint64(1)
-        ).astype(np.uint8)
-    return np.packbits(grid).tobytes()
+    # Word-aligned OR-reduce: each ≤64-bit field spans at most TWO 64-bit
+    # words of the output, so its write decomposes into a high-word and
+    # an (optional) spill-word contribution — a constant number of numpy
+    # passes over the FIELD count, independent of field widths (the
+    # per-bit-lane grid this replaces cost ~9 B per output BIT and a
+    # Python lane loop up to 64 deep; this is ~8 passes × 8 B per FIELD).
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    total_bits = int(ends[-1])
+    n_words = (total_bits + 63) >> 6
+    word = starts >> 6
+    end_bit = (starts & 63) + lengths            # in [1, 127]
+    fits = end_bit <= 64
+    sh = np.where(fits, 64 - end_bit, end_bit - 64).astype(np.uint64)
+    hi = np.where(fits, codes << sh, codes >> sh)
+    words = np.zeros(n_words, dtype=np.uint64)
+    # fields are in start order → word is non-decreasing → one reduceat
+    first = np.flatnonzero(
+        np.concatenate([[True], word[1:] != word[:-1]]))
+    words[word[first]] = np.bitwise_or.reduceat(hi, first)
+    spill = ~fits
+    if spill.any():
+        lo = codes[spill] << (128 - end_bit[spill]).astype(np.uint64)
+        w2 = word[spill] + 1
+        f2 = np.flatnonzero(
+            np.concatenate([[True], w2[1:] != w2[:-1]]))
+        words[w2[f2]] |= np.bitwise_or.reduceat(lo, f2)
+    return words.byteswap().tobytes()[: (total_bits + 7) >> 3]
 
 
 class BitReader:
@@ -312,13 +322,26 @@ def _pack_const_per_series(codes: np.ndarray, w: int,
     total = int(padded.sum())
     if n == 0 or total == 0:
         return [b""] * s
+    if w > 2:
+        # wide constant fields (e.g. the 11-bit XOR headers): the
+        # word-OR pack_bits path beats a w-deep lane loop
+        return _pack_per_series(codes, np.full(n, w, dtype=np.int64),
+                                counts)
     grid = np.zeros(total, dtype=np.uint8)
-    sid = np.repeat(np.arange(s), counts)
-    intra = np.arange(n) - np.repeat(_excl_cumsum(counts)[:-1], counts)
-    base = starts[sid] + w * intra
-    c = np.asarray(codes, dtype=np.uint64)
-    for j in range(w):
-        grid[base + j] = ((c >> np.uint64(w - 1 - j)) & np.uint64(1)).astype(np.uint8)
+    # base = w·(position within the concatenation) + per-series gap from
+    # padding — one repeat of a per-series delta instead of materializing
+    # sid + intra index arrays
+    delta = starts - w * _excl_cumsum(counts)[:-1]
+    base = w * np.arange(n, dtype=np.int64) + np.repeat(delta, counts)
+    if w == 1:
+        # presence bits (every point of every stream): direct scatter of
+        # the boolean lane, no uint64 widening
+        grid[base] = np.asarray(codes, dtype=np.uint8)
+    else:
+        c = np.asarray(codes, dtype=np.uint64)
+        for j in range(w):
+            grid[base + j] = ((c >> np.uint64(w - 1 - j))
+                              & np.uint64(1)).astype(np.uint8)
     return _slices(np.packbits(grid).tobytes(), bits_per, padded - bits_per)
 
 
@@ -362,47 +385,89 @@ def _seg_cumsum(x: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return c - np.repeat(pre, counts[nz])
 
 
+class _SharedGeom:
+    """Per-offsets geometry shared across every value STREAM of the same
+    series batch (5 scalar + up to 11 bucket streams share one layout):
+    segment starts, presence-grid scatter base, series-id vector — built
+    ONCE instead of once per stream (the encoder's former dominant index
+    traffic at 32-way)."""
+
+    def __init__(self, offsets: np.ndarray):
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.counts = np.diff(self.offsets)
+        self.s = len(self.counts)
+        self.n = int(self.offsets[-1]) if self.s else 0
+        starts = self.offsets[:-1]
+        self.nonzero = self.counts > 0
+        is_start = np.zeros(self.n, dtype=bool)
+        is_start[starts[self.nonzero]] = True
+        self.is_start = is_start
+        self.nonstart = ~is_start
+        self.zn = np.maximum(self.counts - 1, 0)
+        self.z_padded = (self.zn + 7) >> 3 << 3
+        zstarts = _excl_cumsum(self.z_padded)[:-1]
+        delta = zstarts - _excl_cumsum(self.zn)[:-1]
+        self.z_total = int(self.z_padded.sum())
+        zn_sum = int(self.zn.sum())
+        self.z_base = (np.arange(zn_sum, dtype=np.int64)
+                       + np.repeat(delta, self.zn)) if zn_sum else \
+            np.zeros(0, dtype=np.int64)
+        self.sid = np.repeat(np.arange(self.s), self.counts)
+        self.head_rows = starts[self.nonzero]
+
+    def z_sections(self, changed_nonstart: np.ndarray) -> list[bytes]:
+        if self.z_total == 0:
+            return [b""] * self.s
+        grid = np.zeros(self.z_total, dtype=np.uint8)
+        grid[self.z_base] = changed_nonstart
+        return _slices(np.packbits(grid).tobytes(), self.zn,
+                       self.z_padded - self.zn)
+
+
+def encode_values_multi_shared(flats: list, offsets: np.ndarray,
+                               geom: "_SharedGeom | None" = None
+                               ) -> list[list[bytes]]:
+    """Value blocks for MULTIPLE parallel streams over the same series
+    layout — bit-identical per stream to encode_values_multi, with the
+    segment/scatter geometry hoisted across streams."""
+    g = geom if geom is not None else _SharedGeom(offsets)
+    if g.n == 0:
+        return [[b""] * g.s for _ in flats]
+    out_all = []
+    for flat in flats:
+        bits = np.ascontiguousarray(
+            np.asarray(flat, dtype=np.float64)).view(np.uint64)
+        xor = np.zeros(g.n, dtype=np.uint64)
+        xor[1:] = bits[1:] ^ bits[:-1]
+        xor[g.is_start] = 0
+        changed = xor != 0
+        lead = np.minimum(_clz64(xor[changed]), 31).astype(np.uint64)
+        trail = _ctz64(xor[changed]).astype(np.uint64)
+        mlen = np.uint64(64) - lead - trail
+        z_sections = g.z_sections(changed[g.nonstart])
+        h_counts = np.bincount(g.sid[changed], minlength=g.s)
+        h_codes = (lead << np.uint64(6)) | (mlen - np.uint64(1))
+        h_sections = _pack_const_per_series(h_codes, 11, h_counts)
+        p_sections = _pack_per_series(
+            xor[changed] >> trail, mlen.astype(np.int64), h_counts
+        )
+        heads = _np_heads(bits[g.head_rows])
+        out, hi = [], 0
+        for i in range(g.s):
+            if g.counts[i] == 0:
+                out.append(b"")
+            else:
+                out.append(heads[hi] + z_sections[i] + h_sections[i]
+                           + p_sections[i])
+                hi += 1
+        out_all.append(out)
+    return out_all
+
+
 def encode_values_multi(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
     """Value blocks for S series concatenated in ``flat`` (offsets has S+1
     entries; zero-length series are allowed and yield b"")."""
-    offsets = np.asarray(offsets, dtype=np.int64)
-    s = len(offsets) - 1
-    counts = np.diff(offsets)
-    n = len(flat)
-    if n == 0:
-        return [b""] * s
-    bits = np.ascontiguousarray(np.asarray(flat, dtype=np.float64)).view(np.uint64)
-    starts = offsets[:-1]
-    is_start = np.zeros(n, dtype=bool)
-    is_start[starts[counts > 0]] = True
-
-    xor = np.zeros(n, dtype=np.uint64)
-    xor[1:] = bits[1:] ^ bits[:-1]
-    xor[is_start] = 0
-    changed = xor != 0
-    lead = np.minimum(_clz64(xor[changed]), 31).astype(np.uint64)
-    trail = _ctz64(xor[changed]).astype(np.uint64)
-    mlen = np.uint64(64) - lead - trail
-
-    nonstart = ~is_start
-    zn = np.maximum(counts - 1, 0)
-    z_sections = _pack_const_per_series(changed[nonstart], 1, zn)
-    sid = np.repeat(np.arange(s), counts)
-    h_counts = np.bincount(sid[changed], minlength=s)
-    h_codes = (lead << np.uint64(6)) | (mlen - np.uint64(1))
-    h_sections = _pack_const_per_series(h_codes, 11, h_counts)
-    p_sections = _pack_per_series(
-        xor[changed] >> trail, mlen.astype(np.int64), h_counts
-    )
-    heads = _np_heads(bits[starts[counts > 0]])
-    out, hi = [], 0
-    for i in range(s):
-        if counts[i] == 0:
-            out.append(b"")
-        else:
-            out.append(heads[hi] + z_sections[i] + h_sections[i] + p_sections[i])
-            hi += 1
-    return out
+    return encode_values_multi_shared([flat], offsets)[0]
 
 
 def _np_heads(words: np.ndarray) -> list[bytes]:

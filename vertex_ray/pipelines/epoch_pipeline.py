@@ -147,7 +147,7 @@ def epoch_bucket_group(
     sfinal = posixpath.join(state_parts_dir, f"part-{bucket_id:05d}.parquet")
     if not fsio.exists(sfinal):
         fsio.write_parquet_atomic(state_out, sfinal, str(os.getpid()))
-    return unpack_series(packed)
+    return unpack_series(packed, dict_encode=True)
 
 
 def _prepare_parts_dir(parts_dir: str, lineage: dict) -> None:
@@ -307,4 +307,9 @@ def read_epochs_stage(out_dir: str, stage: str, tier: str | None = None,
         expr = e if expr is None else expr & e
     if expr is not None:
         kwargs["filter"] = expr
-    return rd.read_parquet(files, **kwargs)
+    ds = rd.read_parquet(files, **kwargs)
+    if any(pa.types.is_dictionary(f.type) for f in ds.schema().base_schema):
+        from vertex_ray.pipelines.rollup_pipeline import undict_table
+
+        ds = ds.map_batches(undict_table, batch_format="pyarrow")
+    return ds

@@ -235,7 +235,21 @@ def read_stage(out_dir: str, stage: str, tier: str | None = None,
         expr = e if expr is None else expr & e
     if expr is not None:
         kwargs["filter"] = expr
-    return rd.read_parquet(stage_files(path), **kwargs)
+    ds = rd.read_parquet(stage_files(path), **kwargs)
+    # agg stages are written dictionary-encoded (unpack_series
+    # dict_encode — zero string copies on the write path); decode back
+    # to the flat-string contract every consumer expects
+    if any(pa.types.is_dictionary(f.type) for f in ds.schema().base_schema):
+        ds = ds.map_batches(undict_table, batch_format="pyarrow")
+    return ds
+
+
+def undict_table(t: pa.Table) -> pa.Table:
+    """Cast any dictionary-encoded column back to its value type."""
+    for i, f in enumerate(t.schema):
+        if pa.types.is_dictionary(f.type):
+            t = t.set_column(i, f.name, t[f.name].cast(f.type.value_type))
+    return t
 
 
 def fused_bucket_group(
@@ -260,7 +274,7 @@ def fused_bucket_group(
         if not fsio.exists(final):
             enc = GorillaEncode()(packed)
             fsio.write_parquet_atomic(enc, final, token=str(os.getpid()))
-    return unpack_series(packed)
+    return unpack_series(packed, dict_encode=True)
 
 
 def run_pipeline(

@@ -19,7 +19,7 @@ from vertex_ray.gorilla import (
     decode_values_v2,
     encode_flags_multi,
     encode_timestamps_multi,
-    encode_values_multi,
+    encode_values_multi_shared,
 )
 from vertex_ray.schema import BLOCK_SCHEMA, BUCKET_COLS, KIND_HISTOGRAM
 
@@ -63,10 +63,9 @@ class GorillaEncode:
             block_end = np.zeros(n, dtype=np.int64)
 
         ts_blocks = encode_timestamps_multi(ws_val, ws_off)
-        scalar_blocks = [
-            encode_values_multi(flat(f"vals_{s}")[1], ws_off)
-            for s in ("sum", "count", "min", "max", "last")
-        ]
+        scalar_blocks = encode_values_multi_shared(
+            [flat(f"vals_{s}")[1]
+             for s in ("sum", "count", "min", "max", "last")], ws_off)
 
         hist = kinds == KIND_HISTOGRAM
         bucket_blocks: dict[int, list[list[bytes]]] = {}
@@ -75,10 +74,9 @@ class GorillaEncode:
             sub_off = np.zeros(int(hist.sum()) + 1, dtype=np.int64)
             np.cumsum(counts[hist], out=sub_off[1:])
             hist_rows = np.flatnonzero(hist)
-            per_bucket = [
-                encode_values_multi(flat(f"vals_{b}")[1][el_mask], sub_off)
-                for b in BUCKET_COLS
-            ]
+            per_bucket = encode_values_multi_shared(
+                [flat(f"vals_{b}")[1][el_mask] for b in BUCKET_COLS],
+                sub_off)
             bucket_blocks = {
                 int(r): [pb[j] for pb in per_bucket] for j, r in enumerate(hist_rows)
             }

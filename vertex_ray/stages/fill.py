@@ -212,11 +212,19 @@ def pack_series(df: pd.DataFrame) -> pa.Table:
     return pa.table(out)
 
 
-def unpack_series(batch: pa.Table) -> pa.Table:
+def unpack_series(batch: pa.Table, dict_encode: bool = False) -> pa.Table:
     """Inverse of pack_series: per-series array rows → flat tier rows
     (AGG columns + tier + filled + stale). Pure Arrow/numpy explode — the
     tier aggregate tables are derived from the packed representation with
-    no extra shuffle."""
+    no extra shuffle.
+
+    ``dict_encode=True`` (the parquet-sink path) emits series_key /
+    name / tier as Arrow DICTIONARY arrays whose indices are the repeat
+    vector and whose dictionary is the per-series column — ZERO string
+    copying instead of replicating every key once per window (the
+    dominant memory traffic of the agg write at 32-way: ~45 B × ~300
+    windows per series). Parquet roundtrips dictionary columns back to
+    plain strings, so readers are unaffected."""
     if batch.num_rows == 0:
         # typed empty (epoch pipeline: sentinel-only bucket groups) so the
         # Dataset keeps ONE schema and parquet writes of empty blocks work
@@ -239,12 +247,24 @@ def unpack_series(batch: pa.Table) -> pa.Table:
         return col.combine_chunks().values
 
     flags = np.asarray(flat(batch["flags"]))
+    if dict_encode:
+        idx = pa.array(reps.astype(np.int32))
+        sk = pa.DictionaryArray.from_arrays(
+            idx, batch["series_key"].combine_chunks())
+        nm = pa.DictionaryArray.from_arrays(
+            idx, batch["name"].combine_chunks())
+        tr = pa.DictionaryArray.from_arrays(
+            idx, batch["tier"].combine_chunks())
+    else:
+        sk = batch["series_key"].take(reps)
+        nm = batch["name"].take(reps)
+        tr = batch["tier"].take(reps)
     out = {
         "bucket": batch["bucket"].take(reps),
-        "series_key": batch["series_key"].take(reps),
-        "name": batch["name"].take(reps),
+        "series_key": sk,
+        "name": nm,
         "kind": batch["kind"].take(reps),
-        "tier": batch["tier"].take(reps),
+        "tier": tr,
         "window_start": ws.values,
         "sum": flat(batch["vals_sum"]),
         "count": flat(batch["vals_count"]).cast(pa.int64()),
