@@ -2264,6 +2264,16 @@ def _q_span_duration_p99_1h(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_span_service_graph(sf_dir: str):
+    """Service-dependency edges over the span model (the Jaeger
+    service-graph read): parent→child span pairs within each trace,
+    counted per (parent role, child role) — per-bucket partials then one
+    role-pair-cardinality exchange (stages/trace.service_graph)."""
+    from vertex_ray.stages.trace import service_graph
+
+    return service_graph(_span_input(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from vertex_ray.pipelines.op_queries import OP_QUERIES
 
@@ -2390,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_count_rollup_1m_turns": _q_span_count_rollup_1m,
         "span_duration_hist_1h_turns": _q_span_duration_hist_1h,
         "span_duration_p99_1h_turns": _q_span_duration_p99_1h,
+        "op_span_service_graph": _q_span_service_graph,
     }
 
 
@@ -4006,6 +4017,18 @@ def oracle_sql() -> dict[str, str]:
     SELECT series_key, window_start,
            {histogram_quantile_sql(0.99)} AS p99
     FROM h
+    """
+
+    sqls["op_span_service_graph"] = f"""
+    WITH e AS (
+      SELECT role AS parent_name,
+             lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS child_name
+      FROM {_SQL_TRANSCRIPTS}
+    )
+    SELECT parent_name, child_name, CAST(count(*) AS BIGINT) AS n_calls
+    FROM e WHERE child_name IS NOT NULL
+    GROUP BY 1, 2
     """
 
     sqls["rollup_1m_latency_p99"] = f"""{_LAT_CTE}

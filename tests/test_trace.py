@@ -103,3 +103,17 @@ def test_spans_empty_input(ray_session):
 def test_span_project_columns_cover_module():
     assert SPAN_PROJECT_COLUMNS == ["conv_id", "turn_idx", "role",
                                     "tool", "ts"]
+
+
+def test_service_graph_edges(ray_session):
+    from vertex_ray.stages.trace import service_graph
+
+    t = _mini([[0, 10, 25, 40], [100, 160]])
+    df = (service_graph(rd.from_arrow(t), n_buckets=4).to_pandas()
+          .sort_values(["parent_name", "child_name"])
+          .reset_index(drop=True))
+    # conv0 roles: user->assistant->tool->user; conv1: user->assistant
+    got = {(r.parent_name, r.child_name): r.n_calls
+           for r in df.itertuples()}
+    assert got == {("user", "assistant"): 2, ("assistant", "tool"): 1,
+                   ("tool", "user"): 1}

@@ -256,3 +256,40 @@ def span_rollup_store(ds, *, window_s: int = 60, tier: str = "1m",
 
     return (partials.groupby("bucket")
             .map_groups(merge_pack_encode, batch_format="pandas"))
+
+
+def service_graph_group(g: pa.Table) -> pa.Table:
+    """One bucket's transcripts → service-dependency edges (the Jaeger
+    service-graph read over the span model): for every parent→child span
+    pair within a trace, one (parent_name, child_name) edge; output is
+    per-bucket PARTIAL edge counts (combiner — the final exchange
+    carries role-pair cardinality, never spans)."""
+    if g.num_rows == 0:
+        return pa.table({"parent_name": pa.array([], pa.string()),
+                         "child_name": pa.array([], pa.string()),
+                         "n_calls": pa.array([], pa.int64())})
+    _, inv_s, _, _, order = _sorted_arrays(g)
+    role_s = g["role"].to_numpy(zero_copy_only=False)[order]
+    same = inv_s[1:] == inv_s[:-1]
+    parent = role_s[:-1][same]
+    child = role_s[1:][same]
+    df = pd.DataFrame({"parent_name": parent, "child_name": child})
+    out = (df.groupby(["parent_name", "child_name"], sort=False)
+           .size().rename("n_calls").reset_index())
+    out["n_calls"] = out["n_calls"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def service_graph(ds, n_buckets: int = 32):
+    """Transcript turns → service-graph edge table: conv-bucket exchange
+    (whole traces per task) → per-bucket edge partials → ONE tiny
+    groupby over (parent, child) role pairs."""
+    partials = (ds.map_batches(_bucket_stage(n_buckets),
+                               batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(service_graph_group, batch_format="pyarrow"))
+    return (partials.groupby(["parent_name", "child_name"])
+            .sum("n_calls")
+            .map_batches(lambda t: t.rename_columns(
+                ["parent_name", "child_name", "n_calls"]),
+                batch_format="pyarrow"))
