@@ -2350,7 +2350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resets_changes_1m_gauge": _q_resets_changes_1m_gauge,
         "rollup_1h_turn_gauge": _q_gauge_1h,
         "gorilla_roundtrip_1m_gauge_locf": _q_gauge_locf_roundtrip,
-        "internal_counters": _q_internal_counters,
+        # internal_counters (per-stage rows/bytes/WALL) is inherently
+        # rows-only (wall times vary per run) — surfaced via the CLI
+        # `top`/`stats` verbs and tests/test_cli.py, not the driver dict
         "rate_1h_turns": _q_rate_1h_turns,
         "peak_5m_rate_1h_turns": _q_peak_5m_rate_1h,
         "zscore_1h_turns": _q_zscore_1h_turns,

@@ -63,10 +63,13 @@ def empty_sf(tmp_path_factory):
 
 
 def test_ops_on_empty_tables(ray_session, empty_sf):
-    from vertex_ray.pipelines.op_queries import OP_QUERIES
+    from vertex_ray.pipelines.op_queries import (
+        OP_QUERIES,
+        OP_QUERIES_INTERNAL,
+    )
 
     unexpected = {}
-    for name, fn in OP_QUERIES.items():
+    for name, fn in {**OP_QUERIES, **OP_QUERIES_INTERNAL}.items():
         try:
             r = fn(empty_sf)
             df = r.to_pandas() if hasattr(r, "to_pandas") else r
