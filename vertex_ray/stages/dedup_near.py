@@ -556,28 +556,35 @@ def simhash_near_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
 # ---------------------------------------------------------------------------
 
 
-def _tile_cosine_fn(tile_ref, vec_col: str, id_col: str, threshold: float):
-    """map_batches body for the exact all-pairs path: the tile ObjectRef is
-    captured in the closure and ray.get is zero-copy from the local plasma
-    store; one float64 matmul per (batch × tile) cell."""
+def _tile_cosine_fn(tile_refs, vec_col: str, id_col: str, threshold: float):
+    """map_batches body for the exact all-pairs path: the tile ObjectRefs
+    ride the closure and ray.get is zero-copy from the local plasma
+    store; the task walks every tile sequentially — one float64 matmul
+    per (batch × tile) cell, one tile resident at a time."""
 
     def fn(t: pa.Table) -> pa.Table:
         import ray
 
-        tile: pa.Table = ray.get(tile_ref)
-        tvecs = np.stack(tile[vec_col].to_pandas().to_numpy()).astype(np.float64)
-        tile_unit = tvecs / np.maximum(
-            np.linalg.norm(tvecs, axis=1, keepdims=True), 1e-12
-        )
-        tile_ids = tile[id_col].to_numpy(zero_copy_only=False)
         vecs = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
         unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        cos = unit @ tile_unit.T  # (batch, tile)
-        bi, ti = np.nonzero(cos >= threshold)
-        a, b = ids[bi], tile_ids[ti]
-        keep = a < b  # self-pairs and order dups out
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+        outs_a, outs_b = [], []
+        for tile_ref in tile_refs:
+            tile: pa.Table = ray.get(tile_ref)
+            tvecs = np.stack(
+                tile[vec_col].to_pandas().to_numpy()).astype(np.float64)
+            tile_unit = tvecs / np.maximum(
+                np.linalg.norm(tvecs, axis=1, keepdims=True), 1e-12
+            )
+            tile_ids = tile[id_col].to_numpy(zero_copy_only=False)
+            cos = unit @ tile_unit.T  # (batch, tile)
+            bi, ti = np.nonzero(cos >= threshold)
+            a, b = ids[bi], tile_ids[ti]
+            keep = a < b  # self-pairs and order dups out
+            outs_a.append(a[keep])
+            outs_b.append(b[keep])
+        return pa.table({"a": pa.array(np.concatenate(outs_a)),
+                         "b": pa.array(np.concatenate(outs_b))})
 
     return fn
 
@@ -586,20 +593,20 @@ def embedding_near_pairs_exact(ds, vec_col: str, id_col: str,
                                threshold: float = 0.9):
     """EXACT embedding-cosine near-dup — the correctness baseline.
 
-    Tiled all-pairs: the dataset is materialized once and each block
-    becomes a broadcast tile; every (batch × tile) cell is one float64
-    matmul in a stateless task. O(N²/block_size) tasks — fully
-    distributed, nothing ever lands on the driver — but quadratic compute:
-    at scale use embedding_near_pairs (centroid-bucketed) instead.
-    A pair can surface from two (batch, tile) cells; dedup on (a, b)."""
+    Tiled all-pairs: the dataset is materialized once and every block
+    becomes a broadcast tile; each batch TASK walks all tiles (ONE plan
+    branch and O(blocks) tasks, not one dataset branch per tile — the
+    former per-tile union built a B-way plan that grew with the input).
+    Total compute is still O(N²) matmuls: at scale use
+    embedding_near_pairs (centroid-bucketed) instead. `a < b` inside the
+    cell makes each pair unique already; the final groupby-first is kept
+    as a safety dedup for overlapping blocks."""
     mat = ds.materialize()
-    outs = None
-    for ref in mat.to_arrow_refs():
-        part = mat.map_batches(
-            _tile_cosine_fn(ref, vec_col, id_col, threshold),
-            batch_format="pyarrow",
-        )
-        outs = part if outs is None else outs.union(part)
+    refs = list(mat.to_arrow_refs())
+    outs = mat.map_batches(
+        _tile_cosine_fn(refs, vec_col, id_col, threshold),
+        batch_format="pyarrow",
+    )
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
