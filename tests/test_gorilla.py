@@ -229,3 +229,28 @@ def test_multi_compression_comparable_to_paper_format():
     paper = len(encode_timestamps(ts)) + len(encode_values(vals))
     ours = len(ts_blocks[0]) + len(val_blocks[0])
     assert ours <= paper + 2 * 1000 // 8 + 16
+
+
+def test_pack_bits_matches_bitstring_reference():
+    """The word-OR pack_bits must concatenate MSB-first bit fields
+    exactly like the naive bit-string construction, for random widths
+    1..64 including word-boundary straddles and zero-length fields."""
+    import numpy as np
+
+    from vertex_ray.gorilla import pack_bits
+
+    rng = np.random.default_rng(123)
+    for trial in range(25):
+        n = int(rng.integers(1, 200))
+        lens = rng.integers(0, 65, size=n).astype(np.int64)
+        codes = np.array([
+            int(rng.integers(0, (1 << int(l)) - 1, endpoint=True,
+                             dtype=np.uint64)) if l else 0
+            for l in lens
+        ], dtype=np.uint64)
+        got = pack_bits(codes, lens)
+        bits = "".join(format(int(c), f"0{int(l)}b")
+                       for c, l in zip(codes, lens) if l)
+        bits += "0" * (-len(bits) % 8)
+        exp = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+        assert got == exp, f"trial {trial}"
