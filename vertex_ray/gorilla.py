@@ -582,29 +582,46 @@ def _concat_blocks(blocks: list[bytes]):
     return buf, starts[:-1] * 8  # bit offset of each series block
 
 
-def _presence_layout(buf, z_start_bits, zn, counts):
+class _ZGeom:
+    """Z-section decode geometry that depends ONLY on per-series point
+    counts — shared across every value stream of a series batch (5
+    scalar + up to 11 bucket streams re-derived identical el_sid /
+    intra / zflat index arrays before this hoist)."""
+
+    def __init__(self, counts: np.ndarray, zn: np.ndarray):
+        self.s = len(zn)
+        self.zn = zn
+        total_z = int(zn.sum())
+        self.el_sid = np.repeat(np.arange(self.s), zn)
+        self.intra = (np.arange(total_z)
+                      - np.repeat(_excl_cumsum(zn)[:-1], zn))
+        self.out_off = _excl_cumsum(counts)[:-1]
+        lead_pts = counts - zn  # points before the Z section (1 head / 2 ts)
+        self.zflat = (self.out_off[self.el_sid]
+                      + lead_pts[self.el_sid] + self.intra)
+
+
+def _presence_layout(buf, z_start_bits, zn, counts, geom: "_ZGeom | None" = None):
     """Shared Z-section decode: per-point presence bits for every series,
     plus the flat output index of each Z-covered point.
 
     Returns (changed mask over Z points, el_sid, zflat point positions in
     the concatenated output, nnz per series)."""
-    total_z = int(zn.sum())
-    s = len(zn)
-    el_sid = np.repeat(np.arange(s), zn)
-    intra = np.arange(total_z) - np.repeat(_excl_cumsum(zn)[:-1], zn)
+    g = geom if geom is not None else _ZGeom(counts, zn)
     unpacked = np.unpackbits(buf)
-    presence = unpacked[z_start_bits[el_sid] + intra]
+    presence = unpacked[z_start_bits[g.el_sid] + g.intra]
     changed = presence.astype(bool)
-    out_off = _excl_cumsum(counts)[:-1]
-    lead_pts = counts - zn  # points before the Z section (1 head, or 2 for ts)
-    zflat = out_off[el_sid] + lead_pts[el_sid] + intra
-    nnz = np.bincount(el_sid, weights=presence, minlength=s).astype(np.int64)
-    return changed, el_sid, zflat, nnz
+    nnz = np.bincount(g.el_sid, weights=presence,
+                      minlength=g.s).astype(np.int64)
+    return changed, g.el_sid, g.zflat, nnz
 
 
-def decode_values_multi_flat(blocks: list[bytes], n_points: np.ndarray) -> np.ndarray:
+def decode_values_multi_flat(blocks: list[bytes], n_points: np.ndarray,
+                             geom: "_ZGeom | None" = None) -> np.ndarray:
     """Inverse of encode_values_multi for all series at once; returns ONE
-    float64 array with every series' points concatenated in input order."""
+    float64 array with every series' points concatenated in input order.
+    Pass a shared ``_ZGeom`` when decoding several streams of the same
+    series batch (decode_blocks_batch does)."""
     s = len(blocks)
     counts = np.asarray(n_points, dtype=np.int64)
     total = int(counts.sum())
@@ -615,7 +632,8 @@ def decode_values_multi_flat(blocks: list[bytes], n_points: np.ndarray) -> np.nd
     heads = _bswap(_gather_bits(buf, bit0[nz], np.uint64(64)))
     zn = np.maximum(counts - 1, 0)
     z_start = bit0 + 64 * nz
-    changed, el_sid, zflat, nnz = _presence_layout(buf, z_start, zn, counts)
+    changed, el_sid, zflat, nnz = _presence_layout(buf, z_start, zn,
+                                                   counts, geom)
 
     h_start = z_start + ((zn + 7) >> 3 << 3)
     ch = np.flatnonzero(changed)

@@ -154,9 +154,16 @@ def decode_blocks_batch(batch: pa.Table) -> pa.Table:
     val_blocks = batch["val_blocks"].to_pylist()
     flag_blocks = batch["flags"].to_pylist()
 
+    from vertex_ray.gorilla import _ZGeom
+
+    # index geometry depends only on per-series point counts — build it
+    # once and share across the 5 scalar (and 11 bucket) streams
+    zn = np.maximum(n_points - 1, 0)
+    geom = _ZGeom(n_points, zn)
     scalar_names = ("sum", "count", "min", "max", "last")
     scalars = {
-        s: decode_values_multi_flat([vb[i] for vb in val_blocks], n_points)
+        s: decode_values_multi_flat([vb[i] for vb in val_blocks],
+                                    n_points, geom=geom)
         for i, s in enumerate(scalar_names)
     }
     ws = decode_timestamps_multi_flat(ts_blocks, n_points)
@@ -182,12 +189,15 @@ def decode_blocks_batch(batch: pa.Table) -> pa.Table:
         out["tier"] = batch["tier"].take(row_ix)
     hist_rows = np.flatnonzero(kinds == KIND_HISTOGRAM)
     el_hist = np.repeat(kinds == KIND_HISTOGRAM, n_points)
+    hgeom = (_ZGeom(n_points[hist_rows],
+                    np.maximum(n_points[hist_rows] - 1, 0))
+             if len(hist_rows) else None)
     for b_i, b_col in enumerate(BUCKET_COLS):
         col = np.zeros(total, dtype=np.int64)
         if len(hist_rows):
             col[el_hist] = decode_values_multi_flat(
                 [val_blocks[i][len(scalar_names) + b_i] for i in hist_rows],
-                n_points[hist_rows],
+                n_points[hist_rows], geom=hgeom,
             ).astype(np.int64)
         out[b_col] = pa.array(col, type=pa.int64())
     out["filled"] = pa.array((flags & 1).astype(bool))
