@@ -345,3 +345,42 @@ def test_multiplier_duplicate_name_is_error():
     }
     errs = validate(cfg)
     assert errs and "already defined" in errs[0]
+
+
+def test_builder_span_steps(ray_session, tmp_path):
+    """Trace/span steps are config-buildable (spans / trace_assemble /
+    service_graph over a transcripts-shaped parquet source)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vertex_ray.pipelines.builder import build
+
+    t = pa.table({
+        "conv_id": pa.array(["c0", "c0", "c0", "c1", "c1"]),
+        "turn_idx": pa.array([0, 1, 2, 0, 1], pa.int32()),
+        "role": pa.array(["user", "assistant", "tool", "user",
+                          "assistant"]),
+        "tool": pa.array(["", "", "grep", "", ""]),
+        "ts": pa.array(np.array([0, 5, 9, 100, 130], np.int64) * 10**6,
+                       pa.timestamp("us")),
+    })
+    src = tmp_path / "turns.parquet"
+    pq.write_table(t, src)
+    built = build({
+        "sources": {"turns": {"type": "parquet", "path": str(src)}},
+        "transforms": {
+            "sp": {"type": "spans", "inputs": ["turns"], "n_buckets": 2},
+            "tr": {"type": "trace_assemble", "inputs": ["turns"],
+                   "n_buckets": 2},
+            "sg": {"type": "service_graph", "inputs": ["turns"],
+                   "n_buckets": 2},
+        },
+    })
+    sp = built["sp"].to_pandas()
+    assert len(sp) == 5 and set(sp.trace_id) == {"c0", "c1"}
+    tr = built["tr"].to_pandas().sort_values("trace_id")
+    assert tr.n_spans.tolist() == [3, 2]
+    sg = built["sg"].to_pandas()
+    assert int(sg[(sg.parent_name == "user")
+                  & (sg.child_name == "assistant")]["n_calls"].iloc[0]) == 2

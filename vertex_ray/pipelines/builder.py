@@ -183,6 +183,24 @@ def _t_text_op(op_factory_name):
     return build
 
 
+def _t_spans(cfg, ds):
+    from vertex_ray.stages.trace import spans_from_transcripts
+
+    return spans_from_transcripts(ds, cfg.get("n_buckets", 32))
+
+
+def _t_trace_assemble(cfg, ds):
+    from vertex_ray.stages.trace import trace_assemble
+
+    return trace_assemble(ds, cfg.get("n_buckets", 32))
+
+
+def _t_service_graph(cfg, ds):
+    from vertex_ray.stages.trace import service_graph
+
+    return service_graph(ds, cfg.get("n_buckets", 32))
+
+
 def _t_route(cfg, ds):
     from vertex_ray.stages.ops import route_split
 
@@ -665,6 +683,9 @@ STEP_TYPES: dict[str, Callable] = {
     "metricalize": _t_metricalize,
     "summarize": _t_summarize,
     "route": _t_route,
+    "spans": _t_spans,
+    "trace_assemble": _t_trace_assemble,
+    "service_graph": _t_service_graph,
     "tokens": _t_text_op("token_count_op"),
     "quality": _t_text_op("quality_score_op"),
     "langid": _t_text_op("lang_id_op"),
