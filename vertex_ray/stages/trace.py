@@ -32,6 +32,15 @@ windowed per-(series, window) PARTIALS are computed inside the same
 conv-bucket task, so the second (series-bucket) exchange carries
 series × windows rows — bounded by role-cardinality × windows — never
 raw spans.
+
+Incremental note: span metrics are stamped at span START, so a span
+straddling an ingest-epoch boundary lands in an already-committed
+window; an epoch-incremental span store therefore composes the
+per-epoch one-shot here with ``backfill_merge`` of each epoch's
+boundary spans (resolved from a per-conv last-turn carry) into the
+prior epoch's windows — the same late-data machinery the flagship
+backfill query exercises. Not wired as a pipeline yet; the one-shot
+path below is the oracled contract.
 """
 from __future__ import annotations
 
