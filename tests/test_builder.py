@@ -384,3 +384,31 @@ def test_builder_span_steps(ray_session, tmp_path):
     sg = built["sg"].to_pandas()
     assert int(sg[(sg.parent_name == "user")
                   & (sg.child_name == "assistant")]["n_calls"].iloc[0]) == 2
+
+
+def test_builder_eval_nested_path_target(ray_session, tmp_path):
+    """`eval` set targets containing '.' write nested struct paths (the
+    reference's path-addressed rewrite: .doc.meta.flag = expr)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vertex_ray.pipelines.builder import build
+
+    t = pa.table({
+        "v": pa.array([10, 90], pa.int64()),
+        "doc": pa.array([{"meta": {"src": "a"}}, {"meta": {"src": "b"}}]),
+    })
+    src = tmp_path / "rows.parquet"
+    pq.write_table(t, src)
+    built = build({
+        "sources": {"rows": {"type": "parquet", "path": str(src)}},
+        "transforms": {
+            "ev": {"type": "eval", "inputs": ["rows"],
+                   "set": {"doc.meta.flag": "v > 50",
+                           "fresh.x": "v * 2"}},
+        },
+    })
+    df = built["ev"].to_pandas()
+    assert [d["meta"]["flag"] for d in df["doc"]] == [False, True]
+    assert [d["meta"]["src"] for d in df["doc"]] == ["a", "b"]
+    assert [d["x"] for d in df["fresh"]] == [20, 180]

@@ -469,7 +469,10 @@ def _t_eval(cfg, ds):
     derived columns from text expressions (functions/exprlang, compiled
     once, vectorized per batch; later expressions see earlier results)
     and DROP columns — ``{"type": "eval", "set": {"flag": "value > 50"},
-    "drop": ["tmp"]}``."""
+    "drop": ["tmp"]}``. A set target containing a ``.`` writes a NESTED
+    path inside a struct column (the reference's path-addressed
+    ``.a.b = expr`` write, lib/value/src/path/):
+    ``{"set": {"doc.meta.flag": "value > 50"}}``."""
     import pyarrow as pa
 
     from vertex_ray.functions.exprlang import compile_expr
@@ -479,10 +482,18 @@ def _t_eval(cfg, ds):
     drops = list(cfg.get("drop", []))
 
     def fn(t: pa.Table) -> pa.Table:
+        from vertex_ray.functions.path import parse_path, path_set
+
         for name, f in sets:
             v = f(t)
             if not hasattr(v, "type"):  # scalar result → broadcast
                 v = pa.array([v] * len(t))
+            if "." in name:  # nested path write into a struct column
+                root, _, rest = name.partition(".")
+                base = (t[root].combine_chunks()
+                        if root in t.schema.names else pa.nulls(len(t)))
+                v = path_set(base, parse_path(rest), v)
+                name = root
             if name in t.schema.names:
                 t = t.set_column(t.schema.get_field_index(name), name, v)
             else:
