@@ -2274,6 +2274,37 @@ def _q_span_service_graph(sf_dir: str):
     return service_graph(_span_input(sf_dir))
 
 
+def _q_span_count_rollup_1m_epochs(sf_dir: str):
+    """Epoch-incremental span ingest (stages/trace.
+    span_rollup_store_incremental — per-conv last-turn carry is the only
+    cross-epoch state): the transcripts split into two ts epochs ingest
+    to the same 1m span-count store as the one-shot, so the one-shot's
+    SQL mirror oracles this path too (the retention_epochs pattern)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.trace import (
+        SPAN_PROJECT_COLUMNS,
+        span_rollup_store_incremental,
+    )
+
+    t = pq.read_table(ensure_transcripts(sf_dir),
+                      columns=SPAN_PROJECT_COLUMNS)
+    ts = t["ts"].cast(pa.int64())
+    cut = (pc.min(ts).as_py() + pc.max(ts).as_py()) // 2
+    eps = [rd.from_arrow(t.filter(pc.less(ts, cut))),
+           rd.from_arrow(t.filter(pc.greater_equal(ts, cut)))]
+    blocks = span_rollup_store_incremental(eps, window_s=60, tier="1m")
+    ds = decode_tier_blocks(blocks)
+    return ds.map_batches(
+        lambda b: _real_rows(b, "span_count_total").select(
+            ["series_key", "window_start", "sum", "count"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from vertex_ray.pipelines.op_queries import OP_QUERIES
 
@@ -2403,6 +2434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_duration_hist_1h_turns": _q_span_duration_hist_1h,
         "span_duration_p99_1h_turns": _q_span_duration_p99_1h,
         "op_span_service_graph": _q_span_service_graph,
+        "span_count_rollup_1m_epochs": _q_span_count_rollup_1m_epochs,
     }
 
 
@@ -4021,6 +4053,9 @@ def oracle_sql() -> dict[str, str]:
     FROM h
     """
 
+    # epoch-incremental span ingest == one-shot (pinned bit-for-bit in
+    # tests/test_trace.py) → the same SQL mirror oracles both
+    sqls["span_count_rollup_1m_epochs"] = sqls["span_count_rollup_1m_turns"]
     sqls["op_span_service_graph"] = f"""
     WITH e AS (
       SELECT role AS parent_name,

@@ -117,3 +117,80 @@ def test_service_graph_edges(ray_session):
            for r in df.itertuples()}
     assert got == {("user", "assistant"): 2, ("assistant", "tool"): 1,
                    ("tool", "user"): 1}
+
+
+def _epoch_split(t, cut_s):
+    """Split a transcripts table into two epochs at ts < cut_s."""
+    import pyarrow.compute as pc
+
+    cut = pa.scalar(cut_s * 1_000_000, pa.timestamp("us"))
+    return (rd.from_arrow(t.filter(pc.less(t["ts"], cut))),
+            rd.from_arrow(t.filter(pc.greater_equal(t["ts"], cut))))
+
+
+def test_span_rollup_incremental_equals_oneshot(ray_session):
+    """Epoch-incremental span ingest (per-conv last-turn carry as the
+    ONLY cross-epoch state) equals the one-shot store bit-for-bit on
+    the order-free columns — including conversations straddling the
+    epoch boundary (their boundary span gets its true duration) and
+    conversations that END in epoch 1 (their final duration-0 span
+    emits exactly once, at finalize)."""
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.schema import BUCKET_COLS
+    from vertex_ray.stages.trace import span_rollup_store_incremental
+
+    # conv0 straddles the cut; conv1 ends before it; conv2 starts after
+    t = _mini([[0, 50, 130, 200], [10, 40], [150, 260, 270]])
+    cut = 100
+    e1, e2 = _epoch_split(t, cut)
+    inc = span_rollup_store_incremental(
+        [e1, e2], window_s=60, tier="1m", cascade=(("1h", 3600),),
+        n_buckets=4)
+    one = span_rollup_store(rd.from_arrow(t), window_s=60, tier="1m",
+                            cascade=(("1h", 3600),), n_buckets=4)
+    cols = (["tier", "series_key", "window_start", "sum", "count",
+             "min", "max"] + list(BUCKET_COLS))
+
+    def canon(blocks):
+        df = decode_tier_blocks(blocks).to_pandas()[cols]
+        return df.sort_values(cols[:3]).reset_index(drop=True)
+
+    a, b = canon(inc), canon(one)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_span_rollup_incremental_three_epochs_sf0001(ray_session):
+    """Same equality over the real sf0.001 transcripts split into three
+    ts epochs."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.trace import span_rollup_store_incremental
+    from vertex_ray.synth import ensure_transcripts
+
+    p = ensure_transcripts("/root/testdata/sf0.001")
+    t = pq.read_table(p, columns=SPAN_PROJECT_COLUMNS)
+    ts = t["ts"].cast(pa.int64())
+    lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    eps = [rd.from_arrow(t.filter(m)) for m in [
+        pc.less(ts, c1),
+        pc.and_(pc.greater_equal(ts, c1), pc.less(ts, c2)),
+        pc.greater_equal(ts, c2)]]
+    inc = span_rollup_store_incremental(eps, window_s=60, tier="1m",
+                                        n_buckets=8)
+    one = span_rollup_store(rd.from_arrow(t), window_s=60, tier="1m",
+                            n_buckets=8)
+    cols = ["series_key", "window_start", "sum", "count", "min", "max"]
+
+    def canon(blocks):
+        df = decode_tier_blocks(blocks).to_pandas()[cols]
+        return df.sort_values(cols[:2]).reset_index(drop=True)
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(canon(inc), canon(one))

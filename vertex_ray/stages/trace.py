@@ -33,20 +33,17 @@ conv-bucket task, so the second (series-bucket) exchange carries
 series × windows rows — bounded by role-cardinality × windows — never
 raw spans.
 
-Incremental note: span metrics are stamped at span START, so a span
-straddling an ingest-epoch boundary lands in an already-committed
-window; an epoch-incremental span store therefore composes the
-per-epoch one-shot here with ``backfill_merge`` of each epoch's
-boundary spans (resolved from a per-conv last-turn carry) into the
-prior epoch's windows — the same late-data machinery the flagship
-backfill query exercises. Not wired as a pipeline yet; the one-shot
-path below is the oracled contract.
+Incremental: :func:`span_rollup_store_incremental` ingests epoch by
+epoch with a per-conversation last-turn CARRY as the only cross-epoch
+state, equal to the one-shot bit-for-bit on the order-free columns
+(sum/count/min/max/buckets — pinned in tests/test_trace.py).
 """
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from vertex_ray.schema import KIND_HISTOGRAM, KIND_SUM
 from vertex_ray.series import bucket_of, series_key_arrays
@@ -79,10 +76,15 @@ def _sorted_arrays(g: pa.Table):
     return conv[order], inv[order], turn[order], ts_us[order], order
 
 
-def spans_group(g: pa.Table) -> pa.Table:
-    """One bucket's transcripts → span rows (whole traces per task)."""
+def spans_group(g: pa.Table, with_final_flag: bool = False) -> pa.Table:
+    """One bucket's transcripts → span rows (whole traces per task).
+    ``with_final_flag`` appends a ``final`` bool column marking each
+    trace's LAST span (the epoch-incremental path carries those forward
+    instead of emitting them)."""
     if g.num_rows == 0:
-        return _empty_spans()
+        out = _empty_spans()
+        return out.append_column("final", pa.array([], pa.bool_())) \
+            if with_final_flag else out
     conv_s, inv_s, turn_s, start_us, order = _sorted_arrays(g)
     role_s = g["role"].to_numpy(zero_copy_only=False)[order]
     tool_s = g["tool"].to_numpy(zero_copy_only=False)[order]
@@ -96,7 +98,7 @@ def spans_group(g: pa.Table) -> pa.Table:
     end_us[seg_end] = start_us[seg_end]
     kind = (pd.Series(role_s, dtype=object).map(SPAN_KIND_BY_ROLE)
             .fillna("unspecified").to_numpy(dtype=object))
-    return pa.table({
+    out = pa.table({
         "trace_id": pa.array(conv_s, type=pa.string()),
         "span_id": pa.array(turn_s + 1, type=pa.int64()),
         "parent_span_id": pa.array(turn_s, type=pa.int64()),
@@ -108,6 +110,9 @@ def spans_group(g: pa.Table) -> pa.Table:
         "duration_ns": pa.array((end_us - start_us) * 1000,
                                 type=pa.int64()),
     })
+    if with_final_flag:
+        out = out.append_column("final", pa.array(seg_end))
+    return out
 
 
 def _empty_spans() -> pa.Table:
@@ -188,9 +193,15 @@ def _span_partials_group(g: pa.Table, window_s: int,
       MetricValue::Histogram merge contract,
       lib/event/src/metric/mod.rs:42-64)
     """
+    return _partials_from_spans(spans_group(g), window_s, n_out_buckets)
+
+
+def _partials_from_spans(spans: pa.Table, window_s: int,
+                         n_out_buckets: int) -> pa.Table:
+    """Span rows → windowed per-(series, window) PARTIAL agg rows,
+    re-bucketed by series hash for the merge exchange."""
     from vertex_ray.stages.rollup import window_agg_points
 
-    spans = spans_group(g)
     n = spans.num_rows
     if n == 0:
         from vertex_ray.stages.rollup import empty_agg_df
@@ -232,15 +243,22 @@ def span_rollup_store(ds, *, window_s: int = 60, tier: str = "1m",
     merge — FIXTURES §F4 contract) → pack + fused GorillaEncode (the
     flagship fused_bucket_group pattern). Returns encoded block rows
     (decode with ``decode_tier_blocks``)."""
-    from vertex_ray.stages.encode import GorillaEncode
-    from vertex_ray.stages.fill import pack_series
-    from vertex_ray.stages.rollup import merge_agg
-
     partials = (
         ds.map_batches(_bucket_stage(n_buckets), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(lambda g: _span_partials_group(g, window_s, n_buckets),
                     batch_format="pyarrow"))
+    return _merge_pack_encode_ds(partials, window_s, tier, cascade)
+
+
+def _merge_pack_encode_ds(partials, window_s: int, tier: str,
+                          cascade: tuple):
+    """Per-series-bucket merge of windowed partials → tier cascade →
+    pack + fused GorillaEncode (the flagship fused_bucket_group
+    pattern)."""
+    from vertex_ray.stages.encode import GorillaEncode
+    from vertex_ray.stages.fill import pack_series
+    from vertex_ray.stages.rollup import merge_agg
 
     def merge_pack_encode(g: pd.DataFrame) -> pa.Table:
         parts = []
@@ -265,6 +283,95 @@ def span_rollup_store(ds, *, window_s: int = 60, tier: str = "1m",
 
     return (partials.groupby("bucket")
             .map_groups(merge_pack_encode, batch_format="pandas"))
+
+
+def _spans_to_turns(t: pa.Table) -> pa.Table:
+    """Span rows → transcript-row form (the carry representation: one
+    row per live conversation, its last observed turn)."""
+    return pa.table({
+        "conv_id": t["trace_id"],
+        "turn_idx": pc.cast(pc.subtract(t["span_id"], 1), pa.int32()),
+        "role": t["name"],
+        "tool": t["tool"],
+        "ts": pc.cast(pc.divide(t["start_ns"], 1000),
+                      pa.int64()).cast(pa.timestamp("us")),
+    })
+
+
+def _final_span_partials(t: pa.Table, window_s: int,
+                         n_buckets: int) -> pa.Table:
+    """Carried last-turns → their duration-0 spans' partials (no
+    exchange needed: a duration-0 span is independent of grouping)."""
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    role = t["role"].to_numpy(zero_copy_only=False)
+    kind = (pd.Series(role, dtype=object).map(SPAN_KIND_BY_ROLE)
+            .fillna("unspecified").to_numpy(dtype=object))
+    spans = pa.table({
+        "trace_id": t["conv_id"],
+        "span_id": pa.array(turn + 1, type=pa.int64()),
+        "parent_span_id": pa.array(turn, type=pa.int64()),
+        "name": t["role"],
+        "kind": pa.array(kind, type=pa.string()),
+        "tool": t["tool"],
+        "start_ns": pa.array(ts_us * 1000, type=pa.int64()),
+        "end_ns": pa.array(ts_us * 1000, type=pa.int64()),
+        "duration_ns": pa.array(np.zeros(len(turn), np.int64)),
+    })
+    return _partials_from_spans(spans, window_s, n_buckets)
+
+
+def span_rollup_store_incremental(epochs: list, *, window_s: int = 60,
+                                  tier: str = "1m", cascade: tuple = (),
+                                  n_buckets: int = 32):
+    """EPOCH-INCREMENTAL span-metric ingest — bit-for-bit equal to the
+    one-shot :func:`span_rollup_store` over the concatenated input (the
+    north star's continuous-aggregate contract, applied to the span
+    variant).
+
+    Raw turns of each epoch are read ONCE. The only state crossing an
+    epoch boundary is the CARRY: one transcript-form row per live
+    conversation (its last observed turn). Per epoch: carry ∪ epoch
+    turns → ONE conv-bucket exchange derives spans with a ``final``
+    flag; non-final spans emit windowed partials immediately (a span
+    straddling the boundary gets its true duration here, stamped at its
+    START — landing in the PREVIOUS epoch's window, which is fine
+    because windows close only at the final merge, the backfill/late-
+    data posture); final spans become the next carry instead of emitting
+    a premature duration-0 observation. After the last epoch every still
+    -carried span emits with duration 0 (the end-of-trace convention) —
+    exactly once, exactly as the one-shot does. The union of all
+    epochs' partials then runs the standard series-bucket merge +
+    cascade + pack + encode.
+
+    The carry is a Dataset (never driver-materialized): at 10^12-turn
+    scale it is bounded by LIVE conversations, and a committed variant
+    would persist it per bucket like pipelines/epoch_pipeline's state
+    stage."""
+    carry = None
+    partial_parts = []
+    for eds in epochs:
+        cur = eds if carry is None else carry.union(eds)
+        spans = (cur.map_batches(_bucket_stage(n_buckets),
+                                 batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(lambda g: spans_group(g, with_final_flag=True),
+                             batch_format="pyarrow")
+                 .materialize())  # consumed twice: partials + carry
+        nonfinal = spans.map_batches(
+            lambda t: t.filter(pc.invert(t["final"])).drop_columns(["final"]),
+            batch_format="pyarrow")
+        partial_parts.append(nonfinal.map_batches(
+            lambda t: _partials_from_spans(t, window_s, n_buckets),
+            batch_format="pyarrow"))
+        carry = spans.map_batches(
+            lambda t: _spans_to_turns(t.filter(t["final"])),
+            batch_format="pyarrow")
+    partial_parts.append(carry.map_batches(
+        lambda t: _final_span_partials(t, window_s, n_buckets),
+        batch_format="pyarrow"))
+    partials = partial_parts[0].union(*partial_parts[1:])         if len(partial_parts) > 1 else partial_parts[0]
+    return _merge_pack_encode_ds(partials, window_s, tier, cascade)
 
 
 def service_graph_group(g: pa.Table) -> pa.Table:
