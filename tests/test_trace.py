@@ -194,3 +194,22 @@ def test_span_rollup_incremental_three_epochs_sf0001(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(canon(inc), canon(one))
+
+
+def test_span_rollup_incremental_empty_epochs(ray_session):
+    """Empty epochs contribute nothing; an all-empty ingest yields an
+    empty store."""
+    from vertex_ray.pipelines.rollup_pipeline import decode_tier_blocks
+    from vertex_ray.stages.trace import span_rollup_store_incremental
+
+    empty = rd.from_arrow(_mini([[0]]).schema.empty_table())
+    t = _mini([[0, 30, 70]])
+    blocks = span_rollup_store_incremental(
+        [empty, rd.from_arrow(t), empty], window_s=60, tier="1m",
+        n_buckets=2)
+    dec = decode_tier_blocks(blocks).to_pandas()
+    got = dec[dec.series_key == "span_count_total{role=user}"]
+    assert got["count"].sum() == 1
+    blocks0 = span_rollup_store_incremental([empty, empty], window_s=60,
+                                            tier="1m", n_buckets=2)
+    assert decode_tier_blocks(blocks0).count() == 0
