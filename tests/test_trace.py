@@ -213,3 +213,35 @@ def test_span_rollup_incremental_empty_epochs(ray_session):
     blocks0 = span_rollup_store_incremental([empty, empty], window_s=60,
                                             tier="1m", n_buckets=2)
     assert decode_tier_blocks(blocks0).count() == 0
+
+
+def test_span_store_serves_the_full_read_stack(ray_session, tmp_path):
+    """A COMMITTED span-metric store answers the generic read verbs:
+    query_range pruned reads and the PromQL text front-end — the span
+    variant plugs into the same store/read machinery as every other
+    metric (no span-specific read path)."""
+    import os
+
+    from vertex_ray.promql_lang import eval_promql
+    from vertex_ray.read import query_range
+    from vertex_ray.stages.trace import span_rollup_store
+    from vertex_ray.state.checkpoint import write_stage
+
+    t = _mini([[0, 50, 130, 3700], [10, 40, 3800]])
+    blocks = span_rollup_store(rd.from_arrow(t), window_s=60, tier="1m",
+                               cascade=(("1h", 3600),), n_buckets=2)
+    out = str(tmp_path / "span_store")
+    write_stage(blocks, os.path.join(out, "blocks"), {"kind": "spans"})
+    got = (query_range(out, "1h", metric="span_count_total",
+                       columns=["series_key", "window_start", "count"])
+           .to_pandas().sort_values(["series_key", "window_start"]))
+    assert got["count"].sum() == 7  # every turn is one span
+    user = got[got.series_key == "span_count_total{role=user}"]
+    assert user["count"].tolist() == [2, 1]
+    # PromQL text front-end over the same store (explicit range — the
+    # toy data lives at epoch 0)
+    df = (eval_promql(out, "sum by (role) (span_count_total)",
+                      start=0, end=3600).to_pandas()
+          .sort_values(["role", "window_start"]).reset_index(drop=True))
+    byrole = df.groupby("role")["value"].sum().to_dict()
+    assert byrole == {"user": 3.0, "assistant": 2.0, "tool": 2.0}
