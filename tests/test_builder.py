@@ -412,3 +412,34 @@ def test_builder_eval_nested_path_target(ray_session, tmp_path):
     assert [d["meta"]["flag"] for d in df["doc"]] == [False, True]
     assert [d["meta"]["src"] for d in df["doc"]] == ["a", "b"]
     assert [d["x"] for d in df["fresh"]] == [20, 180]
+
+
+def test_builder_eval_flat_dotted_column_name(ray_session, tmp_path):
+    """A flat column literally named 'rate.5m' keeps flat set/overwrite
+    semantics — the path branch only fires when no flat column with the
+    full dotted name exists and the root is a struct/missing (ADVICE r3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vertex_ray.pipelines.builder import build
+
+    t = pa.table({
+        "v": pa.array([10, 90], pa.int64()),
+        "rate.5m": pa.array([0.0, 0.0], pa.float64()),
+        "rate": pa.array([1, 2], pa.int64()),  # non-struct root column
+    })
+    src = tmp_path / "rows.parquet"
+    pq.write_table(t, src)
+    built = build({
+        "sources": {"rows": {"type": "parquet", "path": str(src)}},
+        "transforms": {
+            # overwrite the existing flat dotted column AND create a new
+            # flat dotted column whose root is a non-struct column
+            "ev": {"type": "eval", "inputs": ["rows"],
+                   "set": {"rate.5m": "v * 1.5", "rate.1h": "v + 1"}},
+        },
+    })
+    df = built["ev"].to_pandas()
+    assert df["rate.5m"].tolist() == [15.0, 135.0]
+    assert df["rate.1h"].tolist() == [11, 91]
+    assert df["rate"].tolist() == [1, 2]  # untouched

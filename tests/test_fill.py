@@ -274,3 +274,22 @@ def test_histogram_fraction_properties():
         assert abs((f_ab + f_bc) - f_ac) < 1e-9  # additivity
 
     check()
+
+
+def test_unpack_series_empty_dict_schema_matches_nonempty():
+    """unpack_series(dict_encode=True) on an EMPTY batch emits the same
+    dictionary-typed schema as non-empty batches — one schema per
+    Dataset even when sentinel-only epoch buckets hit the empty branch
+    (ADVICE r3)."""
+    import pyarrow as pa
+
+    from vertex_ray.stages.fill import empty_fill_df, pack_series, unpack_series
+
+    packed_empty = pack_series(empty_fill_df())
+    out = unpack_series(packed_empty, dict_encode=True)
+    assert out.num_rows == 0
+    for col in ("series_key", "name", "tier"):
+        assert pa.types.is_dictionary(out.schema.field(col).type), col
+    # and the plain path still yields plain strings
+    out_plain = unpack_series(packed_empty, dict_encode=False)
+    assert pa.types.is_string(out_plain.schema.field("series_key").type)

@@ -245,3 +245,39 @@ def test_span_store_serves_the_full_read_stack(ray_session, tmp_path):
           .sort_values(["role", "window_start"]).reset_index(drop=True))
     byrole = df.groupby("role")["value"].sum().to_dict()
     assert byrole == {"user": 3.0, "assistant": 2.0, "tool": 2.0}
+
+
+def test_span_rollup_incremental_rejects_out_of_order(ray_session):
+    """A later epoch delivering an EARLIER turn of an already-carried
+    conversation raises loudly instead of silently emitting a wrong
+    duration (ADVICE r3: epoch1={turn0,turn2}, epoch2={turn1})."""
+    import pytest
+
+    from vertex_ray.stages.trace import span_rollup_store_incremental
+
+    def turns(idx_ts):
+        conv = ["convX"] * len(idx_ts)
+        return pa.table({
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array([i for i, _ in idx_ts], pa.int32()),
+            "role": pa.array(["user"] * len(idx_ts), pa.string()),
+            "tool": pa.array([""] * len(idx_ts), pa.string()),
+            "ts": pa.array(np.array([t for _, t in idx_ts], np.int64)
+                           * 1_000_000, pa.timestamp("us")),
+        })
+
+    eps = [rd.from_arrow(turns([(0, 0), (2, 50)])),
+           rd.from_arrow(turns([(1, 10)]))]
+    with pytest.raises(Exception) as ei:
+        span_rollup_store_incremental(
+            eps, window_s=60, tier="1m", n_buckets=2).materialize()
+    assert "out-of-order" in str(ei.value)
+
+
+def test_span_rollup_incremental_no_epochs_raises(ray_session):
+    import pytest
+
+    from vertex_ray.stages.trace import span_rollup_store_incremental
+
+    with pytest.raises(ValueError, match="no epochs"):
+        span_rollup_store_incremental([], window_s=60, tier="1m")

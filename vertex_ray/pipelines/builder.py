@@ -472,7 +472,10 @@ def _t_eval(cfg, ds):
     "drop": ["tmp"]}``. A set target containing a ``.`` writes a NESTED
     path inside a struct column (the reference's path-addressed
     ``.a.b = expr`` write, lib/value/src/path/):
-    ``{"set": {"doc.meta.flag": "value > 50"}}``."""
+    ``{"set": {"doc.meta.flag": "value > 50"}}`` — but ONLY when no flat
+    column with the full dotted name exists AND the root segment is a
+    struct column or absent; a flat column literally named ``rate.5m``
+    keeps flat set/overwrite semantics (ADVICE r3)."""
     import pyarrow as pa
 
     from vertex_ray.functions.exprlang import compile_expr
@@ -488,8 +491,13 @@ def _t_eval(cfg, ds):
             v = f(t)
             if not hasattr(v, "type"):  # scalar result → broadcast
                 v = pa.array([v] * len(t))
-            if "." in name:  # nested path write into a struct column
-                root, _, rest = name.partition(".")
+            root, _, rest = name.partition(".")
+            path_write = (
+                rest != ""
+                and name not in t.schema.names  # flat dotted name wins
+                and (root not in t.schema.names
+                     or pa.types.is_struct(t.schema.field(root).type)))
+            if path_write:  # nested path write into a struct column
                 base = (t[root].combine_chunks()
                         if root in t.schema.names else pa.nulls(len(t)))
                 v = path_set(base, parse_path(rest), v)

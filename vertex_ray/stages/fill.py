@@ -227,10 +227,15 @@ def unpack_series(batch: pa.Table, dict_encode: bool = False) -> pa.Table:
     plain strings, so readers are unaffected."""
     if batch.num_rows == 0:
         # typed empty (epoch pipeline: sentinel-only bucket groups) so the
-        # Dataset keeps ONE schema and parquet writes of empty blocks work
+        # Dataset keeps ONE schema and parquet writes of empty blocks work;
+        # under dict_encode the string columns must be dictionary-typed
+        # too, or a sentinel-only bucket would put a second schema in the
+        # same Dataset (plain string vs dictionary<int32,string>)
+        s_type = (pa.dictionary(pa.int32(), pa.string()) if dict_encode
+                  else pa.string())
         fields = [
-            ("bucket", pa.int32()), ("series_key", pa.string()),
-            ("name", pa.string()), ("kind", pa.uint8()), ("tier", pa.string()),
+            ("bucket", pa.int32()), ("series_key", s_type),
+            ("name", s_type), ("kind", pa.uint8()), ("tier", s_type),
             ("window_start", pa.int64()), ("sum", pa.float64()),
             ("count", pa.int64()), ("min", pa.float64()), ("max", pa.float64()),
             ("last", pa.float64()),

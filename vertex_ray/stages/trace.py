@@ -321,6 +321,46 @@ def _final_span_partials(t: pa.Table, window_s: int,
     return _partials_from_spans(spans, window_s, n_buckets)
 
 
+def _tag_carried(flag: bool):
+    """Mark rows as carry state (``True``) or fresh epoch turns
+    (``False``) so the group body can validate the in-order
+    intra-conversation arrival precondition."""
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "carried", pa.array(np.full(t.num_rows, flag, dtype=bool)))
+
+    return fn
+
+
+def _spans_group_checked(g: pa.Table) -> pa.Table:
+    """spans_group(with_final_flag=True) plus the out-of-order arrival
+    check: an incoming (non-carried) turn with ``turn_idx`` <= the
+    conversation's carried ``turn_idx`` means an intermediate turn
+    arrived AFTER its successor was already emitted — the straddling
+    span's duration is unfixable, so fail loudly (ADVICE r3)."""
+    carried = g["carried"].to_numpy(zero_copy_only=False).astype(bool)
+    g = g.drop_columns(["carried"])
+    if carried.any() and (~carried).any():
+        conv = g["conv_id"].to_numpy(zero_copy_only=False)
+        turn = g["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(conv.astype(object), return_inverse=True)
+        carry_max = np.full(len(uniq), np.int64(-1))
+        np.maximum.at(carry_max, inv[carried], turn[carried])
+        new_min = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(new_min, inv[~carried], turn[~carried])
+        bad = np.flatnonzero((carry_max >= 0) & (new_min <= carry_max))
+        if len(bad):
+            raise ValueError(
+                "span_rollup_store_incremental: out-of-order "
+                "intra-conversation arrival — conversation "
+                f"{uniq[bad[0]]!r} delivered turn_idx {int(new_min[bad[0]])}"
+                f" after turn_idx {int(carry_max[bad[0]])} was already "
+                "carried (its straddling span was emitted with a wrong "
+                "successor and cannot be corrected); "
+                f"{len(bad)} conversation(s) affected")
+    return spans_group(g, with_final_flag=True)
+
+
 def span_rollup_store_incremental(epochs: list, *, window_s: int = 60,
                                   tier: str = "1m", cascade: tuple = (),
                                   n_buckets: int = 32):
@@ -344,19 +384,35 @@ def span_rollup_store_incremental(epochs: list, *, window_s: int = 60,
     epochs' partials then runs the standard series-bucket merge +
     cascade + pack + encode.
 
+    PRECONDITION — in-order intra-conversation arrival: within one
+    conversation, turns must arrive in ``turn_idx`` order across epochs
+    (epochs themselves may interleave conversations freely). The carry
+    keeps only each conversation's LAST turn, so a later epoch
+    delivering an EARLIER turn of an already-seen conversation cannot
+    be stitched retroactively — the straddling span was already emitted
+    with the wrong successor. Violations are DETECTED (incoming
+    ``turn_idx`` <= carried ``turn_idx``) and raise ``ValueError``
+    loudly instead of silently emitting wrong durations.
+
     The carry is a Dataset (never driver-materialized): at 10^12-turn
     scale it is bounded by LIVE conversations, and a committed variant
     would persist it per bucket like pipelines/epoch_pipeline's state
     stage."""
+    if not epochs:
+        raise ValueError("span_rollup_store_incremental: no epochs")
     carry = None
     partial_parts = []
     for eds in epochs:
-        cur = eds if carry is None else carry.union(eds)
+        if carry is None:
+            cur = eds.map_batches(_tag_carried(False), batch_format="pyarrow")
+        else:
+            cur = carry.map_batches(
+                _tag_carried(True), batch_format="pyarrow").union(
+                eds.map_batches(_tag_carried(False), batch_format="pyarrow"))
         spans = (cur.map_batches(_bucket_stage(n_buckets),
                                  batch_format="pyarrow")
                  .groupby("bucket")
-                 .map_groups(lambda g: spans_group(g, with_final_flag=True),
-                             batch_format="pyarrow")
+                 .map_groups(_spans_group_checked, batch_format="pyarrow")
                  .materialize())  # consumed twice: partials + carry
         nonfinal = spans.map_batches(
             lambda t: t.filter(pc.invert(t["final"])).drop_columns(["final"]),

@@ -91,17 +91,12 @@ def read_parquet(path: str):
     return pq.read_table(f.open_input_file(p))
 
 
-def write_parquet_atomic(table, final_path: str, token: str,
-                         store_schema: bool = True) -> None:
+def write_parquet_atomic(table, final_path: str, token: str) -> None:
     """Write a parquet file and move it into place. ``token`` makes the
     temp name unique per writer (e.g. pid) so concurrent retries never
-    collide; the deterministic final name makes the commit idempotent.
-
-    ``store_schema=False`` omits the embedded arrow schema, so
-    DICTIONARY-encoded columns (the zero-copy sink path) read back as
-    plain strings — writers use it to keep the flat-string contract."""
+    collide; the deterministic final name makes the commit idempotent."""
     f, p = fs_path(final_path)
     tmp = f"{p}.tmp{token}"
     with f.open_output_stream(tmp) as out:
-        pq.write_table(table, out, store_schema=store_schema)
+        pq.write_table(table, out)
     f.move(tmp, p)
