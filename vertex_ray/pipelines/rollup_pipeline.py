@@ -152,6 +152,50 @@ def bucket_kernel_group(group: pa.Table, tiers, global_end_s: int, salt: int) ->
     )
 
 
+def bucket_kernel_group_packed(group: pa.Table, tiers, global_end_s: int,
+                               salt: int) -> pa.Table:
+    """map_groups body over the RUN-PACKED projection
+    (derive.project_for_rollup_packed): explode the per-run list columns
+    back to flat per-turn arrays (one np.repeat per scalar column, one
+    .values view per list column — bytes unchanged, only exchange row
+    count shrank) and run the same kernel."""
+    import numpy as np
+
+    from vertex_ray.stages.kernel import bucket_kernel
+
+    if group.num_rows == 0:
+        return bucket_kernel(
+            np.zeros(0, dtype=object), np.zeros(0, np.int64),
+            np.zeros(0, np.int32), np.zeros(0, np.uint8),
+            np.zeros(0, np.uint8), np.zeros(0, np.int64),
+            tiers, global_end_s, 0, salt,
+        )
+    g = group.combine_chunks()
+
+    def _arr(col_name):
+        col = g[col_name]
+        return col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+
+    def flat(col_name):
+        # flatten() honors slice offsets — .values would leak the whole
+        # underlying child buffer when Ray hands us a sliced block
+        return _arr(col_name).flatten().to_numpy(zero_copy_only=False)
+
+    counts = pc.list_value_length(_arr("turn_idx")).to_numpy()
+    return bucket_kernel(
+        np.repeat(g["conv_id"].to_numpy(zero_copy_only=False), counts),
+        np.repeat(g["conv_hash"].to_numpy(zero_copy_only=False), counts),
+        flat("turn_idx"),
+        flat("role_code"),
+        flat("tool_code"),
+        flat("ts_us"),
+        tiers,
+        global_end_s,
+        int(g["bucket"][0].as_py()),
+        salt,
+    )
+
+
 def packed_dataset(
     transcripts: "rd.Dataset",
     global_end_s: int,
@@ -159,15 +203,15 @@ def packed_dataset(
     salt: int = 1,
     tiers=TIERS,
 ) -> "rd.Dataset":
-    from vertex_ray.stages.derive import project_for_rollup_fast
+    from vertex_ray.stages.derive import project_for_rollup_packed
 
     projected = transcripts.map_batches(
-        functools.partial(project_for_rollup_fast, n_buckets=n_buckets),
+        functools.partial(project_for_rollup_packed, n_buckets=n_buckets),
         batch_format="pyarrow",
     )
     return projected.groupby("bucket").map_groups(
         functools.partial(
-            bucket_kernel_group,
+            bucket_kernel_group_packed,
             tiers=tiers,
             global_end_s=global_end_s,
             salt=salt,
@@ -263,7 +307,7 @@ def fused_bucket_group(
     idempotent (tmp-file + atomic rename, deterministic file name). Each
     bucket's committed blocks file doubles as a per-partition checkpoint:
     on a rerun after failure the encode for finished buckets is skipped."""
-    packed = bucket_kernel_group(group, tiers, global_end_s, salt)
+    packed = bucket_kernel_group_packed(group, tiers, global_end_s, salt)
     if packed.num_rows:
         bucket_id = int(group["bucket"][0].as_py())
         final = posixpath.join(blocks_parts_dir, f"part-{bucket_id:05d}.parquet")
@@ -345,8 +389,9 @@ def run_pipeline(
     projected = read_transcripts(transcripts_path).map_batches(
         functools.partial(
             __import__(
-                "vertex_ray.stages.derive", fromlist=["project_for_rollup_fast"]
-            ).project_for_rollup_fast,
+                "vertex_ray.stages.derive",
+                fromlist=["project_for_rollup_packed"]
+            ).project_for_rollup_packed,
             n_buckets=n_buckets,
         ),
         batch_format="pyarrow",

@@ -70,13 +70,23 @@ class GorillaEncode:
         hist = kinds == KIND_HISTOGRAM
         bucket_blocks: dict[int, list[list[bytes]]] = {}
         if hist.any():
-            el_mask = np.repeat(hist, counts)
+            hist_rows = np.flatnonzero(hist)
             sub_off = np.zeros(int(hist.sum()) + 1, dtype=np.int64)
             np.cumsum(counts[hist], out=sub_off[1:])
-            hist_rows = np.flatnonzero(hist)
-            per_bucket = encode_values_multi_shared(
-                [flat(f"vals_{b}")[1][el_mask] for b in BUCKET_COLS],
-                sub_off)
+            b0_off, b0_val = flat(f"vals_{BUCKET_COLS[0]}")
+            if len(b0_val) == int(sub_off[-1]) and len(b0_val) != len(ws_val):
+                # SPARSE bucket streams (kernel.pack_arrays): values are
+                # already the histogram series' points only — encode as-is
+                # (bit-identical: same values, same per-series geometry)
+                per_bucket = encode_values_multi_shared(
+                    [flat(f"vals_{b}")[1] for b in BUCKET_COLS], sub_off)
+            else:
+                # dense per-point layout (fill.pack_series): gather the
+                # histogram rows' points out of the full streams
+                el_mask = np.repeat(hist, counts)
+                per_bucket = encode_values_multi_shared(
+                    [flat(f"vals_{b}")[1][el_mask] for b in BUCKET_COLS],
+                    sub_off)
             bucket_blocks = {
                 int(r): [pb[j] for pb in per_bucket] for j, r in enumerate(hist_rows)
             }

@@ -277,8 +277,24 @@ def unpack_series(batch: pa.Table, dict_encode: bool = False) -> pa.Table:
         "max": flat(batch["vals_max"]),
         "last": flat(batch["vals_last"]),
     }
+    total = int(counts.sum())
+    kinds = batch["kind"].to_numpy(zero_copy_only=False)
+    hist_mask = None  # per-point mask, built lazily for sparse layouts
     for b in BUCKET_COLS:
-        out[b] = flat(batch[f"vals_{b}"]).cast(pa.int64())
+        v = flat(batch[f"vals_{b}"])
+        if len(v) != total:
+            # SPARSE bucket streams (kernel.pack_arrays): only histogram
+            # series carry points — scatter into zero columns (np.zeros
+            # is calloc'd, untouched pages stay virtual)
+            if hist_mask is None:
+                hist_mask = np.repeat(kinds == KIND_HISTOGRAM, counts)
+            col = np.zeros(total, dtype=np.int64)
+            if len(v):
+                col[hist_mask] = v.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            out[b] = pa.array(col, type=pa.int64())
+        else:
+            out[b] = v.cast(pa.int64())
     out["filled"] = pa.array((flags & 1).astype(bool))
     out["stale"] = pa.array(((flags >> 1) & 1).astype(bool))
     return pa.table(out)

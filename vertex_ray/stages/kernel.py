@@ -53,10 +53,31 @@ METRIC_KINDS = (KIND_SUM, KIND_SUM, KIND_HISTOGRAM, KIND_GAUGE)
 _UID_METRIC_SHIFT = np.int64(40)
 _UID_CONV_SHIFT = np.int64(8)
 
+# the (single) histogram metric's index in METRIC_NAMES/METRIC_KINDS —
+# the sparse bucket representation relies on its uid range being one
+# contiguous block in (uid, window)-sorted arrays
+HIST_METRIC = np.int64(METRIC_KINDS.index(KIND_HISTOGRAM))
+
+
+def _hist_range(uid_sorted: np.ndarray) -> tuple[int, int]:
+    """[lo, hi) row range of the histogram metric in uid-sorted arrays."""
+    lo = int(np.searchsorted(uid_sorted, HIST_METRIC << _UID_METRIC_SHIFT))
+    hi = int(np.searchsorted(uid_sorted,
+                             (HIST_METRIC + 1) << _UID_METRIC_SHIFT))
+    return lo, hi
+
 
 class AggArrays(dict):
     """dict of parallel arrays: uid, window, sum, count, min, max, last,
-    last_ts, buckets (G×N_BUCKETS); always sorted by (uid, window)."""
+    last_ts — plus ``buckets``, a SPARSE histogram matrix: row k of
+    ``buckets`` belongs to the k-th agg row whose metric is the histogram
+    metric (``uid >> 40 == HIST_METRIC``), in array order. Non-histogram
+    rows carry no bucket storage at all — they were 30 always-zero float
+    lanes flowing through every concat/sort/merge/fill/pack pass (~85% of
+    rows), the single largest useless memory stream of the flagship
+    kernel. When the arrays are (uid, window)-sorted the histogram rows
+    are contiguous (metric is the uid's top bits), so segment ops reduce
+    the matrix with rebased offsets."""
 
 
 def _segments(*keys: np.ndarray):
@@ -109,7 +130,8 @@ def _reduce(uid, w, ts_us, vals, starts, hist: bool) -> AggArrays:
         ).reshape(g, N_BUCKETS + 1)
         out["buckets"] = np.cumsum(bc, axis=1)[:, :N_BUCKETS].astype(np.int64)
     else:
-        out["buckets"] = np.zeros((g, N_BUCKETS), dtype=np.int64)
+        # sparse representation: non-histogram rows carry NO bucket rows
+        out["buckets"] = np.zeros((0, N_BUCKETS), dtype=np.int64)
     return out
 
 
@@ -136,7 +158,15 @@ def concat_agg(parts: list[AggArrays]) -> AggArrays:
 def sort_agg(agg: AggArrays) -> AggArrays:
     order = np.lexsort((agg["window"], agg["uid"]))
     out = AggArrays({k: v[order] for k, v in agg.items() if k != "buckets"})
-    out["buckets"] = agg["buckets"][order]
+    if agg["buckets"].shape[0] == 0:
+        out["buckets"] = agg["buckets"]
+    else:
+        # permute the sparse matrix: k-th hist row of the output gathers
+        # the matrix row of its source position
+        is_hist = (agg["uid"] >> _UID_METRIC_SHIFT) == HIST_METRIC
+        hist_ord = np.cumsum(is_hist) - 1  # source row -> matrix row
+        src = order[is_hist[order]]
+        out["buckets"] = agg["buckets"][hist_ord[src]]
     return out
 
 
@@ -163,11 +193,15 @@ def merge_agg_arrays(agg: AggArrays, window_seconds: int, presorted=True) -> Agg
     out["max"] = np.maximum.reduceat(agg["max"], starts) if n else np.zeros(0)
     out["last"] = agg["last"][ends - 1]
     out["last_ts"] = agg["last_ts"][ends - 1]
-    out["buckets"] = (
-        np.add.reduceat(agg["buckets"], starts, axis=0)
-        if n
-        else np.zeros((0, N_BUCKETS), dtype=np.int64)
-    )
+    lo, hi = _hist_range(uid)
+    if hi > lo and agg["buckets"].shape[0]:
+        # coarse groups never straddle the metric boundary (metric is the
+        # uid's top bits), so segment starts inside [lo, hi) rebase 1:1
+        # onto the sparse matrix
+        starts_h = starts[(starts >= lo) & (starts < hi)] - lo
+        out["buckets"] = np.add.reduceat(agg["buckets"], starts_h, axis=0)
+    else:
+        out["buckets"] = np.zeros((0, N_BUCKETS), dtype=np.int64)
     return out
 
 
@@ -179,11 +213,12 @@ def fill_arrays(
 ) -> dict:
     """Gap-fill + LOCF + stale markers (semantics of stages/fill, §F5),
     array-form. Returns agg-like dict + 'filled'/'stale' bool arrays,
-    sorted by (uid, window)."""
+    sorted by (uid, window); ``buckets`` stays in the sparse hist-slice
+    representation (rows = the histogram metric's output rows)."""
     uid, w = agg["uid"], agg["window"]
     n = len(uid)
     metric = uid >> _UID_METRIC_SHIFT
-    kind_hist = metric == 2
+    kind_hist = metric == HIST_METRIC
     kind_gauge = metric == 3
     same_next = np.zeros(n, dtype=bool)
     same_next[:-1] = uid[:-1] == uid[1:]
@@ -220,9 +255,21 @@ def fill_arrays(
     maxs = np.empty(n_out, dtype=np.float64)
     lasts = np.empty(n_out, dtype=np.float64)
     last_ts = np.empty(n_out, dtype=np.int64)
-    bk = np.zeros((n_out, N_BUCKETS), dtype=np.int64)
     filled = np.zeros(n_out, dtype=bool)
     stale = np.zeros(n_out, dtype=bool)
+
+    # sparse bucket matrix covers only the histogram metric's OUTPUT rows
+    # (real + fills + stales of hist series — contiguous in the sorted
+    # output); stale rows stay zero, matching the dense semantics
+    lo, hi = _hist_range(uid)
+    if hi > lo:
+        out_lo = int(dst0[lo])
+        out_hi = int(dst0[hi]) if hi < n else n_out
+        bk = np.zeros((out_hi - out_lo, N_BUCKETS), dtype=np.int64)
+        bk[dst0[lo:hi] - out_lo] = agg["buckets"]
+    else:
+        out_lo = 0
+        bk = np.zeros((0, N_BUCKETS), dtype=np.int64)
 
     out_uid[dst0] = uid
     out_w[dst0] = w
@@ -232,7 +279,6 @@ def fill_arrays(
     maxs[dst0] = agg["max"]
     lasts[dst0] = agg["last"]
     last_ts[dst0] = agg["last_ts"]
-    bk[dst0] = agg["buckets"]
 
     if total:
         idx = np.repeat(np.arange(n), n_fill)
@@ -255,7 +301,7 @@ def fill_arrays(
         # bucket vectors only exist on histogram rows; non-hist stay zero
         hsel = np.flatnonzero(is_hist)
         if len(hsel):
-            bk[dstf[hsel]] = agg["buckets"][idx[hsel]]
+            bk[dstf[hsel] - out_lo] = agg["buckets"][idx[hsel] - lo]
         filled[dstf] = True
     if s:
         src = np.flatnonzero(stale_mask)
@@ -314,7 +360,10 @@ def render_series_keys(uids: np.ndarray, conv_strs: np.ndarray):
 
 def pack_arrays(filled: dict, conv_strs: np.ndarray, bucket_id: int) -> pa.Table:
     """Filled arrays (sorted by uid, window) → per-series list-column rows
-    (same schema as stages/fill.pack_series)."""
+    (same Arrow schema as stages/fill.pack_series, but the ``vals_b*``
+    bucket streams are SPARSE: non-histogram series get empty lists —
+    the encoder only reads bucket streams for histogram series anyway,
+    and unpack_series rebuilds dense zero columns on the way out)."""
     uid = filled["uid"]
     starts = _segments(uid)
     offsets = np.concatenate([starts, [len(uid)]]).astype(np.int32)
@@ -343,9 +392,18 @@ def pack_arrays(filled: dict, conv_strs: np.ndarray, bucket_id: int) -> pa.Table
         "vals_max": lst(stamp(filled["max"]), pa.float64()),
         "vals_last": lst(stamp(filled["last"]), pa.float64()),
     }
+    # sparse bucket streams: histogram series carry their full window
+    # sequence, every other series an empty list (zero offsets)
     b = filled["buckets"]
+    counts_series = np.diff(offsets).astype(np.int64)
+    hist_series = (uid[starts] >> _UID_METRIC_SHIFT) == HIST_METRIC \
+        if len(starts) else np.zeros(0, dtype=bool)
+    counts_b = np.where(hist_series, counts_series, 0).astype(np.int32)
+    offs_b = np.zeros(len(counts_b) + 1, dtype=np.int32)
+    np.cumsum(counts_b, out=offs_b[1:])
     for j in range(N_BUCKETS):
-        out[f"vals_b{j:02d}"] = lst(b[:, j].astype(np.float64), pa.float64())
+        out[f"vals_b{j:02d}"] = pa.ListArray.from_arrays(
+            offs_b, pa.array(b[:, j].astype(np.float64), type=pa.float64()))
     out["flags"] = lst(flags, pa.uint8())
     return pa.table(out)
 

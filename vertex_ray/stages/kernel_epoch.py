@@ -47,9 +47,11 @@ from vertex_ray.schema import (
     US_PER_SECOND,
 )
 from vertex_ray.stages.kernel import (
+    HIST_METRIC,
     AggArrays,
     _UID_CONV_SHIFT,
     _UID_METRIC_SHIFT,
+    _hist_range,
     _segments,
     concat_agg,
     fill_arrays,
@@ -214,6 +216,9 @@ def epoch_kernel(
         if not len(sel):
             return None
         idx = ser_mask.nonzero()[0][sel]
+        # state table stores dense per-row bucket columns (tiny); the
+        # AggArrays contract wants the sparse hist-slice matrix
+        hist_sel = (s_uid[sel] >> _UID_METRIC_SHIFT) == HIST_METRIC
         return AggArrays(
             uid=s_uid[sel],
             window=st["window"][idx],
@@ -223,7 +228,7 @@ def epoch_kernel(
             max=st["max"][idx].astype(np.float64),
             last=st["last"][idx].astype(np.float64),
             last_ts=st["last_ts"][idx],
-            buckets=st["buckets"][idx],
+            buckets=st["buckets"][idx][hist_sel],
         )
 
     parts = []
@@ -239,9 +244,12 @@ def epoch_kernel(
         filled = fill_arrays(combined, seconds, fill_end_s // seconds * seconds)
         # windows before the epoch were emitted by earlier epochs (the
         # carried row and its already-emitted fills regenerate identically
-        # and are dropped here)
+        # and are dropped here); the sparse bucket matrix masks with the
+        # hist-slice of the row mask
         m = filled["window"] >= epoch_start_s
-        masked = {k: v[m] for k, v in filled.items()}
+        f_lo, f_hi = _hist_range(filled["uid"])
+        masked = {k: (v[m] if k != "buckets" else v[m[f_lo:f_hi]])
+                  for k, v in filled.items()}
         packed = pack_arrays(masked, conv_strs, bucket_id)
         parts.append(
             packed.append_column(
@@ -259,6 +267,12 @@ def epoch_kernel(
             keep = last_idx[w_last + (hw + 1) * seconds >= epoch_end_s]
             if len(keep):
                 uid_k = cu[keep]
+                # densify the kept rows' bucket vectors for the state table
+                c_lo, _ = _hist_range(cu)
+                bk_keep = np.zeros((len(keep), N_BUCKETS), np.int64)
+                k_hist = (uid_k >> _UID_METRIC_SHIFT) == HIST_METRIC
+                if k_hist.any():
+                    bk_keep[k_hist] = combined["buckets"][keep[k_hist] - c_lo]
                 state_rows.append(
                     {
                         "stype": np.full(len(keep), STATE_SERIES, np.int8),
@@ -275,7 +289,7 @@ def epoch_kernel(
                         "max": combined["max"][keep],
                         "last": combined["last"][keep],
                         "last_ts": combined["last_ts"][keep],
-                        "buckets": combined["buckets"][keep],
+                        "buckets": bk_keep,
                     }
                 )
 
