@@ -8,13 +8,16 @@ Two decode paths:
   frame-sample → feature-extract runs for REAL here: bytes → numpy →
   vectorized features (channel stats, rFFT band energies, sampled-frame
   luma). This is the path the synth tables and tests exercise end to end.
-- **PNG (real)** — decoded by the pure numpy + stdlib-zlib codec in
-  stages/png_codec (8-bit gray/RGB/RGBA, filters 0-4, CRC-checked), so
-  one genuine library format is un-stubbed end to end.
-- **Other library formats (stub)** — WAV/MP4 would call librosa /
-  ffmpeg, which do not exist in this container; unknown payloads fall
-  back to ``_decode_stub`` (deterministic digest feature) and are counted
-  in the output's ``decoded`` flag so the substitution is visible, never
+- **PNG / JPEG / WAV (real)** — decoded by the pure numpy + stdlib
+  codecs in stages/png_codec (8-bit gray/RGB/RGBA, filters 0-4,
+  CRC-checked), stages/jpeg_codec (baseline sequential JFIF, 4:4:4 /
+  4:2:2 / 4:2:0, Annex K tables, restart markers) and stages/wav_codec
+  (RIFF PCM 8/16/24/32-bit + float32) — the image and audio library
+  formats are un-stubbed end to end.
+- **Video library formats (stub)** — MP4 would need ffmpeg, which does
+  not exist in this container; unknown payloads fall back to
+  ``_decode_stub`` (deterministic digest feature) and are counted in
+  the output's ``decoded`` flag so the substitution is visible, never
   silent.
 
 The Ray-side contract is identical either way: actor-pool stage (decoder
@@ -47,9 +50,12 @@ FEATURE_DIM = 16
 
 
 def synth_media_table(n: int, seed: int = 21) -> pa.Table:
-    """Deterministic media rows with REAL decodable RAWM payloads (actual
-    pixel/sample data, not digest noise) for testing at any scale."""
+    """Deterministic media rows with REAL decodable payloads (actual
+    pixel/sample data, not digest noise) for testing at any scale:
+    images alternate RAWM / PNG / JPEG, audio alternates RAWM / WAV."""
+    from vertex_ray.stages.jpeg_codec import encode_jpeg
     from vertex_ray.stages.png_codec import encode_png
+    from vertex_ray.stages.wav_codec import encode_wav
 
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[
@@ -59,12 +65,22 @@ def synth_media_table(n: int, seed: int = 21) -> pa.Table:
     mimes = []
     for i, k in enumerate(kinds):
         raw = media_codec.synth_rawm_payload(k, rng)
-        if k == "image" and i % 2 == 0:
-            # every other image row ships as a REAL PNG (library-format
-            # path, decoded by the pure-numpy stages/png_codec decoder)
+        if k == "image" and i % 3 == 0:
+            # REAL PNG (library-format path, stages/png_codec)
             _, rgb = media_codec.decode(raw)
             payloads.append(encode_png(rgb))
             mimes.append("image/png")
+        elif k == "image" and i % 3 == 1:
+            # REAL baseline JPEG (library-format path, stages/jpeg_codec)
+            _, rgb = media_codec.decode(raw)
+            payloads.append(encode_jpeg(rgb, quality=85))
+            mimes.append("image/jpeg")
+        elif k == "audio" and i % 2 == 0:
+            # REAL RIFF/PCM WAV (library-format path, stages/wav_codec)
+            _, (samples, sr) = media_codec.decode(raw)
+            payloads.append(encode_wav(samples.astype(np.float64) / 32768.0,
+                                       sample_rate=sr, bits=16))
+            mimes.append("audio/wav")
         else:
             payloads.append(raw)
             mimes.append("application/x-rawm")
@@ -106,7 +122,7 @@ class MediaFeaturize:
         self.decoder_ready = True
 
     def _one(self, payload: bytes, kind: str) -> tuple[np.ndarray, bool]:
-        from vertex_ray.stages import png_codec
+        from vertex_ray.stages import jpeg_codec, png_codec, wav_codec
 
         if payload[:8] == png_codec.PNG_MAGIC:
             # REAL library-format decode (pure numpy + stdlib zlib —
@@ -118,9 +134,29 @@ class MediaFeaturize:
             if img.shape[2] == 1:
                 img = np.repeat(img, 3, axis=2)
             return media_codec.image_features(img[:, :, :3]), True
+        if payload[:2] == jpeg_codec.JPEG_MAGIC:
+            # REAL baseline-JPEG decode (pure numpy — stages/jpeg_codec)
+            try:
+                img = jpeg_codec.decode_jpeg(payload)
+            except ValueError:
+                return _decode_stub(payload, kind), False
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            return media_codec.image_features(img), True
+        if payload[:4] == wav_codec.WAV_MAGIC:
+            # REAL RIFF/PCM WAV decode (stdlib struct + numpy —
+            # stages/wav_codec); channel-average to mono for features
+            try:
+                samples, rate = wav_codec.decode_wav(payload)
+            except ValueError:
+                return _decode_stub(payload, kind), False
+            # audio_features expects int16-scaled samples; decode_wav
+            # yields [-1, 1) floats — rescale (exact for 16-bit PCM)
+            return media_codec.audio_features(
+                samples.mean(axis=1) * 32768.0, rate), True
         try:
             name, data = media_codec.decode(payload)
-        except ValueError:  # other library formats (WAV/MP4) stay stubbed
+        except ValueError:  # remaining library formats (MP4) stay stubbed
             return _decode_stub(payload, kind), False
         if name == "image":
             return media_codec.image_features(data), True
