@@ -443,3 +443,120 @@ def test_builder_eval_flat_dotted_column_name(ray_session, tmp_path):
     assert df["rate.5m"].tolist() == [15.0, 135.0]
     assert df["rate.1h"].tolist() == [11, 91]
     assert df["rate"].tolist() == [1, 2]  # untouched
+
+
+def test_env_interpolation_semantics():
+    """Bash-parameter-expansion interpolation (env.rs:7-15 semantics):
+    $$ escape, plain/braced refs, :-/- defaults, :?/? requireds."""
+    import pytest
+
+    from vertex_ray.pipelines.builder import interpolate_env
+
+    env = {"HOST": "db1", "EMPTY": "", "PORT": "5432"}
+    cfg = {
+        "sources": {
+            "s": {"type": "parquet",
+                  "path": "/data/$HOST/${PORT}/f.parquet",
+                  "note": "cost: $$5",
+                  "a": "${MISSING-fallback}",
+                  "b": "${EMPTY:-fb2}",
+                  "c": "${EMPTY-kept}",
+                  "d": "${HOST:?must be set}"},
+        },
+    }
+    out = interpolate_env(cfg, env)
+    s = out["sources"]["s"]
+    assert s["path"] == "/data/db1/5432/f.parquet"
+    assert s["note"] == "cost: $5"
+    assert s["a"] == "fallback"     # unset → default
+    assert s["b"] == "fb2"          # empty + :- → default
+    assert s["c"] == ""             # empty + -  → kept (set)
+    assert s["d"] == "db1"
+    with pytest.raises(ValueError, match="NOPE"):
+        interpolate_env({"x": "${NOPE:?}"}, env)
+    with pytest.raises(ValueError, match="undefined"):
+        interpolate_env({"x": "$NOPE"}, env)
+
+
+def test_secret_resolution(tmp_path):
+    import json
+
+    import pytest
+
+    from vertex_ray.pipelines.builder import resolve_secrets
+
+    sf = tmp_path / "secrets.json"
+    sf.write_text(json.dumps({"token": "abc123"}))
+    cfg = {"sinks": {"s": {"auth": "Bearer SECRET[vault.token]"}}}
+    out = resolve_secrets(cfg, {"vault": {"type": "file",
+                                          "path": str(sf)}})
+    assert out["sinks"]["s"]["auth"] == "Bearer abc123"
+    with pytest.raises(ValueError, match="unknown secret store"):
+        resolve_secrets({"x": "SECRET[nope.k]"}, {})
+
+
+def test_config_diff_downstream_closure():
+    from vertex_ray.pipelines.builder import config_diff
+
+    old = {
+        "sources": {"ev": {"type": "parquet", "path": "/a"}},
+        "transforms": {
+            "f": {"type": "filter", "inputs": ["ev"],
+                  "where": ["v", ">", 1]},
+            "g": {"type": "relabel", "inputs": ["f"], "ops": []},
+            "h": {"type": "relabel", "inputs": ["ev"], "ops": []},
+        },
+    }
+    new = {
+        "sources": {"ev": {"type": "parquet", "path": "/a"}},
+        "transforms": {
+            "f": {"type": "filter", "inputs": ["ev"],
+                  "where": ["v", ">", 2]},      # changed
+            "g": {"type": "relabel", "inputs": ["f"], "ops": []},
+            "h": {"type": "relabel", "inputs": ["ev"], "ops": []},
+            "i": {"type": "relabel", "inputs": ["h"], "ops": []},  # added
+        },
+    }
+    d = config_diff(old, new)
+    assert d["changed"] == ["f"]
+    assert d["added"] == ["i"]
+    assert d["to_rebuild"] == ["f", "g", "i"]   # g downstream of f
+    assert d["reusable"] == ["ev", "h"]
+
+
+def test_rebuild_reuses_unchanged_stages(ray_session, tmp_path):
+    """Reload e2e (the launch.rs:219-295 reload analogue): changing one
+    transform's parameter rebuilds only it and its downstream — the
+    untouched branch keeps the SAME Dataset objects."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vertex_ray.pipelines.builder import build, rebuild
+
+    t = pa.table({"v": pa.array([1, 5, 50, 500], pa.int64()),
+                  "k": pa.array(["a", "b", "a", "b"])})
+    src = tmp_path / "rows.parquet"
+    pq.write_table(t, src)
+    old = {
+        "sources": {"rows": {"type": "parquet", "path": str(src)}},
+        "transforms": {
+            "big": {"type": "filter", "inputs": ["rows"],
+                    "where": ["v", ">", 10]},
+            "tag": {"type": "relabel", "inputs": ["big"],
+                    "ops": [["set", "tier", "hot"]]},
+            "other": {"type": "filter", "inputs": ["rows"],
+                      "where": ["v", "<", 100]},
+        },
+    }
+    built = build(old)
+    new = {**old, "transforms": {**old["transforms"],
+                                 "big": {"type": "filter",
+                                         "inputs": ["rows"],
+                                         "where": ["v", ">", 100]}}}
+    nb, d = rebuild(old, new, built)
+    assert d["to_rebuild"] == ["big", "tag"]
+    assert nb["other"] is built["other"]       # reused object identity
+    assert nb["rows"] is built["rows"]
+    assert nb["big"] is not built["big"]       # rebuilt
+    assert nb["big"].to_pandas()["v"].tolist() == [500]
+    assert nb["tag"].to_pandas()["tier"].tolist() == ["hot"]

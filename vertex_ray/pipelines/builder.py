@@ -826,6 +826,196 @@ def expand_multipliers(config: dict) -> dict:
     return out
 
 
+_ENV_RE = None  # compiled lazily (module import stays cheap)
+
+
+def interpolate_env(config: dict, env: dict | None = None) -> dict:
+    """Shell-parameter-expansion interpolation over every string in the
+    config — the reference's config loader
+    (lib/framework/src/config/loading/env.rs:7-15 regex, bash semantics):
+
+    * ``$$``            → literal ``$``
+    * ``$NAME`` / ``${NAME}``        → value (error if undefined)
+    * ``${NAME-word}`` / ``${NAME:-word}``  → default when unset
+      (``:-`` also when empty)
+    * ``${NAME?msg}`` / ``${NAME:?msg}``    → error when unset
+      (``:?`` also when empty)
+
+    ``env`` defaults to the process environment plus ``HOSTNAME``
+    (env.rs:17-31). All errors are collected and raised together."""
+    import os as _os
+    import re as _re
+    import socket as _socket
+
+    global _ENV_RE
+    if _ENV_RE is None:
+        _ENV_RE = _re.compile(
+            r"\$\$|\$([A-Za-z0-9_.]+)"
+            r"|\$\{([A-Za-z0-9_.]+)(?:(:?-|:?\?)([^}]*))?\}")
+    if env is None:
+        env = dict(_os.environ)
+        env.setdefault("HOSTNAME", _socket.gethostname())
+    errs: list[str] = []
+
+    def repl(m):
+        if m.group(0) == "$$":
+            return "$"
+        name = m.group(1) or m.group(2)
+        flags = m.group(3) or ""
+        word = m.group(4) or ""
+        val = env.get(name)
+        if flags in ("-", ":-"):
+            unset = val is None if flags == "-" else not val
+            return word if unset else val
+        if flags in ("?", ":?"):
+            unset = val is None if flags == "?" else not val
+            if unset:
+                errs.append(
+                    f"env var {name!r}: "
+                    + (word or "required but unset"))
+                return ""
+            return val
+        if val is None:
+            errs.append(f"env var {name!r} is undefined")
+            return ""
+        return val
+
+    def walk(o):
+        if isinstance(o, str):
+            return _ENV_RE.sub(repl, o)
+        if isinstance(o, list):
+            return [walk(x) for x in o]
+        if isinstance(o, dict):
+            return {walk(k): walk(v) for k, v in o.items()}
+        return o
+
+    out = walk(config)
+    if errs:
+        raise ValueError("config interpolation: " + "; ".join(errs))
+    return out
+
+
+def resolve_secrets(config: dict, stores: dict) -> dict:
+    """``SECRET[store.key]`` resolution — the reference's secret loader
+    (lib/framework/src/config/loading/secret.rs:20-21 collector regex).
+    ``stores`` maps store name → dict of secrets, or
+    ``{"type": "file", "path": ...}`` (a JSON file, the file-backed
+    SecretStore analogue). Unknown store/key is a collected error."""
+    import json as _json
+    import re as _re
+
+    pat = _re.compile(r"SECRET\[([A-Za-z0-9_]+)\.([A-Za-z0-9_.\-]+)\]")
+    loaded: dict[str, dict] = {}
+    for name, st in (stores or {}).items():
+        if isinstance(st, dict) and st.get("type") == "file":
+            with open(st["path"]) as f:
+                loaded[name] = _json.load(f)
+        else:
+            loaded[name] = dict(st)
+    errs: list[str] = []
+
+    def repl(m):
+        store, key = m.group(1), m.group(2)
+        if store not in loaded:
+            errs.append(f"unknown secret store {store!r}")
+            return ""
+        if key not in loaded[store]:
+            errs.append(f"secret {store}.{key} not found")
+            return ""
+        return str(loaded[store][key])
+
+    def walk(o):
+        if isinstance(o, str):
+            return pat.sub(repl, o)
+        if isinstance(o, list):
+            return [walk(x) for x in o]
+        if isinstance(o, dict):
+            return {k: walk(v) for k, v in o.items()}
+        return o
+
+    out = walk(config)
+    if errs:
+        raise ValueError("config secrets: " + "; ".join(errs))
+    return out
+
+
+def load_config(config: dict, env: dict | None = None,
+                secret_stores: dict | None = None) -> dict:
+    """The reference's full config-load pipeline: env interpolation →
+    secret resolution → multiplier expansion. Returns a concrete config
+    ready for validate()/build()."""
+    out = interpolate_env(config, env)
+    if secret_stores is not None:
+        out = resolve_secrets(out, secret_stores)
+    return expand_multipliers(out)
+
+
+def config_diff(old: dict, new: dict) -> dict:
+    """The ConfigDiff analogue (the reference's reload path,
+    src/launch.rs:219-295, rebuilds only changed pieces of the
+    topology): compare two configs component-by-component (after
+    multiplier expansion) and compute which components a reload must
+    rebuild — every added or changed component plus everything
+    downstream of a change (its Dataset chains were built from the old
+    upstream objects). Returns dict with ``added``, ``removed``,
+    ``changed``, ``to_rebuild``, ``reusable`` (sorted name lists;
+    sinks included)."""
+    old = expand_multipliers(old)
+    new = expand_multipliers(new)
+
+    def comps(c):
+        out = {}
+        for section in ("sources", "transforms", "sinks"):
+            for n, cfg in c.get(section, {}).items():
+                out[n] = (section, cfg)
+        return out
+
+    oc, nc = comps(old), comps(new)
+    added = [n for n in nc if n not in oc]
+    removed = [n for n in oc if n not in nc]
+    changed = [n for n in nc if n in oc and oc[n] != nc[n]]
+    # downstream closure over the NEW graph's input edges
+    children: dict[str, list[str]] = {}
+    for n, (_, cfg) in nc.items():
+        for i in cfg.get("inputs", []) or []:
+            children.setdefault(i.split(".")[0], []).append(n)
+    dirty = set(added) | set(changed)
+    frontier = list(dirty)
+    while frontier:
+        cur = frontier.pop()
+        for ch in children.get(cur, []):
+            if ch not in dirty:
+                dirty.add(ch)
+                frontier.append(ch)
+    return {
+        "added": sorted(added),
+        "removed": sorted(removed),
+        "changed": sorted(changed),
+        "to_rebuild": sorted(dirty),
+        "reusable": sorted(set(nc) - dirty),
+    }
+
+
+def rebuild(old: dict, new: dict, built: dict) -> tuple[dict, dict]:
+    """Reload: revalidate ``new``, rebuild ONLY the components
+    config_diff marks dirty, reuse the already-built Dataset chains for
+    everything else (reload_config_and_respawn's reuse contract).
+    Returns (new_built, diff)."""
+    errs = validate(new)
+    if errs:
+        raise ValueError("invalid pipeline config: " + "; ".join(errs))
+    d = config_diff(old, new)
+    reuse: dict = {}
+    for name in d["reusable"]:
+        if name in built:
+            reuse[name] = built[name]
+        for k, v in built.items():  # multi-port entries (name.port)
+            if k.startswith(name + "."):
+                reuse[k] = v
+    new_built = build(new, prebuilt=reuse)
+    return new_built, d
+
+
 def validate(config: dict) -> list[str]:
     """Dry-build diagnostics (the `vertex validate` analogue): unknown
     types, missing inputs, cycles, sink fan-in. Empty list = valid."""
@@ -870,22 +1060,26 @@ def validate(config: dict) -> list[str]:
     return errors
 
 
-def build(config: dict) -> dict:
+def build(config: dict, prebuilt: dict | None = None) -> dict:
     """Build every component; returns {name: Dataset} for all sources,
     transforms (route ports as 'name.port'), and sink results. Sinks:
     type 'parquet' writes and records {'path', 'rows'}; type 'datasets'
-    (default) just exposes the upstream Dataset."""
+    (default) just exposes the upstream Dataset.
+
+    ``prebuilt`` (the rebuild()/reload path) seeds already-built
+    components: those are reused as-is and not reconstructed."""
     errs = validate(config)
     if errs:
         raise ValueError("invalid pipeline config: " + "; ".join(errs))
     config = expand_multipliers(config)
-    built: dict = {}
+    built: dict = dict(prebuilt or {})
     for name, cfg in config.get("sources", {}).items():
-        built[name] = STEP_TYPES[cfg["type"]](cfg)
+        if name not in built:
+            built[name] = STEP_TYPES[cfg["type"]](cfg)
 
     transforms = dict(config.get("transforms", {}))
     # topological build (validate() guarantees acyclicity)
-    remaining = dict(transforms)
+    remaining = {n: c for n, c in transforms.items() if n not in built}
     while remaining:
         progressed = False
         for name in list(remaining):
@@ -914,6 +1108,8 @@ def build(config: dict) -> dict:
             raise ValueError(f"unresolvable inputs among {sorted(remaining)}")
 
     for name, cfg in config.get("sinks", {}).items():
+        if name in built:  # reused sink result (rebuild path)
+            continue
         ds = None
         for i in cfg["inputs"]:
             up = built[i]
