@@ -2194,6 +2194,22 @@ def _q_spans_from_turns(sf_dir: str):
     return spans_from_transcripts(_span_input(sf_dir))
 
 
+def _q_jaeger_wire_spans(sf_dir: str):
+    """Jaeger span-batch WIRE round-trip (sources/jaeger — the
+    src/sources/jaeger + src/sinks/jaeger wire analogue in the public
+    api_v2 protobuf shape): span table → one PostSpansRequest payload
+    per batch (the sink's request unit) → decode back to span rows.
+    Oracled against the same SQL as op_spans_from_turns — the wire
+    codec must be the identity on the full 9-column span table."""
+    from vertex_ray.sources.jaeger import jaeger_decode_op, jaeger_encode_op
+    from vertex_ray.stages.trace import spans_from_transcripts
+
+    spans = spans_from_transcripts(_span_input(sf_dir))
+    payloads = spans.map_batches(jaeger_encode_op(),
+                                 batch_format="pyarrow")
+    return payloads.map_batches(jaeger_decode_op(), batch_format="pyarrow")
+
+
 def _q_trace_assemble_turns(sf_dir: str):
     """Sessionize → trace assembly: one row per trace with span count,
     tool-span count, start/end and duration (stages/trace.trace_assemble)."""
@@ -2429,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_1m_latency_epochs": _q_compact_1m_latency,
         "rollup_1d_latency_epochs": _lat_epochs_query("1d"),
         "op_spans_from_turns": _q_spans_from_turns,
+        "op_jaeger_wire_spans": _q_jaeger_wire_spans,
         "op_trace_assemble_turns": _q_trace_assemble_turns,
         "span_count_rollup_1m_turns": _q_span_count_rollup_1m,
         "span_duration_hist_1h_turns": _q_span_duration_hist_1h,
@@ -3998,6 +4015,9 @@ def oracle_sql() -> dict[str, str]:
     FROM {_SQL_TRANSCRIPTS}
     WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
     """
+    # the Jaeger wire round-trip is the identity on the span table —
+    # same oracle as the span derivation itself
+    sqls["op_jaeger_wire_spans"] = sqls["op_spans_from_turns"]
     sqls["op_trace_assemble_turns"] = f"""
     SELECT conv_id AS trace_id,
            CAST(count(*) AS BIGINT) AS n_spans,

@@ -266,6 +266,74 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_json_typed_dedup_events(sf_dir: str):
+    """Truly DYNAMIC log documents (functions/jsonval): a JSON-string
+    fallback column whose ``matched`` field changes TYPE across rows
+    (string "123" / integer 123 / null by event_id — the reference's
+    dedup type-matching fixture, src/transforms/dedup.rs:375-399), then
+    exact dedup on the TYPE-TAGGED key (lib/value/src/lib.rs:49-83
+    discriminant-byte hashing): same rendering, different type → two
+    keys. One hash-bucket exchange, min-event_id row kept per key."""
+    import numpy as np
+
+    from vertex_ray.functions.jsonval import dedup_json_typed
+
+    ds = _ev(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "user_id", "value"]),
+        batch_format="pyarrow")
+
+    def mk_docs(t):
+        # input synthesis (scaffolding, not the operator): the JSON text
+        # is built row-wise so the PARSER is what the oracle exercises
+        eid = t["event_id"].to_numpy()
+        uid = t["user_id"].to_numpy()
+        val = np.floor(t["value"].to_numpy()).astype(np.int64)
+        docs = []
+        for e, u, v in zip(eid, uid, val):
+            m = f'"{v}"' if e % 3 == 0 else (str(v) if e % 3 == 1
+                                             else "null")
+            docs.append(f'{{"user":"u{u}","matched":{m},"idx":{e}}}')
+        return pa.table({
+            "event_id": t["event_id"],
+            "doc": pa.array(docs, type=pa.string()),
+        })
+
+    out = dedup_json_typed(
+        ds.map_batches(mk_docs, batch_format="pyarrow"), "doc",
+        {"matched": ".matched", "user": ".user"}, "event_id")
+    return out.map_batches(
+        lambda t: t.select(["matched_type", "matched_val", "user_type",
+                            "user_val", "event_id"]),
+        batch_format="pyarrow")
+
+
+SQL_JSON_TYPED_DEDUP_EVENTS = """
+WITH j AS (
+  SELECT event_id,
+         '{"user":"u' || CAST(user_id AS VARCHAR) || '","matched":' ||
+         CASE WHEN event_id % 3 = 0
+              THEN '"' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR)
+                   || '"'
+              WHEN event_id % 3 = 1
+              THEN CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR)
+              ELSE 'null' END ||
+         ',"idx":' || CAST(event_id AS VARCHAR) || '}' AS doc
+  FROM events),
+k AS (
+  SELECT event_id,
+         COALESCE(json_type(json_extract(doc, '$.matched')), 'NULL')
+           AS matched_type,
+         json_extract_string(doc, '$.matched') AS matched_val,
+         COALESCE(json_type(json_extract(doc, '$.user')), 'NULL')
+           AS user_type,
+         json_extract_string(doc, '$.user') AS user_val
+  FROM j)
+SELECT matched_type, matched_val, user_type, user_val,
+       CAST(min(event_id) AS BIGINT) AS event_id
+FROM k GROUP BY 1, 2, 3, 4
+"""
+
+
 # --- throttle (per-key per-window quota) -----------------------------------
 
 
@@ -676,6 +744,87 @@ SELECT DISTINCT doc_id,
                   THEN 18446744073709551616 ELSE 0 END)::BIGINT
          AS fingerprint
 FROM m WHERE j >= least(4, ng)
+"""
+
+
+_LANGID_BUCKETS = 4096
+
+
+def q_langid_ngram_docs(sf_dir: str):
+    """Hashed char-trigram language ID (stages/langid_ngram — the
+    fastText-shape upgrade of the stopword heuristic: 10 languages,
+    md5-bucketed trigrams, integer-quantized multinomial NB): train on
+    the deterministic multilingual fixture via the distributed bincount
+    combiner, classify every document. Scores are int64 dot products,
+    so the SQL mirror recomputes the MODEL and every score exactly."""
+    import ray.data as rd
+
+    from vertex_ray.stages.langid_ngram import (
+        langid_classify,
+        langid_train_table,
+        train_langid,
+    )
+
+    train = rd.from_arrow(langid_train_table())
+    langs, q, _ = train_langid(train, n_buckets=_LANGID_BUCKETS)
+    return langid_classify(_docs(sf_dir), langs, q,
+                           n_buckets=_LANGID_BUCKETS)
+
+
+def _sql_langid_ngram() -> str:
+    """DuckDB mirror of q_langid_ngram_docs: rebuild the model from the
+    same embedded seeds (md5_number_lower buckets, quantized ln) and
+    rescore every document — the `_sql_bpe_train` discipline of
+    recomputing the training in SQL."""
+    from vertex_ray.stages.langid_ngram import LANGID_SEEDS, QUANT
+
+    B = _LANGID_BUCKETS
+    vals = ",\n    ".join(
+        "('" + lang + "', '" + s.replace("'", "''") + "')"
+        for lang in sorted(LANGID_SEEDS)
+        for s in LANGID_SEEDS[lang])
+    return f"""
+WITH seeds(lang, txt) AS (VALUES
+    {vals}),
+norm_s AS (
+  SELECT lang, regexp_replace(lower(txt), '\\s+', ' ', 'g') AS s
+  FROM seeds),
+tri_s AS (
+  SELECT lang,
+         md5_number_lower(substr(s, i::INT, 3))::UBIGINT % {B} AS b
+  FROM (SELECT lang, s,
+               unnest(generate_series(1, length(s) - 2)) AS i
+        FROM norm_s)),
+prof AS (SELECT lang, b, count(*) AS c FROM tri_s GROUP BY 1, 2),
+tot AS (SELECT lang, count(*) AS n FROM tri_s GROUP BY 1),
+nd AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s
+  FROM documents),
+tri_d AS (
+  SELECT doc_id,
+         md5_number_lower(substr(s, i::INT, 3))::UBIGINT % {B} AS b
+  FROM (SELECT doc_id, s,
+               unnest(generate_series(1, length(s) - 2)) AS i
+        FROM nd)),
+sc AS (
+  SELECT d.doc_id, t.lang,
+         SUM(CAST(floor(ln((COALESCE(p.c, 0) + 1.0) / (t.n + {B}))
+                        * {QUANT} + 0.5) AS BIGINT)) AS score,
+         count(*) AS n_grams
+  FROM tri_d d
+  CROSS JOIN tot t
+  LEFT JOIN prof p ON p.lang = t.lang AND p.b = d.b
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, lang, score, n_grams,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM sc)
+SELECT b.doc_id, b.lang, CAST(b.score AS BIGINT) AS score,
+       CAST(b.n_grams AS BIGINT) AS n_grams
+FROM best b WHERE rn = 1
+UNION ALL
+SELECT doc_id, 'und', 0, 0 FROM nd WHERE length(s) < 3
 """
 
 
@@ -2770,6 +2919,8 @@ OP_QUERIES = {
     "op_relabel_regex_docs": q_relabel_regex_docs,
     "op_repetition_docs": q_repetition_docs,
     "op_dedup_events": q_dedup_events,
+    "op_json_typed_dedup_events": q_json_typed_dedup_events,
+    "op_langid_ngram_docs": q_langid_ngram_docs,
     "op_throttle_events": q_throttle_events,
     "op_metricalize_events": q_metricalize_events,
     "op_summary_events": q_summary_events,
@@ -2877,6 +3028,8 @@ OP_ORACLES = {
     "op_relabel_regex_docs": SQL_RELABEL_REGEX_DOCS,
     "op_repetition_docs": SQL_REPETITION_DOCS,
     "op_dedup_events": SQL_DEDUP_EVENTS,
+    "op_json_typed_dedup_events": SQL_JSON_TYPED_DEDUP_EVENTS,
+    "op_langid_ngram_docs": _sql_langid_ngram(),
     "op_throttle_events": SQL_THROTTLE_EVENTS,
     "op_metricalize_events": SQL_METRICALIZE_EVENTS,
     "op_summary_events": SQL_SUMMARY_EVENTS,
