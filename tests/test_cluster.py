@@ -179,3 +179,86 @@ def test_linear_probe_real_embeddings_above_chance(ray_session):
                              label_col="label").to_pandas()
     acc = out["correct"].mean()
     assert acc > 0.3  # 10 classes -> chance is 0.1
+
+
+def test_kmeans_int_recovers_separable_clusters(ray_session):
+    """Integer Lloyd recovers well-separated clusters and is exactly
+    reproducible (int64 sufficient statistics, order-free reduce)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vertex_ray.stages.cluster import kmeans_int_assign, kmeans_int_fit
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[1.0] + [0.0] * 7, [0.0] * 7 + [1.0],
+                        [0.0, 1.0] + [0.0] * 6])
+    vecs, want = [], []
+    for i in range(300):
+        c = i % 3
+        vecs.append(centers[c] + rng.normal(0, 0.05, 8))
+        want.append(c)
+    t = pa.table({
+        "vec_id": pa.array(list(range(300)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs]),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    cents = kmeans_int_fit(ds, "embedding", "vec_id", k=3, iters=5)
+    assert cents.dtype == np.int64
+    cents2 = kmeans_int_fit(ds, "embedding", "vec_id", k=3, iters=5)
+    assert (cents == cents2).all()  # exact reproducibility
+    out = kmeans_int_assign(ds, cents, "embedding", "vec_id") \
+        .to_pandas().sort_values("vec_id")
+    # cluster labels are a permutation of the true ones: purity ≥ 0.95
+    import pandas as pd
+
+    df = pd.DataFrame({"got": out["cluster"].to_numpy(),
+                       "want": want})
+    purity = df.groupby("got")["want"].agg(
+        lambda s: s.value_counts().iloc[0]).sum() / len(df)
+    assert purity >= 0.95
+
+
+def test_kmeans_int_empty_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from vertex_ray.stages.cluster import kmeans_int_fit
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_int_fit(rd.from_arrow(empty), "embedding", "vec_id", k=3,
+                       iters=2)
+
+
+def test_ivf_int_topk_exact_properties(ray_session):
+    """Integer IVF: deterministic across runs; with nprobe == all
+    centroids the result equals exact integer brute-force top-k."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vertex_ray.stages.ann import ivf_int_topk_exact
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(0, 1, (200, 16))
+    t = pa.table({
+        "vec_id": pa.array(list(range(200)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs]),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    kw = dict(n_centroids=4, iters=2, nq=2, topk=5, quant=128)
+    a = ivf_int_topk_exact(ds, "embedding", "vec_id", nprobe=4, **kw) \
+        .to_pandas().sort_values(["query_vec_id", "score", "vec_id"],
+                                 ascending=[True, False, True])
+    b = ivf_int_topk_exact(ds, "embedding", "vec_id", nprobe=4, **kw) \
+        .to_pandas().sort_values(["query_vec_id", "score", "vec_id"],
+                                 ascending=[True, False, True])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # nprobe == n_centroids → exhaustive: equals integer brute force
+    xq = np.floor(vecs * 128).astype(np.int64)
+    for qid in (0, 1):
+        sc = xq @ xq[qid]
+        order = np.lexsort((np.arange(200), -sc))[:5]
+        got = a[a.query_vec_id == qid]["vec_id"].tolist()
+        assert got == list(order), qid

@@ -29,6 +29,9 @@ EXPECTED_RAISE = {
     # hash_join; the *_union_tagged co-partition joins hit Ray's None
     # schema the same way
     "op_semantic_dedup_embeddings",             # k-means seed from empty
+    "op_kmeans_int_embeddings",                 # integer k-means seed
+    "op_ann_ivf_int_topk",                      # integer IVF quantizer seed
+    "op_ann_pq_int_topk",                       # integer PQ codebook seed
     "op_semi_join_customers", "op_anti_join_customers",
     "op_left_join_orders", "op_minhash_pairs_docs", "op_tfidf_docs",
     "op_bigram_score_docs", "op_range_join_events", "pipeline_curate_docs",

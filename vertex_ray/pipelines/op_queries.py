@@ -2170,6 +2170,293 @@ def q_kmeans_embeddings(sf_dir: str):
     return kmeans_assign(ds, cents, "embedding", "vec_id")
 
 
+_KMI_K, _KMI_ITERS, _KMI_Q = 6, 4, 128
+
+
+def q_kmeans_int_embeddings(sf_dir: str):
+    """INTEGER-exact Lloyd k-means (stages/cluster.kmeans_int_fit — the
+    oracle-able twin of the float spherical variant, whose FP sums are
+    block-order-dependent and therefore unhashable): quantized
+    coordinates, integer-dot assignment with lowest-index ties,
+    floored-mean updates, k-smallest-id init. Every iteration is
+    recomputed by the SQL mirror's unrolled materialized CTEs."""
+    from vertex_ray.stages.cluster import kmeans_int_assign, kmeans_int_fit
+
+    ds = _emb(sf_dir)
+    cents = kmeans_int_fit(ds, "embedding", "vec_id", k=_KMI_K,
+                           iters=_KMI_ITERS, quant=_KMI_Q)
+    return kmeans_int_assign(ds, cents, "embedding", "vec_id",
+                             quant=_KMI_Q)
+
+
+def _sql_kmeans_int_chain(k: int, iters: int, quant: int) -> str:
+    """Shared unrolled-Lloyd CTE chain (the `_sql_bpe_train` technique):
+    ``WITH xq, c0, a1..c{iters}`` — reused by the k-means oracle and the
+    integer-IVF oracle. Floored means use floor(s/n) in DOUBLE — exact
+    here because the quotient's distance to any integer is ≥ 1/n >> one
+    ulp."""
+    parts = [f"""
+WITH xq AS MATERIALIZED (
+  SELECT vec_id, j, CAST(floor(CAST(e AS DOUBLE) * {quant}) AS BIGINT)
+           AS x
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS j
+        FROM embeddings)
+),
+c0 AS MATERIALIZED (
+  SELECT i.c, x.j, x.x AS s
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM (SELECT vec_id FROM embeddings
+              ORDER BY vec_id LIMIT {k})) i
+  JOIN xq x USING (vec_id)
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+a{t} AS MATERIALIZED (
+  SELECT x.vec_id, cs.c, SUM(x.x * cs.s) AS score
+  FROM xq x JOIN c{t - 1} cs ON cs.j = x.j
+  GROUP BY 1, 2
+),
+b{t} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (
+      PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+    FROM a{t}) WHERE rn = 1
+),
+c{t} AS MATERIALIZED (
+  SELECT prev.c, prev.j,
+         COALESCE(CAST(floor(CAST(agg.s AS DOUBLE) / agg.n) AS BIGINT),
+                  prev.s) AS s
+  FROM c{t - 1} prev
+  LEFT JOIN (
+    SELECT b.c, x.j, SUM(x.x) AS s, COUNT(*) AS n
+    FROM b{t} b JOIN xq x USING (vec_id)
+    GROUP BY 1, 2) agg
+  ON agg.c = prev.c AND agg.j = prev.j
+)""")
+    return "".join(parts)
+
+
+def _sql_kmeans_int(k: int = _KMI_K, iters: int = _KMI_ITERS,
+                    quant: int = _KMI_Q) -> str:
+    """DuckDB mirror of q_kmeans_int_embeddings."""
+    return _sql_kmeans_int_chain(k, iters, quant) + f""",
+afin AS (
+  SELECT x.vec_id, cs.c, SUM(x.x * cs.s) AS score
+  FROM xq x JOIN c{iters} cs ON cs.j = x.j
+  GROUP BY 1, 2
+)
+SELECT vec_id, c AS cluster, CAST(score AS BIGINT) AS score FROM (
+  SELECT vec_id, c, score, row_number() OVER (
+    PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+  FROM afin) WHERE rn = 1
+"""
+
+
+_IVFI_K, _IVFI_ITERS, _IVFI_NQ, _IVFI_NPROBE, _IVFI_TOPK = 6, 2, 3, 2, 5
+
+
+def q_ann_ivf_int_topk(sf_dir: str):
+    """INTEGER-exact IVF top-k (stages/ann.ivf_int_topk_exact): the
+    coarse quantizer is the integer-Lloyd kmeans, probes and candidate
+    ranking are int64 dot products with deterministic ties — so unlike
+    the recall-pinned float IVF, the whole index AND search are
+    recomputed by the SQL mirror."""
+    from vertex_ray.stages.ann import ivf_int_topk_exact
+
+    return ivf_int_topk_exact(
+        _emb(sf_dir), "embedding", "vec_id", n_centroids=_IVFI_K,
+        iters=_IVFI_ITERS, nq=_IVFI_NQ, nprobe=_IVFI_NPROBE,
+        topk=_IVFI_TOPK, quant=_KMI_Q)
+
+
+def _sql_ann_ivf_int() -> str:
+    it = _IVFI_ITERS
+    return _sql_kmeans_int_chain(_IVFI_K, it, _KMI_Q) + f""",
+va0 AS MATERIALIZED (
+  SELECT x.vec_id, cs.c, SUM(x.x * cs.s) AS score
+  FROM xq x JOIN c{it} cs ON cs.j = x.j GROUP BY 1, 2
+),
+vassign AS MATERIALIZED (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT vec_id, c, row_number() OVER (
+      PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+    FROM va0) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS qid FROM embeddings
+       ORDER BY vec_id LIMIT {_IVFI_NQ}),
+qxv AS (SELECT q.qid, x.j, x.x FROM qs q
+        JOIN xq x ON x.vec_id = q.qid),
+qc AS (
+  SELECT qxv.qid, cs.c, SUM(qxv.x * cs.s) AS score
+  FROM qxv JOIN c{it} cs ON cs.j = qxv.j GROUP BY 1, 2
+),
+probe AS (
+  SELECT qid, c FROM (
+    SELECT qid, c, row_number() OVER (
+      PARTITION BY qid ORDER BY score DESC, c ASC) AS rn
+    FROM qc) WHERE rn <= {_IVFI_NPROBE}
+),
+cand AS (SELECT p.qid, v.vec_id FROM probe p
+         JOIN vassign v ON v.cluster = p.c),
+cscore AS (
+  SELECT c.qid, c.vec_id, SUM(q.x * x.x) AS score
+  FROM cand c
+  JOIN qxv q ON q.qid = c.qid
+  JOIN xq x ON x.vec_id = c.vec_id AND x.j = q.j
+  GROUP BY 1, 2
+)
+SELECT qid AS query_vec_id, vec_id, CAST(score AS BIGINT) AS score FROM (
+  SELECT qid, vec_id, score, row_number() OVER (
+    PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+  FROM cscore) WHERE rn <= {_IVFI_TOPK}
+"""
+
+
+_PQI_M, _PQI_K, _PQI_ITERS, _PQI_DIM = 4, 4, 2, 64
+_PQI_NQ, _PQI_TOPK = 3, 5
+
+
+def q_ann_pq_int_topk(sf_dir: str):
+    """INTEGER-exact product quantization (stages/ann.pq_int_fit +
+    pq_int_topk — the oracle-able twin of the sampled float PQ): m=4
+    subspaces each trained with the integer-Lloyd recipe, codes by max
+    integer dot, ADC scores as int64 sums. The SQL mirror rebuilds all
+    four codebooks, re-encodes every vector, and recomputes every ADC
+    score."""
+    from vertex_ray.stages.ann import pq_int_fit, pq_int_topk
+
+    ds = _emb(sf_dir)
+    cb = pq_int_fit(ds, "embedding", "vec_id", m=_PQI_M, k=_PQI_K,
+                    iters=_PQI_ITERS, quant=_KMI_Q)
+    return pq_int_topk(ds, cb, "embedding", "vec_id", nq=_PQI_NQ,
+                       topk=_PQI_TOPK, quant=_KMI_Q)
+
+
+def _sql_ann_pq_int() -> str:
+    m, k, iters, d = _PQI_M, _PQI_K, _PQI_ITERS, _PQI_DIM
+    sd = d // m
+    parts = [f"""
+WITH xq AS MATERIALIZED (
+  SELECT vec_id, j, CAST(floor(CAST(e AS DOUBLE) * {_KMI_Q}) AS BIGINT)
+           AS x
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS j
+        FROM embeddings)
+),
+ini AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+qs AS (SELECT vec_id AS qid FROM embeddings
+       ORDER BY vec_id LIMIT {_PQI_NQ})"""]
+    for p in range(m):
+        lo, hi = p * sd + 1, (p + 1) * sd
+        parts.append(f""",
+s{p}c0 AS MATERIALIZED (
+  SELECT i.c, x.j, x.x AS s FROM ini i JOIN xq x USING (vec_id)
+  WHERE x.j BETWEEN {lo} AND {hi}
+)""")
+        for t in range(1, iters + 1):
+            parts.append(f""",
+s{p}a{t} AS MATERIALIZED (
+  SELECT x.vec_id, cs.c, SUM(x.x * cs.s) AS score
+  FROM xq x JOIN s{p}c{t - 1} cs ON cs.j = x.j GROUP BY 1, 2
+),
+s{p}b{t} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (
+      PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+    FROM s{p}a{t}) WHERE rn = 1
+),
+s{p}c{t} AS MATERIALIZED (
+  SELECT prev.c, prev.j,
+         COALESCE(CAST(floor(CAST(agg.s AS DOUBLE) / agg.n) AS BIGINT),
+                  prev.s) AS s
+  FROM s{p}c{t - 1} prev
+  LEFT JOIN (
+    SELECT b.c, x.j, SUM(x.x) AS s, COUNT(*) AS n
+    FROM s{p}b{t} b JOIN xq x USING (vec_id)
+    WHERE x.j BETWEEN {lo} AND {hi}
+    GROUP BY 1, 2) agg
+  ON agg.c = prev.c AND agg.j = prev.j
+)""")
+        parts.append(f""",
+s{p}code AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT a.vec_id, a.c, row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY a.score DESC, a.c ASC) AS rn
+    FROM (SELECT x.vec_id, cs.c, SUM(x.x * cs.s) AS score
+          FROM xq x JOIN s{p}c{iters} cs ON cs.j = x.j
+          GROUP BY 1, 2) a) WHERE rn = 1
+),
+s{p}contrib AS MATERIALIZED (
+  SELECT q.qid, cd.vec_id, SUM(qx.x * cw.s) AS sc
+  FROM qs q
+  JOIN xq qx ON qx.vec_id = q.qid AND qx.j BETWEEN {lo} AND {hi}
+  JOIN s{p}c{iters} cw ON cw.j = qx.j
+  JOIN s{p}code cd ON cd.c = cw.c
+  GROUP BY 1, 2
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{p}contrib" for p in range(m))
+    parts.append(f""",
+total AS (SELECT qid, vec_id, SUM(sc) AS score
+          FROM ({union}) GROUP BY 1, 2)
+SELECT qid AS query_vec_id, vec_id, CAST(score AS BIGINT) AS score FROM (
+  SELECT qid, vec_id, score, row_number() OVER (
+    PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+  FROM total) WHERE rn <= {_PQI_TOPK}
+""")
+    return "".join(parts)
+
+
+_LSH_PLANES, _LSH_DIM = 16, 64
+
+
+def q_lsh_signatures_embeddings(sf_dir: str):
+    """Random-hyperplane LSH bucket signatures with md5-parity planes
+    (stages/ann.lsh_signatures_md5 — the auditable twin of the
+    rng-seeded LSH): integer projections over quantized coordinates,
+    signature bit i = (projection_i >= 0). The SQL mirror rebuilds the
+    plane matrix from the same md5 parities and recomputes every
+    signature exactly."""
+    from vertex_ray.stages.ann import lsh_signatures_md5
+
+    return lsh_signatures_md5(_emb(sf_dir), "embedding", "vec_id",
+                              n_planes=_LSH_PLANES, dim=_LSH_DIM,
+                              quant=_KMI_Q)
+
+
+SQL_LSH_SIGNATURES_EMBEDDINGS = f"""
+WITH xq AS (
+  SELECT vec_id, j, CAST(floor(CAST(e AS DOUBLE) * {_KMI_Q}) AS BIGINT)
+           AS x
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS j
+        FROM embeddings)
+),
+planes AS (
+  SELECT i, j,
+         CASE WHEN md5_number_lower(CAST(i AS VARCHAR) || ':'
+                                    || CAST(j AS VARCHAR))::UBIGINT
+                   % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM range(0, {_LSH_PLANES}) p(i), range(1, {_LSH_DIM} + 1) q(j)
+),
+proj AS (
+  SELECT x.vec_id, p.i, SUM(p.sgn * x.x) AS s
+  FROM xq x JOIN planes p ON p.j = x.j
+  GROUP BY 1, 2
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN s >= 0
+                     THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT)
+         AS signature
+FROM proj GROUP BY 1
+"""
+
+
 def q_hll_distinct_events(sf_dir: str):
     """Approximate distinct users per event_type via the mergeable HLL
     sketch (rows-only: the estimator is probabilistic; accuracy and
@@ -2921,6 +3208,10 @@ OP_QUERIES = {
     "op_dedup_events": q_dedup_events,
     "op_json_typed_dedup_events": q_json_typed_dedup_events,
     "op_langid_ngram_docs": q_langid_ngram_docs,
+    "op_kmeans_int_embeddings": q_kmeans_int_embeddings,
+    "op_ann_ivf_int_topk": q_ann_ivf_int_topk,
+    "op_lsh_signatures_embeddings": q_lsh_signatures_embeddings,
+    "op_ann_pq_int_topk": q_ann_pq_int_topk,
     "op_throttle_events": q_throttle_events,
     "op_metricalize_events": q_metricalize_events,
     "op_summary_events": q_summary_events,
@@ -3030,6 +3321,10 @@ OP_ORACLES = {
     "op_dedup_events": SQL_DEDUP_EVENTS,
     "op_json_typed_dedup_events": SQL_JSON_TYPED_DEDUP_EVENTS,
     "op_langid_ngram_docs": _sql_langid_ngram(),
+    "op_kmeans_int_embeddings": _sql_kmeans_int(),
+    "op_ann_ivf_int_topk": _sql_ann_ivf_int(),
+    "op_lsh_signatures_embeddings": SQL_LSH_SIGNATURES_EMBEDDINGS,
+    "op_ann_pq_int_topk": _sql_ann_pq_int(),
     "op_throttle_events": SQL_THROTTLE_EVENTS,
     "op_metricalize_events": SQL_METRICALIZE_EVENTS,
     "op_summary_events": SQL_SUMMARY_EVENTS,

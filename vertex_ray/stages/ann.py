@@ -283,3 +283,234 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray, k: int,
         .groupby("query_id")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def ivf_int_topk_exact(ds, vec_col: str, id_col: str, *,
+                       n_centroids: int = 6, iters: int = 2,
+                       nq: int = 3, nprobe: int = 2, topk: int = 5,
+                       quant: int = 128):
+    """INTEGER-exact IVF top-k — the oracle-able twin of :func:`ivf_topk`
+    (whose float cosines and sampled codebook are unhashable): the coarse
+    quantizer is stages/cluster.kmeans_int_fit (deterministic integer
+    Lloyd), probes are the ``nprobe`` best centroids by integer dot
+    (ties → lowest cluster), candidates are ranked by exact integer dot
+    with ties → lowest vec_id. Queries are the ``nq`` smallest-id
+    vectors. Every quantity is int64 with order-free reduction, so a SQL
+    mirror recomputes the index AND the search bit-for-bit.
+
+    Scale shape matches ivf_topk: broadcast centroids/queries/probes,
+    per-batch candidate scoring with per-batch top-k partials, one tiny
+    per-query merge."""
+    from vertex_ray.stages.cluster import kmeans_int_fit
+
+    cents = kmeans_int_fit(ds, vec_col, id_col, k=n_centroids,
+                           iters=iters, quant=quant)
+    qinit = ds.sort(id_col).limit(nq).to_pandas()
+    qids = qinit[id_col].to_numpy()
+    qx = np.floor(np.stack(qinit[vec_col].to_numpy())
+                  .astype(np.float64) * quant).astype(np.int64)
+    qscore = qx @ cents.T  # (nq, n_centroids) int64
+    probes = np.stack([
+        np.lexsort((np.arange(n_centroids), -qscore[qi]))[:nprobe]
+        for qi in range(len(qids))])
+    cref = ray.put(cents)
+    qref = ray.put(qx)
+    pref = ray.put(probes)
+    qmap = {i: int(v) for i, v in enumerate(qids)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        qm = ray.get(qref)
+        pr = ray.get(pref)
+        x = np.floor(_stack(t[vec_col]).astype(np.float64)
+                     * quant).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        assign = np.argmax(x @ c.T, axis=1)  # ties → lowest cluster
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qm)):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            sc = x[mask] @ qm[qi]
+            vid = ids[mask]
+            order = np.lexsort((vid, -sc))[:topk]  # per-batch partial
+            out_q.append(np.full(len(order), qi, dtype=np.int64))
+            out_v.append(vid[order])
+            out_s.append(sc[order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "score": pa.array(np.concatenate(out_s).astype(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="stable").head(topk).reset_index(drop=True)
+        g["query_vec_id"] = np.full(len(g), qmap[int(g["query_id"].iloc[0])],
+                                    dtype=np.int64)
+        return g[["query_vec_id", "vec_id", "score"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(merge, batch_format="pandas"))
+
+
+def lsh_signatures_md5(ds, vec_col: str, id_col: str, *,
+                       n_planes: int = 16, dim: int = 64,
+                       quant: int = 128):
+    """Random-hyperplane LSH signatures with an AUDITABLE plane matrix —
+    the oracle-able twin of the rng-seeded projection LSH
+    (dedup_near.embedding_near_pairs_lsh): plane sign s[i][j] = ±1 from
+    the parity of ``md5("i:j")`` (stages/dedup_near md5 family, j
+    1-based to match SQL's generate_subscripts), projections are integer
+    dots over ``floor(x·quant)``, and bit i of the signature is
+    ``proj_i >= 0``. Deterministic, integer-exact, SQL-recomputable.
+
+    Output: (id, signature int64). Same-signature ids are the LSH
+    bucket candidates (cosine-similar vectors collide with the standard
+    random-hyperplane probability 1 - θ/π per plane)."""
+    from vertex_ray.stages.dedup_near import _md5_hash64
+
+    keys = np.array([f"{i}:{j + 1}" for i in range(n_planes)
+                     for j in range(dim)], dtype=object)
+    sgn = np.where((_md5_hash64(keys) % np.uint64(2)).astype(np.int64)
+                   == 1, 1, -1).reshape(n_planes, dim).astype(np.int64)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    sref = ray.put(sgn)
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = ray.get(sref)
+        x = np.floor(_stack(t[vec_col]).astype(np.float64)
+                     * quant).astype(np.int64)
+        if x.shape[1] != dim:
+            raise ValueError(
+                f"lsh_signatures_md5: expected dim {dim}, got {x.shape[1]}")
+        proj = x @ s.T  # (n, n_planes) int64
+        sig = ((proj >= 0).astype(np.int64) * weights).sum(axis=1)
+        return pa.table({
+            id_col: t[id_col],
+            "signature": pa.array(sig, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pq_int_fit(ds, vec_col: str, id_col: str, *, m: int = 4,
+               k: int = 4, iters: int = 2, quant: int = 128):
+    """INTEGER-exact product quantization codebooks — the oracle-able
+    twin of :func:`pq_fit` (whose sampled float k-means is unhashable):
+    the vector splits into ``m`` equal subspaces and each runs the
+    integer-Lloyd recipe of stages/cluster.kmeans_int_fit (k-smallest-id
+    init on the SUBvector, max-integer-dot assignment with lowest-index
+    ties, floored-mean updates, empty keeps previous). All m subspaces
+    train in the same streaming passes. Returns int64 (m, k, sub_d)."""
+    init = ds.sort(id_col).limit(k).to_pandas()
+    if len(init) == 0:
+        raise ValueError("pq_int_fit: empty input")
+    x0 = np.floor(np.stack(init[vec_col].to_numpy())
+                  .astype(np.float64) * quant).astype(np.int64)
+    d = x0.shape[1]
+    if d % m:
+        raise ValueError(f"pq_int_fit: dim {d} not divisible by m={m}")
+    sd = d // m
+    cents = np.stack([x0[:, s * sd:(s + 1) * sd] for s in range(m)])
+
+    for _ in range(iters):
+        cu = cents  # (m, k, sd)
+
+        def partial(t: pa.Table) -> pa.Table:
+            x = np.floor(_stack(t[vec_col]).astype(np.float64)
+                         * quant).astype(np.int64)
+            out_m, out_c, out_n, out_s = [], [], [], []
+            for s in range(m):
+                xs = x[:, s * sd:(s + 1) * sd]
+                assign = np.argmax(xs @ cu[s].T, axis=1)
+                sums = np.zeros((k, sd), dtype=np.int64)
+                np.add.at(sums, assign, xs)
+                counts = np.bincount(assign, minlength=k).astype(np.int64)
+                nz = np.flatnonzero(counts)
+                out_m.append(np.full(len(nz), s, dtype=np.int64))
+                out_c.append(nz.astype(np.int64))
+                out_n.append(counts[nz])
+                out_s.extend(row.tobytes() for row in sums[nz])
+            return pa.table({
+                "m": pa.array(np.concatenate(out_m)),
+                "c": pa.array(np.concatenate(out_c)),
+                "n": pa.array(np.concatenate(out_n)),
+                "s": pa.array(out_s, type=pa.binary()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((m, k, sd), dtype=np.int64)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for mi, c, n, sb in zip(parts["m"], parts["c"], parts["n"],
+                                parts["s"]):
+            counts[mi, c] += n
+            sums[mi, c] += np.frombuffer(sb, np.int64)
+        new = cents.copy()
+        for s in range(m):
+            nz = counts[s] > 0
+            new[s][nz] = np.floor_divide(sums[s][nz], counts[s][nz, None])
+        cents = new
+    return cents
+
+
+def pq_int_topk(ds, codebooks: np.ndarray, vec_col: str, id_col: str,
+                *, nq: int = 3, topk: int = 5, quant: int = 128):
+    """Integer ADC search over pq_int codebooks: encode each vector to
+    its per-subspace code (max integer dot, lowest-index ties), score a
+    query by Σ_s (query subvector · codeword) — all int64 — and return
+    the per-query top-k with vec_id ties ascending. Output
+    (query_vec_id, vec_id, score)."""
+    mm, k, sd = codebooks.shape
+    qinit = ds.sort(id_col).limit(nq).to_pandas()
+    qids = qinit[id_col].to_numpy()
+    qx = np.floor(np.stack(qinit[vec_col].to_numpy())
+                  .astype(np.float64) * quant).astype(np.int64)
+    # ADC lookup tables: (nq, m, k) integer partial scores
+    lut = np.stack([
+        np.stack([qx[qi, s * sd:(s + 1) * sd] @ codebooks[s].T
+                  for s in range(mm)])
+        for qi in range(len(qids))])
+    cref = ray.put(codebooks)
+    lref = ray.put(lut)
+    qmap = {i: int(v) for i, v in enumerate(qids)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        cb = ray.get(cref)
+        lu = ray.get(lref)
+        x = np.floor(_stack(t[vec_col]).astype(np.float64)
+                     * quant).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        codes = np.stack([
+            np.argmax(x[:, s * sd:(s + 1) * sd] @ cb[s].T, axis=1)
+            for s in range(mm)], axis=1)  # (n, m)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(lu.shape[0]):
+            sc = np.zeros(len(ids), dtype=np.int64)
+            for s in range(mm):
+                sc += lu[qi, s][codes[:, s]]
+            order = np.lexsort((ids, -sc))[:topk]
+            out_q.append(np.full(len(order), qi, dtype=np.int64))
+            out_v.append(ids[order])
+            out_s.append(sc[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "score": pa.array(np.concatenate(out_s).astype(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="stable").head(topk).reset_index(drop=True)
+        g["query_vec_id"] = np.full(
+            len(g), qmap[int(g["query_id"].iloc[0])], dtype=np.int64)
+        return g[["query_vec_id", "vec_id", "score"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(merge, batch_format="pandas"))

@@ -329,3 +329,84 @@ def linear_probe_exact(ds, vec_col: str, label_col: str, id_col: str, *,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# integer-exact Lloyd variant (SQL-oracle-able k-means)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_int_fit(ds, vec_col: str, id_col: str, k: int, iters: int,
+                   quant: int = 128) -> np.ndarray:
+    """INTEGER-exact Lloyd k-means — the oracle-able twin of
+    :func:`kmeans_fit` (the float variant's sums are FP-order-dependent
+    across Ray blocks, so it can never be hash-oracled; this variant's
+    every quantity is an int64 with order-free reduction, the
+    `_sql_bpe_train` discipline):
+
+    * coordinates quantized ``floor(x · quant)`` (int64);
+    * init = the quantized vectors of the ``k`` smallest ids
+      (deterministic; a sort-limit reads k rows);
+    * assignment = argmax integer dot product, ties to the lowest
+      cluster index;
+    * update = elementwise FLOORED mean (``sums // counts``); empty
+      clusters keep their previous centroid.
+
+    Scale shape matches kmeans_fit: per-batch (k × d) int partials, no
+    shuffle; the driver holds k × d ints. Returns int64 (k, d)."""
+    init = ds.sort(id_col).limit(k).to_pandas()
+    if len(init) == 0:
+        raise ValueError("kmeans_int_fit: empty input (no vectors to "
+                         "seed centroids from)")
+    cents = np.floor(np.stack(init[vec_col].to_numpy())
+                     .astype(np.float64) * quant).astype(np.int64)
+
+    for _ in range(iters):
+        cu = cents
+
+        def partial(t: pa.Table) -> pa.Table:
+            x = np.floor(_stack(t[vec_col]).astype(np.float64)
+                         * quant).astype(np.int64)
+            assign = np.argmax(x @ cu.T, axis=1)  # ties → lowest index
+            sums = np.zeros_like(cu)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=len(cu)).astype(np.int64)
+            nz = np.flatnonzero(counts)
+            return pa.table({
+                "c": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz]),
+                "s": pa.array([row.tobytes() for row in sums[nz]],
+                              type=pa.binary()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for c, n, sb in zip(parts["c"], parts["n"], parts["s"]):
+            counts[c] += n
+            sums[c] += np.frombuffer(sb, np.int64)
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = np.floor_divide(sums[nz], counts[nz, None])
+        cents = new
+    return cents
+
+
+def kmeans_int_assign(ds, centroids: np.ndarray, vec_col: str,
+                      id_col: str, quant: int = 128):
+    """Final integer assignment pass → (id, cluster:int64, score:int64)."""
+    cu = centroids
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = np.floor(_stack(t[vec_col]).astype(np.float64)
+                     * quant).astype(np.int64)
+        scores = x @ cu.T
+        assign = np.argmax(scores, axis=1)
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(assign.astype(np.int64)),
+            "score": pa.array(scores[np.arange(len(assign)), assign]
+                              .astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
