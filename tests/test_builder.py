@@ -560,3 +560,60 @@ def test_rebuild_reuses_unchanged_stages(ray_session, tmp_path):
     assert nb["big"] is not built["big"]       # rebuilt
     assert nb["big"].to_pandas()["v"].tolist() == [500]
     assert nb["tag"].to_pandas()["tier"].tolist() == ["hot"]
+
+
+def test_builder_round4_steps(ray_session, tmp_path):
+    """The round-4 operators are reachable from the config surface:
+    jaeger wire round-trip, type-tagged JSON dedup, char-trigram langid,
+    LSH signatures — each as a STEP_TYPES transform."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vertex_ray.pipelines.builder import build
+
+    # spans → jaeger encode → decode round-trip via config
+    spans = pa.table({
+        "trace_id": pa.array(["c1", "c1"]),
+        "span_id": pa.array([1, 2], pa.int64()),
+        "parent_span_id": pa.array([0, 1], pa.int64()),
+        "name": pa.array(["user", "assistant"]),
+        "kind": pa.array(["client", "server"]),
+        "tool": pa.array(["", ""]),
+        "start_ns": pa.array([10**9, 2 * 10**9], pa.int64()),
+        "end_ns": pa.array([2 * 10**9, 2 * 10**9], pa.int64()),
+        "duration_ns": pa.array([10**9, 0], pa.int64()),
+    })
+    sp = tmp_path / "spans.parquet"
+    pq.write_table(spans, sp)
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "doc": pa.array(['{"m":"1"}', '{"m":1}', '{"m":"1"}']),
+        "text": pa.array(["the cat sat on the mat with the hat",
+                          "der hund lief schnell durch die stadt heute",
+                          "le chat est assis sur le tapis rouge"]),
+    })
+    dp = tmp_path / "docs.parquet"
+    pq.write_table(docs, dp)
+    built = build({
+        "sources": {
+            "spans": {"type": "parquet", "path": str(sp)},
+            "docs": {"type": "parquet", "path": str(dp)},
+        },
+        "transforms": {
+            "wire": {"type": "jaeger_encode", "inputs": ["spans"]},
+            "back": {"type": "jaeger_decode", "inputs": ["wire"]},
+            "typed": {"type": "json_typed", "inputs": ["docs"],
+                      "paths": {"m": ".m"}},
+            "dedup": {"type": "json_dedup", "inputs": ["docs"],
+                      "paths": {"m": ".m"}, "id_col": "doc_id"},
+            "lang": {"type": "langid_ngram", "inputs": ["docs"]},
+        },
+    })
+    back = built["back"].to_pandas().sort_values("span_id")
+    assert back["duration_ns"].tolist() == [10**9, 0]
+    typed = built["typed"].to_pandas().sort_values("doc_id")
+    assert typed["m_type"].tolist() == ["VARCHAR", "UBIGINT", "VARCHAR"]
+    dd = built["dedup"].to_pandas().sort_values("doc_id")
+    assert dd["doc_id"].tolist() == [1, 2]  # type-sensitive: both kept
+    lang = built["lang"].to_pandas().sort_values("doc_id")
+    assert lang["lang"].tolist() == ["en", "de", "fr"]

@@ -201,6 +201,75 @@ def _t_service_graph(cfg, ds):
     return service_graph(ds, cfg.get("n_buckets", 32))
 
 
+def _t_jaeger_encode(cfg, ds):
+    """Span rows → one Jaeger PostSpansRequest payload per batch
+    (sources/jaeger — the src/sinks/jaeger wire analogue)."""
+    from vertex_ray.sources.jaeger import jaeger_encode_op
+
+    return ds.map_batches(
+        jaeger_encode_op(cfg.get("service_name", "vertex_ray")),
+        batch_format="pyarrow")
+
+
+def _t_jaeger_decode(cfg, ds):
+    """Jaeger payload rows → span rows (the src/sources/jaeger analogue)."""
+    from vertex_ray.sources.jaeger import jaeger_decode_op
+
+    return ds.map_batches(jaeger_decode_op(), batch_format="pyarrow")
+
+
+def _t_json_typed(cfg, ds):
+    """Type-tagged extraction from a schemaless JSON column
+    (functions/jsonval): ``{"paths": {"m": ".matched"}}`` adds
+    ``m_type``/``m_val`` columns."""
+    from vertex_ray.functions.jsonval import json_typed_op
+
+    return ds.map_batches(
+        json_typed_op(cfg.get("text_col", "doc"), dict(cfg["paths"])),
+        batch_format="pyarrow")
+
+
+def _t_json_dedup(cfg, ds):
+    """Type-sensitive exact dedup on dynamic JSON keys (the reference's
+    dedup semantics over schemaless Values)."""
+    from vertex_ray.functions.jsonval import dedup_json_typed
+
+    return dedup_json_typed(
+        ds, cfg.get("text_col", "doc"), dict(cfg["paths"]),
+        cfg.get("id_col", "doc_id"), n_buckets=cfg.get("n_buckets", 64))
+
+
+def _t_langid_ngram(cfg, ds):
+    """Hashed char-trigram language ID (stages/langid_ngram), trained on
+    the embedded multilingual fixture at build time."""
+    import ray.data as rd
+
+    from vertex_ray.stages.langid_ngram import (
+        langid_classify,
+        langid_train_table,
+        train_langid,
+    )
+
+    nb = cfg.get("n_buckets", 4096)
+    langs, q, _ = train_langid(rd.from_arrow(langid_train_table()),
+                               n_buckets=nb)
+    return langid_classify(ds, langs, q,
+                           text_col=cfg.get("text_col", "text"),
+                           id_col=cfg.get("id_col", "doc_id"),
+                           n_buckets=nb)
+
+
+def _t_lsh_signatures(cfg, ds):
+    """md5-parity hyperplane LSH bucket signatures over an embedding
+    column (stages/ann.lsh_signatures_md5)."""
+    from vertex_ray.stages.ann import lsh_signatures_md5
+
+    return lsh_signatures_md5(
+        ds, cfg.get("vec_col", "embedding"), cfg.get("id_col", "vec_id"),
+        n_planes=cfg.get("n_planes", 16), dim=cfg.get("dim", 64),
+        quant=cfg.get("quant", 128))
+
+
 def _t_route(cfg, ds):
     from vertex_ray.stages.ops import route_split
 
@@ -705,6 +774,12 @@ STEP_TYPES: dict[str, Callable] = {
     "spans": _t_spans,
     "trace_assemble": _t_trace_assemble,
     "service_graph": _t_service_graph,
+    "jaeger_encode": _t_jaeger_encode,
+    "jaeger_decode": _t_jaeger_decode,
+    "json_typed": _t_json_typed,
+    "json_dedup": _t_json_dedup,
+    "langid_ngram": _t_langid_ngram,
+    "lsh_signatures": _t_lsh_signatures,
     "tokens": _t_text_op("token_count_op"),
     "quality": _t_text_op("quality_score_op"),
     "langid": _t_text_op("lang_id_op"),
