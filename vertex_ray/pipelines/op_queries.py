@@ -2411,6 +2411,62 @@ SELECT qid AS query_vec_id, vec_id, CAST(score AS BIGINT) AS score FROM (
     return "".join(parts)
 
 
+def q_geoip_mmdb_events(sf_dir: str):
+    """GeoIP enrichment through a REAL MaxMind-format database
+    (sources/mmdb — public spec 2.0 binary format: search tree, typed
+    data section, metadata map; the geoip.rs:85-91 analogue, previously
+    substituted by a parquet lookup): a deterministic .mmdb fixture is
+    BUILT (200 /16 networks + /24 overrides exercising longest-prefix),
+    broadcast once, parsed once per actor, and every event's derived IP
+    resolves through the binary tree. The oracle recomputes the
+    network→record rule arithmetically — values can only match if the
+    writer, the tree walk and the data-section decode are all
+    correct."""
+    import numpy as np
+
+    from vertex_ray.sources.mmdb import encode_mmdb, geoip_enrich
+
+    nets = []
+    for b in range(200):
+        nets.append((f"10.{b}.0.0/16",
+                     {"country": f"C{b % 7}", "asn": 1000 + b}))
+    for b in range(0, 200, 50):
+        nets.append((f"10.{b}.77.0/24", {"country": "OVR", "asn": 9999}))
+    blob = encode_mmdb(nets)
+
+    def mk_ip(t):
+        uid = t["user_id"].to_numpy()
+        o2 = (uid % 200).astype(np.int64)
+        o3 = (uid % 251).astype(np.int64)
+        ips = np.array([f"10.{a}.{b}.7" for a, b in zip(o2, o3)],
+                       dtype=object)
+        return pa.table({
+            "event_id": t["event_id"],
+            "ip": pa.array(ips, type=pa.string()),
+        })
+
+    ds = _ev(sf_dir).map_batches(mk_ip, batch_format="pyarrow")
+    out = geoip_enrich(ds, blob, "ip", ["country", "asn"])
+    return out.map_batches(
+        lambda t: t.select(["event_id", "ip", "geo_country", "geo_asn"]),
+        batch_format="pyarrow")
+
+
+SQL_GEOIP_MMDB_EVENTS = """
+SELECT event_id,
+       '10.' || CAST(user_id % 200 AS VARCHAR) || '.'
+             || CAST(user_id % 251 AS VARCHAR) || '.7' AS ip,
+       CASE WHEN user_id % 251 = 77 AND (user_id % 200) % 50 = 0
+            THEN 'OVR'
+            ELSE 'C' || CAST((user_id % 200) % 7 AS VARCHAR)
+       END AS geo_country,
+       CAST(CASE WHEN user_id % 251 = 77 AND (user_id % 200) % 50 = 0
+                 THEN 9999 ELSE 1000 + user_id % 200 END AS BIGINT)
+         AS geo_asn
+FROM events
+"""
+
+
 _LSH_PLANES, _LSH_DIM = 16, 64
 
 
@@ -3212,6 +3268,7 @@ OP_QUERIES = {
     "op_ann_ivf_int_topk": q_ann_ivf_int_topk,
     "op_lsh_signatures_embeddings": q_lsh_signatures_embeddings,
     "op_ann_pq_int_topk": q_ann_pq_int_topk,
+    "op_geoip_mmdb_events": q_geoip_mmdb_events,
     "op_throttle_events": q_throttle_events,
     "op_metricalize_events": q_metricalize_events,
     "op_summary_events": q_summary_events,
@@ -3325,6 +3382,7 @@ OP_ORACLES = {
     "op_ann_ivf_int_topk": _sql_ann_ivf_int(),
     "op_lsh_signatures_embeddings": SQL_LSH_SIGNATURES_EMBEDDINGS,
     "op_ann_pq_int_topk": _sql_ann_pq_int(),
+    "op_geoip_mmdb_events": SQL_GEOIP_MMDB_EVENTS,
     "op_throttle_events": SQL_THROTTLE_EVENTS,
     "op_metricalize_events": SQL_METRICALIZE_EVENTS,
     "op_summary_events": SQL_SUMMARY_EVENTS,

@@ -44,6 +44,12 @@ class EnrichLookup:
 
 
 def enrich(ds, lookup_df: pd.DataFrame, key_col: str, prefix: str = "", concurrency: int = 4):
+    # an actor pool reserving EVERY CPU starves its producer and can
+    # deadlock the pipeline (observed: concurrency=4 at a 4-CPU session
+    # hung the scan) — cap the pool below the session's CPU count
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    concurrency = max(1, min(concurrency, cpus - 2))
     ref = ray.put(lookup_df)
     return ds.map_batches(
         EnrichLookup,
