@@ -193,3 +193,49 @@ def test_featurize_stub_only_for_video_containers():
     mf = MediaFeaturize()
     _, ok = mf._one(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64, "video")
     assert not ok  # MP4 stays an honest stub (no ffmpeg in container)
+
+
+# --- MP4 container ---------------------------------------------------------
+
+
+def test_mp4_container_roundtrip():
+    from vertex_ray.stages.mp4_codec import encode_mp4, is_mp4, parse_mp4
+
+    b = encode_mp4(320, 240, 10, 2500, b"\x42" * 1000)
+    assert is_mp4(b)
+    meta = parse_mp4(b)
+    assert meta["width"] == 320 and meta["height"] == 240
+    assert meta["duration_ms"] == 2500
+    assert meta["n_samples"] == 10 and meta["codec"] == "rawv"
+    assert meta["brand"] == "isom" and meta["n_tracks"] == 1
+
+
+def test_mp4_parse_rejects_malformed():
+    from vertex_ray.stages.mp4_codec import encode_mp4, parse_mp4
+
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4(b"\x00\x00\x00\x08free")
+    b = bytearray(encode_mp4(64, 64, 2, 100, b"xy"))
+    b[0:4] = (10**8).to_bytes(4, "big")  # corrupt the first box size
+    with pytest.raises(ValueError, match="box size"):
+        parse_mp4(bytes(b))
+
+
+def test_featurize_mp4_parses_container_metadata():
+    """MP4 payloads get REAL container features (duration, dims, sample
+    count from the box walk) while the pixel decode stays an honest
+    stub (decoded=False)."""
+    from vertex_ray.stages.mp4_codec import encode_mp4
+    from vertex_ray.stages.multimodal import MediaFeaturize
+
+    mf = MediaFeaturize()
+    p = encode_mp4(256, 128, 30, 5000, b"\x11" * 3000)
+    feat, ok = mf._one(p, "video")
+    assert not ok                       # codec decode honestly stubbed
+    assert abs(feat[1] - 256 / 512) < 1e-6
+    assert abs(feat[2] - 128 / 512) < 1e-6
+    assert abs(feat[0] - np.log1p(5000) / 10.0) < 1e-6
+    # and a DIFFERENT geometry yields different metadata features
+    feat2, _ = mf._one(encode_mp4(512, 512, 30, 5000, b"\x11" * 3000),
+                       "video")
+    assert feat2[1] != feat[1]

@@ -14,11 +14,13 @@ Two decode paths:
   4:2:2 / 4:2:0, Annex K tables, restart markers) and stages/wav_codec
   (RIFF PCM 8/16/24/32-bit + float32) — the image and audio library
   formats are un-stubbed end to end.
-- **Video library formats (stub)** — MP4 would need ffmpeg, which does
-  not exist in this container; unknown payloads fall back to
-  ``_decode_stub`` (deterministic digest feature) and are counted in
-  the output's ``decoded`` flag so the substitution is visible, never
-  silent.
+- **MP4 (container real, codec stub)** — the ISO BMFF container is
+  REALLY parsed (stages/mp4_codec box walk: duration, dimensions,
+  sample-entry codec, sample count become features), but the pixel
+  decode needs a codec library (no ffmpeg here) so ``decoded`` stays
+  False with digest tail features. Unknown payloads fall back to
+  ``_decode_stub`` entirely; the substitution is always visible via
+  the ``decoded`` flag, never silent.
 
 The Ray-side contract is identical either way: actor-pool stage (decoder
 state acquired once per actor, the geoip pattern), SMALL batch_size because
@@ -154,9 +156,28 @@ class MediaFeaturize:
             # yields [-1, 1) floats — rescale (exact for 16-bit PCM)
             return media_codec.audio_features(
                 samples.mean(axis=1) * 32768.0, rate), True
+        from vertex_ray.stages import mp4_codec
+
+        if mp4_codec.is_mp4(payload):
+            # the CONTAINER is really parsed (ISO BMFF box walk,
+            # stages/mp4_codec) — duration/dims/codec/sample-count are
+            # real features; only the pixel decode remains a stub
+            # (H.264/H.265 need a codec library absent here), so
+            # ``decoded`` stays False and the tail features come from
+            # the payload digest
+            try:
+                meta = mp4_codec.parse_mp4(payload)
+            except ValueError:
+                return _decode_stub(payload, kind), False
+            feat = _decode_stub(payload, kind)
+            feat[0] = np.log1p(meta["duration_ms"]) / 10.0
+            feat[1] = meta["width"] / 512.0
+            feat[2] = meta["height"] / 512.0
+            feat[3] = np.log1p(meta["n_samples"]) / 10.0
+            return feat, False
         try:
             name, data = media_codec.decode(payload)
-        except ValueError:  # remaining library formats (MP4) stay stubbed
+        except ValueError:  # unknown formats stay fully stubbed
             return _decode_stub(payload, kind), False
         if name == "image":
             return media_codec.image_features(data), True
