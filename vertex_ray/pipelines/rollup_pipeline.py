@@ -360,7 +360,7 @@ def run_pipeline(
         "metrics": list(METRIC_NAMES),
         # on-disk Gorilla block layout version — bump on codec format
         # changes so blocks from an older layout are recomputed, not reused
-        "block_format": "gorilla-columnar-v2.1",
+        "block_format": "gorilla-columnar-v3-virtual-fills",
     }
 
     def _lineage_matches(manifest: dict) -> bool:

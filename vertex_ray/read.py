@@ -369,6 +369,8 @@ def tsdb_status(out_dir: str, tier: str, metric: str | None = None,
         np.cumsum(flat, out=cum[1:])
         payload = (payload + cum[off[1:]] - cum[off[:-1]]
                    + pc.binary_length(t["flags"]).to_numpy())
+        if "runs" in t.schema.names:  # virtual-fill run payloads
+            payload = payload + pc.binary_length(t["runs"]).to_numpy()
         df = pd.DataFrame({
             "name": t["name"].to_pandas(),
             "series_key": t["series_key"].to_pandas(),

@@ -148,6 +148,11 @@ BLOCK_SCHEMA = pa.schema(
         pa.field("ts_block", pa.binary()),
         pa.field("val_blocks", pa.list_(pa.binary())),
         pa.field("flags", pa.binary()),  # 2 bits/point: filled, stale
+        # virtual-fill run codes (empty for dense blocks): [window_seconds:
+        # u32 LE][u16 LE per REAL point: n_fill | stale << 15]. When
+        # non-empty, ts/val/flag streams cover REAL points only and
+        # n_points is the EXPANDED total (stages/encode docstring).
+        pa.field("runs", pa.binary()),
     ]
 )
 

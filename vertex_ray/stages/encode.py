@@ -6,22 +6,41 @@ actor in ``__init__``, reused per batch): pass the CLASS to
 ``map_batches(GorillaEncode, batch_format="pyarrow", concurrency=N)``.
 Input rows are per-series arrays (stages/fill.pack_series), so batches
 never split a series and the stage needs no shuffle of its own.
+
+Two packed layouts are accepted:
+
+- dense (fill.pack_series / the retention repack): every point — real,
+  LOCF fill, stale marker — is materialized in the streams; the block
+  carries a 2-bit-per-point ``flags`` section and an empty ``runs``.
+- virtual fills (kernel.pack_arrays_virtual, marked by a ``runs``
+  column): streams carry REAL points only; the block's ``runs`` payload
+  is ``[window_seconds: u32 LE][one u16 LE code per real point]`` with
+  code = ``n_fill | stale << 15``. ``n_points`` remains the EXPANDED
+  total (so retention / tsdb_status point-count semantics are
+  unchanged), and decode rebuilds the dense rows bit-for-bit
+  (stages/fill.expand_runs_*). Fills are ~58% of all points at the
+  default staleness horizon — keeping them out of the encode/decode
+  streams halves the stage's memory traffic.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pyarrow as pa
 
 from vertex_ray.gorilla import (
-    decode_flags,
-    decode_timestamps_v2,
-    decode_values_v2,
+    decode_flags_multi,
+    decode_timestamps_multi_flat,
+    decode_values_multi_flat,
     encode_flags_multi,
     encode_timestamps_multi,
     encode_values_multi_shared,
 )
 from vertex_ray.schema import BLOCK_SCHEMA, BUCKET_COLS, KIND_HISTOGRAM
+
+_SCALARS = ("sum", "count", "min", "max", "last")
 
 
 class GorillaEncode:
@@ -37,6 +56,7 @@ class GorillaEncode:
         n = batch.num_rows
         batch = batch.combine_chunks()
         kinds = batch["kind"].to_numpy(zero_copy_only=False)
+        virtual = "runs" in batch.schema.names
 
         def flat(col_name):
             col = batch[col_name].combine_chunks()
@@ -44,9 +64,7 @@ class GorillaEncode:
             return arr.offsets.to_numpy(), arr.values.to_numpy(zero_copy_only=False)
 
         ws_off, ws_val = flat("window_starts")
-        fl_off, fl_val = flat("flags")
         counts = np.diff(ws_off)
-        n_points = counts.astype(np.int32)
         if len(ws_val):
             block_start = np.where(
                 counts > 0, ws_val[np.minimum(ws_off[:-1], len(ws_val) - 1)], 0
@@ -62,20 +80,50 @@ class GorillaEncode:
             block_start = np.zeros(n, dtype=np.int64)
             block_end = np.zeros(n, dtype=np.int64)
 
+        if virtual:
+            _, codes = flat("runs")
+            codes = codes.astype(np.uint16, copy=False)
+            n_fill = (codes & np.uint16(0x7FFF)).astype(np.int64)
+            extra = n_fill + (codes >> np.uint16(15)).astype(np.int64)
+            ce = np.zeros(len(extra) + 1, dtype=np.int64)
+            np.cumsum(extra, out=ce[1:])
+            extra_per = ce[ws_off[1:]] - ce[ws_off[:-1]]
+            ws_series = batch["window_seconds"].to_numpy().astype(np.int64)
+            n_points = (counts + extra_per).astype(np.int32)
+            # the block's time extent includes the virtual tail windows
+            last_ix = np.maximum(ws_off[1:] - 1, 0)
+            block_end = np.where(
+                counts > 0,
+                block_end + extra[last_ix] * ws_series,
+                0,
+            )
+            raw = np.ascontiguousarray(codes.astype("<u2")).tobytes()
+            runs_col = [
+                (struct.pack("<I", int(ws_series[i]))
+                 + raw[2 * int(ws_off[i]): 2 * int(ws_off[i + 1])])
+                if counts[i] > 0 else b""
+                for i in range(n)
+            ]
+            flag_blocks = [b""] * n
+        else:
+            fl_off, fl_val = flat("flags")
+            flag_blocks = encode_flags_multi(fl_val, fl_off)
+            runs_col = [b""] * n
+            n_points = counts.astype(np.int32)
+
         ts_blocks = encode_timestamps_multi(ws_val, ws_off)
         scalar_blocks = encode_values_multi_shared(
-            [flat(f"vals_{s}")[1]
-             for s in ("sum", "count", "min", "max", "last")], ws_off)
+            [flat(f"vals_{s}")[1] for s in _SCALARS], ws_off)
 
         hist = kinds == KIND_HISTOGRAM
-        bucket_blocks: dict[int, list[list[bytes]]] = {}
+        bucket_blocks: dict[int, list[bytes]] = {}
         if hist.any():
             hist_rows = np.flatnonzero(hist)
             sub_off = np.zeros(int(hist.sum()) + 1, dtype=np.int64)
             np.cumsum(counts[hist], out=sub_off[1:])
             b0_off, b0_val = flat(f"vals_{BUCKET_COLS[0]}")
             if len(b0_val) == int(sub_off[-1]) and len(b0_val) != len(ws_val):
-                # SPARSE bucket streams (kernel.pack_arrays): values are
+                # SPARSE bucket streams (kernel.pack_arrays*): values are
                 # already the histogram series' points only — encode as-is
                 # (bit-identical: same values, same per-series geometry)
                 per_bucket = encode_values_multi_shared(
@@ -95,7 +143,6 @@ class GorillaEncode:
             [sb[i] for sb in scalar_blocks] + bucket_blocks.get(i, [])
             for i in range(n)
         ]
-        flag_blocks = encode_flags_multi(fl_val, fl_off)
         return pa.table(
             {
                 "bucket": batch["bucket"],
@@ -109,107 +156,218 @@ class GorillaEncode:
                 "ts_block": pa.array(ts_blocks, type=pa.binary()),
                 "val_blocks": pa.array(val_blocks, type=pa.list_(pa.binary())),
                 "flags": pa.array(flag_blocks, type=pa.binary()),
+                "runs": pa.array(runs_col, type=pa.binary()),
             },
             schema=BLOCK_SCHEMA,
         )
 
 
 def decode_block_row(row: dict) -> dict[str, np.ndarray]:
-    """One block row → decoded parallel arrays (bit-for-bit)."""
-    n = int(row["n_points"])
-    ws = decode_timestamps_v2(row["ts_block"], n)
-    names = ["sum", "count", "min", "max", "last"]
-    if row["kind"] == KIND_HISTOGRAM:
-        names += list(BUCKET_COLS)
-    vals = {nm: decode_values_v2(vb, n) for nm, vb in zip(names, row["val_blocks"])}
-    flags = decode_flags(row["flags"], n)
-    return {
+    """One block row → decoded parallel arrays (bit-for-bit). Handles both
+    dense and virtual-fill blocks via the batch decoder."""
+    t = pa.table({
+        k: pa.array([row[k]]) for k in
+        ("series_key", "name", "kind", "tier", "n_points", "ts_block",
+         "val_blocks", "flags", "runs")
+        if k in row
+    })
+    counts, streams = decode_blocks_flat(t)
+    n = int(counts[0])
+    out = {
         "series_key": np.full(n, row["series_key"], dtype=object),
         "name": np.full(n, row["name"], dtype=object),
         "kind": np.full(n, row["kind"], dtype=np.uint8),
-        "window_start": ws,
-        "filled": (flags & 1).astype(bool),
-        "stale": ((flags >> 1) & 1).astype(bool),
-        **vals,
+        "window_start": streams["window_start"],
+        "filled": (streams["flags"] & 1).astype(bool),
+        "stale": ((streams["flags"] >> 1) & 1).astype(bool),
+        "sum": streams["sum"],
+        "count": streams["count"],
+        "min": streams["min"],
+        "max": streams["max"],
+        "last": streams["last"],
     }
+    if row["kind"] == KIND_HISTOGRAM:
+        for b in BUCKET_COLS:
+            out[b] = streams["buckets"][b]
+    return out
+
+
+def _parse_runs(batch: pa.Table, n_points: np.ndarray):
+    """Split stored block rows into real-point counts + run codes.
+
+    Returns ``(n_real, codes, ws_row, v3_mask)`` — ``codes`` is the flat
+    uint16 run-code stream over all rows' REAL points (zeros for dense
+    rows), ``ws_row`` the per-row window seconds (0 for dense rows) — or
+    ``(n_points, None, None, None)`` when every row is dense."""
+    if "runs" not in batch.schema.names:
+        return n_points, None, None, None
+    runs = batch["runs"].to_pylist()
+    lens = np.fromiter((len(b) if b else 0 for b in runs), dtype=np.int64,
+                       count=len(runs))
+    v3 = lens >= 4
+    if not v3.any():
+        return n_points, None, None, None
+    n_real = np.where(v3, (lens - 4) // 2, n_points)
+    off = np.zeros(len(runs) + 1, dtype=np.int64)
+    np.cumsum(n_real, out=off[1:])
+    codes = np.zeros(int(off[-1]), dtype=np.uint16)
+    ws_row = np.zeros(len(runs), dtype=np.int64)
+    for i in np.flatnonzero(v3):
+        b = runs[i]
+        ws_row[i] = int.from_bytes(b[:4], "little")
+        codes[off[i]: off[i + 1]] = np.frombuffer(b, dtype="<u2", offset=4)
+    return n_real, codes, ws_row, v3
+
+
+def decode_blocks_flat(batch: pa.Table):
+    """Decode a combined batch of block rows — dense v2 and/or
+    virtual-fill v3 — to flat per-point arrays with fills EXPANDED
+    (bit-for-bit the dense representation).
+
+    Returns ``(counts, streams)``: ``counts`` is the per-row expanded
+    point count; ``streams`` holds ``window_start`` (int64), the five
+    scalar streams as float64, ``flags`` (uint8), and ``buckets`` — a
+    dict of DENSE float64 arrays (zeros on non-histogram points).
+
+    One flat vectorized decode per stream over the WHOLE batch (the
+    columnar-v2 decoders reconstruct every series with segmented scans —
+    no per-point loop, no length-skew sensitivity); index geometry is
+    shared across the 5 scalar (and 11 bucket) streams. Pure numpy/Arrow
+    — a pandas hop here would canonicalize the stale NaN payload and
+    break the bit-for-bit contract."""
+    from vertex_ray.gorilla import _ZGeom
+
+    n_rows = batch.num_rows
+    batch = batch.combine_chunks()
+    n_stored = batch["n_points"].to_numpy().astype(np.int64)
+    n_real, codes, ws_row, v3 = _parse_runs(batch, n_stored)
+    kinds = batch["kind"].to_numpy(zero_copy_only=False)
+    ts_blocks = batch["ts_block"].to_pylist()
+    val_blocks = batch["val_blocks"].to_pylist()
+    flag_blocks = batch["flags"].to_pylist() \
+        if "flags" in batch.schema.names else [b""] * n_rows
+
+    zn = np.maximum(n_real - 1, 0)
+    geom = _ZGeom(n_real, zn)
+    scalars = {
+        s: decode_values_multi_flat([vb[i] for vb in val_blocks],
+                                    n_real, geom=geom)
+        for i, s in enumerate(_SCALARS)
+    }
+    ws = decode_timestamps_multi_flat(ts_blocks, n_real)
+    hist_rows = np.flatnonzero(kinds == KIND_HISTOGRAM)
+    hgeom = (_ZGeom(n_real[hist_rows],
+                    np.maximum(n_real[hist_rows] - 1, 0))
+             if len(hist_rows) else None)
+    bucket_real = {
+        b_col: decode_values_multi_flat(
+            [val_blocks[i][len(_SCALARS) + b_i] for i in hist_rows],
+            n_real[hist_rows], geom=hgeom,
+        ) if len(hist_rows) else np.zeros(0, dtype=np.float64)
+        for b_i, b_col in enumerate(BUCKET_COLS)
+    }
+
+    if v3 is None:
+        counts = n_real
+        total = int(counts.sum())
+        flags = (
+            np.concatenate(decode_flags_multi(flag_blocks, counts))
+            if n_rows else np.zeros(0, dtype=np.uint8)
+        ).astype(np.uint8, copy=False)
+        el_hist = np.repeat(kinds == KIND_HISTOGRAM, counts)
+        buckets = {}
+        for b_col in BUCKET_COLS:
+            col = np.zeros(total, dtype=np.float64)
+            if len(hist_rows):
+                col[el_hist] = bucket_real[b_col]
+            buckets[b_col] = col
+        streams = {"window_start": ws, "flags": flags, "buckets": buckets,
+                   **scalars}
+        return counts, streams
+
+    from vertex_ray.stages.fill import (
+        expand_runs_carry,
+        expand_runs_scalars,
+        expanded_counts,
+    )
+
+    kind_pt = np.repeat(kinds, n_real)
+    ws_pt = np.repeat(ws_row, n_real)
+    exp = expand_runs_scalars(
+        ws, scalars["sum"], scalars["count"], scalars["min"],
+        scalars["max"], scalars["last"], kind_pt, codes, ws_pt,
+    )
+    off_real = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_real, out=off_real[1:])
+    counts = expanded_counts(n_real, codes, off_real)
+    if not np.array_equal(counts, n_stored):
+        raise ValueError(
+            "decode_blocks_flat: expanded point counts disagree with the "
+            "stored n_points metadata — corrupt runs payload"
+        )
+    total = int(counts.sum())
+    flags = exp["flags"]
+    dense_rows = ~v3
+    if dense_rows.any():
+        # dense rows expand as identity (zero codes); their real flag
+        # streams come from the stored flag sections
+        el_dense = np.repeat(dense_rows, counts)
+        dec = decode_flags_multi(
+            [flag_blocks[i] for i in np.flatnonzero(dense_rows)],
+            n_real[dense_rows])
+        if dec:
+            flags[el_dense] = np.concatenate(dec)
+    hist_pt = np.repeat(kinds == KIND_HISTOGRAM, n_real)
+    codes_h = codes[hist_pt]
+    el_hist = np.repeat(kinds == KIND_HISTOGRAM, counts)
+    buckets = {}
+    for b_col in BUCKET_COLS:
+        col = np.zeros(total, dtype=np.float64)
+        if len(hist_rows):
+            col[el_hist] = expand_runs_carry(bucket_real[b_col], codes_h)
+        buckets[b_col] = col
+    streams = {
+        "window_start": exp["window"],
+        "sum": exp["sum"],
+        "count": exp["count"],
+        "min": exp["min"],
+        "max": exp["max"],
+        "last": exp["last"],
+        "flags": flags,
+        "buckets": buckets,
+    }
+    return counts, streams
 
 
 def decode_blocks_batch(batch: pa.Table) -> pa.Table:
     """map_batches body: block rows → decoded tier rows (verification and
-    read path). One flat vectorized decode per stream over the WHOLE batch
-    (the columnar-v2 decoders reconstruct every series with segmented
-    scans — no per-point loop, no length-skew sensitivity). This replaced
-    a per-row Python BitReader loop (~40% of round-1 end-to-end time) and
-    then a lockstep-lane decoder that was still iteration-bound on long
-    series.
-
-    Pure numpy/Arrow — a pandas hop here would canonicalize the stale NaN
-    payload and break the bit-for-bit contract."""
-    from vertex_ray.gorilla import (
-        decode_flags_multi,
-        decode_timestamps_multi_flat,
-        decode_values_multi_flat,
-    )
-
+    read path), virtual fills expanded bit-for-bit."""
     n_rows = batch.num_rows
     if n_rows == 0:
         return pa.table({})
-    batch = batch.combine_chunks()
-    n_points = batch["n_points"].to_numpy().astype(np.int64)
-    total = int(n_points.sum())
+    counts, streams = decode_blocks_flat(batch)
+    total = int(counts.sum())
     if total == 0:
         return pa.table({})
-    kinds = batch["kind"].to_numpy(zero_copy_only=False)
-    ts_blocks = batch["ts_block"].to_pylist()
-    val_blocks = batch["val_blocks"].to_pylist()
-    flag_blocks = batch["flags"].to_pylist()
-
-    from vertex_ray.gorilla import _ZGeom
-
-    # index geometry depends only on per-series point counts — build it
-    # once and share across the 5 scalar (and 11 bucket) streams
-    zn = np.maximum(n_points - 1, 0)
-    geom = _ZGeom(n_points, zn)
-    scalar_names = ("sum", "count", "min", "max", "last")
-    scalars = {
-        s: decode_values_multi_flat([vb[i] for vb in val_blocks],
-                                    n_points, geom=geom)
-        for i, s in enumerate(scalar_names)
-    }
-    ws = decode_timestamps_multi_flat(ts_blocks, n_points)
-    flags = (
-        np.concatenate(decode_flags_multi(flag_blocks, n_points))
-        if n_rows
-        else np.zeros(0, dtype=np.uint8)
-    )
-    row_ix = pa.array(np.repeat(np.arange(n_rows, dtype=np.int64), n_points))
-
+    batch = batch.combine_chunks()
+    row_ix = pa.array(np.repeat(np.arange(n_rows, dtype=np.int64), counts))
     out = {
         "series_key": batch["series_key"].take(row_ix),
         "name": batch["name"].take(row_ix),
         "kind": batch["kind"].take(row_ix),
-        "window_start": pa.array(ws, type=pa.int64()),
-        "sum": pa.array(scalars["sum"], type=pa.float64()),
-        "count": pa.array(scalars["count"].astype(np.int64), type=pa.int64()),
-        "min": pa.array(scalars["min"], type=pa.float64()),
-        "max": pa.array(scalars["max"], type=pa.float64()),
-        "last": pa.array(scalars["last"], type=pa.float64()),
+        "window_start": pa.array(streams["window_start"], type=pa.int64()),
+        "sum": pa.array(streams["sum"], type=pa.float64()),
+        "count": pa.array(streams["count"].astype(np.int64), type=pa.int64()),
+        "min": pa.array(streams["min"], type=pa.float64()),
+        "max": pa.array(streams["max"], type=pa.float64()),
+        "last": pa.array(streams["last"], type=pa.float64()),
     }
     if "tier" in batch.schema.names:
         out["tier"] = batch["tier"].take(row_ix)
-    hist_rows = np.flatnonzero(kinds == KIND_HISTOGRAM)
-    el_hist = np.repeat(kinds == KIND_HISTOGRAM, n_points)
-    hgeom = (_ZGeom(n_points[hist_rows],
-                    np.maximum(n_points[hist_rows] - 1, 0))
-             if len(hist_rows) else None)
-    for b_i, b_col in enumerate(BUCKET_COLS):
-        col = np.zeros(total, dtype=np.int64)
-        if len(hist_rows):
-            col[el_hist] = decode_values_multi_flat(
-                [val_blocks[i][len(scalar_names) + b_i] for i in hist_rows],
-                n_points[hist_rows], geom=hgeom,
-            ).astype(np.int64)
-        out[b_col] = pa.array(col, type=pa.int64())
+    for b_col in BUCKET_COLS:
+        out[b_col] = pa.array(
+            streams["buckets"][b_col].astype(np.int64), type=pa.int64())
+    flags = streams["flags"]
     out["filled"] = pa.array((flags & 1).astype(bool))
     out["stale"] = pa.array(((flags >> 1) & 1).astype(bool))
     return pa.table(out)

@@ -148,6 +148,218 @@ def fill_bucket_df(
     return out[FILL_COLS]
 
 
+# ---------------------------------------------------------------------------
+# Virtual fill runs (stages/kernel.fill_runs) — expansion back to the dense
+# layout. A run code (uint16, ``n_fill | stale << 15``) describes the LOCF
+# fill rows and optional stale marker that follow one REAL row; every
+# synthesized row is a pure function of (kind, source row, position), so
+# expansion is bit-for-bit identical to the materialized fill_arrays path.
+# ---------------------------------------------------------------------------
+
+
+def _run_parts(codes: np.ndarray):
+    """Decompose run codes into scatter geometry (mirrors fill_arrays's
+    born-sorted position math): n_fill, stale mask, per-row extra count,
+    each real row's output position, and the expanded total."""
+    codes = np.asarray(codes)
+    n_fill = (codes & np.uint16(0x7FFF)).astype(np.int64)
+    stale = (codes >> np.uint16(15)).astype(np.int64)
+    extra = n_fill + stale
+    off = np.zeros(len(codes), dtype=np.int64)
+    if len(codes) > 1:
+        off[1:] = np.cumsum(extra[:-1])
+    dst0 = np.arange(len(codes), dtype=np.int64) + off
+    return n_fill, stale.astype(bool), extra, dst0, int(len(codes) + extra.sum())
+
+
+def expand_runs_scalars(
+    w: np.ndarray,
+    sums: np.ndarray,
+    cnts: np.ndarray,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    lasts: np.ndarray,
+    kind_pt: np.ndarray,
+    codes: np.ndarray,
+    ws_pt: np.ndarray,
+) -> dict:
+    """Expand real per-point streams (float64 scalars, int64 windows) into
+    the dense fill layout: real row, then its fills, then its stale marker.
+    ``kind_pt`` / ``ws_pt`` are per REAL point (kind code, window seconds).
+    Returns the expanded streams plus the per-point ``flags`` (uint8:
+    1 = filled, 2 = stale) — bit-for-bit what fill_arrays + pack stamping
+    produce (canonical NaN for counter fill min/max, STALE_NAN payload on
+    stale scalar streams, count never stamped)."""
+    n = len(codes)
+    n_fill, stale_m, extra, dst0, n_out = _run_parts(codes)
+    out_w = np.empty(n_out, dtype=np.int64)
+    o_sum = np.empty(n_out, dtype=np.float64)
+    o_cnt = np.empty(n_out, dtype=np.float64)
+    o_min = np.empty(n_out, dtype=np.float64)
+    o_max = np.empty(n_out, dtype=np.float64)
+    o_last = np.empty(n_out, dtype=np.float64)
+    flags = np.zeros(n_out, dtype=np.uint8)
+
+    out_w[dst0] = w
+    o_sum[dst0] = sums
+    o_cnt[dst0] = cnts
+    o_min[dst0] = mins
+    o_max[dst0] = maxs
+    o_last[dst0] = lasts
+
+    total = int(n_fill.sum())
+    if total:
+        idx = np.repeat(np.arange(n), n_fill)
+        pos = np.arange(total) - np.repeat(np.cumsum(n_fill) - n_fill, n_fill) + 1
+        dstf = dst0[idx] + pos
+        is_hist = kind_pt[idx] == KIND_HISTOGRAM
+        is_gauge = kind_pt[idx] == KIND_GAUGE
+        is_ctr = ~(is_hist | is_gauge)
+        last = lasts[idx]
+        out_w[dstf] = w[idx] + pos * ws_pt[idx]
+        o_sum[dstf] = np.where(is_ctr, 0.0, np.where(is_gauge, last, sums[idx]))
+        o_cnt[dstf] = np.where(is_hist, cnts[idx], 0)
+        o_min[dstf] = np.where(is_ctr, np.nan, np.where(is_gauge, last, mins[idx]))
+        o_max[dstf] = np.where(is_ctr, np.nan, np.where(is_gauge, last, maxs[idx]))
+        o_last[dstf] = np.where(is_ctr, 0.0, last)
+        flags[dstf] = 1
+    if stale_m.any():
+        src = np.flatnonzero(stale_m)
+        dsts = dst0[src] + n_fill[src] + 1
+        out_w[dsts] = w[src] + (n_fill[src] + 1) * ws_pt[src]
+        # stale scalar streams carry the Prometheus stale NaN payload
+        # bit-exactly (the uint64-view stamp of pack_series/pack_arrays)
+        for o in (o_sum, o_min, o_max, o_last):
+            o.view(np.uint64)[dsts] = STALE_NAN_BITS
+        o_cnt[dsts] = 0.0
+        flags[dsts] = 2
+    return {
+        "window": out_w,
+        "sum": o_sum,
+        "count": o_cnt,
+        "min": o_min,
+        "max": o_max,
+        "last": o_last,
+        "flags": flags,
+    }
+
+
+def expand_runs_carry(vals: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Expand one carry-through stream (histogram bucket counts as
+    float64): fills copy the source value, stale rows are 0.0."""
+    n = len(codes)
+    n_fill, stale_m, extra, dst0, n_out = _run_parts(codes)
+    out = np.empty(n_out, dtype=np.float64)
+    out[dst0] = vals
+    total = int(n_fill.sum())
+    if total:
+        idx = np.repeat(np.arange(n), n_fill)
+        pos = np.arange(total) - np.repeat(np.cumsum(n_fill) - n_fill, n_fill) + 1
+        out[dst0[idx] + pos] = vals[idx]
+    if stale_m.any():
+        src = np.flatnonzero(stale_m)
+        out[dst0[src] + n_fill[src] + 1] = 0.0
+    return out
+
+
+def expanded_counts(counts: np.ndarray, codes: np.ndarray,
+                    offsets: np.ndarray) -> np.ndarray:
+    """Per-series point counts after expansion (counts + Σ extra per
+    series); ``offsets`` are the real-point list offsets."""
+    _, _, extra, _, _ = _run_parts(codes)
+    ce = np.zeros(len(extra) + 1, dtype=np.int64)
+    np.cumsum(extra, out=ce[1:])
+    offsets = np.asarray(offsets, dtype=np.int64)
+    return np.asarray(counts, dtype=np.int64) + (
+        ce[offsets[1:]] - ce[offsets[:-1]]
+    )
+
+
+def expand_packed(batch: pa.Table) -> pa.Table:
+    """Virtual-fill packed rows (``runs`` + ``window_seconds`` columns,
+    stages/kernel.pack_arrays_virtual) → the dense packed layout of
+    pack_arrays, bit-for-bit. One row per series either way — only the
+    list columns change; per-series columns (and any appended extras such
+    as ``tier``) pass through untouched."""
+    batch = batch.combine_chunks()
+    if batch.num_rows == 0:
+        dense = {}
+        for name in batch.schema.names:
+            if name in ("runs", "window_seconds"):
+                continue
+            dense[name] = batch[name]
+        dense["flags"] = pa.array([], type=pa.list_(pa.uint8()))
+        return pa.table(dense)
+
+    def arr(name):
+        col = batch[name]
+        return col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+
+    ws_col = arr("window_starts")
+    offsets = ws_col.offsets.to_numpy().astype(np.int64)
+    offsets = offsets - offsets[0]
+    counts = np.diff(offsets)
+    codes = arr("runs").flatten().to_numpy(zero_copy_only=False)
+    kinds = batch["kind"].to_numpy(zero_copy_only=False)
+    ws_series = batch["window_seconds"].to_numpy().astype(np.int64)
+    kind_pt = np.repeat(kinds, counts)
+    ws_pt = np.repeat(ws_series, counts)
+
+    def flat(name):
+        return arr(name).flatten().to_numpy(zero_copy_only=False)
+
+    exp = expand_runs_scalars(
+        flat("window_starts"),
+        flat("vals_sum"),
+        flat("vals_count"),
+        flat("vals_min"),
+        flat("vals_max"),
+        flat("vals_last"),
+        kind_pt,
+        codes,
+        ws_pt,
+    )
+    new_counts = expanded_counts(counts, codes, offsets)
+    new_offsets = np.zeros(len(new_counts) + 1, dtype=np.int32)
+    np.cumsum(new_counts, out=new_offsets[1:])
+
+    def lst(values, typ):
+        return pa.ListArray.from_arrays(new_offsets, pa.array(values, type=typ))
+
+    # sparse bucket streams: expand the histogram series' points only
+    hist_series = kinds == KIND_HISTOGRAM
+    hist_pt = np.repeat(hist_series, counts)
+    codes_h = codes[hist_pt]
+    counts_bh = np.where(hist_series, new_counts, 0).astype(np.int32)
+    offs_b = np.zeros(len(counts_bh) + 1, dtype=np.int32)
+    np.cumsum(counts_bh, out=offs_b[1:])
+
+    dense = {
+        "bucket": batch["bucket"],
+        "series_key": batch["series_key"],
+        "name": batch["name"],
+        "kind": batch["kind"],
+        "window_starts": lst(exp["window"], pa.int64()),
+        "vals_sum": lst(exp["sum"], pa.float64()),
+        "vals_count": lst(exp["count"], pa.float64()),
+        "vals_min": lst(exp["min"], pa.float64()),
+        "vals_max": lst(exp["max"], pa.float64()),
+        "vals_last": lst(exp["last"], pa.float64()),
+    }
+    for b in BUCKET_COLS:
+        v = flat(f"vals_{b}")
+        dense[f"vals_{b}"] = pa.ListArray.from_arrays(
+            offs_b,
+            pa.array(expand_runs_carry(v, codes_h), type=pa.float64()),
+        )
+    dense["flags"] = lst(exp["flags"], pa.uint8())
+    known = set(dense) | {"runs", "window_seconds"}
+    for name in batch.schema.names:
+        if name not in known:
+            dense[name] = batch[name]
+    return pa.table(dense)
+
+
 # stream order for packing/encoding (schema.SCALAR_STREAMS + histogram buckets)
 def stream_names(kind: int) -> list[str]:
     base = ["sum", "count", "min", "max", "last"]
@@ -225,6 +437,11 @@ def unpack_series(batch: pa.Table, dict_encode: bool = False) -> pa.Table:
     dominant memory traffic of the agg write at 32-way: ~45 B × ~300
     windows per series). Parquet roundtrips dictionary columns back to
     plain strings, so readers are unaffected."""
+    if "runs" in batch.schema.names:
+        # virtual-fill layout (kernel.pack_arrays_virtual): materialize
+        # the fills/stale markers once, here at the sink boundary — the
+        # only place the dense rows are actually needed
+        batch = expand_packed(batch)
     if batch.num_rows == 0:
         # typed empty (epoch pipeline: sentinel-only bucket groups) so the
         # Dataset keeps ONE schema and parquet writes of empty blocks work;

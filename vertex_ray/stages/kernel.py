@@ -331,6 +331,99 @@ def fill_arrays(
     }
 
 
+def fill_runs(
+    agg: AggArrays,
+    window_seconds: int,
+    global_end_window: int,
+    horizon_seconds: int = STALENESS_SECONDS,
+) -> np.ndarray:
+    """VIRTUAL gap-fill: the run-length form of :func:`fill_arrays`.
+
+    Returns one uint16 code per (real) agg row — ``n_fill | stale << 15``
+    — describing the LOCF fill windows and optional stale marker that
+    follow it, WITHOUT materializing them. Every synthesized row of the
+    dense path is a pure function of (kind, source row, position), so the
+    code is a complete description: stages/fill.expand_runs_* rebuilds the
+    dense layout bit-for-bit. Fills were 58.5% of all agg points at sf0.1
+    — this keeps them out of the fill/pack/encode memory streams entirely
+    (the single-box DRAM-bandwidth limiter of the 8→32 scaling pair).
+
+    Precondition: ``agg`` sorted by (uid, window), same as fill_arrays.
+    """
+    uid, w = agg["uid"], agg["window"]
+    n = len(uid)
+    hw = horizon_seconds // window_seconds
+    if hw > 0x7FFF:
+        raise ValueError(
+            f"fill_runs: horizon {horizon_seconds}s / window "
+            f"{window_seconds}s = {hw} fill windows exceeds the uint16 "
+            "run-code range"
+        )
+    same_next = np.zeros(n, dtype=bool)
+    same_next[:-1] = uid[:-1] == uid[1:]
+    next_w = np.empty(n, dtype=np.int64)
+    if n:
+        next_w[:-1] = w[1:]
+    limit = np.where(same_next, next_w, np.int64(global_end_window + window_seconds))
+    gap_windows = (limit - w) // window_seconds - 1
+    n_fill = np.clip(gap_windows, 0, hw).astype(np.uint16)
+    stale = (w + (hw + 1) * window_seconds) < limit
+    return n_fill | (stale.astype(np.uint16) << np.uint16(15))
+
+
+def pack_arrays_virtual(
+    agg: AggArrays,
+    run_codes: np.ndarray,
+    conv_strs: np.ndarray,
+    bucket_id: int,
+    window_seconds: int,
+) -> pa.Table:
+    """pack_arrays over REAL rows only, with the virtual-fill run codes as
+    a ``runs`` list column and the tier's window size as a per-series
+    ``window_seconds`` column (the expansion's self-contained geometry).
+    No stale stamping (stale markers are virtual here) and no flags column
+    (real rows always carry flag 0) — the presence of ``runs`` marks the
+    layout for unpack_series / GorillaEncode."""
+    uid = agg["uid"]
+    starts = _segments(uid)
+    offsets = np.concatenate([starts, [len(uid)]]).astype(np.int32)
+    keys, names, kinds = render_series_keys(uid[starts], conv_strs)
+
+    def lst(values, typ):
+        return pa.ListArray.from_arrays(offsets, pa.array(values, type=typ))
+
+    out = {
+        "bucket": pa.array(np.full(len(starts), bucket_id, dtype=np.int32)),
+        "series_key": pa.array(keys, type=pa.string()),
+        "name": pa.array(names, type=pa.string()),
+        "kind": pa.array(kinds, type=pa.uint8()),
+        "window_starts": lst(agg["window"], pa.int64()),
+        "vals_sum": lst(np.ascontiguousarray(agg["sum"], dtype=np.float64),
+                        pa.float64()),
+        "vals_count": lst(agg["count"].astype(np.float64), pa.float64()),
+        "vals_min": lst(np.ascontiguousarray(agg["min"], dtype=np.float64),
+                        pa.float64()),
+        "vals_max": lst(np.ascontiguousarray(agg["max"], dtype=np.float64),
+                        pa.float64()),
+        "vals_last": lst(np.ascontiguousarray(agg["last"], dtype=np.float64),
+                         pa.float64()),
+    }
+    b = agg["buckets"]
+    counts_series = np.diff(offsets).astype(np.int64)
+    hist_series = (uid[starts] >> _UID_METRIC_SHIFT) == HIST_METRIC \
+        if len(starts) else np.zeros(0, dtype=bool)
+    counts_b = np.where(hist_series, counts_series, 0).astype(np.int32)
+    offs_b = np.zeros(len(counts_b) + 1, dtype=np.int32)
+    np.cumsum(counts_b, out=offs_b[1:])
+    for j in range(N_BUCKETS):
+        out[f"vals_b{j:02d}"] = pa.ListArray.from_arrays(
+            offs_b, pa.array(b[:, j].astype(np.float64), type=pa.float64()))
+    out["runs"] = lst(np.asarray(run_codes, dtype=np.uint16), pa.uint16())
+    out["window_seconds"] = pa.array(
+        np.full(len(starts), window_seconds, dtype=np.int32))
+    return pa.table(out)
+
+
 # ---------------------------------------------------------------------------
 # series key rendering (once per unique series)
 # ---------------------------------------------------------------------------
@@ -427,22 +520,12 @@ def bucket_kernel(
 ) -> pa.Table:
     n = len(conv_id)
     if n == 0:
-        return pack_arrays(
-            {
-                "uid": np.zeros(0, np.int64),
-                "window": np.zeros(0, np.int64),
-                "sum": np.zeros(0),
-                "count": np.zeros(0, np.int64),
-                "min": np.zeros(0),
-                "max": np.zeros(0),
-                "last": np.zeros(0),
-                "last_ts": np.zeros(0, np.int64),
-                "buckets": np.zeros((0, N_BUCKETS), np.int64),
-                "filled": np.zeros(0, bool),
-                "stale": np.zeros(0, bool),
-            },
+        return pack_arrays_virtual(
+            _empty_agg(),
+            np.zeros(0, dtype=np.uint16),
             np.zeros(0, dtype=object),
             bucket_id,
+            tiers[0][1],
         ).append_column("tier", pa.array([], type=pa.string()))
     order = np.lexsort((turn_idx, conv_hash))
     conv_id = conv_id[order]
@@ -510,8 +593,8 @@ def bucket_kernel(
     for tier, seconds in tiers:
         if seconds != base_seconds:
             prev = merge_agg_arrays(prev, seconds)
-        filled = fill_arrays(prev, seconds, global_end_s // seconds * seconds)
-        packed = pack_arrays(filled, conv_strs, bucket_id)
+        codes = fill_runs(prev, seconds, global_end_s // seconds * seconds)
+        packed = pack_arrays_virtual(prev, codes, conv_strs, bucket_id, seconds)
         parts.append(
             packed.append_column(
                 "tier", pa.array([tier] * packed.num_rows, type=pa.string())

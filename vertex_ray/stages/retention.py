@@ -70,14 +70,12 @@ def retention_cutoffs(horizons: dict[str, int], now_s: int,
 
 def _rewrite_straddlers(t: pa.Table, cutoffs: dict[str, int],
                         name_cutoffs: dict | None = None) -> pa.Table:
-    """Decode → slice off pre-cutoff windows → re-encode, vectorized over
-    the whole batch of straddling block rows."""
-    from vertex_ray.gorilla import (
-        decode_flags_multi,
-        decode_timestamps_multi_flat,
-        decode_values_multi_flat,
-    )
-    from vertex_ray.stages.encode import GorillaEncode
+    """Decode (virtual fills expanded) → slice off pre-cutoff windows →
+    re-encode, vectorized over the whole batch of straddling block rows.
+    Straddlers re-encode DENSE: at most one block per (series, tier)
+    crosses the cutoff, so the run-length layout's savings don't matter
+    here and the dense repack keeps this path layout-agnostic."""
+    from vertex_ray.stages.encode import GorillaEncode, decode_blocks_flat
 
     # zero-point rows would collapse reduceat segment boundaries below;
     # they carry nothing to retain either way
@@ -87,30 +85,13 @@ def _rewrite_straddlers(t: pa.Table, cutoffs: dict[str, int],
         from vertex_ray.schema import BLOCK_SCHEMA
 
         return BLOCK_SCHEMA.empty_table()
-    n_points = t["n_points"].to_numpy().astype(np.int64)
-    kinds = t["kind"].to_numpy(zero_copy_only=False)
     tiers = t["tier"].to_numpy(zero_copy_only=False)
-    val_blocks = t["val_blocks"].to_pylist()
 
-    ws = decode_timestamps_multi_flat(t["ts_block"].to_pylist(), n_points)
-    flags = np.concatenate(
-        decode_flags_multi(t["flags"].to_pylist(), n_points))
-    scalars = {
-        s: decode_values_multi_flat([vb[i] for vb in val_blocks], n_points)
-        for i, s in enumerate(_SCALARS)
-    }
-    total = int(n_points.sum())
-    hist_rows = np.flatnonzero(kinds == KIND_HISTOGRAM)
-    el_hist = np.repeat(kinds == KIND_HISTOGRAM, n_points)
-    buckets = {}
-    for b_i, b_col in enumerate(BUCKET_COLS):
-        col = np.zeros(total, dtype=np.float64)
-        if len(hist_rows):
-            col[el_hist] = decode_values_multi_flat(
-                [val_blocks[i][len(_SCALARS) + b_i] for i in hist_rows],
-                n_points[hist_rows],
-            )
-        buckets[b_col] = col
+    n_points, streams = decode_blocks_flat(t)
+    ws = streams["window_start"]
+    flags = streams["flags"]
+    scalars = {s: streams[s] for s in _SCALARS}
+    buckets = streams["buckets"]
 
     row_ix = np.repeat(np.arange(n_rows, dtype=np.int64), n_points)
     cuts = _row_cuts(t["name"].to_numpy(zero_copy_only=False), tiers,
@@ -162,6 +143,11 @@ def retention_pass(t: pa.Table, cutoffs: dict[str, int],
     if straddle.any():
         rewritten = _rewrite_straddlers(t.filter(pa.array(straddle)),
                                         cutoffs, name_cutoffs)
+        # a pre-runs-column store concats with the rewriter's current
+        # BLOCK_SCHEMA output: align on the source's own column set
+        if "runs" not in t.schema.names and "runs" in rewritten.schema.names:
+            rewritten = rewritten.drop_columns(["runs"])
+        rewritten = rewritten.select(t.schema.names)
         out = pa.concat_tables([out, rewritten]) if out.num_rows else rewritten
     return out
 
