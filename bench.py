@@ -119,7 +119,9 @@ def run_bench() -> dict:
                             now_s=gend, tier_seconds=dict(TIER_SECONDS))
     timings["retention_gc"] = round(time.time() - t0, 3)
 
-    agg_rows = manifests["agg"]["rows"]
+    from vertex_ray.pipelines.rollup_pipeline import agg_expanded_rows
+
+    agg_rows = agg_expanded_rows(out)  # logical tier points (fills expanded)
     blocks_bytes = sum(f["bytes"] for f in manifests["blocks"]["files"].values())
     result = {
         "metric": "rollup_all_tiers_seconds",

@@ -45,11 +45,14 @@ def oracle_points(trans_dir):
 
 def read_agg(out, tier):
     from vertex_ray.pipelines.rollup_pipeline import undict_table
+    from vertex_ray.stages.fill import expand_agg_table
 
     t = (
-        undict_table(
-            pads.dataset(stage_files(os.path.join(out, "agg")))
-            .to_table(filter=pc.field("tier") == tier)
+        expand_agg_table(
+            undict_table(
+                pads.dataset(stage_files(os.path.join(out, "agg")))
+                .to_table(filter=pc.field("tier") == tier)
+            )
         )
         .to_pandas()
     )

@@ -118,6 +118,32 @@ def test_unpack_series_expands_virtual():
     assert pa.compute.any(flat_virtual["stale"]).as_py()
 
 
+def test_sparse_agg_sink_roundtrip():
+    """unpack_series(sparse_fills=True) + expand_agg_table == the dense
+    unpack, bit-for-bit — the agg store's virtual-fill write/read
+    contract. Also holds across an arbitrary row split (expansion is
+    row-local) and under dict_encode after an undict pass."""
+    from vertex_ray.pipelines.rollup_pipeline import undict_table
+    from vertex_ray.stages.fill import expand_agg_table
+
+    packed = _kernel_packed(4000)
+    dense = unpack_series(packed)
+    sparse = unpack_series(packed, sparse_fills=True)
+    assert sparse.num_rows < dense.num_rows
+    _assert_tables_bit_identical(expand_agg_table(sparse), dense)
+    # split the sparse table mid-stream: per-batch expansion must concat
+    # to the same dense table
+    cut = sparse.num_rows // 3
+    parts = [expand_agg_table(sparse.slice(0, cut)),
+             expand_agg_table(sparse.slice(cut))]
+    _assert_tables_bit_identical(pa.concat_tables(parts).combine_chunks(),
+                                 dense)
+    # dict-encoded write path → undict → expand
+    sparse_d = unpack_series(packed, dict_encode=True, sparse_fills=True)
+    _assert_tables_bit_identical(
+        expand_agg_table(undict_table(sparse_d)), dense)
+
+
 def test_encode_decode_virtual_matches_dense():
     packed = _kernel_packed(4000)
     enc = GorillaEncode()

@@ -290,9 +290,34 @@ def read_stage(out_dir: str, stage: str, tier: str | None = None,
     # agg stages are written dictionary-encoded (unpack_series
     # dict_encode — zero string copies on the write path); decode back
     # to the flat-string contract every consumer expects
-    if any(pa.types.is_dictionary(f.type) for f in ds.schema().base_schema):
+    schema = ds.schema().base_schema
+    if any(pa.types.is_dictionary(f.type) for f in schema):
         ds = ds.map_batches(undict_table, batch_format="pyarrow")
+    if "fill_runs" in schema.names:
+        # sparse agg store (virtual fills): rebuild the dense LOCF/stale
+        # rows — consumers keep seeing the FIXTURES §F3 flat contract
+        from vertex_ray.stages.fill import expand_agg_table
+
+        ds = ds.map_batches(expand_agg_table, batch_format="pyarrow")
     return ds
+
+
+def agg_expanded_rows(out_dir: str) -> int:
+    """Logical (dense) tier-point count of a committed agg stage — real
+    rows plus virtual LOCF/stale rows — from the ``fill_runs`` column
+    alone (no payload read). Dense stores just count rows."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(stage_files(pipeline_paths(out_dir)["agg"]))
+    if "fill_runs" not in d.schema.names:
+        return d.count_rows()
+    n = 0
+    for b in d.to_batches(columns=["fill_runs"]):
+        c = b["fill_runs"].to_numpy(zero_copy_only=False)
+        n += len(c) + int((c & np.uint16(0x7FFF)).astype(np.int64).sum())
+        n += int((c >> np.uint16(15)).astype(np.int64).sum())
+    return n
 
 
 def undict_table(t: pa.Table) -> pa.Table:
@@ -325,7 +350,10 @@ def fused_bucket_group(
         if not fsio.exists(final):
             enc = GorillaEncode()(packed)
             fsio.write_parquet_atomic(enc, final, token=str(os.getpid()))
-    return unpack_series(packed, dict_encode=True)
+    # sparse agg sink: REAL rows only + fill_runs/window_seconds columns
+    # (~58% fewer rows written); read_stage expands back to the dense
+    # tier rows bit-for-bit (stages/fill.expand_agg_table)
+    return unpack_series(packed, dict_encode=True, sparse_fills=True)
 
 
 def run_pipeline(

@@ -245,11 +245,12 @@ def expand_runs_scalars(
 
 
 def expand_runs_carry(vals: np.ndarray, codes: np.ndarray) -> np.ndarray:
-    """Expand one carry-through stream (histogram bucket counts as
-    float64): fills copy the source value, stale rows are 0.0."""
+    """Expand one carry-through stream (histogram bucket counts, float64
+    or int64 — dtype preserved): fills copy the source value, stale rows
+    are zero."""
     n = len(codes)
     n_fill, stale_m, extra, dst0, n_out = _run_parts(codes)
-    out = np.empty(n_out, dtype=np.float64)
+    out = np.empty(n_out, dtype=np.asarray(vals).dtype)
     out[dst0] = vals
     total = int(n_fill.sum())
     if total:
@@ -424,7 +425,8 @@ def pack_series(df: pd.DataFrame) -> pa.Table:
     return pa.table(out)
 
 
-def unpack_series(batch: pa.Table, dict_encode: bool = False) -> pa.Table:
+def unpack_series(batch: pa.Table, dict_encode: bool = False,
+                  sparse_fills: bool = False) -> pa.Table:
     """Inverse of pack_series: per-series array rows → flat tier rows
     (AGG columns + tier + filled + stale). Pure Arrow/numpy explode — the
     tier aggregate tables are derived from the packed representation with
@@ -436,8 +438,17 @@ def unpack_series(batch: pa.Table, dict_encode: bool = False) -> pa.Table:
     copying instead of replicating every key once per window (the
     dominant memory traffic of the agg write at 32-way: ~45 B × ~300
     windows per series). Parquet roundtrips dictionary columns back to
-    plain strings, so readers are unaffected."""
+    plain strings, so readers are unaffected.
+
+    ``sparse_fills=True`` (virtual-fill packed input only) keeps the agg
+    rows SPARSE: real rows only, with two extra columns — ``fill_runs``
+    (the uint16 run code) and ``window_seconds`` — instead of the
+    materialized LOCF/stale rows. ~58% fewer agg rows through the sink;
+    ``expand_agg_table`` rebuilds the dense rows bit-for-bit at read
+    (rollup_pipeline.read_stage does it transparently)."""
     if "runs" in batch.schema.names:
+        if sparse_fills:
+            return _unpack_sparse(batch, dict_encode)
         # virtual-fill layout (kernel.pack_arrays_virtual): materialize
         # the fills/stale markers once, here at the sink boundary — the
         # only place the dense rows are actually needed
@@ -514,4 +525,132 @@ def unpack_series(batch: pa.Table, dict_encode: bool = False) -> pa.Table:
             out[b] = v.cast(pa.int64())
     out["filled"] = pa.array((flags & 1).astype(bool))
     out["stale"] = pa.array(((flags >> 1) & 1).astype(bool))
+    return pa.table(out)
+
+
+def _unpack_sparse(batch: pa.Table, dict_encode: bool) -> pa.Table:
+    """unpack_series(sparse_fills=True) body: virtual-fill packed rows →
+    flat REAL agg rows + ``fill_runs``/``window_seconds`` columns. Row
+    content mirrors the dense unpack for real rows exactly (filled/stale
+    are always False on real rows)."""
+    if batch.num_rows == 0:
+        empty = unpack_series(
+            pa.table({n: batch[n] for n in batch.schema.names
+                      if n not in ("runs", "window_seconds")}),
+            dict_encode)
+        return empty.append_column(
+            "fill_runs", pa.array([], type=pa.uint16())
+        ).append_column("window_seconds", pa.array([], type=pa.int32()))
+    batch = batch.combine_chunks()
+    ws = batch["window_starts"].combine_chunks()
+    counts = np.diff(ws.offsets.to_numpy())
+    reps = np.repeat(np.arange(batch.num_rows), counts)
+
+    def flat(col):
+        return col.combine_chunks().values
+
+    if dict_encode:
+        idx = pa.array(reps.astype(np.int32))
+        sk = pa.DictionaryArray.from_arrays(
+            idx, batch["series_key"].combine_chunks())
+        nm = pa.DictionaryArray.from_arrays(
+            idx, batch["name"].combine_chunks())
+        tr = pa.DictionaryArray.from_arrays(
+            idx, batch["tier"].combine_chunks())
+    else:
+        sk = batch["series_key"].take(reps)
+        nm = batch["name"].take(reps)
+        tr = batch["tier"].take(reps)
+    out = {
+        "bucket": batch["bucket"].take(reps),
+        "series_key": sk,
+        "name": nm,
+        "kind": batch["kind"].take(reps),
+        "tier": tr,
+        "window_start": ws.values,
+        "sum": flat(batch["vals_sum"]),
+        "count": flat(batch["vals_count"]).cast(pa.int64()),
+        "min": flat(batch["vals_min"]),
+        "max": flat(batch["vals_max"]),
+        "last": flat(batch["vals_last"]),
+    }
+    total = int(counts.sum())
+    kinds = batch["kind"].to_numpy(zero_copy_only=False)
+    hist_mask = None
+    for b in BUCKET_COLS:
+        v = flat(batch[f"vals_{b}"])
+        if len(v) != total:
+            # sparse bucket streams: histogram real points only
+            if hist_mask is None:
+                hist_mask = np.repeat(kinds == KIND_HISTOGRAM, counts)
+            col = np.zeros(total, dtype=np.int64)
+            if len(v):
+                col[hist_mask] = v.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            out[b] = pa.array(col, type=pa.int64())
+        else:
+            out[b] = v.cast(pa.int64())
+    out["filled"] = pa.array(np.zeros(total, dtype=bool))
+    out["stale"] = pa.array(np.zeros(total, dtype=bool))
+    out["fill_runs"] = flat(batch["runs"]).cast(pa.uint16())
+    out["window_seconds"] = pa.array(
+        np.repeat(batch["window_seconds"].to_numpy().astype(np.int32),
+                  counts))
+    return pa.table(out)
+
+
+def expand_agg_table(t: pa.Table) -> pa.Table:
+    """Read-side inverse of ``unpack_series(sparse_fills=True)``: sparse
+    agg rows (``fill_runs`` + ``window_seconds`` columns) → dense flat
+    tier rows, bit-for-bit the materialized sink. Purely row-local, so
+    any batch/row-group split of the stored table expands correctly."""
+    if "fill_runs" not in t.schema.names:
+        return t
+    t = t.combine_chunks()
+    base_cols = [c for c in t.schema.names
+                 if c not in ("fill_runs", "window_seconds")]
+    codes = t["fill_runs"].to_numpy()
+    if t.num_rows == 0 or not codes.any():
+        return t.select(base_cols)
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    ws = t["window_seconds"].to_numpy().astype(np.int64)
+
+    def col_np(name):
+        return t[name].to_numpy(zero_copy_only=False)
+
+    exp = expand_runs_scalars(
+        col_np("window_start").astype(np.int64),
+        col_np("sum"),
+        col_np("count").astype(np.float64),
+        col_np("min"),
+        col_np("max"),
+        col_np("last"),
+        kind,
+        codes,
+        ws,
+    )
+    _, _, extra, _, _ = _run_parts(codes)
+    row_ix = pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                                1 + extra))
+    flags = exp["flags"]
+    scalar_map = {
+        "window_start": pa.array(exp["window"], type=pa.int64()),
+        "sum": pa.array(exp["sum"], type=pa.float64()),
+        "count": pa.array(exp["count"].astype(np.int64), type=pa.int64()),
+        "min": pa.array(exp["min"], type=pa.float64()),
+        "max": pa.array(exp["max"], type=pa.float64()),
+        "last": pa.array(exp["last"], type=pa.float64()),
+        "filled": pa.array((flags & 1).astype(bool)),
+        "stale": pa.array(((flags >> 1) & 1).astype(bool)),
+    }
+    out = {}
+    for name in base_cols:
+        if name in scalar_map:
+            out[name] = scalar_map[name]
+        elif name in BUCKET_COLS:
+            out[name] = pa.array(
+                expand_runs_carry(col_np(name).astype(np.int64), codes),
+                type=pa.int64())
+        else:  # per-series identity columns: bucket/series_key/name/kind/tier
+            out[name] = t[name].take(row_ix)
     return pa.table(out)

@@ -61,8 +61,11 @@ def finalize_stage(tmp_path: str, final_path: str, lineage: dict | None = None) 
     names = [f for f in fsio.listdir(tmp_path) if f.endswith(".parquet")]
 
     def meta(fname: str):
-        md = fsio.parquet_metadata(posixpath.join(tmp_path, fname))
-        return fname, {"rows": md.num_rows, "bytes": md.serialized_size}
+        fpath = posixpath.join(tmp_path, fname)
+        md = fsio.parquet_metadata(fpath)
+        # bytes = actual file size (serialized_size is only the parquet
+        # FOOTER metadata size — it under-reported stage bytes ~1000x)
+        return fname, {"rows": md.num_rows, "bytes": fsio.file_size(fpath)}
 
     with ThreadPoolExecutor(max_workers=16) as ex:
         files = dict(ex.map(meta, names))

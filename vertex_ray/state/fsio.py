@@ -81,6 +81,11 @@ def read_json(path: str):
     return json.loads(read_text(path))
 
 
+def file_size(path: str) -> int:
+    f, p = fs_path(path)
+    return int(f.get_file_info(p).size or 0)
+
+
 def parquet_metadata(path: str):
     f, p = fs_path(path)
     return pq.ParquetFile(f.open_input_file(p)).metadata
