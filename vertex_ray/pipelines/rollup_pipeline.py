@@ -76,12 +76,12 @@ def read_transcripts(path: str) -> "rd.Dataset":
     # 4 blocks/CPU keeps the scan and project stages busy, but each map
     # block multiplies the shuffle's map×reduce object matrix — with the
     # run-packed projection the exchange is row-light and the matrix
-    # overhead dominates, so cap the map side at 64 blocks (measured:
-    # 9.89 s vs 10.24 s at 32 CPUs for 128 map blocks, same window;
-    # 8-CPU runs sit below the cap and keep 4/CPU)
+    # overhead dominates, so cap the map side at 32 blocks (measured at
+    # 32 CPUs, 256 buckets, through-kernel best-of-2: 64 blocks 2.87 s,
+    # 48 → 2.04 s, 32 → 1.82 s; 8-CPU runs already sit at 32 = 4/CPU)
     return rd.read_parquet(
         path, columns=PROJECT_COLUMNS,
-        override_num_blocks=min(_target_blocks(), 64)
+        override_num_blocks=min(_target_blocks(), 32)
     )
 
 
