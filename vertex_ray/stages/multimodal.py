@@ -14,6 +14,10 @@ Two decode paths:
   4:2:2 / 4:2:0, Annex K tables, restart markers) and stages/wav_codec
   (RIFF PCM 8/16/24/32-bit + float32) — the image and audio library
   formats are un-stubbed end to end.
+- **MJPEG AVI (real)** — the AVI RIFF container walk + per-frame
+  baseline-JPEG decode (stages/avi_codec) make one VIDEO format fully
+  real end to end: bytes → (T, H, W, 3) frames → frame-sampled
+  features, still with no codec library.
 - **MP4 (container real, codec stub)** — the ISO BMFF container is
   REALLY parsed (stages/mp4_codec box walk: duration, dimensions,
   sample-entry codec, sample count become features), but the pixel
@@ -54,7 +58,9 @@ FEATURE_DIM = 16
 def synth_media_table(n: int, seed: int = 21) -> pa.Table:
     """Deterministic media rows with REAL decodable payloads (actual
     pixel/sample data, not digest noise) for testing at any scale:
-    images alternate RAWM / PNG / JPEG, audio alternates RAWM / WAV."""
+    images alternate RAWM / PNG / JPEG, audio alternates RAWM / WAV,
+    video alternates RAWM / MJPEG-AVI (all real decode paths)."""
+    from vertex_ray.stages.avi_codec import encode_avi_mjpeg
     from vertex_ray.stages.jpeg_codec import encode_jpeg
     from vertex_ray.stages.png_codec import encode_png
     from vertex_ray.stages.wav_codec import encode_wav
@@ -77,6 +83,11 @@ def synth_media_table(n: int, seed: int = 21) -> pa.Table:
             _, rgb = media_codec.decode(raw)
             payloads.append(encode_jpeg(rgb, quality=85))
             mimes.append("image/jpeg")
+        elif k == "video" and i % 2 == 0:
+            # REAL MJPEG AVI (library-format path, stages/avi_codec)
+            _, frames = media_codec.decode(raw)
+            payloads.append(encode_avi_mjpeg(frames[:4], fps=5, quality=85))
+            mimes.append("video/x-msvideo")
         elif k == "audio" and i % 2 == 0:
             # REAL RIFF/PCM WAV (library-format path, stages/wav_codec)
             _, (samples, sr) = media_codec.decode(raw)
@@ -145,7 +156,8 @@ class MediaFeaturize:
             if img.shape[2] == 1:
                 img = np.repeat(img, 3, axis=2)
             return media_codec.image_features(img), True
-        if payload[:4] == wav_codec.WAV_MAGIC:
+        # RIFF is shared by WAV and AVI — dispatch on the form type
+        if payload[:4] == wav_codec.WAV_MAGIC and payload[8:12] != b"AVI ":
             # REAL RIFF/PCM WAV decode (stdlib struct + numpy —
             # stages/wav_codec); channel-average to mono for features
             try:
@@ -156,6 +168,16 @@ class MediaFeaturize:
             # yields [-1, 1) floats — rescale (exact for 16-bit PCM)
             return media_codec.audio_features(
                 samples.mean(axis=1) * 32768.0, rate), True
+        from vertex_ray.stages import avi_codec
+
+        if avi_codec.is_avi(payload):
+            # REAL video decode: AVI RIFF container + per-frame baseline
+            # JPEG (MJPEG, stages/avi_codec) — no codec library needed
+            try:
+                frames = avi_codec.decode_avi_mjpeg(payload)
+            except ValueError:
+                return _decode_stub(payload, kind), False
+            return media_codec.video_features(frames), True
         from vertex_ray.stages import mp4_codec
 
         if mp4_codec.is_mp4(payload):
