@@ -524,9 +524,74 @@ def run_scrape() -> dict:
     return out
 
 
+def run_epochs() -> dict:
+    """Epoch-incremental (unbounded-retention) throughput: the same
+    input processed as daily increments with per-bucket carry state —
+    what a production run over endless history actually pays per day.
+    Bit-for-bit equal to the one-shot cascade (property-tested)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from vertex_ray.pipelines.epoch_pipeline import run_pipeline_epochs
+    from vertex_ray.synth import ensure_transcripts, sf_of_dir
+
+    sf = sf_of_dir(sf_dir)
+    trans = ensure_transcripts(sf_dir)
+    import pyarrow.dataset as pads
+
+    n_turns = pads.dataset(trans).count_rows()
+    pads.dataset(trans).to_table()
+    import ray.data as rd
+
+    def _warm(batch):
+        import vertex_ray.stages.kernel_epoch  # noqa: F401
+        import time as _t
+
+        _t.sleep(0.3)
+        return batch
+
+    rd.range(num_cpus, override_num_blocks=num_cpus).map_batches(
+        _warm, batch_size=1).materialize()
+
+    out = f"/tmp/vertex_ray_bench/sf{sf:g}_cpus{num_cpus}_epochs"
+    legs = []
+    for _ in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        manifests = run_pipeline_epochs(trans, out, epoch_seconds=86_400,
+                                        n_buckets=8 * num_cpus)
+        legs.append(round(time.time() - t0, 3))
+    best = min(legs)
+    n_epochs = len({k.split("/")[0] for k in manifests})
+    ray.shutdown()
+    return {
+        "metric": "epoch_incremental_seconds",
+        "value": best,
+        "unit": "sec",
+        "queries": {"epochs_total": best, "legs": legs,
+                    "per_epoch": round(best / max(1, n_epochs), 3)},
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_turns": int(n_turns),
+        "n_epochs": n_epochs,
+        "turns_per_sec": round(n_turns / best, 1),
+    }
+
+
 if __name__ == "__main__":
     res = (run_scaling() if "--scaling" in sys.argv else
        run_corpus() if "--corpus" in sys.argv else
        run_reads() if "--reads" in sys.argv else
-       run_scrape() if "--scrape" in sys.argv else run_bench())
+       run_scrape() if "--scrape" in sys.argv else
+       run_epochs() if "--epochs" in sys.argv else run_bench())
     print(json.dumps(res))
