@@ -307,3 +307,20 @@ def test_featurize_avi_real_decode():
     feat, ok = mf._one(payload, "video")
     assert ok
     assert feat.shape == (16,) and np.isfinite(feat).all()
+
+
+def test_avi_deep_nesting_rejected_as_valueerror():
+    """Crafted deeply-nested LIST payloads must fail as ValueError (the
+    error type every caller handles), never RecursionError."""
+    import struct
+
+    from vertex_ray.stages.avi_codec import parse_avi
+
+    body = b"movi"
+    for _ in range(400):
+        chunk = b"LIST" + struct.pack("<I", len(body)) + body
+        body = b"movi" + chunk  # each level: LIST('movi' LIST('movi' ...))
+    payload = b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"AVI " \
+        + b"LIST" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="nesting too deep"):
+        parse_avi(payload)

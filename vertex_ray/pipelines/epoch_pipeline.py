@@ -270,7 +270,13 @@ def run_pipeline_epochs(
             "salt": salt,
             "tiers": [t for t, _ in tiers],
             "metrics": list(METRIC_NAMES),
-            "block_format": "gorilla-columnar-v2.1",
+            # epoch blocks stay DENSE (no virtual-fill runs — the epoch
+            # mask truncates runs mid-stream), but the BLOCK_SCHEMA grew
+            # the 'runs' column, so the stamp must still bump: resuming a
+            # pre-runs-column store would mix two file schemas in one
+            # stage (pyarrow dataset unification silently drops the new
+            # column when an old file is listed first)
+            "block_format": "gorilla-columnar-v3-schema-dense-fills",
             "epoch_seconds": epoch_seconds,
             "epoch_start_s": es,
             "fill_end_s": fill_end,

@@ -309,14 +309,16 @@ def agg_expanded_rows(out_dir: str) -> int:
     import numpy as np
     import pyarrow.dataset as pads
 
+    from vertex_ray.stages.fill import RUN_FILL_MASK, RUN_STALE_SHIFT
+
     d = pads.dataset(stage_files(pipeline_paths(out_dir)["agg"]))
     if "fill_runs" not in d.schema.names:
         return d.count_rows()
     n = 0
     for b in d.to_batches(columns=["fill_runs"]):
         c = b["fill_runs"].to_numpy(zero_copy_only=False)
-        n += len(c) + int((c & np.uint16(0x7FFF)).astype(np.int64).sum())
-        n += int((c >> np.uint16(15)).astype(np.int64).sum())
+        n += len(c) + int((c & RUN_FILL_MASK).astype(np.int64).sum())
+        n += int((c >> RUN_STALE_SHIFT).astype(np.int64).sum())
     return n
 
 

@@ -122,12 +122,17 @@ def parse_avi(payload: bytes) -> dict:
     meta = {"width": 0, "height": 0, "fps": 0, "n_frames": 0,
             "handler": "", "frames": []}
 
-    def walk(start, stop):
+    def walk(start, stop, depth=0):
+        if depth > 8:
+            # real AVIs nest 2-3 LIST levels; a crafted payload of
+            # thousands of nested LISTs must fail as ValueError (which
+            # callers handle), not RecursionError (which they don't)
+            raise ValueError("avi: LIST nesting too deep")
         for fourcc, body, size in _walk_chunks(payload, start, stop):
             if fourcc == b"LIST":
                 ltype = payload[body:body + 4]
                 if ltype in (b"hdrl", b"strl", b"movi"):
-                    walk(body + 4, body + size)
+                    walk(body + 4, body + size, depth + 1)
             elif fourcc == b"avih" and size >= 40:
                 v = struct.unpack_from("<10I", payload, body)
                 meta["n_frames"] = v[4]

@@ -110,7 +110,16 @@ def cascade_store(src_dir: str, dst_dir: str, *, tiers=("5m", "1h", "1d"),
 
     src = read_stage(src_dir, "blocks", source_tier)
     coarser = cascade_blocks(src, tiers=tiers, source_tier=source_tier)
-    combined = read_stage(src_dir, "blocks", source_tier).union(coarser)
+    passthrough = read_stage(src_dir, "blocks", source_tier)
+    # a pre-runs-column source store must union with the re-encoder's
+    # current BLOCK_SCHEMA output: align on the source's own column set
+    # (same guard as retention_pass)
+    src_names = passthrough.schema().base_schema.names
+    if "runs" not in src_names:
+        coarser = coarser.map_batches(
+            lambda t, _n=tuple(src_names): t.select(list(_n)),
+            batch_format="pyarrow")
+    combined = passthrough.union(coarser)
     return write_stage(combined, os.path.join(dst_dir, "blocks"),
                        {"cascaded_from": src_dir,
                         "source_tier": source_tier,

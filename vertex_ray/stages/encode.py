@@ -38,9 +38,16 @@ from vertex_ray.gorilla import (
     encode_timestamps_multi,
     encode_values_multi_shared,
 )
-from vertex_ray.schema import BLOCK_SCHEMA, BUCKET_COLS, KIND_HISTOGRAM
+from vertex_ray.schema import (
+    BLOCK_SCHEMA,
+    BUCKET_COLS,
+    KIND_HISTOGRAM,
+    SCALAR_STREAMS,
+)
 
-_SCALARS = ("sum", "count", "min", "max", "last")
+# the on-disk value-stream order is schema.SCALAR_STREAMS — aliased here
+# only for brevity; never redefine it (format contract)
+_SCALARS = SCALAR_STREAMS
 
 
 class GorillaEncode:
@@ -81,10 +88,12 @@ class GorillaEncode:
             block_end = np.zeros(n, dtype=np.int64)
 
         if virtual:
+            from vertex_ray.stages.fill import RUN_FILL_MASK, RUN_STALE_SHIFT
+
             _, codes = flat("runs")
             codes = codes.astype(np.uint16, copy=False)
-            n_fill = (codes & np.uint16(0x7FFF)).astype(np.int64)
-            extra = n_fill + (codes >> np.uint16(15)).astype(np.int64)
+            n_fill = (codes & RUN_FILL_MASK).astype(np.int64)
+            extra = n_fill + (codes >> RUN_STALE_SHIFT).astype(np.int64)
             ce = np.zeros(len(extra) + 1, dtype=np.int64)
             np.cumsum(extra, out=ce[1:])
             extra_per = ce[ws_off[1:]] - ce[ws_off[:-1]]
@@ -201,12 +210,17 @@ def _parse_runs(batch: pa.Table, n_points: np.ndarray):
     ``(n_points, None, None, None)`` when every row is dense."""
     if "runs" not in batch.schema.names:
         return n_points, None, None, None
-    runs = batch["runs"].to_pylist()
-    lens = np.fromiter((len(b) if b else 0 for b in runs), dtype=np.int64,
-                       count=len(runs))
+    import pyarrow.compute as pc
+
+    col = batch["runs"].combine_chunks()
+    # vectorized dense-detect: no per-row Python objects when every row
+    # is b'' (the common all-dense store)
+    lens = pc.binary_length(pc.fill_null(col, b"")).to_numpy(
+        zero_copy_only=False).astype(np.int64)
     v3 = lens >= 4
     if not v3.any():
         return n_points, None, None, None
+    runs = col.to_pylist()
     n_real = np.where(v3, (lens - 4) // 2, n_points)
     off = np.zeros(len(runs) + 1, dtype=np.int64)
     np.cumsum(n_real, out=off[1:])

@@ -157,13 +157,20 @@ def fill_bucket_df(
 # ---------------------------------------------------------------------------
 
 
+# THE run-code layout (single source — kernel.fill_runs, encode.GorillaEncode,
+# encode._parse_runs and rollup_pipeline.agg_expanded_rows all import these):
+# uint16 code = n_fill | stale << RUN_STALE_SHIFT.
+RUN_FILL_MASK = np.uint16(0x7FFF)
+RUN_STALE_SHIFT = np.uint16(15)
+
+
 def _run_parts(codes: np.ndarray):
     """Decompose run codes into scatter geometry (mirrors fill_arrays's
     born-sorted position math): n_fill, stale mask, per-row extra count,
     each real row's output position, and the expanded total."""
     codes = np.asarray(codes)
-    n_fill = (codes & np.uint16(0x7FFF)).astype(np.int64)
-    stale = (codes >> np.uint16(15)).astype(np.int64)
+    n_fill = (codes & RUN_FILL_MASK).astype(np.int64)
+    stale = (codes >> RUN_STALE_SHIFT).astype(np.int64)
     extra = n_fill + stale
     off = np.zeros(len(codes), dtype=np.int64)
     if len(codes) > 1:
@@ -284,12 +291,18 @@ def expand_packed(batch: pa.Table) -> pa.Table:
     as ``tier``) pass through untouched."""
     batch = batch.combine_chunks()
     if batch.num_rows == 0:
-        dense = {}
-        for name in batch.schema.names:
-            if name in ("runs", "window_seconds"):
-                continue
-            dense[name] = batch[name]
+        # same column order as the non-empty branch: known packed columns,
+        # then flags, then pass-through extras (e.g. tier) — one schema
+        # regardless of which branch a bucket's expansion took
+        known = [n for n in batch.schema.names
+                 if n not in ("runs", "window_seconds")
+                 and (n.startswith("vals_") or n in (
+                     "bucket", "series_key", "name", "kind", "window_starts"))]
+        dense = {name: batch[name] for name in known}
         dense["flags"] = pa.array([], type=pa.list_(pa.uint8()))
+        for name in batch.schema.names:
+            if name not in dense and name not in ("runs", "window_seconds"):
+                dense[name] = batch[name]
         return pa.table(dense)
 
     def arr(name):

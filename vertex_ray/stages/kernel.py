@@ -350,10 +350,12 @@ def fill_runs(
 
     Precondition: ``agg`` sorted by (uid, window), same as fill_arrays.
     """
+    from vertex_ray.stages.fill import RUN_FILL_MASK, RUN_STALE_SHIFT
+
     uid, w = agg["uid"], agg["window"]
     n = len(uid)
     hw = horizon_seconds // window_seconds
-    if hw > 0x7FFF:
+    if hw > int(RUN_FILL_MASK):
         raise ValueError(
             f"fill_runs: horizon {horizon_seconds}s / window "
             f"{window_seconds}s = {hw} fill windows exceeds the uint16 "
@@ -368,7 +370,7 @@ def fill_runs(
     gap_windows = (limit - w) // window_seconds - 1
     n_fill = np.clip(gap_windows, 0, hw).astype(np.uint16)
     stale = (w + (hw + 1) * window_seconds) < limit
-    return n_fill | (stale.astype(np.uint16) << np.uint16(15))
+    return n_fill | (stale.astype(np.uint16) << RUN_STALE_SHIFT)
 
 
 def pack_arrays_virtual(

@@ -35,11 +35,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from vertex_ray.schema import BUCKET_COLS, KIND_HISTOGRAM
+from vertex_ray.schema import BUCKET_COLS, KIND_HISTOGRAM, SCALAR_STREAMS
 
 __all__ = ["retention_cutoffs", "apply_retention"]
 
-_SCALARS = ("sum", "count", "min", "max", "last")
+_SCALARS = SCALAR_STREAMS  # the on-disk stream order (format contract)
 
 _MIN64 = np.iinfo(np.int64).min
 
