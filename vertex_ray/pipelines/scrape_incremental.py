@@ -228,7 +228,11 @@ def scrape_append(lines_ds, out_dir: str, *, kinds: dict,
     paths = {s: posixpath.join(edir, s) for s in ("agg", "blocks", "state")}
     lineage = {"kinds": dict(sorted(kinds.items())), "tier": tier,
                "window_s": window_s, "n_buckets": n_buckets, "seq": seq,
-               "finalize": _emit_all}
+               "finalize": _emit_all,
+               # blocks here are dense, but BLOCK_SCHEMA grew the 'runs'
+               # column — never resume a pre-runs-column epoch store into
+               # a mixed-schema stage (same rationale as epoch_pipeline)
+               "block_format": "gorilla-columnar-v3-schema-dense-fills"}
     blocks_parts = paths["blocks"] + ".__parts__"
     state_parts = paths["state"] + ".__parts__"
     _prepare_parts_dir(blocks_parts, lineage)
