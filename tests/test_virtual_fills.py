@@ -221,3 +221,15 @@ def test_virtual_fill_property(series_spec, end_s):
         decode_blocks_batch(enc(tcol(virt))),
         decode_blocks_batch(enc(tcol(dense))),
     )
+
+
+def test_decode_pre_runs_column_store():
+    """Block rows written before the runs column existed (old committed
+    stores) must decode unchanged — absence of the column means dense."""
+    packed = _kernel_packed(2000)
+    enc = GorillaEncode()
+    dense = enc(expand_packed(packed))
+    legacy = dense.drop_columns(["runs"])
+    got = decode_blocks_batch(legacy)
+    want = decode_blocks_batch(dense)
+    _assert_tables_bit_identical(got, want)
