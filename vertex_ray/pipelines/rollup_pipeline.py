@@ -61,6 +61,18 @@ from vertex_ray.state import fsio
 
 DEFAULT_N_BUCKETS = 64
 
+# One scan task per ~this many compressed input bytes once the input
+# outgrows the small-input floor (Ray's own target block size; a read
+# task streams its fragments into multiple output blocks split at
+# DataContext.target_max_block_size, so per-task BYTES are not a heap
+# concern — task COUNT is purely a parallelism/overhead knob).
+TARGET_READ_TASK_BYTES = 128 * 2**20
+
+# One reduce bucket per ~this many compressed input bytes once the input
+# outgrows DEFAULT_N_BUCKETS (each bucket's group task holds its packed
+# per-series arrays in heap, so the reduce width must grow with data).
+TARGET_BUCKET_INPUT_BYTES = 512 * 2**20
+
 
 def _target_blocks() -> int:
     """Blocks sized to the session: parallelism downstream of a read (and
@@ -72,16 +84,65 @@ def _target_blocks() -> int:
     return 4 * cpus
 
 
+def input_bytes(path: str) -> int:
+    """Total compressed bytes of the transcript input (file sizes only,
+    no data read); 0 when the path cannot be listed (remote glob etc.) so
+    callers fall back to the small-input floor."""
+    try:
+        files = stage_files(path) if os.path.isdir(path) else [path]
+        return sum(fsio.file_size(f) for f in files)
+    except Exception:
+        return 0
+
+
+def read_num_blocks(path: str, *, nbytes: int | None = None,
+                    cpus: int | None = None) -> int:
+    """Map-side block count for the flagship scan — scale-aware.
+
+    The run-packed projection makes the exchange row-light, so on small
+    inputs the map×reduce object matrix (blocks × n_buckets), not data
+    volume, is the floor: 32 blocks measured best at 32 CPUs / 256
+    buckets (64 blocks 2.87 s, 48 → 2.04 s, 32 → 1.82 s through-kernel).
+    But a FIXED 32 inverts on a multi-node cluster streaming ~100 TB
+    (~3 TB per scan task and a 32-way ceiling for every downstream
+    stage), so the count grows one task per ~128 MiB of input up to the
+    session's 4-blocks-per-CPU width:
+
+      sandbox (≤2.5 GB input, ≤32 CPUs)  → 32 (the measured optimum)
+      100 TB on a 256-node × 32-CPU cluster → 32768 tasks (4/CPU),
+        each task streaming its fragments as 128 MB-split output blocks.
+    """
+    if nbytes is None:
+        nbytes = input_bytes(path)
+    width = (4 * cpus) if cpus is not None else _target_blocks()
+    by_bytes = -(-nbytes // TARGET_READ_TASK_BYTES)  # ceil
+    return max(32, min(width, by_bytes))
+
+
+def auto_n_buckets(path: str, *, nbytes: int | None = None,
+                   cpus: int | None = None) -> int:
+    """Reduce width for THE exchange — scale-aware (floors = the values
+    measured on this box: 64 buckets at ≤32 CPUs; ≥2 buckets/CPU so the
+    reduce side never starves a wider cluster; one bucket per ~512 MiB
+    of input so a bucket's packed per-series arrays stay heap-bounded at
+    100× data)."""
+    if cpus is None:
+        import ray
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8
+        )
+    if nbytes is None:
+        nbytes = input_bytes(path)
+    by_bytes = -(-nbytes // TARGET_BUCKET_INPUT_BYTES)
+    return max(DEFAULT_N_BUCKETS, 2 * cpus, by_bytes)
+
+
 def read_transcripts(path: str) -> "rd.Dataset":
-    # 4 blocks/CPU keeps the scan and project stages busy, but each map
-    # block multiplies the shuffle's map×reduce object matrix — with the
-    # run-packed projection the exchange is row-light and the matrix
-    # overhead dominates, so cap the map side at 32 blocks (measured at
-    # 32 CPUs, 256 buckets, through-kernel best-of-2: 64 blocks 2.87 s,
-    # 48 → 2.04 s, 32 → 1.82 s; 8-CPU runs already sit at 32 = 4/CPU)
     return rd.read_parquet(
         path, columns=PROJECT_COLUMNS,
-        override_num_blocks=min(_target_blocks(), 32)
+        override_num_blocks=read_num_blocks(path)
     )
 
 
@@ -361,7 +422,7 @@ def fused_bucket_group(
 def run_pipeline(
     transcripts_path: str,
     out_dir: str,
-    n_buckets: int = DEFAULT_N_BUCKETS,
+    n_buckets: int | None = None,  # None → auto_n_buckets (scale-aware)
     salt: int = 1,
     encode_concurrency: int | None = None,  # kept for the standalone encode op
     tiers=TIERS,
@@ -373,6 +434,8 @@ def run_pipeline(
     sealed with a manifest). Both must validate for the run to be
     considered done; per-bucket block files survive a crash and are
     reused on rerun."""
+    if n_buckets is None:
+        n_buckets = auto_n_buckets(transcripts_path)
     paths = pipeline_paths(out_dir)
     manifests: dict[str, dict] = {}
     end = transcripts_end_ts(transcripts_path)
