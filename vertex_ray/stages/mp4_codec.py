@@ -1,17 +1,18 @@
-"""MP4 (ISO BMFF) container parser + fixture writer — pure ``struct``.
+"""MP4 (ISO BMFF) container codec — pure ``struct``, no codec library.
 
-Closes the container half of the video gap: frame DECODE still requires
-a codec library (H.264/H.265 — honestly stubbed, no ffmpeg in this
-container), but the CONTAINER is just the public ISO base media file
-format (boxes = 4-byte size + fourcc): this module walks the box tree
-and extracts the metadata a curation pipeline filters on — duration,
-track dimensions, sample-entry codec fourcc, sample count — and a
-fixture writer emits structurally valid minimal files (ftyp + moov with
-one video track + mdat) so the parse path is tested with REAL bytes.
+The CONTAINER is the public ISO base media file format (boxes = 4-byte
+size + fourcc): this module walks the box tree and extracts the metadata
+a curation pipeline filters on — duration, track dimensions,
+sample-entry codec fourcc, sample count — plus the stsz/stco sample
+table, and writes structurally valid files (ftyp + moov with one video
+track + mdat).
 
-MediaFeaturize consumes this: an MP4 payload now contributes PARSED
-container features (duration, width/height, sample count) alongside the
-payload digest; only the pixel decode remains a flagged stub.
+Pixel decode is REAL for the MJPEG profile (QuickTime Photo-JPEG,
+sample-entry fourcc ``jpeg``): every ``mdat`` sample is a complete
+baseline JFIF image, decoded by stages/jpeg_codec — the same trick as
+MJPEG-in-AVI (stages/avi_codec), applied to ISO BMFF. Foreign codecs
+(H.264/H.265) still parse as container metadata only; MediaFeaturize
+surfaces those with ``decoded`` = False digest-tail features.
 """
 from __future__ import annotations
 
@@ -30,9 +31,15 @@ def _box(fourcc: bytes, body: bytes) -> bytes:
 
 def encode_mp4(width: int, height: int, n_samples: int,
                duration_ms: int, frame_payload: bytes,
-               codec: bytes = b"rawv", timescale: int = 1000) -> bytes:
+               codec: bytes = b"rawv", timescale: int = 1000,
+               sample_sizes: list[int] | None = None) -> bytes:
     """Minimal structurally-valid MP4: ftyp + moov(mvhd, trak(tkhd,
-    mdia(mdhd, hdlr, minf(stbl(stsd/stts/stsc/stsz/stco))))) + mdat."""
+    mdia(mdhd, hdlr, minf(stbl(stsd/stts/stsc/stsz/stco))))) + mdat.
+
+    ``sample_sizes``: per-sample byte sizes (variable-size stsz table,
+    the MJPEG path); default = equal split of ``frame_payload``. stco
+    carries the REAL file offset of the mdat body so samples are
+    addressable for decode (one chunk holding all samples, stsc 1:N)."""
     dur = duration_ms * timescale // 1000
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomiso2")
     matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
@@ -61,19 +68,113 @@ def encode_mp4(width: int, height: int, n_samples: int,
     per = max(1, dur // max(1, n_samples))
     stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, n_samples, per))
     stsc = _box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n_samples, 1))
-    size = len(frame_payload) // max(1, n_samples)
-    stsz = _box(b"stsz", struct.pack(">B3xII", 0, size, n_samples))
-    stco = _box(b"stco", struct.pack(">B3xII", 0, 1, 0))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-    vmhd = _box(b"vmhd", struct.pack(">B3BHHHH", 0, 0, 0, 1, 0, 0, 0, 0))
-    dref = _box(b"dref", struct.pack(">B3xI", 0, 1)
-                + _box(b"url ", struct.pack(">B3B", 0, 0, 0, 1)))
-    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
-    mdat = _box(b"mdat", frame_payload)
-    return ftyp + moov + mdat
+    if sample_sizes is not None:
+        if sum(sample_sizes) != len(frame_payload):
+            raise ValueError("mp4: sample_sizes must sum to payload length")
+        stsz = _box(b"stsz", struct.pack(">B3xII", 0, 0, len(sample_sizes))
+                    + struct.pack(f">{len(sample_sizes)}I", *sample_sizes))
+    else:
+        size = len(frame_payload) // max(1, n_samples)
+        stsz = _box(b"stsz", struct.pack(">B3xII", 0, size, n_samples))
+
+    def assemble(mdat_body_off: int) -> bytes:
+        stco = _box(b"stco", struct.pack(">B3xII", 0, 1, mdat_body_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _box(b"vmhd", struct.pack(">B3BHHHH", 0, 0, 0, 1, 0, 0, 0, 0))
+        dref = _box(b"dref", struct.pack(">B3xI", 0, 1)
+                    + _box(b"url ", struct.pack(">B3B", 0, 0, 0, 1)))
+        minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        moov = _box(b"moov", mvhd + trak)
+        return ftyp + moov + _box(b"mdat", frame_payload)
+
+    # moov's length does not depend on the stco value (fixed 4-byte
+    # field), so assemble once to measure, then with the real offset
+    probe = assemble(0)
+    mdat_body = len(probe) - len(frame_payload)
+    return assemble(mdat_body)
+
+
+def encode_mp4_mjpeg(frames, fps: int = 10, quality: int = 85) -> bytes:
+    """(T, H, W, 3) uint8 frames → MJPEG-in-MP4 bytes: each sample in
+    ``mdat`` is a complete baseline JFIF image (the avi_codec trick on
+    ISO BMFF — QuickTime Photo-JPEG, sample-entry fourcc ``jpeg``), so
+    the whole container decodes with stages/jpeg_codec and no codec
+    library. Variable-size stsz table + real stco offset make every
+    sample addressable."""
+    import numpy as np
+
+    from vertex_ray.stages.jpeg_codec import encode_jpeg
+
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("encode_mp4_mjpeg expects (T, H, W, 3) frames")
+    t, h, w, _ = frames.shape
+    jpegs = [encode_jpeg(frames[i], quality=quality) for i in range(t)]
+    return encode_mp4(w, h, t, t * 1000 // max(1, fps), b"".join(jpegs),
+                      codec=b"jpeg", sample_sizes=[len(j) for j in jpegs])
+
+
+def mp4_samples(payload: bytes) -> list[tuple[int, int]]:
+    """(file_offset, size) of every sample, from the stsz table (or
+    fixed size) + the first stco chunk offset (the single-chunk layout
+    this module writes: stsc maps all samples into chunk 1
+    back-to-back)."""
+    sizes: list[int] = []
+    chunk_off = [0]
+
+    def walk(start, end):
+        for fourcc, body, bend in _walk(payload, start, end):
+            if fourcc == b"stsz":
+                fixed, n = struct.unpack(">II", payload[body + 4:body + 12])
+                if fixed:
+                    sizes.extend([fixed] * n)
+                else:
+                    sizes.extend(struct.unpack(
+                        f">{n}I", payload[body + 12:body + 12 + 4 * n]))
+            elif fourcc == b"stco":
+                n = struct.unpack(">I", payload[body + 4:body + 8])[0]
+                if n:
+                    chunk_off[0] = struct.unpack(
+                        ">I", payload[body + 8:body + 12])[0]
+            elif fourcc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, bend)
+
+    walk(0, len(payload))
+    out = []
+    pos = chunk_off[0]
+    for s in sizes:
+        out.append((pos, s))
+        pos += s
+    return out
+
+
+def decode_mp4_mjpeg(payload: bytes):
+    """MJPEG-in-MP4 bytes → (T, H, W, 3) uint8 frames via the stsz/stco
+    sample walk + per-sample baseline-JPEG decode."""
+    import numpy as np
+
+    from vertex_ray.stages.jpeg_codec import JPEG_MAGIC, decode_jpeg
+
+    meta = parse_mp4(payload)
+    if meta["codec"] not in ("jpeg", "mjpa", "MJPG"):
+        raise ValueError(f"mp4: not an MJPEG sample entry: {meta['codec']!r}")
+    samples = mp4_samples(payload)
+    if not samples:
+        raise ValueError("mp4: no addressable samples")
+    frames = []
+    for off, size in samples:
+        blob = payload[off:off + size]
+        if blob[:2] != JPEG_MAGIC:
+            raise ValueError("mp4: sample is not a JFIF image")
+        f = decode_jpeg(blob)
+        if f.ndim == 2 or f.shape[2] == 1:
+            f = np.repeat(f.reshape(f.shape[0], f.shape[1], 1), 3, axis=2)
+        frames.append(f)
+    if len({f.shape for f in frames}) != 1:
+        raise ValueError("mp4: inconsistent frame shapes")
+    return np.stack(frames)
 
 
 def _walk(blob: bytes, start: int, end: int):

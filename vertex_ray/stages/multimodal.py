@@ -14,17 +14,20 @@ Two decode paths:
   4:2:2 / 4:2:0, Annex K tables, restart markers) and stages/wav_codec
   (RIFF PCM 8/16/24/32-bit + float32) — the image and audio library
   formats are un-stubbed end to end.
-- **MJPEG AVI (real)** — the AVI RIFF container walk + per-frame
-  baseline-JPEG decode (stages/avi_codec) make one VIDEO format fully
-  real end to end: bytes → (T, H, W, 3) frames → frame-sampled
-  features, still with no codec library.
-- **MP4 (container real, codec stub)** — the ISO BMFF container is
-  REALLY parsed (stages/mp4_codec box walk: duration, dimensions,
-  sample-entry codec, sample count become features), but the pixel
-  decode needs a codec library (no ffmpeg here) so ``decoded`` stays
-  False with digest tail features. Unknown payloads fall back to
-  ``_decode_stub`` entirely; the substitution is always visible via
-  the ``decoded`` flag, never silent.
+- **MJPEG AVI + MJPEG MP4 (real)** — the AVI RIFF container walk and
+  the ISO BMFF stsz/stco sample walk each yield per-frame baseline
+  JFIF images, decoded by stages/jpeg_codec: BOTH video container
+  formats run bytes → (T, H, W, 3) frames → frame-sampled features
+  for real, with no codec library. Every format synth_media_table
+  emits (RAWM, PNG, JPEG, WAV, MJPEG-AVI, MJPEG-MP4) decodes to real
+  pixels/samples — there is no stubbed format left in the synth set.
+- **Foreign payloads (digest fallback)** — an MP4 whose samples need
+  a real codec library (H.264/H.265 — no ffmpeg here) still gets its
+  container REALLY parsed (duration / dims / codec fourcc / sample
+  count become features) with digest tail features and ``decoded`` =
+  False; unknown byte strings get pure digest features. The
+  substitution is always visible via the ``decoded`` flag, never
+  silent.
 
 The Ray-side contract is identical either way: actor-pool stage (decoder
 state acquired once per actor, the geoip pattern), SMALL batch_size because
@@ -59,9 +62,11 @@ def synth_media_table(n: int, seed: int = 21) -> pa.Table:
     """Deterministic media rows with REAL decodable payloads (actual
     pixel/sample data, not digest noise) for testing at any scale:
     images alternate RAWM / PNG / JPEG, audio alternates RAWM / WAV,
-    video alternates RAWM / MJPEG-AVI (all real decode paths)."""
+    video alternates MJPEG-AVI / MJPEG-MP4 / RAWM (ALL real decode
+    paths — no stubbed format in the synth set)."""
     from vertex_ray.stages.avi_codec import encode_avi_mjpeg
     from vertex_ray.stages.jpeg_codec import encode_jpeg
+    from vertex_ray.stages.mp4_codec import encode_mp4_mjpeg
     from vertex_ray.stages.png_codec import encode_png
     from vertex_ray.stages.wav_codec import encode_wav
 
@@ -83,11 +88,17 @@ def synth_media_table(n: int, seed: int = 21) -> pa.Table:
             _, rgb = media_codec.decode(raw)
             payloads.append(encode_jpeg(rgb, quality=85))
             mimes.append("image/jpeg")
-        elif k == "video" and i % 2 == 0:
+        elif k == "video" and i % 3 == 0:
             # REAL MJPEG AVI (library-format path, stages/avi_codec)
             _, frames = media_codec.decode(raw)
             payloads.append(encode_avi_mjpeg(frames[:4], fps=5, quality=85))
             mimes.append("video/x-msvideo")
+        elif k == "video" and i % 3 == 1:
+            # REAL MJPEG MP4 (library-format path, stages/mp4_codec —
+            # JFIF samples addressed via stsz/stco)
+            _, frames = media_codec.decode(raw)
+            payloads.append(encode_mp4_mjpeg(frames[:4], fps=5, quality=85))
+            mimes.append("video/mp4")
         elif k == "audio" and i % 2 == 0:
             # REAL RIFF/PCM WAV (library-format path, stages/wav_codec)
             _, (samples, sr) = media_codec.decode(raw)
@@ -112,10 +123,12 @@ def synth_media_table(n: int, seed: int = 21) -> pa.Table:
     )
 
 
-def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB for library-backed formats (PIL.Image.open / librosa.load /
-    ffmpeg frame sampling — not installed here): deterministic 16-dim
-    feature from the payload digest, so foreign-format rows still flow."""
+def _digest_features(payload: bytes, kind: str) -> np.ndarray:
+    """Fallback for FOREIGN or corrupt payloads (e.g. an H.264 MP4 —
+    no codec library here — or unknown byte strings): deterministic
+    16-dim feature from the payload digest, so such rows still flow,
+    always with ``decoded`` = False. Every format synth_media_table
+    emits decodes for real and never reaches this."""
     d = hashlib.blake2b(payload, digest_size=16).digest()
     return (np.frombuffer(d, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
 
@@ -143,7 +156,7 @@ class MediaFeaturize:
             try:
                 img = png_codec.decode_png(payload)
             except ValueError:
-                return _decode_stub(payload, kind), False
+                return _digest_features(payload, kind), False
             if img.shape[2] == 1:
                 img = np.repeat(img, 3, axis=2)
             return media_codec.image_features(img[:, :, :3]), True
@@ -152,18 +165,20 @@ class MediaFeaturize:
             try:
                 img = jpeg_codec.decode_jpeg(payload)
             except ValueError:
-                return _decode_stub(payload, kind), False
+                return _digest_features(payload, kind), False
             if img.shape[2] == 1:
                 img = np.repeat(img, 3, axis=2)
             return media_codec.image_features(img), True
-        # RIFF is shared by WAV and AVI — dispatch on the form type
-        if payload[:4] == wav_codec.WAV_MAGIC and payload[8:12] != b"AVI ":
+        # RIFF is shared by WAV, AVI, WebP… — require the WAVE form type
+        # (a non-WAVE RIFF must fall through to the AVI branch or the
+        # digest fallback, not rely on the WAV decoder's ValueError)
+        if payload[:4] == wav_codec.WAV_MAGIC and payload[8:12] == b"WAVE":
             # REAL RIFF/PCM WAV decode (stdlib struct + numpy —
             # stages/wav_codec); channel-average to mono for features
             try:
                 samples, rate = wav_codec.decode_wav(payload)
             except ValueError:
-                return _decode_stub(payload, kind), False
+                return _digest_features(payload, kind), False
             # audio_features expects int16-scaled samples; decode_wav
             # yields [-1, 1) floats — rescale (exact for 16-bit PCM)
             return media_codec.audio_features(
@@ -176,22 +191,29 @@ class MediaFeaturize:
             try:
                 frames = avi_codec.decode_avi_mjpeg(payload)
             except ValueError:
-                return _decode_stub(payload, kind), False
+                return _digest_features(payload, kind), False
             return media_codec.video_features(frames), True
         from vertex_ray.stages import mp4_codec
 
         if mp4_codec.is_mp4(payload):
             # the CONTAINER is really parsed (ISO BMFF box walk,
-            # stages/mp4_codec) — duration/dims/codec/sample-count are
-            # real features; only the pixel decode remains a stub
-            # (H.264/H.265 need a codec library absent here), so
-            # ``decoded`` stays False and the tail features come from
-            # the payload digest
+            # stages/mp4_codec); MJPEG sample entries (``jpeg`` fourcc —
+            # JFIF frames addressed via stsz/stco) REALLY decode to
+            # pixels through stages/jpeg_codec. Foreign codecs
+            # (H.264/H.265 — codec library absent here) keep the parsed
+            # container metadata as features with digest tails and
+            # ``decoded`` = False.
             try:
                 meta = mp4_codec.parse_mp4(payload)
             except ValueError:
-                return _decode_stub(payload, kind), False
-            feat = _decode_stub(payload, kind)
+                return _digest_features(payload, kind), False
+            if meta["codec"] in ("jpeg", "mjpa", "MJPG"):
+                try:
+                    frames = mp4_codec.decode_mp4_mjpeg(payload)
+                except ValueError:
+                    return _digest_features(payload, kind), False
+                return media_codec.video_features(frames), True
+            feat = _digest_features(payload, kind)
             feat[0] = np.log1p(meta["duration_ms"]) / 10.0
             feat[1] = meta["width"] / 512.0
             feat[2] = meta["height"] / 512.0
@@ -200,7 +222,7 @@ class MediaFeaturize:
         try:
             name, data = media_codec.decode(payload)
         except ValueError:  # unknown formats stay fully stubbed
-            return _decode_stub(payload, kind), False
+            return _digest_features(payload, kind), False
         if name == "image":
             return media_codec.image_features(data), True
         if name == "audio":
