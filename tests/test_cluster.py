@@ -262,3 +262,74 @@ def test_ivf_int_topk_exact_properties(ray_session):
         order = np.lexsort((np.arange(200), -sc))[:5]
         got = a[a.query_vec_id == qid]["vec_id"].tolist()
         assert got == list(order), qid
+
+
+def test_pca_power_int_fit_project(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.cluster import (
+        pca_fit, pca_power_int_fit, pca_power_int_project,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((300, 8))
+    base[:, 2] *= 8.0  # dominant axis
+    df = pd.DataFrame({"vec_id": range(300),
+                       "embedding": [list(r) for r in base]})
+    ds = rd.from_pandas(df).repartition(4)
+    n, s, v = pca_power_int_fit(ds, "embedding")
+    assert n == 300 and s.dtype == np.int64 and v.dtype == np.int64
+    # deterministic sign: largest-|entry| coordinate positive
+    assert v[np.abs(v).argmax()] > 0
+    # the integer direction aligns with the float top component
+    _, comps = pca_fit(ds, "embedding", k=1)
+    cos = abs(v @ comps[0]) / (np.linalg.norm(v) * np.linalg.norm(comps[0]))
+    assert cos > 0.99
+
+    # fit is partition-invariant (int partials merge order-free, exactly)
+    n1, s1, v1 = pca_power_int_fit(
+        rd.from_pandas(df).repartition(1), "embedding")
+    assert n1 == n and np.array_equal(s1, s) and np.array_equal(v1, v)
+
+    out = pca_power_int_project(ds, n, s, v, "embedding", "vec_id") \
+        .to_pandas().sort_values("vec_id")
+    # exact integer reference
+    xq = np.floor(base * 128).astype(np.int64)
+    want = (n * xq - s) @ v
+    np.testing.assert_array_equal(out["proj"].to_numpy(), want)
+
+
+def test_lsh_near_pairs_md5(ray_session):
+    import ray.data as rd
+
+    from vertex_ray.stages.ann import lsh_near_pairs_md5
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 64))
+    # plant 3 near-dup pairs (ids 100/101, 102/103, 104/105)
+    vecs = list(base)
+    ids = list(range(40))
+    for k in range(3):
+        v = rng.standard_normal(64)
+        vecs += [v, v + rng.standard_normal(64) * 0.05]
+        ids += [100 + 2 * k, 101 + 2 * k]
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [list(v) for v in vecs]})
+    out = lsh_near_pairs_md5(
+        rd.from_pandas(df).repartition(3), "embedding", "vec_id"
+    ).to_pandas()
+    got = {tuple(r) for r in out[["a", "b"]].to_numpy()}
+    assert {(100, 101), (102, 103), (104, 105)} <= got
+    # verified pairs satisfy the integer cosine bound exactly
+    xq = {i: np.floor(np.asarray(v) * 128).astype(np.int64)
+          for i, v in zip(ids, vecs)}
+    for _, r in out.iterrows():
+        d = int(xq[r["a"]] @ xq[r["b"]])
+        assert d == r["dot"] and d >= 0
+        assert 400 * d * d >= 81 * int(xq[r["a"]] @ xq[r["a"]]) * int(
+            xq[r["b"]] @ xq[r["b"]])
+    # partition-invariant
+    out2 = lsh_near_pairs_md5(
+        rd.from_pandas(df).repartition(1), "embedding", "vec_id"
+    ).to_pandas()
+    assert got == {tuple(r) for r in out2[["a", "b"]].to_numpy()}

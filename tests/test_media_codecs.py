@@ -417,3 +417,39 @@ def test_synth_media_table_every_row_really_decodes():
     mf = MediaFeaturize()
     out = mf(t)
     assert out["decoded"].to_pandas().all()
+
+
+def test_oracle_media_payload_kinds_and_determinism():
+    from vertex_ray.stages.multimodal import oracle_media_payload
+
+    kinds = [oracle_media_payload(i)[1] for i in range(10)]
+    assert kinds == ["png", "jpeg", "wav", "avi", "mp4"] * 2
+    assert oracle_media_payload(7) == oracle_media_payload(7)
+
+
+def test_media_checksum_solid_gray_chain():
+    """The checksum stage's JPEG-family values equal the scalar DC
+    chain the SQL oracle uses (doc 1: v=(13+7)%256=20 → decodes to
+    exactly 20; video frames via the color chain)."""
+    import pyarrow as pa
+
+    from vertex_ray.stages.multimodal import MediaChecksum, build_oracle_media
+
+    out = MediaChecksum()(build_oracle_media(
+        pa.table({"doc_id": pa.array([1, 3], pa.int64())}))).to_pandas()
+    jpeg = out[out.media_kind == "jpeg"].iloc[0]
+    assert jpeg.value_min == jpeg.value_max == 20
+    assert jpeg.value_sum == 256 * 20
+
+    def rhe(x):
+        return float(np.round(x))
+
+    avi = out[out.media_kind == "avi"].iloc[0]
+    us = []
+    for t in range(4):
+        v = (3 * 13 + t * 29) % 256
+        y = 0.299 * v + 0.587 * v + 0.114 * v
+        dcq = rhe(8 * (y - 128) / 5)
+        us.append(min(255, max(0, rhe(dcq * 5 / 8 + 128))))
+    assert avi.value_sum == 16 * 16 * 3 * sum(us)
+    assert avi.value_min == min(us) and avi.value_max == max(us)

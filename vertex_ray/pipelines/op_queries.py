@@ -1569,6 +1569,102 @@ def q_multimodal_features(sf_dir: str):
     return featurize_media(rd.from_arrow(synth_media_table(n)), concurrency=2)
 
 
+def q_media_decode_docs(sf_dir: str):
+    """ORACLED multimodal decode (stages/multimodal.media_decode_checksums
+    — the geoip-mmdb trick applied to media codecs): payloads BUILT
+    deterministically from documents ids (PNG gradient / solid-gray JPEG
+    / PCM16 WAV / solid-gray MJPEG-AVI / solid-gray MJPEG-MP4), decoded
+    through the REAL codec dispatch, reduced to integer checksums. The
+    oracle recomputes every checksum arithmetically — PNG/WAV are
+    lossless round-trips, and the solid-gray JPEG family collapses to
+    the scalar DC quant chain (validated exhaustively for all 256 gray
+    values) — so values only match if the quant tables, DCT, Huffman
+    coding, container mux and decoders are all correct."""
+    import ray.data as rd
+
+    from vertex_ray.stages.multimodal import media_decode_checksums
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return media_decode_checksums(ds, concurrency=2)
+
+
+def _sql_rhe(x: str) -> str:
+    """numpy half-even rounding (np.round) of a DOUBLE expression —
+    SQL round() rounds half away from zero, so ties must be spelled
+    out (DC levels and reconstructed pixels DO land on exact .5)."""
+    return (f"(CAST(floor({x}) AS BIGINT) + CASE "
+            f"WHEN ({x}) - floor({x}) > 0.5 THEN 1 "
+            f"WHEN ({x}) - floor({x}) < 0.5 THEN 0 "
+            f"WHEN CAST(floor({x}) AS BIGINT) % 2 = 0 THEN 0 "
+            f"ELSE 1 END)")
+
+
+def _sql_jpeg_gray_chain(v: str, color: bool) -> str:
+    """Decoded pixel value of a solid-gray JPEG block at quality 85 —
+    the whole encode→decode chain as scalar arithmetic (Annex-K luma DC
+    quant 16 scaled to 5 at q85; constant blocks have zero AC energy and
+    exactly-128 chroma, so only the DC level survives):
+    y → dcq = round_half_even(8(y−128)/5) → clip(rhe(dcq·5/8 + 128))."""
+    y = (f"(CAST(0.299 AS DOUBLE) * ({v}) + CAST(0.587 AS DOUBLE) * ({v})"
+         f" + CAST(0.114 AS DOUBLE) * ({v}))" if color
+         else f"CAST(({v}) AS DOUBLE)")
+    dcq = _sql_rhe(f"(8 * ({y} - 128)) / 5")
+    yp = f"(CAST({dcq} AS DOUBLE) * 5 / 8 + 128)"
+    return f"LEAST(255, GREATEST(0, {_sql_rhe(yp)}))"
+
+
+def _sql_media_decode_docs() -> str:
+    vid_u = _sql_jpeg_gray_chain("(doc_id * 13 + t * 29) % 256", True)
+    jpg_u = _sql_jpeg_gray_chain("(doc_id * 13 + 7) % 256", False)
+    return f"""
+WITH ids AS (SELECT doc_id FROM documents),
+png AS (
+  SELECT doc_id, 'png' AS media_kind,
+         CAST(count(*) AS BIGINT) AS n_values,
+         CAST(SUM(px) AS BIGINT) AS value_sum,
+         CAST(MIN(px) AS BIGINT) AS value_min,
+         CAST(MAX(px) AS BIGINT) AS value_max
+  FROM (SELECT doc_id, (doc_id * 31 + u) % 256 AS px
+        FROM ids, generate_series(0, {16 * 24 * 3 - 1}) AS g(u)
+        WHERE doc_id % 5 = 0)
+  GROUP BY doc_id
+),
+jpg AS (
+  SELECT doc_id, 'jpeg' AS media_kind, CAST(256 AS BIGINT) AS n_values,
+         CAST(256 * u AS BIGINT) AS value_sum,
+         CAST(u AS BIGINT) AS value_min, CAST(u AS BIGINT) AS value_max
+  FROM (SELECT doc_id, {jpg_u} AS u FROM ids WHERE doc_id % 5 = 1)
+),
+wav AS (
+  SELECT doc_id, 'wav' AS media_kind,
+         CAST(count(*) AS BIGINT) AS n_values,
+         CAST(SUM(m) AS BIGINT) AS value_sum,
+         CAST(MIN(m) AS BIGINT) AS value_min,
+         CAST(MAX(m) AS BIGINT) AS value_max
+  FROM (SELECT doc_id, (doc_id * 7919 + u * 131) % 65536 - 32768 AS m
+        FROM ids, generate_series(0, 255) AS g(u)
+        WHERE doc_id % 5 = 2)
+  GROUP BY doc_id
+),
+vid AS (
+  SELECT doc_id, {vid_u} AS u
+  FROM ids, generate_series(0, 3) AS g(t)
+  WHERE doc_id % 5 IN (3, 4)
+),
+vids AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 3 THEN 'avi' ELSE 'mp4' END AS media_kind,
+         CAST({4 * 16 * 16 * 3} AS BIGINT) AS n_values,
+         CAST({16 * 16 * 3} * SUM(u) AS BIGINT) AS value_sum,
+         CAST(MIN(u) AS BIGINT) AS value_min,
+         CAST(MAX(u) AS BIGINT) AS value_max
+  FROM vid GROUP BY doc_id
+)
+SELECT * FROM png UNION ALL SELECT * FROM jpg
+UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM vids
+"""
+
+
 # --- stream-shaped windowed analytics --------------------------------------
 
 
@@ -2513,6 +2609,73 @@ FROM proj GROUP BY 1
 """
 
 
+def q_lsh_near_pairs_embeddings(sf_dir: str):
+    """LSH-bucketed near-dup pairs with integer-exact verification
+    (stages/ann.lsh_near_pairs_md5 — the oracle-able twin of the
+    rng-seeded embedding_near_pairs_lsh): md5-parity plane signatures
+    split into 4×4-bit bands, candidates = ids sharing a band value,
+    verified by den²·dot² ≥ num²·‖a‖²·‖b‖² over quantized coordinates
+    (θ = 9/20 exactly). The SQL mirror rebuilds the planes, bands,
+    candidate join and the integer test, so the whole candidate
+    generation + verification chain is value-hash checked."""
+    from vertex_ray.stages.ann import lsh_near_pairs_md5
+
+    return lsh_near_pairs_md5(_emb(sf_dir), "embedding", "vec_id",
+                              n_planes=_LSH_PLANES, dim=_LSH_DIM,
+                              quant=_KMI_Q)
+
+
+SQL_LSH_NEAR_PAIRS_EMBEDDINGS = f"""
+WITH xq AS MATERIALIZED (
+  SELECT vec_id, j, CAST(floor(CAST(e AS DOUBLE) * {_KMI_Q}) AS BIGINT)
+           AS x
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS j
+        FROM embeddings)
+),
+planes AS (
+  SELECT i, j,
+         CASE WHEN md5_number_lower(CAST(i AS VARCHAR) || ':'
+                                    || CAST(j AS VARCHAR))::UBIGINT
+                   % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM range(0, {_LSH_PLANES}) p(i), range(1, {_LSH_DIM} + 1) q(j)
+),
+sig AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN s >= 0
+                       THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT)
+           AS signature
+  FROM (SELECT x.vec_id, p.i, SUM(p.sgn * x.x) AS s
+        FROM xq x JOIN planes p ON p.j = x.j
+        GROUP BY 1, 2)
+  GROUP BY 1
+),
+bands AS MATERIALIZED (
+  SELECT vec_id, b, (signature >> (b * 4)) & 15 AS bval
+  FROM sig, range(0, 4) g(b)
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bval = y.bval AND x.vec_id < y.vec_id
+),
+dots AS (
+  SELECT c.a, c.b, SUM(xa.x * xb.x) AS dot
+  FROM cand c
+  JOIN xq xa ON xa.vec_id = c.a
+  JOIN xq xb ON xb.vec_id = c.b AND xb.j = xa.j
+  GROUP BY c.a, c.b
+),
+nrm AS (SELECT vec_id, SUM(x * x) AS n2 FROM xq GROUP BY 1)
+SELECT d.a AS a, d.b AS b, CAST(d.dot AS BIGINT) AS dot
+FROM dots d
+JOIN nrm na ON na.vec_id = d.a
+JOIN nrm nb ON nb.vec_id = d.b
+WHERE d.dot >= 0 AND 400 * d.dot * d.dot >= 81 * na.n2 * nb.n2
+"""
+
+
 def q_hll_distinct_events(sf_dir: str):
     """Approximate distinct users per event_type via the mergeable HLL
     sketch (rows-only: the estimator is probabilistic; accuracy and
@@ -3064,6 +3227,91 @@ def q_pca_embeddings(sf_dir: str):
     return pca_project(_emb(sf_dir), mean, comps, "embedding", "vec_id")
 
 
+_PCA_QUANT, _PCA_VS, _PCA_ITERS = 128, 4096, 6
+
+
+def q_pca_power_int_embeddings(sf_dir: str):
+    """INTEGER-exact top-principal-direction PCA
+    (stages/cluster.pca_power_int_fit — the oracle-able twin of the
+    float eigendecomposition variant, whose FP partial sums are
+    block-order-dependent and unhashable): quantized coordinates, one
+    (n, Σx, ΣxxᵀT) combiner pass, floored scatter normalization, a FIXED
+    6-step integer power iteration (exactness never depends on
+    convergence — the oracle unrolls the identical chain), deterministic
+    sign, centered integer projection scaled by n."""
+    from vertex_ray.stages.cluster import (
+        pca_power_int_fit, pca_power_int_project,
+    )
+
+    ds = _emb(sf_dir)
+    n, s, v = pca_power_int_fit(ds, "embedding", quant=_PCA_QUANT,
+                                vec_scale=_PCA_VS, iters=_PCA_ITERS)
+    return pca_power_int_project(_emb(sf_dir), n, s, v, "embedding",
+                                 "vec_id", quant=_PCA_QUANT)
+
+
+def _sql_fdiv(a: str, b: str) -> str:
+    """Floor division of a BIGINT expression by a POSITIVE BIGINT in
+    DuckDB, matching numpy's ``//`` (DuckDB ``//`` truncates toward
+    zero, numpy floors toward −∞ — they differ on negative
+    numerators)."""
+    return (f"CASE WHEN ({a}) >= 0 THEN ({a}) // ({b}) "
+            f"ELSE -((-({a}) + ({b}) - 1) // ({b})) END")
+
+
+def _sql_pca_power_int(quant: int = _PCA_QUANT, vs: int = _PCA_VS,
+                       iters: int = _PCA_ITERS) -> str:
+    """Unrolled integer power iteration (the `_sql_kmeans_int_chain`
+    technique): quantize → (n, s, scatter) → Mn = (n·S − s·sᵀ) // n →
+    ``iters`` CTE rounds of w = Mn·v, v = w // (max|w| // vs + 1) →
+    sign flip at the largest-|entry| coordinate (ties → lowest j) →
+    centered projection Σ (n·x − s)·v. Every division is the explicit
+    floor form so DuckDB reproduces numpy bit-for-bit."""
+    parts = [f"""
+WITH xq AS MATERIALIZED (
+  SELECT vec_id, j, CAST(floor(CAST(e AS DOUBLE) * {quant}) AS BIGINT) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS j
+        FROM embeddings)
+),
+st AS MATERIALIZED (SELECT count(DISTINCT vec_id) AS n FROM xq),
+sv AS MATERIALIZED (SELECT j, SUM(x) AS s FROM xq GROUP BY j),
+mn AS MATERIALIZED (
+  SELECT i, jj, {_sql_fdiv("m", "n")} AS mm
+  FROM (
+    SELECT a.j AS i, b.j AS jj, st.n AS n,
+           st.n * SUM(a.x * b.x) - si.s * sj.s AS m
+    FROM xq a JOIN xq b USING (vec_id)
+    CROSS JOIN st
+    JOIN sv si ON si.j = a.j
+    JOIN sv sj ON sj.j = b.j
+    GROUP BY a.j, b.j, st.n, si.s, sj.s
+  )
+),
+v0 AS MATERIALIZED (SELECT j, CAST({vs} AS BIGINT) AS v FROM sv)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT mn.i AS j, SUM(mn.mm * v.v) AS w
+  FROM mn JOIN v{t - 1} v ON v.j = mn.jj GROUP BY mn.i
+),
+d{t} AS MATERIALIZED (SELECT max(abs(w)) // {vs} + 1 AS dv FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT j, {_sql_fdiv("w", "dv")} AS v FROM w{t}, d{t}
+)""")
+    parts.append(f""",
+sgn AS MATERIALIZED (
+  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS f
+  FROM v{iters} ORDER BY abs(v) DESC, j ASC LIMIT 1
+),
+vf AS MATERIALIZED (SELECT j, v * f AS v FROM v{iters}, sgn)
+SELECT xq.vec_id AS vec_id,
+       CAST(SUM((st.n * xq.x - sv.s) * vf.v) AS BIGINT) AS proj
+FROM xq JOIN sv USING (j) JOIN vf USING (j) CROSS JOIN st
+GROUP BY xq.vec_id""")
+    return "".join(parts)
+
+
 def _semi_anti_base(sf_dir: str, how: str):
     import ray.data as rd
 
@@ -3265,6 +3513,9 @@ OP_QUERIES = {
     "op_json_typed_dedup_events": q_json_typed_dedup_events,
     "op_langid_ngram_docs": q_langid_ngram_docs,
     "op_kmeans_int_embeddings": q_kmeans_int_embeddings,
+    "op_pca_power_int_embeddings": q_pca_power_int_embeddings,
+    "op_media_decode_docs": q_media_decode_docs,
+    "op_lsh_near_pairs_embeddings": q_lsh_near_pairs_embeddings,
     "op_ann_ivf_int_topk": q_ann_ivf_int_topk,
     "op_lsh_signatures_embeddings": q_lsh_signatures_embeddings,
     "op_ann_pq_int_topk": q_ann_pq_int_topk,
@@ -3379,6 +3630,9 @@ OP_ORACLES = {
     "op_json_typed_dedup_events": SQL_JSON_TYPED_DEDUP_EVENTS,
     "op_langid_ngram_docs": _sql_langid_ngram(),
     "op_kmeans_int_embeddings": _sql_kmeans_int(),
+    "op_pca_power_int_embeddings": _sql_pca_power_int(),
+    "op_media_decode_docs": _sql_media_decode_docs(),
+    "op_lsh_near_pairs_embeddings": SQL_LSH_NEAR_PAIRS_EMBEDDINGS,
     "op_ann_ivf_int_topk": _sql_ann_ivf_int(),
     "op_lsh_signatures_embeddings": SQL_LSH_SIGNATURES_EMBEDDINGS,
     "op_ann_pq_int_topk": _sql_ann_pq_int(),

@@ -399,6 +399,99 @@ def lsh_signatures_md5(ds, vec_col: str, id_col: str, *,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def lsh_near_pairs_md5(ds, vec_col: str, id_col: str, *,
+                       n_planes: int = 16, n_bands: int = 4,
+                       dim: int = 64, quant: int = 128,
+                       threshold_num: int = 9, threshold_den: int = 20,
+                       max_bucket: int = 100_000):
+    """LSH-bucketed near-duplicate pairs with an AUDITABLE candidate set
+    — the oracle-able twin of dedup_near.embedding_near_pairs_lsh (whose
+    rng-seeded planes and float cosine are unhashable): md5-parity plane
+    signatures (:func:`lsh_signatures_md5` arithmetic) split into
+    ``n_bands`` bands; ids sharing a band value become candidates; every
+    candidate pair is verified with an INTEGER-exact cosine test over
+    ``floor(x·quant)`` coordinates —
+
+        dot ≥ 0  AND  den²·dot² ≥ num²·‖a‖²·‖b‖²
+
+    (θ = num/den, here 9/20 = the 0.45 float-family threshold as an
+    exact rational). Scale shape: one flat_map to band rows (the
+    quantized vector rides along — no join), ONE groupby(band, value)
+    exchange with capped buckets, pair dedup by groupby-first. Output
+    (a, b, dot) with a < b; deterministic, SQL-recomputable end to end.
+    """
+    from vertex_ray.stages.dedup_near import _md5_hash64
+
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide into equal bands")
+    r = n_planes // n_bands
+    keys = np.array([f"{i}:{j + 1}" for i in range(n_planes)
+                     for j in range(dim)], dtype=object)
+    sgn = np.where((_md5_hash64(keys) % np.uint64(2)).astype(np.int64)
+                   == 1, 1, -1).reshape(n_planes, dim).astype(np.int64)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    sref = ray.put(sgn)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        s = ray.get(sref)
+        x = np.floor(_stack(t[vec_col]).astype(np.float64)
+                     * quant).astype(np.int64)
+        sig = (((x @ s.T) >= 0).astype(np.int64) * weights).sum(axis=1)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mask = np.int64((1 << r) - 1)
+        bands = np.arange(n_bands, dtype=np.int64)
+        vals = (sig[:, None] >> (bands[None, :] * r)) & mask
+        n = len(ids)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, n_bands)),
+            "band": pa.array(np.tile(bands, n)),
+            "bval": pa.array(vals.reshape(-1)),
+            "xq": pa.array(list(np.repeat(x, n_bands, axis=0))),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col)
+        if len(g) > max_bucket:
+            import logging
+
+            logging.getLogger("vertex_ray.ann").warning(
+                "lsh band bucket truncated: %d > max_bucket=%d",
+                len(g), max_bucket)
+            g = g.head(max_bucket)
+        empty = pd.DataFrame({
+            "a": pd.array([], dtype="int64"),
+            "b": pd.array([], dtype="int64"),
+            "dot": pd.array([], dtype="int64"),
+        })
+        if len(g) < 2:
+            return empty
+        order = np.argsort(g[id_col].to_numpy())
+        ids = g[id_col].to_numpy()[order]
+        x = np.stack(g["xq"].to_numpy())[order].astype(np.int64)
+        dots = x @ x.T
+        nrm = np.diag(dots)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        d = dots[ia, ib]
+        ok = (d >= 0) & (threshold_den ** 2 * d * d
+                         >= threshold_num ** 2 * nrm[ia] * nrm[ib])
+        if not ok.any():
+            return empty
+        return pd.DataFrame({
+            "a": ids[ia[ok]].astype(np.int64),
+            "b": ids[ib[ok]].astype(np.int64),
+            "dot": d[ok].astype(np.int64),
+        })
+
+    out = ds.map_batches(band_rows, batch_format="pyarrow") \
+        .groupby(["band", "bval"]) \
+        .map_groups(pairs, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return out.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+
+
 def pq_int_fit(ds, vec_col: str, id_col: str, *, m: int = 4,
                k: int = 4, iters: int = 2, quant: int = 128):
     """INTEGER-exact product quantization codebooks — the oracle-able

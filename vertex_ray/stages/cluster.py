@@ -80,6 +80,94 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str, id_col: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _fdiv(a: np.ndarray, b: int) -> np.ndarray:
+    """Floor division by a positive int — numpy's native ``//`` (floors
+    toward −∞). Named so the SQL mirror can cite the exact semantics it
+    must reproduce (DuckDB ``//`` truncates toward zero, so the oracle
+    spells negatives as ``-((-a + b - 1) // b)``)."""
+    return a // b
+
+
+def pca_power_int_fit(ds, vec_col: str, *, quant: int = 128,
+                      vec_scale: int = 4096, iters: int = 6):
+    """INTEGER-exact top-principal-direction fit — the oracle-able twin
+    of :func:`pca_fit` (whose float partial sums merge in Ray block
+    order, so its low bits can never be hash-oracled; here every
+    quantity is an int64 with order-free reduction, the
+    ``kmeans_int_fit`` discipline):
+
+    * coordinates quantized ``floor(x · quant)`` (int64);
+    * ONE streaming pass accumulates (n, Σxq, Σ xq·xqᵀ) — the same
+      combiner shape as pca_fit: the exchange carries O(d²) ints per
+      batch, independent of row count;
+    * centered scatter ``M = n·S − s·sᵀ`` (exact int), normalized
+      ``Mn = M // n`` (floored — keeps every later product inside
+      int64 at 100× data);
+    * ``iters`` POWER ITERATIONS from the all-``vec_scale`` vector,
+      each rescaled by ``v ← w // (max|w| // vec_scale + 1)`` (floor
+      division) — a FIXED iteration count, so exactness does not
+      depend on convergence: the oracle unrolls the same chain;
+    * deterministic sign: flipped so the largest-|entry| coordinate
+      (ties → lowest index) is positive.
+
+    Returns (n, s[d] int64, v[d] int64).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        xq = np.floor(_stack(t[vec_col]).astype(np.float64)
+                      * quant).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(xq)]),
+            "s": pa.array([xq.sum(axis=0).tobytes()], type=pa.binary()),
+            "ss": pa.array([(xq.T @ xq).tobytes()], type=pa.binary()),
+        })
+
+    n_tot, s_tot, ss_tot = 0, None, None
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for n, sb, ssb in zip(b["n"].to_pylist(), b["s"].to_pylist(),
+                              b["ss"].to_pylist()):
+            s = np.frombuffer(sb, np.int64)
+            d = len(s)
+            ss = np.frombuffer(ssb, np.int64).reshape(d, d)
+            n_tot += n
+            s_tot = s if s_tot is None else s_tot + s
+            ss_tot = ss if ss_tot is None else ss_tot + ss
+    if not n_tot:
+        raise ValueError("pca_power_int_fit on an empty dataset")
+    m = n_tot * ss_tot - np.outer(s_tot, s_tot)
+    mn = _fdiv(m, n_tot)
+    v = np.full(len(s_tot), vec_scale, dtype=np.int64)
+    for _ in range(iters):
+        w = mn @ v
+        div = int(np.abs(w).max()) // vec_scale + 1
+        v = _fdiv(w, div)
+    if v[np.abs(v).argmax()] < 0:  # argmax ties → lowest index
+        v = -v
+    return n_tot, s_tot, v
+
+
+def pca_power_int_project(ds, n: int, s: np.ndarray, v: np.ndarray,
+                          vec_col: str, id_col: str, *, quant: int = 128):
+    """Centered integer projection ``proj = Σ_j (n·xq_j − s_j)·v_j``
+    (scaled by n to stay integer; broadcast the tiny (n, s, v) model
+    once, one int matmul per batch)."""
+    import ray
+
+    ref = ray.put((n, s, v))
+
+    def fn(t: pa.Table) -> pa.Table:
+        nn, sv, vv = ray.get(ref)
+        xq = np.floor(_stack(t[vec_col]).astype(np.float64)
+                      * quant).astype(np.int64)
+        proj = (nn * xq - sv) @ vv
+        return pa.table({
+            id_col: t[id_col],
+            "proj": pa.array(proj.astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def pca_fit(ds, vec_col: str, k: int):
     """Distributed PCA fit: ONE streaming pass accumulates per-batch
     (count, Σx, ΣxxT) — the combiner shape, d×d partials merged

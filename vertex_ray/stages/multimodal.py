@@ -260,3 +260,136 @@ def featurize_media(ds, concurrency: int = 4, batch_size: int = 32):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# --- oracle-able decode checksums ------------------------------------------
+#
+# The geoip-mmdb trick applied to media codecs: payloads are BUILT
+# deterministically from a real table's ids, decoded through the REAL
+# codec dispatch, and reduced to integer checksums the SQL oracle
+# recomputes arithmetically — PNG and WAV round-trip losslessly, and the
+# JPEG-family formats (JPEG image, MJPEG-AVI, MJPEG-MP4) use solid-gray
+# content whose whole encode→decode chain collapses to scalar
+# DC arithmetic (validated exhaustively for all 256 gray values):
+#     y   = 0.299 v + 0.587 v + 0.114 v          (RGB; y = v for gray)
+#     dcq = round_half_even(8 (y − 128) / 5)     (5 = Annex-K luma DC @ q85)
+#     out = clip(round_half_even(dcq · 5 / 8 + 128))
+# Values can only match if the JPEG quant tables, DCT, Huffman coding,
+# container mux (RIFF / ISO-BMFF sample tables) and decoder all agree.
+
+ORACLE_PNG_H, ORACLE_PNG_W = 16, 24
+ORACLE_JPEG_SIDE = 16
+ORACLE_WAV_N = 256
+ORACLE_VID_FRAMES = 4
+ORACLE_VID_SIDE = 16
+
+
+def oracle_media_payload(doc_id: int) -> tuple[bytes, str]:
+    """Deterministic payload for one id — kind cycles by ``doc_id % 5``:
+    PNG RGB gradient / solid-gray JPEG / PCM16 WAV / solid-gray
+    MJPEG-AVI / solid-gray MJPEG-MP4."""
+    from vertex_ray.stages.avi_codec import encode_avi_mjpeg
+    from vertex_ray.stages.jpeg_codec import encode_jpeg
+    from vertex_ray.stages.mp4_codec import encode_mp4_mjpeg
+    from vertex_ray.stages.png_codec import encode_png
+    from vertex_ray.stages.wav_codec import encode_wav
+
+    k = doc_id % 5
+    if k == 0:
+        flat = (doc_id * 31
+                + np.arange(ORACLE_PNG_H * ORACLE_PNG_W * 3)) % 256
+        img = flat.reshape(ORACLE_PNG_H, ORACLE_PNG_W, 3).astype(np.uint8)
+        return encode_png(img), "png"
+    if k == 1:
+        v = (doc_id * 13 + 7) % 256
+        img = np.full((ORACLE_JPEG_SIDE, ORACLE_JPEG_SIDE), v, np.uint8)
+        return encode_jpeg(img, quality=85), "jpeg"
+    if k == 2:
+        m = ((doc_id * 7919 + np.arange(ORACLE_WAV_N) * 131) % 65536
+             ) - 32768
+        return encode_wav(m.astype(np.float64) / 32768.0,
+                          sample_rate=8000, bits=16), "wav"
+    vt = (doc_id * 13 + np.arange(ORACLE_VID_FRAMES) * 29) % 256
+    frames = np.broadcast_to(
+        vt.astype(np.uint8)[:, None, None, None],
+        (ORACLE_VID_FRAMES, ORACLE_VID_SIDE, ORACLE_VID_SIDE, 3),
+    ).copy()
+    if k == 3:
+        return encode_avi_mjpeg(frames, fps=5, quality=85), "avi"
+    return encode_mp4_mjpeg(frames, fps=5, quality=85), "mp4"
+
+
+def build_oracle_media(batch: pa.Table) -> pa.Table:
+    """documents ids → deterministic media payload rows (binary column
+    plumbing is real; payload synthesis is per-row by nature but bounded
+    by the fixed payload geometry, never by dataset width)."""
+    ids = batch["doc_id"].to_numpy()
+    pay, kinds = [], []
+    for i in ids:
+        p, k = oracle_media_payload(int(i))
+        pay.append(p)
+        kinds.append(k)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "media_kind": pa.array(kinds, type=pa.string()),
+        "payload": pa.array(pay, type=pa.binary()),
+    })
+
+
+class MediaChecksum:
+    """Actor-pool stage: decode payloads through the REAL codec dispatch
+    (same magic-byte routing as MediaFeaturize) and emit integer
+    checksums — (n_values, value_sum, value_min, value_max) over decoded
+    uint8 pixels (images/video) or int16 samples (audio). Raises on any
+    undecodable payload: this stage exists to PROVE decode correctness,
+    so a digest fallback would defeat it."""
+
+    def __init__(self):
+        self.decoder_ready = True
+
+    def _values(self, payload: bytes) -> np.ndarray:
+        from vertex_ray.stages import (
+            avi_codec, jpeg_codec, mp4_codec, png_codec, wav_codec,
+        )
+
+        if payload[:8] == png_codec.PNG_MAGIC:
+            return png_codec.decode_png(payload).astype(np.int64).ravel()
+        if payload[:2] == jpeg_codec.JPEG_MAGIC:
+            return jpeg_codec.decode_jpeg(payload).astype(np.int64).ravel()
+        if payload[:4] == wav_codec.WAV_MAGIC and payload[8:12] == b"WAVE":
+            samples, _ = wav_codec.decode_wav(payload)
+            return np.round(samples * 32768.0).astype(np.int64).ravel()
+        if avi_codec.is_avi(payload):
+            return avi_codec.decode_avi_mjpeg(payload) \
+                .astype(np.int64).ravel()
+        if mp4_codec.is_mp4(payload):
+            return mp4_codec.decode_mp4_mjpeg(payload) \
+                .astype(np.int64).ravel()
+        raise ValueError("MediaChecksum: unknown payload format")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [self._values(p) for p in batch["payload"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_kind": batch["media_kind"],
+            "n_values": pa.array([v.size for v in vals], type=pa.int64()),
+            "value_sum": pa.array([int(v.sum()) for v in vals],
+                                  type=pa.int64()),
+            "value_min": pa.array([int(v.min()) for v in vals],
+                                  type=pa.int64()),
+            "value_max": pa.array([int(v.max()) for v in vals],
+                                  type=pa.int64()),
+        })
+
+
+def media_decode_checksums(ds, concurrency: int = 4, batch_size: int = 64):
+    """documents → deterministic payloads → real-decode checksums."""
+    return ds.map_batches(
+        build_oracle_media, batch_format="pyarrow", batch_size=batch_size,
+    ).map_batches(
+        MediaChecksum,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
