@@ -1,6 +1,8 @@
 """Config → pipeline builder (the YAML-topology analogue: component graph
 wired by `inputs`, dry-build validation like `vertex validate`)."""
 
+import os
+
 import pyarrow as pa
 import pytest
 
@@ -617,3 +619,116 @@ def test_builder_round4_steps(ray_session, tmp_path):
     assert dd["doc_id"].tolist() == [1, 2]  # type-sensitive: both kept
     lang = built["lang"].to_pandas().sort_values("doc_id")
     assert lang["lang"].tolist() == ["en", "de", "fr"]
+
+
+def test_serve_watch_reload_loop(ray_session, tmp_path):
+    """`serve --watch` e2e (src/launch.rs:219-295 analogue): the loop
+    polls the config file, and editing a throttle's window size reloads
+    ONLY that component and its downstream — the untouched branch keeps
+    its built Dataset objects; an invalid edit is rejected and the old
+    topology keeps serving."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vertex_ray.cli import _load_config
+    from vertex_ray.pipelines.builder import serve_loop
+
+    src = tmp_path / "rows.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array(["a"] * 6 + ["b"] * 2),
+        "ts": pa.array(list(range(6)) + [0, 1], pa.int64()),
+        "eid": pa.array(list(range(8)), pa.int64()),
+    }), src)
+    cfg = {
+        "sources": {"rows": {"type": "parquet", "path": str(src)}},
+        "transforms": {
+            "slow": {"type": "throttle", "inputs": ["rows"],
+                     "key_col": "k", "ts_col": "ts",
+                     "window_seconds": 2, "threshold": 1,
+                     "tie_col": "eid"},
+            "tag": {"type": "relabel", "inputs": ["slow"],
+                    "ops": [["set", "tier", "hot"]]},
+            "other": {"type": "relabel", "inputs": ["rows"],
+                      "ops": [["set", "tier", "raw"]]},
+        },
+    }
+    path = tmp_path / "pipe.json"
+    path.write_text(json.dumps(cfg))
+
+    lines: list[str] = []
+    edits = iter([
+        # tick 1: broken edit (undefined input) → rejected, keeps serving
+        {**cfg, "transforms": {**cfg["transforms"],
+                               "tag": {"type": "relabel",
+                                       "inputs": ["nope"], "ops": []}}},
+        # tick 2: the window-size edit → reload rebuilds slow + tag only
+        {**cfg, "transforms": {**cfg["transforms"],
+                               "slow": {**cfg["transforms"]["slow"],
+                                        "window_seconds": 100}}},
+    ])
+
+    def edit_then_tick(_interval):
+        nxt = next(edits, None)
+        if nxt is not None:
+            path.write_text(json.dumps(nxt))
+            os.utime(path, ns=(len(lines) * 10**9, len(lines) * 10**9))
+
+    new_cfg, built, n = serve_loop(
+        str(path), _load_config, interval=0.01, watch=True,
+        max_reloads=1, max_ticks=5, log=lines.append,
+        sleep=edit_then_tick)
+    assert n == 1
+    joined = "\n".join(lines)
+    assert "reload rejected" in joined and "undefined input" in joined
+    assert "rebuilt=['slow', 'tag']" in joined
+    assert "reused=['other', 'rows']" in joined
+    assert new_cfg["transforms"]["slow"]["window_seconds"] == 100
+    # the reloaded topology computes with the NEW window: one 100s
+    # window per key → threshold 1 keeps only the first event per key
+    out = built["tag"].to_pandas().sort_values("eid")
+    assert out["eid"].tolist() == [0, 6]
+    assert (out["tier"] == "hot").all()
+
+
+def test_serve_loop_sighup_analogue_and_vanished_config(ray_session,
+                                                        tmp_path):
+    """reload_requested (the SIGHUP hook) forces a reload without an
+    mtime change even with watch=False; a vanished config file is
+    survived (old topology keeps serving)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vertex_ray.cli import _load_config
+    from vertex_ray.pipelines.builder import serve_loop
+
+    src = tmp_path / "rows.parquet"
+    pq.write_table(pa.table({"v": pa.array([1, 2], pa.int64())}), src)
+    cfg = {"sources": {"rows": {"type": "parquet", "path": str(src)}}}
+    path = tmp_path / "pipe.json"
+    path.write_text(json.dumps(cfg))
+
+    lines: list[str] = []
+    hups = iter([False, True])
+    _, _, n = serve_loop(str(path), _load_config, interval=0.01,
+                         watch=False, max_reloads=1, max_ticks=4,
+                         log=lines.append, sleep=lambda _i: None,
+                         reload_requested=lambda: next(hups, False))
+    assert n == 1 and "reloaded #1" in "\n".join(lines)
+
+    # watch=True + file vanishing mid-serve
+    lines2: list[str] = []
+    ticks = {"n": 0}
+
+    def vanish(_i):
+        ticks["n"] += 1
+        if ticks["n"] == 1 and path.exists():
+            path.unlink()
+
+    _, _, n2 = serve_loop(str(path), _load_config, interval=0.01,
+                          watch=True, max_ticks=2, log=lines2.append,
+                          sleep=vanish)
+    assert n2 == 0 and "config vanished" in "\n".join(lines2)

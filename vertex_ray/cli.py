@@ -3,6 +3,9 @@ CLI surface (SURVEY.md §3.1/§3.2):
 
     python -m vertex_ray validate <config.{json,yaml}>   # `vertex validate`
     python -m vertex_ray run      <config.{json,yaml}>   # `vertex -c config`
+    python -m vertex_ray serve    <config> [--watch]     # daemon loop:
+                                       # SIGHUP / file-watch hot reload
+                                       # (src/launch.rs:219-295)
     python -m vertex_ray top      <out_dir>              # `vertex top`
     python -m vertex_ray fn       <name> <value> [args…]  # one stdlib function
     python -m vertex_ray eval     <expr> [--table t.parquet]  # `vertex vtl`
@@ -68,6 +71,41 @@ def cmd_run(args) -> int:
     for name, out in sorted(built.items()):
         if isinstance(out, dict) and "rows" in out:
             print(f"{name}: wrote {out['rows']} rows -> {out.get('path')}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """`vertex_ray serve <config> [--watch]` — the daemon lifecycle
+    verb (src/launch.rs:219-295 analogue): build, then keep serving;
+    SIGHUP always triggers a reload, ``--watch`` also polls the config
+    file's mtime. Reloads rebuild only changed components + downstream
+    (builder.rebuild); a bad new config is rejected and the old
+    topology keeps serving."""
+    import signal
+
+    from vertex_ray.pipelines.builder import serve_loop
+
+    _ray_up()
+    hup = {"flag": False}
+    if hasattr(signal, "SIGHUP"):
+        signal.signal(signal.SIGHUP,
+                      lambda *_: hup.__setitem__("flag", True))
+
+    def requested() -> bool:
+        f = hup["flag"]
+        hup["flag"] = False
+        return f
+
+    try:
+        _, _, n = serve_loop(
+            args.config, _load_config, interval=args.interval,
+            watch=args.watch, max_reloads=args.max_reloads or None,
+            reload_requested=requested,
+        )
+    except KeyboardInterrupt:
+        print("serve: interrupted", file=sys.stderr)
+        return 0
+    print(f"serve: exited after {n} reload(s)")
     return 0
 
 
@@ -502,6 +540,19 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("run", help="build and execute a pipeline config")
     sp.add_argument("config")
     sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser(
+        "serve",
+        help="build and keep serving a pipeline config; reload on "
+             "SIGHUP, and on file change with --watch")
+    sp.add_argument("config")
+    sp.add_argument("--watch", action="store_true",
+                    help="poll the config file and hot-reload on change")
+    sp.add_argument("--interval", type=float, default=1.0,
+                    help="poll interval seconds (default 1.0)")
+    sp.add_argument("--max-reloads", type=int, default=0,
+                    help="exit after N successful reloads (0 = forever)")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("top", help="per-stage counters from manifests")
     sp.add_argument("out_dir")

@@ -1201,3 +1201,77 @@ def build(config: dict, prebuilt: dict | None = None) -> dict:
         else:
             built[name] = ds
     return built
+
+
+def serve_loop(config_path: str, load_config, *, interval: float = 1.0,
+               watch: bool = True, max_reloads: int | None = None,
+               max_ticks: int | None = None, log=print,
+               sleep=None, reload_requested=None):
+    """The daemon lifecycle loop — the `serve --watch` analogue of the
+    reference's run loop (src/launch.rs:219-295: SIGHUP / file-watch →
+    reload_config_and_respawn): build once, then poll the config file's
+    mtime every ``interval`` seconds (``watch``) and honor an external
+    reload request hook (the SIGHUP analogue); on change, revalidate and
+    :func:`rebuild` — only dirty components and their downstream are
+    rebuilt, everything else keeps its committed Dataset chains. An
+    unparsable or invalid new config is REJECTED and the old topology
+    keeps serving (the reference's reload contract); the file is
+    re-examined on the next change of mtime.
+
+    Injection points for tests and callers: ``load_config`` (path →
+    dict), ``log`` (line sink), ``sleep`` (tick hook — a test can edit
+    the file here instead of spawning a thread), ``reload_requested``
+    (zero-arg bool, polled each tick). Bounded by ``max_reloads``
+    successful reloads and/or ``max_ticks`` polls; unbounded when both
+    are None (Ctrl-C exits). Returns (config, built, n_reloads)."""
+    import os as _os
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    cfg = load_config(config_path)
+    errs = validate(cfg)
+    if errs:
+        raise ValueError("invalid pipeline config: " + "; ".join(errs))
+    built = build(cfg)
+    log(f"serve: built {len(built)} components from {config_path}")
+    try:
+        mtime = _os.stat(config_path).st_mtime_ns
+    except FileNotFoundError:
+        mtime = None
+    reloads = ticks = 0
+    while (max_reloads is None or reloads < max_reloads) and (
+            max_ticks is None or ticks < max_ticks):
+        sleep(interval)
+        ticks += 1
+        want = bool(reload_requested()) if reload_requested else False
+        if watch:
+            try:
+                st = _os.stat(config_path).st_mtime_ns
+            except FileNotFoundError:
+                log(f"serve: config vanished: {config_path} "
+                    "(old topology keeps serving)")
+                continue
+            if st != mtime:
+                mtime = st
+                want = True
+        if not want:
+            continue
+        try:
+            new = load_config(config_path)
+        except Exception as e:
+            log(f"serve: reload failed to parse "
+                f"(old topology keeps serving): {e}")
+            continue
+        try:
+            built, diff = rebuild(cfg, new, built)
+        except ValueError as e:
+            log(f"serve: reload rejected "
+                f"(old topology keeps serving): {e}")
+            continue
+        cfg = new
+        reloads += 1
+        log("serve: reloaded #%d — changed=%s added=%s removed=%s "
+            "rebuilt=%s reused=%s" % (
+                reloads, diff["changed"], diff["added"], diff["removed"],
+                diff["to_rebuild"], diff["reusable"]))
+    return cfg, built, reloads
