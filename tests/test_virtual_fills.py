@@ -233,3 +233,34 @@ def test_decode_pre_runs_column_store():
     got = decode_blocks_batch(legacy)
     want = decode_blocks_batch(dense)
     _assert_tables_bit_identical(got, want)
+
+
+def test_oversize_horizon_falls_back_to_dense():
+    """A horizon spanning more fill windows than the 15-bit run code can
+    hold (fine windows + long staleness) must NOT abort: bucket_kernel
+    routes the whole call to the materialized fill_arrays/pack_arrays
+    layout, which decode_blocks reads as a v2 (dense) store."""
+    import numpy as np
+
+    from vertex_ray.stages.kernel import bucket_kernel, runs_encodable
+
+    assert runs_encodable(60) and not runs_encodable(1, 50_000)
+    conv = np.array(["c1", "c1", "c2"], dtype=object)
+    h = np.array([1, 1, 2], dtype=np.uint64)
+    args = (conv, h, np.array([0, 1, 0]), np.array([1, 2, 1]),
+            np.array([0, 0, 3]),
+            np.array([0, 2_000_000, 65_000_000], dtype=np.int64))
+    dense = bucket_kernel(*args, (("1s", 1),), 70, 0,
+                          horizon_seconds=50_000)
+    assert "runs" not in dense.schema.names
+    assert "flags" in dense.schema.names
+    virt = bucket_kernel(*args, (("1s", 1),), 70, 0)
+    assert "runs" in virt.schema.names
+    # empty groups pick the SAME layout as non-empty ones (one Dataset
+    # schema per run)
+    empty = bucket_kernel(np.array([], dtype=object),
+                          np.array([], np.uint64), np.array([], np.int64),
+                          np.array([], np.int64), np.array([], np.int64),
+                          np.array([], np.int64), (("1s", 1),), 70, 0,
+                          horizon_seconds=50_000)
+    assert empty.schema.names == dense.schema.names

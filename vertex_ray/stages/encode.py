@@ -220,16 +220,32 @@ def _parse_runs(batch: pa.Table, n_points: np.ndarray):
     v3 = lens >= 4
     if not v3.any():
         return n_points, None, None, None
-    runs = col.to_pylist()
+    n_rows = len(col)
     n_real = np.where(v3, (lens - 4) // 2, n_points)
-    off = np.zeros(len(runs) + 1, dtype=np.int64)
+    off = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(n_real, out=off[1:])
     codes = np.zeros(int(off[-1]), dtype=np.uint16)
-    ws_row = np.zeros(len(runs), dtype=np.int64)
-    for i in np.flatnonzero(v3):
-        b = runs[i]
-        ws_row[i] = int.from_bytes(b[:4], "little")
-        codes[off[i]: off[i + 1]] = np.frombuffer(b, dtype="<u2", offset=4)
+    ws_row = np.zeros(n_rows, dtype=np.int64)
+    # vectorized payload slicing straight off the Arrow binary buffers
+    # (offsets + values) — no to_pylist, no per-row Python loop even
+    # when only a few rows in the batch are virtual
+    odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    starts = np.frombuffer(col.buffers()[1], dtype=odt)[
+        col.offset: col.offset + n_rows].astype(np.int64)
+    values = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    v3i = np.flatnonzero(v3)
+    st = starts[v3i]
+    ws_row[v3i] = (values[st].astype(np.int64)
+                   | values[st + 1].astype(np.int64) << 8
+                   | values[st + 2].astype(np.int64) << 16
+                   | values[st + 3].astype(np.int64) << 24)
+    c = n_real[v3i]
+    within = np.arange(int(c.sum()), dtype=np.int64) \
+        - np.repeat(np.cumsum(c) - c, c)
+    dst = np.repeat(off[v3i], c) + within
+    src = np.repeat(st + 4, c) + 2 * within
+    codes[dst] = (values[src].astype(np.uint16)
+                  | values[src + 1].astype(np.uint16) << np.uint16(8))
     return n_real, codes, ws_row, v3
 
 

@@ -331,6 +331,17 @@ def fill_arrays(
     }
 
 
+def runs_encodable(window_seconds: int,
+                   horizon_seconds: int = STALENESS_SECONDS) -> bool:
+    """Whether a tier's staleness horizon fits the 15-bit run-code range
+    (RUN_FILL_MASK fill windows). When False, bucket_kernel falls back
+    to the materialized fill_arrays/pack_arrays layout for the whole
+    call instead of aborting — the dense path has no such limit."""
+    from vertex_ray.stages.fill import RUN_FILL_MASK
+
+    return horizon_seconds // window_seconds <= int(RUN_FILL_MASK)
+
+
 def fill_runs(
     agg: AggArrays,
     window_seconds: int,
@@ -356,6 +367,8 @@ def fill_runs(
     n = len(uid)
     hw = horizon_seconds // window_seconds
     if hw > int(RUN_FILL_MASK):
+        # bucket_kernel routes such configs to the dense path
+        # (runs_encodable); reaching here directly is a caller bug
         raise ValueError(
             f"fill_runs: horizon {horizon_seconds}s / window "
             f"{window_seconds}s = {hw} fill windows exceeds the uint16 "
@@ -519,16 +532,28 @@ def bucket_kernel(
     global_end_s: int,
     bucket_id: int,
     salt: int = 1,
+    horizon_seconds: int = STALENESS_SECONDS,
 ) -> pa.Table:
     n = len(conv_id)
     if n == 0:
-        return pack_arrays_virtual(
-            _empty_agg(),
-            np.zeros(0, dtype=np.uint16),
-            np.zeros(0, dtype=object),
-            bucket_id,
-            tiers[0][1],
-        ).append_column("tier", pa.array([], type=pa.string()))
+        # layout must match the non-empty groups of the same Dataset:
+        # pick virtual vs dense by the same predicate as the tier loop
+        if all(runs_encodable(seconds, horizon_seconds)
+               for _, seconds in tiers):
+            empty = pack_arrays_virtual(
+                _empty_agg(),
+                np.zeros(0, dtype=np.uint16),
+                np.zeros(0, dtype=object),
+                bucket_id,
+                tiers[0][1],
+            )
+        else:
+            empty = pack_arrays(
+                fill_arrays(_empty_agg(), tiers[0][1], 0, horizon_seconds),
+                np.zeros(0, dtype=object),
+                bucket_id,
+            )
+        return empty.append_column("tier", pa.array([], type=pa.string()))
     order = np.lexsort((turn_idx, conv_hash))
     conv_id = conv_id[order]
     conv_hash = conv_hash[order]
@@ -592,11 +617,25 @@ def bucket_kernel(
     parts = []
     prev = agg
     base_seconds = tiers[0][1]
+    # a tier whose staleness horizon spans more fill windows than the
+    # 15-bit run code can hold (fine windows + a long horizon) cannot be
+    # virtual-fill encoded; ALL tiers of the call then take the dense
+    # fill_arrays/pack_arrays path (one layout per output table — the
+    # store reads mixed v2/v3 files fine, but a single concat can't mix)
+    virtual = all(runs_encodable(seconds, horizon_seconds)
+                  for _, seconds in tiers)
     for tier, seconds in tiers:
         if seconds != base_seconds:
             prev = merge_agg_arrays(prev, seconds)
-        codes = fill_runs(prev, seconds, global_end_s // seconds * seconds)
-        packed = pack_arrays_virtual(prev, codes, conv_strs, bucket_id, seconds)
+        end_w = global_end_s // seconds * seconds
+        if virtual:
+            codes = fill_runs(prev, seconds, end_w, horizon_seconds)
+            packed = pack_arrays_virtual(prev, codes, conv_strs, bucket_id,
+                                         seconds)
+        else:
+            packed = pack_arrays(
+                fill_arrays(prev, seconds, end_w, horizon_seconds),
+                conv_strs, bucket_id)
         parts.append(
             packed.append_column(
                 "tier", pa.array([tier] * packed.num_rows, type=pa.string())
