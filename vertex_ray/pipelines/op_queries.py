@@ -2609,6 +2609,92 @@ FROM proj GROUP BY 1
 """
 
 
+def _netflow_flows(sf_dir: str):
+    """events → deterministic flow rows (the geoip-mmdb derivation
+    trick: every field is arithmetic over event_id/user_id so the SQL
+    oracle regenerates the identical multiset)."""
+    import ray.data as rd
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        uid = t["user_id"].to_numpy()
+        src = np.array([f"10.{(u >> 16) % 256}.{(u >> 8) % 256}.{u % 256}"
+                        for u in uid], dtype=object)
+        dst = np.array([f"172.16.{(e >> 8) % 256}.{e % 256}"
+                        for e in eid], dtype=object)
+        even = eid % 2 == 0
+        return pa.table({
+            "sourceIPv4Address": pa.array(src, pa.string()),
+            "destinationIPv4Address": pa.array(dst, pa.string()),
+            "sourceTransportPort": pa.array(1024 + eid % 60000, pa.int64()),
+            "destinationTransportPort": pa.array(
+                np.where(even, 443, 53), pa.int64()),
+            "protocolIdentifier": pa.array(np.where(even, 6, 17),
+                                           pa.int64()),
+            "tcpControlBits": pa.array(eid % 64, pa.int64()),
+            "octetDeltaCount": pa.array(64 + (eid * 131) % 100000,
+                                        pa.int64()),
+            "packetDeltaCount": pa.array(1 + eid % 1000, pa.int64()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id"]) \
+        .map_batches(mk, batch_format="pyarrow")
+
+
+def _q_netflow_wire(sf_dir: str, version: int):
+    from vertex_ray.sources.netflow import (
+        netflow_decode_op, netflow_encode_op,
+    )
+
+    payloads = _netflow_flows(sf_dir).map_batches(
+        netflow_encode_op(version), batch_format="pyarrow")
+    return payloads.map_batches(netflow_decode_op(),
+                                batch_format="pyarrow")
+
+
+def q_netflow_wire_events(sf_dir: str):
+    """NetFlow v9 WIRE round-trip (sources/netflow — the
+    src/sources/netflow format/netflow.rs analogue, RFC 3954): flow rows
+    → one template+data packet per batch (the export unit) → template
+    cache resolution → decoded flow rows. The oracle regenerates the
+    flow derivation arithmetically; values match only if the template
+    flowset, big-endian field packing, dotted-quad addresses and the
+    data-record walk are all correct."""
+    return _q_netflow_wire(sf_dir, 9)
+
+
+def q_ipfix_wire_events(sf_dir: str):
+    """IPFIX WIRE round-trip (sources/netflow — the format/ipfix.rs
+    analogue, RFC 7011): same flows through the version-10 message
+    framing (16-byte header with total length, set ids 2/256+)."""
+    return _q_netflow_wire(sf_dir, 10)
+
+
+def _sql_netflow_wire(version_label: str) -> str:
+    return f"""
+SELECT '{version_label}' AS version,
+       CAST(1 AS BIGINT) AS observation_domain_id,
+       CAST(0 AS BIGINT) AS sequence_number,
+       CAST(0 AS BIGINT) AS unix_secs,
+       '10.' || ((user_id // 65536) % 256) || '.'
+             || ((user_id // 256) % 256) || '.' || (user_id % 256)
+         AS "sourceIPv4Address",
+       '172.16.' || ((event_id // 256) % 256) || '.' || (event_id % 256)
+         AS "destinationIPv4Address",
+       CAST(1024 + event_id % 60000 AS BIGINT) AS "sourceTransportPort",
+       CAST(CASE WHEN event_id % 2 = 0 THEN 443 ELSE 53 END AS BIGINT)
+         AS "destinationTransportPort",
+       CAST(CASE WHEN event_id % 2 = 0 THEN 6 ELSE 17 END AS BIGINT)
+         AS "protocolIdentifier",
+       CAST(event_id % 64 AS BIGINT) AS "tcpControlBits",
+       CAST(64 + (event_id * 131) % 100000 AS BIGINT)
+         AS "octetDeltaCount",
+       CAST(1 + event_id % 1000 AS BIGINT) AS "packetDeltaCount"
+FROM events
+"""
+
+
 def q_lsh_near_pairs_embeddings(sf_dir: str):
     """LSH-bucketed near-dup pairs with integer-exact verification
     (stages/ann.lsh_near_pairs_md5 — the oracle-able twin of the
@@ -3516,6 +3602,8 @@ OP_QUERIES = {
     "op_pca_power_int_embeddings": q_pca_power_int_embeddings,
     "op_media_decode_docs": q_media_decode_docs,
     "op_lsh_near_pairs_embeddings": q_lsh_near_pairs_embeddings,
+    "op_netflow_wire_events": q_netflow_wire_events,
+    "op_ipfix_wire_events": q_ipfix_wire_events,
     "op_ann_ivf_int_topk": q_ann_ivf_int_topk,
     "op_lsh_signatures_embeddings": q_lsh_signatures_embeddings,
     "op_ann_pq_int_topk": q_ann_pq_int_topk,
@@ -3633,6 +3721,8 @@ OP_ORACLES = {
     "op_pca_power_int_embeddings": _sql_pca_power_int(),
     "op_media_decode_docs": _sql_media_decode_docs(),
     "op_lsh_near_pairs_embeddings": SQL_LSH_NEAR_PAIRS_EMBEDDINGS,
+    "op_netflow_wire_events": _sql_netflow_wire("netflow_v9"),
+    "op_ipfix_wire_events": _sql_netflow_wire("ipfix"),
     "op_ann_ivf_int_topk": _sql_ann_ivf_int(),
     "op_lsh_signatures_embeddings": SQL_LSH_SIGNATURES_EMBEDDINGS,
     "op_ann_pq_int_topk": _sql_ann_pq_int(),
