@@ -21,6 +21,7 @@ EXPECTED_RAISE = {
     "op_ann_topk", "op_ann_ivf_topk",          # query matrix from the table
     "op_ann_pq_topk",                           # query matrix + codebook fit
     "op_pca_embeddings",                        # fit on empty: ValueError
+    "op_pca_power_int_embeddings",              # integer fit on empty
     "op_kmeans_embeddings",                     # centroid seed from empty
     "op_embedding_near_pairs_lsh",              # projection seed from empty
     "op_cardinality_events", "op_cardinality_bloom_events",  # budget probe
