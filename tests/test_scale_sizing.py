@@ -10,6 +10,8 @@ floors, so behavior on this box is bit-identical while a big cluster fans
 out.
 """
 
+import pytest
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -84,3 +86,27 @@ def test_input_bytes_file_and_dir(tmp_path):
 
 def test_read_task_target_is_rays_block_size():
     assert TARGET_READ_TASK_BYTES == 128 * 2**20
+
+
+def test_read_stage_blocks_grow_with_store_bytes(tmp_path, monkeypatch):
+    """Committed-stage reads keep the 4-blocks/CPU floor locally but add
+    one task per ~128 MiB once the store outgrows it."""
+    import vertex_ray.pipelines.rollup_pipeline as rp
+
+    monkeypatch.setattr(rp, "_target_blocks", lambda: 128)
+    monkeypatch.setattr(rp, "input_bytes", lambda p: 253 * 2**20)
+    captured = {}
+
+    def fake_read(files, **kwargs):
+        captured.update(kwargs)
+        raise RuntimeError("stop")
+
+    monkeypatch.setattr(rp, "stage_files", lambda p: ["f"])
+    monkeypatch.setattr(rp.rd, "read_parquet", fake_read)
+    with pytest.raises(RuntimeError):
+        rp.read_stage(str(tmp_path), "agg")
+    assert captured["override_num_blocks"] == 128  # small store: floor
+    monkeypatch.setattr(rp, "input_bytes", lambda p: 100 * TiB)
+    with pytest.raises(RuntimeError):
+        rp.read_stage(str(tmp_path), "agg")
+    assert captured["override_num_blocks"] == -(-100 * TiB // (128 * 2**20))

@@ -2695,6 +2695,86 @@ FROM events
 """
 
 
+def q_dnstap_wire_events(sf_dir: str):
+    """dnstap WIRE round-trip (sources/dnstap — the src/sources/dnstap
+    analogue: frame-streams transport + dnstap protobuf): events-derived
+    DNS tap rows → one START/data×N/STOP frame stream per batch → decode
+    back through the content-type check, protobuf parse and the
+    mod.rs:270-446 field rendering (type/family/protocol names, rendered
+    addresses, sec+nsec → integer ns). The oracle regenerates the
+    derivation arithmetically; values match only if the framing, the
+    protobuf field numbers/wire types and the rendering are all
+    correct."""
+    import ray.data as rd
+
+    from vertex_ray.sources.dnstap import dnstap_decode_op, dnstap_encode_op
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        uid = t["user_id"].to_numpy()
+        even = eid % 2 == 0
+        qsec = 1_700_000_000 + eid % 86_400
+        return pa.table({
+            "identity": pa.array([f"resolver-{u % 8}" for u in uid],
+                                 pa.string()),
+            "version": pa.array(["vertex-ray-1"] * len(eid), pa.string()),
+            "message_type": pa.array(
+                np.where(even, "ClientQuery", "ResolverResponse"),
+                pa.string()),
+            "socket_family": pa.array(["ipv4"] * len(eid), pa.string()),
+            "socket_protocol": pa.array(np.where(even, "Udp", "Tcp"),
+                                        pa.string()),
+            "query_address": pa.array(
+                [f"10.{(u >> 16) % 256}.{(u >> 8) % 256}.{u % 256}"
+                 for u in uid], pa.string()),
+            "response_address": pa.array(
+                [f"8.8.{e % 256}.{(e >> 8) % 256}" for e in eid],
+                pa.string()),
+            "query_port": pa.array(1024 + eid % 60_000, pa.int64()),
+            "response_port": pa.array(np.full(len(eid), 53), pa.int64()),
+            "query_time_ns": pa.array(
+                qsec * 1_000_000_000 + (eid * 7919) % 1_000_000_000,
+                pa.int64()),
+            "response_time_ns": pa.array(
+                (qsec + 1 + eid % 5) * 1_000_000_000
+                + (eid * 104_729) % 1_000_000_000, pa.int64()),
+            "query_zone": pa.array([f"zone{e % 10}.example.com."
+                                    for e in eid], pa.string()),
+        })
+
+    flows = rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id"]) \
+        .map_batches(mk, batch_format="pyarrow")
+    payloads = flows.map_batches(dnstap_encode_op(), batch_format="pyarrow")
+    return payloads.map_batches(dnstap_decode_op(), batch_format="pyarrow")
+
+
+SQL_DNSTAP_WIRE_EVENTS = """
+SELECT 'resolver-' || (user_id % 8) AS identity,
+       'vertex-ray-1' AS version,
+       CASE WHEN event_id % 2 = 0 THEN 'ClientQuery'
+            ELSE 'ResolverResponse' END AS message_type,
+       'ipv4' AS socket_family,
+       CASE WHEN event_id % 2 = 0 THEN 'Udp' ELSE 'Tcp' END
+         AS socket_protocol,
+       '10.' || ((user_id // 65536) % 256) || '.'
+             || ((user_id // 256) % 256) || '.' || (user_id % 256)
+         AS query_address,
+       '8.8.' || (event_id % 256) || '.' || ((event_id // 256) % 256)
+         AS response_address,
+       CAST(1024 + event_id % 60000 AS BIGINT) AS query_port,
+       CAST(53 AS BIGINT) AS response_port,
+       CAST((1700000000 + event_id % 86400) * 1000000000
+            + (event_id * 7919) % 1000000000 AS BIGINT) AS query_time_ns,
+       CAST((1700000000 + event_id % 86400 + 1 + event_id % 5)
+            * 1000000000
+            + (event_id * 104729) % 1000000000 AS BIGINT)
+         AS response_time_ns,
+       'zone' || (event_id % 10) || '.example.com.' AS query_zone
+FROM events
+"""
+
+
 def q_lsh_near_pairs_embeddings(sf_dir: str):
     """LSH-bucketed near-dup pairs with integer-exact verification
     (stages/ann.lsh_near_pairs_md5 — the oracle-able twin of the
@@ -3604,6 +3684,7 @@ OP_QUERIES = {
     "op_lsh_near_pairs_embeddings": q_lsh_near_pairs_embeddings,
     "op_netflow_wire_events": q_netflow_wire_events,
     "op_ipfix_wire_events": q_ipfix_wire_events,
+    "op_dnstap_wire_events": q_dnstap_wire_events,
     "op_ann_ivf_int_topk": q_ann_ivf_int_topk,
     "op_lsh_signatures_embeddings": q_lsh_signatures_embeddings,
     "op_ann_pq_int_topk": q_ann_pq_int_topk,
@@ -3723,6 +3804,7 @@ OP_ORACLES = {
     "op_lsh_near_pairs_embeddings": SQL_LSH_NEAR_PAIRS_EMBEDDINGS,
     "op_netflow_wire_events": _sql_netflow_wire("netflow_v9"),
     "op_ipfix_wire_events": _sql_netflow_wire("ipfix"),
+    "op_dnstap_wire_events": SQL_DNSTAP_WIRE_EVENTS,
     "op_ann_ivf_int_topk": _sql_ann_ivf_int(),
     "op_lsh_signatures_embeddings": SQL_LSH_SIGNATURES_EMBEDDINGS,
     "op_ann_pq_int_topk": _sql_ann_pq_int(),

@@ -338,7 +338,11 @@ def read_stage(out_dir: str, stage: str, tier: str | None = None,
     materialization — non-matching rows never load their heavy
     ``val_blocks`` payload column)."""
     path = pipeline_paths(out_dir)[stage]
-    kwargs = {"override_num_blocks": _target_blocks()}
+    # 4 blocks/CPU keeps the decode stage busy on small stores; a store
+    # whose bytes outgrow that width adds one task per ~128 MiB so no
+    # committed-stage scan task balloons at 100× data
+    by_bytes = -(-input_bytes(path) // TARGET_READ_TASK_BYTES)
+    kwargs = {"override_num_blocks": max(_target_blocks(), by_bytes)}
     expr = None
     if tier is not None:
         expr = pc.field("tier") == tier
