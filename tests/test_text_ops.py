@@ -1411,3 +1411,48 @@ def test_bpe_train_vocab_truncation_bounds_driver_state(ray_session):
                            for a, b in m_trunc)
     # untruncated run equals the default path
     assert m_full == bpe_train(ds, "text", n_merges=4, max_vocab=1 << 18)[0]
+
+
+def test_rag_int_index_self_retrieval(ray_session):
+    """Integer-twin invariants: every probe retrieves itself in the
+    top-5 with score exactly its signed-count self-dot ||e||² (counts
+    are unnormalized, so a longer correlated chunk MAY out-dot the
+    self-dot — unlike the cosine variant — but can never push self out
+    of a top-5 at sf0.001), rank-0 score ≥ self-dot, and ranks are
+    strictly (score DESC, vec_id ASC)."""
+    import numpy as np
+
+    from vertex_ray.pipelines.op_queries import q_rag_int_pipeline_docs
+    from vertex_ray.stages.dedup_near import _md5_hash64
+
+    out = q_rag_int_pipeline_docs("/root/testdata/sf0.001").to_pandas()
+    assert set(out["query_id"]) == {1000, 2000, 3000}
+    assert out["score"].dtype == np.int64
+
+    # recompute each probe's embedding locally (md5 buckets over the
+    # first 64 tokens of docs 1..3) and check self-retrieval + score
+    import pyarrow.parquet as pq_
+
+    docs = pq_.read_table("/root/testdata/sf0.001/documents.parquet") \
+        .to_pandas().set_index("doc_id")
+    for doc in (1, 2, 3):
+        toks = np.array([w for w in docs.loc[doc, "text"].lower().split()
+                         if w][:64], dtype=object)
+        h = _md5_hash64(toks)
+        emb = np.zeros(128, dtype=np.int64)
+        np.add.at(emb, (h % np.uint64(128)).astype(np.int64),
+                  np.where((h >> np.uint64(63)) & np.uint64(1), -1, 1))
+        self_dot = int(emb @ emb)
+        g = out[out["query_id"] == doc * 1000]
+        # self is always a candidate, so the winner scores ≥ self-dot
+        # (it may BE a longer correlated chunk — unnormalized counts)
+        assert int(g[g["rank"] == 0]["score"].iloc[0]) >= self_dot
+        row = g[g["vec_id"] == doc * 1000]
+        if len(row):  # when self makes the top-5, its score is exact
+            assert int(row["score"].iloc[0]) == self_dot
+    # per query: 5 ranks, strictly ordered by (score desc, vec_id asc)
+    for _, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert g["rank"].tolist() == list(range(5))
+        pairs = list(zip(-g["score"].to_numpy(), g["vec_id"].to_numpy()))
+        assert pairs == sorted(pairs)

@@ -3663,6 +3663,88 @@ def q_rag_pipeline_docs(sf_dir: str):
     return brute_force_topk(emb, qmat, 5, "embedding", "chunk_id")
 
 
+def q_rag_int_pipeline_docs(sf_dir: str):
+    """END-TO-END retrieval indexing, ORACLED — the integer twin of
+    pipeline_rag_index (whose sip-family hashing-trick embedding and
+    float cosine are unhashable): chunk documents into 64-token windows
+    (stages/text.chunk_documents) → md5-parity INTEGER hashing embedding
+    per chunk (hashing_embed_int — unnormalized signed counts) →
+    integer-dot top-5 for three probe chunks with deterministic
+    (score DESC, vec_id ASC) ranking (stages/ann.brute_force_topk_int).
+    The SQL mirror re-derives chunk membership by token ordinal
+    arithmetic, rebuilds every bucket count from md5_number_lower, and
+    recomputes every dot — the chunker, vectorizer and top-k all
+    value-hash checked."""
+    import numpy as np
+
+    from vertex_ray.stages.ann import brute_force_topk_int
+    from vertex_ray.stages.text import chunk_documents, hashing_embed_int
+
+    chunks = chunk_documents(_docs(sf_dir), "text", "doc_id", size=64)
+
+    def add_chunk_id(t: pa.Table) -> pa.Table:
+        cid = pc.add(pc.multiply(t["doc_id"], 1000), t["chunk_idx"])
+        return pa.table({"chunk_id": pc.cast(cid, pa.int64()),
+                         "chunk_text": t["chunk_text"]})
+
+    emb = hashing_embed_int(
+        chunks.map_batches(add_chunk_id, batch_format="pyarrow"),
+        "chunk_text", "chunk_id", dim=128).materialize()
+
+    probe_ids = {1000, 2000, 3000}  # first chunk of docs 1..3
+    probes = emb.filter(lambda r: r["chunk_id"] in probe_ids).to_pandas()
+    if len(probes) == 0:  # empty corpus → empty result, stable schema
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
+    probes = probes.sort_values("chunk_id")
+    qmat = np.stack(probes["embedding"].to_numpy())
+    return brute_force_topk_int(emb, qmat,
+                                probes["chunk_id"].to_numpy(), 5,
+                                "embedding", "chunk_id")
+
+
+SQL_RAG_INT_PIPELINE_DOCS = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id * 1000 + (ord - 1) // 64 AS chunk_id, tok
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\\S+')) AS tok,
+               generate_subscripts(
+                   regexp_extract_all(lower(text), '\\S+'), 1) AS ord
+        FROM documents)
+),
+emb AS MATERIALIZED (
+  SELECT chunk_id,
+         (md5_number_lower(tok)::UBIGINT % 128)::BIGINT AS bucket,
+         SUM(CASE WHEN (md5_number_lower(tok)::UBIGINT >> 63) & 1 = 1
+                  THEN -1 ELSE 1 END)::BIGINT AS v
+  FROM toks GROUP BY 1, 2
+),
+probes AS (SELECT * FROM emb WHERE chunk_id IN (1000, 2000, 3000)),
+dots AS (
+  SELECT p.chunk_id AS query_id, c.chunk_id AS vec_id,
+         SUM(p.v * c.v) AS dot
+  FROM probes p JOIN emb c USING (bucket)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, COALESCE(d.dot, 0) AS score
+  FROM (SELECT DISTINCT chunk_id AS query_id FROM probes) q
+  CROSS JOIN (SELECT DISTINCT chunk_id AS vec_id FROM emb) c
+  LEFT JOIN dots d ON d.query_id = q.query_id AND d.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, CAST(score AS BIGINT) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) - 1 AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+FROM ranked WHERE rank < 5
+"""
+
+
 OP_QUERIES = {
     "op_sessionize_events": q_sessionize_events,
     "op_sliding_window_events": q_sliding_window_events,
@@ -3685,6 +3767,7 @@ OP_QUERIES = {
     "op_netflow_wire_events": q_netflow_wire_events,
     "op_ipfix_wire_events": q_ipfix_wire_events,
     "op_dnstap_wire_events": q_dnstap_wire_events,
+    "pipeline_rag_int_index": q_rag_int_pipeline_docs,
     "op_ann_ivf_int_topk": q_ann_ivf_int_topk,
     "op_lsh_signatures_embeddings": q_lsh_signatures_embeddings,
     "op_ann_pq_int_topk": q_ann_pq_int_topk,
@@ -3805,6 +3888,7 @@ OP_ORACLES = {
     "op_netflow_wire_events": _sql_netflow_wire("netflow_v9"),
     "op_ipfix_wire_events": _sql_netflow_wire("ipfix"),
     "op_dnstap_wire_events": SQL_DNSTAP_WIRE_EVENTS,
+    "pipeline_rag_int_index": SQL_RAG_INT_PIPELINE_DOCS,
     "op_ann_ivf_int_topk": _sql_ann_ivf_int(),
     "op_lsh_signatures_embeddings": SQL_LSH_SIGNATURES_EMBEDDINGS,
     "op_ann_pq_int_topk": _sql_ann_pq_int(),

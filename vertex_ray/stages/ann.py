@@ -607,3 +607,41 @@ def pq_int_topk(ds, codebooks: np.ndarray, vec_col: str, id_col: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("query_id")
             .map_groups(merge, batch_format="pandas"))
+
+
+def brute_force_topk_int(ds, queries: np.ndarray, query_ids: np.ndarray,
+                         k: int, vec_col: str, id_col: str):
+    """Exact INTEGER-dot top-k — the oracle-able twin of
+    :func:`brute_force_topk` (float cosine is unhashable): int64 scores,
+    deterministic (score DESC, id ASC) ordering, caller-supplied query
+    ids. Same scale shape: broadcast query matrix, per-batch matmul
+    partials, one tiny per-query merge."""
+    q = np.asarray(queries, dtype=np.int64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qref = ray.put((q, qids))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qq, qi = ray.get(qref)
+        vecs = _stack(t[vec_col]).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        dots = qq @ vecs.T  # (nq, batch) int64
+        kk = min(k, dots.shape[1])
+        top = np.argpartition(-dots, kk - 1, axis=1)[:, :kk]
+        qid = np.repeat(qi, kk)
+        return pa.table({
+            "query_id": pa.array(qid),
+            "vec_id": pa.array(ids[top.reshape(-1)]),
+            "score": pa.array(
+                np.take_along_axis(dots, top, axis=1).reshape(-1)
+                .astype(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "score"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("query_id").map_groups(merge, batch_format="pandas"))

@@ -1766,3 +1766,39 @@ def compression_ratio_op(text_col: str = "text", id_col: str = "doc_id",
         })
 
     return fn
+
+
+def hashing_embed_int(ds, text_col: str, id_col: str, dim: int = 128,
+                      lower: bool = True):
+    """INTEGER hashing-trick vectorizer — the oracle-able twin of
+    :func:`hashing_embed` (whose sip-family hash and float L2
+    normalization are unhashable): token buckets and signs come from the
+    md5 family (``md5_number_lower`` parity with DuckDB), counts stay
+    int64 and UNnormalized, so every coordinate — and every downstream
+    integer dot product — is exactly SQL-recomputable. Same vectorized
+    shape: one Arrow split pass, one hash, one np.add.at scatter."""
+    from vertex_ray.stages.dedup_near import _md5_hash64
+
+    def fn(t: pa.Table) -> pa.Table:
+        src = pc.utf8_lower(t[text_col]) if lower else t[text_col]
+        lists = pc.split_pattern_regex(src, r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        off = lists.offsets.to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(len(t)), np.diff(off))
+        toks = flat.to_numpy(zero_copy_only=False)
+        keep = toks != ""
+        toks, doc_of = toks[keep], doc_of[keep]
+        mat = np.zeros((len(t), dim), dtype=np.int64)
+        if len(toks):
+            h = _md5_hash64(toks)
+            bucket = (h % np.uint64(dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(63)) & np.uint64(1), -1, 1)
+            np.add.at(mat, (doc_of, bucket), sign)
+        return pa.table({
+            id_col: t[id_col],
+            "embedding": pa.array(list(mat)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
