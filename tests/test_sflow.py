@@ -1,0 +1,169 @@
+"""sFlow v5 datagram codec (sources/sflow — the reference's
+src/sources/sflow family): XDR wire round-trip, the reference's own
+binary unit fixture, counter→metric expansion, unknown-record skip."""
+
+import pyarrow as pa
+import pytest
+
+from vertex_ray.sources.sflow import (
+    counter_rows,
+    decode_datagram,
+    encode_datagram,
+    flow_rows,
+    sflow_decode_counters_op,
+    sflow_decode_flows_op,
+    sflow_encode_op,
+)
+
+FLOW_SAMPLE = {
+    "sample_sequence_number": 9, "source_id_type": 0,
+    "source_id_value": 1043, "sampling_rate": 512,
+    "sample_pool": 123456, "drops": 0, "input": 4, "output": 7,
+    "records": [
+        {"record_type": "ipv4", "length": 64, "protocol": 6,
+         "src_ip": "172.16.32.254", "dst_ip": "172.16.32.241",
+         "src_port": 443, "dst_port": 51234, "tcp_flags": 0x12,
+         "tos": 0},
+        {"record_type": "eth", "length": 78,
+         "src_mac": "00:FF:12:34:35:1B", "dst_mac": "FF:AB:CD:EF:AB:64",
+         "eth_type": 0x0800},
+        {"record_type": "raw", "protocol": 1, "frame_length": 82,
+         "stripped": 4, "original_length": 78,
+         "header_bytes": b"\x45\x00" * 10},
+        {"record_type": "ipv6", "length": 96, "protocol": 17,
+         "src_ip": "2001:db8::1", "dst_ip": "2001:db8::2",
+         "src_port": 53, "dst_port": 5353, "tcp_flags": 0,
+         "priority": 3},
+    ],
+}
+
+IFACE = {"index": 4, "typ": 6, "speed": 10**9, "direction": 1,
+         "status": 3, "in_octets": 999999, "in_ucast_pkts": 100,
+         "in_multicast_pkts": 2, "in_broadcast_pkts": 1,
+         "in_discards": 0, "in_errors": 0, "in_unknown_protos": 0,
+         "out_octets": 888888, "out_ucast_pkts": 90,
+         "out_multicast_pkts": 1, "out_broadcast_pkts": 0,
+         "out_discards": 0, "out_errors": 0, "promiscuous_mode": 0}
+
+
+def _datagram():
+    return encode_datagram(
+        agent_ip="172.16.0.17", sub_agent_id=1, sequence=426,
+        uptime=1743432193, flow_samples=[FLOW_SAMPLE],
+        counter_samples=[{"sample_sequence_number": 3,
+                          "source_id_type": 0, "source_id_value": 1043,
+                          "interfaces": [IFACE]}])
+
+
+def test_roundtrip_all_record_types():
+    out = decode_datagram(_datagram())
+    assert out["agent"] == "172.16.0.17"
+    assert out["sequence_number"] == 426 and out["sub_agent_id"] == 1
+    assert out["flow_samples"][0]["records"] == FLOW_SAMPLE["records"]
+    assert out["counter_samples"][0]["interfaces"] == [IFACE]
+    assert out["skipped_records"] == 0
+
+
+def test_reference_unit_fixture_decodes():
+    """The binary fixture from the reference's own datagram.rs tests
+    (an agent 172.16.0.17 flow sample with eth + raw records) decodes
+    through this codec with the same field values."""
+    data = bytes([
+        0x00, 0x00, 0x00, 0x05, 0x00, 0x00, 0x00, 0x01, 0xac, 0x10,
+        0x00, 0x11, 0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x01, 0xaa,
+        0x67, 0xee, 0xaa, 0x01, 0x00, 0x00, 0x00, 0x01, 0x00, 0x00,
+        0x00, 0x01, 0x00, 0x00, 0x00, 0x88, 0x00, 0x00, 0x00, 0x06,
+        0x00, 0x00, 0x04, 0x13, 0x00, 0x00, 0x08, 0x00, 0x00, 0x00,
+        0x30, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x04, 0xaa,
+        0x00, 0x00, 0x04, 0x13, 0x00, 0x00, 0x00, 0x01, 0x00, 0x00,
+        0x00, 0x01, 0x00, 0x00, 0x00, 0x60, 0x00, 0x00, 0x00, 0x01,
+        0x00, 0x00, 0x00, 0x52, 0x00, 0x00, 0x00, 0x04, 0x00, 0x00,
+        0x00, 0x4e, 0x00, 0xff, 0x12, 0x34, 0x35, 0x1b, 0xff, 0xab,
+        0xcd, 0xef, 0xab, 0x64, 0x81, 0x00, 0x00, 0x20, 0x08, 0x00,
+        0x45, 0x00, 0x00, 0x3c, 0x5c, 0x07, 0x00, 0x00, 0x7c, 0x01,
+        0x48, 0xa0, 0xac, 0x10, 0x20, 0xfe, 0xac, 0x10, 0x20, 0xf1,
+        0x08, 0x00, 0x97, 0x61, 0xa9, 0x48, 0x0c, 0xb2, 0x61, 0x62,
+        0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x6b, 0x6c,
+        0x6d, 0x6e, 0x6f, 0x70, 0x71, 0x72, 0x73, 0x74, 0x75, 0x76,
+        0x77, 0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x00, 0x00])
+    out = decode_datagram(data)
+    assert out["agent"] == "172.16.0.17" and out["sub_agent_id"] == 1
+    s = out["flow_samples"][0]
+    assert s["sampling_rate"] == 2048 and s["source_id_value"] == 1043
+    r = s["records"][0]
+    assert r["record_type"] == "raw" and r["frame_length"] == 82
+    assert r["protocol"] == 1 and r["stripped"] == 4
+
+
+def test_counter_metric_expansion():
+    rows = counter_rows(decode_datagram(_datagram()))
+    assert len(rows) == 18
+    by = {r["name"]: r for r in rows}
+    assert by["sflow_interface_speed"]["kind"] == "gauge"
+    assert by["sflow_interface_in_octets"]["kind"] == "sum"
+    # status 3 → admin (bit 0) up, oper (bit 1) up
+    assert by["sflow_interface_admin_status"]["value"] == 1
+    assert by["sflow_interface_oper_status"]["value"] == 1
+    assert all(r["source_id"] == 1043 and r["agent"] == "172.16.0.17"
+               for r in rows)
+
+
+def test_unknown_flow_record_skipped_by_length():
+    import struct
+
+    d = bytearray(_datagram())
+    # append an unknown record (type 1005, 8-byte body) to the flow
+    # sample is intrusive; instead craft a minimal datagram directly
+    rec = struct.pack(">IIII", 1005, 8, 1, 2)  # ext_url-shaped unknown
+    body = (struct.pack(">I", 1) + struct.pack(">I", 1043)
+            + struct.pack(">IIIII", 512, 1, 0, 4, 7)
+            + struct.pack(">I", 1) + rec)
+    dg = (struct.pack(">II", 5, 1) + bytes([10, 0, 0, 1])
+          + struct.pack(">IIII", 1, 2, 3, 1)
+          + struct.pack(">II", 1, len(body)) + body)
+    out = decode_datagram(dg)
+    assert out["skipped_records"] == 1
+    assert out["flow_samples"][0]["records"] == []
+
+
+def test_malformed_rejected():
+    with pytest.raises(ValueError, match="version"):
+        decode_datagram(b"\x00\x00\x00\x04" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="eof"):
+        decode_datagram(_datagram()[:30])
+
+
+def test_ray_ops_roundtrip(ray_session):
+    import ray.data as rd
+
+    n = 12
+    t = pa.table({
+        "agent": pa.array(["172.16.0.17"] * n),
+        "sequence_number": pa.array([426] * n, pa.int64()),
+        "sub_agent_id": pa.array([1] * n, pa.int64()),
+        "uptime": pa.array([123456] * n, pa.int64()),
+        "sample_sequence_number": pa.array(list(range(n)), pa.int64()),
+        "source_id_type": pa.array([0] * n, pa.int64()),
+        "source_id_value": pa.array([1043] * n, pa.int64()),
+        "sampling_rate": pa.array([512] * n, pa.int64()),
+        "sample_pool": pa.array([9] * n, pa.int64()),
+        "drops": pa.array([0] * n, pa.int64()),
+        "input": pa.array([4] * n, pa.int64()),
+        "output": pa.array([7] * n, pa.int64()),
+        "record_type": pa.array(["ipv4"] * n),
+        "protocol": pa.array([6] * n, pa.int64()),
+        "src_ip": pa.array(["10.0.0.1"] * n),
+        "dst_ip": pa.array(["10.0.0.2"] * n),
+        "src_port": pa.array([443] * n, pa.int64()),
+        "dst_port": pa.array([80] * n, pa.int64()),
+        "tcp_flags": pa.array([16] * n, pa.int64()),
+        "tos": pa.array([0] * n, pa.int64()),
+    })
+    payloads = rd.from_arrow(t).map_batches(sflow_encode_op(),
+                                            batch_format="pyarrow")
+    got = payloads.map_batches(sflow_decode_flows_op(),
+                               batch_format="pyarrow").to_pandas()
+    assert len(got) == n
+    assert set(got["sample_sequence_number"]) == set(range(n))
+    assert (got["src_ip"] == "10.0.0.1").all()

@@ -2775,6 +2775,195 @@ FROM events
 """
 
 
+def q_sflow_flows_events(sf_dir: str):
+    """sFlow v5 WIRE round-trip, flows port (sources/sflow — the
+    src/sources/sflow datagram.rs analogue): events-derived ipv4 flow
+    samples → one XDR datagram per batch (typed agent address,
+    interlaced source id, sampled-ipv4 records) → decode back through
+    the sample walk to the flattened logs-port rows. Oracle regenerates
+    the derivation arithmetically."""
+    import ray.data as rd
+
+    from vertex_ray.sources.sflow import (
+        sflow_decode_flows_op, sflow_encode_op,
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        uid = t["user_id"].to_numpy()
+        n = len(eid)
+        return pa.table({
+            "agent": pa.array(["172.16.0.17"] * n, pa.string()),
+            "sequence_number": pa.array(np.full(n, 426), pa.int64()),
+            "sub_agent_id": pa.array(np.full(n, 1), pa.int64()),
+            "uptime": pa.array(np.full(n, 123456), pa.int64()),
+            "sample_sequence_number": pa.array(eid % 100000, pa.int64()),
+            "source_id_type": pa.array(np.full(n, 0), pa.int64()),
+            "source_id_value": pa.array(1000 + eid % 48, pa.int64()),
+            "sampling_rate": pa.array(np.full(n, 512), pa.int64()),
+            "sample_pool": pa.array(eid * 512 % 2**31, pa.int64()),
+            "drops": pa.array(eid % 3, pa.int64()),
+            "input": pa.array(1 + eid % 48, pa.int64()),
+            "output": pa.array(1 + (eid + 7) % 48, pa.int64()),
+            "record_type": pa.array(["ipv4"] * n, pa.string()),
+            "protocol": pa.array(np.where(eid % 2 == 0, 6, 17),
+                                 pa.int64()),
+            "src_ip": pa.array(
+                [f"10.{(u >> 16) % 256}.{(u >> 8) % 256}.{u % 256}"
+                 for u in uid], pa.string()),
+            "dst_ip": pa.array([f"172.16.{e % 256}.{(e >> 8) % 256}"
+                                for e in eid], pa.string()),
+            "src_port": pa.array(1024 + eid % 60000, pa.int64()),
+            "dst_port": pa.array(np.where(eid % 2 == 0, 443, 53),
+                                 pa.int64()),
+            "tcp_flags": pa.array(eid % 64, pa.int64()),
+            "tos": pa.array(eid % 256, pa.int64()),
+        })
+
+    flows = rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id"]) \
+        .map_batches(mk, batch_format="pyarrow")
+    payloads = flows.map_batches(sflow_encode_op(), batch_format="pyarrow")
+    return payloads.map_batches(sflow_decode_flows_op(),
+                                batch_format="pyarrow")
+
+
+SQL_SFLOW_FLOWS_EVENTS = """
+SELECT '172.16.0.17' AS agent,
+       CAST(426 AS BIGINT) AS sequence_number,
+       CAST(1 AS BIGINT) AS sub_agent_id,
+       CAST(123456 AS BIGINT) AS uptime,
+       CAST(event_id % 100000 AS BIGINT) AS sample_sequence_number,
+       CAST(0 AS BIGINT) AS source_id_type,
+       CAST(1000 + event_id % 48 AS BIGINT) AS source_id_value,
+       CAST(512 AS BIGINT) AS sampling_rate,
+       CAST(event_id * 512 % 2147483648 AS BIGINT) AS sample_pool,
+       CAST(event_id % 3 AS BIGINT) AS drops,
+       CAST(1 + event_id % 48 AS BIGINT) AS input,
+       CAST(1 + (event_id + 7) % 48 AS BIGINT) AS output,
+       'ipv4' AS record_type,
+       CAST(CASE WHEN event_id % 2 = 0 THEN 6 ELSE 17 END AS BIGINT)
+         AS protocol,
+       '10.' || ((user_id // 65536) % 256) || '.'
+             || ((user_id // 256) % 256) || '.' || (user_id % 256)
+         AS src_ip,
+       '172.16.' || (event_id % 256) || '.' || ((event_id // 256) % 256)
+         AS dst_ip,
+       CAST(1024 + event_id % 60000 AS BIGINT) AS src_port,
+       CAST(CASE WHEN event_id % 2 = 0 THEN 443 ELSE 53 END AS BIGINT)
+         AS dst_port,
+       CAST(event_id % 64 AS BIGINT) AS tcp_flags,
+       CAST(event_id % 256 AS BIGINT) AS tos
+FROM events
+"""
+
+
+def q_sflow_counters_events(sf_dir: str):
+    """sFlow v5 WIRE round-trip, counters port: events-derived
+    generic-interface counter samples → datagram → the mod.rs:453
+    metric expansion (18 ``sflow_interface_*`` series per interface,
+    admin/oper gauges from the status bits, sum kinds for the octet
+    and packet counters). One interface per event row; the oracle
+    regenerates the 18-way expansion with a VALUES cross join."""
+    import ray.data as rd
+
+    from vertex_ray.sources.sflow import (
+        encode_datagram, sflow_decode_counters_op,
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        rows = []
+        for e, u in zip(t["event_id"].to_numpy(),
+                        t["user_id"].to_numpy()):
+            e, u = int(e), int(u)
+            rows.append({
+                "sample_sequence_number": e % 100000,
+                "source_id_type": 0, "source_id_value": 1000 + e % 48,
+                "interfaces": [{
+                    "index": 1 + e % 48, "typ": 6,
+                    "speed": 10**9 * (1 + e % 4),
+                    "direction": e % 5, "status": e % 4,
+                    "in_octets": (e * 131) % 10**12,
+                    "in_ucast_pkts": e % 10**6,
+                    "in_multicast_pkts": e % 1000,
+                    "in_broadcast_pkts": e % 100,
+                    "in_discards": e % 10, "in_errors": e % 7,
+                    "in_unknown_protos": e % 3,
+                    "out_octets": (e * 257) % 10**12,
+                    "out_ucast_pkts": (e + 13) % 10**6,
+                    "out_multicast_pkts": (e + 1) % 1000,
+                    "out_broadcast_pkts": (e + 2) % 100,
+                    "out_discards": (e + 3) % 10,
+                    "out_errors": (e + 4) % 7,
+                    "promiscuous_mode": e % 2,
+                }],
+            })
+        payload = encode_datagram(agent_ip="172.16.0.17",
+                                  sub_agent_id=1, sequence=426,
+                                  uptime=123456, counter_samples=rows)
+        return pa.table({"payload": pa.array([payload], pa.binary())})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+    payloads = ev.map_batches(mk, batch_format="pyarrow")
+    return payloads.map_batches(sflow_decode_counters_op(),
+                                batch_format="pyarrow")
+
+
+SQL_SFLOW_COUNTERS_EVENTS = """
+WITH m(name, kind, expr) AS (VALUES
+  ('sflow_interface_speed', 'gauge', 'speed'),
+  ('sflow_interface_direction', 'gauge', 'direction'),
+  ('sflow_interface_admin_status', 'gauge', 'admin'),
+  ('sflow_interface_oper_status', 'gauge', 'oper'),
+  ('sflow_interface_in_octets', 'sum', 'in_octets'),
+  ('sflow_interface_in_ucast_pkts', 'sum', 'in_ucast_pkts'),
+  ('sflow_interface_in_multicast_pkts', 'sum', 'in_multicast_pkts'),
+  ('sflow_interface_in_broadcast_pkts', 'sum', 'in_broadcast_pkts'),
+  ('sflow_interface_in_discards', 'sum', 'in_discards'),
+  ('sflow_interface_in_errors', 'sum', 'in_errors'),
+  ('sflow_interface_in_unknown_protos', 'sum', 'in_unknown_protos'),
+  ('sflow_interface_out_octets', 'sum', 'out_octets'),
+  ('sflow_interface_out_ucast_pkts', 'sum', 'out_ucast_pkts'),
+  ('sflow_interface_out_multicast_pkts', 'sum', 'out_multicast_pkts'),
+  ('sflow_interface_out_broadcast_pkts', 'sum', 'out_broadcast_pkts'),
+  ('sflow_interface_out_discards', 'sum', 'out_discards'),
+  ('sflow_interface_out_errors', 'sum', 'out_errors'),
+  ('sflow_interface_promiscuous_mode', 'sum', 'promiscuous_mode')
+),
+iface AS (
+  SELECT event_id AS e,
+         CAST(1 + event_id % 48 AS BIGINT) AS index,
+         CAST(6 AS BIGINT) AS typ,
+         CAST(1000 + event_id % 48 AS BIGINT) AS source_id
+  FROM events
+)
+SELECT m.name AS name, m.kind AS kind,
+       CAST(CASE m.expr
+         WHEN 'speed' THEN 1000000000 * (1 + e % 4)
+         WHEN 'direction' THEN e % 5
+         WHEN 'admin' THEN CASE WHEN (e % 4) % 2 = 1 THEN 1 ELSE 0 END
+         WHEN 'oper' THEN CASE WHEN (e % 4) >= 2 THEN 1 ELSE 0 END
+         WHEN 'in_octets' THEN (e * 131) % 1000000000000
+         WHEN 'in_ucast_pkts' THEN e % 1000000
+         WHEN 'in_multicast_pkts' THEN e % 1000
+         WHEN 'in_broadcast_pkts' THEN e % 100
+         WHEN 'in_discards' THEN e % 10
+         WHEN 'in_errors' THEN e % 7
+         WHEN 'in_unknown_protos' THEN e % 3
+         WHEN 'out_octets' THEN (e * 257) % 1000000000000
+         WHEN 'out_ucast_pkts' THEN (e + 13) % 1000000
+         WHEN 'out_multicast_pkts' THEN (e + 1) % 1000
+         WHEN 'out_broadcast_pkts' THEN (e + 2) % 100
+         WHEN 'out_discards' THEN (e + 3) % 10
+         WHEN 'out_errors' THEN (e + 4) % 7
+         ELSE e % 2 END AS BIGINT) AS value,
+       iface.index, iface.typ, iface.source_id,
+       '172.16.0.17' AS agent
+FROM iface CROSS JOIN m
+"""
+
+
 def q_lsh_near_pairs_embeddings(sf_dir: str):
     """LSH-bucketed near-dup pairs with integer-exact verification
     (stages/ann.lsh_near_pairs_md5 — the oracle-able twin of the
@@ -3768,6 +3957,8 @@ OP_QUERIES = {
     "op_ipfix_wire_events": q_ipfix_wire_events,
     "op_dnstap_wire_events": q_dnstap_wire_events,
     "pipeline_rag_int_index": q_rag_int_pipeline_docs,
+    "op_sflow_flows_events": q_sflow_flows_events,
+    "op_sflow_counters_events": q_sflow_counters_events,
     "op_ann_ivf_int_topk": q_ann_ivf_int_topk,
     "op_lsh_signatures_embeddings": q_lsh_signatures_embeddings,
     "op_ann_pq_int_topk": q_ann_pq_int_topk,
@@ -3889,6 +4080,8 @@ OP_ORACLES = {
     "op_ipfix_wire_events": _sql_netflow_wire("ipfix"),
     "op_dnstap_wire_events": SQL_DNSTAP_WIRE_EVENTS,
     "pipeline_rag_int_index": SQL_RAG_INT_PIPELINE_DOCS,
+    "op_sflow_flows_events": SQL_SFLOW_FLOWS_EVENTS,
+    "op_sflow_counters_events": SQL_SFLOW_COUNTERS_EVENTS,
     "op_ann_ivf_int_topk": _sql_ann_ivf_int(),
     "op_lsh_signatures_embeddings": SQL_LSH_SIGNATURES_EMBEDDINGS,
     "op_ann_pq_int_topk": _sql_ann_pq_int(),
