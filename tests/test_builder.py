@@ -732,3 +732,42 @@ def test_serve_loop_sighup_analogue_and_vanished_config(ray_session,
                           watch=True, max_ticks=2, log=lines2.append,
                           sleep=vanish)
     assert n2 == 0 and "config vanished" in "\n".join(lines2)
+
+
+def test_serve_loop_rejects_non_valueerror_build_failures(ray_session,
+                                                          tmp_path):
+    """validate() passes configs whose params break only at build time
+    (missing 'path' → KeyError); a reload with such a config must be
+    REJECTED with the old topology still serving — not kill the loop."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vertex_ray.cli import _load_config
+    from vertex_ray.pipelines.builder import serve_loop
+
+    src = tmp_path / "rows.parquet"
+    pq.write_table(pa.table({"v": pa.array([1, 2], pa.int64())}), src)
+    cfg = {"sources": {"rows": {"type": "parquet", "path": str(src)}}}
+    path = tmp_path / "pipe.json"
+    path.write_text(json.dumps(cfg))
+    lines: list[str] = []
+    edits = iter([
+        {"sources": {"rows": {"type": "parquet"}}},  # KeyError at build
+        cfg,                                          # back to good
+    ])
+
+    def edit_then_tick(_i):
+        nxt = next(edits, None)
+        if nxt is not None:
+            path.write_text(json.dumps(nxt))
+            os.utime(path, ns=(len(lines) * 10**9, len(lines) * 10**9))
+
+    _, built, n = serve_loop(str(path), _load_config, interval=0.01,
+                             watch=True, max_reloads=1, max_ticks=4,
+                             log=lines.append, sleep=edit_then_tick)
+    joined = "\n".join(lines)
+    assert "reload rejected" in joined and "KeyError" in joined
+    assert n == 1  # the later good edit still reloads fine
+    assert built["rows"].count() == 2

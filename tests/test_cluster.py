@@ -333,3 +333,27 @@ def test_lsh_near_pairs_md5(ray_session):
         rd.from_pandas(df).repartition(1), "embedding", "vec_id"
     ).to_pandas()
     assert got == {tuple(r) for r in out2[["a", "b"]].to_numpy()}
+
+
+def test_brute_force_topk_int_tie_break_across_batches(ray_session):
+    """Many candidates tie on score: the per-batch top-k must keep the
+    lowest vec_ids (the merge's and the SQL oracle's tie-break), not an
+    arbitrary argpartition subset."""
+    import ray.data as rd
+
+    from vertex_ray.stages.ann import brute_force_topk_int
+
+    # 40 vectors all IDENTICAL → every dot ties; ids shuffled across
+    # partitions so argpartition order ≠ id order
+    ids = [17, 3, 25, 8, 31, 1, 14, 22, 6, 38, 12, 29, 4, 35, 9, 19,
+           27, 0, 33, 11, 24, 7, 36, 2, 15, 28, 5, 39, 13, 21, 30, 10,
+           18, 34, 23, 16, 37, 20, 32, 26]
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [[1, 0, 1, 0]] * len(ids)})
+    out = brute_force_topk_int(
+        rd.from_pandas(df).repartition(5),
+        np.array([[1, 0, 1, 0]]), np.array([77]), 5,
+        "embedding", "vec_id").to_pandas().sort_values("rank")
+    assert out["vec_id"].tolist() == [0, 1, 2, 3, 4]
+    assert (out["query_id"] == 77).all()
+    assert (out["score"] == 2).all()

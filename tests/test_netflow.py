@@ -96,3 +96,20 @@ def test_ray_ops_roundtrip(ray_session):
                                    else "ipfix")).all()
         assert got["octetDeltaCount"].sum() == (123456789 + 999) * 10
         assert set(got["sourceIPv4Address"]) == {"10.0.0.1", "192.168.0.9"}
+
+
+def test_large_batch_splits_flowsets_and_messages():
+    """5000 records: v9 splits into ≤1000-record data flowsets in ONE
+    packet (no 16-bit length overflow); IPFIX emits concatenated
+    self-contained messages, all walked by parse_packet."""
+    import struct
+
+    rows = [dict(ROWS[0], sourceTransportPort=1024 + i % 60000)
+            for i in range(5000)]
+    p9 = encode_netflow_v9(rows, odid=7)
+    out = parse_packet(p9)
+    assert len(out["records"]) == 5000
+    # header count = 1 template + 5000 data records, capped at 0xFFFF
+    assert struct.unpack_from(">H", p9, 2)[0] == min(0xFFFF, 5001)
+    pi = encode_ipfix(rows, odid=7)
+    assert len(parse_packet(pi)["records"]) == 5000

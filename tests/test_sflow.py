@@ -167,3 +167,37 @@ def test_ray_ops_roundtrip(ray_session):
     assert len(got) == n
     assert set(got["sample_sequence_number"]) == set(range(n))
     assert (got["src_ip"] == "10.0.0.1").all()
+
+
+def test_encode_op_chunks_datagrams_at_sample_cap():
+    """2500 rows → 3 payload rows (1000+1000+500 samples): the encode
+    side never builds a datagram the decoder's DDoS cap would reject."""
+    n = 2500
+    t = pa.table({
+        "agent": pa.array(["1.2.3.4"] * n),
+        "sequence_number": pa.array([1] * n, pa.int64()),
+        "sub_agent_id": pa.array([1] * n, pa.int64()),
+        "uptime": pa.array([5] * n, pa.int64()),
+        "sample_sequence_number": pa.array(list(range(n)), pa.int64()),
+        "source_id_type": pa.array([0] * n, pa.int64()),
+        "source_id_value": pa.array([9] * n, pa.int64()),
+        "sampling_rate": pa.array([512] * n, pa.int64()),
+        "sample_pool": pa.array([0] * n, pa.int64()),
+        "drops": pa.array([0] * n, pa.int64()),
+        "input": pa.array([1] * n, pa.int64()),
+        "output": pa.array([2] * n, pa.int64()),
+        "record_type": pa.array(["ipv4"] * n),
+        "protocol": pa.array([6] * n, pa.int64()),
+        "src_ip": pa.array(["10.0.0.1"] * n),
+        "dst_ip": pa.array(["10.0.0.2"] * n),
+        "src_port": pa.array([443] * n, pa.int64()),
+        "dst_port": pa.array([80] * n, pa.int64()),
+        "tcp_flags": pa.array([16] * n, pa.int64()),
+        "tos": pa.array([0] * n, pa.int64()),
+    })
+    payloads = sflow_encode_op()(t)
+    assert payloads.num_rows == 3
+    assert payloads["n_samples"].to_pylist() == [1000, 1000, 500]
+    dec = sflow_decode_flows_op()(payloads)
+    assert dec.num_rows == n
+    assert set(dec["sample_sequence_number"].to_pylist()) == set(range(n))

@@ -1264,9 +1264,13 @@ def serve_loop(config_path: str, load_config, *, interval: float = 1.0,
             continue
         try:
             built, diff = rebuild(cfg, new, built)
-        except ValueError as e:
+        except Exception as e:  # noqa: BLE001 — ANY build failure (bad
+            # param → KeyError, missing file → FileNotFoundError, …)
+            # must reject the reload and keep the old topology serving,
+            # exactly like a validation failure; only the daemon owner
+            # may kill the daemon
             log(f"serve: reload rejected "
-                f"(old topology keeps serving): {e}")
+                f"(old topology keeps serving): {type(e).__name__}: {e}")
             continue
         cfg = new
         reloads += 1

@@ -2898,10 +2898,14 @@ def q_sflow_counters_events(sf_dir: str):
                     "promiscuous_mode": e % 2,
                 }],
             })
-        payload = encode_datagram(agent_ip="172.16.0.17",
-                                  sub_agent_id=1, sequence=426,
-                                  uptime=123456, counter_samples=rows)
-        return pa.table({"payload": pa.array([payload], pa.binary())})
+        # one datagram per <=1000 counter samples (the decoder's cap)
+        payloads = [
+            encode_datagram(agent_ip="172.16.0.17", sub_agent_id=1,
+                            sequence=426, uptime=123456,
+                            counter_samples=rows[i:i + 1000])
+            for i in range(0, max(len(rows), 1), 1000)
+        ]
+        return pa.table({"payload": pa.array(payloads, pa.binary())})
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id"])
@@ -3872,7 +3876,10 @@ def q_rag_int_pipeline_docs(sf_dir: str):
     chunks = chunk_documents(_docs(sf_dir), "text", "doc_id", size=64)
 
     def add_chunk_id(t: pa.Table) -> pa.Table:
-        cid = pc.add(pc.multiply(t["doc_id"], 1000), t["chunk_idx"])
+        # 1e6 multiplier: a doc needs >= 64M whitespace tokens before
+        # chunk ids could collide across docs (the float twin's 1000
+        # collides at 64k tokens, where Python and SQL would diverge)
+        cid = pc.add(pc.multiply(t["doc_id"], 1_000_000), t["chunk_idx"])
         return pa.table({"chunk_id": pc.cast(cid, pa.int64()),
                          "chunk_text": t["chunk_text"]})
 
@@ -3880,7 +3887,7 @@ def q_rag_int_pipeline_docs(sf_dir: str):
         chunks.map_batches(add_chunk_id, batch_format="pyarrow"),
         "chunk_text", "chunk_id", dim=128).materialize()
 
-    probe_ids = {1000, 2000, 3000}  # first chunk of docs 1..3
+    probe_ids = {1_000_000, 2_000_000, 3_000_000}  # first chunk, docs 1..3
     probes = emb.filter(lambda r: r["chunk_id"] in probe_ids).to_pandas()
     if len(probes) == 0:  # empty corpus → empty result, stable schema
         return pa.table({"query_id": pa.array([], pa.int64()),
@@ -3896,7 +3903,7 @@ def q_rag_int_pipeline_docs(sf_dir: str):
 
 SQL_RAG_INT_PIPELINE_DOCS = """
 WITH toks AS MATERIALIZED (
-  SELECT doc_id * 1000 + (ord - 1) // 64 AS chunk_id, tok
+  SELECT doc_id * 1000000 + (ord - 1) // 64 AS chunk_id, tok
   FROM (SELECT doc_id,
                unnest(regexp_extract_all(lower(text), '\\S+')) AS tok,
                generate_subscripts(
@@ -3910,7 +3917,8 @@ emb AS MATERIALIZED (
                   THEN -1 ELSE 1 END)::BIGINT AS v
   FROM toks GROUP BY 1, 2
 ),
-probes AS (SELECT * FROM emb WHERE chunk_id IN (1000, 2000, 3000)),
+probes AS (SELECT * FROM emb
+           WHERE chunk_id IN (1000000, 2000000, 3000000)),
 dots AS (
   SELECT p.chunk_id AS query_id, c.chunk_id AS vec_id,
          SUM(p.v * c.v) AS dot

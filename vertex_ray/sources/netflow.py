@@ -94,33 +94,58 @@ def _pack_records(rows: list[dict], field_ids) -> bytes:
     return bytes(out)
 
 
+# flowset length and IPFIX total length are 16-bit fields, so a single
+# data flowset holds at most (65535 - 4) // record_len records; cap well
+# under that (and under the reference's 1000-sample DDoS guard shape)
+MAX_RECORDS_PER_FLOWSET = 1000
+
+
+def _data_flowsets(rows: list[dict], template_id: int,
+                   field_ids) -> list[bytes]:
+    out = []
+    for i in range(0, max(len(rows), 1), MAX_RECORDS_PER_FLOWSET):
+        part = rows[i:i + MAX_RECORDS_PER_FLOWSET]
+        body = _pack_records(part, field_ids)
+        if 4 + len(body) > 0xFFFF:
+            raise ValueError("netflow: record layout too wide for a "
+                             "16-bit flowset length")
+        out.append(struct.pack(">HH", template_id, 4 + len(body)) + body)
+    return out
+
+
 def encode_netflow_v9(rows: list[dict], *, odid: int = 1,
                       unix_secs: int = 0, sequence: int = 0,
                       uptime_ms: int = 0,
                       template_id: int = DEFAULT_TEMPLATE_ID,
                       field_ids=DEFAULT_TEMPLATE) -> bytes:
     """Flow dicts → one RFC 3954 v9 packet: 20-byte header, template
-    flowset (id 0), one data flowset."""
+    flowset (id 0), data flowsets of ≤1000 records each (flowset length
+    is a 16-bit field). The header count is the total record count —
+    template + data records — per RFC 3954 §5.1."""
     tmpl = _pack_template_flowset(template_id, field_ids, set_id=0)
-    data_body = _pack_records(rows, field_ids)
-    data = struct.pack(">HH", template_id, 4 + len(data_body)) + data_body
-    header = struct.pack(">HHIIII", 9, 2, uptime_ms, unix_secs,
-                         sequence, odid)
-    return header + tmpl + data
+    data = _data_flowsets(rows, template_id, field_ids)
+    header = struct.pack(">HHIIII", 9, min(0xFFFF, 1 + len(rows)),
+                         uptime_ms, unix_secs, sequence, odid)
+    return header + tmpl + b"".join(data)
 
 
 def encode_ipfix(rows: list[dict], *, odid: int = 1,
                  export_time: int = 0, sequence: int = 0,
                  template_id: int = DEFAULT_TEMPLATE_ID,
                  field_ids=DEFAULT_TEMPLATE) -> bytes:
-    """Flow dicts → one RFC 7011 IPFIX message: 16-byte header (version
-    10, total length), template set (id 2), one data set."""
+    """Flow dicts → RFC 7011 IPFIX message(s) concatenated: each
+    message's 16-bit total length bounds it, so big row sets emit a
+    SEQUENCE of messages (the stream form a real exporter produces);
+    parse_packet walks only the first message of a buffer, so the
+    decode op feeds messages individually."""
     tmpl = _pack_template_flowset(template_id, field_ids, set_id=2)
-    data_body = _pack_records(rows, field_ids)
-    data = struct.pack(">HH", template_id, 4 + len(data_body)) + data_body
-    length = 16 + len(tmpl) + len(data)
-    header = struct.pack(">HHIII", 10, length, export_time, sequence, odid)
-    return header + tmpl + data
+    out = bytearray()
+    for data in _data_flowsets(rows, template_id, field_ids):
+        # the template repeats in every message so each is self-contained
+        body = tmpl + data
+        out += struct.pack(">HHIII", 10, 16 + len(body), export_time,
+                           sequence, odid) + body
+    return bytes(out)
 
 
 def _parse_template_body(buf: bytes, version: int, odid: int,
@@ -171,13 +196,39 @@ def parse_packet(buf: bytes, cache: TemplateCache | None = None) -> dict:
 
     ``header`` carries the reference's flow metadata (mod.rs:126-152):
     version string, observation_domain_id, sequence_number, plus
-    unix_secs/system_uptime (v9) or export_time (IPFIX). Records whose
-    template is not in the cache (nor in this packet) are counted in
-    ``skipped``, not errors."""
+    unix_secs/system_uptime (v9) or export_time (IPFIX). A data
+    FLOWSET whose template is in neither the cache nor this packet is
+    counted (one per flowset — its record count is unknowable without
+    the template) in ``skipped``, not an error. An IPFIX buffer may
+    hold several concatenated messages (each bounded by its 16-bit
+    total length, the stream form); all are walked."""
     cache = TemplateCache() if cache is None else cache
     if len(buf) < 2:
         raise ValueError("netflow: unexpected eof")
     version = struct.unpack_from(">H", buf, 0)[0]
+    records: list[dict] = []
+    skipped = 0
+
+    def walk_sets(pos: int, end: int, odid: int, tmpl_set: int,
+                  opts_set: int) -> None:
+        nonlocal skipped
+        while pos + 4 <= end:
+            sid, ln = struct.unpack_from(">HH", buf, pos)
+            if ln < 4 or pos + ln > end:
+                raise ValueError("netflow: bad flowset length")
+            body = buf[pos + 4:pos + ln]
+            if sid == tmpl_set:
+                _parse_template_body(body, version, odid, cache)
+            elif sid == opts_set:
+                pass  # options templates: exporter metadata, not tabular
+            elif sid >= 256:
+                fields = cache.get((version, odid, sid))
+                if fields is None:
+                    skipped += 1  # unknown template: warn-and-continue
+                else:
+                    records.extend(_decode_records(body, fields))
+            pos += ln
+
     if version == 9:
         if len(buf) < 20:
             raise ValueError("netflow: unexpected eof")
@@ -186,38 +237,26 @@ def parse_packet(buf: bytes, cache: TemplateCache | None = None) -> dict:
         header = {"version": "netflow_v9", "observation_domain_id": odid,
                   "system_uptime": uptime, "unix_secs": unix_secs,
                   "sequence_number": seq}
-        pos, end = 20, len(buf)
-        tmpl_set, opts_set = 0, 1
+        walk_sets(20, len(buf), odid, 0, 1)
     elif version == 10:
-        if len(buf) < 16:
+        header = None
+        pos = 0
+        while pos + 16 <= len(buf):
+            ver, length, export_time, seq, odid = struct.unpack_from(
+                ">HHIII", buf, pos)
+            if ver != 10 or length < 16 or pos + length > len(buf):
+                raise ValueError("netflow: bad ipfix message header")
+            if header is None:
+                header = {"version": "ipfix",
+                          "observation_domain_id": odid,
+                          "export_time": export_time,
+                          "sequence_number": seq}
+            walk_sets(pos + 16, pos + length, odid, 2, 3)
+            pos += length
+        if header is None:
             raise ValueError("netflow: unexpected eof")
-        _, length, export_time, seq, odid = struct.unpack_from(
-            ">HHIII", buf, 0)
-        header = {"version": "ipfix", "observation_domain_id": odid,
-                  "export_time": export_time, "sequence_number": seq}
-        pos, end = 16, min(len(buf), length)
-        tmpl_set, opts_set = 2, 3
     else:
         raise ValueError(f"netflow: incompatible version {version}")
-
-    records: list[dict] = []
-    skipped = 0
-    while pos + 4 <= end:
-        sid, ln = struct.unpack_from(">HH", buf, pos)
-        if ln < 4 or pos + ln > end:
-            raise ValueError("netflow: bad flowset length")
-        body = buf[pos + 4:pos + ln]
-        if sid == tmpl_set:
-            _parse_template_body(body, version, odid, cache)
-        elif sid == opts_set:
-            pass  # options templates carry exporter metadata; not tabular
-        elif sid >= 256:
-            fields = cache.get((version, odid, sid))
-            if fields is None:
-                skipped += 1  # unknown template: warn-and-continue
-            else:
-                records.extend(_decode_records(body, fields))
-        pos += ln
     return {"header": header, "records": records, "skipped": skipped}
 
 

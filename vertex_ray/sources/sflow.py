@@ -21,9 +21,10 @@ flow record / per counter metric instead of nested Value objects —
 flow rows carry the sample header columns replicated; counter rows are
 (name, kind, value, index, typ, source_id, agent).
 
-Ray shape: ``sflow_encode_op`` emits one datagram per input batch;
-``sflow_decode_flows_op`` / ``sflow_decode_counters_op`` are the two
-output ports (logs / metrics) of the reference source.
+Ray shape: ``sflow_encode_op`` emits one payload row per ≤1000-sample
+datagram (the decoder's DDoS cap; a real agent's MTU bounds datagrams
+far tighter); ``sflow_decode_flows_op`` / ``sflow_decode_counters_op``
+are the two output ports (logs / metrics) of the reference source.
 """
 
 from __future__ import annotations
@@ -156,7 +157,9 @@ def encode_datagram(*, agent_ip: str, sub_agent_id: int, sequence: int,
                 + _U32.pack(len(s["interfaces"])) + recs)
         samples.append(struct.pack(">II", SAMPLE_COUNTER, len(body))
                        + body)
-    out += struct.pack(">III", sub_agent_id, sequence, uptime)[0:0]
+    if len(samples) > 1000:
+        raise ValueError("sflow: too many samples for one datagram "
+                         "(cap 1000; chunk into multiple datagrams)")
     out += _U32.pack(sub_agent_id) + _U32.pack(sequence) \
         + _U32.pack(uptime) + _U32.pack(len(samples)) + b"".join(samples)
     return bytes(out)
@@ -370,12 +373,20 @@ def sflow_encode_op():
         first = rows[0] if rows else {"agent": "127.0.0.1",
                                       "sub_agent_id": 0,
                                       "sequence_number": 0, "uptime": 0}
-        payload = encode_datagram(
-            agent_ip=first["agent"], sub_agent_id=first["sub_agent_id"],
-            sequence=first["sequence_number"], uptime=first["uptime"],
-            flow_samples=flow_samples)
-        return pa.table({"payload": pa.array([payload], pa.binary()),
-                         "n_samples": pa.array([len(rows)], pa.int64())})
+        # one datagram per <=1000 samples (the decoder's DDoS cap, the
+        # same bound a real agent's MTU forces) -> one payload ROW each
+        payloads = [
+            encode_datagram(
+                agent_ip=first["agent"],
+                sub_agent_id=first["sub_agent_id"],
+                sequence=first["sequence_number"], uptime=first["uptime"],
+                flow_samples=flow_samples[i:i + 1000])
+            for i in range(0, max(len(flow_samples), 1), 1000)
+        ]
+        counts = [min(1000, max(len(flow_samples) - i, 0))
+                  for i in range(0, max(len(flow_samples), 1), 1000)]
+        return pa.table({"payload": pa.array(payloads, pa.binary()),
+                         "n_samples": pa.array(counts, pa.int64())})
 
     return fn
 

@@ -623,17 +623,22 @@ def brute_force_topk_int(ds, queries: np.ndarray, query_ids: np.ndarray,
     def partial(t: pa.Table) -> pa.Table:
         qq, qi = ray.get(qref)
         vecs = _stack(t[vec_col]).astype(np.int64)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         dots = qq @ vecs.T  # (nq, batch) int64
         kk = min(k, dots.shape[1])
-        top = np.argpartition(-dots, kk - 1, axis=1)[:, :kk]
-        qid = np.repeat(qi, kk)
+        # per-batch top-k must apply the SAME (score DESC, vec_id ASC)
+        # tie-break as the final merge — argpartition on score alone
+        # would drop a lower-id tied candidate before the merge sees it
+        out_q, out_v, out_s = [], [], []
+        for r in range(len(qq)):
+            order = np.lexsort((ids, -dots[r]))[:kk]
+            out_q.append(np.full(kk, qi[r], dtype=np.int64))
+            out_v.append(ids[order])
+            out_s.append(dots[r][order])
         return pa.table({
-            "query_id": pa.array(qid),
-            "vec_id": pa.array(ids[top.reshape(-1)]),
-            "score": pa.array(
-                np.take_along_axis(dots, top, axis=1).reshape(-1)
-                .astype(np.int64)),
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "score": pa.array(np.concatenate(out_s).astype(np.int64)),
         })
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

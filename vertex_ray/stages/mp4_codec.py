@@ -77,7 +77,7 @@ def encode_mp4(width: int, height: int, n_samples: int,
         size = len(frame_payload) // max(1, n_samples)
         stsz = _box(b"stsz", struct.pack(">B3xII", 0, size, n_samples))
 
-    def assemble(mdat_body_off: int) -> bytes:
+    def build_moov(mdat_body_off: int) -> bytes:
         stco = _box(b"stco", struct.pack(">B3xII", 0, 1, mdat_body_off))
         stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
         vmhd = _box(b"vmhd", struct.pack(">B3BHHHH", 0, 0, 0, 1, 0, 0, 0, 0))
@@ -86,14 +86,13 @@ def encode_mp4(width: int, height: int, n_samples: int,
         minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
         mdia = _box(b"mdia", mdhd + hdlr + minf)
         trak = _box(b"trak", tkhd + mdia)
-        moov = _box(b"moov", mvhd + trak)
-        return ftyp + moov + _box(b"mdat", frame_payload)
+        return _box(b"moov", mvhd + trak)
 
     # moov's length does not depend on the stco value (fixed 4-byte
-    # field), so assemble once to measure, then with the real offset
-    probe = assemble(0)
-    mdat_body = len(probe) - len(frame_payload)
-    return assemble(mdat_body)
+    # field), so build the small moov once to measure; the mdat payload
+    # (the big part) is concatenated exactly once
+    mdat_body = len(ftyp) + len(build_moov(0)) + 8
+    return ftyp + build_moov(mdat_body) + _box(b"mdat", frame_payload)
 
 
 def encode_mp4_mjpeg(frames, fps: int = 10, quality: int = 85) -> bytes:
