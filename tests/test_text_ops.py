@@ -1426,7 +1426,7 @@ def test_rag_int_index_self_retrieval(ray_session):
     from vertex_ray.stages.dedup_near import _md5_hash64
 
     out = q_rag_int_pipeline_docs("/root/testdata/sf0.001").to_pandas()
-    assert set(out["query_id"]) == {1000, 2000, 3000}
+    assert set(out["query_id"]) == {1_000_000, 2_000_000, 3_000_000}
     assert out["score"].dtype == np.int64
 
     # recompute each probe's embedding locally (md5 buckets over the
@@ -1443,11 +1443,11 @@ def test_rag_int_index_self_retrieval(ray_session):
         np.add.at(emb, (h % np.uint64(128)).astype(np.int64),
                   np.where((h >> np.uint64(63)) & np.uint64(1), -1, 1))
         self_dot = int(emb @ emb)
-        g = out[out["query_id"] == doc * 1000]
+        g = out[out["query_id"] == doc * 1_000_000]
         # self is always a candidate, so the winner scores ≥ self-dot
         # (it may BE a longer correlated chunk — unnormalized counts)
         assert int(g[g["rank"] == 0]["score"].iloc[0]) >= self_dot
-        row = g[g["vec_id"] == doc * 1000]
+        row = g[g["vec_id"] == doc * 1_000_000]
         if len(row):  # when self makes the top-5, its score is exact
             assert int(row["score"].iloc[0]) == self_dot
     # per query: 5 ranks, strictly ordered by (score desc, vec_id asc)
